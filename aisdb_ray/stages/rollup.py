@@ -1,0 +1,127 @@
+"""Time-bucketed rollups and the continuous-aggregate tier cascade.
+
+Semantics: min/max/mean/count (+sum, for reaggregation) of the value channel
+``n_tok`` per (source, time bucket) — the reference's per-window stats kernel
+(/root/reference/aisdb/network_graph.py:84-210) generalized into TimescaleDB
+continuous-aggregate tiers raw → 1m → 1h → 1d
+(/root/reference/aisdb/aisdb_sql/timescale_createtable_dynamic.sql:17-29
+configures the hypertable layout this mirrors).
+
+Scale design (SURVEY.md §4 skew row): the aggregate is algebraic, so each
+``map_batches`` task pre-aggregates its batch with a vectorized
+``pyarrow.Table.group_by`` — the all-to-all ``groupby`` combine then moves
+only one partial row per (source, bucket) per batch, not raw rows.  Hot
+sources are therefore spread across many buckets and many batch-partials; no
+explicit salt column is needed for the rollup path (the partial IS the salt:
+batch-id acts as the salt that the algebraic combine folds out).
+
+Tier-from-tier reaggregation is exact: min of mins, max of maxes, sum of
+sums, sum of counts; mean is finalized as sum/count at every tier (float64),
+so 1h-from-1m equals 1h-from-raw bit-for-bit on integer channels.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Max, Min, Sum
+
+from aisdb_ray.schema import (
+    BUCKET,
+    CNT_V,
+    MAX_V,
+    MEAN_V,
+    MIN_V,
+    N_TOK,
+    SOURCE,
+    SUM_V,
+    TIME,
+)
+
+
+def _bucket(t: pa.ChunkedArray | pa.Array, width_s: int) -> pa.ChunkedArray:
+    # integer divide truncates; epochs are positive, so this is a floor
+    w = pa.scalar(width_s, pa.int64())
+    return pc.multiply(pc.divide(pc.cast(t, pa.int64()), w), w)
+
+
+def partial_rollup_batch(
+    batch: pa.Table, width_s: int, value: str = N_TOK, time_col: str = TIME
+) -> pa.Table:
+    """Vectorized per-batch partial: one row per (source, bucket) in the batch."""
+    t = pa.table(
+        {
+            SOURCE: batch[SOURCE],
+            BUCKET: _bucket(batch[time_col], width_s),
+            value: pc.cast(batch[value], pa.int64()),
+        }
+    )
+    g = t.group_by([SOURCE, BUCKET], use_threads=False).aggregate(
+        [(value, "min"), (value, "max"), (value, "sum"), (value, "count")]
+    )
+    return g.rename_columns([SOURCE, BUCKET, MIN_V, MAX_V, SUM_V, CNT_V])
+
+
+def repartial_batch(batch: pa.Table, width_s: int) -> pa.Table:
+    """Partial combine of an existing rollup tier into wider buckets."""
+    t = pa.table(
+        {
+            SOURCE: batch[SOURCE],
+            BUCKET: _bucket(batch[BUCKET], width_s),
+            MIN_V: batch[MIN_V],
+            MAX_V: batch[MAX_V],
+            SUM_V: batch[SUM_V],
+            CNT_V: batch[CNT_V],
+        }
+    )
+    g = t.group_by([SOURCE, BUCKET], use_threads=False).aggregate(
+        [(MIN_V, "min"), (MAX_V, "max"), (SUM_V, "sum"), (CNT_V, "sum")]
+    )
+    return g.rename_columns([SOURCE, BUCKET, MIN_V, MAX_V, SUM_V, CNT_V])
+
+
+def _finalize(batch: pa.Table) -> pa.Table:
+    mean = pc.divide(
+        pc.cast(batch[SUM_V], pa.float64()), pc.cast(batch[CNT_V], pa.float64())
+    )
+    cols = [SOURCE, BUCKET, MIN_V, MAX_V, SUM_V, CNT_V]
+    out = pa.table({c: pc.cast(batch[c], pa.int64()) for c in cols[1:]})
+    return pa.table(
+        {
+            SOURCE: batch[SOURCE],
+            BUCKET: out[BUCKET],
+            MIN_V: out[MIN_V],
+            MAX_V: out[MAX_V],
+            SUM_V: out[SUM_V],
+            CNT_V: out[CNT_V],
+            MEAN_V: mean,
+        }
+    )
+
+
+def _combine(partials):
+    """Shuffle-combine partial rows into final (source, bucket) stats."""
+    agg = partials.groupby([SOURCE, BUCKET]).aggregate(
+        Min(MIN_V, alias_name=MIN_V),
+        Max(MAX_V, alias_name=MAX_V),
+        Sum(SUM_V, alias_name=SUM_V),
+        Sum(CNT_V, alias_name=CNT_V),
+    )
+    return agg.map_batches(_finalize, batch_format="pyarrow")
+
+
+def rollup(ds, width_s: int, value: str = N_TOK, time_col: str = TIME):
+    """Full rollup of a point dataset: partial per batch -> combine -> finalize."""
+    partials = ds.map_batches(
+        lambda b: partial_rollup_batch(b, width_s, value, time_col),
+        batch_format="pyarrow",
+    )
+    return _combine(partials)
+
+
+def rollup_from_rollup(ds, width_s: int):
+    """Continuous-aggregate reaggregation: next tier from the previous tier."""
+    partials = ds.map_batches(
+        lambda b: repartial_batch(b, width_s), batch_format="pyarrow"
+    )
+    return _combine(partials)

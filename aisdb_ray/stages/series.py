@@ -1,0 +1,215 @@
+"""Per-series operators: sort, exact dedup, gap segmentation, gap-fill.
+
+These are the AISdb track-gen semantics re-expressed per source:
+
+- within-series time sort — the ORDER BY (mmsi, time) contract
+  (/root/reference/aisdb/database/sqlfcn.py:58); done per group, not as a
+  global ``ds.sort`` (order only matters within a series, and the reference
+  itself re-sorts defensively, /root/reference/aisdb/interp.py:334-338).
+- exact dedup keep-first — PK ``ON CONFLICT DO NOTHING``
+  (/root/reference/aisdb/aisdb_sql/insert_dynamic_clusteredidx.sql:16).
+- gap segmentation: split where dt >= max_gap — ``split_timedelta``
+  (/root/reference/aisdb/track_gen.py:167-204; split-index math
+  /root/reference/aisdb/proc_util.py:53-68).
+- gap-fill: per-segment epoch grid ``np.arange(t0, t_end + step, step)`` with
+  linear ``np.interp`` of the value channel — ``aisdb.interp`` semantics
+  (/root/reference/aisdb/interp.py:25-41); same-timestamp dedup keep-first
+  before interpolation (interp.py:275-277); segments with <2 unique
+  timestamps skipped (interp.py:98-100). Original epochs round-trip their
+  exact ``n_tok`` and ``tokens`` arrays (the per-row token-array-equality
+  invariant).
+
+All functions are group-local: state never crosses a series, so they run as
+plain tasks inside ``groupby(source).map_groups`` — sequential per series,
+parallel across series (the T5 pattern in SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from aisdb_ray.schema import (
+    DOC_ID,
+    IS_ORIGINAL,
+    N_TOK,
+    SEG,
+    SEQ,
+    SOURCE,
+    TIME,
+    TOKENS,
+)
+
+# default split threshold: AISdb's split_timedelta default is 2 weeks
+# (track_gen.py:167); for minute-cadence token series we default to 2 hours.
+DEFAULT_MAX_GAP = 7200
+DEFAULT_STEP = 60
+
+
+def _sorted_dedup_indices(t: np.ndarray, s: np.ndarray) -> np.ndarray:
+    """Stable (time, seq) sort order with adjacent-duplicate keys dropped.
+
+    (time, seq) uniquely identifies a row within a source, so exact duplicate
+    rows collapse to their first occurrence — keep-first dedup.
+    """
+    order = np.lexsort((s, t))
+    t2, s2 = t[order], s[order]
+    keep = np.r_[True, (t2[1:] != t2[:-1]) | (s2[1:] != s2[:-1])]
+    return order[keep]
+
+
+def clean_group(group: pa.Table, max_gap: int = DEFAULT_MAX_GAP) -> pa.Table:
+    """Sort one source's rows by (time, seq), dedup, append int64 ``seg``."""
+    t = group[TIME].to_numpy(zero_copy_only=False)
+    s = group[SEQ].to_numpy(zero_copy_only=False)
+    idx = _sorted_dedup_indices(t, s)
+    g = group.take(pa.array(idx))
+    ts = t[idx]
+    seg = np.zeros(len(ts), dtype=np.int64)
+    if len(ts) > 1:
+        np.cumsum(np.diff(ts) >= max_gap, out=seg[1:])
+    return g.append_column(SEG, pa.array(seg))
+
+
+def segment_summary_group(group: pa.Table, max_gap: int = DEFAULT_MAX_GAP) -> pa.Table:
+    """(source, seg, t_start, t_end, n_rows) for one source — the
+    split_timedelta summary table."""
+    g = clean_group(group, max_gap)
+    t = g[TIME].to_numpy(zero_copy_only=False)
+    seg = g[SEG].to_numpy(zero_copy_only=False)
+    n = len(t)
+    first = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]]) if n else np.array([], int)
+    last = np.r_[first[1:] - 1, n - 1] if n else np.array([], int)
+    return pa.table(
+        {
+            SOURCE: pa.array([group[SOURCE][0].as_py()] * len(first)),
+            SEG: pa.array(seg[first] if n else [], type=pa.int64()),
+            "t_start": pa.array(t[first] if n else [], type=pa.int64()),
+            "t_end": pa.array(t[last] if n else [], type=pa.int64()),
+            "n_rows": pa.array((last - first + 1) if n else [], type=pa.int64()),
+        }
+    )
+
+
+def gapfill_group(
+    group: pa.Table,
+    step: int = DEFAULT_STEP,
+    max_gap: int = DEFAULT_MAX_GAP,
+    cleaned: bool = False,
+) -> pa.Table:
+    """Gap-fill one source onto the per-segment epoch grid.
+
+    Output columns: doc_id, tokens, n_tok (float64 — interpolation is real-
+    valued, as in the reference), source, time, seq, seg, is_original.
+    Gap-filled rows get ``doc_id = '{source}:{epoch:010d}:gapfill'``, null
+    tokens and null seq.  Original rows carry their exact tokens array.
+    """
+    g = group if cleaned else clean_group(group, max_gap)
+    t = g[TIME].to_numpy(zero_copy_only=False)
+    seg = g[SEG].to_numpy(zero_copy_only=False)
+    n = len(t)
+    src = g[SOURCE][0].as_py() if n else ""
+    v = g[N_TOK].to_numpy(zero_copy_only=False).astype(np.float64)
+
+    out_time: list[np.ndarray] = []
+    out_val: list[np.ndarray] = []
+    out_seg: list[np.ndarray] = []
+    out_orig_idx: list[np.ndarray] = []  # index into g for original rows, -1 filled
+    first = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]]) if n else np.array([], int)
+    bounds = np.r_[first, n]
+    for b0, b1 in zip(bounds[:-1], bounds[1:]):
+        ts = t[b0:b1]
+        # same-timestamp dedup keep-first before interpolation (interp.py:275-277)
+        uniq = np.r_[True, ts[1:] != ts[:-1]]
+        ui = np.flatnonzero(uniq) + b0
+        ts_u = t[ui]
+        if len(ts_u) < 2:  # skip length-1 segments (interp.py:98-100)
+            continue
+        grid = np.arange(ts_u[0], ts_u[-1] + step, step, dtype=np.int64)
+        vi = np.interp(grid, ts_u, v[ui])
+        pos = np.searchsorted(ts_u, grid)
+        pos = np.clip(pos, 0, len(ts_u) - 1)
+        orig = ts_u[pos] == grid
+        oidx = np.where(orig, ui[pos], -1)
+        out_time.append(grid)
+        out_val.append(vi)
+        out_seg.append(np.full(len(grid), seg[b0], dtype=np.int64))
+        out_orig_idx.append(oidx)
+
+    if not out_time:
+        return pa.table(
+            {
+                DOC_ID: pa.array([], pa.string()),
+                TOKENS: pa.array([], pa.list_(pa.int32())),
+                N_TOK: pa.array([], pa.float64()),
+                SOURCE: pa.array([], pa.string()),
+                TIME: pa.array([], pa.int64()),
+                SEQ: pa.array([], pa.int32()),
+                SEG: pa.array([], pa.int64()),
+                IS_ORIGINAL: pa.array([], pa.bool_()),
+            }
+        )
+
+    grid_t = np.concatenate(out_time)
+    grid_v = np.concatenate(out_val)
+    grid_s = np.concatenate(out_seg)
+    oidx = np.concatenate(out_orig_idx)
+    orig_mask = oidx >= 0
+
+    # carry original payload columns via take(); filled rows -> null
+    take_idx = pa.array(np.where(orig_mask, oidx, -1), type=pa.int64())
+    take_idx = pc.if_else(pa.array(orig_mask), take_idx, pa.scalar(None, pa.int64()))
+    tokens = g[TOKENS].combine_chunks().take(take_idx)
+    doc_orig = g[DOC_ID].combine_chunks().take(take_idx)
+    seq_col = g[SEQ].combine_chunks().take(take_idx)
+
+    ep_str = pc.utf8_lpad(pc.cast(pa.array(grid_t), pa.string()), 10, "0")
+    doc_fill = pc.binary_join_element_wise(
+        pa.scalar(src), ep_str, pa.scalar("gapfill"), ":"
+    )
+    doc_id = pc.if_else(pa.array(orig_mask), doc_orig, doc_fill)
+
+    return pa.table(
+        {
+            DOC_ID: doc_id,
+            TOKENS: tokens,
+            N_TOK: pa.array(grid_v),
+            SOURCE: pa.array(np.full(len(grid_t), src, dtype=object), pa.string()),
+            TIME: pa.array(grid_t),
+            SEQ: seq_col,
+            SEG: pa.array(grid_s),
+            IS_ORIGINAL: pa.array(orig_mask),
+        }
+    )
+
+
+# ------------------------------------------------------------ dataset-level
+
+def clean_series(ds, max_gap: int = DEFAULT_MAX_GAP):
+    """groupby(source) shuffle → per-series sort+dedup+segment.
+
+    This is the engine's single key-shuffle for the sequence path; rollup
+    tiers downstream reuse its partitioning (SURVEY.md §7.3).
+    """
+    return ds.groupby(SOURCE).map_groups(
+        lambda g: clean_group(g, max_gap), batch_format="pyarrow"
+    )
+
+
+def segment_table(ds, max_gap: int = DEFAULT_MAX_GAP):
+    return ds.groupby(SOURCE).map_groups(
+        lambda g: segment_summary_group(g, max_gap), batch_format="pyarrow"
+    )
+
+
+def gapfill_series(
+    ds,
+    step: int = DEFAULT_STEP,
+    max_gap: int = DEFAULT_MAX_GAP,
+    cleaned: bool = False,
+):
+    return ds.groupby(SOURCE).map_groups(
+        lambda g: gapfill_group(g, step, max_gap, cleaned=cleaned),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,60 @@
+"""Rollup tiers vs the oracle + continuous-aggregate reaggregation parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from aisdb_ray import oracle
+from aisdb_ray.stages import prepare, rollup, series
+
+MAX_GAP = 7200
+
+
+def _clean_ds(path):
+    ds = rd.read_parquet(path).map_batches(prepare.prepare, batch_format="pyarrow")
+    return series.clean_series(ds, MAX_GAP)
+
+
+def _cmp(got: pd.DataFrame, want: pd.DataFrame):
+    got = got.sort_values(["source", "bucket"], kind="stable").reset_index(drop=True)
+    want = want.sort_values(["source", "bucket"], kind="stable").reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in ["source", "bucket", "min_n_tok", "max_n_tok", "sum_n_tok", "count_n_tok"]:
+        np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy(), err_msg=c)
+    np.testing.assert_array_equal(
+        got["mean_n_tok"].to_numpy(), want["mean_n_tok"].to_numpy(), err_msg="mean"
+    )
+
+
+def test_rollup_1m_matches_oracle(micro_dir, micro_df):
+    got = rollup.rollup(_clean_ds(micro_dir), 60).to_pandas()
+    want = oracle.rollup(oracle.clean(micro_df), 60)
+    _cmp(got, want)
+
+
+def test_rollup_1h_matches_oracle(micro_dir, micro_df):
+    got = rollup.rollup(_clean_ds(micro_dir), 3600).to_pandas()
+    want = oracle.rollup(oracle.clean(micro_df), 3600)
+    _cmp(got, want)
+
+
+def test_cascade_reaggregation_exact(micro_dir, micro_df):
+    """1h computed from 1m partials == 1h computed from raw, exactly."""
+    m1 = rollup.rollup(_clean_ds(micro_dir), 60)
+    h_from_m = rollup.rollup_from_rollup(m1, 3600).to_pandas()
+    h_direct = oracle.rollup(oracle.clean(micro_df), 3600)
+    _cmp(h_from_m, h_direct)
+    # and 1d from 1h
+    d_from_h = rollup.rollup_from_rollup(
+        rollup.rollup(_clean_ds(micro_dir), 3600), 86400
+    ).to_pandas()
+    d_direct = oracle.rollup(oracle.clean(micro_df), 86400)
+    _cmp(d_from_h, d_direct)
+
+
+def test_rollup_small_scale(small_dir, small_df):
+    got = rollup.rollup(_clean_ds(small_dir), 3600).to_pandas()
+    want = oracle.rollup(oracle.clean(small_df), 3600)
+    _cmp(got, want)
