@@ -15,6 +15,7 @@ Nothing in this package calls ``ray.init``/``ray.shutdown`` — sessions are
 owned by the caller (driver, tests, bench.py).
 """
 
+from aisdb_ray import _env  # noqa: F401  (sandbox shims; must import first)
 from aisdb_ray import schema  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,0 +1,328 @@
+"""The flagship pipeline: raw -> series -> 1m -> 1h -> 1d retention cascade.
+
+Layout of a run directory (all writes atomic, see state/lineage.py):
+
+    <out_root>/
+      manifest.jsonl            lineage ledger + metrics
+      series/part=K/*.parquet   cleaned, deduped, segmented points,
+                                hash-partitioned by source (K = crc32 % P)
+      tier_1m/part=K/*.parquet  per-(source, minute bucket) stats
+      tier_1h/part=K/*.parquet  reaggregated from 1m  (exact, algebraic)
+      tier_1d/part=K/*.parquet  reaggregated from 1h
+      gapfill/part=K/*.parquet  optional gap-filled grid tier
+      compressed/part=K/*.parquet  optional Gorilla-encoded segments
+
+Partitioning: ONE key — ``part = crc32(source) % num_parts`` — chosen at the
+series stage and reused by every downstream tier (SURVEY.md §7.3): the tier
+cascade is co-partitioned, so 1h-from-1m needs no shuffle at all, and a
+partition is a self-contained resume unit.  This mirrors the reference's
+TimescaleDB layout (hash partitions on mmsi × time chunks,
+/root/reference/aisdb/aisdb_sql/timescale_createtable_dynamic.sql:17-23)
+with the monthly-table crawl replaced by partition pruning.
+
+Resume: the manifest records each completed (stage, partition); a rerun
+recomputes only missing partitions (file-checksum-ledger spirit,
+/root/reference/aisdb/database/decoder.py:207-231).  Partition jobs run
+concurrently on a small thread pool — each job is itself a parallel Ray
+Data pipeline, so this nests cleanly under the streaming executor.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import zlib
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from aisdb_ray.schema import N_TOK, SOURCE, SUM_V, TIME
+from aisdb_ray.stages import compress as compress_stage
+from aisdb_ray.stages import prepare, rollup, series
+from aisdb_ray.state import lineage
+
+TIER_WIDTHS = {"1m": 60, "1h": 3600, "1d": 86400}
+TIER_CHAIN = ["1m", "1h", "1d"]
+
+
+@dataclass
+class CascadeConfig:
+    input_path: str
+    out_root: str
+    num_parts: int = 16
+    max_gap: int = series.DEFAULT_MAX_GAP
+    step: int = series.DEFAULT_STEP
+    tiers: tuple = ("1m", "1h", "1d")
+    gapfill: bool = False
+    compress: bool = False
+    max_concurrent_parts: int = 4
+    retention: dict = field(default_factory=dict)  # tier -> keep-after epoch
+
+    def fingerprint(self) -> str:
+        files = lineage.list_parquet_files(self.input_path)
+        extra = {
+            "num_parts": self.num_parts,
+            "max_gap": self.max_gap,
+            "step": self.step,
+            "tiers": list(self.tiers),
+            "gapfill": self.gapfill,
+            "compress": self.compress,
+        }
+        return lineage.fingerprint_paths(files, extra)
+
+
+def part_of(source: str, num_parts: int) -> int:
+    return zlib.crc32(source.encode()) % num_parts
+
+
+def _clean_with_part(group: pa.Table, max_gap: int, num_parts: int) -> pa.Table:
+    g = series.clean_group(group, max_gap)
+    if g.num_rows == 0:
+        return g
+    p = part_of(g[SOURCE][0].as_py(), num_parts)
+    return g.append_column("part", pa.array(np.full(g.num_rows, p, dtype=np.int32)))
+
+
+def _dataset_rows(path: str) -> int:
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in lineage.list_parquet_files(path))
+
+
+def _part_dir(root: str, stage: str, part: int) -> str:
+    # series is written by Ray's partition_cols (hive "part=K"); directly
+    # written stages use "part-K" — Ray's write-path URI sniffing cannot
+    # handle '=' in target paths (fsspec HTTP fallback import error)
+    if stage == "series":
+        return os.path.join(root, stage, f"part={part}")
+    return os.path.join(root, stage, f"part-{part}")
+
+
+def _run_series_stage(cfg: CascadeConfig, manifest: lineage.Manifest) -> None:
+    """One distributed job: prepare + per-source clean + partitioned write."""
+    if manifest.done("series", "all"):
+        return
+    t0 = time.time()
+    ds = rd.read_parquet(cfg.input_path)
+    ds = ds.map_batches(prepare.prepare, batch_format="pyarrow")
+    cleaned = ds.groupby(SOURCE).map_groups(
+        lambda g: _clean_with_part(g, cfg.max_gap, cfg.num_parts),
+        batch_format="pyarrow",
+    )
+    out = os.path.join(cfg.out_root, "series")
+    with lineage.atomic_write(out) as tmp:
+        cleaned.write_parquet(tmp, partition_cols=["part"])
+    rows = _dataset_rows(out)
+    manifest.record("series", "all", rows=rows, wall_s=round(time.time() - t0, 3))
+
+
+def _read_part(cfg: CascadeConfig, stage: str, part: int, columns=None):
+    d = _part_dir(cfg.out_root, stage, part)
+    files = lineage.list_parquet_files(d)
+    if not files:
+        return None
+    return rd.read_parquet(files, columns=columns)
+
+
+def _write_tier(ds_or_table, out_dir: str) -> int:
+    """Atomic partition write; returns row count. Accepts Dataset or Table."""
+    with lineage.atomic_write(out_dir) as tmp:
+        if isinstance(ds_or_table, pa.Table):
+            pq.write_table(ds_or_table, os.path.join(tmp, "part-00000.parquet"))
+        else:
+            ds_or_table.write_parquet(tmp)
+    return _dataset_rows(out_dir)
+
+
+def _run_part(cfg: CascadeConfig, manifest: lineage.Manifest, part: int) -> None:
+    """All tier work for one hash partition (the resume unit)."""
+    # ---- rollup chain: series -> 1m -> 1h -> 1d (co-partitioned, no shuffle)
+    prev_stage = None
+    for tier in TIER_CHAIN:
+        if tier not in cfg.tiers:
+            continue
+        stage = f"tier_{tier}"
+        out_dir = _part_dir(cfg.out_root, stage, part)
+        if manifest.done(stage, part):
+            prev_stage = stage
+            continue
+        t0 = time.time()
+        if prev_stage is None:
+            src = _read_part(cfg, "series", part, columns=[SOURCE, TIME, N_TOK])
+            ds = rollup.rollup(src, TIER_WIDTHS[tier]) if src is not None else None
+        else:
+            src = _read_part(cfg, prev_stage, part)
+            ds = (
+                rollup.rollup_from_rollup(src, TIER_WIDTHS[tier])
+                if src is not None
+                else None
+            )
+        if ds is None:
+            os.makedirs(out_dir, exist_ok=True)
+            manifest.record(stage, part, rows=0, tokens=0, wall_s=0.0)
+            prev_stage = stage
+            continue
+        rows = _write_tier(ds, out_dir)
+        tokens = 0
+        if tier == "1m":  # total token throughput metric comes from 1m sums
+            tbl = pq.read_table(out_dir, columns=[SUM_V])
+            tokens = int(pa.compute.sum(tbl[SUM_V]).as_py() or 0)
+        manifest.record(
+            stage, part, rows=rows, tokens=tokens, wall_s=round(time.time() - t0, 3)
+        )
+        prev_stage = stage
+
+    # ---- optional gap-fill tier (grid points, float n_tok)
+    if cfg.gapfill and not manifest.done("gapfill", part):
+        t0 = time.time()
+        src = _read_part(cfg, "series", part)
+        if src is None:
+            os.makedirs(_part_dir(cfg.out_root, "gapfill", part), exist_ok=True)
+            manifest.record("gapfill", part, rows=0, wall_s=0.0)
+        else:
+            gf = src.groupby(SOURCE).map_groups(
+                lambda g: series.gapfill_group(
+                    g, cfg.step, cfg.max_gap, cleaned=True
+                ),
+                batch_format="pyarrow",
+            )
+            rows = _write_tier(gf, _part_dir(cfg.out_root, "gapfill", part))
+            manifest.record(
+                "gapfill", part, rows=rows, wall_s=round(time.time() - t0, 3)
+            )
+
+    # ---- optional Gorilla-compressed tier
+    if cfg.compress and not manifest.done("compressed", part):
+        t0 = time.time()
+        src = _read_part(cfg, "series", part)
+        if src is None:
+            os.makedirs(_part_dir(cfg.out_root, "compressed", part), exist_ok=True)
+            manifest.record("compressed", part, rows=0, wall_s=0.0)
+        else:
+            enc = compress_stage.compress(src, cfg.max_gap, cleaned=True)
+            rows = _write_tier(enc, _part_dir(cfg.out_root, "compressed", part))
+            manifest.record(
+                "compressed", part, rows=rows, wall_s=round(time.time() - t0, 3)
+            )
+
+
+def apply_retention(cfg: CascadeConfig, manifest: lineage.Manifest) -> dict:
+    """Retention pruning = partition drop by bucket watermark.
+
+    ``cfg.retention[tier] = cutoff_epoch`` rewrites each tier partition
+    keeping only buckets >= cutoff (the reference's monthly-table drop,
+    generalized).  Records a lineage entry per pruned partition.
+    """
+    import pyarrow.compute as pc
+
+    pruned = {}
+    for tier, cutoff in cfg.retention.items():
+        stage = f"tier_{tier}"
+        for part in range(cfg.num_parts):
+            d = _part_dir(cfg.out_root, stage, part)
+            files = lineage.list_parquet_files(d)
+            if not files:
+                continue
+            t = pq.read_table(d)
+            kept = t.filter(pc.greater_equal(t["bucket"], pa.scalar(cutoff, pa.int64())))
+            if kept.num_rows == t.num_rows:
+                continue
+            with lineage.atomic_write(d) as tmp:
+                pq.write_table(kept, os.path.join(tmp, "part-00000.parquet"))
+            manifest.record(
+                f"retention_{tier}", part, rows=kept.num_rows, dropped=t.num_rows - kept.num_rows
+            )
+            pruned[tier] = pruned.get(tier, 0) + (t.num_rows - kept.num_rows)
+    return pruned
+
+
+def run_cascade(cfg: CascadeConfig) -> dict:
+    """Execute (or resume) the full cascade; returns a metrics summary."""
+    t0 = time.time()
+    manifest = lineage.Manifest.open(cfg.out_root, cfg.fingerprint())
+    _run_series_stage(cfg, manifest)
+
+    parts = list(range(cfg.num_parts))
+    pending = [p for p in parts if not _part_done(cfg, manifest, p)]
+    if pending:
+        with ThreadPoolExecutor(max_workers=cfg.max_concurrent_parts) as ex:
+            list(ex.map(lambda p: _run_part(cfg, manifest, p), pending))
+    if cfg.retention:
+        apply_retention(cfg, manifest)
+
+    tokens = sum(r.get("tokens", 0) for r in manifest.completed("tier_1m"))
+    rows = next((r["rows"] for r in manifest.completed("series")), 0)
+    wall = time.time() - t0
+    return {
+        "rows": rows,
+        "tokens": tokens,
+        "wall_s": round(wall, 3),
+        "watermarks": {
+            s: manifest.watermark(s, parts)
+            for s in [f"tier_{t}" for t in cfg.tiers]
+            + (["gapfill"] if cfg.gapfill else [])
+            + (["compressed"] if cfg.compress else [])
+        },
+    }
+
+
+def _part_done(cfg: CascadeConfig, manifest: lineage.Manifest, part: int) -> bool:
+    stages = [f"tier_{t}" for t in cfg.tiers]
+    if cfg.gapfill:
+        stages.append("gapfill")
+    if cfg.compress:
+        stages.append("compressed")
+    return all(manifest.done(s, part) for s in stages)
+
+
+def main(argv=None):
+    """CLI entry: ``python -m aisdb_ray.pipelines.cascade --input ... --out ...``"""
+    import argparse
+
+    import ray
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--num-parts", type=int, default=16)
+    ap.add_argument("--max-gap", type=int, default=series.DEFAULT_MAX_GAP)
+    ap.add_argument("--step", type=int, default=series.DEFAULT_STEP)
+    ap.add_argument("--gapfill", action="store_true")
+    ap.add_argument("--compress", action="store_true")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.enable_tensor_extension_casting = False
+
+    cfg = CascadeConfig(
+        input_path=args.input,
+        out_root=args.out,
+        num_parts=args.num_parts,
+        max_gap=args.max_gap,
+        step=args.step,
+        gapfill=args.gapfill,
+        compress=args.compress,
+    )
+    summary = run_cascade(cfg)
+    import json
+
+    print(json.dumps(summary))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+"""End-to-end cascade: tier parity vs oracle + kill-and-resume (FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from aisdb_ray import oracle
+from aisdb_ray.pipelines import cascade
+
+MAX_GAP = 7200
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _read_tier(run_dir: str, tier: str) -> pd.DataFrame:
+    return pq.read_table(os.path.join(run_dir, f"tier_{tier}")).to_pandas()
+
+
+def _cmp_tier(got: pd.DataFrame, want: pd.DataFrame):
+    got = got.sort_values(["source", "bucket"], kind="stable").reset_index(drop=True)
+    want = want.sort_values(["source", "bucket"], kind="stable").reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in ["source", "bucket", "min_n_tok", "max_n_tok", "sum_n_tok", "count_n_tok", "mean_n_tok"]:
+        np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy(), err_msg=c)
+
+
+@pytest.fixture(scope="module")
+def run_dir(micro_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cascade"))
+    cfg = cascade.CascadeConfig(
+        input_path=micro_dir,
+        out_root=out,
+        num_parts=4,
+        max_gap=MAX_GAP,
+        gapfill=True,
+        compress=True,
+        max_concurrent_parts=2,
+    )
+    summary = cascade.run_cascade(cfg)
+    assert summary["rows"] > 0 and summary["tokens"] > 0
+    return out
+
+
+def test_all_tiers_match_oracle(run_dir, micro_df):
+    cleaned = oracle.clean(micro_df)
+    for tier, width in [("1m", 60), ("1h", 3600), ("1d", 86400)]:
+        _cmp_tier(_read_tier(run_dir, tier), oracle.rollup(cleaned, width))
+
+
+def test_series_tier_partitioned_and_deduped(run_dir, micro_df):
+    df = pq.read_table(os.path.join(run_dir, "series")).to_pandas()
+    want = oracle.clean(micro_df)
+    assert len(df) == len(want)
+    # partition column round-trips as a dictionary/int column from the dir layout
+    parts = {os.path.basename(p) for p in os.listdir(os.path.join(run_dir, "series"))}
+    assert all(p.startswith("part=") for p in parts)
+
+
+def test_gapfill_tier_matches_oracle(run_dir, micro_df):
+    got = pq.read_table(os.path.join(run_dir, "gapfill")).to_pandas()
+    want = oracle.gapfill(oracle.clean(micro_df), 60, MAX_GAP)
+    got = got.sort_values(["source", "seg", "time"], kind="stable").reset_index(drop=True)
+    want = want.sort_values(["source", "seg", "time"], kind="stable").reset_index(drop=True)
+    assert len(got) == len(want)
+    np.testing.assert_array_equal(got["time"].to_numpy(), want["time"].to_numpy())
+    np.testing.assert_array_equal(got["n_tok"].to_numpy(), want["n_tok"].to_numpy())
+
+
+def test_compressed_tier_roundtrip(run_dir, micro_df):
+    from aisdb_ray.functions import gorilla
+
+    enc = pq.read_table(os.path.join(run_dir, "compressed")).to_pandas()
+    cleaned = oracle.add_segments(oracle.clean(micro_df), MAX_GAP)
+    want_points = len(cleaned)
+    assert enc["n_points"].sum() == want_points
+    # decode one segment and check exact values against the oracle
+    row = enc.sort_values(["source", "seg"]).iloc[0]
+    t = gorilla.decode_timestamps(row["ts_blob"], row["ts_nbits"], row["n_points"])
+    v = gorilla.decode_values(row["val_blob"], row["val_nbits"], row["n_points"])
+    w = cleaned[(cleaned["source"] == row["source"])].sort_values(["time", "seq"])
+    w = w[w["seg"] == row["seg"]]
+    np.testing.assert_array_equal(t, w["time"].to_numpy())
+    np.testing.assert_array_equal(v, w["n_tok"].to_numpy())
+
+
+def test_manifest_and_rerun_noop(run_dir, micro_dir):
+    man = os.path.join(run_dir, "manifest.jsonl")
+    recs = [json.loads(l) for l in open(man) if l.strip()]
+    stages = {r.get("stage") for r in recs if r.get("kind") == "unit"}
+    assert {"series", "tier_1m", "tier_1h", "tier_1d", "gapfill", "compressed"} <= stages
+    n_before = len(recs)
+    # rerun: everything complete -> no recomputation, no new records
+    cfg = cascade.CascadeConfig(
+        input_path=micro_dir, out_root=run_dir, num_parts=4, max_gap=MAX_GAP,
+        gapfill=True, compress=True, max_concurrent_parts=2,
+    )
+    t0 = time.time()
+    summary = cascade.run_cascade(cfg)
+    assert time.time() - t0 < 5.0  # pure manifest scan, no Ray work
+    recs2 = [json.loads(l) for l in open(man) if l.strip()]
+    assert len(recs2) == n_before
+    assert summary["watermarks"]["tier_1d"]["completed"] == 4
+
+
+KILL_SCRIPT = """
+import os, sys, time
+sys.path.insert(0, {repo!r})
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+ctx = DataContext.get_current()
+ctx.enable_progress_bars = False
+ctx.enable_tensor_extension_casting = False
+from aisdb_ray.pipelines import cascade
+cfg = cascade.CascadeConfig(input_path={inp!r}, out_root={out!r}, num_parts=4,
+                            max_gap=7200, max_concurrent_parts=1)
+print("START", flush=True)
+cascade.run_cascade(cfg)
+print("DONE", flush=True)
+"""
+
+
+def test_kill_and_resume_byte_identical(micro_dir, tmp_path):
+    """SIGKILL mid-run; resumed run must produce identical tier outputs."""
+    out_killed = str(tmp_path / "killed")
+    out_clean = str(tmp_path / "clean")
+    env = dict(os.environ, PYTHONPATH=REPO)
+
+    # uninterrupted reference run
+    subprocess.run(
+        [sys.executable, "-c", KILL_SCRIPT.format(repo=REPO, inp=micro_dir, out=out_clean)],
+        env=env, check=True, capture_output=True, timeout=600,
+    )
+
+    # killed run: wait until >=1 tier partition is in the manifest, then SIGKILL
+    proc = subprocess.Popen(
+        [sys.executable, "-c", KILL_SCRIPT.format(repo=REPO, inp=micro_dir, out=out_killed)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    man = os.path.join(out_killed, "manifest.jsonl")
+    deadline = time.time() + 600
+    killed_mid_run = False
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            break  # finished before we could kill — resume then degenerates to noop
+        if os.path.exists(man):
+            units = [
+                json.loads(l) for l in open(man)
+                if l.strip() and '"unit"' in l and "tier_1m" in l
+            ]
+            if len(units) >= 1:
+                proc.send_signal(signal.SIGKILL)
+                proc.wait()
+                killed_mid_run = True
+                break
+        time.sleep(0.05)
+    assert proc.poll() is not None, "run neither finished nor became killable"
+
+    # resume and compare tier outputs byte-for-value with the clean run
+    subprocess.run(
+        [sys.executable, "-c", KILL_SCRIPT.format(repo=REPO, inp=micro_dir, out=out_killed)],
+        env=env, check=True, capture_output=True, timeout=600,
+    )
+    for tier in ["1m", "1h", "1d"]:
+        a = _read_tier(out_killed, tier)
+        b = _read_tier(out_clean, tier)
+        _cmp_tier(a, b)
+    assert killed_mid_run, "kill happened too late to exercise resume (flaky timing)"
