@@ -1,44 +1,57 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (the raw -> series -> 1m -> 1h -> 1d
+retention cascade with per-partition lineage) on the sf0.001-scale token
+fixture and returns the 1d tier.  ``queries()`` / ``oracle_sql()`` expose the
+operator catalog (see aisdb_ray/pipelines/queries.py) for the driver's
+DuckDB-checked correctness gate at sf=0.01.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship cascade on the sf0.001-scale token table; returns the 1d tier."""
+    import ray.data as rd
+
+    from aisdb_ray.pipelines import queries as q
+    from aisdb_ray.pipelines.cascade import CascadeConfig, run_cascade
+
+    q._ctx()
+    tokens = q.ensure_sf_tokens("/root/testdata/sf0.001")
+    out_root = "/tmp/aisdb_ray_entry/cascade_sf0.001"
+    cfg = CascadeConfig(
+        input_path=tokens,
+        out_root=out_root,
+        num_parts=4,
+        max_gap=q.TS_MAX_GAP,
+        step=q.TS_STEP,
+        max_concurrent_parts=2,
+    )
+    run_cascade(cfg)
+    files = []
+    tier_dir = os.path.join(out_root, "tier_1d")
+    for root, _d, fs in os.walk(tier_dir):
+        files += [os.path.join(root, f) for f in fs if f.endswith(".parquet")]
+    return rd.read_parquet(sorted(files))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from aisdb_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return q.build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle SQL for each (SQL-expressible) query."""
+    from aisdb_ray.pipelines import queries as q
+
+    return q.build_oracle_sql()

@@ -197,7 +197,7 @@ def write_token_dataset(
         return out_dir
     t = (
         build_token_table(table_or_scale)
-        if isinstance(table_or_scale, str)
+        if isinstance(table_or_scale, (str, FixtureParams))
         else table_or_scale
     )
     tmp = out_dir + ".tmp"

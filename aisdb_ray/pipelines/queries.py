@@ -1,0 +1,464 @@
+"""Driver-facing query catalog: Ray pipelines + matching DuckDB oracle SQL.
+
+Each entry here is an operator/pipeline from SURVEY.md §2 expressed twice:
+as a Ray Data pipeline (the engine) and as ANSI-ish SQL DuckDB can run on
+the same inputs (the oracle).  The driver executes both at sf=0.01 and
+compares row counts, schemas and order-insensitive value hashes — so every
+computed column is named identically on both sides, and every float is
+either an exact IEEE operation on identical operands (mean = sum/count on
+int64 accumulators) or avoided via int64 fixed-point (money in cents).
+
+Inputs:
+- the token table (BASELINE.json ``input_hint`` shape) is synthesized
+  deterministically per scale factor (no external data) and cached under
+  ``/tmp/aisdb_ray_sfcache/<sf>/tokens``; the oracle reads the same parquet
+  via ``read_parquet('<dir>/*.parquet')``.
+- the driver's TPC-H-ish tables (events / lineitem / orders / customer /
+  documents / embeddings) exercise the generic engine surface: the same
+  clean/segment/rollup operators parameterized by column names.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from aisdb_ray.functions.agg import grouped_sums
+from aisdb_ray.stages import compress, modeagg, prepare, rollup, series
+
+TS_MAX_GAP = 7200     # token-series segmentation threshold (2h)
+TS_STEP = 60          # token-series cadence for gap-fill
+SESSION_GAP = 1800    # events sessionization threshold (30 min)
+
+SF_CACHE_ROOT = "/tmp/aisdb_ray_sfcache"
+
+# deterministic token-table scale per driver sf dir (FIXTURES.md scales)
+_SF_PARAMS = {
+    "sf0.001": dict(n_rows=2_500, n_sources=8, n_single=1),
+    "sf0.01": dict(n_rows=60_000, n_sources=64, n_single=4),
+    "sf0.1": dict(n_rows=600_000, n_sources=256, n_single=8),
+}
+
+
+def ensure_sf_tokens(sf_dir: str) -> str:
+    """Build (once) and return the token-table parquet dir for a sf dir."""
+    from aisdb_ray.fixtures import FixtureParams, write_token_dataset
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    params = FixtureParams(**_SF_PARAMS.get(name, _SF_PARAMS["sf0.01"]))
+    out = os.path.join(SF_CACHE_ROOT, name, "tokens")
+    return write_token_dataset(params, out)
+
+
+def _ctx():
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.enable_tensor_extension_casting = False
+
+
+def _tokens_ds(sf_dir: str):
+    _ctx()
+    return rd.read_parquet(ensure_sf_tokens(sf_dir))
+
+
+def _clean_tokens(sf_dir: str):
+    ds = _tokens_ds(sf_dir).map_batches(prepare.prepare, batch_format="pyarrow")
+    return series.clean_series(ds, TS_MAX_GAP)
+
+
+# The shared SQL prelude over the token parquet (engine semantics mirrored:
+# parse epoch+seq out of doc_id, validity filter, keep-first dedup, segment).
+def _sql_tokens_clean(tokens_dir: str) -> str:
+    return f"""
+  parsed AS (
+    SELECT source, doc_id, n_tok,
+           CAST(split_part(doc_id, ':', 2) AS BIGINT) AS time,
+           CAST(split_part(doc_id, ':', 3) AS INTEGER) AS seq
+    FROM read_parquet('{tokens_dir}/*.parquet')
+    WHERE n_tok > 0 AND len(tokens) = n_tok
+      AND regexp_matches(doc_id, '^[^:]+:[0-9]+:[0-9]+$')
+  ),
+  dedup AS (
+    SELECT *, row_number() OVER (PARTITION BY source, doc_id ORDER BY doc_id) AS rn
+    FROM parsed
+  ),
+  clean AS (SELECT source, doc_id, time, seq, n_tok FROM dedup WHERE rn = 1),
+  flagged AS (
+    SELECT source, doc_id, time, seq, n_tok,
+           CASE WHEN time - lag(time) OVER
+                  (PARTITION BY source ORDER BY time, seq) >= {TS_MAX_GAP}
+                THEN 1 ELSE 0 END AS boundary
+    FROM clean
+  ),
+  segmented AS (
+    SELECT source, doc_id, time, seq, n_tok,
+           CAST(SUM(boundary) OVER (PARTITION BY source ORDER BY time, seq
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+    FROM flagged
+  )"""
+
+
+def _sql_rollup(tokens_dir: str, width: int) -> str:
+    return f"""WITH {_sql_tokens_clean(tokens_dir)}
+SELECT source,
+       (time // {width}) * {width} AS bucket,
+       CAST(min(n_tok) AS BIGINT) AS min_n_tok,
+       CAST(max(n_tok) AS BIGINT) AS max_n_tok,
+       CAST(sum(n_tok) AS BIGINT) AS sum_n_tok,
+       CAST(count(*) AS BIGINT) AS count_n_tok,
+       CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_n_tok
+FROM clean
+GROUP BY source, bucket"""
+
+
+# --------------------------------------------------------------------------
+# token-table queries (the engine's native input shape)
+# --------------------------------------------------------------------------
+
+def q_ts_clean(sf_dir: str):
+    """prepare + dedup + per-series segmentation (payload column dropped
+    for the compare; token-array equality is pinned by pytest)."""
+    return _clean_tokens(sf_dir).select_columns(
+        ["source", "doc_id", "time", "seq", "n_tok", "seg"]
+    )
+
+
+def q_ts_segments(sf_dir: str):
+    ds = _tokens_ds(sf_dir).map_batches(prepare.prepare, batch_format="pyarrow")
+    return series.segment_table(ds, TS_MAX_GAP)
+
+
+def _q_ts_rollup(sf_dir: str, width: int):
+    return rollup.rollup(_clean_tokens(sf_dir), width)
+
+
+def q_ts_cascade_1h(sf_dir: str):
+    """1h tier computed from 1m partials (continuous-aggregate path);
+    the oracle computes 1h directly from raw — parity must be exact."""
+    m1 = rollup.rollup(_clean_tokens(sf_dir), 60)
+    return rollup.rollup_from_rollup(m1, 3600)
+
+
+def q_ts_gorilla_roundtrip(sf_dir: str):
+    """clean -> pack -> Gorilla encode (actor pool) -> decode -> points.
+    The oracle is simply the cleaned points: the driver's value-hash equality
+    IS the lossless-compression proof."""
+    ds = _tokens_ds(sf_dir).map_batches(prepare.prepare, batch_format="pyarrow")
+    enc = compress.compress(ds, TS_MAX_GAP)
+    dec = compress.decompress(enc)
+    return dec
+
+
+def q_ts_mode(sf_dir: str):
+    """Most frequent n_tok//512 class per source (static-aggregate mode
+    semantics, deterministic tie-break)."""
+    def add_class(b: pa.Table) -> pa.Table:
+        cls = pc.cast(
+            pc.divide(pc.cast(b["n_tok"], pa.int64()), pa.scalar(512, pa.int64())),
+            pa.int64(),
+        )
+        return pa.table({"source": b["source"], "cls": cls})
+
+    ds = _clean_tokens(sf_dir).map_batches(add_class, batch_format="pyarrow")
+    return modeagg.mode_per_key(ds, "source", "cls")
+
+
+def q_ts_gapfill(sf_dir: str):
+    """Linear gap-fill onto the per-segment epoch grid (aisdb.interp
+    semantics). No SQL oracle — checked against the NumPy oracle in pytest;
+    the driver records a rows-only check."""
+    ds = _tokens_ds(sf_dir).map_batches(prepare.prepare, batch_format="pyarrow")
+    gf = series.gapfill_series(ds, TS_STEP, TS_MAX_GAP)
+    return gf.select_columns(["source", "seg", "time", "n_tok", "is_original"])
+
+
+# --------------------------------------------------------------------------
+# events queries (generic engine over the driver's stream table)
+# --------------------------------------------------------------------------
+
+def _events_ds(sf_dir: str, columns):
+    _ctx()
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
+def _events_adapter(b: pa.Table) -> pa.Table:
+    """ts -> int64 epoch seconds; value -> int64 cents (exact money math)."""
+    out = {}
+    for name in b.column_names:
+        out[name] = b[name]
+    t_us = pc.cast(b["ts"], pa.int64())
+    out["time"] = pc.divide(t_us, pa.scalar(1_000_000, pa.int64()))
+    if "value" in b.column_names:
+        out["value_cents"] = pc.cast(
+            pc.round(pc.multiply(b["value"], pa.scalar(100.0))), pa.int64()
+        )
+    return pa.table(out)
+
+
+def q_ev_sessions(sf_dir: str):
+    """Sessionization: split user event streams at >= 30 min gaps — the
+    split_timedelta operator on a non-token stream."""
+    ds = _events_ds(sf_dir, ["event_id", "ts", "user_id"]).map_batches(
+        _events_adapter, batch_format="pyarrow"
+    )
+    return series.segment_table(
+        ds, SESSION_GAP, key_col="user_id", time_col="time", seq_col="event_id"
+    )
+
+
+def q_ev_rollup_1h(sf_dir: str):
+    """Hourly min/max/sum/count/mean of value (cents) per event_type."""
+    ds = _events_ds(sf_dir, ["ts", "event_type", "value"]).map_batches(
+        _events_adapter, batch_format="pyarrow"
+    )
+    out = rollup.rollup(
+        ds, 3600, value="value_cents", time_col="time", key_col="event_type"
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            ["event_type", "bucket", "min_cents", "max_cents", "sum_cents",
+             "count_rows", "mean_cents"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_ev_mode(sf_dir: str):
+    """Most frequent event_type per user (ties -> lexicographically first)."""
+    ds = _events_ds(sf_dir, ["user_id", "event_type"])
+    return modeagg.mode_per_key(ds, "user_id", "event_type")
+
+
+def q_ev_dedup(sf_dir: str):
+    """Keep-first dedup on (user_id, time, event_id) + per-user segments at
+    the session gap: the cleaned event stream (O4 semantics)."""
+    ds = _events_ds(sf_dir, ["event_id", "ts", "user_id"]).map_batches(
+        _events_adapter, batch_format="pyarrow"
+    )
+    out = series.clean_series(
+        ds, SESSION_GAP, key_col="user_id", time_col="time", seq_col="event_id"
+    )
+    return out.select_columns(["user_id", "event_id", "time", "seg"])
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style summaries (generic grouped aggregation + broadcast join)
+# --------------------------------------------------------------------------
+
+def q_q1_pricing(sf_dir: str):
+    """Pricing summary (TPC-H Q1 shape) in exact int64 fixed-point."""
+    _ctx()
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def fixed(b: pa.Table) -> pa.Table:
+        keep = pc.less_equal(b["l_shipdate"], pa.scalar(np.datetime64("2026-01-01", "us")))
+        b = b.filter(keep)
+        qty = pc.cast(pc.round(b["l_quantity"]), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
+        disc100 = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64())
+        disc_e4 = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc100))
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": qty,
+                "sum_base_cents": cents,
+                "sum_disc_price_e4": disc_e4,
+            }
+        )
+
+    ds = ds.map_batches(fixed, batch_format="pyarrow")
+    return grouped_sums(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "sum_base_cents", "sum_disc_price_e4"],
+        count_as="count_order",
+    )
+
+
+def q_seg_revenue(sf_dir: str):
+    """Revenue (order totalprice, cents) per customer market segment —
+    broadcast hash join: the small customer dim is ray.put once and looked
+    up inside map_batches (J1/J2 pattern), no shuffle join."""
+    _ctx()
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust["c_custkey"].to_numpy()
+    order_idx = np.argsort(keys)
+    lookup_ref = ray.put(
+        (keys[order_idx], np.asarray(cust["c_mktsegment"].to_numpy(zero_copy_only=False))[order_idx])
+    )
+
+    def join(b: pa.Table) -> pa.Table:
+        k_sorted, seg_sorted = ray.get(lookup_ref)
+        ck = b["o_custkey"].to_numpy()
+        pos = np.searchsorted(k_sorted, ck)
+        pos = np.clip(pos, 0, len(k_sorted) - 1)
+        seg = np.where(k_sorted[pos] == ck, seg_sorted[pos], None)
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64())
+        return pa.table(
+            {"c_mktsegment": pa.array(seg, pa.string()), "revenue_cents": cents}
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    ).map_batches(join, batch_format="pyarrow")
+    return grouped_sums(ds, ["c_mktsegment"], ["revenue_cents"], count_as="n_orders")
+
+
+# --------------------------------------------------------------------------
+# catalog + oracle SQL
+# --------------------------------------------------------------------------
+
+def build_queries() -> dict:
+    return {
+        "ts_clean": q_ts_clean,
+        "ts_segments": q_ts_segments,
+        "ts_rollup_1m": lambda sf: _q_ts_rollup(sf, 60),
+        "ts_rollup_1h": lambda sf: _q_ts_rollup(sf, 3600),
+        "ts_rollup_1d": lambda sf: _q_ts_rollup(sf, 86400),
+        "ts_cascade_1h": q_ts_cascade_1h,
+        "ts_gorilla_roundtrip": q_ts_gorilla_roundtrip,
+        "ts_mode": q_ts_mode,
+        "ts_gapfill": q_ts_gapfill,
+        "ev_sessions": q_ev_sessions,
+        "ev_rollup_1h": q_ev_rollup_1h,
+        "ev_mode": q_ev_mode,
+        "ev_dedup": q_ev_dedup,
+        "q1_pricing": q_q1_pricing,
+        "seg_revenue": q_seg_revenue,
+    }
+
+
+def build_oracle_sql(sf_dir_for_tokens: str = "/root/testdata/sf0.01") -> dict:
+    """SQL strings DuckDB runs on the pre-registered views + the cached token
+    parquet.  Building the dict also ensures the token fixture exists, so the
+    oracle works regardless of driver-side execution order."""
+    tok = ensure_sf_tokens(sf_dir_for_tokens)
+    g = TS_MAX_GAP
+
+    sql = {}
+    sql["ts_clean"] = f"""WITH {_sql_tokens_clean(tok)}
+SELECT source, doc_id, time, seq, n_tok, seg FROM segmented"""
+
+    sql["ts_segments"] = f"""WITH {_sql_tokens_clean(tok)}
+SELECT source, seg,
+       CAST(min(time) AS BIGINT) AS t_start,
+       CAST(max(time) AS BIGINT) AS t_end,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM segmented GROUP BY source, seg"""
+
+    sql["ts_rollup_1m"] = _sql_rollup(tok, 60)
+    sql["ts_rollup_1h"] = _sql_rollup(tok, 3600)
+    sql["ts_rollup_1d"] = _sql_rollup(tok, 86400)
+    sql["ts_cascade_1h"] = _sql_rollup(tok, 3600)  # direct-from-raw oracle
+
+    sql["ts_gorilla_roundtrip"] = f"""WITH {_sql_tokens_clean(tok)}
+SELECT source, seg, time, CAST(n_tok AS BIGINT) AS n_tok FROM segmented"""
+
+    sql["ts_mode"] = f"""WITH {_sql_tokens_clean(tok)},
+  cls AS (SELECT source, n_tok // 512 AS mode_value FROM clean),
+  cnt AS (SELECT source, mode_value, CAST(count(*) AS BIGINT) AS n
+          FROM cls GROUP BY source, mode_value),
+  pick AS (SELECT *, row_number() OVER
+             (PARTITION BY source ORDER BY n DESC, mode_value ASC) AS rn
+           FROM cnt)
+SELECT source, mode_value, n AS mode_count FROM pick WHERE rn = 1"""
+
+    ev_prelude = """
+  ev AS (
+    SELECT event_id, user_id, event_type,
+           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS time,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+  ),
+  ev_dedup AS (
+    SELECT *, row_number() OVER
+      (PARTITION BY user_id, time, event_id ORDER BY event_id) AS rn
+    FROM ev
+  ),
+  ev_clean AS (SELECT * FROM ev_dedup WHERE rn = 1),
+  ev_flagged AS (
+    SELECT user_id, event_id, time, event_type, value_cents,
+           CASE WHEN time - lag(time) OVER
+                  (PARTITION BY user_id ORDER BY time, event_id) >= 1800
+                THEN 1 ELSE 0 END AS boundary
+    FROM ev_clean
+  ),
+  ev_seg AS (
+    SELECT user_id, event_id, time, event_type, value_cents,
+           CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY time, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+    FROM ev_flagged
+  )"""
+
+    sql["ev_sessions"] = f"""WITH {ev_prelude}
+SELECT user_id, seg,
+       CAST(min(time) AS BIGINT) AS t_start,
+       CAST(max(time) AS BIGINT) AS t_end,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM ev_seg GROUP BY user_id, seg"""
+
+    sql["ev_rollup_1h"] = """WITH ev AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS time,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events)
+SELECT event_type,
+       (time // 3600) * 3600 AS bucket,
+       CAST(min(value_cents) AS BIGINT) AS min_cents,
+       CAST(max(value_cents) AS BIGINT) AS max_cents,
+       CAST(sum(value_cents) AS BIGINT) AS sum_cents,
+       CAST(count(*) AS BIGINT) AS count_rows,
+       CAST(sum(value_cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_cents
+FROM ev GROUP BY event_type, bucket"""
+
+    sql["ev_mode"] = """WITH cnt AS (
+    SELECT user_id, event_type AS mode_value, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id, event_type),
+  pick AS (SELECT *, row_number() OVER
+             (PARTITION BY user_id ORDER BY n DESC, mode_value ASC) AS rn
+           FROM cnt)
+SELECT user_id, mode_value, n AS mode_count FROM pick WHERE rn = 1"""
+
+    sql["ev_dedup"] = f"""WITH {ev_prelude}
+SELECT user_id, event_id, time, seg FROM ev_seg"""
+
+    sql["q1_pricing"] = """WITH li AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(l_quantity) AS BIGINT) AS qty,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+           CAST(round(l_discount * 100) AS BIGINT) AS disc100
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2026-01-01')
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(qty) AS BIGINT) AS sum_qty,
+       CAST(sum(cents) AS BIGINT) AS sum_base_cents,
+       CAST(sum(cents * (100 - disc100)) AS BIGINT) AS sum_disc_price_e4,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM li GROUP BY l_returnflag, l_linestatus"""
+
+    sql["seg_revenue"] = """SELECT c_mktsegment,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment"""
+
+    # ts_gapfill: intentionally no SQL oracle (interpolation is checked
+    # against the NumPy oracle in pytest) -> driver rows-only check
+    return sql

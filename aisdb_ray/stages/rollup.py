@@ -46,27 +46,31 @@ def _bucket(t: pa.ChunkedArray | pa.Array, width_s: int) -> pa.ChunkedArray:
 
 
 def partial_rollup_batch(
-    batch: pa.Table, width_s: int, value: str = N_TOK, time_col: str = TIME
+    batch: pa.Table,
+    width_s: int,
+    value: str = N_TOK,
+    time_col: str = TIME,
+    key_col: str = SOURCE,
 ) -> pa.Table:
-    """Vectorized per-batch partial: one row per (source, bucket) in the batch."""
+    """Vectorized per-batch partial: one row per (key, bucket) in the batch."""
     t = pa.table(
         {
-            SOURCE: batch[SOURCE],
+            key_col: batch[key_col],
             BUCKET: _bucket(batch[time_col], width_s),
             value: pc.cast(batch[value], pa.int64()),
         }
     )
-    g = t.group_by([SOURCE, BUCKET], use_threads=False).aggregate(
+    g = t.group_by([key_col, BUCKET], use_threads=False).aggregate(
         [(value, "min"), (value, "max"), (value, "sum"), (value, "count")]
     )
-    return g.rename_columns([SOURCE, BUCKET, MIN_V, MAX_V, SUM_V, CNT_V])
+    return g.rename_columns([key_col, BUCKET, MIN_V, MAX_V, SUM_V, CNT_V])
 
 
-def repartial_batch(batch: pa.Table, width_s: int) -> pa.Table:
+def repartial_batch(batch: pa.Table, width_s: int, key_col: str = SOURCE) -> pa.Table:
     """Partial combine of an existing rollup tier into wider buckets."""
     t = pa.table(
         {
-            SOURCE: batch[SOURCE],
+            key_col: batch[key_col],
             BUCKET: _bucket(batch[BUCKET], width_s),
             MIN_V: batch[MIN_V],
             MAX_V: batch[MAX_V],
@@ -74,21 +78,21 @@ def repartial_batch(batch: pa.Table, width_s: int) -> pa.Table:
             CNT_V: batch[CNT_V],
         }
     )
-    g = t.group_by([SOURCE, BUCKET], use_threads=False).aggregate(
+    g = t.group_by([key_col, BUCKET], use_threads=False).aggregate(
         [(MIN_V, "min"), (MAX_V, "max"), (SUM_V, "sum"), (CNT_V, "sum")]
     )
-    return g.rename_columns([SOURCE, BUCKET, MIN_V, MAX_V, SUM_V, CNT_V])
+    return g.rename_columns([key_col, BUCKET, MIN_V, MAX_V, SUM_V, CNT_V])
 
 
-def _finalize(batch: pa.Table) -> pa.Table:
+def _finalize(batch: pa.Table, key_col: str = SOURCE) -> pa.Table:
     mean = pc.divide(
         pc.cast(batch[SUM_V], pa.float64()), pc.cast(batch[CNT_V], pa.float64())
     )
-    cols = [SOURCE, BUCKET, MIN_V, MAX_V, SUM_V, CNT_V]
-    out = pa.table({c: pc.cast(batch[c], pa.int64()) for c in cols[1:]})
+    cols = [BUCKET, MIN_V, MAX_V, SUM_V, CNT_V]
+    out = pa.table({c: pc.cast(batch[c], pa.int64()) for c in cols})
     return pa.table(
         {
-            SOURCE: batch[SOURCE],
+            key_col: batch[key_col],
             BUCKET: out[BUCKET],
             MIN_V: out[MIN_V],
             MAX_V: out[MAX_V],
@@ -99,29 +103,37 @@ def _finalize(batch: pa.Table) -> pa.Table:
     )
 
 
-def _combine(partials):
-    """Shuffle-combine partial rows into final (source, bucket) stats."""
-    agg = partials.groupby([SOURCE, BUCKET]).aggregate(
+def _combine(partials, key_col: str = SOURCE):
+    """Shuffle-combine partial rows into final (key, bucket) stats."""
+    agg = partials.groupby([key_col, BUCKET]).aggregate(
         Min(MIN_V, alias_name=MIN_V),
         Max(MAX_V, alias_name=MAX_V),
         Sum(SUM_V, alias_name=SUM_V),
         Sum(CNT_V, alias_name=CNT_V),
     )
-    return agg.map_batches(_finalize, batch_format="pyarrow")
+    return agg.map_batches(
+        lambda b: _finalize(b, key_col), batch_format="pyarrow"
+    )
 
 
-def rollup(ds, width_s: int, value: str = N_TOK, time_col: str = TIME):
+def rollup(
+    ds,
+    width_s: int,
+    value: str = N_TOK,
+    time_col: str = TIME,
+    key_col: str = SOURCE,
+):
     """Full rollup of a point dataset: partial per batch -> combine -> finalize."""
     partials = ds.map_batches(
-        lambda b: partial_rollup_batch(b, width_s, value, time_col),
+        lambda b: partial_rollup_batch(b, width_s, value, time_col, key_col),
         batch_format="pyarrow",
     )
-    return _combine(partials)
+    return _combine(partials, key_col)
 
 
-def rollup_from_rollup(ds, width_s: int):
+def rollup_from_rollup(ds, width_s: int, key_col: str = SOURCE):
     """Continuous-aggregate reaggregation: next tier from the previous tier."""
     partials = ds.map_batches(
-        lambda b: repartial_batch(b, width_s), batch_format="pyarrow"
+        lambda b: repartial_batch(b, width_s, key_col), batch_format="pyarrow"
     )
-    return _combine(partials)
+    return _combine(partials, key_col)

@@ -59,10 +59,20 @@ def _sorted_dedup_indices(t: np.ndarray, s: np.ndarray) -> np.ndarray:
     return order[keep]
 
 
-def clean_group(group: pa.Table, max_gap: int = DEFAULT_MAX_GAP) -> pa.Table:
-    """Sort one source's rows by (time, seq), dedup, append int64 ``seg``."""
-    t = group[TIME].to_numpy(zero_copy_only=False)
-    s = group[SEQ].to_numpy(zero_copy_only=False)
+def clean_group(
+    group: pa.Table,
+    max_gap: int = DEFAULT_MAX_GAP,
+    *,
+    time_col: str = TIME,
+    seq_col: str = SEQ,
+) -> pa.Table:
+    """Sort one key's rows by (time, seq), dedup, append int64 ``seg``.
+
+    Generic over column names: the token table is one instance (source/time/
+    seq); any keyed event stream with an epoch + disambiguator works.
+    """
+    t = group[time_col].to_numpy(zero_copy_only=False)
+    s = group[seq_col].to_numpy(zero_copy_only=False)
     idx = _sorted_dedup_indices(t, s)
     g = group.take(pa.array(idx))
     ts = t[idx]
@@ -72,18 +82,25 @@ def clean_group(group: pa.Table, max_gap: int = DEFAULT_MAX_GAP) -> pa.Table:
     return g.append_column(SEG, pa.array(seg))
 
 
-def segment_summary_group(group: pa.Table, max_gap: int = DEFAULT_MAX_GAP) -> pa.Table:
-    """(source, seg, t_start, t_end, n_rows) for one source — the
+def segment_summary_group(
+    group: pa.Table,
+    max_gap: int = DEFAULT_MAX_GAP,
+    *,
+    key_col: str = SOURCE,
+    time_col: str = TIME,
+    seq_col: str = SEQ,
+) -> pa.Table:
+    """(key, seg, t_start, t_end, n_rows) for one key — the
     split_timedelta summary table."""
-    g = clean_group(group, max_gap)
-    t = g[TIME].to_numpy(zero_copy_only=False)
+    g = clean_group(group, max_gap, time_col=time_col, seq_col=seq_col)
+    t = g[time_col].to_numpy(zero_copy_only=False)
     seg = g[SEG].to_numpy(zero_copy_only=False)
     n = len(t)
     first = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]]) if n else np.array([], int)
     last = np.r_[first[1:] - 1, n - 1] if n else np.array([], int)
     return pa.table(
         {
-            SOURCE: pa.array([group[SOURCE][0].as_py()] * len(first)),
+            key_col: pa.array([group[key_col][0].as_py()] * len(first), type=group[key_col].type),
             SEG: pa.array(seg[first] if n else [], type=pa.int64()),
             "t_start": pa.array(t[first] if n else [], type=pa.int64()),
             "t_end": pa.array(t[last] if n else [], type=pa.int64()),
@@ -186,20 +203,38 @@ def gapfill_group(
 
 # ------------------------------------------------------------ dataset-level
 
-def clean_series(ds, max_gap: int = DEFAULT_MAX_GAP):
-    """groupby(source) shuffle → per-series sort+dedup+segment.
+def clean_series(
+    ds,
+    max_gap: int = DEFAULT_MAX_GAP,
+    *,
+    key_col: str = SOURCE,
+    time_col: str = TIME,
+    seq_col: str = SEQ,
+):
+    """groupby(key) shuffle → per-series sort+dedup+segment.
 
     This is the engine's single key-shuffle for the sequence path; rollup
     tiers downstream reuse its partitioning (SURVEY.md §7.3).
     """
-    return ds.groupby(SOURCE).map_groups(
-        lambda g: clean_group(g, max_gap), batch_format="pyarrow"
+    return ds.groupby(key_col).map_groups(
+        lambda g: clean_group(g, max_gap, time_col=time_col, seq_col=seq_col),
+        batch_format="pyarrow",
     )
 
 
-def segment_table(ds, max_gap: int = DEFAULT_MAX_GAP):
-    return ds.groupby(SOURCE).map_groups(
-        lambda g: segment_summary_group(g, max_gap), batch_format="pyarrow"
+def segment_table(
+    ds,
+    max_gap: int = DEFAULT_MAX_GAP,
+    *,
+    key_col: str = SOURCE,
+    time_col: str = TIME,
+    seq_col: str = SEQ,
+):
+    return ds.groupby(key_col).map_groups(
+        lambda g: segment_summary_group(
+            g, max_gap, key_col=key_col, time_col=time_col, seq_col=seq_col
+        ),
+        batch_format="pyarrow",
     )
 
 
