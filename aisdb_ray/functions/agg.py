@@ -10,14 +10,15 @@ upstream so sums are order-independent (float sums are not).
 from __future__ import annotations
 
 import pyarrow as pa
-from ray.data.aggregate import Sum
 
 
 def grouped_sums(ds, keys: list[str], sum_cols: list[str], count_as: str = "n"):
     """SUM(each of sum_cols) + COUNT(*) per key tuple.
 
     Returns a Dataset with columns keys + sum_cols (same names, summed) +
-    ``count_as``.
+    ``count_as``.  Combine is the same vectorized two-level pattern as
+    stages/rollup._combine (per-block pyarrow group_by, then a one-block
+    global combine) — no per-group Python.
     """
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -29,8 +30,14 @@ def grouped_sums(ds, keys: list[str], sum_cols: list[str], count_as: str = "n"):
         )
         return g.rename_columns(keys + sum_cols + [count_as])
 
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(keys, use_threads=False).aggregate(
+            [(c, "sum") for c in sum_cols + [count_as]]
+        )
+        return g.rename_columns(keys + sum_cols + [count_as])
+
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    aggs = [Sum(c, alias_name=c) for c in sum_cols] + [
-        Sum(count_as, alias_name=count_as)
-    ]
-    return partials.groupby(keys).aggregate(*aggs)
+    local = partials.map_batches(combine, batch_format="pyarrow", batch_size=None)
+    return local.repartition(1).map_batches(
+        combine, batch_format="pyarrow", batch_size=None
+    )

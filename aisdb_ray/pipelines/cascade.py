@@ -62,6 +62,13 @@ class CascadeConfig:
     compress: bool = False
     max_concurrent_parts: int = 4
     retention: dict = field(default_factory=dict)  # tier -> keep-after epoch
+    # how the heavy gapfill/compress tiers are scheduled:
+    #   "part"  — one Ray job per hash partition (finest resume granularity;
+    #             right when partitions are large, i.e. real-scale runs)
+    #   "stage" — one Ray job per stage over all partitions, written with
+    #             partition_cols (one actor pool / one shuffle total; right
+    #             when partitions are small and per-job overhead dominates)
+    heavy_mode: str = "part"
 
     def fingerprint(self) -> str:
         files = lineage.list_parquet_files(self.input_path)
@@ -138,42 +145,70 @@ def _write_tier(ds_or_table, out_dir: str) -> int:
 
 
 def _run_part(cfg: CascadeConfig, manifest: lineage.Manifest, part: int) -> None:
-    """All tier work for one hash partition (the resume unit)."""
-    # ---- rollup chain: series -> 1m -> 1h -> 1d (co-partitioned, no shuffle)
-    prev_stage = None
-    for tier in TIER_CHAIN:
-        if tier not in cfg.tiers:
-            continue
-        stage = f"tier_{tier}"
-        out_dir = _part_dir(cfg.out_root, stage, part)
-        if manifest.done(stage, part):
-            prev_stage = stage
-            continue
+    """All tier work for one hash partition (the resume unit).
+
+    The tier chain runs as ONE pruned Ray map job producing per-batch
+    algebraic partials, combined vectorized (pyarrow group_by) on the
+    part's worker thread — per-batch partials are bounded by the number of
+    distinct (source, minute) pairs per batch, so no Ray shuffle is needed
+    inside a partition (the hash partitioning already co-located the keys).
+    1h/1d reaggregate from the in-memory 1m table: min of mins / max of
+    maxes / sums — exact, same math as the distributed path.
+    """
+    import ray
+
+    tiers = [t for t in TIER_CHAIN if t in cfg.tiers]
+    if tiers and not all(manifest.done(f"tier_{t}", part) for t in tiers):
         t0 = time.time()
-        if prev_stage is None:
-            src = _read_part(cfg, "series", part, columns=[SOURCE, TIME, N_TOK])
-            ds = rollup.rollup(src, TIER_WIDTHS[tier]) if src is not None else None
+        src = _read_part(cfg, "series", part, columns=[SOURCE, TIME, N_TOK])
+        if src is None:
+            for t in tiers:
+                if not manifest.done(f"tier_{t}", part):
+                    os.makedirs(_part_dir(cfg.out_root, f"tier_{t}", part), exist_ok=True)
+                    manifest.record(f"tier_{t}", part, rows=0, tokens=0, wall_s=0.0)
         else:
-            src = _read_part(cfg, prev_stage, part)
-            ds = (
-                rollup.rollup_from_rollup(src, TIER_WIDTHS[tier])
-                if src is not None
-                else None
+            w0 = TIER_WIDTHS[tiers[0]]
+            partials = src.map_batches(
+                lambda b: rollup.partial_rollup_batch(b, w0), batch_format="pyarrow"
             )
-        if ds is None:
-            os.makedirs(out_dir, exist_ok=True)
-            manifest.record(stage, part, rows=0, tokens=0, wall_s=0.0)
-            prev_stage = stage
-            continue
-        rows = _write_tier(ds, out_dir)
-        tokens = 0
-        if tier == "1m":  # total token throughput metric comes from 1m sums
-            tbl = pq.read_table(out_dir, columns=[SUM_V])
-            tokens = int(pa.compute.sum(tbl[SUM_V]).as_py() or 0)
-        manifest.record(
-            stage, part, rows=rows, tokens=tokens, wall_s=round(time.time() - t0, 3)
-        )
-        prev_stage = stage
+            tbls = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+            if tbls:
+                ptbl = pa.concat_tables(tbls)
+            else:
+                from aisdb_ray.schema import BUCKET, CNT_V, MAX_V, MIN_V
+
+                ptbl = pa.table(
+                    {
+                        SOURCE: pa.array([], pa.string()),
+                        BUCKET: pa.array([], pa.int64()),
+                        MIN_V: pa.array([], pa.int64()),
+                        MAX_V: pa.array([], pa.int64()),
+                        SUM_V: pa.array([], pa.int64()),
+                        CNT_V: pa.array([], pa.int64()),
+                    }
+                )
+            # combine: rebucket at the same width collapses batch partials
+            tier_tbl = rollup._finalize(rollup.repartial_batch(ptbl, w0))
+            for i, tier in enumerate(tiers):
+                stage = f"tier_{tier}"
+                if i > 0:
+                    tier_tbl = rollup._finalize(
+                        rollup.repartial_batch(tier_tbl, TIER_WIDTHS[tier])
+                    )
+                if manifest.done(stage, part):
+                    continue
+                rows = _write_tier(tier_tbl, _part_dir(cfg.out_root, stage, part))
+                tokens = 0
+                if tier == "1m":  # token-throughput metric from 1m sums
+                    tokens = int(pa.compute.sum(tier_tbl[SUM_V]).as_py() or 0)
+                manifest.record(
+                    stage, part, rows=rows, tokens=tokens,
+                    wall_s=round(time.time() - t0, 3),
+                )
+                t0 = time.time()
+
+    if cfg.heavy_mode == "stage":
+        return  # gapfill/compress handled by the per-stage jobs
 
     # ---- optional gap-fill tier (grid points, float n_tok)
     if cfg.gapfill and not manifest.done("gapfill", part):
@@ -207,6 +242,59 @@ def _run_part(cfg: CascadeConfig, manifest: lineage.Manifest, part: int) -> None
             manifest.record(
                 "compressed", part, rows=rows, wall_s=round(time.time() - t0, 3)
             )
+
+
+def _with_part(tbl: pa.Table, num_parts: int) -> pa.Table:
+    """Append the hash-partition column to a single-source group output."""
+    if tbl.num_rows == 0:
+        return tbl.append_column("part", pa.array([], pa.int32()))
+    p = part_of(tbl[SOURCE][0].as_py(), num_parts)
+    return tbl.append_column("part", pa.array(np.full(tbl.num_rows, p, np.int32)))
+
+
+def _run_heavy_stage(cfg: CascadeConfig, manifest: lineage.Manifest, kind: str) -> None:
+    """'stage'-mode gapfill/compress: one job over all partitions.
+
+    One shuffle and (for compress) one actor pool total, written with
+    ``partition_cols`` so the on-disk layout matches 'part' mode.
+    """
+    if manifest.done(kind, "all"):
+        return
+    t0 = time.time()
+    files = lineage.list_parquet_files(os.path.join(cfg.out_root, "series"))
+    out_dir = os.path.join(cfg.out_root, kind)
+    if not files:
+        os.makedirs(out_dir, exist_ok=True)
+        manifest.record(kind, "all", rows=0, wall_s=0.0)
+        return
+    ds = rd.read_parquet(files)
+    if kind == "gapfill":
+        out = ds.groupby(SOURCE).map_groups(
+            lambda g: _with_part(
+                series.gapfill_group(g, cfg.step, cfg.max_gap, cleaned=True),
+                cfg.num_parts,
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        packed = ds.groupby(SOURCE).map_groups(
+            lambda g: _with_part(
+                compress_stage.pack_series_group(g, cfg.max_gap, cleaned=True),
+                cfg.num_parts,
+            ),
+            batch_format="pyarrow",
+        )
+        out = packed.map_batches(
+            compress_stage.GorillaEncodePassthrough,
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+            batch_size=256,
+        )
+    with lineage.atomic_write(out_dir) as tmp:
+        out.write_parquet(tmp, partition_cols=["part"])
+    manifest.record(
+        kind, "all", rows=_dataset_rows(out_dir), wall_s=round(time.time() - t0, 3)
+    )
 
 
 def apply_retention(cfg: CascadeConfig, manifest: lineage.Manifest) -> dict:
@@ -250,6 +338,11 @@ def run_cascade(cfg: CascadeConfig) -> dict:
     if pending:
         with ThreadPoolExecutor(max_workers=cfg.max_concurrent_parts) as ex:
             list(ex.map(lambda p: _run_part(cfg, manifest, p), pending))
+    if cfg.heavy_mode == "stage":
+        if cfg.gapfill:
+            _run_heavy_stage(cfg, manifest, "gapfill")
+        if cfg.compress:
+            _run_heavy_stage(cfg, manifest, "compressed")
     if cfg.retention:
         apply_retention(cfg, manifest)
 
@@ -261,7 +354,9 @@ def run_cascade(cfg: CascadeConfig) -> dict:
         "tokens": tokens,
         "wall_s": round(wall, 3),
         "watermarks": {
-            s: manifest.watermark(s, parts)
+            s: manifest.watermark(
+                s, parts if (cfg.heavy_mode == "part" or s.startswith("tier_")) else ["all"]
+            )
             for s in [f"tier_{t}" for t in cfg.tiers]
             + (["gapfill"] if cfg.gapfill else [])
             + (["compressed"] if cfg.compress else [])
@@ -271,10 +366,11 @@ def run_cascade(cfg: CascadeConfig) -> dict:
 
 def _part_done(cfg: CascadeConfig, manifest: lineage.Manifest, part: int) -> bool:
     stages = [f"tier_{t}" for t in cfg.tiers]
-    if cfg.gapfill:
-        stages.append("gapfill")
-    if cfg.compress:
-        stages.append("compressed")
+    if cfg.heavy_mode == "part":
+        if cfg.gapfill:
+            stages.append("gapfill")
+        if cfg.compress:
+            stages.append("compressed")
     return all(manifest.done(s, part) for s in stages)
 
 

@@ -69,9 +69,20 @@ def _tokens_ds(sf_dir: str):
     return rd.read_parquet(ensure_sf_tokens(sf_dir))
 
 
-def _clean_tokens(sf_dir: str):
+def _prepared(sf_dir: str, with_tokens: bool = False):
+    """prepare (derive epoch + validate), then PROJECT the token payload away
+    unless the query actually consumes it — the payload dominates bytes
+    (SURVEY.md §7.4.5) and must never ride through a shuffle for free."""
     ds = _tokens_ds(sf_dir).map_batches(prepare.prepare, batch_format="pyarrow")
-    return series.clean_series(ds, TS_MAX_GAP)
+    if not with_tokens:
+        ds = ds.map_batches(
+            lambda b: b.drop_columns(["tokens"]), batch_format="pyarrow"
+        )
+    return ds
+
+
+def _clean_tokens(sf_dir: str, with_tokens: bool = False):
+    return series.clean_series(_prepared(sf_dir, with_tokens), TS_MAX_GAP)
 
 
 # The shared SQL prelude over the token parquet (engine semantics mirrored:
@@ -132,8 +143,7 @@ def q_ts_clean(sf_dir: str):
 
 
 def q_ts_segments(sf_dir: str):
-    ds = _tokens_ds(sf_dir).map_batches(prepare.prepare, batch_format="pyarrow")
-    return series.segment_table(ds, TS_MAX_GAP)
+    return series.segment_table(_prepared(sf_dir), TS_MAX_GAP)
 
 
 def _q_ts_rollup(sf_dir: str, width: int):
@@ -151,10 +161,8 @@ def q_ts_gorilla_roundtrip(sf_dir: str):
     """clean -> pack -> Gorilla encode (actor pool) -> decode -> points.
     The oracle is simply the cleaned points: the driver's value-hash equality
     IS the lossless-compression proof."""
-    ds = _tokens_ds(sf_dir).map_batches(prepare.prepare, batch_format="pyarrow")
-    enc = compress.compress(ds, TS_MAX_GAP)
-    dec = compress.decompress(enc)
-    return dec
+    enc = compress.compress(_prepared(sf_dir), TS_MAX_GAP)
+    return compress.decompress(enc)
 
 
 def q_ts_mode(sf_dir: str):
@@ -175,8 +183,7 @@ def q_ts_gapfill(sf_dir: str):
     """Linear gap-fill onto the per-segment epoch grid (aisdb.interp
     semantics). No SQL oracle — checked against the NumPy oracle in pytest;
     the driver records a rows-only check."""
-    ds = _tokens_ds(sf_dir).map_batches(prepare.prepare, batch_format="pyarrow")
-    gf = series.gapfill_series(ds, TS_STEP, TS_MAX_GAP)
+    gf = series.gapfill_series(_prepared(sf_dir, with_tokens=True), TS_STEP, TS_MAX_GAP)
     return gf.select_columns(["source", "seg", "time", "n_tok", "is_original"])
 
 

@@ -115,6 +115,20 @@ class GorillaEncode:
         )
 
 
+class GorillaEncodePassthrough(GorillaEncode):
+    """GorillaEncode that forwards bookkeeping columns (e.g. the hash
+    partition id) through the encoder unchanged."""
+
+    keep = ("part",)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        extra = {c: batch[c] for c in batch.column_names if c in self.keep}
+        out = super().__call__(batch.drop_columns(list(extra)))
+        for c, col in extra.items():
+            out = out.append_column(c, col)
+        return out
+
+
 class GorillaDecode:
     """Actor-pool decoder: compressed rows -> exploded point rows."""
 

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
-from ray.data.aggregate import Sum
 
 MODE_VALUE = "mode_value"
 MODE_COUNT = "mode_count"
@@ -32,18 +31,39 @@ def _partial_counts(batch: pa.Table, key: str, col: str) -> pa.Table:
     return g.rename_columns([key, MODE_VALUE, "n"])
 
 
-def _pick_group(g: pd.DataFrame, key: str) -> pd.DataFrame:
-    g = g.sort_values(["n", MODE_VALUE], ascending=[False, True], kind="stable")
-    top = g.head(1)[[key, MODE_VALUE, "n"]].rename(columns={"n": MODE_COUNT})
-    return top
+def _combine_counts(batch: pa.Table) -> pa.Table:
+    g = batch.group_by(
+        [batch.column_names[0], MODE_VALUE], use_threads=False
+    ).aggregate([("n", "sum")])
+    return g.rename_columns([batch.column_names[0], MODE_VALUE, "n"])
+
+
+def _pick_all(batch: pa.Table, key: str) -> pd.DataFrame:
+    """Vectorized per-key argmax over the (small) global counts table."""
+    df = batch.to_pandas()
+    df = df.sort_values(
+        [key, "n", MODE_VALUE], ascending=[True, False, True], kind="stable"
+    )
+    top = df.drop_duplicates(subset=[key], keep="first")
+    return top.rename(columns={"n": MODE_COUNT}).reset_index(drop=True)
 
 
 def mode_per_key(ds, key: str, col: str):
-    """Dataset of (key, mode_value, mode_count), ties -> smallest value."""
+    """Dataset of (key, mode_value, mode_count), ties -> smallest value.
+
+    Same vectorized two-level combine as stages/rollup._combine: the global
+    counts table (one row per distinct (key, value) — small by construction)
+    lands in one block where the per-key pick is a single vectorized pass.
+    """
     partials = ds.map_batches(
         lambda b: _partial_counts(b, key, col), batch_format="pyarrow"
     )
-    counts = partials.groupby([key, MODE_VALUE]).aggregate(Sum("n", alias_name="n"))
-    return counts.groupby(key).map_groups(
-        lambda g: _pick_group(g, key), batch_format="pandas"
+    local = partials.map_batches(
+        _combine_counts, batch_format="pyarrow", batch_size=None
+    )
+    merged = local.repartition(1).map_batches(
+        _combine_counts, batch_format="pyarrow", batch_size=None
+    )
+    return merged.map_batches(
+        lambda b: _pick_all(b, key), batch_format="pyarrow", batch_size=None
     )

@@ -1,0 +1,185 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Headline: the full raw -> series -> 1m -> 1h -> 1d retention cascade with
+gap-fill and Gorilla compression tiers, on a deterministic token-table
+fixture sized from $GRAFT_SF_DIR's scale factor.  Also times the standalone
+rollup and gap-fill pipelines.
+
+    GRAFT_SF_DIR     input scale dir (default /root/testdata/sf0.1)
+    RAY_GRAFT_CPUS   parallelism (default 32)
+    GRAFT_BENCH_ROWS override fixture row count
+
+``--scaling`` runs the headline twice in fresh processes (num_cpus=8 then
+32) on the same input and reports both throughputs plus the scaling
+efficiency (the sandbox substitute for N vs 4N cluster nodes; BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_ROWS = {"sf0.001": 100_000, "sf0.01": 1_000_000, "sf0.1": 4_000_000}
+
+
+def bench_fixture_dir() -> str:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from aisdb_ray.fixtures import FixtureParams, write_token_dataset
+
+    name = os.path.basename(os.path.normpath(SF_DIR))
+    rows = int(os.environ.get("GRAFT_BENCH_ROWS", BENCH_ROWS.get(name, 1_000_000)))
+    params = FixtureParams(
+        n_rows=rows, n_sources=512, ntok_max=128, ntok_start=64, n_single=8
+    )
+    out = os.path.join("/tmp/aisdb_ray_bench", name, f"tokens-{rows}")
+    return write_token_dataset(params, out)
+
+
+def warm_cache(path: str) -> None:
+    import pyarrow.parquet as pq
+
+    from aisdb_ray.state.lineage import list_parquet_files
+
+    for f in list_parquet_files(path):
+        pq.read_table(f)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.enable_tensor_extension_casting = False
+
+    import ray.data as rd
+
+    from aisdb_ray.pipelines.cascade import CascadeConfig, run_cascade
+    from aisdb_ray.stages import prepare, rollup, series
+
+    tokens = bench_fixture_dir()
+    warm_cache(tokens)  # measure compute + shuffle, not first disk read
+
+    out_root = f"/tmp/aisdb_ray_bench/run-cpus{CPUS}"
+    shutil.rmtree(out_root, ignore_errors=True)
+
+    import pyarrow.parquet as pq
+
+    from aisdb_ray.state.lineage import list_parquet_files
+
+    n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in list_parquet_files(tokens))
+    # size partitions to the data so per-partition jobs do real work
+    num_parts = min(64, max(4, n_rows // 500_000))
+
+    t0 = time.time()
+    cfg = CascadeConfig(
+        input_path=tokens,
+        out_root=out_root,
+        num_parts=num_parts,
+        gapfill=True,
+        compress=True,
+        max_concurrent_parts=max(2, CPUS // 4),
+        heavy_mode="stage",  # small partitions: one pool/shuffle per stage
+    )
+    summary = run_cascade(cfg)
+    cascade_s = time.time() - t0
+
+    # standalone query timings (no materialized tiers)
+    def prepared():
+        return rd.read_parquet(tokens).map_batches(
+            prepare.prepare, batch_format="pyarrow"
+        )
+
+    t0 = time.time()
+    rollup.rollup(prepared(), 3600).count()
+    rollup_s = time.time() - t0
+
+    t0 = time.time()
+    series.gapfill_series(prepared(), 60, series.DEFAULT_MAX_GAP).count()
+    gapfill_s = time.time() - t0
+
+    # per-stage wall decomposition from the lineage manifest
+    stage_walls: dict[str, float] = {}
+    with open(os.path.join(out_root, "manifest.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec.get("kind") == "unit":
+                stage_walls[rec["stage"]] = round(
+                    stage_walls.get(rec["stage"], 0.0) + rec.get("wall_s", 0.0), 3
+                )
+
+    tokens_total = summary["tokens"]
+    rows_total = summary["rows"]
+    result = {
+        "metric": "full retention cascade (raw->series->1m->1h->1d + gapfill + gorilla)",
+        "value": round(cascade_s, 3),
+        "unit": "sec",
+        "queries": {
+            "cascade": round(cascade_s, 3),
+            "rollup_1h": round(rollup_s, 3),
+            "gapfill": round(gapfill_s, 3),
+            **{f"stage:{k}": v for k, v in sorted(stage_walls.items())},
+        },
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "num_cpus": CPUS,
+        "rows": rows_total,
+        "tokens": tokens_total,
+        "tokens_per_s": round(tokens_total / cascade_s, 1),
+        "sequences_per_s": round(rows_total / cascade_s, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            PYTHONPATH=here + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(here, "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (num_cpus 8 -> 32, same input)",
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+                "tokens_per_s_8": lo["tokens_per_s"],
+                "tokens_per_s_32": hi["tokens_per_s"],
+                "scaling_efficiency": round(eff, 3),
+                "sf": lo["sf"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))
