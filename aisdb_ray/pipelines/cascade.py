@@ -121,9 +121,21 @@ def _run_series_stage(cfg: CascadeConfig, manifest: lineage.Manifest) -> None:
     )
     out = os.path.join(cfg.out_root, "series")
     with lineage.atomic_write(out) as tmp:
-        cleaned.write_parquet(tmp, partition_cols=["part"])
+        # merge per-source blocks into sizeable files: hundreds of tiny files
+        # turn every downstream shuffle into an O(blocks^2) tiny-object storm
+        cleaned.write_parquet(tmp, partition_cols=["part"], min_rows_per_file=250_000)
     rows = _dataset_rows(out)
     manifest.record("series", "all", rows=rows, wall_s=round(time.time() - t0, 3))
+
+
+def _coalesced(ds):
+    """Merge many tiny input blocks before a shuffle: a sort over B blocks
+    creates O(B^2) shuffle objects, which dominates wall time when B is
+    hundreds of per-source files (measured 50s -> 9s on an 8M-row pack)."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return ds.repartition(max(8, ncpu * 2))
 
 
 def _read_part(cfg: CascadeConfig, stage: str, part: int, columns=None):
@@ -167,42 +179,34 @@ def _run_part(cfg: CascadeConfig, manifest: lineage.Manifest, part: int) -> None
                     os.makedirs(_part_dir(cfg.out_root, f"tier_{t}", part), exist_ok=True)
                     manifest.record(f"tier_{t}", part, rows=0, tokens=0, wall_s=0.0)
         else:
+            # first tier: distributed partials -> one-block combine, all in
+            # Ray workers (the driver only orchestrates — a driver-side
+            # concat would be GIL-bound and identical at every cluster size)
             w0 = TIER_WIDTHS[tiers[0]]
-            partials = src.map_batches(
-                lambda b: rollup.partial_rollup_batch(b, w0), batch_format="pyarrow"
-            )
-            tbls = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
-            if tbls:
-                ptbl = pa.concat_tables(tbls)
-            else:
-                from aisdb_ray.schema import BUCKET, CNT_V, MAX_V, MIN_V
-
-                ptbl = pa.table(
-                    {
-                        SOURCE: pa.array([], pa.string()),
-                        BUCKET: pa.array([], pa.int64()),
-                        MIN_V: pa.array([], pa.int64()),
-                        MAX_V: pa.array([], pa.int64()),
-                        SUM_V: pa.array([], pa.int64()),
-                        CNT_V: pa.array([], pa.int64()),
-                    }
+            first = rollup.rollup(src, w0)
+            stage0 = f"tier_{tiers[0]}"
+            out0 = _part_dir(cfg.out_root, stage0, part)
+            if not manifest.done(stage0, part):
+                rows = _write_tier(first, out0)
+                tbl0 = pq.read_table(out0, columns=[SUM_V])
+                tokens = int(pa.compute.sum(tbl0[SUM_V]).as_py() or 0)
+                manifest.record(
+                    stage0, part, rows=rows, tokens=tokens,
+                    wall_s=round(time.time() - t0, 3),
                 )
-            # combine: rebucket at the same width collapses batch partials
-            tier_tbl = rollup._finalize(rollup.repartial_batch(ptbl, w0))
-            for i, tier in enumerate(tiers):
+                t0 = time.time()
+            # higher tiers reaggregate from the (small) materialized tier
+            tier_tbl = pq.read_table(out0)
+            for tier in tiers[1:]:
                 stage = f"tier_{tier}"
-                if i > 0:
-                    tier_tbl = rollup._finalize(
-                        rollup.repartial_batch(tier_tbl, TIER_WIDTHS[tier])
-                    )
+                tier_tbl = rollup._finalize(
+                    rollup.repartial_batch(tier_tbl, TIER_WIDTHS[tier])
+                )
                 if manifest.done(stage, part):
                     continue
                 rows = _write_tier(tier_tbl, _part_dir(cfg.out_root, stage, part))
-                tokens = 0
-                if tier == "1m":  # token-throughput metric from 1m sums
-                    tokens = int(pa.compute.sum(tier_tbl[SUM_V]).as_py() or 0)
                 manifest.record(
-                    stage, part, rows=rows, tokens=tokens,
+                    stage, part, rows=rows, tokens=0,
                     wall_s=round(time.time() - t0, 3),
                 )
                 t0 = time.time()
@@ -229,10 +233,10 @@ def _run_part(cfg: CascadeConfig, manifest: lineage.Manifest, part: int) -> None
                 "gapfill", part, rows=rows, wall_s=round(time.time() - t0, 3)
             )
 
-    # ---- optional Gorilla-compressed tier
+    # ---- optional Gorilla-compressed tier (payload-pruned read)
     if cfg.compress and not manifest.done("compressed", part):
         t0 = time.time()
-        src = _read_part(cfg, "series", part)
+        src = _read_part(cfg, "series", part, columns=[SOURCE, TIME, "seq", N_TOK, "seg"])
         if src is None:
             os.makedirs(_part_dir(cfg.out_root, "compressed", part), exist_ok=True)
             manifest.record("compressed", part, rows=0, wall_s=0.0)
@@ -242,6 +246,55 @@ def _run_part(cfg: CascadeConfig, manifest: lineage.Manifest, part: int) -> None
             manifest.record(
                 "compressed", part, rows=rows, wall_s=round(time.time() - t0, 3)
             )
+
+
+def _add_part_batch(b: pa.Table, num_parts: int) -> pa.Table:
+    """Vectorized-ish hash-partition column: crc32 per *unique* source."""
+    src = b[SOURCE].to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(src, return_inverse=True)
+    lut = np.array([part_of(s, num_parts) for s in uniq], dtype=np.int32)
+    return b.append_column("part", pa.array(lut[inv]))
+
+
+def _run_tiers_global(cfg: CascadeConfig, manifest: lineage.Manifest) -> None:
+    """'stage'-mode tier chain: one Ray job per tier over all partitions,
+    written with partition_cols (resume unit = tier)."""
+    tiers = [t for t in TIER_CHAIN if t in cfg.tiers]
+    prev_dir = None
+    for i, tier in enumerate(tiers):
+        stage = f"tier_{tier}"
+        out_dir = os.path.join(cfg.out_root, stage)
+        if manifest.done(stage, "all"):
+            prev_dir = out_dir
+            continue
+        t0 = time.time()
+        if i == 0:
+            files = lineage.list_parquet_files(os.path.join(cfg.out_root, "series"))
+            if not files:
+                os.makedirs(out_dir, exist_ok=True)
+                manifest.record(stage, "all", rows=0, tokens=0, wall_s=0.0)
+                prev_dir = out_dir
+                continue
+            src = _coalesced(rd.read_parquet(files, columns=[SOURCE, TIME, N_TOK]))
+            dsr = rollup.rollup(src, TIER_WIDTHS[tier])
+        else:
+            files = lineage.list_parquet_files(prev_dir)
+            src = rd.read_parquet(files)
+            dsr = rollup.rollup_from_rollup(src, TIER_WIDTHS[tier])
+        out = dsr.map_batches(
+            lambda b: _add_part_batch(b, cfg.num_parts), batch_format="pyarrow"
+        )
+        with lineage.atomic_write(out_dir) as tmp:
+            out.write_parquet(tmp, partition_cols=["part"])
+        rows = _dataset_rows(out_dir)
+        tokens = 0
+        if tier == "1m":
+            tbl = pq.read_table(out_dir, columns=[SUM_V])
+            tokens = int(pa.compute.sum(tbl[SUM_V]).as_py() or 0)
+        manifest.record(
+            stage, "all", rows=rows, tokens=tokens, wall_s=round(time.time() - t0, 3)
+        )
+        prev_dir = out_dir
 
 
 def _with_part(tbl: pa.Table, num_parts: int) -> pa.Table:
@@ -267,7 +320,10 @@ def _run_heavy_stage(cfg: CascadeConfig, manifest: lineage.Manifest, kind: str) 
         os.makedirs(out_dir, exist_ok=True)
         manifest.record(kind, "all", rows=0, wall_s=0.0)
         return
-    ds = rd.read_parquet(files)
+    # compress never touches the token payload: prune it at the read so the
+    # groupby shuffle moves only the skinny columns
+    cols = None if kind == "gapfill" else [SOURCE, TIME, "seq", N_TOK, "seg"]
+    ds = _coalesced(rd.read_parquet(files, columns=cols))
     if kind == "gapfill":
         out = ds.groupby(SOURCE).map_groups(
             lambda g: _with_part(
@@ -287,14 +343,167 @@ def _run_heavy_stage(cfg: CascadeConfig, manifest: lineage.Manifest, kind: str) 
         out = packed.map_batches(
             compress_stage.GorillaEncodePassthrough,
             batch_format="pyarrow",
-            concurrency=(1, 8),
-            batch_size=256,
+            concurrency=(1, 16),
+            batch_size=4,  # one row per source: small batches fan out the pool
         )
     with lineage.atomic_write(out_dir) as tmp:
         out.write_parquet(tmp, partition_cols=["part"])
     manifest.record(
         kind, "all", rows=_dataset_rows(out_dir), wall_s=round(time.time() - t0, 3)
     )
+
+
+def _per_source_slices(batch: pa.Table):
+    """Iterate whole-source slices of a block.
+
+    Valid because map_groups emits one table per group and blocks are
+    concatenations of whole group tables (each source appears as one
+    contiguous run).  Tier-parity tests vs the oracle guard this invariant.
+    """
+    src = batch[SOURCE].to_numpy(zero_copy_only=False)
+    if len(src) == 0:
+        return
+    first = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+    bounds = np.r_[first, len(src)]
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        yield batch.slice(a, b - a)
+
+
+def _gapfill_multi(batch: pa.Table, cfg: CascadeConfig) -> pa.Table:
+    outs = [
+        _with_part(
+            series.gapfill_group(s, cfg.step, cfg.max_gap, cleaned=True),
+            cfg.num_parts,
+        )
+        for s in _per_source_slices(batch)
+    ]
+    outs = [o for o in outs if o.num_rows]
+    if not outs:
+        sch = series.gapfill_group(batch.slice(0, 0), cfg.step, cfg.max_gap).schema
+        return sch.empty_table().append_column("part", pa.array([], pa.int32()))
+    return pa.concat_tables(outs)
+
+
+def _pack_multi(batch: pa.Table, cfg: CascadeConfig) -> pa.Table:
+    outs = [
+        _with_part(
+            compress_stage.pack_series_group(s, cfg.max_gap, cleaned=True),
+            cfg.num_parts,
+        )
+        for s in _per_source_slices(batch)
+    ]
+    outs = [o for o in outs if o.num_rows]
+    if not outs:
+        return compress_stage.PACKED_SCHEMA.empty_table().append_column(
+            "part", pa.array([], pa.int32())
+        )
+    return pa.concat_tables(outs)
+
+
+def _run_fused_stage_mode(cfg: CascadeConfig, manifest: lineage.Manifest) -> None:
+    """'stage'-mode fast path: ONE key shuffle for the whole cascade.
+
+    The per-source clean stage is materialized once (pinned in the object
+    store); series write, tier rollups, gap-fill and Gorilla compression all
+    consume the pinned blocks with shuffle-free ``map_batches`` — possible
+    because those blocks hold whole, time-sorted source groups.  This is the
+    small-partition regime by definition; the 'part' mode path streams
+    per-partition without pinning for real-scale runs.
+    """
+    stages_needed = ["series"] + [f"tier_{t}" for t in TIER_CHAIN if t in cfg.tiers]
+    if cfg.gapfill:
+        stages_needed.append("gapfill")
+    if cfg.compress:
+        stages_needed.append("compressed")
+    if all(manifest.done(s, "all") for s in stages_needed):
+        return
+    if manifest.done("series", "all"):
+        # resumed run: series already on disk; use the per-stage jobs that
+        # re-read it rather than recomputing the shuffle
+        _run_tiers_global(cfg, manifest)
+        if cfg.gapfill:
+            _run_heavy_stage(cfg, manifest, "gapfill")
+        if cfg.compress:
+            _run_heavy_stage(cfg, manifest, "compressed")
+        return
+
+    t0 = time.time()
+    ds = rd.read_parquet(cfg.input_path)
+    ds = ds.map_batches(prepare.prepare, batch_format="pyarrow")
+    cleaned = ds.groupby(SOURCE).map_groups(
+        lambda g: _clean_with_part(g, cfg.max_gap, cfg.num_parts),
+        batch_format="pyarrow",
+    )
+    mat = cleaned.materialize()
+
+    out = os.path.join(cfg.out_root, "series")
+    with lineage.atomic_write(out) as tmp:
+        mat.write_parquet(tmp, partition_cols=["part"], min_rows_per_file=250_000)
+    manifest.record(
+        "series", "all", rows=_dataset_rows(out), wall_s=round(time.time() - t0, 3)
+    )
+
+    # tier chain from the pinned blocks: blocks hold whole sources, so the
+    # rollups are shuffle-free maps (partials are globally unique per key)
+    t0 = time.time()
+    tiers = [t for t in TIER_CHAIN if t in cfg.tiers]
+    prev = None
+    for i, tier in enumerate(tiers):
+        stage = f"tier_{tier}"
+        out_dir = os.path.join(cfg.out_root, stage)
+        if i == 0:
+            dsr = rollup.rollup_grouped(mat, TIER_WIDTHS[tier])
+        else:
+            dsr = rollup.rollup_from_rollup_grouped(prev, TIER_WIDTHS[tier])
+        cur = dsr.map_batches(
+            lambda b: _add_part_batch(b, cfg.num_parts), batch_format="pyarrow"
+        ).materialize()
+        with lineage.atomic_write(out_dir) as tmp:
+            cur.write_parquet(tmp, partition_cols=["part"])
+        rows = _dataset_rows(out_dir)
+        tokens = 0
+        if tier == "1m":
+            tbl = pq.read_table(out_dir, columns=[SUM_V])
+            tokens = int(pa.compute.sum(tbl[SUM_V]).as_py() or 0)
+        manifest.record(
+            stage, "all", rows=rows, tokens=tokens, wall_s=round(time.time() - t0, 3)
+        )
+        t0 = time.time()
+        prev = cur
+
+    if cfg.gapfill:
+        t0 = time.time()
+        gf = mat.map_batches(
+            lambda b: _gapfill_multi(b, cfg), batch_format="pyarrow", batch_size=None
+        )
+        out_dir = os.path.join(cfg.out_root, "gapfill")
+        with lineage.atomic_write(out_dir) as tmp:
+            gf.write_parquet(tmp, partition_cols=["part"])
+        manifest.record(
+            "gapfill", "all", rows=_dataset_rows(out_dir),
+            wall_s=round(time.time() - t0, 3),
+        )
+
+    if cfg.compress:
+        t0 = time.time()
+        packed = mat.map_batches(
+            lambda b: _pack_multi(b, cfg), batch_format="pyarrow", batch_size=None
+        )
+        # task-based encode: the codec carries no per-actor state, and an
+        # actor pool's spin-up is a fixed serial cost the fused path avoids
+        # (the standalone compress stage keeps the actor-pool form)
+        enc = packed.map_batches(
+            lambda b: compress_stage.GorillaEncodePassthrough()(b),
+            batch_format="pyarrow",
+            batch_size=4,
+        )
+        out_dir = os.path.join(cfg.out_root, "compressed")
+        with lineage.atomic_write(out_dir) as tmp:
+            enc.write_parquet(tmp, partition_cols=["part"])
+        manifest.record(
+            "compressed", "all", rows=_dataset_rows(out_dir),
+            wall_s=round(time.time() - t0, 3),
+        )
 
 
 def apply_retention(cfg: CascadeConfig, manifest: lineage.Manifest) -> dict:
@@ -331,18 +540,18 @@ def run_cascade(cfg: CascadeConfig) -> dict:
     """Execute (or resume) the full cascade; returns a metrics summary."""
     t0 = time.time()
     manifest = lineage.Manifest.open(cfg.out_root, cfg.fingerprint())
-    _run_series_stage(cfg, manifest)
 
     parts = list(range(cfg.num_parts))
-    pending = [p for p in parts if not _part_done(cfg, manifest, p)]
-    if pending:
-        with ThreadPoolExecutor(max_workers=cfg.max_concurrent_parts) as ex:
-            list(ex.map(lambda p: _run_part(cfg, manifest, p), pending))
     if cfg.heavy_mode == "stage":
-        if cfg.gapfill:
-            _run_heavy_stage(cfg, manifest, "gapfill")
-        if cfg.compress:
-            _run_heavy_stage(cfg, manifest, "compressed")
+        # fused fast path: one key shuffle feeds every stage (see
+        # _run_fused_stage_mode); right when partitions are small
+        _run_fused_stage_mode(cfg, manifest)
+    else:
+        _run_series_stage(cfg, manifest)
+        pending = [p for p in parts if not _part_done(cfg, manifest, p)]
+        if pending:
+            with ThreadPoolExecutor(max_workers=cfg.max_concurrent_parts) as ex:
+                list(ex.map(lambda p: _run_part(cfg, manifest, p), pending))
     if cfg.retention:
         apply_retention(cfg, manifest)
 
@@ -354,9 +563,7 @@ def run_cascade(cfg: CascadeConfig) -> dict:
         "tokens": tokens,
         "wall_s": round(wall, 3),
         "watermarks": {
-            s: manifest.watermark(
-                s, parts if (cfg.heavy_mode == "part" or s.startswith("tier_")) else ["all"]
-            )
+            s: manifest.watermark(s, parts if cfg.heavy_mode == "part" else ["all"])
             for s in [f"tier_{t}" for t in cfg.tiers]
             + (["gapfill"] if cfg.gapfill else [])
             + (["compressed"] if cfg.compress else [])

@@ -57,11 +57,17 @@ def ensure_sf_tokens(sf_dir: str) -> str:
 
 
 def _ctx():
+    import ray
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.enable_tensor_extension_casting = False
+    # size block counts to the session's CPUs: the default floor of 200
+    # read blocks makes every scan/shuffle latency-bound on small hosts
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    ctx.read_op_min_num_blocks = max(8, ncpu * 2)
+    ctx.min_parallelism = max(8, ncpu * 2)
 
 
 def _tokens_ds(sf_dir: str):

@@ -1,25 +1,25 @@
 """Columnar compression tier: pack per series -> Gorilla-encode in an actor pool.
 
 Mirrors TimescaleDB's compressed-chunk layout the reference configures —
-one compressed row per segment with ``segmentby = mmsi`` (here ``source``)
-and ``orderby = time ASC``
+one compressed row per segment key with ``segmentby = mmsi`` (here
+``source``) and ``orderby = time ASC``
 (/root/reference/aisdb/aisdb_sql/timescale_createtable_dynamic.sql:25-29).
 
 Two stages:
 
-1. ``pack_series`` — ``groupby(source).map_groups``: sort one series, split
-   by ``seg``, emit ONE row per (source, seg) holding the raw time/value
-   vectors as Arrow list columns.  This is the same key-shuffle the series
-   stage already uses (SURVEY.md §7.3 — one partitioning key, reused).
+1. ``pack_series`` — ``groupby(source).map_groups``: sort one series and
+   emit ONE row per source holding the raw time / value / segment-id
+   vectors as Arrow list columns.  Packing per source (not per gap segment)
+   amortizes the codec's fixed vectorization cost over thousands of points;
+   the ``seg`` vector rides along as a third Gorilla stream (monotone ints —
+   near-free), so segment identity survives the round-trip exactly.
 2. ``GorillaEncode`` — a callable class run via
-   ``map_batches(GorillaEncode, concurrency=N, batch_format="pyarrow")``:
-   the stateful actor-pool stage (bit tables and scratch buffers amortized
-   per actor, AISdb's InlandDenoising actor-state precedent,
-   /root/reference/aisdb/denoising_encoder.py:262-337).  Each packed row
-   is encoded independently with the vectorized codec.
+   ``map_batches(GorillaEncode, concurrency=(1, N), batch_format="pyarrow")``:
+   the stateful actor-pool stage (AISdb's heavyweight-state actor precedent,
+   /root/reference/aisdb/denoising_encoder.py:262-337).
 
 ``GorillaDecode`` reverses losslessly: round-trip equality of every
-timestamp and value is asserted in tests (the compression-parity check).
+timestamp, value and segment id is asserted in tests (compression parity).
 """
 
 from __future__ import annotations
@@ -34,21 +34,22 @@ from aisdb_ray.stages.series import DEFAULT_MAX_GAP, clean_group
 PACKED_SCHEMA = pa.schema(
     [
         (SOURCE, pa.string()),
-        (SEG, pa.int64()),
         ("times", pa.list_(pa.int64())),
         ("values", pa.list_(pa.int64())),
+        ("segs", pa.list_(pa.int64())),
     ]
 )
 
 ENCODED_SCHEMA = pa.schema(
     [
         (SOURCE, pa.string()),
-        (SEG, pa.int64()),
         ("n_points", pa.int64()),
         ("ts_blob", pa.binary()),
         ("ts_nbits", pa.int64()),
         ("val_blob", pa.binary()),
         ("val_nbits", pa.int64()),
+        ("seg_blob", pa.binary()),
+        ("seg_nbits", pa.int64()),
     ]
 )
 
@@ -56,23 +57,32 @@ ENCODED_SCHEMA = pa.schema(
 def pack_series_group(
     group: pa.Table, max_gap: int = DEFAULT_MAX_GAP, cleaned: bool = False
 ) -> pa.Table:
-    """One source -> one packed row per segment (times/values list columns)."""
-    g = group if cleaned else clean_group(group, max_gap)
-    t = g[TIME].to_numpy(zero_copy_only=False).astype(np.int64)
-    v = g[N_TOK].to_numpy(zero_copy_only=False).astype(np.int64)
-    seg = g[SEG].to_numpy(zero_copy_only=False)
-    n = len(t)
+    """One source -> one packed row (times/values/segs list columns)."""
+    if cleaned:
+        # defensive within-source re-sort: the key shuffle need not preserve
+        # within-key order (reference is equally defensive, interp.py:334-338)
+        t0 = group[TIME].to_numpy(zero_copy_only=False)
+        s0 = (
+            group[SEQ].to_numpy(zero_copy_only=False)
+            if SEQ in group.column_names
+            else np.zeros(len(t0), np.int64)
+        )
+        g = group.take(pa.array(np.lexsort((s0, t0))))
+    else:
+        g = clean_group(group, max_gap)
+    n = g.num_rows
     if n == 0:
         return PACKED_SCHEMA.empty_table()
-    first = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]])
-    offsets = np.r_[first, n].astype(np.int64)
-    src = g[SOURCE][0].as_py()
+    t = g[TIME].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = g[N_TOK].to_numpy(zero_copy_only=False).astype(np.int64)
+    seg = g[SEG].to_numpy(zero_copy_only=False).astype(np.int64)
+    off = pa.array(np.array([0, n], dtype=np.int32))
     return pa.table(
         {
-            SOURCE: pa.array([src] * len(first)),
-            SEG: pa.array(seg[first]),
-            "times": pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(t)),
-            "values": pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(v)),
+            SOURCE: pa.array([g[SOURCE][0].as_py()]),
+            "times": pa.ListArray.from_arrays(off, pa.array(t)),
+            "values": pa.ListArray.from_arrays(off, pa.array(v)),
+            "segs": pa.ListArray.from_arrays(off, pa.array(seg)),
         },
         schema=PACKED_SCHEMA,
     )
@@ -82,34 +92,42 @@ class GorillaEncode:
     """Actor-pool encoder: packed series rows -> compressed binary rows."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # zero-copy slicing of the list columns: offsets + flat values
-        tl = batch["times"].combine_chunks()
-        vl = batch["values"].combine_chunks()
-        t_off = tl.offsets.to_numpy()
-        t_flat = tl.values.to_numpy()
-        v_off = vl.offsets.to_numpy()
-        v_flat = vl.values.to_numpy()
+        cols = {}
+        for name in ("times", "values", "segs"):
+            la = batch[name].combine_chunks()
+            cols[name] = (la.offsets.to_numpy(), la.values.to_numpy())
         n = batch.num_rows
-        ts_blob, ts_nbits, val_blob, val_nbits, npts = [], [], [], [], []
+        out = {
+            "n_points": [], "ts_blob": [], "ts_nbits": [],
+            "val_blob": [], "val_nbits": [], "seg_blob": [], "seg_nbits": [],
+        }
         for i in range(n):
-            t = t_flat[t_off[i] : t_off[i + 1]]
-            v = v_flat[v_off[i] : v_off[i + 1]]
+            to, tf = cols["times"]
+            vo, vf = cols["values"]
+            so, sf = cols["segs"]
+            t = tf[to[i] : to[i + 1]]
+            v = vf[vo[i] : vo[i + 1]]
+            s = sf[so[i] : so[i + 1]]
             tb, tn, cnt = gorilla.encode_timestamps(t)
             vb, vn, _ = gorilla.encode_values(v)
-            ts_blob.append(tb)
-            ts_nbits.append(tn)
-            val_blob.append(vb)
-            val_nbits.append(vn)
-            npts.append(cnt)
+            sb, sn, _ = gorilla.encode_timestamps(s)  # monotone ints: dod codec
+            out["n_points"].append(cnt)
+            out["ts_blob"].append(tb)
+            out["ts_nbits"].append(tn)
+            out["val_blob"].append(vb)
+            out["val_nbits"].append(vn)
+            out["seg_blob"].append(sb)
+            out["seg_nbits"].append(sn)
         return pa.table(
             {
                 SOURCE: batch[SOURCE],
-                SEG: batch[SEG],
-                "n_points": pa.array(npts, pa.int64()),
-                "ts_blob": pa.array(ts_blob, pa.binary()),
-                "ts_nbits": pa.array(ts_nbits, pa.int64()),
-                "val_blob": pa.array(val_blob, pa.binary()),
-                "val_nbits": pa.array(val_nbits, pa.int64()),
+                "n_points": pa.array(out["n_points"], pa.int64()),
+                "ts_blob": pa.array(out["ts_blob"], pa.binary()),
+                "ts_nbits": pa.array(out["ts_nbits"], pa.int64()),
+                "val_blob": pa.array(out["val_blob"], pa.binary()),
+                "val_nbits": pa.array(out["val_nbits"], pa.int64()),
+                "seg_blob": pa.array(out["seg_blob"], pa.binary()),
+                "seg_nbits": pa.array(out["seg_nbits"], pa.int64()),
             },
             schema=ENCODED_SCHEMA,
         )
@@ -142,10 +160,13 @@ class GorillaDecode:
             v = gorilla.decode_values(
                 batch["val_blob"][i].as_py(), batch["val_nbits"][i].as_py(), n
             )
+            s = gorilla.decode_timestamps(
+                batch["seg_blob"][i].as_py(), batch["seg_nbits"][i].as_py(), n
+            )
             ts.append(t)
             vs.append(v)
+            segs.append(s)
             srcs.append(np.full(n, batch[SOURCE][i].as_py(), dtype=object))
-            segs.append(np.full(n, batch[SEG][i].as_py(), dtype=np.int64))
         if not ts:
             return pa.table(
                 {
@@ -175,23 +196,27 @@ def pack_series(ds, max_gap: int = DEFAULT_MAX_GAP, cleaned: bool = False):
 
 
 def compress(ds, max_gap: int = DEFAULT_MAX_GAP, concurrency: int = 4, cleaned: bool = False):
-    """series points -> compressed segment rows (stateful actor pool)."""
+    """series points -> compressed per-source rows (stateful actor pool).
+
+    Autoscaling pool (min 1): a fixed-size pool can reserve every CPU and
+    starve the upstream shuffle tasks into a deadlock on small hosts.
+    """
     packed = pack_series(ds, max_gap, cleaned=cleaned)
-    # autoscaling pool (min 1): a fixed-size pool can reserve every CPU and
-    # starve the upstream shuffle tasks into a deadlock on small hosts
+    # packed rows are one-per-source: keep batches SMALL so the encode work
+    # fans out across the pool (256-row batches would serialize the stage)
     return packed.map_batches(
         GorillaEncode,
         batch_format="pyarrow",
         concurrency=(1, concurrency),
-        batch_size=256,
+        batch_size=4,
     )
 
 
 def decompress(ds, concurrency: int = 4):
-    """compressed segment rows -> (source, seg, time, n_tok) point rows."""
+    """compressed rows -> (source, seg, time, n_tok) point rows."""
     return ds.map_batches(
         GorillaDecode,
         batch_format="pyarrow",
         concurrency=(1, concurrency),
-        batch_size=256,
+        batch_size=4,
     )

@@ -144,6 +144,36 @@ def rollup(
     return _combine(partials, key_col)
 
 
+def rollup_grouped(
+    ds,
+    width_s: int,
+    value: str = N_TOK,
+    time_col: str = TIME,
+    key_col: str = SOURCE,
+):
+    """Shuffle-free rollup for datasets whose blocks hold WHOLE key groups
+    (the output of ``groupby(key).map_groups``): per-block partials are then
+    already globally unique per (key, bucket), so no combine is needed —
+    the entire rollup is one vectorized map over pinned blocks."""
+    return ds.map_batches(
+        lambda b: _finalize(
+            partial_rollup_batch(b, width_s, value, time_col, key_col), key_col
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def rollup_from_rollup_grouped(ds, width_s: int, key_col: str = SOURCE):
+    """Tier-from-tier reaggregation under the same whole-group-blocks
+    precondition (map over a grouped tier keeps blocks grouped)."""
+    return ds.map_batches(
+        lambda b: _finalize(repartial_batch(b, width_s, key_col), key_col),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
 def rollup_from_rollup(ds, width_s: int, key_col: str = SOURCE):
     """Continuous-aggregate reaggregation: next tier from the previous tier."""
     partials = ds.map_batches(

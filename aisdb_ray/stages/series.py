@@ -122,7 +122,17 @@ def gapfill_group(
     Gap-filled rows get ``doc_id = '{source}:{epoch:010d}:gapfill'``, null
     tokens and null seq.  Original rows carry their exact tokens array.
     """
-    g = group if cleaned else clean_group(group, max_gap)
+    if cleaned:
+        # defensive re-sort (the key shuffle need not preserve within-key
+        # order), mirroring the reference's own defensiveness
+        # (/root/reference/aisdb/interp.py:334-338); seg increases with time
+        # within a source, so seg runs stay contiguous
+        t0 = group[TIME].to_numpy(zero_copy_only=False)
+        s0 = group[SEQ].to_numpy(zero_copy_only=False)
+        s0 = np.where(np.isnan(s0.astype(np.float64)), -1, s0) if s0.dtype.kind == "f" else s0
+        g = group.take(pa.array(np.lexsort((s0, t0))))
+    else:
+        g = clean_group(group, max_gap)
     t = g[TIME].to_numpy(zero_copy_only=False)
     seg = g[SEG].to_numpy(zero_copy_only=False)
     n = len(t)

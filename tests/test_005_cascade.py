@@ -83,14 +83,15 @@ def test_compressed_tier_roundtrip(run_dir, micro_df):
     cleaned = oracle.add_segments(oracle.clean(micro_df), MAX_GAP)
     want_points = len(cleaned)
     assert enc["n_points"].sum() == want_points
-    # decode one segment and check exact values against the oracle
-    row = enc.sort_values(["source", "seg"]).iloc[0]
+    # decode one source stream and check exact values against the oracle
+    row = enc.sort_values(["source"]).iloc[0]
     t = gorilla.decode_timestamps(row["ts_blob"], row["ts_nbits"], row["n_points"])
     v = gorilla.decode_values(row["val_blob"], row["val_nbits"], row["n_points"])
-    w = cleaned[(cleaned["source"] == row["source"])].sort_values(["time", "seq"])
-    w = w[w["seg"] == row["seg"]]
+    s = gorilla.decode_timestamps(row["seg_blob"], row["seg_nbits"], row["n_points"])
+    w = cleaned[cleaned["source"] == row["source"]].sort_values(["time", "seq"])
     np.testing.assert_array_equal(t, w["time"].to_numpy())
     np.testing.assert_array_equal(v, w["n_tok"].to_numpy())
+    np.testing.assert_array_equal(s, w["seg"].to_numpy())
 
 
 def test_manifest_and_rerun_noop(run_dir, micro_dir):
