@@ -335,6 +335,137 @@ def q_seg_revenue(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# training-data ops: documents / embeddings (dedup, quality, ANN)
+# --------------------------------------------------------------------------
+
+def _docs_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def _emb_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "embeddings.parquet")
+
+
+def q_doc_token_count(sf_dir: str):
+    from aisdb_ray.stages import textstats
+
+    _ctx()
+    return rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"]).map_batches(
+        textstats.token_count_batch, batch_format="pyarrow"
+    )
+
+
+def q_doc_quality(sf_dir: str):
+    from aisdb_ray.stages import textstats
+
+    _ctx()
+    return rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"]).map_batches(
+        textstats.quality_batch, batch_format="pyarrow"
+    )
+
+
+def q_doc_exact_dedup(sf_dir: str):
+    """Exact dedup keep-first by content hash (md5) — the PK-dedup
+    semantics applied to document content."""
+    from aisdb_ray.stages import dedup_text, textstats
+
+    _ctx()
+    hashed = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"]).map_batches(
+        lambda b: textstats.md5_batch(b), batch_format="pyarrow"
+    )
+    return dedup_text.keep_first(hashed, "text_md5", "doc_id")
+
+
+def q_doc_textstats(sf_dir: str):
+    """Language-ID + fingerprint + counts (actor pool). Heuristic ops —
+    no SQL oracle; pinned by pytest instead."""
+    from aisdb_ray.stages import textstats
+
+    _ctx()
+    return textstats.text_stats(
+        rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    )
+
+
+def q_doc_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-duplicate pairs (verified Jaccard >= 0.7)."""
+    from aisdb_ray.stages import dedup_text
+
+    _ctx()
+    return dedup_text.minhash_dedup_pairs(_docs_path(sf_dir), jaccard_threshold=0.7)
+
+
+def q_doc_simhash_pairs(sf_dir: str):
+    from aisdb_ray.stages import dedup_text
+
+    _ctx()
+    return dedup_text.simhash_pairs(_docs_path(sf_dir), max_hamming=8)
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for the vec_id=0 query vector."""
+    import pyarrow.parquet as pq
+
+    from aisdb_ray.stages import ann
+
+    _ctx()
+    t = pq.read_table(_emb_path(sf_dir))
+    q0 = np.asarray(
+        t.filter(pc.equal(t["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64
+    )
+    top = ann.topk_cosine(rd.read_parquet(_emb_path(sf_dir)), q0, k=10)
+
+    # DuckDB computes list_cosine_similarity in float32 (~5e-8 off from the
+    # float64 matmul), so the hashed compare carries ranks + ids only; the
+    # cosine VALUES are pinned against numpy in pytest instead.
+    def ranked(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, b.num_rows + 1, dtype=np.int64)),
+                "vec_id": b["vec_id"],
+            }
+        )
+
+    return top.map_batches(ranked, batch_format="pyarrow", batch_size=None)
+
+
+def q_ann_lsh_topk(sf_dir: str):
+    """LSH-bucketed ANN variant (multi-table probe). Approximate by design
+    -> rows-only check; recall pinned by pytest."""
+    import pyarrow.parquet as pq
+
+    from aisdb_ray.stages import ann
+
+    _ctx()
+    t = pq.read_table(_emb_path(sf_dir))
+    q0 = np.asarray(
+        t.filter(pc.equal(t["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64
+    )
+    return ann.lsh_topk(rd.read_parquet(_emb_path(sf_dir)), q0, k=10)
+
+
+def q_emb_neardup(sf_dir: str):
+    """All embedding pairs with cosine >= 0.35 (broadcast brute force)."""
+    from aisdb_ray.stages import dedup_text
+
+    _ctx()
+    pairs = dedup_text.embedding_neardup_pairs(_emb_path(sf_dir), threshold=0.35)
+    # ids only (float32-vs-float64 cosine, see q_ann_topk note)
+    return pairs.select_columns(["a", "b"])
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal chain on the synthetic media corpus: stub decode ->
+    feature extraction (actor pools). Rows-only (no media table in sf)."""
+    from aisdb_ray.stages import multimodal as mm
+
+    _ctx()
+    return mm.decode_and_featurize(
+        rd.from_arrow(mm.synth_media_table(64)), concurrency=2, batch_size=16
+    ).select_columns(["media_id", "mean_r", "mean_g", "mean_b"])
+
+
+# --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
 
@@ -355,6 +486,16 @@ def build_queries() -> dict:
         "ev_dedup": q_ev_dedup,
         "q1_pricing": q_q1_pricing,
         "seg_revenue": q_seg_revenue,
+        "doc_token_count": q_doc_token_count,
+        "doc_quality": q_doc_quality,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_textstats": q_doc_textstats,
+        "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "emb_neardup": q_emb_neardup,
+        "media_features": q_media_features,
     }
 
 
@@ -472,6 +613,40 @@ FROM li GROUP BY l_returnflag, l_linestatus"""
 FROM orders LEFT JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment"""
 
-    # ts_gapfill: intentionally no SQL oracle (interpolation is checked
-    # against the NumPy oracle in pytest) -> driver rows-only check
+    sql["doc_token_count"] = r"""SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+FROM documents"""
+
+    sql["doc_quality"] = r"""SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+       CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+       CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+       (CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+          / CAST(length(text) AS DOUBLE))
+       * (1 - CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+          / CAST(length(text) AS DOUBLE)) AS quality_score
+FROM documents"""
+
+    sql["doc_exact_dedup"] = """SELECT md5(text) AS text_md5,
+       CAST(min(doc_id) AS BIGINT) AS doc_id
+FROM documents GROUP BY md5(text)"""
+
+    sql["ann_topk"] = """SELECT CAST(row_number() OVER (
+         ORDER BY list_cosine_similarity(embedding,
+                  (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+                  vec_id) AS BIGINT) AS rank,
+       vec_id
+FROM embeddings
+ORDER BY rank
+LIMIT 10"""
+
+    sql["emb_neardup"] = """SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35"""
+
+    # no SQL oracle (rows-only driver check; semantics pinned by pytest):
+    #   ts_gapfill (interpolation), doc_textstats (heuristic lang-id),
+    #   doc_minhash_pairs / doc_simhash_pairs (probabilistic banding),
+    #   ann_lsh_topk (approximate), media_features (stubbed decode)
     return sql

@@ -1,0 +1,141 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(``ray.put``) and every batch does one numpy matmul against it (never a
+shuffle).  Scale path: LSH random-hyperplane bucketing — embeddings are
+assigned a signature bucket in one vectorized map, the query probes only its
+own bucket (and optionally neighbors at Hamming distance 1), trading recall
+for a candidate set ~ corpus/2^bits.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _emb_matrix(batch: pa.Table) -> np.ndarray:
+    emb = batch["embedding"].combine_chunks()
+    return emb.values.to_numpy().reshape(batch.num_rows, -1).astype(np.float64)
+
+
+def topk_cosine(ds_emb, query: np.ndarray, k: int = 10):
+    """Exact top-k by cosine: per-batch top-k, then a tiny global merge.
+
+    Per batch only (k) rows leave the task — the global merge sees
+    O(k * n_batches) rows regardless of corpus size.
+    """
+    q = query.astype(np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    q_ref = ray.put(q)
+
+    def batch_topk(b: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        m = _norm_rows(_emb_matrix(b))
+        sims = m @ qv
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        take = min(k, len(sims))
+        idx = np.argpartition(-sims, take - 1)[:take]
+        # deterministic order: sim desc, vec_id asc
+        order = np.lexsort((ids[idx], -sims[idx]))
+        idx = idx[order]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[idx].astype(np.int64)),
+                "cosine": pa.array(np.round(sims[idx], 4)),
+            }
+        )
+
+    partial = ds_emb.map_batches(batch_topk, batch_format="pyarrow")
+
+    def merge(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        sims = b["cosine"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table(
+            {"vec_id": pa.array(ids[order].astype(np.int64)),
+             "cosine": pa.array(sims[order])}
+        )
+
+    return partial.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )
+
+
+class LshIndexParams:
+    """Multi-table random-hyperplane signatures (seeded, shared by index +
+    query).  Multiple independent tables are the standard recall lever:
+    candidate set = union over tables of the query's bucket (+ neighbors)."""
+
+    def __init__(self, dim: int, n_bits: int = 8, n_tables: int = 4, seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.normal(size=(n_tables, n_bits, dim))
+        self.n_bits = n_bits
+        self.n_tables = n_tables
+
+    def buckets_of(self, m: np.ndarray) -> np.ndarray:
+        """(n, n_tables) int64 bucket ids."""
+        out = np.zeros((len(m), self.n_tables), dtype=np.int64)
+        for t in range(self.n_tables):
+            bits = (m @ self.planes[t].T) > 0
+            for i in range(self.n_bits):
+                out[:, t] |= bits[:, i].astype(np.int64) << i
+        return out
+
+
+def lsh_bucket_assign(ds_emb, params: LshIndexParams):
+    """Vectorized bucket assignment — the 'build index' map stage.
+
+    Appends one bucket column per table (bucket_0..bucket_{T-1}).
+    """
+    p_ref = ray.put(params)
+
+    def assign(b: pa.Table) -> pa.Table:
+        p = ray.get(p_ref)
+        m = _norm_rows(_emb_matrix(b))
+        bk = p.buckets_of(m)
+        for t in range(p.n_tables):
+            b = b.append_column(f"bucket_{t}", pa.array(bk[:, t]))
+        return b
+
+    return ds_emb.map_batches(assign, batch_format="pyarrow")
+
+
+def lsh_topk(ds_emb, query: np.ndarray, k: int = 10,
+             params: LshIndexParams | None = None, probe_hamming1: bool = True):
+    """ANN top-k: probe the query's bucket in every table (+ Hamming-1)."""
+    import pyarrow.compute as pc
+
+    dim = len(query)
+    params = params or LshIndexParams(dim)
+    q = query.astype(np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    qb = params.buckets_of(q[None, :])[0]
+    probe_sets = []
+    for t in range(params.n_tables):
+        probes = {int(qb[t])}
+        if probe_hamming1:
+            probes |= {int(qb[t]) ^ (1 << i) for i in range(params.n_bits)}
+        probe_sets.append(pa.array(list(probes), pa.int64()))
+
+    assigned = lsh_bucket_assign(ds_emb, params)
+
+    def filt(b: pa.Table) -> pa.Table:
+        m = None
+        for t, ps in enumerate(probe_sets):
+            hit = pc.is_in(b[f"bucket_{t}"], value_set=ps)
+            m = hit if m is None else pc.or_(m, hit)
+        return b.filter(m)
+
+    cand = assigned.map_batches(filt, batch_format="pyarrow")
+    return topk_cosine(cand, query, k)

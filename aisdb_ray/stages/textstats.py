@@ -1,0 +1,113 @@
+"""Text-analysis stages: token counts, quality signals, language ID,
+fingerprints — actor-pool ``map_batches`` over the documents table.
+
+The actor pattern mirrors the reference's heavyweight-state precedent
+(/root/reference/aisdb/denoising_encoder.py:262-337): regexes and stopword
+tables are built once per actor in ``__init__``; ``__call__`` does per-batch
+work.  Integer signals only — derived ratios are exact int/int divisions so
+distributed results hash-match SQL oracles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from aisdb_ray.functions import text as T
+
+
+class TextStats:
+    """Per-document counts + fingerprint + heuristic language id."""
+
+    def __init__(self):
+        import re
+
+        self.word_re = re.compile(r"\S+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        cols = {
+            "n_chars": np.empty(n, np.int64),
+            "n_words": np.empty(n, np.int64),
+            "n_punct": np.empty(n, np.int64),
+            "n_alpha": np.empty(n, np.int64),
+            "max_word_len": np.empty(n, np.int64),
+        }
+        langs, fps = [], np.empty(n, np.uint64)
+        for i, t in enumerate(texts):
+            ws = self.word_re.findall(t)
+            q = T.quality_counts(t, ws)
+            for k in cols:
+                cols[k][i] = q[k]
+            langs.append(T.lang_id(t, ws))
+            fps[i] = T.fingerprint64(ws)
+        out = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                **{k: pa.array(v) for k, v in cols.items()},
+                "pred_lang": pa.array(langs, pa.string()),
+                "fingerprint": pa.array(fps.astype(np.int64)),
+            }
+        )
+        return out
+
+
+def text_stats(ds, concurrency: int = 8):
+    return ds.map_batches(
+        TextStats, batch_format="pyarrow", concurrency=(1, concurrency),
+        batch_size=1024,
+    )
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized whitespace-token count (no Python per row) — the exact
+    mirror of SQL ``length(regexp_extract_all(text, '\\S+'))``."""
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pc.cast(
+                pc.count_substring_regex(batch["text"], r"\S+"), pa.int64()
+            ),
+        }
+    )
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized quality counts + an exact-division score.
+
+    score = (n_alpha / n_chars) * (1 - n_punct / n_chars): computed from the
+    same int64 operands in SQL, so the doubles match bit-for-bit.
+    """
+    t = batch["text"]
+    n_chars = pc.cast(pc.utf8_length(t), pa.int64())
+    n_words = pc.cast(pc.count_substring_regex(t, r"\S+"), pa.int64())
+    n_punct = pc.cast(pc.count_substring_regex(t, r"[.,;:!?]"), pa.int64())
+    n_alpha = pc.cast(pc.count_substring_regex(t, r"[A-Za-z]"), pa.int64())
+    nc = pc.cast(n_chars, pa.float64())
+    score = pc.multiply(
+        pc.divide(pc.cast(n_alpha, pa.float64()), nc),
+        pc.subtract(
+            pa.scalar(1.0), pc.divide(pc.cast(n_punct, pa.float64()), nc)
+        ),
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": n_chars,
+            "n_words": n_words,
+            "n_punct": n_punct,
+            "n_alpha": n_alpha,
+            "quality_score": score,
+        }
+    )
+
+
+def md5_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Content hash per row (exact-dedup key; mirrors SQL md5())."""
+    vals = batch[col].to_pylist()
+    h = [hashlib.md5(v.encode()).hexdigest() for v in vals]
+    return batch.append_column("text_md5", pa.array(h, pa.string()))

@@ -1,0 +1,57 @@
+"""ANN over the embeddings table: brute-force exactness + LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from aisdb_ray.stages import ann, dedup_text
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def _matrix():
+    t = pq.read_table(EMB)
+    ids = t["vec_id"].to_numpy()
+    m = t["embedding"].combine_chunks().values.to_numpy().reshape(len(ids), -1)
+    m = m.astype(np.float64)
+    return ids, m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def test_topk_matches_numpy():
+    ids, m = _matrix()
+    q = m[0]
+    got = ann.topk_cosine(rd.read_parquet(EMB), q, k=10).to_pandas()
+    sims = m @ q
+    order = np.lexsort((ids, -sims))[:10]
+    np.testing.assert_array_equal(got["vec_id"].to_numpy(), ids[order])
+    np.testing.assert_allclose(got["cosine"].to_numpy(), np.round(sims[order], 4))
+
+
+def test_lsh_topk_recall():
+    ids, m = _matrix()
+    q = m[3]
+    exact = set(
+        ann.topk_cosine(rd.read_parquet(EMB), q, k=10).to_pandas()["vec_id"]
+    )
+    approx = set(
+        ann.lsh_topk(rd.read_parquet(EMB), q, k=10).to_pandas()["vec_id"]
+    )
+    # probing bucket + hamming-1 neighbors must recover most true neighbors
+    assert len(exact & approx) >= 5
+    # the query vector itself is its own nearest neighbor
+    assert ids[3] in approx
+
+
+def test_embedding_neardup_symmetric_threshold():
+    # the synthetic embeddings are near-orthogonal (max off-diag cosine
+    # ~0.48), so use a threshold that yields a non-trivial pair set
+    thr = 0.35
+    pairs = dedup_text.embedding_neardup_pairs(EMB, threshold=thr).to_pandas()
+    ids, m = _matrix()
+    sims = m @ m.T
+    want = {(int(ids[i]), int(ids[j])) for i, j in zip(*np.nonzero(sims >= thr)) if ids[i] < ids[j]}
+    got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    assert want, "threshold produced no pairs — test would be vacuous"
+    assert got == want
