@@ -185,6 +185,59 @@ def q_ts_mode(sf_dir: str):
     return modeagg.mode_per_key(ds, "source", "cls")
 
 
+def q_ts_clean_salted(sf_dir: str):
+    """Salted (time-chunked) clean/segment path — must produce output
+    IDENTICAL to ts_clean; the driver hash-checks it against the same SQL
+    oracle, proving the skew machinery exact."""
+    from aisdb_ray.stages import salted
+
+    return salted.clean_series_salted(
+        _prepared(sf_dir), TS_MAX_GAP, chunk_s=86400
+    ).select_columns(["source", "doc_id", "time", "seq", "n_tok", "seg"])
+
+
+def q_ts_split_multi(sf_dir: str):
+    """Multi-criteria split (split_tracks analog): rate/gap cuts, short
+    segments discarded, '{source}-{n}' relabeling. Rows-only."""
+    from aisdb_ray.stages import trackops
+
+    return trackops.split_multi(_prepared(sf_dir), max_gap=TS_MAX_GAP).select_columns(
+        ["source", "track", "time", "n_tok"]
+    )
+
+
+def q_ts_relink(sf_dir: str):
+    """Score-based pathway relinking (encode_greatcircledistance analog)."""
+    from aisdb_ray.stages import trackops
+
+    return trackops.relink_segments(_prepared(sf_dir), max_gap=TS_MAX_GAP).select_columns(
+        ["source", "label", "time", "n_tok"]
+    )
+
+
+def q_ts_decimate(sf_dir: str):
+    """LTTB downsampling per series (Visvalingam decimation analog)."""
+    from aisdb_ray.stages import trackops
+
+    return trackops.decimate(_prepared(sf_dir), n_out=100).select_columns(
+        ["source", "time", "n_tok"]
+    )
+
+
+def q_ts_resample_tokens(sf_dir: str):
+    """Cumulative-token resampling (interp_spacing analog)."""
+    from aisdb_ray.stages import trackops
+
+    return trackops.resample_by_tokens(_prepared(sf_dir), every=50_000)
+
+
+def q_ts_cubic_resample(sf_dir: str):
+    """Natural-cubic-spline resample (interp_cubic_spline analog)."""
+    from aisdb_ray.stages import trackops
+
+    return trackops.resample_cubic(_prepared(sf_dir), step=TS_STEP)
+
+
 def q_ts_gapfill(sf_dir: str):
     """Linear gap-fill onto the per-segment epoch grid (aisdb.interp
     semantics). No SQL oracle — checked against the NumPy oracle in pytest;
@@ -480,6 +533,12 @@ def build_queries() -> dict:
         "ts_gorilla_roundtrip": q_ts_gorilla_roundtrip,
         "ts_mode": q_ts_mode,
         "ts_gapfill": q_ts_gapfill,
+        "ts_clean_salted": q_ts_clean_salted,
+        "ts_split_multi": q_ts_split_multi,
+        "ts_relink": q_ts_relink,
+        "ts_decimate": q_ts_decimate,
+        "ts_resample_tokens": q_ts_resample_tokens,
+        "ts_cubic_resample": q_ts_cubic_resample,
         "ev_sessions": q_ev_sessions,
         "ev_rollup_1h": q_ev_rollup_1h,
         "ev_mode": q_ev_mode,
@@ -517,6 +576,7 @@ SELECT source, seg,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM segmented GROUP BY source, seg"""
 
+    sql["ts_clean_salted"] = sql["ts_clean"]  # identical contract, salted path
     sql["ts_rollup_1m"] = _sql_rollup(tok, 60)
     sql["ts_rollup_1h"] = _sql_rollup(tok, 3600)
     sql["ts_rollup_1d"] = _sql_rollup(tok, 86400)

@@ -1,0 +1,125 @@
+"""Track-operator family: split/relink/decimate/resample semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from aisdb_ray.stages import prepare, trackops
+
+MAX_GAP = 7200
+
+
+def _series_table(times, ntoks, src="s"):
+    n = len(times)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                [f"{src}:{t:010d}:{i:04d}" for i, t in enumerate(times)], pa.string()
+            ),
+            "tokens": pa.array([[1]] * n, pa.list_(pa.int32())),
+            "n_tok": pa.array([1] * n, pa.int32()),
+            "source": pa.array([src] * n, pa.string()),
+            "time": pa.array(times, pa.int64()),
+            "seq": pa.array(list(range(n)), pa.int32()),
+        }
+    ).set_column(2, "n_tok", pa.array(ntoks, pa.int32()))
+
+
+def test_split_multi_criteria_and_discard():
+    # 6 steady points, then a rate jump, then 2 points (discarded: too short)
+    times = [0, 60, 120, 180, 240, 300, 360, 30000, 30060]
+    ntoks = [10, 11, 12, 13, 14, 15, 500, 20, 21]  # jump at idx 6
+    out = trackops.split_multi_group(
+        _series_table(times, ntoks), max_gap=MAX_GAP, max_rate=50,
+        min_segment_length=3,
+    ).to_pandas()
+    # rate jump cuts before idx 6; gap cuts before idx 7; only the first
+    # 6-row segment survives min_segment_length=3
+    assert list(out["time"]) == times[:6]
+    assert set(out["track"]) == {"s-0"}
+
+
+def test_split_multi_value_bounds():
+    times = [0, 60, 120, 180]
+    ntoks = [10, -5, 11, 12]  # -5 filtered by bounds (not possible post-
+    # validation, but the operator must enforce its own contract)
+    out = trackops.split_multi_group(
+        _series_table(times, ntoks), max_gap=MAX_GAP, value_lo=1,
+        min_segment_length=3,
+    ).to_pandas()
+    assert list(out["n_tok"]) == [10, 11, 12]
+
+
+def test_relink_rejoins_small_gap_segments():
+    # two segments separated by just over max_gap: split by segmentation but
+    # relinked into one pathway (d < 2*max_gap, similar value level)
+    times = [0, 60, 120, 7500, 7560, 7620]
+    ntoks = [100, 100, 100, 101, 101, 101]
+    out = trackops.relink_group(
+        _series_table(times, ntoks), max_gap=7200
+    ).to_pandas()
+    assert out["label"].nunique() == 1
+    # far-apart or dissimilar segments start a new pathway
+    times2 = [0, 60, 120, 100000, 100060, 100120]
+    out2 = trackops.relink_group(
+        _series_table(times2, ntoks), max_gap=7200
+    ).to_pandas()
+    assert out2["label"].nunique() == 2
+
+
+def test_lttb_keeps_extremes():
+    rng = np.random.default_rng(5)
+    t = np.arange(0, 60000, 60, dtype=np.int64)
+    v = np.sin(t / 5000) * 100 + 200
+    spike = 500
+    v[spike] = 4000  # a spike LTTB must keep
+    idx = trackops.lttb_indices(t.astype(float), v, 50)
+    assert 0 in idx and len(t) - 1 in idx
+    assert spike in idx
+    assert len(idx) <= 50
+
+
+def test_resample_by_tokens_marks():
+    times = [0, 60, 120, 180]
+    ntoks = [100, 100, 100, 100]
+    out = trackops.resample_by_tokens_group(
+        _series_table(times, ntoks), every=150, max_gap=MAX_GAP
+    ).to_pandas()
+    # cum = [100,200,300,400]; marks at 150,300 -> interpolated epochs
+    assert list(out["cum_tokens"]) == [150, 300]
+    assert out["time"].iloc[0] == 30.0  # midway between 0 and 60
+    assert out["time"].iloc[1] == 120.0  # exactly at the 3rd point
+
+
+def test_cubic_spline_matches_linear_for_line():
+    x = np.array([0.0, 60, 120, 180])
+    y = np.array([0.0, 60, 120, 180])
+    q = np.array([30.0, 90, 150])
+    np.testing.assert_allclose(
+        trackops.natural_cubic_spline(x, y, q), q, atol=1e-9
+    )
+
+
+def test_cubic_resample_roundtrips_knots():
+    times = [0, 60, 150, 240]
+    ntoks = [10, 30, 20, 40]
+    out = trackops.resample_cubic_group(
+        _series_table(times, ntoks), step=30, max_gap=MAX_GAP
+    ).to_pandas()
+    got = out.set_index("time")["n_tok"]
+    for t, v in zip(times, ntoks):
+        assert abs(got[t] - v) < 1e-9  # spline passes through the knots
+
+
+def test_pipeline_level_split(micro_dir):
+    ds = rd.read_parquet(micro_dir).map_batches(prepare.prepare, batch_format="pyarrow")
+    out = trackops.split_multi(ds, max_gap=MAX_GAP).to_pandas()
+    assert len(out) > 0
+    assert out["track"].str.contains("-").all()
+    dec = trackops.decimate(
+        rd.read_parquet(micro_dir).map_batches(prepare.prepare, batch_format="pyarrow"),
+        n_out=50,
+    ).to_pandas()
+    assert 0 < len(dec) <= 50 * dec["source"].nunique() + 1
