@@ -4,27 +4,36 @@ Layout of a run directory (all writes atomic, see state/lineage.py):
 
     <out_root>/
       manifest.jsonl            lineage ledger + metrics
-      series/part=K/*.parquet   cleaned, deduped, segmented points,
+      series/part=K/*.parquet   cleaned, deduped, segmented POINTS
+                                (doc_id, source, time, seq, n_tok, seg),
                                 hash-partitioned by source (K = crc32 % P)
       tier_1m/part=K/*.parquet  per-(source, minute bucket) stats
       tier_1h/part=K/*.parquet  reaggregated from 1m  (exact, algebraic)
       tier_1d/part=K/*.parquet  reaggregated from 1h
-      gapfill/part=K/*.parquet  optional gap-filled grid tier
-      compressed/part=K/*.parquet  optional Gorilla-encoded segments
+      gapfill/part=K/*.parquet  optional gap-filled grid tier (skinny:
+                                source, time, n_tok, seg, is_original)
+      compressed/part=K/*.parquet  optional Gorilla-encoded chunk rows
 
-Partitioning: ONE key — ``part = crc32(source) % num_parts`` — chosen at the
-series stage and reused by every downstream tier (SURVEY.md §7.3): the tier
-cascade is co-partitioned, so 1h-from-1m needs no shuffle at all, and a
-partition is a self-contained resume unit.  This mirrors the reference's
-TimescaleDB layout (hash partitions on mmsi × time chunks,
-/root/reference/aisdb/aisdb_sql/timescale_createtable_dynamic.sql:17-23)
-with the monthly-table crawl replaced by partition pruning.
+Payload policy (SURVEY.md §7.4.5): the ``tokens`` list column is validated at
+the read (len == n_tok) and then NEVER moves again — it is dropped before the
+shuffle and is not copied into any tier.  The input lake remains the payload
+store; ``doc_id`` in the series tier is the provenance key that joins payload
+back on demand (functions/export.rehydrate).  At 100 TB this is the
+difference between shuffling ~50 B/row and shuffling the whole corpus.
+
+Skew policy: the primary shuffle groups by ``(source, chunk = time//chunk_s)``
+— the salted-key layout the north rule requires (stages/salted.py).  A hot
+source holding 30% of all rows becomes thousands of bounded chunk tasks
+instead of one giant task, for cleaning, gap-fill AND compression packing.
+``chunk_s`` (default 1 day) must be a multiple of every tier width so chunk
+boundaries never split a rollup bucket — which keeps the tier cascade
+co-partitioned and shuffle-free (the reference's TimescaleDB layout: hash
+partitions on mmsi x 7-day time chunks,
+/root/reference/aisdb/aisdb_sql/timescale_createtable_dynamic.sql:17-23).
 
 Resume: the manifest records each completed (stage, partition); a rerun
 recomputes only missing partitions (file-checksum-ledger spirit,
-/root/reference/aisdb/database/decoder.py:207-231).  Partition jobs run
-concurrently on a small thread pool — each job is itself a parallel Ray
-Data pipeline, so this nests cleanly under the streaming executor.
+/root/reference/aisdb/database/decoder.py:207-231).
 """
 
 from __future__ import annotations
@@ -41,13 +50,21 @@ import pyarrow.parquet as pq
 
 import ray.data as rd
 
-from aisdb_ray.schema import N_TOK, SOURCE, SUM_V, TIME
+from aisdb_ray.schema import IS_ORIGINAL, N_TOK, SEG, SEQ, SOURCE, SUM_V, TIME, TOKENS
 from aisdb_ray.stages import compress as compress_stage
-from aisdb_ray.stages import prepare, rollup, series
+from aisdb_ray.stages import prepare, rollup, salted, series
 from aisdb_ray.state import lineage
 
 TIER_WIDTHS = {"1m": 60, "1h": 3600, "1d": 86400}
 TIER_CHAIN = ["1m", "1h", "1d"]
+
+# the gap-fill tier is analytical: provenance (doc_id/seq) lives in the
+# series tier, payload in the input lake — neither is duplicated here
+GAPFILL_TIER_COLS = [SOURCE, TIME, N_TOK, SEG, IS_ORIGINAL]
+
+# zstd: ~2-3x smaller tiers than snappy at modest CPU cost — trades
+# non-scaling shared-disk bandwidth for per-task compute that does scale
+WRITE_ARGS = dict(compression="zstd")
 
 
 @dataclass
@@ -57,6 +74,7 @@ class CascadeConfig:
     num_parts: int = 16
     max_gap: int = series.DEFAULT_MAX_GAP
     step: int = series.DEFAULT_STEP
+    chunk_s: int = salted.DEFAULT_CHUNK_S  # salt granularity; multiple of 1d
     tiers: tuple = ("1m", "1h", "1d")
     gapfill: bool = False
     compress: bool = False
@@ -65,9 +83,8 @@ class CascadeConfig:
     # how the heavy gapfill/compress tiers are scheduled:
     #   "part"  — one Ray job per hash partition (finest resume granularity;
     #             right when partitions are large, i.e. real-scale runs)
-    #   "stage" — one Ray job per stage over all partitions, written with
-    #             partition_cols (one actor pool / one shuffle total; right
-    #             when partitions are small and per-job overhead dominates)
+    #   "stage" — one pinned-shuffle job feeding every stage (right when
+    #             partitions are small and per-job overhead dominates)
     heavy_mode: str = "part"
 
     def fingerprint(self) -> str:
@@ -76,9 +93,12 @@ class CascadeConfig:
             "num_parts": self.num_parts,
             "max_gap": self.max_gap,
             "step": self.step,
+            "chunk_s": self.chunk_s,
             "tiers": list(self.tiers),
             "gapfill": self.gapfill,
             "compress": self.compress,
+            "heavy_mode": self.heavy_mode,
+            "retention": {k: int(v) for k, v in sorted(self.retention.items())},
         }
         return lineage.fingerprint_paths(files, extra)
 
@@ -87,45 +107,36 @@ def part_of(source: str, num_parts: int) -> int:
     return zlib.crc32(source.encode()) % num_parts
 
 
-def _clean_with_part(group: pa.Table, max_gap: int, num_parts: int) -> pa.Table:
-    g = series.clean_group(group, max_gap)
-    if g.num_rows == 0:
-        return g
-    p = part_of(g[SOURCE][0].as_py(), num_parts)
-    return g.append_column("part", pa.array(np.full(g.num_rows, p, dtype=np.int32)))
-
-
 def _dataset_rows(path: str) -> int:
-    return sum(pq.ParquetFile(f).metadata.num_rows for f in lineage.list_parquet_files(path))
+    """Row count from parquet footers — thread-pooled (I/O-bound, GIL-free);
+    a serial footer walk is a fixed driver-side cost that caps scaling."""
+    files = lineage.list_parquet_files(path)
+    if len(files) <= 4:
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    with ThreadPoolExecutor(min(16, len(files))) as ex:
+        return sum(ex.map(lambda f: pq.ParquetFile(f).metadata.num_rows, files))
 
 
 def _part_dir(root: str, stage: str, part: int) -> str:
-    # series is written by Ray's partition_cols (hive "part=K"); directly
-    # written stages use "part-K" — Ray's write-path URI sniffing cannot
-    # handle '=' in target paths (fsspec HTTP fallback import error)
-    if stage == "series":
-        return os.path.join(root, stage, f"part={part}")
+    """On-disk partition dir.  Ray's partition_cols writes hive 'part=K';
+    directly-written per-part stages use 'part-K' (Ray's write-path URI
+    sniffing cannot handle '=' in target paths).  Readers glob both."""
+    hive = os.path.join(root, stage, f"part={part}")
+    if os.path.isdir(hive):
+        return hive
     return os.path.join(root, stage, f"part-{part}")
 
 
-def _run_series_stage(cfg: CascadeConfig, manifest: lineage.Manifest) -> None:
-    """One distributed job: prepare + per-source clean + partitioned write."""
-    if manifest.done("series", "all"):
-        return
-    t0 = time.time()
-    ds = rd.read_parquet(cfg.input_path)
-    ds = ds.map_batches(prepare.prepare, batch_format="pyarrow")
-    cleaned = ds.groupby(SOURCE).map_groups(
-        lambda g: _clean_with_part(g, cfg.max_gap, cfg.num_parts),
-        batch_format="pyarrow",
-    )
-    out = os.path.join(cfg.out_root, "series")
-    with lineage.atomic_write(out) as tmp:
-        # merge per-source blocks into sizeable files: hundreds of tiny files
-        # turn every downstream shuffle into an O(blocks^2) tiny-object storm
-        cleaned.write_parquet(tmp, partition_cols=["part"], min_rows_per_file=250_000)
-    rows = _dataset_rows(out)
-    manifest.record("series", "all", rows=rows, wall_s=round(time.time() - t0, 3))
+def _add_part_batch(b: pa.Table, num_parts: int) -> pa.Table:
+    """Vectorized hash-partition column: crc32 per *unique* source."""
+    src = b[SOURCE].to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(src, return_inverse=True)
+    lut = np.array([part_of(s, num_parts) for s in uniq], dtype=np.int32)
+    return b.append_column("part", pa.array(lut[inv]))
+
+
+def _drop_payload(b: pa.Table) -> pa.Table:
+    return b.drop_columns([c for c in (TOKENS,) if c in b.column_names])
 
 
 def _coalesced(ds):
@@ -136,6 +147,50 @@ def _coalesced(ds):
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     return ds.repartition(max(8, ncpu * 2))
+
+
+def _clean_pinned(cfg: CascadeConfig):
+    """read -> prepare -> drop payload -> ONE salted hash exchange -> pinned.
+
+    The exchange is the disk-backed hash shuffle (salted.clean_chunks_staged):
+    a map-only compressed staging write partitioned by hash(source, chunk),
+    then one vectorized clean task per staging partition — no global sort
+    barrier, task memory bounded by partition size.  Everything downstream
+    (series write, tiers, gap-fill, packing) consumes the pinned chunk
+    blocks plus the O(#chunks) broadcast reconciliation map.
+    """
+    import shutil
+
+    ds = rd.read_parquet(cfg.input_path)
+    ds = ds.map_batches(prepare.prepare, batch_format="pyarrow")
+    ds = ds.map_batches(_drop_payload, batch_format="pyarrow")
+    staging = os.path.join(cfg.out_root, "_shuffle")
+    mat, recon_ref = salted.clean_chunks_staged(
+        ds, cfg.max_gap, cfg.chunk_s, staging,
+        num_staging_parts=max(16, cfg.num_parts * 4),
+    )
+    shutil.rmtree(staging, ignore_errors=True)  # mat is pinned; spill done
+    return mat, recon_ref
+
+
+def _write_series(cfg: CascadeConfig, manifest: lineage.Manifest, mat, recon_ref) -> None:
+    if manifest.done("series", "all"):
+        return
+    t0 = time.time()
+    rel = salted.relabel_blocks(mat, recon_ref).map_batches(
+        lambda b: _add_part_batch(b, cfg.num_parts), batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = os.path.join(cfg.out_root, "series")
+    with lineage.atomic_write(out) as tmp:
+        # merge per-chunk blocks into sizeable files: hundreds of tiny files
+        # turn every downstream scan into a tiny-object storm
+        rel.write_parquet(
+            tmp, partition_cols=["part"], min_rows_per_file=250_000, **WRITE_ARGS
+        )
+    manifest.record(
+        "series", "all", rows=_dataset_rows(out), wall_s=round(time.time() - t0, 3)
+    )
 
 
 def _read_part(cfg: CascadeConfig, stage: str, part: int, columns=None):
@@ -150,11 +205,16 @@ def _write_tier(ds_or_table, out_dir: str) -> int:
     """Atomic partition write; returns row count. Accepts Dataset or Table."""
     with lineage.atomic_write(out_dir) as tmp:
         if isinstance(ds_or_table, pa.Table):
-            pq.write_table(ds_or_table, os.path.join(tmp, "part-00000.parquet"))
+            pq.write_table(
+                ds_or_table, os.path.join(tmp, "part-00000.parquet"),
+                compression="zstd",
+            )
         else:
-            ds_or_table.write_parquet(tmp)
+            ds_or_table.write_parquet(tmp, **WRITE_ARGS)
     return _dataset_rows(out_dir)
 
+
+# ---------------------------------------------------------------- part mode
 
 def _run_part(cfg: CascadeConfig, manifest: lineage.Manifest, part: int) -> None:
     """All tier work for one hash partition (the resume unit).
@@ -167,8 +227,6 @@ def _run_part(cfg: CascadeConfig, manifest: lineage.Manifest, part: int) -> None
     1h/1d reaggregate from the in-memory 1m table: min of mins / max of
     maxes / sums — exact, same math as the distributed path.
     """
-    import ray
-
     tiers = [t for t in TIER_CHAIN if t in cfg.tiers]
     if tiers and not all(manifest.done(f"tier_{t}", part) for t in tiers):
         t0 = time.time()
@@ -214,7 +272,9 @@ def _run_part(cfg: CascadeConfig, manifest: lineage.Manifest, part: int) -> None
     if cfg.heavy_mode == "stage":
         return  # gapfill/compress handled by the per-stage jobs
 
-    # ---- optional gap-fill tier (grid points, float n_tok)
+    # ---- optional gap-fill tier: grouped by (source, seg) — segments never
+    # span a >= max_gap gap, so grids are independent and a hot source's
+    # work spreads across its segments (the skew-safe layout)
     if cfg.gapfill and not manifest.done("gapfill", part):
         t0 = time.time()
         src = _read_part(cfg, "series", part)
@@ -222,43 +282,49 @@ def _run_part(cfg: CascadeConfig, manifest: lineage.Manifest, part: int) -> None
             os.makedirs(_part_dir(cfg.out_root, "gapfill", part), exist_ok=True)
             manifest.record("gapfill", part, rows=0, wall_s=0.0)
         else:
-            gf = src.groupby(SOURCE).map_groups(
-                lambda g: series.gapfill_group(
-                    g, cfg.step, cfg.max_gap, cleaned=True
-                ),
-                batch_format="pyarrow",
-            )
+            gf = salted.gapfill_series_by_segment(
+                src, cfg.step, cfg.max_gap
+            ).select_columns(GAPFILL_TIER_COLS)
             rows = _write_tier(gf, _part_dir(cfg.out_root, "gapfill", part))
             manifest.record(
                 "gapfill", part, rows=rows, wall_s=round(time.time() - t0, 3)
             )
 
-    # ---- optional Gorilla-compressed tier (payload-pruned read)
+    # ---- optional Gorilla-compressed tier: packed per (source, time chunk)
     if cfg.compress and not manifest.done("compressed", part):
         t0 = time.time()
-        src = _read_part(cfg, "series", part, columns=[SOURCE, TIME, "seq", N_TOK, "seg"])
+        src = _read_part(cfg, "series", part, columns=[SOURCE, TIME, SEQ, N_TOK, SEG])
         if src is None:
             os.makedirs(_part_dir(cfg.out_root, "compressed", part), exist_ok=True)
             manifest.record("compressed", part, rows=0, wall_s=0.0)
         else:
-            enc = compress_stage.compress(src, cfg.max_gap, cleaned=True)
+            # packing window = 32 chunks: bounded (skew-safe) but big enough
+            # to amortize the codec's fixed per-stream cost
+            chunked = src.map_batches(
+                lambda b: salted._add_chunk(b, cfg.chunk_s * 32),
+                batch_format="pyarrow",
+            )
+            packed = chunked.groupby([SOURCE, salted.CHUNK_COL]).map_groups(
+                lambda g: compress_stage.pack_chunk_group(g, salted.CHUNK_COL),
+                batch_format="pyarrow",
+            )
+            enc = packed.map_batches(
+                compress_stage.GorillaEncodePassthrough,
+                batch_format="pyarrow",
+                concurrency=(1, 8),
+                batch_size=32,
+            )
             rows = _write_tier(enc, _part_dir(cfg.out_root, "compressed", part))
             manifest.record(
                 "compressed", part, rows=rows, wall_s=round(time.time() - t0, 3)
             )
 
 
-def _add_part_batch(b: pa.Table, num_parts: int) -> pa.Table:
-    """Vectorized-ish hash-partition column: crc32 per *unique* source."""
-    src = b[SOURCE].to_numpy(zero_copy_only=False)
-    uniq, inv = np.unique(src, return_inverse=True)
-    lut = np.array([part_of(s, num_parts) for s in uniq], dtype=np.int32)
-    return b.append_column("part", pa.array(lut[inv]))
-
+# --------------------------------------------------------------- stage mode
 
 def _run_tiers_global(cfg: CascadeConfig, manifest: lineage.Manifest) -> None:
-    """'stage'-mode tier chain: one Ray job per tier over all partitions,
-    written with partition_cols (resume unit = tier)."""
+    """Resume-path tier chain: one Ray job per tier over all partitions,
+    reading the on-disk series tier (resume unit = tier)."""
     tiers = [t for t in TIER_CHAIN if t in cfg.tiers]
     prev_dir = None
     for i, tier in enumerate(tiers):
@@ -285,7 +351,7 @@ def _run_tiers_global(cfg: CascadeConfig, manifest: lineage.Manifest) -> None:
             lambda b: _add_part_batch(b, cfg.num_parts), batch_format="pyarrow"
         )
         with lineage.atomic_write(out_dir) as tmp:
-            out.write_parquet(tmp, partition_cols=["part"])
+            out.write_parquet(tmp, partition_cols=["part"], **WRITE_ARGS)
         rows = _dataset_rows(out_dir)
         tokens = 0
         if tier == "1m":
@@ -297,20 +363,10 @@ def _run_tiers_global(cfg: CascadeConfig, manifest: lineage.Manifest) -> None:
         prev_dir = out_dir
 
 
-def _with_part(tbl: pa.Table, num_parts: int) -> pa.Table:
-    """Append the hash-partition column to a single-source group output."""
-    if tbl.num_rows == 0:
-        return tbl.append_column("part", pa.array([], pa.int32()))
-    p = part_of(tbl[SOURCE][0].as_py(), num_parts)
-    return tbl.append_column("part", pa.array(np.full(tbl.num_rows, p, np.int32)))
-
-
 def _run_heavy_stage(cfg: CascadeConfig, manifest: lineage.Manifest, kind: str) -> None:
-    """'stage'-mode gapfill/compress: one job over all partitions.
-
-    One shuffle and (for compress) one actor pool total, written with
-    ``partition_cols`` so the on-disk layout matches 'part' mode.
-    """
+    """Resume-path gapfill/compress: one job over all partitions, reading
+    the on-disk series tier; written with ``partition_cols`` so the layout
+    matches the pinned-path output."""
     if manifest.done(kind, "all"):
         return
     t0 = time.time()
@@ -320,95 +376,45 @@ def _run_heavy_stage(cfg: CascadeConfig, manifest: lineage.Manifest, kind: str) 
         os.makedirs(out_dir, exist_ok=True)
         manifest.record(kind, "all", rows=0, wall_s=0.0)
         return
-    # compress never touches the token payload: prune it at the read so the
-    # groupby shuffle moves only the skinny columns
-    cols = None if kind == "gapfill" else [SOURCE, TIME, "seq", N_TOK, "seg"]
+    cols = None if kind == "gapfill" else [SOURCE, TIME, SEQ, N_TOK, SEG]
     ds = _coalesced(rd.read_parquet(files, columns=cols))
     if kind == "gapfill":
-        out = ds.groupby(SOURCE).map_groups(
-            lambda g: _with_part(
-                series.gapfill_group(g, cfg.step, cfg.max_gap, cleaned=True),
-                cfg.num_parts,
-            ),
-            batch_format="pyarrow",
+        out = salted.gapfill_series_by_segment(ds, cfg.step, cfg.max_gap)
+        out = out.select_columns(GAPFILL_TIER_COLS).map_batches(
+            lambda b: _add_part_batch(b, cfg.num_parts), batch_format="pyarrow"
         )
     else:
-        packed = ds.groupby(SOURCE).map_groups(
-            lambda g: _with_part(
-                compress_stage.pack_series_group(g, cfg.max_gap, cleaned=True),
-                cfg.num_parts,
-            ),
+        chunked = ds.map_batches(
+            lambda b: salted._add_chunk(b, cfg.chunk_s * 32), batch_format="pyarrow"
+        )
+        packed = chunked.groupby([SOURCE, salted.CHUNK_COL]).map_groups(
+            lambda g: compress_stage.pack_chunk_group(g, salted.CHUNK_COL),
             batch_format="pyarrow",
+        ).map_batches(
+            lambda b: _add_part_batch(b, cfg.num_parts), batch_format="pyarrow"
         )
         out = packed.map_batches(
             compress_stage.GorillaEncodePassthrough,
             batch_format="pyarrow",
             concurrency=(1, 16),
-            batch_size=4,  # one row per source: small batches fan out the pool
+            batch_size=32,
         )
     with lineage.atomic_write(out_dir) as tmp:
-        out.write_parquet(tmp, partition_cols=["part"])
+        out.write_parquet(tmp, partition_cols=["part"], **WRITE_ARGS)
     manifest.record(
         kind, "all", rows=_dataset_rows(out_dir), wall_s=round(time.time() - t0, 3)
     )
 
 
-def _per_source_slices(batch: pa.Table):
-    """Iterate whole-source slices of a block.
-
-    Valid because map_groups emits one table per group and blocks are
-    concatenations of whole group tables (each source appears as one
-    contiguous run).  Tier-parity tests vs the oracle guard this invariant.
-    """
-    src = batch[SOURCE].to_numpy(zero_copy_only=False)
-    if len(src) == 0:
-        return
-    first = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
-    bounds = np.r_[first, len(src)]
-    for a, b in zip(bounds[:-1], bounds[1:]):
-        yield batch.slice(a, b - a)
-
-
-def _gapfill_multi(batch: pa.Table, cfg: CascadeConfig) -> pa.Table:
-    outs = [
-        _with_part(
-            series.gapfill_group(s, cfg.step, cfg.max_gap, cleaned=True),
-            cfg.num_parts,
-        )
-        for s in _per_source_slices(batch)
-    ]
-    outs = [o for o in outs if o.num_rows]
-    if not outs:
-        sch = series.gapfill_group(batch.slice(0, 0), cfg.step, cfg.max_gap).schema
-        return sch.empty_table().append_column("part", pa.array([], pa.int32()))
-    return pa.concat_tables(outs)
-
-
-def _pack_multi(batch: pa.Table, cfg: CascadeConfig) -> pa.Table:
-    outs = [
-        _with_part(
-            compress_stage.pack_series_group(s, cfg.max_gap, cleaned=True),
-            cfg.num_parts,
-        )
-        for s in _per_source_slices(batch)
-    ]
-    outs = [o for o in outs if o.num_rows]
-    if not outs:
-        return compress_stage.PACKED_SCHEMA.empty_table().append_column(
-            "part", pa.array([], pa.int32())
-        )
-    return pa.concat_tables(outs)
-
-
 def _run_fused_stage_mode(cfg: CascadeConfig, manifest: lineage.Manifest) -> None:
-    """'stage'-mode fast path: ONE key shuffle for the whole cascade.
+    """'stage'-mode fast path: ONE salted key shuffle for the whole cascade.
 
-    The per-source clean stage is materialized once (pinned in the object
-    store); series write, tier rollups, gap-fill and Gorilla compression all
-    consume the pinned blocks with shuffle-free ``map_batches`` — possible
-    because those blocks hold whole, time-sorted source groups.  This is the
-    small-partition regime by definition; the 'part' mode path streams
-    per-partition without pinning for real-scale runs.
+    The per-chunk clean stage is materialized once (pinned in the object
+    store; skinny — the payload never entered the shuffle); series write,
+    tier rollups, gap-fill and Gorilla packing all consume the pinned
+    blocks with shuffle-free ``map_batches`` — possible because those
+    blocks hold whole, time-sorted (source, chunk) groups and chunk
+    boundaries align with every tier bucket.
     """
     stages_needed = ["series"] + [f"tier_{t}" for t in TIER_CHAIN if t in cfg.tiers]
     if cfg.gapfill:
@@ -428,82 +434,116 @@ def _run_fused_stage_mode(cfg: CascadeConfig, manifest: lineage.Manifest) -> Non
         return
 
     t0 = time.time()
-    ds = rd.read_parquet(cfg.input_path)
-    ds = ds.map_batches(prepare.prepare, batch_format="pyarrow")
-    cleaned = ds.groupby(SOURCE).map_groups(
-        lambda g: _clean_with_part(g, cfg.max_gap, cfg.num_parts),
-        batch_format="pyarrow",
-    )
-    mat = cleaned.materialize()
+    mat, recon_ref = _clean_pinned(cfg)
+    manifest.record("exchange", "all", wall_s=round(time.time() - t0, 3))
 
-    out = os.path.join(cfg.out_root, "series")
-    with lineage.atomic_write(out) as tmp:
-        mat.write_parquet(tmp, partition_cols=["part"], min_rows_per_file=250_000)
-    manifest.record(
-        "series", "all", rows=_dataset_rows(out), wall_s=round(time.time() - t0, 3)
-    )
-
-    # tier chain from the pinned blocks: blocks hold whole sources, so the
-    # rollups are shuffle-free maps (partials are globally unique per key)
-    t0 = time.time()
-    tiers = [t for t in TIER_CHAIN if t in cfg.tiers]
-    prev = None
-    for i, tier in enumerate(tiers):
-        stage = f"tier_{tier}"
-        out_dir = os.path.join(cfg.out_root, stage)
-        if i == 0:
-            dsr = rollup.rollup_grouped(mat, TIER_WIDTHS[tier])
-        else:
-            dsr = rollup.rollup_from_rollup_grouped(prev, TIER_WIDTHS[tier])
-        cur = dsr.map_batches(
-            lambda b: _add_part_batch(b, cfg.num_parts), batch_format="pyarrow"
-        ).materialize()
-        with lineage.atomic_write(out_dir) as tmp:
-            cur.write_parquet(tmp, partition_cols=["part"])
-        rows = _dataset_rows(out_dir)
-        tokens = 0
-        if tier == "1m":
-            tbl = pq.read_table(out_dir, columns=[SUM_V])
-            tokens = int(pa.compute.sum(tbl[SUM_V]).as_py() or 0)
-        manifest.record(
-            stage, "all", rows=rows, tokens=tokens, wall_s=round(time.time() - t0, 3)
-        )
+    # Every remaining stage reads the SAME pinned blocks and writes its own
+    # output — independent dataflows, so they run as CONCURRENT Ray
+    # executions: the streaming executor interleaves their tasks, filling
+    # the scheduling gaps (stage startup, stragglers, write tails) that
+    # would otherwise idle most of a large cluster between stages.
+    def do_tiers():
+        # tier chain from the pinned blocks: blocks hold whole
+        # (source, chunk) groups and chunk_s is a multiple of every tier
+        # width, so per-block partials are already globally unique per
+        # (source, bucket) — the rollups are shuffle-free maps
         t0 = time.time()
-        prev = cur
+        tiers = [t for t in TIER_CHAIN if t in cfg.tiers]
+        prev = None
+        for i, tier in enumerate(tiers):
+            stage = f"tier_{tier}"
+            out_dir = os.path.join(cfg.out_root, stage)
+            if i == 0:
+                dsr = rollup.rollup_grouped(mat, TIER_WIDTHS[tier])
+            else:
+                dsr = rollup.rollup_from_rollup_grouped(prev, TIER_WIDTHS[tier])
+            cur = dsr.map_batches(
+                lambda b: _add_part_batch(b, cfg.num_parts), batch_format="pyarrow"
+            ).materialize()
+            with lineage.atomic_write(out_dir) as tmp:
+                cur.write_parquet(
+                    tmp, partition_cols=["part"], min_rows_per_file=100_000,
+                    **WRITE_ARGS,
+                )
+            rows = cur.count()  # metadata-cheap on a materialized dataset
+            tokens = 0
+            if tier == "1m":
+                tokens = int(cur.sum(SUM_V) or 0)  # distributed sum
+            manifest.record(
+                stage, "all", rows=rows, tokens=tokens,
+                wall_s=round(time.time() - t0, 3),
+            )
+            t0 = time.time()
+            prev = cur
 
-    if cfg.gapfill:
+    def do_gapfill():
+        if not (cfg.gapfill and not manifest.done("gapfill", "all")):
+            return
         t0 = time.time()
-        gf = mat.map_batches(
-            lambda b: _gapfill_multi(b, cfg), batch_format="pyarrow", batch_size=None
+        gf = salted.gapfill_blocks(
+            mat, recon_ref, cfg.step, with_provenance=False
+        ).map_batches(
+            lambda b: _add_part_batch(b.select(GAPFILL_TIER_COLS), cfg.num_parts),
+            batch_format="pyarrow",
+            batch_size=None,
         )
         out_dir = os.path.join(cfg.out_root, "gapfill")
         with lineage.atomic_write(out_dir) as tmp:
-            gf.write_parquet(tmp, partition_cols=["part"])
+            gf.write_parquet(
+                tmp, partition_cols=["part"], min_rows_per_file=100_000, **WRITE_ARGS
+            )
         manifest.record(
             "gapfill", "all", rows=_dataset_rows(out_dir),
             wall_s=round(time.time() - t0, 3),
         )
 
-    if cfg.compress:
+    def do_compressed():
+        if not (cfg.compress and not manifest.done("compressed", "all")):
+            return
         t0 = time.time()
-        packed = mat.map_batches(
-            lambda b: _pack_multi(b, cfg), batch_format="pyarrow", batch_size=None
+        packed = salted.pack_blocks(mat, recon_ref).map_batches(
+            lambda b: _add_part_batch(b, cfg.num_parts),
+            batch_format="pyarrow",
+            batch_size=None,
         )
         # task-based encode: the codec carries no per-actor state, and an
         # actor pool's spin-up is a fixed serial cost the fused path avoids
-        # (the standalone compress stage keeps the actor-pool form)
+        # (the standalone compress stage keeps the actor-pool form); small
+        # batches of ~32k-point packed rows keep every core fed
         enc = packed.map_batches(
             lambda b: compress_stage.GorillaEncodePassthrough()(b),
             batch_format="pyarrow",
-            batch_size=4,
+            batch_size=8,
         )
         out_dir = os.path.join(cfg.out_root, "compressed")
         with lineage.atomic_write(out_dir) as tmp:
-            enc.write_parquet(tmp, partition_cols=["part"])
+            enc.write_parquet(tmp, partition_cols=["part"], **WRITE_ARGS)
         manifest.record(
             "compressed", "all", rows=_dataset_rows(out_dir),
             wall_s=round(time.time() - t0, 3),
         )
+
+    jobs = [lambda: _write_series(cfg, manifest, mat, recon_ref), do_tiers,
+            do_gapfill, do_compressed]
+    with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+        futs = [ex.submit(j) for j in jobs]
+        for f in futs:
+            f.result()  # propagate the first failure
+
+
+def _tier_part_dirs(root: str, stage: str) -> list[tuple[str, str]]:
+    """(partition_label, dir) for every on-disk partition of a tier stage,
+    covering both layouts: hive 'part=K' (partition_cols writes) and
+    'part-K' (direct per-part writes)."""
+    base = os.path.join(root, stage)
+    if not os.path.isdir(base):
+        return []
+    out = []
+    for d in sorted(os.listdir(base)):
+        full = os.path.join(base, d)
+        if os.path.isdir(full) and (d.startswith("part=") or d.startswith("part-")):
+            out.append((d[5:], full))
+    return out
 
 
 def apply_retention(cfg: CascadeConfig, manifest: lineage.Manifest) -> dict:
@@ -511,26 +551,29 @@ def apply_retention(cfg: CascadeConfig, manifest: lineage.Manifest) -> dict:
 
     ``cfg.retention[tier] = cutoff_epoch`` rewrites each tier partition
     keeping only buckets >= cutoff (the reference's monthly-table drop,
-    generalized).  Records a lineage entry per pruned partition.
+    generalized).  Records a lineage entry per pruned partition.  Handles
+    both on-disk partition layouts (hive and direct).
     """
     import pyarrow.compute as pc
 
     pruned = {}
     for tier, cutoff in cfg.retention.items():
         stage = f"tier_{tier}"
-        for part in range(cfg.num_parts):
-            d = _part_dir(cfg.out_root, stage, part)
+        for label, d in _tier_part_dirs(cfg.out_root, stage):
             files = lineage.list_parquet_files(d)
             if not files:
                 continue
-            t = pq.read_table(d)
+            t = pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
             kept = t.filter(pc.greater_equal(t["bucket"], pa.scalar(cutoff, pa.int64())))
             if kept.num_rows == t.num_rows:
                 continue
             with lineage.atomic_write(d) as tmp:
-                pq.write_table(kept, os.path.join(tmp, "part-00000.parquet"))
+                pq.write_table(
+                    kept, os.path.join(tmp, "part-00000.parquet"), compression="zstd"
+                )
             manifest.record(
-                f"retention_{tier}", part, rows=kept.num_rows, dropped=t.num_rows - kept.num_rows
+                f"retention_{tier}", label, rows=kept.num_rows,
+                dropped=t.num_rows - kept.num_rows,
             )
             pruned[tier] = pruned.get(tier, 0) + (t.num_rows - kept.num_rows)
     return pruned
@@ -543,11 +586,16 @@ def run_cascade(cfg: CascadeConfig) -> dict:
 
     parts = list(range(cfg.num_parts))
     if cfg.heavy_mode == "stage":
-        # fused fast path: one key shuffle feeds every stage (see
+        # fused fast path: one salted shuffle feeds every stage (see
         # _run_fused_stage_mode); right when partitions are small
         _run_fused_stage_mode(cfg, manifest)
     else:
-        _run_series_stage(cfg, manifest)
+        if not manifest.done("series", "all"):
+            t0x = time.time()
+            mat, recon_ref = _clean_pinned(cfg)
+            manifest.record("exchange", "all", wall_s=round(time.time() - t0x, 3))
+            _write_series(cfg, manifest, mat, recon_ref)
+            del mat, recon_ref  # release pinned blocks before per-part jobs
         pending = [p for p in parts if not _part_done(cfg, manifest, p)]
         if pending:
             with ThreadPoolExecutor(max_workers=cfg.max_concurrent_parts) as ex:
@@ -593,6 +641,7 @@ def main(argv=None):
     ap.add_argument("--num-parts", type=int, default=16)
     ap.add_argument("--max-gap", type=int, default=series.DEFAULT_MAX_GAP)
     ap.add_argument("--step", type=int, default=series.DEFAULT_STEP)
+    ap.add_argument("--chunk-s", type=int, default=salted.DEFAULT_CHUNK_S)
     ap.add_argument("--gapfill", action="store_true")
     ap.add_argument("--compress", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -617,6 +666,7 @@ def main(argv=None):
         num_parts=args.num_parts,
         max_gap=args.max_gap,
         step=args.step,
+        chunk_s=args.chunk_s,
         gapfill=args.gapfill,
         compress=args.compress,
     )

@@ -40,6 +40,16 @@ PACKED_SCHEMA = pa.schema(
     ]
 )
 
+PACKED_CHUNK_SCHEMA = pa.schema(
+    [
+        (SOURCE, pa.string()),
+        ("chunk", pa.int64()),
+        ("times", pa.list_(pa.int64())),
+        ("values", pa.list_(pa.int64())),
+        ("segs", pa.list_(pa.int64())),
+    ]
+)
+
 ENCODED_SCHEMA = pa.schema(
     [
         (SOURCE, pa.string()),
@@ -85,6 +95,43 @@ def pack_series_group(
             "segs": pa.ListArray.from_arrays(off, pa.array(seg)),
         },
         schema=PACKED_SCHEMA,
+    )
+
+
+def pack_chunk_group(group: pa.Table, chunk_col: str = "_chunk") -> pa.Table:
+    """One (source, time-chunk) group -> one packed row (segs already global).
+
+    The bounded-size packing unit: a hot source's encoder work spreads
+    across its time chunks instead of becoming one giant task (the
+    whole-source-packing skew fix; TimescaleDB's chunked compressed layout,
+    timescale_createtable_dynamic.sql:17-29).
+    """
+    n = group.num_rows
+    if n == 0:
+        return PACKED_CHUNK_SCHEMA.empty_table()
+    t0 = group[TIME].to_numpy(zero_copy_only=False)
+    s0 = (
+        group[SEQ].to_numpy(zero_copy_only=False)
+        if SEQ in group.column_names
+        else np.zeros(n, np.int64)
+    )
+    g = group.take(pa.array(np.lexsort((s0, t0))))
+    off = pa.array(np.array([0, n], dtype=np.int32))
+    return pa.table(
+        {
+            SOURCE: pa.array([g[SOURCE][0].as_py()]),
+            "chunk": pa.array([g[chunk_col][0].as_py()], pa.int64()),
+            "times": pa.ListArray.from_arrays(
+                off, pa.array(g[TIME].to_numpy(zero_copy_only=False).astype(np.int64))
+            ),
+            "values": pa.ListArray.from_arrays(
+                off, pa.array(g[N_TOK].to_numpy(zero_copy_only=False).astype(np.int64))
+            ),
+            "segs": pa.ListArray.from_arrays(
+                off, pa.array(g[SEG].to_numpy(zero_copy_only=False).astype(np.int64))
+            ),
+        },
+        schema=PACKED_CHUNK_SCHEMA,
     )
 
 
@@ -137,7 +184,7 @@ class GorillaEncodePassthrough(GorillaEncode):
     """GorillaEncode that forwards bookkeeping columns (e.g. the hash
     partition id) through the encoder unchanged."""
 
-    keep = ("part",)
+    keep = ("part", "chunk")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         extra = {c: batch[c] for c in batch.column_names if c in self.keep}

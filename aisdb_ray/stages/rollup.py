@@ -60,7 +60,14 @@ def partial_rollup_batch(
         }
     )
     g = t.group_by([key_col, BUCKET], use_threads=False).aggregate(
-        [(value, "min"), (value, "max"), (value, "sum"), (value, "count")]
+        [
+            (value, "min"),
+            (value, "max"),
+            (value, "sum"),
+            # count(*) semantics (CountOptions mode="all"), matching the SQL
+            # oracles regardless of nulls in the value channel
+            (value, "count", pc.CountOptions(mode="all")),
+        ]
     )
     return g.rename_columns([key_col, BUCKET, MIN_V, MAX_V, SUM_V, CNT_V])
 

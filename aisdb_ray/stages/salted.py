@@ -4,34 +4,54 @@ groups with exact boundary reconciliation.
 The north rule calls out salted keys for skewed sources explicitly
 (SURVEY.md §4 'skew'): one source holding 30% of all rows turns a naive
 ``groupby(source)`` into a single giant task.  Rollups don't care (algebraic
-partials), but *sequence* semantics (sort, dedup, gap segmentation) need
-whole-series views.  This module splits each source into time chunks:
+partials), but *sequence* semantics (sort, dedup, gap segmentation,
+gap-fill, compression packing) need whole-series views.  This module splits
+each source into time chunks — mirroring TimescaleDB's 7-day chunk layout
+the reference configures (/root/reference/aisdb/aisdb_sql/
+timescale_createtable_dynamic.sql:17-23):
 
 1. group by ``(source, chunk = time // chunk_s)`` — per-chunk sort + dedup +
    LOCAL gap segmentation (parallel across chunks of the same source);
-2. a tiny per-chunk summary (first/last epoch, local segment count) is
-   collected and walked per source in chunk order — a boundary between
-   consecutive chunks merges iff the inter-chunk gap < max_gap, giving every
-   chunk an exact global segment-id offset (state is O(#chunks), never rows);
-3. a broadcast offset map rewrites local seg ids to global ones.
+2. a tiny per-chunk summary (first/last epoch, local segment count, last
+   value, last-segment start) is collected and walked per source in chunk
+   order on the driver — state is O(#chunks), never rows.  The walk yields,
+   per chunk, the exact global segment-id offset PLUS the halo state the
+   downstream chunk-local operators need:
+     - ``cont``    does the chunk's first local segment merge with the
+                   previous chunk (inter-chunk gap < max_gap)?
+     - ``seg_t0``  global start epoch of the segment containing the chunk's
+                   first row (the gap-fill grid *phase*);
+     - ``t_prev``/``v_prev``  the previous chunk's last (time, value) — the
+                   one-row halo linear interpolation needs at the boundary;
+     - ``closes``  does the segment containing the chunk's last row end
+                   here (drives the grid-extends-past-last-point rule)?
+3. a broadcast reconciliation map (``ray.put`` once) lets every chunk-local
+   task relabel local seg ids to global ones, gap-fill its own grid span,
+   or pack its own Gorilla input — with NO further shuffle and no task ever
+   holding more than one time chunk of one source.
 
 Exactness: duplicates share (time, seq) and therefore a chunk, so keep-first
-dedup is chunk-local; segment ids after reconciliation equal the unsalted
-result (asserted against clean_series in tests, hot source included).
-
-Gap-fill after salted segmentation groups by ``(source, seg)`` instead of
-``source`` — segments never span a >= max_gap gap, so per-segment grids are
-independent and the hot source's work spreads across its segments.
+dedup is chunk-local; segment ids, gap-fill grids and packed streams after
+reconciliation equal the unsalted per-source results bit-for-bit (asserted
+against series.clean_series / series.gapfill_series in tests, hot source
+included).  Grid ownership at a chunk boundary: a chunk emits grid points
+``g`` with ``t_prev < g <= last local point`` (plus the past-the-end points
+when its segment closes here), so consecutive chunks of one segment tile the
+global ``np.arange(seg_t0, t_end + step, step)`` grid exactly.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
-from aisdb_ray.schema import SEG, SEQ, SOURCE, TIME
+from aisdb_ray.schema import DOC_ID, IS_ORIGINAL, N_TOK, SEG, SEQ, SOURCE, TIME, TOKENS
+from aisdb_ray.stages.compress import PACKED_CHUNK_SCHEMA
 from aisdb_ray.stages.series import (
     DEFAULT_MAX_GAP,
     DEFAULT_STEP,
@@ -40,16 +60,62 @@ from aisdb_ray.stages.series import (
 )
 
 CHUNK_COL = "_chunk"
-DEFAULT_CHUNK_S = 7 * 86400  # one week, mirroring TimescaleDB's 7-day chunks
+DEFAULT_CHUNK_S = 86400  # 1 day; must be a multiple of every rollup width
+
+
+@dataclass(frozen=True)
+class ChunkRec:
+    """Reconciliation record for one (source, chunk) — see module docstring."""
+
+    off: int          # global seg id of the chunk's local seg 0
+    cont: bool        # first local seg continues the previous chunk's last seg
+    seg_t0: int       # global start epoch of the seg containing the first row
+    t_prev: int       # previous chunk's last epoch (valid iff cont)
+    v_prev: float     # previous chunk's last value (valid iff cont)
+    closes: bool      # the seg containing the last row ends in this chunk
+
+
+class ReconMap:
+    """Column-oriented {(source, chunk) -> ChunkRec} map.
+
+    Stored as sorted parallel numpy arrays so ``ray.put``/``ray.get`` are
+    (near) zero-copy — a dict of 10^5 per-chunk records would be re-unpickled
+    by EVERY consumer task, a hidden fixed cost that caps scaling.
+    Lookup is a binary search on the composite key.
+    """
+
+    __slots__ = ("keys", "off", "cont", "seg_t0", "t_prev", "v_prev", "closes")
+
+    def __init__(self, keys, off, cont, seg_t0, t_prev, v_prev, closes):
+        self.keys = keys
+        self.off = off
+        self.cont = cont
+        self.seg_t0 = seg_t0
+        self.t_prev = t_prev
+        self.v_prev = v_prev
+        self.closes = closes
+
+    @staticmethod
+    def key_of(source: str, chunk: int) -> str:
+        return f"{source}\x00{chunk:016d}"
+
+    def __getitem__(self, src_chunk) -> ChunkRec:
+        src, chunk = src_chunk
+        k = self.key_of(src, int(chunk))
+        i = int(np.searchsorted(self.keys, k))
+        if i >= len(self.keys) or self.keys[i] != k:
+            raise KeyError(src_chunk)
+        return ChunkRec(
+            int(self.off[i]), bool(self.cont[i]), int(self.seg_t0[i]),
+            int(self.t_prev[i]), float(self.v_prev[i]), bool(self.closes[i]),
+        )
+
+    def __len__(self):
+        return len(self.keys)
 
 
 def _add_chunk(batch: pa.Table, chunk_s: int) -> pa.Table:
-    import pyarrow.compute as pc
-
-    c = pc.multiply(
-        pc.divide(pc.cast(batch[TIME], pa.int64()), pa.scalar(chunk_s, pa.int64())),
-        pa.scalar(1, pa.int64()),
-    )
+    c = pc.divide(pc.cast(batch[TIME], pa.int64()), pa.scalar(chunk_s, pa.int64()))
     return batch.append_column(CHUNK_COL, c)
 
 
@@ -66,24 +132,50 @@ def _clean_chunk_group(group: pa.Table, max_gap: int) -> pa.Table:
     return g.append_column(SEG, pa.array(seg))
 
 
-def _chunk_summary(batch: pa.Table) -> pa.Table:
-    """Per-(source, chunk) metadata rows from cleaned-chunk blocks."""
+def _chunk_slices(batch: pa.Table):
+    """Yield (start, end) bounds of whole (source, chunk) runs in a block.
+
+    Valid because map_groups emits one table per group and blocks are
+    concatenations of whole group tables; parity tests vs the unsalted path
+    guard the invariant.
+    """
     src = batch[SOURCE].to_numpy(zero_copy_only=False)
     ch = batch[CHUNK_COL].to_numpy(zero_copy_only=False)
-    t = batch[TIME].to_numpy(zero_copy_only=False)
-    seg = batch[SEG].to_numpy(zero_copy_only=False)
-    key = np.char.add(src.astype(str), np.char.mod(":%d", ch))
-    first = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
-    bounds = np.r_[first, len(key)]
-    rows = {
-        "source": [], "chunk": [], "t_first": [], "t_last": [], "n_segs": [],
-    }
+    n = len(src)
+    if n == 0:
+        return
+    change = np.r_[True, (src[1:] != src[:-1]) | (ch[1:] != ch[:-1])]
+    starts = np.flatnonzero(change)
+    bounds = np.r_[starts, n]
     for a, b in zip(bounds[:-1], bounds[1:]):
+        yield int(a), int(b)
+
+
+def _chunk_summary(batch: pa.Table) -> pa.Table:
+    """Per-(source, chunk) metadata rows from cleaned-chunk blocks."""
+    t = batch[TIME].to_numpy(zero_copy_only=False)
+    v = batch[N_TOK].to_numpy(zero_copy_only=False)
+    seg = batch[SEG].to_numpy(zero_copy_only=False)
+    src = batch[SOURCE].to_numpy(zero_copy_only=False)
+    ch = batch[CHUNK_COL].to_numpy(zero_copy_only=False)
+    rows = {k: [] for k in (
+        "source", "chunk", "t_first", "t_last", "n_segs", "v_last",
+        "t_lastseg_start",
+    )}
+    for a, b in _chunk_slices(batch):
         rows["source"].append(src[a])
         rows["chunk"].append(int(ch[a]))
         rows["t_first"].append(int(t[a]))
         rows["t_last"].append(int(t[b - 1]))
         rows["n_segs"].append(int(seg[b - 1]) + 1)
+        # value at the FIRST row of the last unique-timestamp run: the
+        # same-timestamp keep-first dedup (interp.py:275-277) makes that row
+        # the interpolation endpoint, not the physical last row
+        v_idx = a + int(np.searchsorted(t[a:b], t[b - 1], side="left"))
+        rows["v_last"].append(float(v[v_idx]))
+        # first row of the LAST local segment (gap-fill grid phase carry)
+        ls_start = a + int(np.searchsorted(seg[a:b], seg[b - 1], side="left"))
+        rows["t_lastseg_start"].append(int(t[ls_start]))
     return pa.table(
         {
             "source": pa.array(rows["source"], pa.string()),
@@ -91,8 +183,239 @@ def _chunk_summary(batch: pa.Table) -> pa.Table:
             "t_first": pa.array(rows["t_first"], pa.int64()),
             "t_last": pa.array(rows["t_last"], pa.int64()),
             "n_segs": pa.array(rows["n_segs"], pa.int64()),
+            "v_last": pa.array(rows["v_last"], pa.float64()),
+            "t_lastseg_start": pa.array(rows["t_lastseg_start"], pa.int64()),
         }
     )
+
+
+def _reconcile(summary, max_gap: int) -> ReconMap:
+    """Driver walk of the O(#chunks) summary -> :class:`ReconMap`."""
+    recon: dict[tuple[str, int], list] = {}
+    for src, g in summary.groupby("source", sort=False):
+        next_seg = 0
+        prev_t = prev_v = None
+        prev_key = None
+        open_t0 = None
+        for r in g.itertuples(index=False):
+            cont = prev_t is not None and (r.t_first - prev_t) < max_gap
+            off = next_seg - 1 if cont else next_seg
+            seg_t0 = int(open_t0) if cont else int(r.t_first)
+            key = (src, int(r.chunk))
+            # closes=True provisionally; flipped if the next chunk continues
+            recon[key] = [off, cont, seg_t0, int(prev_t or 0), float(prev_v or 0.0), True]
+            if cont and prev_key is not None:
+                recon[prev_key][5] = False
+            next_seg = off + int(r.n_segs)
+            open_t0 = seg_t0 if r.n_segs == 1 else int(r.t_lastseg_start)
+            prev_t, prev_v = int(r.t_last), float(r.v_last)
+            prev_key = key
+    items = sorted(
+        (ReconMap.key_of(s, c), v) for (s, c), v in recon.items()
+    )
+    return ReconMap(
+        keys=np.array([k for k, _ in items]),
+        off=np.array([v[0] for _, v in items], dtype=np.int64),
+        cont=np.array([v[1] for _, v in items], dtype=bool),
+        seg_t0=np.array([v[2] for _, v in items], dtype=np.int64),
+        t_prev=np.array([v[3] for _, v in items], dtype=np.int64),
+        v_prev=np.array([v[4] for _, v in items], dtype=np.float64),
+        closes=np.array([v[5] for _, v in items], dtype=bool),
+    )
+
+
+def clean_chunks_materialized(
+    ds,
+    max_gap: int = DEFAULT_MAX_GAP,
+    chunk_s: int = DEFAULT_CHUNK_S,
+):
+    """ONE (source, chunk) shuffle -> pinned cleaned blocks + reconciliation.
+
+    Returns ``(mat, recon_ref)``: ``mat`` is the materialized dataset of
+    per-chunk cleaned rows (LOCAL seg ids + ``_chunk`` column, blocks hold
+    whole chunk groups) and ``recon_ref`` is a ``ray.put`` handle to the
+    {(source, chunk): ChunkRec} map.  Every downstream chunk-local operator
+    (relabel / gap-fill / pack) consumes these without further shuffles.
+    """
+    chunked = ds.map_batches(lambda b: _add_chunk(b, chunk_s), batch_format="pyarrow")
+    local = chunked.groupby([SOURCE, CHUNK_COL]).map_groups(
+        lambda g: _clean_chunk_group(g, max_gap), batch_format="pyarrow"
+    )
+    mat = local.materialize()
+    summary = (
+        mat.map_batches(_chunk_summary, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values(["source", "chunk"], kind="stable")
+    )
+    recon = _reconcile(summary, max_gap)
+    return mat, ray.put(recon)
+
+
+SPART_COL = "_spart"
+
+
+def _add_spart(batch: pa.Table, num_parts: int) -> pa.Table:
+    """Staging partition id = hash(source, chunk) — spreads a hot source's
+    chunks across partitions (hash(source) alone would re-concentrate it)."""
+    src = batch[SOURCE].to_numpy(zero_copy_only=False)
+    ch = batch[CHUNK_COL].to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq, inv = np.unique(src, return_inverse=True)
+    src_h = np.array(
+        [__import__("zlib").crc32(s.encode()) for s in uniq], dtype=np.int64
+    )[inv]
+    part = ((src_h ^ (ch * np.int64(2654435761))) % num_parts).astype(np.int32)
+    return batch.append_column(SPART_COL, pa.array(np.abs(part)))
+
+
+def _clean_part_table(tbl: pa.Table, max_gap: int) -> pa.Table:
+    """Vectorized clean of one staging partition (many (source, chunk)
+    groups at once): one lexsort, key-change dedup, reset-at-group-start
+    segment ids — zero per-group Python in the hot path."""
+    n = tbl.num_rows
+    if n == 0:
+        return tbl.append_column(SEG, pa.array([], pa.int64()))
+    t = tbl[TIME].to_numpy(zero_copy_only=False)
+    s = tbl[SEQ].to_numpy(zero_copy_only=False)
+    src = tbl[SOURCE].to_numpy(zero_copy_only=False)
+    ch = tbl[CHUNK_COL].to_numpy(zero_copy_only=False)
+    _, src_code = np.unique(src, return_inverse=True)
+    order = np.lexsort((s, t, ch, src_code))
+    t2, s2, sc2, ch2 = t[order], s[order], src_code[order], ch[order]
+    # keep-first dedup on (source, time, seq) — duplicates are adjacent
+    keep = np.r_[True, (sc2[1:] != sc2[:-1]) | (t2[1:] != t2[:-1]) | (s2[1:] != s2[:-1])]
+    ki = np.flatnonzero(keep)
+    t3, sc3, ch3 = t2[ki], sc2[ki], ch2[ki]
+    g = tbl.take(pa.array(order[ki]))
+    # local seg ids with resets at each (source, chunk) start
+    newgrp = np.r_[True, (sc3[1:] != sc3[:-1]) | (ch3[1:] != ch3[:-1])]
+    flag = np.zeros(len(t3), dtype=np.int64)
+    flag[1:] = (np.diff(t3) >= max_gap) & ~newgrp[1:]
+    raw = np.cumsum(flag)
+    starts = np.flatnonzero(newgrp)
+    counts = np.diff(np.r_[starts, len(t3)])
+    seg = raw - np.repeat(raw[starts], counts)
+    return g.append_column(SEG, pa.array(seg))
+
+
+def clean_chunks_staged(
+    ds,
+    max_gap: int,
+    chunk_s: int,
+    staging_dir: str,
+    num_staging_parts: int | None = None,
+):
+    """Disk-backed hash-shuffle variant of :func:`clean_chunks_materialized`.
+
+    Phase A (map-only, scales linearly): append chunk + staging-partition
+    columns and write compressed parquet partitioned by ``_spart`` — an
+    explicit hash exchange through the filesystem instead of an
+    object-store global sort (no sampling pass, no sort barrier, and at
+    real scale the staging write is the spill a sort would do anyway,
+    except sequential and compressed).
+
+    Phase B (one task per staging partition, fully vectorized): read the
+    partition, single lexsort over all its (source, chunk) groups,
+    key-change dedup, reset-at-boundary local seg ids.  Task memory is
+    bounded by the partition size — size ``num_parts`` to the cluster, not
+    the data.
+
+    Returns the same ``(mat, recon_ref)`` contract as
+    :func:`clean_chunks_materialized`; outputs are bit-identical.
+    """
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    # partition count from config (not cluster size) keeps the exchange's
+    # work layout identical across cluster sizes — cluster-size-invariant
+    # partitioning is also what makes resume plans stable
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    num_parts = num_staging_parts or max(16, ncpu * 2)
+
+    shutil.rmtree(staging_dir, ignore_errors=True)
+    os.makedirs(staging_dir, exist_ok=True)
+
+    chunked = ds.map_batches(
+        lambda b: _add_spart(_add_chunk(b, chunk_s), num_parts),
+        batch_format="pyarrow",
+    )
+
+    def write_stage(b: pa.Table) -> pa.Table:
+        # one shuffle file per map task, ONE ROW GROUP PER PARTITION —
+        # file-creation cost stays O(map tasks), and readers prune to their
+        # partition via the _spart row-group statistics (the map-side
+        # shuffle-file layout of MapReduce/Spark, in parquet)
+        sp = b[SPART_COL].to_numpy(zero_copy_only=False)
+        order = np.argsort(sp, kind="stable")
+        b2 = b.take(pa.array(order))
+        sps = sp[order]
+        bounds = np.r_[np.flatnonzero(np.r_[True, sps[1:] != sps[:-1]]), len(sps)]
+        path = os.path.join(staging_dir, f"stage-{uuid.uuid4().hex[:12]}.parquet")
+        with pq.ParquetWriter(path, b2.schema, compression="zstd") as w:
+            for a, e in zip(bounds[:-1], bounds[1:]):
+                w.write_table(b2.slice(a, e - a), row_group_size=e - a)
+        return pa.table({"n": pa.array([b.num_rows], pa.int64())})
+
+    # .sum() is the exchange barrier: all shuffle files durable before reads
+    chunked.map_batches(write_stage, batch_format="pyarrow").sum("n")
+    files = sorted(
+        os.path.join(staging_dir, f)
+        for f in os.listdir(staging_dir)
+        if f.endswith(".parquet")
+    )
+
+    sum_dir = os.path.join(staging_dir, "_summary")
+    os.makedirs(sum_dir, exist_ok=True)
+
+    def clean_part(batch: pa.Table) -> pa.Table:
+        out = []
+        for k in batch["part"].to_pylist():
+            tbl = pq.read_table(
+                files, filters=[(SPART_COL, "==", int(k))], use_threads=False
+            ).drop_columns([SPART_COL])
+            cleaned = _clean_part_table(tbl, max_gap)
+            # per-part chunk summary written alongside — saves a full extra
+            # pass (and executor run) over the materialized dataset
+            pq.write_table(
+                _chunk_summary(cleaned), os.path.join(sum_dir, f"sum-{int(k)}.parquet")
+            )
+            out.append(cleaned)
+        return pa.concat_tables(out, promote_options="default")
+
+    items = rd.from_items(
+        [{"part": k} for k in range(num_parts)], override_num_blocks=num_parts
+    )
+    mat = items.map_batches(
+        clean_part, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    summary = (
+        pq.read_table(sum_dir)
+        .to_pandas()
+        .sort_values(["source", "chunk"], kind="stable")
+    )
+    recon = _reconcile(summary, max_gap)
+    return mat, ray.put(recon)
+
+
+def relabel_blocks(mat, recon_ref):
+    """Rewrite local seg ids to global ones; drop the chunk column."""
+
+    def relabel(b: pa.Table) -> pa.Table:
+        rm = ray.get(recon_ref)
+        seg = b[SEG].to_numpy(zero_copy_only=False).copy()
+        src = b[SOURCE].to_numpy(zero_copy_only=False)
+        ch = b[CHUNK_COL].to_numpy(zero_copy_only=False)
+        for a, bb in _chunk_slices(b):
+            seg[a:bb] += rm[(src[a], int(ch[a]))].off
+        out = b.drop_columns([SEG, CHUNK_COL])
+        return out.append_column(SEG, pa.array(seg))
+
+    return mat.map_batches(relabel, batch_format="pyarrow", batch_size=None)
 
 
 def clean_series_salted(
@@ -102,49 +425,215 @@ def clean_series_salted(
 ):
     """Salted equivalent of series.clean_series: identical output, but no
     single task ever sees more than one time chunk of a source."""
-    chunked = ds.map_batches(
-        lambda b: _add_chunk(b, chunk_s), batch_format="pyarrow"
-    )
-    local = chunked.groupby([SOURCE, CHUNK_COL]).map_groups(
-        lambda g: _clean_chunk_group(g, max_gap), batch_format="pyarrow"
-    )
-    mat = local.materialize()
+    mat, recon_ref = clean_chunks_materialized(ds, max_gap, chunk_s)
+    return relabel_blocks(mat, recon_ref)
 
-    # tiny metadata pass -> exact per-chunk seg offsets on the driver
-    summary = (
-        mat.map_batches(_chunk_summary, batch_format="pyarrow", batch_size=None)
-        .to_pandas()
-        .sort_values(["source", "chunk"], kind="stable")
-    )
-    offsets: dict[tuple[str, int], int] = {}
-    for src, g in summary.groupby("source", sort=False):
-        next_seg = 0
-        prev_last_t = None
-        for _, r in g.iterrows():
-            if prev_last_t is None or (r["t_first"] - prev_last_t) >= max_gap:
-                off = next_seg          # boundary between chunks -> new seg
+
+# --------------------------------------------------------- chunk-local gap-fill
+
+_GAPFILL_BASE = [
+    (DOC_ID, pa.string()),
+    (N_TOK, pa.float64()),
+    (SOURCE, pa.string()),
+    (TIME, pa.int64()),
+    (SEQ, pa.int32()),
+    (SEG, pa.int64()),
+    (IS_ORIGINAL, pa.bool_()),
+]
+
+
+def _gapfill_empty(with_tokens: bool, with_provenance: bool) -> pa.Table:
+    fields = list(_GAPFILL_BASE)
+    if with_tokens:
+        fields.insert(1, (TOKENS, pa.list_(pa.int32())))
+    if not with_provenance:
+        drop = {DOC_ID, SEQ}
+        fields = [f for f in fields if f[0] not in drop]
+    return pa.schema(fields).empty_table()
+
+
+def gapfill_chunk_block(
+    batch: pa.Table,
+    recon: dict,
+    step: int = DEFAULT_STEP,
+    with_provenance: bool = True,
+) -> pa.Table:
+    """Gap-fill every (source, chunk) slice of a cleaned block, halo-exact.
+
+    Emits the same rows the unsalted ``series.gapfill_group`` would for the
+    grid span this chunk owns (see module docstring for the ownership rule).
+    ``with_provenance=False`` skips doc_id/seq reconstruction — the skinny
+    analytical tier the cascade materializes.
+    """
+    t_all = batch[TIME].to_numpy(zero_copy_only=False)
+    v_all = batch[N_TOK].to_numpy(zero_copy_only=False).astype(np.float64)
+    ls_all = batch[SEG].to_numpy(zero_copy_only=False)
+    src_all = batch[SOURCE].to_numpy(zero_copy_only=False)
+    ch_all = batch[CHUNK_COL].to_numpy(zero_copy_only=False)
+    with_tokens = TOKENS in batch.column_names
+
+    acc_t, acc_v, acc_seg, acc_oidx, acc_sidx = [], [], [], [], []
+    slice_srcs: list = []
+    for a, b in _chunk_slices(batch):
+        rec: ChunkRec = recon[(src_all[a], int(ch_all[a]))]
+        t = t_all[a:b]
+        ls = ls_all[a:b]
+        seg_first = np.flatnonzero(np.r_[True, ls[1:] != ls[:-1]])
+        seg_bounds = np.r_[seg_first, b - a]
+        nseg = len(seg_first)
+        sidx = len(slice_srcs)
+        slice_srcs.append(src_all[a])
+        for si in range(nseg):
+            sa, sb = int(seg_bounds[si]), int(seg_bounds[si + 1])
+            ts = t[sa:sb]
+            # same-timestamp dedup keep-first before interpolation
+            # (/root/reference/aisdb/interp.py:275-277)
+            ui = np.flatnonzero(np.r_[True, ts[1:] != ts[:-1]]) + sa
+            ts_u = t[ui]
+            halo = (si == 0) and rec.cont
+            closes_here = (si < nseg - 1) or rec.closes
+            if halo:
+                t0 = rec.seg_t0
+                k_min = (rec.t_prev - t0) // step + 1
+                xp = np.r_[rec.t_prev, ts_u]
+                fp = np.r_[rec.v_prev, v_all[a:b][ui]]
             else:
-                off = next_seg - 1      # first local seg merges with previous
-            offsets[(src, int(r["chunk"]))] = off
-            next_seg = off + int(r["n_segs"])
-            prev_last_t = r["t_last"]
-    off_ref = ray.put(offsets)
+                if closes_here and len(ts_u) < 2:
+                    continue  # <2 unique timestamps -> skip (interp.py:98-100)
+                t0 = int(ts_u[0])
+                k_min = 0
+                xp = ts_u
+                fp = v_all[a:b][ui]
+            t_end = int(ts_u[-1])
+            if closes_here:
+                k_max = (t_end - t0 + step - 1) // step
+            else:
+                k_max = (t_end - t0) // step
+            if k_max < k_min:
+                continue
+            grid = t0 + step * np.arange(k_min, k_max + 1, dtype=np.int64)
+            gv = np.interp(grid, xp, fp)
+            pos = np.clip(np.searchsorted(ts_u, grid), 0, len(ts_u) - 1)
+            orig = ts_u[pos] == grid
+            acc_t.append(grid)
+            acc_v.append(gv)
+            acc_seg.append(np.full(len(grid), rec.off + ls[sa], np.int64))
+            acc_oidx.append(np.where(orig, a + ui[pos], -1))
+            acc_sidx.append(np.full(len(grid), sidx, np.int32))
 
-    def relabel(b: pa.Table) -> pa.Table:
-        om = ray.get(off_ref)
-        src = b[SOURCE].to_numpy(zero_copy_only=False)
-        ch = b[CHUNK_COL].to_numpy(zero_copy_only=False)
-        seg = b[SEG].to_numpy(zero_copy_only=False).copy()
-        # vectorized per (source, chunk) run (blocks hold whole groups)
-        key_change = np.r_[True, (src[1:] != src[:-1]) | (ch[1:] != ch[:-1])]
-        starts = np.flatnonzero(key_change)
-        bounds = np.r_[starts, len(src)]
-        for a, bb in zip(bounds[:-1], bounds[1:]):
-            seg[a:bb] += om[(src[a], int(ch[a]))]
-        out = b.drop_columns([SEG, CHUNK_COL])
-        return out.append_column(SEG, pa.array(seg))
+    if not acc_t:
+        return _gapfill_empty(with_tokens, with_provenance)
 
-    return mat.map_batches(relabel, batch_format="pyarrow", batch_size=None)
+    grid_t = np.concatenate(acc_t)
+    grid_v = np.concatenate(acc_v)
+    grid_seg = np.concatenate(acc_seg)
+    oidx = np.concatenate(acc_oidx)
+    sidx = np.concatenate(acc_sidx)
+    orig_mask = oidx >= 0
+    src_arr = pa.array(np.asarray(slice_srcs, dtype=object)[sidx], pa.string())
+
+    cols: dict[str, pa.Array] = {}
+    if with_provenance:
+        take_idx = pc.if_else(
+            pa.array(orig_mask), pa.array(oidx, type=pa.int64()), pa.scalar(None, pa.int64())
+        )
+        doc_orig = batch[DOC_ID].combine_chunks().take(take_idx)
+        seq_col = batch[SEQ].combine_chunks().take(take_idx)
+        ep_str = pc.utf8_lpad(pc.cast(pa.array(grid_t), pa.string()), 10, "0")
+        doc_fill = pc.binary_join_element_wise(
+            src_arr, ep_str, pa.scalar("gapfill"), ":"
+        )
+        cols[DOC_ID] = pc.if_else(pa.array(orig_mask), doc_orig, doc_fill)
+        if with_tokens:
+            cols[TOKENS] = batch[TOKENS].combine_chunks().take(take_idx)
+        cols[N_TOK] = pa.array(grid_v)
+        cols[SOURCE] = src_arr
+        cols[TIME] = pa.array(grid_t)
+        cols[SEQ] = seq_col
+    else:
+        if with_tokens:
+            take_idx = pc.if_else(
+                pa.array(orig_mask), pa.array(oidx, type=pa.int64()),
+                pa.scalar(None, pa.int64()),
+            )
+            cols[TOKENS] = batch[TOKENS].combine_chunks().take(take_idx)
+        cols[N_TOK] = pa.array(grid_v)
+        cols[SOURCE] = src_arr
+        cols[TIME] = pa.array(grid_t)
+    cols[SEG] = pa.array(grid_seg)
+    cols[IS_ORIGINAL] = pa.array(orig_mask)
+    return pa.table(cols)
+
+
+def gapfill_blocks(mat, recon_ref, step: int = DEFAULT_STEP, with_provenance: bool = True):
+    """Dataset-level chunk-local gap-fill over pinned cleaned blocks."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        return gapfill_chunk_block(b, ray.get(recon_ref), step, with_provenance)
+
+    return mat.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+# ------------------------------------------------------ chunk-local packing
+
+DEFAULT_PACK_POINTS = 32_768
+
+
+def pack_chunk_block(
+    batch: pa.Table, recon: dict, target_points: int = DEFAULT_PACK_POINTS
+) -> pa.Table:
+    """Pack (source, chunk) slices into bounded Gorilla-input rows.
+
+    The fix for whole-source packing skew (one hot source previously became
+    ONE giant encoder task): a packed row never exceeds ~target_points +
+    one chunk.  Consecutive chunks of the same source (adjacent under the
+    (source, chunk) sort, so concatenation stays time-sorted) are coalesced
+    up to the target — the codec's fixed per-stream cost (bit-plane passes)
+    amortizes over tens of thousands of points, not one chunk's worth.
+    Global seg ids ride along so segment identity survives the round-trip.
+    """
+    t_all = batch[TIME].to_numpy(zero_copy_only=False).astype(np.int64)
+    v_all = batch[N_TOK].to_numpy(zero_copy_only=False).astype(np.int64)
+    ls_all = batch[SEG].to_numpy(zero_copy_only=False)
+    src_all = batch[SOURCE].to_numpy(zero_copy_only=False)
+    ch_all = batch[CHUNK_COL].to_numpy(zero_copy_only=False)
+
+    gseg = ls_all.astype(np.int64).copy()
+    # coalesce consecutive same-source slices up to target_points
+    runs: list[tuple[str, int, int, int]] = []  # (source, chunk0, start, end)
+    for a, b in _chunk_slices(batch):
+        src, ch = src_all[a], int(ch_all[a])
+        gseg[a:b] += recon[(src, ch)].off
+        if runs and runs[-1][0] == src and runs[-1][3] == a and (
+            runs[-1][3] - runs[-1][2]
+        ) < target_points:
+            runs[-1] = (src, runs[-1][1], runs[-1][2], b)
+        else:
+            runs.append((src, ch, a, b))
+    if not runs:
+        return PACKED_CHUNK_SCHEMA.empty_table()
+    # runs tile the block in order, so the flat arrays are reused as-is
+    lens = [0] + [e - s for _, _, s, e in runs]
+    off = pa.array(np.cumsum(lens).astype(np.int32))
+    return pa.table(
+        {
+            SOURCE: pa.array(
+                np.asarray([r[0] for r in runs], dtype=object), pa.string()
+            ),
+            "chunk": pa.array([r[1] for r in runs], pa.int64()),
+            "times": pa.ListArray.from_arrays(off, pa.array(t_all)),
+            "values": pa.ListArray.from_arrays(off, pa.array(v_all)),
+            "segs": pa.ListArray.from_arrays(off, pa.array(gseg)),
+        },
+        schema=PACKED_CHUNK_SCHEMA,
+    )
+
+
+def pack_blocks(mat, recon_ref, target_points: int = DEFAULT_PACK_POINTS):
+    def fn(b: pa.Table) -> pa.Table:
+        return pack_chunk_block(b, ray.get(recon_ref), target_points)
+
+    return mat.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def gapfill_series_by_segment(

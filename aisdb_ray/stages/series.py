@@ -164,11 +164,13 @@ def gapfill_group(
         out_seg.append(np.full(len(grid), seg[b0], dtype=np.int64))
         out_orig_idx.append(oidx)
 
+    with_tokens = TOKENS in g.column_names
     if not out_time:
-        return pa.table(
+        cols = {DOC_ID: pa.array([], pa.string())}
+        if with_tokens:
+            cols[TOKENS] = pa.array([], pa.list_(pa.int32()))
+        cols.update(
             {
-                DOC_ID: pa.array([], pa.string()),
-                TOKENS: pa.array([], pa.list_(pa.int32())),
                 N_TOK: pa.array([], pa.float64()),
                 SOURCE: pa.array([], pa.string()),
                 TIME: pa.array([], pa.int64()),
@@ -177,6 +179,7 @@ def gapfill_group(
                 IS_ORIGINAL: pa.array([], pa.bool_()),
             }
         )
+        return pa.table(cols)
 
     grid_t = np.concatenate(out_time)
     grid_v = np.concatenate(out_val)
@@ -187,7 +190,7 @@ def gapfill_group(
     # carry original payload columns via take(); filled rows -> null
     take_idx = pa.array(np.where(orig_mask, oidx, -1), type=pa.int64())
     take_idx = pc.if_else(pa.array(orig_mask), take_idx, pa.scalar(None, pa.int64()))
-    tokens = g[TOKENS].combine_chunks().take(take_idx)
+    tokens = g[TOKENS].combine_chunks().take(take_idx) if with_tokens else None
     doc_orig = g[DOC_ID].combine_chunks().take(take_idx)
     seq_col = g[SEQ].combine_chunks().take(take_idx)
 
@@ -197,10 +200,11 @@ def gapfill_group(
     )
     doc_id = pc.if_else(pa.array(orig_mask), doc_orig, doc_fill)
 
-    return pa.table(
+    cols = {DOC_ID: doc_id}
+    if with_tokens:
+        cols[TOKENS] = tokens
+    cols.update(
         {
-            DOC_ID: doc_id,
-            TOKENS: tokens,
             N_TOK: pa.array(grid_v),
             SOURCE: pa.array(np.full(len(grid_t), src, dtype=object), pa.string()),
             TIME: pa.array(grid_t),
@@ -209,6 +213,7 @@ def gapfill_group(
             IS_ORIGINAL: pa.array(orig_mask),
         }
     )
+    return pa.table(cols)
 
 
 # ------------------------------------------------------------ dataset-level

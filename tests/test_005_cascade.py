@@ -83,15 +83,41 @@ def test_compressed_tier_roundtrip(run_dir, micro_df):
     cleaned = oracle.add_segments(oracle.clean(micro_df), MAX_GAP)
     want_points = len(cleaned)
     assert enc["n_points"].sum() == want_points
-    # decode one source stream and check exact values against the oracle
-    row = enc.sort_values(["source"]).iloc[0]
-    t = gorilla.decode_timestamps(row["ts_blob"], row["ts_nbits"], row["n_points"])
-    v = gorilla.decode_values(row["val_blob"], row["val_nbits"], row["n_points"])
-    s = gorilla.decode_timestamps(row["seg_blob"], row["seg_nbits"], row["n_points"])
-    w = cleaned[cleaned["source"] == row["source"]].sort_values(["time", "seq"])
+    # packing is per (source, time chunk) — the skew-bounded layout; a
+    # source's chunk rows concatenated in chunk order must decode to the
+    # exact cleaned point stream
+    src = enc["source"].value_counts().idxmax()
+    rows = enc[enc["source"] == src].sort_values("chunk")
+    t = np.concatenate([
+        gorilla.decode_timestamps(r["ts_blob"], r["ts_nbits"], r["n_points"])
+        for _, r in rows.iterrows()
+    ])
+    v = np.concatenate([
+        gorilla.decode_values(r["val_blob"], r["val_nbits"], r["n_points"])
+        for _, r in rows.iterrows()
+    ])
+    s = np.concatenate([
+        gorilla.decode_timestamps(r["seg_blob"], r["seg_nbits"], r["n_points"])
+        for _, r in rows.iterrows()
+    ])
+    w = cleaned[cleaned["source"] == src].sort_values(["time", "seq"])
     np.testing.assert_array_equal(t, w["time"].to_numpy())
     np.testing.assert_array_equal(v, w["n_tok"].to_numpy())
     np.testing.assert_array_equal(s, w["seg"].to_numpy())
+
+
+def test_series_tier_is_skinny(run_dir):
+    """Payload-policy check: the token payload must never be copied into a
+    tier — the input lake remains the payload store (doc_id is the key)."""
+    sch = pq.read_schema(
+        next(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(os.path.join(run_dir, "series"))
+            for f in fs if f.endswith(".parquet")
+        )
+    )
+    assert "tokens" not in sch.names
+    assert "doc_id" in sch.names
 
 
 def test_manifest_and_rerun_noop(run_dir, micro_dir):
