@@ -158,13 +158,21 @@ def build_token_table(params: FixtureParams | str) -> pa.Table:
             pa.array(offsets, type=pa.int64()), pa.array(flat)
         ).cast(pa.list_(pa.int32()))
 
-    # doc_id = source:epoch10:seq4 — vectorized string build
+    # doc_id = source:epoch10:seq4 — vectorized string build, chunked so no
+    # intermediate utf8 array crosses the 2 GiB 32-bit-offset capacity
     width = len(str(p.n_sources - 1)) if p.n_sources > 1 else 1
     names = np.char.add("src-", np.char.zfill(np.arange(p.n_sources).astype(str), width))
     source = pa.array(names[src_idx])
-    ep_str = pc.utf8_lpad(pc.cast(pa.array(epochs), pa.string()), 10, "0")
-    seq_str = pc.utf8_lpad(pc.cast(pa.array(seqs), pa.string()), 4, "0")
-    doc_id = pc.binary_join_element_wise(source, ep_str, seq_str, ":")
+    CH = 8_000_000
+    doc_chunks = []
+    for i in range(0, n, CH):
+        sl = slice(i, min(n, i + CH))
+        ep_str = pc.utf8_lpad(pc.cast(pa.array(epochs[sl]), pa.string()), 10, "0")
+        seq_str = pc.utf8_lpad(pc.cast(pa.array(seqs[sl]), pa.string()), 4, "0")
+        doc_chunks.append(
+            pc.binary_join_element_wise(pa.array(names[src_idx[sl]]), ep_str, seq_str, ":")
+        )
+    doc_id = pa.chunked_array(doc_chunks)
 
     base = pa.table(
         {

@@ -59,10 +59,15 @@ def ensure_sf_tokens(sf_dir: str) -> str:
 def _ctx():
     import ray
     from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.enable_tensor_extension_casting = False
+    # the dedup pipelines switch the global context to HASH_SHUFFLE for
+    # their joins; datasets snapshot the context at creation, so reset here
+    # so every other query builds under the default sort-shuffle backend
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
     # size block counts to the session's CPUs: the default floor of 200
     # read blocks makes every scan/shuffle latency-bound on small hosts
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
@@ -96,12 +101,15 @@ def _clean_tokens(sf_dir: str, with_tokens: bool = False):
 def _sql_tokens_clean(tokens_dir: str) -> str:
     return f"""
   parsed AS (
+    -- rsplit-from-the-right semantics, mirroring prepare.derive_epoch: the
+    -- greedy prefix may itself contain colons; only the LAST two fields
+    -- must be (<=18-digit) integers
     SELECT source, doc_id, n_tok,
-           CAST(split_part(doc_id, ':', 2) AS BIGINT) AS time,
-           CAST(split_part(doc_id, ':', 3) AS INTEGER) AS seq
+           CAST(regexp_extract(doc_id, '^(.*):([0-9]{{1,18}}):([0-9]{{1,18}})$', 2) AS BIGINT) AS time,
+           CAST(regexp_extract(doc_id, '^(.*):([0-9]{{1,18}}):([0-9]{{1,18}})$', 3) AS INTEGER) AS seq
     FROM read_parquet('{tokens_dir}/*.parquet')
     WHERE n_tok > 0 AND len(tokens) = n_tok
-      AND regexp_matches(doc_id, '^[^:]+:[0-9]+:[0-9]+$')
+      AND regexp_matches(doc_id, '^.*:[0-9]{{1,18}}:[0-9]{{1,18}}$')
   ),
   dedup AS (
     SELECT *, row_number() OVER (PARTITION BY source, doc_id ORDER BY doc_id) AS rn
@@ -244,6 +252,80 @@ def q_ts_gapfill(sf_dir: str):
     the driver records a rows-only check."""
     gf = series.gapfill_series(_prepared(sf_dir, with_tokens=True), TS_STEP, TS_MAX_GAP)
     return gf.select_columns(["source", "seg", "time", "n_tok", "is_original"])
+
+
+def q_ts_asof_join(sf_dir: str):
+    """Backward as-of join (J3/J4 semantics): enrich every cleaned point
+    with the latest COMPLETED hour's rollup stats for its source — the
+    right side is small (a rollup tier) and broadcast; per-batch
+    vectorized searchsorted, no shuffle of the point stream."""
+    import pyarrow.compute as pc2
+
+    from aisdb_ray.stages import asof
+
+    cleaned = _clean_tokens(sf_dir).select_columns(
+        ["source", "doc_id", "time", "n_tok"]
+    )
+    roll = rollup.rollup(_clean_tokens(sf_dir), 3600)
+
+    def shift(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "avail_from": pc2.add(b["bucket"], pa.scalar(3600, pa.int64())),
+                "prev_bucket": b["bucket"],
+                "prev_hour_mean": b["mean_n_tok"],
+            }
+        )
+
+    right = pa.concat_tables(
+        ray.get(roll.map_batches(shift, batch_format="pyarrow").to_arrow_refs()),
+        promote_options="default",
+    )
+    joined = asof.asof_backward_join(
+        cleaned, right, by="source", on="time", right_on="avail_from",
+        value_cols=["prev_bucket", "prev_hour_mean"], how="inner",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "doc_id": b["doc_id"],
+                "time": b["time"],
+                "n_tok": pc2.cast(b["n_tok"], pa.int64()),
+                "prev_bucket": b["prev_bucket"],
+                "prev_hour_mean": b["prev_hour_mean"],
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def q_ts_grid_snap(sf_dir: str):
+    """Nearest-grid snap (raster-lookup semantics, ceiling-clamp rule of
+    the reference's binarysearch_vector): snap each point's epoch to a
+    daily grid spanning the data; grid broadcast into a GridLookup
+    actor pool."""
+    import pyarrow.compute as pc2
+
+    from aisdb_ray.stages import asof
+
+    cleaned = _clean_tokens(sf_dir).select_columns(["source", "doc_id", "time"])
+    g0 = (cleaned.min("time") // 86400) * 86400
+    g1 = (cleaned.max("time") // 86400) * 86400
+    grid = np.arange(g0, g1 + 1, 86400, dtype=np.int64)
+    out = asof.grid_lookup(
+        cleaned, axes=[grid], values=grid, coord_cols=["time"],
+        out_col="snap_day", concurrency=4,
+    )
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("snap_day"), "snap_day",
+            pc2.cast(b["snap_day"], pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -533,6 +615,8 @@ def build_queries() -> dict:
         "ts_gorilla_roundtrip": q_ts_gorilla_roundtrip,
         "ts_mode": q_ts_mode,
         "ts_gapfill": q_ts_gapfill,
+        "ts_asof_join": q_ts_asof_join,
+        "ts_grid_snap": q_ts_grid_snap,
         "ts_clean_salted": q_ts_clean_salted,
         "ts_split_multi": q_ts_split_multi,
         "ts_relink": q_ts_relink,
@@ -577,6 +661,34 @@ SELECT source, seg,
 FROM segmented GROUP BY source, seg"""
 
     sql["ts_clean_salted"] = sql["ts_clean"]  # identical contract, salted path
+
+    sql["ts_asof_join"] = f"""WITH {_sql_tokens_clean(tok)},
+  roll AS (
+    SELECT source,
+           (time // 3600) * 3600 AS bucket,
+           CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_v
+    FROM clean GROUP BY source, bucket
+  ),
+  avail AS (
+    SELECT source, bucket + 3600 AS avail_from, bucket AS prev_bucket,
+           mean_v AS prev_hour_mean
+    FROM roll
+  )
+SELECT c.source, c.doc_id, c.time, CAST(c.n_tok AS BIGINT) AS n_tok,
+       r.prev_bucket, r.prev_hour_mean
+FROM clean c ASOF JOIN avail r
+  ON c.source = r.source AND c.time >= r.avail_from"""
+
+    sql["ts_grid_snap"] = f"""WITH {_sql_tokens_clean(tok)},
+  bounds AS (
+    SELECT (min(time) // 86400) * 86400 AS g0,
+           (max(time) // 86400) * 86400 AS g1
+    FROM clean
+  )
+SELECT c.source, c.doc_id, c.time,
+       b.g0 + 86400 * LEAST(GREATEST(CAST(ceil((c.time - b.g0) / 86400.0) AS BIGINT), 0),
+                            (b.g1 - b.g0) // 86400) AS snap_day
+FROM clean c, bounds b"""
     sql["ts_rollup_1m"] = _sql_rollup(tok, 60)
     sql["ts_rollup_1h"] = _sql_rollup(tok, 3600)
     sql["ts_rollup_1d"] = _sql_rollup(tok, 86400)
@@ -584,6 +696,139 @@ FROM segmented GROUP BY source, seg"""
 
     sql["ts_gorilla_roundtrip"] = f"""WITH {_sql_tokens_clean(tok)}
 SELECT source, seg, time, CAST(n_tok AS BIGINT) AS n_tok FROM segmented"""
+
+    # split_tracks analog: rate cut is integer-exact (60*|dv| > 50*max(dt,1)
+    # <=> |dv|/max(dt/60, 1/60) > 50), short segments discarded, kept
+    # segments densely relabeled '{{source}}-{{n}}'
+    sql["ts_split_multi"] = f"""WITH {_sql_tokens_clean(tok)},
+  flag2 AS (
+    SELECT source, time, seq, n_tok,
+      CASE WHEN time - lag(time) OVER w >= {g}
+             OR 60 * abs(n_tok - lag(n_tok) OVER w)
+                > 50 * GREATEST(time - lag(time) OVER w, 1)
+           THEN 1 ELSE 0 END AS cut
+    FROM clean
+    WINDOW w AS (PARTITION BY source ORDER BY time, seq)
+  ),
+  seg2 AS (
+    SELECT *, SUM(cut) OVER (PARTITION BY source ORDER BY time, seq
+                             ROWS UNBOUNDED PRECEDING) AS s
+    FROM flag2
+  ),
+  sized AS (
+    SELECT *, count(*) OVER (PARTITION BY source, s) AS seg_rows
+    FROM seg2
+  ),
+  kept AS (SELECT * FROM sized WHERE seg_rows >= 3),
+  relabeled AS (
+    SELECT source, time, n_tok,
+           dense_rank() OVER (PARTITION BY source ORDER BY s) - 1 AS k
+    FROM kept
+  )
+SELECT source, source || '-' || CAST(k AS VARCHAR) AS track, time, n_tok
+FROM relabeled"""
+
+    # interp_spacing analog: one row per `every` cumulative tokens, epoch
+    # linearly interpolated on the cumulative-token axis (np.interp slope
+    # form replicated: t0 + (m - c0) * ((t1 - t0) / (c1 - c0)))
+    every = 50_000
+    sql["ts_resample_tokens"] = f"""WITH {_sql_tokens_clean(tok)},
+  cum AS (
+    SELECT source, time, n_tok,
+           SUM(n_tok) OVER (PARTITION BY source ORDER BY time, seq
+                            ROWS UNBOUNDED PRECEDING) AS c,
+           row_number() OVER (PARTITION BY source ORDER BY time, seq) AS rn,
+           count(*) OVER (PARTITION BY source) AS n_rows,
+           SUM(n_tok) OVER (PARTITION BY source) AS c_total
+    FROM clean
+  ),
+  marks AS (
+    SELECT DISTINCT source, c_total FROM cum WHERE n_rows >= 2 AND c_total >= {every}
+  ),
+  mark_rows AS (
+    SELECT m.source, gs.mark
+    FROM marks m, LATERAL (
+      SELECT unnest(generate_series({every}, CAST(m.c_total AS BIGINT), {every})) AS mark
+    ) gs
+  ),
+  bracketed AS (
+    SELECT mr.source, mr.mark,
+           (SELECT max(rn) FROM cum c
+            WHERE c.source = mr.source AND c.c <= mr.mark) AS j
+    FROM mark_rows mr
+  ),
+  joined AS (
+    SELECT b.source, b.mark,
+           c0.time AS t0, c0.c AS c0v, c1.time AS t1, c1.c AS c1v
+    FROM bracketed b
+    LEFT JOIN cum c0 ON c0.source = b.source AND c0.rn = b.j
+    LEFT JOIN cum c1 ON c1.source = b.source AND c1.rn = b.j + 1
+  )
+SELECT source, mark AS cum_tokens,
+       CASE
+         WHEN c0v IS NULL THEN
+           -- mark below the first cumulative point: left clamp to t[0]
+           (SELECT CAST(min(time) AS DOUBLE) FROM cum c
+            WHERE c.source = joined.source)
+         WHEN c0v = mark OR t1 IS NULL THEN CAST(t0 AS DOUBLE)
+         ELSE CAST(t0 AS DOUBLE)
+              + (CAST(mark AS DOUBLE) - CAST(c0v AS DOUBLE))
+                * ((CAST(t1 AS DOUBLE) - CAST(t0 AS DOUBLE))
+                   / (CAST(c1v AS DOUBLE) - CAST(c0v AS DOUBLE)))
+       END AS time
+FROM joined"""
+
+    # aisdb.interp linear gap-fill: per-(source, seg) epoch grid
+    # generate_series(t0, t_end + step - 1, step) == np.arange(t0,
+    # t_end + step, step); same-timestamp keep-first dedup before
+    # interpolation; <2-unique-timestamp segments skipped; right edge
+    # clamps to the last value (np.interp semantics)
+    step = TS_STEP
+    sql["ts_gapfill"] = f"""WITH {_sql_tokens_clean(tok)},
+  uniq AS (
+    SELECT *, row_number() OVER (PARTITION BY source, seg, time ORDER BY seq) AS urn
+    FROM segmented
+  ),
+  pts AS (
+    SELECT source, seg, time, n_tok,
+           row_number() OVER (PARTITION BY source, seg ORDER BY time) AS rn,
+           count(*) OVER (PARTITION BY source, seg) AS n_pts
+    FROM uniq WHERE urn = 1
+  ),
+  segs AS (
+    SELECT source, seg, min(time) AS t0, max(time) AS t_end
+    FROM pts GROUP BY source, seg HAVING count(*) >= 2
+  ),
+  grid AS (
+    SELECT s.source, s.seg, gs.g
+    FROM segs s, LATERAL (
+      SELECT unnest(generate_series(s.t0, s.t_end + {step} - 1, {step})) AS g
+    ) gs
+  ),
+  snapped AS (
+    SELECT gr.source, gr.seg, gr.g,
+           (SELECT max(rn) FROM pts p
+            WHERE p.source = gr.source AND p.seg = gr.seg AND p.time <= gr.g) AS j
+    FROM grid gr
+  ),
+  joined AS (
+    SELECT sn.source, sn.seg, sn.g,
+           p0.time AS ta, p0.n_tok AS va, p1.time AS tb, p1.n_tok AS vb
+    FROM snapped sn
+    JOIN pts p0 ON p0.source = sn.source AND p0.seg = sn.seg AND p0.rn = sn.j
+    LEFT JOIN pts p1 ON p1.source = sn.source AND p1.seg = sn.seg AND p1.rn = sn.j + 1
+  )
+SELECT source, seg, g AS time,
+       CASE
+         WHEN ta = g THEN CAST(va AS DOUBLE)
+         WHEN tb IS NULL THEN CAST(va AS DOUBLE)
+         ELSE CAST(va AS DOUBLE)
+              + (CAST(g AS DOUBLE) - CAST(ta AS DOUBLE))
+                * ((CAST(vb AS DOUBLE) - CAST(va AS DOUBLE))
+                   / (CAST(tb AS DOUBLE) - CAST(ta AS DOUBLE)))
+       END AS n_tok,
+       ta = g AS is_original
+FROM joined"""
 
     sql["ts_mode"] = f"""WITH {_sql_tokens_clean(tok)},
   cls AS (SELECT source, n_tok // 512 AS mode_value FROM clean),

@@ -1,0 +1,176 @@
+"""As-of / nearest-grid joins — the reference's raster-lookup and weather
+enrichment patterns (SURVEY.md §2.4 J3/J4) as engine operators.
+
+Three kernels:
+
+- :func:`binarysearch_vector` — exact NumPy replica of the reference's
+  vectorized grid binary search (/root/reference/src/lib.rs:514-539):
+  exact hit -> its index; miss -> the insertion point clamped to the last
+  index (ceiling snap); descending axes supported by reverse + mirror;
+  edge cases pinned by the reference's own expectations
+  (/root/reference/aisdb/tests/test_013_proc_util.py:83-90).
+- :class:`GridLookup` — stateful actor-pool stage holding a broadcast
+  grid (axes + value array, ``ray.put`` once, read per actor): per-batch
+  vectorized snap + gather, the raster-pixel-fetch pattern
+  (/root/reference/aisdb/webdata/load_raster.py:27-79 routes each point
+  through the same binary search into tile axes).
+- :func:`asof_backward_join` — per-key backward as-of join (DuckDB
+  ``ASOF JOIN`` semantics): for each left row (key, t) attach the right
+  row with the greatest ``t_right <= t`` for that key, optionally within
+  a tolerance; unmatched rows drop (inner) or keep nulls (left).  The
+  right side is the small side (a rollup tier, a dimension series) and is
+  broadcast — the weather-cube-in-every-worker pattern
+  (/root/reference/aisdb/weather/data_store.py:244-289 loads the cube
+  once per process and does vectorized nearest selection per track).
+
+All lookups are O(log n) vectorized searchsorted per batch — no shuffle
+of the big side, ever.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from aisdb_ray.schema import SOURCE, TIME
+
+
+def binarysearch_vector(arr: np.ndarray, search: np.ndarray) -> np.ndarray:
+    """Vectorized grid snap, exact semantics of the reference kernel.
+
+    Exact match -> its index; miss -> insertion point clamped to
+    ``len(arr) - 1``; empty grid -> -1; descending input handled by
+    reverse + index mirror (src/lib.rs:514-539).
+    """
+    arr = np.asarray(arr, dtype=np.float64)
+    search = np.asarray(search, dtype=np.float64)
+    if len(arr) == 0:
+        return np.full(len(search), -1, dtype=np.int32)
+    descending = len(arr) > 1 and arr[0] > arr[-1]
+    a = arr[::-1] if descending else arr
+    idx = np.searchsorted(a, search, side="left")
+    idx = np.minimum(idx, len(a) - 1)
+    if descending:
+        idx = len(a) - 1 - idx
+    return idx.astype(np.int32)
+
+
+class GridLookup:
+    """Actor-pool map: append grid values sampled at each row's coordinates.
+
+    ``axes_ref`` is a ``ray.put`` handle to ``(axes, values)`` where
+    ``axes`` is a tuple of 1-D arrays (ascending or descending) and
+    ``values`` is an ndarray with one dim per axis.  The grid loads ONCE
+    per actor in ``__init__`` (the heavyweight-state actor precedent,
+    /root/reference/aisdb/denoising_encoder.py:262-337); ``__call__``
+    snaps each coordinate column and gathers.
+    """
+
+    def __init__(self, axes_ref, coord_cols: list[str], out_col: str):
+        self.axes, self.values = ray.get(axes_ref)
+        assert len(self.axes) == len(coord_cols) == np.ndim(self.values)
+        self.coord_cols = coord_cols
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idxs = tuple(
+            binarysearch_vector(
+                ax, batch[c].to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+            for ax, c in zip(self.axes, self.coord_cols)
+        )
+        return batch.append_column(self.out_col, pa.array(self.values[idxs]))
+
+
+def grid_lookup(ds, axes, values, coord_cols, out_col, concurrency: int = 4):
+    """Dataset-level grid join: broadcast once, snap+gather per batch."""
+    axes_ref = ray.put((tuple(np.asarray(a) for a in axes), np.asarray(values)))
+    return ds.map_batches(
+        GridLookup,
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+        fn_constructor_args=(axes_ref, list(coord_cols), out_col),
+    )
+
+
+def _right_index(right: pa.Table, by: str, on: str, value_cols: list[str]):
+    """Sorted per-key arrays for the broadcast side: {key: (t[], values...)}."""
+    key = right[by].to_numpy(zero_copy_only=False)
+    t = right[on].to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = [right[c].to_numpy(zero_copy_only=False) for c in value_cols]
+    order = np.lexsort((t, key))
+    key, t = key[order], t[order]
+    vals = [v[order] for v in vals]
+    starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+    bounds = np.r_[starts, len(key)]
+    return {
+        key[a]: (t[a:b], tuple(v[a:b] for v in vals))
+        for a, b in zip(bounds[:-1], bounds[1:])
+    }
+
+
+def asof_backward_join(
+    left_ds,
+    right: pa.Table,
+    *,
+    by: str = SOURCE,
+    on: str = TIME,
+    right_on: str | None = None,
+    value_cols: list[str],
+    tolerance: int | None = None,
+    how: str = "inner",
+):
+    """For each left row, attach the right row with greatest rt <= t per key.
+
+    The right side is broadcast (``ray.put`` once); each batch groups its
+    rows by key and does one ``searchsorted(side='right') - 1`` per key —
+    the as-of kernel.  ``tolerance`` drops matches older than
+    ``t - tolerance``. ``how='left'`` keeps unmatched rows with nulls.
+    """
+    right_on = right_on or on
+    idx_ref = ray.put(_right_index(right, by, right_on, value_cols))
+    out_dtypes = [
+        right[c].to_numpy(zero_copy_only=False).dtype for c in value_cols
+    ]
+
+    def join(batch: pa.Table) -> pa.Table:
+        rindex = ray.get(idx_ref)
+        key = batch[by].to_numpy(zero_copy_only=False)
+        t = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(key)
+        match_t = np.full(n, -1, dtype=np.int64)
+        outs = [np.zeros(n, dtype=dt) for dt in out_dtypes]
+        matched = np.zeros(n, dtype=bool)
+        uniq, inv = np.unique(key, return_inverse=True)
+        for ui, k in enumerate(uniq):
+            rows = np.flatnonzero(inv == ui)
+            entry = rindex.get(k)
+            if entry is None:
+                continue
+            rt, vs = entry
+            pos = np.searchsorted(rt, t[rows], side="right") - 1
+            ok = pos >= 0
+            if tolerance is not None:
+                ok &= np.where(pos >= 0, t[rows] - rt[np.maximum(pos, 0)], 1 << 62) <= tolerance
+            rsel = rows[ok]
+            psel = pos[ok]
+            matched[rsel] = True
+            match_t[rsel] = rt[psel]
+            for o, v in zip(outs, vs):
+                o[rsel] = v[psel]
+        cols = dict(zip(batch.column_names, batch.columns))
+        mt = pa.array(match_t)
+        mm = pa.array(matched)
+        import pyarrow.compute as pc
+
+        cols[f"r_{right_on}"] = pc.if_else(mm, mt, pa.scalar(None, pa.int64()))
+        for name, o in zip(value_cols, outs):
+            cols[name] = pc.if_else(mm, pa.array(o), pa.scalar(None, pa.from_numpy_dtype(o.dtype)))
+        out = pa.table(cols)
+        if how == "inner":
+            out = out.filter(mm)
+        return out
+
+    return left_ds.map_batches(join, batch_format="pyarrow")

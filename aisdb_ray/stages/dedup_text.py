@@ -5,22 +5,24 @@
   generalized to document content).
 - MinHash + LSH near-dup: shingle -> 64-perm MinHash (actor pool) ->
   band-bucket groupby -> candidate pairs -> exact Jaccard verify.
-- SimHash near-dup: 64-bit signatures, banded by 16-bit chunks, verified by
-  Hamming distance.
-- embedding-cosine near-dup: all-pairs cosine over a broadcast matrix
-  (brute force at test scale; the LSH/IVF bucketing in stages/ann.py is the
-  scale path).
+- SimHash near-dup: 64-bit signatures, banded by 16-bit chunks (pigeonhole),
+  verified by vectorized Hamming distance.
+- embedding-cosine near-dup: EXACT all-pairs via a block-pair matmul join —
+  every (block_i, block_j) tile is one task; no full-corpus broadcast.
 
-All candidate generation is a groupby on (band, key-hash): only signatures
-shuffle, never documents.  Pair verification re-reads just the candidate
-documents' signatures/shingles (broadcast via ``ray.put`` — the small-side
-join pattern, SURVEY.md §2.4 J2).
+Scale shape (no driver-side corpus materialization anywhere):
+candidate generation is a groupby on (band, bucket) where only signatures
+shuffle; pair verification SEMI-JOINS the corpus down to candidate doc ids,
+hash-joins shingle payloads onto the pairs, and verifies inside
+``map_batches`` — the driver only orchestrates.  Distinctness of pairs uses
+hash-partition-by-key + block-local combine (no single-block funnel).
+These pipelines set ``DataContext.shuffle_strategy = HASH_SHUFFLE`` (joins
+and keyed repartition require it).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -28,10 +30,56 @@ import ray
 from aisdb_ray.functions import text as T
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _hash_ctx(ds=None):
+    """Hash-shuffle backend for the enclosed pipeline BUILD (joins / keyed
+    repartition require it).
+
+    A Dataset snapshots its DataContext at creation, so: (a) the strategy is
+    set on the process-global context so datasets created inside the block
+    capture it (and on an already-created upstream ``ds``'s context), and
+    (b) the GLOBAL context is restored on exit — otherwise every groupby a
+    later, unrelated pipeline builds would silently spawn a 64-actor hash
+    aggregator pool (a livelock on small clusters).  The datasets built
+    inside keep their captured hash contexts and execute correctly later.
+    """
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    g = DataContext.get_current()
+    prior = (g.shuffle_strategy,
+             g.hash_shuffle_operator_actor_num_cpus_per_partition_override)
+    for ctx in filter(None, [g, ds.context if ds is not None else None]):
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        # fractional-CPU aggregator actors: a full-CPU aggregator per
+        # partition can deadlock against concurrent actor pools on small
+        # clusters (aggregators park while pools hold every slot)
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
+    try:
+        yield ds
+    finally:
+        g.shuffle_strategy = prior[0]
+        g.hash_shuffle_operator_actor_num_cpus_per_partition_override = prior[1]
+
+
+def _nparts() -> int:
+    """Shuffle partition count sized to the cluster: every live hash-shuffle
+    operator keeps num_partitions aggregator actors standing, so chained
+    shuffles on a small cluster must keep this low (and pipelines insert
+    materialize() boundaries so at most one shuffle op is live at a time)."""
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(16, cpus // 2))
+
+
 # ------------------------------------------------------------- exact dedup
 
 def keep_first(ds, key_col: str, order_col: str):
-    """(key, min(order)) per key — vectorized partial+final combine."""
+    """(key, min(order)) per key — vectorized partial combine per block,
+    then hash-partition by key + block-local final combine (distinct keys
+    co-located; no single-block funnel)."""
 
     def partial(b: pa.Table) -> pa.Table:
         g = (
@@ -41,10 +89,11 @@ def keep_first(ds, key_col: str, order_col: str):
         )
         return g.rename_columns([key_col, order_col])
 
-    local = ds.map_batches(partial, batch_format="pyarrow")
-    return local.repartition(1).map_batches(
-        partial, batch_format="pyarrow", batch_size=None
-    )
+    with _hash_ctx(ds):
+        local = ds.map_batches(partial, batch_format="pyarrow")
+        return local.repartition(_nparts(), keys=[key_col]).map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        )
 
 
 # --------------------------------------------------------- MinHash + LSH
@@ -97,100 +146,159 @@ def _explode_bands(batch: pa.Table, n_bands: int, rows_per_band: int) -> pa.Tabl
     )
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    ids = np.sort(g["doc_id"].to_numpy())
+def _pairs_of_sorted(ids: np.ndarray, payloads: list[np.ndarray] | None = None):
+    """Upper-triangle pairs of a sorted id vector (+ aligned payloads)."""
+    i, j = np.triu_indices(len(ids), k=1)
+    cols = [ids[i], ids[j]]
+    if payloads:
+        for p in payloads:
+            cols.extend([p[i], p[j]])
+    return cols
+
+
+def _bucket_pairs(g: pa.Table) -> pa.Table:
+    ids = np.sort(g["doc_id"].to_numpy(zero_copy_only=False))
     if len(ids) < 2:
-        return pd.DataFrame({"a": [], "b": []})
-    a, b = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"a": ids[a], "b": ids[b]})
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    a, b = _pairs_of_sorted(ids)
+    return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+
+def _fuse_pairs(b: pa.Table, extra: list[str] | None = None) -> pa.Table:
+    a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cols = {
+        "pair": pa.array(a * np.int64(1 << 31) + bb),
+        "a": pa.array(a),
+        "b": pa.array(bb),
+    }
+    for c in extra or []:
+        cols[c] = b[c]
+    return pa.table(cols)
+
+
+def _distinct_pairs(pairs, extra: list[str] | None = None):
+    """Distinct (a, b) pairs: fuse key -> hash-partition -> local combine."""
+    extra = extra or []
+
+    def dedup_pairs(b: pa.Table) -> pa.Table:
+        g = b.group_by(["pair"], use_threads=False).aggregate(
+            [("a", "min"), ("b", "min")] + [(c, "min") for c in extra]
+        )
+        return g.rename_columns(["pair", "a", "b"] + extra)
+
+    fused = pairs.map_batches(lambda b: _fuse_pairs(b, extra), batch_format="pyarrow")
+    local = fused.map_batches(dedup_pairs, batch_format="pyarrow")
+    return local.repartition(_nparts(), keys=["pair"]).map_batches(
+        dedup_pairs, batch_format="pyarrow", batch_size=None
+    )
 
 
 def minhash_candidates(ds_docs, n_bands: int = 16, rows_per_band: int = 4,
                        concurrency: int = 8):
     """documents -> distinct candidate pairs (a < b) via banded MinHash."""
-    sigs = ds_docs.map_batches(
-        MinHashSig, batch_format="pyarrow", concurrency=(1, concurrency),
-        batch_size=1024,
-    )
-    bands = sigs.map_batches(
-        lambda b: _explode_bands(b, n_bands, rows_per_band),
-        batch_format="pyarrow",
-    )
-    pairs = bands.groupby(["band", "bucket"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
-    # distinct pairs via the keep-first combine on a fused key
-    def fuse(b: pa.Table) -> pa.Table:
-        a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"pair": pa.array(a * np.int64(1 << 31) + bb), "a": pa.array(a), "b": pa.array(bb)})
-
-    fused = pairs.map_batches(fuse, batch_format="pyarrow")
-    def dedup_pairs(b: pa.Table) -> pa.Table:
-        g = b.group_by(["pair"], use_threads=False).aggregate(
-            [("a", "min"), ("b", "min")]
+    with _hash_ctx(ds_docs):
+        # task-based signature stage: the hasher state is two tiny arrays
+        # built once on the driver and shipped in the closure.  (A standing
+        # actor pool here can deadlock the hash-shuffle aggregator actors on
+        # small clusters: the pool holds every CPU slot while they wait.)
+        sig_fn = MinHashSig()
+        sigs = ds_docs.map_batches(
+            sig_fn, batch_format="pyarrow", batch_size=1024,
         )
-        return g.rename_columns(["pair", "a", "b"])
-    local = fused.map_batches(dedup_pairs, batch_format="pyarrow")
-    return local.repartition(1).map_batches(
-        dedup_pairs, batch_format="pyarrow", batch_size=None
-    )
+        bands = sigs.map_batches(
+            lambda b: _explode_bands(b, n_bands, rows_per_band),
+            batch_format="pyarrow",
+        )
+        pairs = bands.groupby(["band", "bucket"], num_partitions=_nparts()).map_groups(
+            _bucket_pairs, batch_format="pyarrow"
+        ).materialize()  # shuffle boundary: release this op's aggregators
+        return _distinct_pairs(pairs)
+
+
+class ShingleSet:
+    """Actor-pool stage: text -> sorted unique shingle-hash list column."""
+
+    def __init__(self, k_shingle: int = 3):
+        self.k = k_shingle
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        # binary blobs (raw little-endian int64), not list columns: the hash
+        # join carries only scalar payload types
+        sh = [
+            np.unique(T.shingle_hashes(T.words(t), self.k)).astype(np.int64).tobytes()
+            for t in texts
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "sh": pa.array(sh, pa.binary()),
+            }
+        )
 
 
 def minhash_dedup_pairs(sf_docs_path: str, jaccard_threshold: float = 0.7,
                         n_bands: int = 16, rows_per_band: int = 4):
-    """Full near-dup pipeline: candidates -> exact shingle-Jaccard verify.
+    """Full near-dup pipeline: banded candidates -> exact Jaccard verify.
 
-    Verification broadcasts the shingle sets of candidate docs only (small
-    side), never reshuffling the corpus.
+    Fully distributed: the corpus is SEMI-JOINED down to candidate doc ids,
+    shingle sets are hash-joined onto the pairs, and verification runs
+    vectorized per batch — no ``.to_pandas()`` of any corpus-derived table.
     """
     import ray.data as rd
 
-    docs = rd.read_parquet(sf_docs_path, columns=["doc_id", "text"])
-    cands = minhash_candidates(docs, n_bands, rows_per_band)
-    cand_tbl = cands.to_pandas()
-    if len(cand_tbl) == 0:
-        return pa.table(
-            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-             "jaccard": pa.array([], pa.float64())}
-        )
-    needed = sorted(set(cand_tbl["a"]) | set(cand_tbl["b"]))
-    need_ref = ray.put(set(needed))
+    with _hash_ctx():
+        docs = rd.read_parquet(sf_docs_path, columns=["doc_id", "text"])
+        cands = minhash_candidates(docs, n_bands, rows_per_band).materialize()
 
-    def shingles_of(b: pa.Table) -> pa.Table:
-        need = ray.get(need_ref)
-        ids, sh = [], []
+        # ids needed for verification (both sides of every candidate pair)
+        ids = cands.map_batches(
+            lambda b: pa.table(
+                {"doc_id": pa.concat_arrays(
+                    [b["a"].combine_chunks(), b["b"].combine_chunks()]
+                )}
+            ),
+            batch_format="pyarrow",
+        )
+        nparts = _nparts()
+        needed = docs.join(ids, "left_semi", nparts, on=("doc_id",))
+        shingled = needed.map_batches(ShingleSet(), batch_format="pyarrow",
+                                      batch_size=1024).materialize()
+
+        j1 = cands.join(shingled, "inner", nparts, on=("a",), right_on=("doc_id",))
+        j1 = j1.map_batches(
+            lambda b: b.rename_columns(
+                [("sh_a" if c == "sh" else c) for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        j2 = j1.join(shingled, "inner", nparts, on=("b",), right_on=("doc_id",))
+
+    thr = jaccard_threshold
+
+    def verify(b: pa.Table) -> pa.Table:
+        sa = b["sh_a"].to_pylist()
+        sb = b["sh"].to_pylist()
+        a_ids = b["a"].to_numpy(zero_copy_only=False)
+        b_ids = b["b"].to_numpy(zero_copy_only=False)
+        out_a, out_b, out_j = [], [], []
         for i in range(b.num_rows):
-            d = b["doc_id"][i].as_py()
-            if d in need:
-                ids.append(d)
-                sh.append(
-                    T.shingle_hashes(T.words(b["text"][i].as_py())).astype(np.int64)
-                )
-        if not ids:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "sh": pa.array([], pa.list_(pa.int64()))})
-        off = np.zeros(len(sh) + 1, dtype=np.int32)
-        np.cumsum([len(x) for x in sh], out=off[1:])
+            x = np.frombuffer(sa[i], dtype=np.int64)
+            y = np.frombuffer(sb[i], dtype=np.int64)
+            inter = len(np.intersect1d(x, y, assume_unique=True))
+            union = len(x) + len(y) - inter
+            j = (inter / union) if union else 1.0
+            if j >= thr:
+                out_a.append(int(a_ids[i]))
+                out_b.append(int(b_ids[i]))
+                out_j.append(round(j, 6))
         return pa.table(
-            {"doc_id": pa.array(ids, pa.int64()),
-             "sh": pa.ListArray.from_arrays(pa.array(off), pa.array(np.concatenate(sh)))}
+            {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
+             "jaccard": pa.array(out_j, pa.float64())}
         )
 
-    sh_tbl = docs.map_batches(shingles_of, batch_format="pyarrow").to_pandas()
-    sh_map = {d: np.asarray(s, dtype=np.uint64) for d, s in
-              zip(sh_tbl["doc_id"], sh_tbl["sh"])}
-    out_a, out_b, out_j = [], [], []
-    for a, b in zip(cand_tbl["a"], cand_tbl["b"]):
-        j = T.jaccard(sh_map[a], sh_map[b])
-        if j >= jaccard_threshold:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(round(j, 6))
-    return pa.table(
-        {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
-         "jaccard": pa.array(out_j, pa.float64())}
-    )
+    return j2.map_batches(verify, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------- SimHash
@@ -204,84 +312,131 @@ class SimHashSig:
         )
 
 
-def simhash_pairs(sf_docs_path: str, max_hamming: int = 8, concurrency: int = 8):
-    """Near-dup pairs by SimHash: band the 64 bits into 4 x 16-bit chunks
-    (any pair within Hamming<=3*16 shares >=1 exact chunk — standard
-    pigeonhole banding), then verify exact Hamming distance."""
-    import ray.data as rd
-
-    docs = rd.read_parquet(sf_docs_path, columns=["doc_id", "text"])
-    sigs = docs.map_batches(
-        SimHashSig, batch_format="pyarrow", concurrency=(1, concurrency),
-        batch_size=1024,
-    ).to_pandas()
-    h = sigs["simhash"].to_numpy().astype(np.uint64)
-    ids = sigs["doc_id"].to_numpy()
-    # banding (vectorized candidate generation at driver scale; at corpus
-    # scale this becomes the same explode->groupby shape as MinHash)
-    cands = set()
+def _explode_simhash_bands(batch: pa.Table) -> pa.Table:
+    h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+    bands, keys, docs, sigs = [], [], [], []
     for b in range(4):
         chunk = (h >> np.uint64(16 * b)) & np.uint64(0xFFFF)
-        order = np.argsort(chunk, kind="stable")
-        cs, ci = chunk[order], ids[order]
-        first = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
-        bounds = np.r_[first, len(cs)]
-        for x, y in zip(bounds[:-1], bounds[1:]):
-            if y - x > 1:
-                grp = np.sort(ci[x:y])
-                for i in range(len(grp)):
-                    for j in range(i + 1, len(grp)):
-                        cands.add((int(grp[i]), int(grp[j])))
-    sig_map = dict(zip(ids.tolist(), h.tolist()))
-    rows = [
-        (a, b, int(T.hamming64(np.uint64(sig_map[a]), np.uint64(sig_map[b]))))
-        for a, b in sorted(cands)
-    ]
-    rows = [(a, b, d) for a, b, d in rows if d <= max_hamming]
+        bands.append(np.full(len(doc), b, dtype=np.int32))
+        keys.append(chunk.astype(np.int64))
+        docs.append(doc)
+        sigs.append(h.astype(np.int64))
     return pa.table(
         {
-            "a": pa.array([r[0] for r in rows], pa.int64()),
-            "b": pa.array([r[1] for r in rows], pa.int64()),
-            "hamming": pa.array([r[2] for r in rows], pa.int64()),
+            "band": pa.array(np.concatenate(bands)),
+            "bucket": pa.array(np.concatenate(keys)),
+            "doc_id": pa.array(np.concatenate(docs)),
+            "simhash": pa.array(np.concatenate(sigs)),
         }
     )
 
 
+def _bucket_pairs_sig(g: pa.Table) -> pa.Table:
+    ids = g["doc_id"].to_numpy(zero_copy_only=False)
+    hs = g["simhash"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    ids, hs = ids[order], hs[order]
+    if len(ids) < 2:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "ha": pa.array([], pa.int64()), "hb": pa.array([], pa.int64())}
+        )
+    a, b, ha, hb = _pairs_of_sorted(ids, [hs])
+    return pa.table(
+        {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64()),
+         "ha": pa.array(ha, pa.int64()), "hb": pa.array(hb, pa.int64())}
+    )
+
+
+def simhash_pairs(sf_docs_path: str, max_hamming: int = 8, concurrency: int = 8):
+    """Near-dup pairs by SimHash: band the 64 bits into 4 x 16-bit chunks
+    (any pair within Hamming <= 3*16 shares >= 1 exact chunk — standard
+    pigeonhole banding), explode -> groupby(band, bucket) -> distinct pairs
+    carrying both signatures -> vectorized Hamming verify.  Same fully
+    distributed shape as MinHash; signatures ride with the pairs so no
+    second corpus pass is needed.
+    """
+    import ray.data as rd
+
+    with _hash_ctx():
+        docs = rd.read_parquet(sf_docs_path, columns=["doc_id", "text"])
+        sigs = docs.map_batches(
+            SimHashSig(), batch_format="pyarrow", batch_size=1024,
+        )
+        bands = sigs.map_batches(_explode_simhash_bands, batch_format="pyarrow")
+        pairs = bands.groupby(["band", "bucket"], num_partitions=_nparts()).map_groups(
+            _bucket_pairs_sig, batch_format="pyarrow"
+        ).materialize()  # shuffle boundary: release this op's aggregators
+        distinct = _distinct_pairs(pairs, extra=["ha", "hb"])
+
+    def verify(b: pa.Table) -> pa.Table:
+        ha = b["ha"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hb = b["hb"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = T.hamming64(ha, hb)
+        keep = d <= max_hamming
+        return pa.table(
+            {
+                "a": pa.array(b["a"].to_numpy(zero_copy_only=False)[keep]),
+                "b": pa.array(b["b"].to_numpy(zero_copy_only=False)[keep]),
+                "hamming": pa.array(d[keep].astype(np.int64)),
+            }
+        )
+
+    return distinct.map_batches(verify, batch_format="pyarrow")
+
+
 # ------------------------------------------- embedding-cosine near-dup
 
-def embedding_neardup_pairs(sf_emb_path: str, threshold: float = 0.95):
-    """All pairs (a < b) with cosine similarity >= threshold.
-
-    Brute force over a broadcast float64 matrix per batch (numpy matmul);
-    at corpus scale the IVF/LSH bucketing in stages/ann.py prunes the
-    candidate space first.
+def embedding_neardup_pairs(sf_emb_path: str, threshold: float = 0.95,
+                            target_block_rows: int = 65_536):
+    """All pairs (a < b) with cosine similarity >= threshold — EXACT, via a
+    block-pair matmul join: the corpus is pinned as normalized blocks and
+    every (block_i, block_j >= i) tile is one matmul task.  No full-corpus
+    broadcast or driver materialization; the O(n^2) work is tiled across
+    the cluster (the exact-all-pairs scale shape; the LSH/IVF bucketing in
+    stages/ann.py is the approximate path when n^2 is unaffordable).
     """
     import ray.data as rd
 
     ds = rd.read_parquet(sf_emb_path, columns=["vec_id", "embedding"])
-    all_tbl = ds.to_pandas()
-    ids = all_tbl["vec_id"].to_numpy()
-    m = np.stack([np.asarray(e, dtype=np.float64) for e in all_tbl["embedding"]])
-    m = m / np.linalg.norm(m, axis=1, keepdims=True)
-    mat_ref = ray.put((ids, m))
+    nrows = ds.count()
+    nblocks = max(1, min(64, nrows // max(1, target_block_rows)))
+    mat = ds.repartition(nblocks).materialize()
+    refs = mat.to_arrow_refs()
+    tiles = [(i, j) for i in range(len(refs)) for j in range(i, len(refs))]
 
-    def batch_pairs(b: pa.Table) -> pa.Table:
-        all_ids, all_m = ray.get(mat_ref)
-        emb = b["embedding"].combine_chunks()
-        q = emb.values.to_numpy().reshape(b.num_rows, -1).astype(np.float64)
-        q = q / np.linalg.norm(q, axis=1, keepdims=True)
-        qid = b["vec_id"].to_numpy(zero_copy_only=False)
-        sims = q @ all_m.T
-        keep_i, keep_j = np.nonzero(sims >= threshold)
-        a = qid[keep_i]
-        bb = all_ids[keep_j]
-        mask = a < bb
+    def norm_block(tbl: pa.Table):
+        emb = tbl["embedding"].combine_chunks()
+        m = emb.values.to_numpy().reshape(tbl.num_rows, -1).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return tbl["vec_id"].to_numpy(zero_copy_only=False), m
+
+    def tile_pairs(batch: pa.Table) -> pa.Table:
+        out_a, out_b = [], []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ids_i, mi = norm_block(ray.get(refs[i]))
+            ids_j, mj = norm_block(ray.get(refs[j]))
+            if len(ids_i) == 0 or len(ids_j) == 0:
+                continue
+            sims = mi @ mj.T
+            ki, kj = np.nonzero(sims >= threshold)
+            a, b = ids_i[ki], ids_j[kj]
+            mask = a < b
+            out_a.append(a[mask])
+            out_b.append(b[mask])
+        if not out_a:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
         return pa.table(
             {
-                "a": pa.array(a[mask].astype(np.int64)),
-                "b": pa.array(bb[mask].astype(np.int64)),
-                "cosine": pa.array(np.round(sims[keep_i, keep_j][mask], 4)),
+                "a": pa.array(np.concatenate(out_a).astype(np.int64)),
+                "b": pa.array(np.concatenate(out_b).astype(np.int64)),
             }
         )
 
-    return ds.map_batches(batch_pairs, batch_format="pyarrow")
+    items = rd.from_items(
+        [{"i": i, "j": j} for i, j in tiles], override_num_blocks=len(tiles)
+    )
+    return items.map_batches(tile_pairs, batch_format="pyarrow", batch_size=None)
