@@ -156,6 +156,26 @@ def q_ts_clean(sf_dir: str):
     )
 
 
+def q_csv_ingest(sf_dir: str):
+    """CSV source path (S2/S3/S4 — SURVEY.md §2.1): parallel csv/gz read,
+    skip-don't-crash parsing of injected corrupt lines, then the SAME clean
+    pipeline as ts_clean — hash-matches the parquet path's oracle, proving
+    the reader drops exactly the garbage and nothing else."""
+    from aisdb_ray.sources.csv import read_token_csv, write_token_csv
+
+    _ctx()
+    tok = ensure_sf_tokens(sf_dir)
+    name = os.path.basename(os.path.normpath(sf_dir))
+    csv_dir = write_token_csv(
+        tok, os.path.join(SF_CACHE_ROOT, name, "tokens_csv"), corrupt_every=97
+    )
+    ds = read_token_csv(csv_dir).map_batches(prepare.prepare, batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: b.drop_columns(["tokens"]), batch_format="pyarrow")
+    return series.clean_series(ds, TS_MAX_GAP).select_columns(
+        ["source", "doc_id", "time", "seq", "n_tok", "seg"]
+    )
+
+
 def q_ts_segments(sf_dir: str):
     return series.segment_table(_prepared(sf_dir), TS_MAX_GAP)
 
@@ -397,6 +417,40 @@ def q_ev_dedup(sf_dir: str):
     return out.select_columns(["user_id", "event_id", "time", "seg"])
 
 
+def _ev_scan_pred():
+    """The composable predicate for ev_pruned_scan — built once so the Ray
+    query and the SQL oracle share the exact same predicate object (M8)."""
+    import datetime as dt
+
+    from aisdb_ray import predicates as P
+
+    return (
+        P.in_timerange(
+            dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 20), col="ts"
+        )
+        & P.valid_key(10, 120, col="user_id")
+        & P.in_keys(["click", "view", "purchase"], col="event_type")
+    )
+
+
+def q_ev_pruned_scan(sf_dir: str):
+    """Predicate-pushdown scan (M8): the composable WHERE surface compiled
+    into read_parquet so row groups prune from footer statistics before any
+    bytes move; the oracle runs the SAME predicate's SQL rendering."""
+    from aisdb_ray.predicates import scan_parquet
+
+    _ctx()
+    ds = scan_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        where=_ev_scan_pred(),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    ds = ds.map_batches(_events_adapter, batch_format="pyarrow")
+    return ds.select_columns(
+        ["event_id", "time", "user_id", "event_type", "value_cents"]
+    )
+
+
 # --------------------------------------------------------------------------
 # TPC-H-style summaries (generic grouped aggregation + broadcast join)
 # --------------------------------------------------------------------------
@@ -607,6 +661,7 @@ def q_media_features(sf_dir: str):
 def build_queries() -> dict:
     return {
         "ts_clean": q_ts_clean,
+        "csv_ingest": q_csv_ingest,
         "ts_segments": q_ts_segments,
         "ts_rollup_1m": lambda sf: _q_ts_rollup(sf, 60),
         "ts_rollup_1h": lambda sf: _q_ts_rollup(sf, 3600),
@@ -627,6 +682,7 @@ def build_queries() -> dict:
         "ev_rollup_1h": q_ev_rollup_1h,
         "ev_mode": q_ev_mode,
         "ev_dedup": q_ev_dedup,
+        "ev_pruned_scan": q_ev_pruned_scan,
         "q1_pricing": q_q1_pricing,
         "seg_revenue": q_seg_revenue,
         "doc_token_count": q_doc_token_count,
@@ -661,6 +717,7 @@ SELECT source, seg,
 FROM segmented GROUP BY source, seg"""
 
     sql["ts_clean_salted"] = sql["ts_clean"]  # identical contract, salted path
+    sql["csv_ingest"] = sql["ts_clean"]  # CSV reader must drop exactly the garbage
 
     sql["ts_asof_join"] = f"""WITH {_sql_tokens_clean(tok)},
   roll AS (
@@ -886,6 +943,13 @@ SELECT event_type,
        CAST(count(*) AS BIGINT) AS count_rows,
        CAST(sum(value_cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_cents
 FROM ev GROUP BY event_type, bucket"""
+
+    sql["ev_pruned_scan"] = f"""SELECT event_id,
+       CAST(epoch_us(ts) // 1000000 AS BIGINT) AS time,
+       user_id, event_type,
+       CAST(round(value * 100) AS BIGINT) AS value_cents
+FROM events
+WHERE {_ev_scan_pred().sql()}"""
 
     sql["ev_mode"] = """WITH cnt AS (
     SELECT user_id, event_type AS mode_value, CAST(count(*) AS BIGINT) AS n

@@ -1,0 +1,152 @@
+"""CSV ingest source for the token table — the Spire/NOAA CSV reader
+semantics (SURVEY.md §2.1 S2/S3/S4) re-expressed Ray-Data-first.
+
+The reference parses wide CSV exports with fixed column extraction, epoch
+derivation and skip-don't-crash handling of malformed rows
+(/root/reference/aisdb_lib/src/csvreader.rs:36-332 Spire, :333-628 NOAA),
+and pre-extracts compressed archives before decode
+(/root/reference/aisdb/database/decoder.py:119-153).  Here:
+
+- ``ray.data.read_csv`` supplies parallel file reads and native ``.gz``
+  decompression (the S4 analog — no unzip staging step needed);
+- malformed lines (wrong column count) are SKIPPED at the parser via
+  ``invalid_row_handler`` — the decode-survival contract
+  (/root/reference/aisdb_lib/src/decode.rs:446-485);
+- the ``tokens`` column arrives as a space-joined string and is converted
+  to ``list<int32>`` with vectorized pyarrow kernels; rows whose token
+  string is non-numeric are dropped (skip, don't crash);
+- everything downstream (epoch derivation from ``doc_id``, validity
+  filtering, dedup, segmentation) is the SAME pipeline the parquet path
+  uses — ``csv_ingest`` must produce output identical to ``ts_clean``.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.csv as pacsv
+
+TOKEN_COLS = ["doc_id", "tokens", "n_tok", "source"]
+_TOKENS_RE = r"^[0-9]+( [0-9]+)*$"
+
+
+def _invalid_row_handler(row):
+    return "skip"
+
+
+def read_token_csv(paths):
+    """Parallel CSV read of the token-table shape -> Arrow-typed Dataset.
+
+    Accepts a file, directory, or list (plain ``.csv`` and ``.csv.gz`` mix
+    freely).  Returns columns (doc_id, tokens list<int32>, n_tok int32,
+    source) — the INPUT_SCHEMA contract, ready for ``prepare.prepare``.
+    """
+    import ray.data as rd
+
+    ds = rd.read_csv(
+        paths,
+        parse_options=pacsv.ParseOptions(invalid_row_handler=_invalid_row_handler),
+        convert_options=pacsv.ConvertOptions(
+            column_types={
+                "doc_id": pa.string(),
+                "tokens": pa.string(),
+                "n_tok": pa.string(),  # string first: bad ints survive to the mask
+                "source": pa.string(),
+            }
+        ),
+        file_extensions=["csv", "gz"],
+    )
+    return ds.map_batches(_convert_batch, batch_format="pyarrow")
+
+
+def _convert_batch(b: pa.Table) -> pa.Table:
+    """Vectorized string -> typed conversion with skip-bad-rows semantics."""
+    toks = pc.fill_null(b["tokens"], "")
+    ntok_s = pc.fill_null(b["n_tok"], "")
+    ok = pc.and_(
+        pc.or_(pc.match_substring_regex(toks, _TOKENS_RE), pc.equal(toks, "")),
+        pc.match_substring_regex(ntok_s, r"^-?[0-9]{1,9}$"),
+    )
+    ok = pc.and_(ok, pc.is_valid(b["doc_id"]))
+    ok = pc.and_(ok, pc.is_valid(b["source"]))
+    t = b.filter(pc.fill_null(ok, False))
+    toks = pc.fill_null(t["tokens"], "")
+    # "" splits to [""] whose cast to int32 throws — null empties pre-split,
+    # then repair the nulls to zero-length lists post-cast.
+    empty = pc.equal(toks, "")
+    safe = pc.if_else(empty, pa.scalar(None, pa.string()), toks)
+    tokens = pc.cast(pc.split_pattern(safe, " "), pa.list_(pa.int32()))
+    if pc.any(empty).as_py():
+        empty_list = pa.array([[]] * t.num_rows, pa.list_(pa.int32()))
+        tokens = pc.if_else(empty, empty_list, tokens)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "tokens": tokens,
+            "n_tok": pc.cast(t["n_tok"], pa.int32()),
+            "source": t["source"],
+        }
+    )
+
+
+def write_token_csv(
+    parquet_dir: str,
+    out_dir: str,
+    corrupt_every: int = 0,
+    gzip_last: bool = True,
+    rows_per_file: int = 25_000,
+) -> str:
+    """Convert a parquet token dataset to CSV files (test/fixture path).
+
+    ``corrupt_every=N`` injects a malformed line every N rows (wrong column
+    counts, garbage ints) — the corrupt-input corpus the parser must
+    survive (decode.rs:446-485).  ``gzip_last`` compresses the final file
+    to exercise the native-``.gz`` S4 path.  Idempotent via _SUCCESS.
+    """
+    import pyarrow.parquet as pq
+
+    from aisdb_ray.state.lineage import list_parquet_files
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    chunks = []
+    for f in list_parquet_files(parquet_dir):
+        t = pq.read_table(f, columns=TOKEN_COLS)
+        for lo in range(0, t.num_rows, rows_per_file):
+            chunks.append(t.slice(lo, rows_per_file))
+
+    for fi, t in enumerate(chunks):
+        toks = t["tokens"].combine_chunks()
+        joined = [" ".join(map(str, x)) for x in toks.to_pylist()]
+        doc = t["doc_id"].to_pylist()
+        ntk = t["n_tok"].to_pylist()
+        src = t["source"].to_pylist()
+        lines = ["doc_id,tokens,n_tok,source"]
+        for i in range(t.num_rows):
+            lines.append(f"{doc[i]},{joined[i]},{ntk[i]},{src[i]}")
+            if corrupt_every and (i + 1) % corrupt_every == 0:
+                kind = i % 3
+                if kind == 0:
+                    lines.append("this,line,has,too,many,columns,entirely")
+                elif kind == 1:
+                    lines.append(f"{doc[i]}-bad,{joined[i]},NOT_AN_INT,{src[i]}")
+                else:
+                    lines.append(f"{doc[i]}-bad,one two NaN,{ntk[i]},{src[i]}")
+        body = ("\n".join(lines) + "\n").encode()
+        is_last = fi == len(chunks) - 1
+        if gzip_last and is_last:
+            with gzip.open(os.path.join(out_dir, f"part-{fi:05d}.csv.gz"), "wb") as fh:
+                fh.write(body)
+        else:
+            with open(os.path.join(out_dir, f"part-{fi:05d}.csv"), "wb") as fh:
+                fh.write(body)
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return out_dir

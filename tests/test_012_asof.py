@@ -1,0 +1,79 @@
+"""As-of / nearest-grid join semantics (J3/J4): kernel edge cases pinned to
+the reference's own expectations, plus a pandas merge_asof cross-check."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from aisdb_ray.stages import asof
+
+
+def test_binarysearch_vector_reference_edges():
+    # /root/reference/aisdb/tests/test_013_proc_util.py:83-90
+    arr = np.array([1.0, 2.0, 3.0])
+    arr_desc = arr[::-1]
+    assert asof.binarysearch_vector(arr, [2])[0] == 1
+    assert asof.binarysearch_vector(arr, [5])[0] == 2
+    assert asof.binarysearch_vector(arr, [-10])[0] == 0
+    assert asof.binarysearch_vector(arr_desc, [10])[0] == 0
+    assert asof.binarysearch_vector(arr_desc, [-5])[0] == 2
+    assert asof.binarysearch_vector(arr_desc, [2])[0] == 1
+    # empty grid -> -1 sentinel (src/lib.rs:517-519)
+    assert asof.binarysearch_vector(np.array([]), [1, 2]).tolist() == [-1, -1]
+
+
+def test_grid_lookup_2d():
+    ax_x = np.array([0.0, 10.0, 20.0])
+    ax_y = np.array([100.0, 200.0])
+    vals = np.arange(6, dtype=np.float64).reshape(3, 2) * 7
+    ds = rd.from_arrow(pa.table({
+        "x": pa.array([0.0, 9.0, 25.0]),
+        "y": pa.array([100.0, 150.0, 250.0]),
+    }))
+    out = asof.grid_lookup(ds, [ax_x, ax_y], vals, ["x", "y"], "v").to_pandas()
+    # snap rule: exact -> index, miss -> ceil clamp
+    assert out["v"].tolist() == [vals[0, 0], vals[1, 1], vals[2, 1]]
+
+
+def test_asof_backward_join_matches_pandas():
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame({
+        "source": rng.choice(["a", "b", "c"], 300),
+        "time": rng.integers(0, 1000, 300).astype(np.int64),
+    })
+    right = pd.DataFrame({
+        "source": ["a"] * 5 + ["b"] * 3,
+        "rt": np.r_[np.sort(rng.choice(1000, 5, replace=False)),
+                    np.sort(rng.choice(1000, 3, replace=False))].astype(np.int64),
+    })
+    right["val"] = np.arange(len(right), dtype=np.int64) * 10
+
+    got = asof.asof_backward_join(
+        rd.from_pandas(left), pa.Table.from_pandas(right),
+        by="source", on="time", right_on="rt", value_cols=["val"], how="inner",
+    ).to_pandas()
+
+    want = pd.merge_asof(
+        left.sort_values("time", kind="stable"),
+        right.rename(columns={"rt": "time"}).sort_values("time", kind="stable"),
+        on="time", by="source", direction="backward",
+    ).dropna(subset=["val"])
+    assert len(got) == len(want)
+    g = got.sort_values(["source", "time", "val"]).reset_index(drop=True)
+    w = want.sort_values(["source", "time", "val"]).reset_index(drop=True)
+    np.testing.assert_array_equal(g["val"].to_numpy(), w["val"].to_numpy(np.int64))
+
+
+def test_asof_tolerance_and_left():
+    left = pd.DataFrame({"source": ["a", "a", "a"], "time": [5, 50, 500]})
+    right = pa.table({"source": ["a"], "rt": pa.array([0], pa.int64()),
+                      "val": pa.array([7], pa.int64())})
+    out = asof.asof_backward_join(
+        rd.from_pandas(left), right, by="source", on="time", right_on="rt",
+        value_cols=["val"], tolerance=60, how="left",
+    ).to_pandas().sort_values("time")
+    assert out["val"].tolist()[:2] == [7, 7]
+    assert pd.isna(out["val"].tolist()[2])  # beyond tolerance -> null
