@@ -349,6 +349,91 @@ def q_ts_grid_snap(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# zone containment (J6) + rich transit stats (A2)
+# --------------------------------------------------------------------------
+
+# labeled elliptical zones over (n_tok, time-of-day) — the engine's
+# non-geographic domain; overlapping on purpose so nearest-center
+# resolution and the Z0 fallback are both exercised
+_ZONE_DOMAIN = [
+    ("Z1", 512.0, 10800.0, 400.0, 9000.0),
+    ("Z2", 1536.0, 10800.0, 500.0, 9000.0),
+    ("Z3", 3000.0, 10800.0, 700.0, 9000.0),
+    ("Z4", 512.0, 43200.0, 400.0, 12000.0),
+    ("Z5", 1800.0, 43200.0, 900.0, 16000.0),
+    ("Z6", 3200.0, 43200.0, 700.0, 12000.0),
+    ("Z7", 1024.0, 70000.0, 800.0, 12000.0),
+    ("Z8", 2800.0, 70000.0, 900.0, 12000.0),
+]
+_TRANSIT_BAND = (512, 2048)  # value band for the sec_in_band clock
+
+
+def _add_tod(b: pa.Table) -> pa.Table:
+    day = pa.scalar(86400, pa.int64())
+    t = b["time"]
+    tod = pc.subtract(t, pc.multiply(pc.divide(t, day), day))
+    return b.append_column("tod", tod)
+
+
+def _zoned_clean(sf_dir: str):
+    from aisdb_ray.stages import zones as Z
+
+    cleaned = _clean_tokens(sf_dir).select_columns(
+        ["source", "doc_id", "time", "seq", "n_tok", "seg"]
+    ).map_batches(_add_tod, batch_format="pyarrow")
+    return Z.assign_zones(
+        cleaned, Z.Domain(_ZONE_DOMAIN), x_col="n_tok", y_col="tod",
+        concurrency=4,
+    )
+
+
+def q_ts_zones(sf_dir: str):
+    """Zone containment with prune + fallback (J6): bbox candidate prune,
+    exact ellipse containment, nearest-center resolution, Z0 default."""
+    return _zoned_clean(sf_dir).select_columns(["source", "doc_id", "zone"])
+
+
+def q_ts_transits(sf_dir: str):
+    """Per-(source, seg) rich transit stats (A2): entry/exit zone, calendar
+    parts, total vs cumulative delta, fixed-point per-hop rate min/avg/max,
+    seconds-in-band clock."""
+    from aisdb_ray.stages import transits
+
+    return transits.transit_stats(_zoned_clean(sf_dir), *_TRANSIT_BAND)
+
+
+def _sql_zones(tok: str) -> str:
+    """CTE block: clean prelude + per-point zone via the same arithmetic."""
+    from aisdb_ray.stages.zones import Domain, zones_sql_values
+
+    vals = zones_sql_values(Domain(_ZONE_DOMAIN))
+    return f"""{_sql_tokens_clean(tok)},
+  pts AS (
+    SELECT source, doc_id, time, seq, n_tok, seg,
+           time - (time // 86400) * 86400 AS tod
+    FROM segmented
+  ),
+  cand AS (
+    SELECT p.doc_id, z.zname,
+           ((CAST(p.n_tok AS DOUBLE) - z.cx) / z.rx)
+             * ((CAST(p.n_tok AS DOUBLE) - z.cx) / z.rx)
+           + ((CAST(p.tod AS DOUBLE) - z.cy) / z.ry)
+             * ((CAST(p.tod AS DOUBLE) - z.cy) / z.ry) AS d
+    FROM pts p CROSS JOIN {vals}
+  ),
+  best AS (
+    SELECT doc_id, zname,
+           row_number() OVER (PARTITION BY doc_id ORDER BY d, zname) AS rn
+    FROM cand WHERE d <= 1.0
+  ),
+  zoned AS (
+    SELECT p.source, p.doc_id, p.time, p.seq, p.n_tok, p.seg,
+           COALESCE(b.zname, 'Z0') AS zone
+    FROM pts p LEFT JOIN best b ON b.doc_id = p.doc_id AND b.rn = 1
+  )"""
+
+
+# --------------------------------------------------------------------------
 # events queries (generic engine over the driver's stream table)
 # --------------------------------------------------------------------------
 
@@ -673,6 +758,8 @@ def build_queries() -> dict:
         "ts_asof_join": q_ts_asof_join,
         "ts_grid_snap": q_ts_grid_snap,
         "ts_clean_salted": q_ts_clean_salted,
+        "ts_zones": q_ts_zones,
+        "ts_transits": q_ts_transits,
         "ts_split_multi": q_ts_split_multi,
         "ts_relink": q_ts_relink,
         "ts_decimate": q_ts_decimate,
@@ -718,6 +805,70 @@ FROM segmented GROUP BY source, seg"""
 
     sql["ts_clean_salted"] = sql["ts_clean"]  # identical contract, salted path
     sql["csv_ingest"] = sql["ts_clean"]  # CSV reader must drop exactly the garbage
+
+    sql["ts_zones"] = f"""WITH {_sql_zones(tok)}
+SELECT source, doc_id, zone FROM zoned"""
+
+    lo, hi = _TRANSIT_BAND
+    sql["ts_transits"] = f"""WITH {_sql_zones(tok)},
+  hop AS (
+    SELECT source, seg, time, seq, n_tok, zone,
+           lag(time) OVER w AS pt,
+           lag(n_tok) OVER w AS pv
+    FROM zoned
+    WINDOW w AS (PARTITION BY source, seg ORDER BY time, seq)
+  ),
+  hopc AS (
+    SELECT source, seg, time,
+           CASE WHEN pt IS NOT NULL THEN CAST(abs(n_tok - pv) AS BIGINT) END AS dv,
+           CASE WHEN pt IS NOT NULL AND time - pt > 0
+                THEN (CAST(abs(n_tok - pv) AS BIGINT) * 1000000) // (time - pt)
+           END AS rate_e6,
+           CASE WHEN pt IS NOT NULL AND time - pt > 0
+                 AND n_tok BETWEEN {lo} AND {hi} AND pv BETWEEN {lo} AND {hi}
+                THEN time - pt ELSE 0 END AS band_dt
+    FROM hop
+  ),
+  ends AS (
+    SELECT source, seg,
+           first_value(zone) OVER w2 AS src_zone,
+           last_value(zone) OVER w2f AS rcv_zone,
+           first_value(n_tok) OVER w2 AS v_first,
+           last_value(n_tok) OVER w2f AS v_last,
+           row_number() OVER w2 AS rn
+    FROM zoned
+    WINDOW
+      w2 AS (PARTITION BY source, seg ORDER BY time, seq),
+      w2f AS (PARTITION BY source, seg ORDER BY time, seq
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+  ),
+  ends1 AS (SELECT * FROM ends WHERE rn = 1),
+  agg AS (
+    SELECT source, seg,
+           CAST(min(time) AS BIGINT) AS t_start,
+           CAST(max(time) AS BIGINT) AS t_end,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(dv) AS BIGINT) AS cum_delta_raw,
+           CAST(count(rate_e6) AS BIGINT) AS n_hops,
+           CAST(min(rate_e6) AS BIGINT) AS rate_min_e6,
+           CAST(max(rate_e6) AS BIGINT) AS rate_max_e6,
+           CAST(sum(rate_e6) AS BIGINT) AS sum_rate,
+           CAST(sum(band_dt) AS BIGINT) AS sec_in_band
+    FROM hopc GROUP BY source, seg
+  )
+SELECT a.source, a.seg, e.src_zone, e.rcv_zone,
+       e.src_zone || '_' || e.rcv_zone AS transit_nodes,
+       a.t_start, a.t_end, a.n_rows,
+       CAST(year(make_timestamp(a.t_start * 1000000)) AS BIGINT) AS year,
+       CAST(month(make_timestamp(a.t_start * 1000000)) AS BIGINT) AS month,
+       CAST(day(make_timestamp(a.t_start * 1000000)) AS BIGINT) AS day,
+       (a.t_end - a.t_start) / 60.0 AS minutes_in_seg,
+       CAST(abs(e.v_last - e.v_first) AS BIGINT) AS total_delta,
+       COALESCE(a.cum_delta_raw, 0) AS cum_delta,
+       a.n_hops, a.rate_min_e6, a.rate_max_e6,
+       CAST(a.sum_rate AS DOUBLE) / CAST(a.n_hops AS DOUBLE) AS rate_avg_e6,
+       a.sec_in_band
+FROM agg a JOIN ends1 e ON e.source = a.source AND e.seg = a.seg"""
 
     sql["ts_asof_join"] = f"""WITH {_sql_tokens_clean(tok)},
   roll AS (
