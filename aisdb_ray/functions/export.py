@@ -44,5 +44,17 @@ def export_batch(batch: pa.Table, rate_decimals: int = 4) -> pa.Table:
 
 
 def write_series_csv(ds_cleaned, out_dir: str) -> None:
-    """Cleaned series -> CSV directory with the fixed export layout."""
-    ds_cleaned.map_batches(export_batch, batch_format="pyarrow").write_csv(out_dir)
+    """Cleaned series -> CSV directory with the fixed export layout.
+
+    String columns pass through the M6 sanitizer (proc_util.py:14-31) so a
+    stray comma/quote/newline in a key can never break the CSV framing."""
+    from aisdb_ray.functions.sanitize import sanitize_strings
+
+    # sanitize INPUT fields before composing Track_ID (the reference
+    # sanitizes each value before assembling the line, proc_util.py:285-300)
+    # — sanitizing afterwards would strip the '#' separator itself
+    (
+        ds_cleaned.map_batches(sanitize_strings, batch_format="pyarrow")
+        .map_batches(export_batch, batch_format="pyarrow")
+        .write_csv(out_dir)
+    )

@@ -1,0 +1,56 @@
+"""Value normalizer (M5) + string sanitizer (M6), vectorized.
+
+- :func:`wrap_value` is the ``shiftcoord`` contract
+  (/root/reference/aisdb/gis.py:18-35): wrap an out-of-range value into
+  ``[-rng, rng]`` with a linear shift + modulus, and flip the sign of
+  values sitting exactly ON the boundary (±rng → ∓rng).  Generalized to
+  period ``2*rng`` so any ring-valued channel works.
+- :func:`sanitize_strings` is the CSV string sanitizer
+  (/root/reference/aisdb/proc_util.py:14-31): nulls and the ``"-"``
+  placeholder become empty strings; commas (both ASCII 44 and the 0x82
+  look-alike), ``#``, quotes and newlines are stripped so one row can
+  never break the CSV framing.  Vectorized pyarrow, no Python row loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# chr(130) is the second "comma" the reference calls out explicitly
+_STRIP = r"""[,#"'\n]|""" + chr(130)
+
+
+def wrap_value(x, rng: float = 180.0) -> np.ndarray:
+    """Wrap values into [-rng, rng]; exact-boundary values flip sign."""
+    x = np.asarray(x, dtype=np.float64).copy()
+    assert x.size > 0, "x must be array-like"
+    on_edge = np.abs(x) == rng
+    x[~on_edge] = ((x[~on_edge] + rng) % (2 * rng)) - rng
+    x[on_edge] *= -1
+    assert np.all((x >= -rng) & (x <= rng))
+    return x
+
+
+def wrap_column(batch: pa.Table, col: str, rng: float = 180.0) -> pa.Table:
+    """map_batches body: normalize one channel in place."""
+    vals = wrap_value(batch[col].to_numpy(zero_copy_only=False), rng)
+    return batch.set_column(
+        batch.schema.get_field_index(col), col, pa.array(vals)
+    )
+
+
+def sanitize_array(arr: pa.ChunkedArray | pa.Array) -> pa.Array | pa.ChunkedArray:
+    """One string column -> CSV-safe strings (proc_util._sanitize rules)."""
+    s = pc.fill_null(arr, "")
+    s = pc.if_else(pc.equal(s, "-"), pa.scalar(""), s)
+    return pc.replace_substring_regex(s, _STRIP, "")
+
+
+def sanitize_strings(batch: pa.Table, columns=None) -> pa.Table:
+    """map_batches body: sanitize every (or the named) string column."""
+    for i, f in enumerate(batch.schema):
+        if (columns is None or f.name in columns) and pa.types.is_string(f.type):
+            batch = batch.set_column(i, f.name, sanitize_array(batch[f.name]))
+    return batch

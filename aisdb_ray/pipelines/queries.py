@@ -268,10 +268,20 @@ def q_ts_cubic_resample(sf_dir: str):
 
 def q_ts_gapfill(sf_dir: str):
     """Linear gap-fill onto the per-segment epoch grid (aisdb.interp
-    semantics). No SQL oracle — checked against the NumPy oracle in pytest;
-    the driver records a rows-only check."""
+    semantics); hash-verified against a DuckDB generate_series + linear
+    interpolation oracle, plus the NumPy oracle in pytest."""
     gf = series.gapfill_series(_prepared(sf_dir, with_tokens=True), TS_STEP, TS_MAX_GAP)
     return gf.select_columns(["source", "seg", "time", "n_tok", "is_original"])
+
+
+def q_ts_gapfill_rate(sf_dir: str):
+    """T8c (geo_interp_time analog): gap-fill, then RECOMPUTE the derived
+    rate channel from the filled grid; each segment's final point carries
+    the original series' last hop rate."""
+    gf = series.gapfill_rate_series(_prepared(sf_dir), TS_STEP, TS_MAX_GAP)
+    return gf.select_columns(
+        ["source", "seg", "time", "n_tok", "is_original", "rate"]
+    )
 
 
 def q_ts_asof_join(sf_dir: str):
@@ -755,6 +765,7 @@ def build_queries() -> dict:
         "ts_gorilla_roundtrip": q_ts_gorilla_roundtrip,
         "ts_mode": q_ts_mode,
         "ts_gapfill": q_ts_gapfill,
+        "ts_gapfill_rate": q_ts_gapfill_rate,
         "ts_asof_join": q_ts_asof_join,
         "ts_grid_snap": q_ts_grid_snap,
         "ts_clean_salted": q_ts_clean_salted,
@@ -992,7 +1003,7 @@ FROM joined"""
     # interpolation; <2-unique-timestamp segments skipped; right edge
     # clamps to the last value (np.interp semantics)
     step = TS_STEP
-    sql["ts_gapfill"] = f"""WITH {_sql_tokens_clean(tok)},
+    gapfill_ctes = f"""{_sql_tokens_clean(tok)},
   uniq AS (
     SELECT *, row_number() OVER (PARTITION BY source, seg, time ORDER BY seq) AS urn
     FROM segmented
@@ -1025,18 +1036,41 @@ FROM joined"""
     FROM snapped sn
     JOIN pts p0 ON p0.source = sn.source AND p0.seg = sn.seg AND p0.rn = sn.j
     LEFT JOIN pts p1 ON p1.source = sn.source AND p1.seg = sn.seg AND p1.rn = sn.j + 1
+  ),
+  filled AS (
+    SELECT source, seg, g AS time,
+           CASE
+             WHEN ta = g THEN CAST(va AS DOUBLE)
+             WHEN tb IS NULL THEN CAST(va AS DOUBLE)
+             ELSE CAST(va AS DOUBLE)
+                  + (CAST(g AS DOUBLE) - CAST(ta AS DOUBLE))
+                    * ((CAST(vb AS DOUBLE) - CAST(va AS DOUBLE))
+                       / (CAST(tb AS DOUBLE) - CAST(ta AS DOUBLE)))
+           END AS n_tok,
+           ta = g AS is_original
+    FROM joined
+  )"""
+    sql["ts_gapfill"] = f"""WITH {gapfill_ctes}
+SELECT source, seg, time, n_tok, is_original FROM filled"""
+
+    # T8c: derived rate recomputed from the FILLED grid; final grid point
+    # carries the original series' last hop rate (interp.py:180-184)
+    sql["ts_gapfill_rate"] = f"""WITH {gapfill_ctes},
+  last_hop AS (
+    SELECT a.source, a.seg,
+           (CAST(a.n_tok AS DOUBLE) - CAST(b.n_tok AS DOUBLE))
+             / (CAST(a.time AS DOUBLE) - CAST(b.time AS DOUBLE)) AS last_rate
+    FROM pts a
+    JOIN pts b ON b.source = a.source AND b.seg = a.seg AND b.rn = a.rn - 1
+    WHERE a.rn = a.n_pts AND a.n_pts >= 2
   )
-SELECT source, seg, g AS time,
-       CASE
-         WHEN ta = g THEN CAST(va AS DOUBLE)
-         WHEN tb IS NULL THEN CAST(va AS DOUBLE)
-         ELSE CAST(va AS DOUBLE)
-              + (CAST(g AS DOUBLE) - CAST(ta AS DOUBLE))
-                * ((CAST(vb AS DOUBLE) - CAST(va AS DOUBLE))
-                   / (CAST(tb AS DOUBLE) - CAST(ta AS DOUBLE)))
-       END AS n_tok,
-       ta = g AS is_original
-FROM joined"""
+SELECT f.source, f.seg, f.time, f.n_tok, f.is_original,
+       CASE WHEN lead(f.n_tok) OVER w IS NULL THEN lh.last_rate
+            ELSE (lead(f.n_tok) OVER w - f.n_tok) / {step}
+       END AS rate
+FROM filled f
+JOIN last_hop lh ON lh.source = f.source AND lh.seg = f.seg
+WINDOW w AS (PARTITION BY f.source, f.seg ORDER BY f.time)"""
 
     sql["ts_mode"] = f"""WITH {_sql_tokens_clean(tok)},
   cls AS (SELECT source, n_tok // 512 AS mode_value FROM clean),

@@ -216,6 +216,63 @@ def gapfill_group(
     return pa.table(cols)
 
 
+def gapfill_rate_group(
+    group: pa.Table,
+    step: int = DEFAULT_STEP,
+    max_gap: int = DEFAULT_MAX_GAP,
+    cleaned: bool = False,
+) -> pa.Table:
+    """Gap-fill, then RECOMPUTE the derived rate channel from the filled
+    series — the geo_interp_time contract (T8c).
+
+    The reference interpolates position and then re-derives course over
+    ground from consecutive INTERPOLATED points, with the final point
+    carrying the original channel's last value
+    (/root/reference/aisdb/interp.py:121-192, cog recompute :180-184
+    ``np.append(courses, track['cog'][-1])``).  Here: ``rate[i] =
+    (v[i+1] - v[i]) / step`` over the filled grid within a segment; the
+    segment's last grid point carries the ORIGINAL series' final hop rate
+    (last two unique-timestamp points).
+    """
+    g = group if cleaned else clean_group(group, max_gap)
+
+    # original final-hop rate per segment (unique timestamps, keep-first)
+    t = g[TIME].to_numpy(zero_copy_only=False)
+    seg = g[SEG].to_numpy(zero_copy_only=False)
+    v = g[N_TOK].to_numpy(zero_copy_only=False).astype(np.float64)
+    uniq = np.r_[True, (t[1:] != t[:-1]) | (seg[1:] != seg[:-1])] if len(t) else np.array([], bool)
+    ui = np.flatnonzero(uniq)
+    ts_u, seg_u, v_u = t[ui], seg[ui], v[ui]
+    firstu = (
+        np.flatnonzero(np.r_[True, seg_u[1:] != seg_u[:-1]])
+        if len(seg_u)
+        else np.array([], int)
+    )
+    lastu = np.r_[firstu[1:] - 1, len(seg_u) - 1] if len(seg_u) else np.array([], int)
+    ok = lastu > firstu  # segments with >= 2 unique timestamps get filled
+    last_rate = (v_u[lastu[ok]] - v_u[lastu[ok] - 1]) / (
+        ts_u[lastu[ok]] - ts_u[lastu[ok] - 1]
+    )
+    ok_segs = seg_u[firstu][ok]
+
+    gf = gapfill_group(g, step, max_gap, cleaned=True)
+    n = gf.num_rows
+    if n == 0:
+        return gf.append_column("rate", pa.array([], pa.float64()))
+
+    vf = gf[N_TOK].to_numpy(zero_copy_only=False)
+    segf = gf[SEG].to_numpy(zero_copy_only=False)
+    firstf = np.flatnonzero(np.r_[True, segf[1:] != segf[:-1]])
+    lastf = np.r_[firstf[1:] - 1, n - 1]
+    # filled segments appear in the same ascending order as ok_segs
+    assert np.array_equal(segf[firstf], ok_segs)
+
+    rate = np.empty(n, dtype=np.float64)
+    rate[:-1] = np.diff(vf) / step
+    rate[lastf] = last_rate
+    return gf.append_column("rate", pa.array(rate))
+
+
 # ------------------------------------------------------------ dataset-level
 
 def clean_series(
@@ -261,5 +318,18 @@ def gapfill_series(
 ):
     return ds.groupby(SOURCE).map_groups(
         lambda g: gapfill_group(g, step, max_gap, cleaned=cleaned),
+        batch_format="pyarrow",
+    )
+
+
+def gapfill_rate_series(
+    ds,
+    step: int = DEFAULT_STEP,
+    max_gap: int = DEFAULT_MAX_GAP,
+    cleaned: bool = False,
+):
+    """Gap-fill + post-fill derived-rate recompute (T8c), one shuffle."""
+    return ds.groupby(SOURCE).map_groups(
+        lambda g: gapfill_rate_group(g, step, max_gap, cleaned=cleaned),
         batch_format="pyarrow",
     )

@@ -1,0 +1,69 @@
+"""M5/M6 normalizer + sanitizer and the A4 metadata catalog."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from aisdb_ray.functions.sanitize import sanitize_strings, wrap_value
+from aisdb_ray.state import catalog
+
+
+def test_wrap_value_reference_cases():
+    # gis.py docstring: longitude 181 -> -179
+    assert wrap_value([181.0])[0] == -179.0
+    assert wrap_value([-181.0])[0] == 179.0
+    assert wrap_value([540.0])[0] == 180.0 or wrap_value([540.0])[0] == -180.0
+    # exact-boundary flip: ±rng -> ∓rng (gis.py:31-33)
+    assert wrap_value([180.0])[0] == -180.0
+    assert wrap_value([-180.0])[0] == 180.0
+    # in-range values unchanged
+    np.testing.assert_array_equal(wrap_value([0.0, 45.5, -90.0]), [0.0, 45.5, -90.0])
+    # generalized ring
+    assert wrap_value([91.0], rng=90.0)[0] == -89.0
+
+
+def test_sanitize_strings_rules():
+    t = pa.table({
+        "k": ['a,b', 'x#y"z', "q'r\ns", "-", None, "ok"],
+        "n": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+    })
+    out = sanitize_strings(t)
+    assert out["k"].to_pylist() == ["ab", "xyz", "qrs", "", "", "ok"]
+    assert out["n"].to_pylist() == [1, 2, 3, 4, 5, 6]  # non-strings untouched
+    # the chr(130) look-alike comma is stripped too (proc_util.py:15-17)
+    t2 = pa.table({"k": ["a" + chr(130) + "b"]})
+    assert sanitize_strings(t2)["k"].to_pylist() == ["ab"]
+
+
+@pytest.fixture(scope="module")
+def ranged_dir(tmp_path_factory) -> str:
+    root = str(tmp_path_factory.mktemp("cat"))
+    for i, (lo, hi) in enumerate([(0, 999), (1000, 1999), (5000, 5999)]):
+        t = pa.table({"time": np.arange(lo, hi + 1, dtype=np.int64),
+                      "v": np.ones(hi - lo + 1)})
+        pq.write_table(t, os.path.join(root, f"p{i}.parquet"))
+    return root
+
+
+def test_dataset_range_from_footers(ranged_dir):
+    assert catalog.dataset_range(ranged_dir, "time") == (0, 5999)
+    rs = catalog.file_ranges(ranged_dir, "time")
+    assert [r["min"] for r in rs] == [0, 1000, 5000]
+    assert all(r["rows"] == 1000 for r in rs)
+
+
+def test_validate_range_prunes_and_clamps(ranged_dir):
+    r = catalog.validate_range(ranged_dir, "time", 1500, 1700)
+    assert r["covered"] and len(r["files"]) == 1 and r["files_total"] == 3
+    r2 = catalog.validate_range(ranged_dir, "time", 900, 5200)
+    assert len(r2["files"]) == 3  # spans the gap: all overlapping candidates
+    r3 = catalog.validate_range(ranged_dir, "time", 100000, 200000)
+    assert not r3["covered"] and r3["files"] == []
+    # clamped to the dataset's actual extent
+    r4 = catalog.validate_range(ranged_dir, "time", -50, 100000)
+    assert r4["clamped"] == (0, 5999)
