@@ -714,8 +714,10 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_ann_lsh_topk(sf_dir: str):
-    """LSH-bucketed ANN variant (multi-table probe). Approximate by design
-    -> rows-only check; recall pinned by pytest."""
+    """LSH-bucketed ANN via the PERSISTED postings index: built once per sf
+    (idempotent), each query prune-reads only its probed (tbl, bucket)
+    partitions — no per-query corpus scan. Approximate by design -> rows-only
+    check; recall and per-query pruning pinned by pytest."""
     import pyarrow.parquet as pq
 
     from aisdb_ray.stages import ann
@@ -725,7 +727,12 @@ def q_ann_lsh_topk(sf_dir: str):
     q0 = np.asarray(
         t.filter(pc.equal(t["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64
     )
-    return ann.lsh_topk(rd.read_parquet(_emb_path(sf_dir)), q0, k=10)
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(SF_CACHE_ROOT, name, "lsh_index")
+    ann.build_lsh_index(
+        rd.read_parquet(_emb_path(sf_dir)), idx, ann.LshIndexParams(len(q0))
+    )
+    return ann.lsh_index_topk(idx, _emb_path(sf_dir), q0, k=10)
 
 
 def q_emb_neardup(sf_dir: str):

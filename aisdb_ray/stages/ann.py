@@ -11,6 +11,7 @@ for a candidate set ~ corpus/2^bits.
 from __future__ import annotations
 
 import heapq
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -82,6 +83,7 @@ class LshIndexParams:
         self.planes = rng.normal(size=(n_tables, n_bits, dim))
         self.n_bits = n_bits
         self.n_tables = n_tables
+        self.seed = seed
 
     def buckets_of(self, m: np.ndarray) -> np.ndarray:
         """(n, n_tables) int64 bucket ids."""
@@ -109,6 +111,124 @@ def lsh_bucket_assign(ds_emb, params: LshIndexParams):
         return b
 
     return ds_emb.map_batches(assign, batch_format="pyarrow")
+
+
+def build_lsh_index(
+    ds_emb,
+    index_dir: str,
+    params: LshIndexParams,
+    min_rows_per_file: int = 100_000,
+) -> str:
+    """Materialize the LSH assignment ONCE as a persisted postings index.
+
+    Layout: ``postings/tbl=T/bucket=B/*.parquet`` holding skinny
+    ``(vec_id)`` rows — one row per (table, bucket) membership.  The
+    embedding payload is NOT duplicated into the index; it stays in the
+    source lake, fetched for candidates only.  A query then reads just its
+    probed (tbl, bucket) partitions — driver-side metadata pruning via the
+    predicate layer, O(probes) directories instead of a corpus scan per
+    query (the fix for recomputing signatures per query).  Idempotent via
+    _SUCCESS; params (seed/bits/tables/dim) ride a JSON sidecar so query
+    time reconstructs identical hyperplanes.
+    """
+    import json
+
+    marker = os.path.join(index_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return index_dir
+
+    assigned = lsh_bucket_assign(ds_emb, params)
+    n_tables = params.n_tables
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tbls, bks, vids = [], [], []
+        for t in range(n_tables):
+            tbls.append(np.full(len(ids), t, dtype=np.int64))
+            bks.append(b[f"bucket_{t}"].to_numpy(zero_copy_only=False))
+            vids.append(ids)
+        return pa.table(
+            {
+                "tbl": pa.array(np.concatenate(tbls)),
+                "bucket": pa.array(np.concatenate(bks).astype(np.int64)),
+                "vec_id": pa.array(np.concatenate(vids)),
+            }
+        )
+
+    os.makedirs(index_dir, exist_ok=True)
+    assigned.map_batches(explode, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "postings"),
+        partition_cols=["tbl", "bucket"],
+        min_rows_per_file=min_rows_per_file,
+    )
+    dim = params.planes.shape[2]
+    with open(os.path.join(index_dir, "params.json"), "w") as fh:
+        json.dump(
+            {"dim": dim, "n_bits": params.n_bits,
+             "n_tables": params.n_tables, "seed": params.seed},
+            fh,
+        )
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return index_dir
+
+
+def load_lsh_params(index_dir: str) -> LshIndexParams:
+    import json
+
+    with open(os.path.join(index_dir, "params.json")) as fh:
+        meta = json.load(fh)
+    return LshIndexParams(
+        meta["dim"], meta["n_bits"], meta["n_tables"], meta["seed"]
+    )
+
+
+def lsh_index_topk(
+    index_dir: str,
+    emb_path: str,
+    query: np.ndarray,
+    k: int = 10,
+    probe_hamming1: bool = True,
+):
+    """ANN top-k against the PERSISTED index: prune-read the probed
+    (tbl, bucket) partitions, semi-join candidates back to the embedding
+    lake, brute-force only the candidate set.
+
+    Candidate-set size is the index's design knob (~ corpus·T·(1+bits) /
+    2^bits) — sized so the id list is driver-safe for a query stream."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from aisdb_ray.predicates import Pred, field, scan_parquet
+
+    params = load_lsh_params(index_dir)
+    q = query.astype(np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    qb = params.buckets_of(q[None, :])[0]
+
+    probe: Pred | None = None
+    for t in range(params.n_tables):
+        probes = {int(qb[t])}
+        if probe_hamming1:
+            probes |= {int(qb[t]) ^ (1 << i) for i in range(params.n_bits)}
+        p = (field("tbl") == t) & field("bucket").isin(sorted(probes))
+        probe = p if probe is None else (probe | p)
+
+    postings = scan_parquet(
+        os.path.join(index_dir, "postings"),
+        where=probe,
+        partition_cols=["tbl", "bucket"],
+    )
+    cand = sorted(set(postings.unique("vec_id")))
+    if not cand:
+        return rd.from_arrow(
+            pa.table({"vec_id": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+        )
+    ds_cand = rd.read_parquet(
+        emb_path, filter=pads.field("vec_id").isin(cand)
+    )
+    return topk_cosine(ds_cand, query, k)
 
 
 def lsh_topk(ds_emb, query: np.ndarray, k: int = 10,

@@ -109,18 +109,26 @@ def _finalize(batch: pa.Table, key_col: str = SOURCE) -> pa.Table:
     )
 
 
-def _combine(partials, key_col: str = SOURCE):
+def _combine(partials, key_col: str = SOURCE, hash_combine: bool = False):
     """Combine partial rows into final (key, bucket) stats — fully vectorized.
 
     Ray's built-in ``groupby().aggregate`` walks group boundaries in Python
     (~40µs per group per aggregate — measured), which is pathological for
     high-cardinality keys like (source, minute).  Instead: a per-block
-    vectorized ``pyarrow.Table.group_by`` combine, then funnel the (already
-    collapsed) partials into one block for the exact global combine.  The
-    funnel is safe because rollup results are orders of magnitude smaller
-    than inputs; for results too big for one block, the cascade pipeline's
-    hash-partitioned per-part path (pipelines/cascade.py) is the scale
-    mechanism — each partition combines independently.
+    vectorized ``pyarrow.Table.group_by`` combine, then one of two global
+    merges:
+
+    - default (``hash_combine=False``): funnel the (already collapsed)
+      partials into ONE block.  Right when the result set is small —
+      top-k, mode, per-source daily tiers at moderate cardinality.
+    - ``hash_combine=True``: a ``groupby(key)`` hash shuffle of the
+      partials with a vectorized per-group combine.  Only partial rows
+      move (one per (key, bucket) per upstream block), and no single task
+      ever holds the whole result — the scale path when (key × bucket)
+      cardinality outgrows one block (e.g. per-minute tiers over many
+      sources).  The cascade pipeline's per-part path
+      (pipelines/cascade.py) remains the zero-extra-shuffle variant when
+      data is already hash-partitioned on disk.
     """
 
     def combine_b(b: pa.Table) -> pa.Table:
@@ -128,9 +136,14 @@ def _combine(partials, key_col: str = SOURCE):
         return repartial_batch(b, 1, key_col)
 
     local = partials.map_batches(combine_b, batch_format="pyarrow", batch_size=None)
-    merged = local.repartition(1).map_batches(
-        combine_b, batch_format="pyarrow", batch_size=None
-    )
+    if hash_combine:
+        merged = local.groupby(key_col).map_groups(
+            combine_b, batch_format="pyarrow"
+        )
+    else:
+        merged = local.repartition(1).map_batches(
+            combine_b, batch_format="pyarrow", batch_size=None
+        )
     return merged.map_batches(
         lambda b: _finalize(b, key_col), batch_format="pyarrow", batch_size=None
     )
@@ -142,13 +155,14 @@ def rollup(
     value: str = N_TOK,
     time_col: str = TIME,
     key_col: str = SOURCE,
+    hash_combine: bool = False,
 ):
     """Full rollup of a point dataset: partial per batch -> combine -> finalize."""
     partials = ds.map_batches(
         lambda b: partial_rollup_batch(b, width_s, value, time_col, key_col),
         batch_format="pyarrow",
     )
-    return _combine(partials, key_col)
+    return _combine(partials, key_col, hash_combine=hash_combine)
 
 
 def rollup_grouped(
@@ -181,9 +195,11 @@ def rollup_from_rollup_grouped(ds, width_s: int, key_col: str = SOURCE):
     )
 
 
-def rollup_from_rollup(ds, width_s: int, key_col: str = SOURCE):
+def rollup_from_rollup(
+    ds, width_s: int, key_col: str = SOURCE, hash_combine: bool = False
+):
     """Continuous-aggregate reaggregation: next tier from the previous tier."""
     partials = ds.map_batches(
         lambda b: repartial_batch(b, width_s, key_col), batch_format="pyarrow"
     )
-    return _combine(partials, key_col)
+    return _combine(partials, key_col, hash_combine=hash_combine)

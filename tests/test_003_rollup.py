@@ -58,3 +58,17 @@ def test_rollup_small_scale(small_dir, small_df):
     got = rollup.rollup(_clean_ds(small_dir), 3600).to_pandas()
     want = oracle.rollup(oracle.clean(small_df), 3600)
     _cmp(got, want)
+
+
+def test_hash_combine_matches_single_funnel(micro_dir, micro_df):
+    """The groupby hash-shuffle combine (scale path for results too big for
+    one block) is exactly equal to the single-block funnel."""
+    got = rollup.rollup(_clean_ds(micro_dir), 60, hash_combine=True).to_pandas()
+    want = oracle.rollup(oracle.clean(micro_df), 60)
+    _cmp(got, want)
+    h1 = rollup.rollup_from_rollup(
+        rollup.rollup(_clean_ds(micro_dir), 60, hash_combine=True),
+        3600,
+        hash_combine=True,
+    ).to_pandas()
+    _cmp(h1, oracle.rollup(oracle.clean(micro_df), 3600))

@@ -44,6 +44,35 @@ def test_lsh_topk_recall():
     assert ids[3] in approx
 
 
+def test_lsh_index_persisted_matches_inline(tmp_path):
+    ids, m = _matrix()
+    q = m[3]
+    params = ann.LshIndexParams(m.shape[1])
+    idx = str(tmp_path / "lsh")
+    ann.build_lsh_index(rd.read_parquet(EMB), idx, params)
+    # build is idempotent: second call is a no-op via _SUCCESS
+    ann.build_lsh_index(rd.read_parquet(EMB), idx, params)
+
+    inline = ann.lsh_topk(rd.read_parquet(EMB), q, k=10, params=params).to_pandas()
+    persisted = ann.lsh_index_topk(idx, EMB, q, k=10).to_pandas()
+    np.testing.assert_array_equal(
+        persisted["vec_id"].to_numpy(), inline["vec_id"].to_numpy()
+    )
+
+    # the probe must READ only its probed partitions, not the whole index
+    import glob
+
+    from aisdb_ray.predicates import field, scan_parquet
+
+    total = len(glob.glob(idx + "/postings/tbl=*/bucket=*"))
+    probed = scan_parquet(
+        idx + "/postings",
+        where=(field("tbl") == 0) & field("bucket").isin([1, 2, 3]),
+        partition_cols=["tbl", "bucket"],
+    )
+    assert len(probed.input_files()) < total
+
+
 def test_embedding_neardup_symmetric_threshold():
     # the synthetic embeddings are near-orthogonal (max off-diag cosine
     # ~0.48), so use a threshold that yields a non-trivial pair set
