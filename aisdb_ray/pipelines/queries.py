@@ -746,14 +746,28 @@ def q_emb_neardup(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    """Multimodal chain on the synthetic media corpus: stub decode ->
-    feature extraction (actor pools). Rows-only (no media table in sf)."""
+    """Multimodal chain on the synthetic media corpus: REAL pure-numpy
+    decode (PPM/BMP images + concatenated-PPM video streams) -> feature
+    extraction (actor pools). Rows-only (no media table in sf); codec
+    round-trips and feature values pinned by pytest."""
     from aisdb_ray.stages import multimodal as mm
 
     _ctx()
     return mm.decode_and_featurize(
         rd.from_arrow(mm.synth_media_table(64)), concurrency=2, batch_size=16
     ).select_columns(["media_id", "mean_r", "mean_g", "mean_b"])
+
+
+def q_media_audio(sf_dir: str):
+    """WAV (PCM16) decode -> per-clip rms / duration / zero-crossing-rate
+    in an actor pool; decoded samples never leave the task. Rows-only."""
+    from aisdb_ray.stages import multimodal as mm
+
+    _ctx()
+    return rd.from_arrow(mm.synth_media_table(64)).map_batches(
+        mm.DecodeAudio, batch_format="pyarrow", batch_size=16,
+        concurrency=(1, 2),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -800,6 +814,7 @@ def build_queries() -> dict:
         "ann_lsh_topk": q_ann_lsh_topk,
         "emb_neardup": q_emb_neardup,
         "media_features": q_media_features,
+        "media_audio": q_media_audio,
     }
 
 

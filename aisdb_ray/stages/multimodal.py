@@ -1,23 +1,30 @@
-"""Multimodal (image/audio/video) plumbing: opaque binary columns + typed
+"""Multimodal (image/audio/video) columns: opaque binary payloads + typed
 metadata, processed by actor-pool ``map_batches`` stages.
 
-The image/audio codec libraries are not in this container, so the *decode*
-kernels are stubbed exactly as the task prescribes: ``DecodeImage`` raises
-``NotImplementedError`` unless constructed with ``fake=True``, in which case
-it produces a deterministic fake decode (seeded by the payload's checksum).
-Everything around the stub — schema, batch sizing for wide binary rows,
-actor signatures, output layout — is real and tested, so swapping in a real
-decoder is a one-line change per stage.
+The container has no codec LIBRARIES (no PIL/ffmpeg), but three classic
+container formats are pure header+buffer layouts decodable with numpy
+alone, so the decode kernels here are REAL, not stubs:
 
-Batch-size note (the memory-aware rule): binary payload rows are wide; these
-stages default to small ``batch_size`` so batch x concurrency fits worker
-heaps, and they run ``batch_format="pyarrow"`` end-to-end (binary columns
-round-trip Arrow cleanly but not pandas).
+- **PPM (P6)**: ``P6\\n<w> <h>\\n255\\n`` + raw RGB rows;
+- **BMP (24-bit uncompressed)**: BITMAPFILEHEADER + BITMAPINFOHEADER,
+  bottom-up BGR rows padded to 4 bytes;
+- **WAV (PCM16 mono)**: RIFF/fmt/data chunks + int16 samples.
+
+Compressed formats (PNG/JPEG/MP4) stay behind a declared
+``NotImplementedError`` — swapping in a real codec is the ``__init__``
+of the same actor class.  "Video" rows are modeled as a frame stream of
+concatenated PPM images (the post-demux layout a real pipeline hands to
+per-frame workers).
+
+Batch-size note (the memory-aware rule): binary payload rows are wide;
+these stages default to small ``batch_size`` so batch x concurrency fits
+worker heaps, and they run ``batch_format="pyarrow"`` end-to-end (binary
+columns round-trip Arrow cleanly but not pandas).
 """
 
 from __future__ import annotations
 
-import hashlib
+import struct
 import zlib
 
 import numpy as np
@@ -35,52 +42,200 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+# --------------------------------------------------------------- codecs
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    h, w, _ = px.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
+
+
+def _parse_ppm_header(payload: bytes) -> tuple[int, int, int]:
+    """-> (width, height, data_offset); comments (#...) skipped."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while not payload[end : end + 1].isspace():
+            end += 1
+        tokens.append(int(payload[pos:end]))
+        pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    return w, h, pos
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    w, h, pos = _parse_ppm_header(payload)
+    buf = np.frombuffer(payload, np.uint8, count=w * h * 3, offset=pos)
+    return buf.reshape(h, w, 3)
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """24-bit uncompressed BMP: bottom-up BGR rows, 4-byte row padding."""
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # flip rows, RGB->BGR
+    data = rows.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    magic, _size, _r1, _r2, off = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    hsz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    stride = (w * 3 + 3) & ~3
+    buf = np.frombuffer(payload, np.uint8, count=stride * abs(h), offset=off)
+    rows = buf.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+    if h > 0:  # bottom-up
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, sz = struct.unpack_from("<4sI", payload, pos)
+        body = pos + 8
+        if cid == b"fmt ":
+            audio_fmt, ch, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", payload, body
+            )
+            if audio_fmt != 1 or ch != 1 or bits != 16:
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            samples = np.frombuffer(payload, "<i2", count=sz // 2, offset=body)
+        pos = body + sz + (sz & 1)
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return samples, rate
+
+
+def split_ppm_frames(payload: bytes) -> list[bytes]:
+    """Demux a concatenated-PPM 'video' stream into per-frame payloads."""
+    frames, pos = [], 0
+    while pos < len(payload):
+        w, h, data_off = _parse_ppm_header(payload[pos:])
+        end = pos + data_off + w * h * 3
+        frames.append(payload[pos:end])
+        pos = end
+    return frames
+
+
+# --------------------------------------------------------------- fixtures
+
 def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
-    """Deterministic fake media corpus (payload = seeded random bytes)."""
+    """Deterministic media corpus with REAL payloads: PPM and BMP images,
+    PCM16 WAV clips, and concatenated-PPM frame streams for video rows."""
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, int(rng.integers(256, 4096)), dtype=np.uint8).tobytes() for _ in range(n)]
-    mimes = [["image/png", "audio/wav", "video/mp4"][i % 3] for i in range(n)]
+    payloads, mimes, widths, heights, n_frames = [], [], [], [], []
+    for i in range(n):
+        w = int(rng.integers(8, 48))
+        h = int(rng.integers(8, 48))
+        kind = i % 4
+        if kind == 0:
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            payloads.append(encode_ppm(px)); mimes.append("image/x-portable-pixmap")
+            widths.append(w); heights.append(h); n_frames.append(1)
+        elif kind == 1:
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            payloads.append(encode_bmp(px)); mimes.append("image/bmp")
+            widths.append(w); heights.append(h); n_frames.append(1)
+        elif kind == 2:
+            nsamp = int(rng.integers(800, 4000))
+            t = np.arange(nsamp)
+            freq = float(rng.uniform(0.01, 0.2))
+            samples = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+            payloads.append(encode_wav(samples)); mimes.append("audio/wav")
+            widths.append(0); heights.append(0); n_frames.append(1)
+        else:
+            nf = int(rng.integers(4, 12))
+            frames = [
+                encode_ppm(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+                for _ in range(nf)
+            ]
+            payloads.append(b"".join(frames)); mimes.append("video/x-ppm-stream")
+            widths.append(w); heights.append(h); n_frames.append(nf)
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),
             "payload": pa.array(payloads, pa.binary()),
             "mime": pa.array(mimes, pa.string()),
-            "width": pa.array(rng.integers(16, 256, n).astype(np.int32)),
-            "height": pa.array(rng.integers(16, 256, n).astype(np.int32)),
-            "n_frames": pa.array(
-                np.where(np.arange(n) % 3 == 2, rng.integers(8, 64, n), 1).astype(np.int32)
-            ),
+            "width": pa.array(np.array(widths, np.int32)),
+            "height": pa.array(np.array(heights, np.int32)),
+            "n_frames": pa.array(np.array(n_frames, np.int32)),
         },
         schema=MEDIA_SCHEMA,
     )
 
 
-class DecodeImage:
-    """Actor-pool decode stage (STUB).
+# --------------------------------------------------------------- stages
 
-    Real implementation would do ``PIL.Image.open(BytesIO(payload))`` in
-    ``__call__`` with the library handle created once here in ``__init__``.
-    """
+_IMAGE_DECODERS = {
+    "image/x-portable-pixmap": decode_ppm,
+    "image/bmp": decode_bmp,
+}
+
+
+class DecodeImage:
+    """Actor-pool decode stage: header-only formats decode for real; for
+    video streams the FIRST frame is decoded (frame fan-out is
+    :func:`frame_sample_batch`'s job).  Compressed formats raise unless
+    ``fake=True`` supplies the deterministic fallback decode."""
 
     def __init__(self, fake: bool = False):
         self.fake = fake
-        if not fake:
-            raise NotImplementedError(
-                "image codecs are not available in this container; "
-                "construct with fake=True for the deterministic test decode"
-            )
+        self.decoders = dict(_IMAGE_DECODERS)
 
-    def _fake_pixels(self, payload: bytes, w: int, h: int) -> np.ndarray:
-        seed = zlib.crc32(payload)
-        rng = np.random.default_rng(seed)
-        return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    def _decode(self, payload: bytes, mime: str, w: int, h: int) -> np.ndarray:
+        if mime in self.decoders:
+            return self.decoders[mime](payload)
+        if mime == "video/x-ppm-stream":
+            return decode_ppm(payload)  # P6 parser stops at frame 0
+        if self.fake:
+            rng = np.random.default_rng(zlib.crc32(payload))
+            return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        raise NotImplementedError(
+            f"no codec for {mime} in this container; construct with "
+            "fake=True for the deterministic fallback decode"
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        pixels = []
+        pixels, widths, heights = [], [], []
         for i in range(batch.num_rows):
-            w = batch["width"][i].as_py()
-            h = batch["height"][i].as_py()
-            px = self._fake_pixels(batch["payload"][i].as_py(), w, h)
+            px = self._decode(
+                batch["payload"][i].as_py(),
+                batch["mime"][i].as_py(),
+                batch["width"][i].as_py(),
+                batch["height"][i].as_py(),
+            )
+            heights.append(px.shape[0]); widths.append(px.shape[1])
             pixels.append(px.reshape(-1))
         off = np.zeros(len(pixels) + 1, dtype=np.int64)
         np.cumsum([len(p) for p in pixels], out=off[1:])
@@ -88,11 +243,36 @@ class DecodeImage:
         return pa.table(
             {
                 "media_id": batch["media_id"],
-                "width": batch["width"],
-                "height": batch["height"],
+                "width": pa.array(np.array(widths, np.int32)),
+                "height": pa.array(np.array(heights, np.int32)),
                 "pixels": pa.LargeListArray.from_arrays(
                     pa.array(off, pa.int64()), pa.array(flat, pa.uint8())
                 ),
+            }
+        )
+
+
+class DecodeAudio:
+    """Actor-pool WAV decode -> per-clip features (rms, duration,
+    zero-crossing rate) — decoded samples never leave the task."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rms, dur, zcr, ids = [], [], [], []
+        for i in range(batch.num_rows):
+            if batch["mime"][i].as_py() != "audio/wav":
+                continue
+            s, rate = decode_wav(batch["payload"][i].as_py())
+            x = s.astype(np.float64)
+            ids.append(batch["media_id"][i].as_py())
+            rms.append(float(np.sqrt(np.mean(x * x))))
+            dur.append(len(s) / rate)
+            zcr.append(float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "rms": pa.array(rms, pa.float64()),
+                "duration_s": pa.array(dur, pa.float64()),
+                "zcr": pa.array(zcr, pa.float64()),
             }
         )
 
@@ -128,34 +308,48 @@ class ImageFeatures:
 
 
 def frame_sample_batch(batch: pa.Table, every: int = 8) -> pa.Table:
-    """Frame sampling plan for video rows: one output row per kept frame.
-
-    Purely structural (no decode): mirrors how a video pipeline fans a clip
-    out to per-frame rows before a decode/extract actor stage.
-    """
-    ids, frames = [], []
+    """Frame sampling: demux video payloads and emit one row per kept
+    frame (frame payload included) — the fan-out a per-frame decode/extract
+    actor stage consumes."""
+    ids, frames, payloads = [], [], []
     for i in range(batch.num_rows):
-        n = batch["n_frames"][i].as_py()
-        keep = list(range(0, n, every))
-        ids.extend([batch["media_id"][i].as_py()] * len(keep))
-        frames.extend(keep)
+        mid = batch["media_id"][i].as_py()
+        if batch["mime"][i].as_py() == "video/x-ppm-stream":
+            fr = split_ppm_frames(batch["payload"][i].as_py())
+            keep = list(range(0, len(fr), every))
+            ids.extend([mid] * len(keep))
+            frames.extend(keep)
+            payloads.extend(fr[j] for j in keep)
+        else:
+            n = batch["n_frames"][i].as_py()
+            keep = list(range(0, n, every))
+            ids.extend([mid] * len(keep))
+            frames.extend(keep)
+            payloads.extend([batch["payload"][i].as_py()] * len(keep))
     return pa.table(
         {
             "media_id": pa.array(ids, pa.int64()),
             "frame_idx": pa.array(frames, pa.int32()),
+            "payload": pa.array(payloads, pa.binary()),
         }
     )
 
 
 def decode_and_featurize(ds, concurrency: int = 4, batch_size: int = 16):
-    """The canonical multimodal chain: decode (stub) -> features, both
-    actor pools with small batches (wide binary rows)."""
+    """The canonical multimodal chain: real decode -> features, both
+    actor pools with small batches (wide binary rows).  Audio rows route
+    to :class:`DecodeAudio`; this chain covers the pixel modalities."""
+    import pyarrow.compute as pc
+
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.invert(pc.equal(b["mime"], "audio/wav"))),
+        batch_format="pyarrow",
+    )
     decoded = ds.map_batches(
         DecodeImage,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, concurrency),
-        fn_constructor_kwargs={"fake": True},
     )
     return decoded.map_batches(
         ImageFeatures,

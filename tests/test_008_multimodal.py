@@ -1,4 +1,4 @@
-"""Multimodal plumbing: stubbed decode + real Ray-side mechanics."""
+"""Multimodal: REAL pure-numpy codecs (PPM/BMP/WAV) + Ray-side mechanics."""
 
 from __future__ import annotations
 
@@ -9,36 +9,97 @@ import ray.data as rd
 from aisdb_ray.stages import multimodal as mm
 
 
-def test_decode_requires_explicit_fake():
+def test_ppm_roundtrip_exact():
+    rng = np.random.default_rng(1)
+    px = rng.integers(0, 256, (13, 7, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(mm.decode_ppm(mm.encode_ppm(px)), px)
+    # comment lines in the header are skipped
+    with_comment = b"P6\n# a comment\n7 13\n255\n" + px.tobytes()
+    np.testing.assert_array_equal(mm.decode_ppm(with_comment), px)
+
+
+def test_bmp_roundtrip_exact_with_padding():
+    rng = np.random.default_rng(2)
+    for w in (5, 6, 7, 8):  # exercise every 4-byte row-padding case
+        px = rng.integers(0, 256, (9, w, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(mm.decode_bmp(mm.encode_bmp(px)), px)
+
+
+def test_wav_roundtrip_exact():
+    s = (np.sin(np.linspace(0, 30, 2000)) * 20000).astype(np.int16)
+    got, rate = mm.decode_wav(mm.encode_wav(s, rate=8000))
+    assert rate == 8000
+    np.testing.assert_array_equal(got, s)
+
+
+def test_video_stream_demux():
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, (4, 255, 3), dtype=np.uint8) for _ in range(5)]
+    stream = b"".join(mm.encode_ppm(f) for f in frames)  # w=255 stresses header parse
+    parts = mm.split_ppm_frames(stream)
+    assert len(parts) == 5
+    for p, f in zip(parts, frames):
+        np.testing.assert_array_equal(mm.decode_ppm(p), f)
+
+
+def test_compressed_formats_still_declared_unsupported():
+    dec = mm.DecodeImage()
     with pytest.raises(NotImplementedError):
-        mm.DecodeImage()
+        dec._decode(b"\x89PNG...", "image/png", 4, 4)
+    # fake=True supplies the deterministic fallback
+    px = mm.DecodeImage(fake=True)._decode(b"\x89PNG...", "image/png", 4, 6)
+    assert px.shape == (6, 4, 3)
 
 
-def test_decode_and_featurize_pipeline():
+def test_decode_and_featurize_pipeline_real_payloads():
     t = mm.synth_media_table(24)
     ds = rd.from_arrow(t)
     out = mm.decode_and_featurize(ds, concurrency=2, batch_size=8).to_pandas()
-    assert len(out) == 24
+    n_pixel_rows = sum(1 for m in t["mime"].to_pylist() if m != "audio/wav")
+    assert len(out) == n_pixel_rows
     assert {"media_id", "mean_r", "mean_g", "mean_b", "lum_hist"} <= set(out.columns)
-    # deterministic fake decode: rerunning yields identical features
-    out2 = mm.decode_and_featurize(rd.from_arrow(t), concurrency=2, batch_size=8).to_pandas()
-    a = out.sort_values("media_id").reset_index(drop=True)
-    b = out2.sort_values("media_id").reset_index(drop=True)
-    np.testing.assert_allclose(a["mean_r"], b["mean_r"])
-    # histogram mass equals pixel count
-    row = a.iloc[0]
-    w = t["width"][int(np.flatnonzero(t["media_id"].to_numpy() == row["media_id"])[0])].as_py()
-    h = t["height"][int(np.flatnonzero(t["media_id"].to_numpy() == row["media_id"])[0])].as_py()
-    assert sum(row["lum_hist"]) == w * h
+
+    # features are REAL: recompute one image's channel means directly
+    out = out.sort_values("media_id").reset_index(drop=True)
+    mid = int(out["media_id"][0])
+    i = int(np.flatnonzero(t["media_id"].to_numpy() == mid)[0])
+    mime = t["mime"][i].as_py()
+    px = (mm.decode_ppm if mime != "image/bmp" else mm.decode_bmp)(
+        t["payload"][i].as_py()
+    )
+    np.testing.assert_allclose(
+        out.iloc[0][["mean_r", "mean_g", "mean_b"]].to_numpy().astype(float),
+        px.reshape(-1, 3).mean(axis=0),
+    )
+    assert sum(out.iloc[0]["lum_hist"]) == px.shape[0] * px.shape[1]
 
 
-def test_frame_sampling():
+def test_audio_features():
+    t = mm.synth_media_table(24)
+    out = (
+        rd.from_arrow(t)
+        .map_batches(mm.DecodeAudio, batch_format="pyarrow", batch_size=8,
+                     concurrency=(1, 2))
+        .to_pandas()
+    )
+    n_audio = sum(1 for m in t["mime"].to_pylist() if m == "audio/wav")
+    assert len(out) == n_audio
+    assert (out["rms"] > 0).all() and (out["duration_s"] > 0).all()
+    assert ((out["zcr"] > 0) & (out["zcr"] < 1)).all()
+
+
+def test_frame_sampling_demuxes_payloads():
     t = mm.synth_media_table(12)
     out = (
         rd.from_arrow(t)
-        .map_batches(lambda b: mm.frame_sample_batch(b, every=8), batch_format="pyarrow")
+        .map_batches(lambda b: mm.frame_sample_batch(b, every=4), batch_format="pyarrow")
         .to_pandas()
     )
+    mimes = {int(i): m for i, m in zip(t["media_id"].to_numpy(), t["mime"].to_pylist())}
     nf = {int(i): int(n) for i, n in zip(t["media_id"].to_numpy(), t["n_frames"].to_numpy())}
     for mid, grp in out.groupby("media_id"):
-        assert list(grp["frame_idx"]) == list(range(0, nf[int(mid)], 8))
+        assert list(grp["frame_idx"]) == list(range(0, nf[int(mid)], 4))
+        if mimes[int(mid)] == "video/x-ppm-stream":
+            # each sampled frame is an independently decodable payload
+            for p in grp["payload"]:
+                assert mm.decode_ppm(bytes(p)).shape[2] == 3
