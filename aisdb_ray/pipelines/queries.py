@@ -671,6 +671,48 @@ def q_doc_textstats(sf_dir: str):
     )
 
 
+def q_doc_langid(sf_dir: str):
+    """Heuristic language ID (CJK range check, else stopword-count argmax
+    with ties to the inventory order) — hash-verified against a DuckDB
+    oracle running the identical word split / trim / count / argmax."""
+    from aisdb_ray.stages import textstats
+
+    _ctx()
+    return textstats.text_stats(
+        rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ).select_columns(["doc_id", "pred_lang"])
+
+
+def _langid_sql() -> str:
+    from aisdb_ray.functions.text import STOPWORDS
+
+    vals = ", ".join(
+        f"('{lang}', {prio}, '{w}')"
+        for prio, (lang, sws) in enumerate(STOPWORDS.items())
+        for w in sorted(sws)
+    )
+    return f"""WITH w AS (
+    SELECT doc_id, trim(lower(t.w), '.,;:!?') AS w
+    FROM documents, LATERAL unnest(regexp_extract_all(text, '\\S+')) AS t(w)
+  ),
+  sw(lang, prio, word) AS (VALUES {vals}),
+  cnt AS (
+    SELECT w.doc_id, s.lang, s.prio, count(*) AS n
+    FROM w JOIN sw s ON s.word = w.w
+    GROUP BY w.doc_id, s.lang, s.prio
+  ),
+  best AS (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, prio ASC) AS rn
+    FROM cnt
+  )
+SELECT d.doc_id,
+       CASE WHEN regexp_matches(d.text, '[一-鿿]') THEN 'zh'
+            ELSE COALESCE(b.lang, 'unknown') END AS pred_lang
+FROM documents d
+LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1"""
+
+
 def q_doc_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-duplicate pairs (verified Jaccard >= 0.7)."""
     from aisdb_ray.stages import dedup_text
@@ -808,6 +850,7 @@ def build_queries() -> dict:
         "doc_quality": q_doc_quality,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_textstats": q_doc_textstats,
+        "doc_langid": q_doc_langid,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "ann_topk": q_ann_topk,
@@ -1207,6 +1250,8 @@ FROM documents"""
     sql["doc_exact_dedup"] = """SELECT md5(text) AS text_md5,
        CAST(min(doc_id) AS BIGINT) AS doc_id
 FROM documents GROUP BY md5(text)"""
+
+    sql["doc_langid"] = _langid_sql()
 
     sql["ann_topk"] = """SELECT CAST(row_number() OVER (
          ORDER BY list_cosine_similarity(embedding,
