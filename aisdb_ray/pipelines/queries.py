@@ -156,6 +156,25 @@ def q_ts_clean(sf_dir: str):
     )
 
 
+def q_ts_top_sources(sf_dir: str):
+    """Sort + LIMIT (O2): top-10 sources by total tokens — per-batch
+    algebraic partials, a small combine, then Ray's native sort/limit
+    operators (only the collapsed per-source rows ever sort)."""
+    ds = _clean_tokens(sf_dir)
+    # one bucket spanning all time -> one partial row per source per batch
+    per_src = rollup.rollup(ds, 1 << 40).select_columns(["source", "sum_n_tok"])
+    return per_src.sort(["sum_n_tok", "source"], descending=[True, False]).limit(10)
+
+
+def q_ts_calendar(sf_dir: str):
+    """Datetime appender (M10): calendar parts derived from the epoch."""
+    ds = _clean_tokens(sf_dir).select_columns(["source", "doc_id", "time"])
+    out = ds.map_batches(prepare.append_datetime, batch_format="pyarrow")
+    return out.select_columns(
+        ["source", "doc_id", "time", "year", "month", "day", "hour"]
+    )
+
+
 def q_csv_ingest(sf_dir: str):
     """CSV source path (S2/S3/S4 — SURVEY.md §2.1): parallel csv/gz read,
     skip-don't-crash parsing of injected corrupt lines, then the SAME clean
@@ -528,6 +547,31 @@ def _ev_scan_pred():
     )
 
 
+def q_ev_distinct_users(sf_dir: str):
+    """Exact distinct-key count (A5): per-batch (event_type, user_id)
+    dedup partials, then a per-event_type unique count — the distinct set
+    shrinks BEFORE the shuffle, so only unique pairs move."""
+    ds = _events_ds(sf_dir, ["event_type", "user_id"])
+
+    def pair_dedup(b: pa.Table) -> pa.Table:
+        return b.group_by(["event_type", "user_id"], use_threads=False).aggregate([])
+
+    pairs = ds.map_batches(pair_dedup, batch_format="pyarrow")
+
+    def count_group(g: pa.Table) -> pa.Table:
+        uids = g["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": pa.array([g["event_type"][0].as_py()]),
+                "n_users": pa.array([len(np.unique(uids))], pa.int64()),
+            }
+        )
+
+    return pairs.groupby("event_type").map_groups(
+        count_group, batch_format="pyarrow"
+    )
+
+
 def q_ev_pruned_scan(sf_dir: str):
     """Predicate-pushdown scan (M8): the composable WHERE surface compiled
     into read_parquet so row groups prune from footer statistics before any
@@ -820,6 +864,8 @@ def build_queries() -> dict:
     return {
         "ts_clean": q_ts_clean,
         "csv_ingest": q_csv_ingest,
+        "ts_top_sources": q_ts_top_sources,
+        "ts_calendar": q_ts_calendar,
         "ts_segments": q_ts_segments,
         "ts_rollup_1m": lambda sf: _q_ts_rollup(sf, 60),
         "ts_rollup_1h": lambda sf: _q_ts_rollup(sf, 3600),
@@ -844,6 +890,7 @@ def build_queries() -> dict:
         "ev_mode": q_ev_mode,
         "ev_dedup": q_ev_dedup,
         "ev_pruned_scan": q_ev_pruned_scan,
+        "ev_distinct_users": q_ev_distinct_users,
         "q1_pricing": q_q1_pricing,
         "seg_revenue": q_seg_revenue,
         "doc_token_count": q_doc_token_count,
@@ -881,6 +928,24 @@ FROM segmented GROUP BY source, seg"""
 
     sql["ts_clean_salted"] = sql["ts_clean"]  # identical contract, salted path
     sql["csv_ingest"] = sql["ts_clean"]  # CSV reader must drop exactly the garbage
+
+    sql["ts_top_sources"] = f"""WITH {_sql_tokens_clean(tok)}
+SELECT source, CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
+FROM clean GROUP BY source
+ORDER BY sum_n_tok DESC, source ASC
+LIMIT 10"""
+
+    sql["ts_calendar"] = f"""WITH {_sql_tokens_clean(tok)}
+SELECT source, doc_id, time,
+       CAST(year(make_timestamp(time * 1000000)) AS BIGINT) AS year,
+       CAST(month(make_timestamp(time * 1000000)) AS BIGINT) AS month,
+       CAST(day(make_timestamp(time * 1000000)) AS BIGINT) AS day,
+       CAST(hour(make_timestamp(time * 1000000)) AS BIGINT) AS hour
+FROM segmented"""
+
+    sql["ev_distinct_users"] = """SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type"""
 
     sql["ts_zones"] = f"""WITH {_sql_zones(tok)}
 SELECT source, doc_id, zone FROM zoned"""

@@ -61,6 +61,19 @@ def prepare(batch: pa.Table) -> pa.Table:
     return validate(derive_epoch(batch))
 
 
+def append_datetime(batch: pa.Table, time_col: str = TIME) -> pa.Table:
+    """M10 (datetime column appender): derive calendar columns from the
+    epoch — the reference appends a datetime per row for export/plotting
+    (/root/reference/aisdb/gis.py:38-77 dt_2_epoch/epoch_2_dt pair).
+    Vectorized casts; year/month/day/hour as int64."""
+    ts = pc.cast(pc.cast(batch[time_col], pa.int64()), pa.timestamp("s"))
+    out = batch.append_column("dt", ts)
+    for part, fn in (("year", pc.year), ("month", pc.month),
+                     ("day", pc.day), ("hour", pc.hour)):
+        out = out.append_column(part, pc.cast(fn(ts), pa.int64()))
+    return out
+
+
 def invalid_counts(batch: pa.Table) -> pa.Table:
     """Per-batch (valid, invalid) counters — feed a tiny Sum aggregate for
     the decoder-style instrumentation (decode.rs:228-257)."""

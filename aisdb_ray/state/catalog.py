@@ -60,6 +60,22 @@ def dataset_range(path: str, col: str):
     return lo, hi
 
 
+def route_files(path: str, col: str, chunk_s: int) -> dict[int, list[str]]:
+    """M7 (file-date sniffing → partition routing): map each input file to
+    the time chunk(s) it can contain, from footer statistics alone — the
+    analog of the reference sniffing dates out of raw filenames to route
+    them to monthly tables (/root/reference/aisdb/database/decoder.py,
+    proc_util.getfiledate usage).  A planner feeds each chunk's file list
+    to its partition's tasks; files never open until their chunk runs."""
+    out: dict[int, list[str]] = {}
+    for r in file_ranges(path, col):
+        if r["min"] is None:
+            continue
+        for c in range(int(r["min"]) // chunk_s, int(r["max"]) // chunk_s + 1):
+            out.setdefault(c * chunk_s, []).append(r["file"])
+    return out
+
+
 def validate_range(path: str, col: str, lo, hi) -> dict:
     """Clamp a requested [lo, hi] window to the catalog and list candidate
     files.  ``covered`` is False when the window misses the dataset

@@ -67,3 +67,20 @@ def test_validate_range_prunes_and_clamps(ranged_dir):
     # clamped to the dataset's actual extent
     r4 = catalog.validate_range(ranged_dir, "time", -50, 100000)
     assert r4["clamped"] == (0, 5999)
+
+
+def test_route_files_by_chunk(ranged_dir):
+    # M7: footer-range file->chunk routing; the gap chunk gets no files
+    routes = catalog.route_files(ranged_dir, "time", 1000)
+    assert sorted(routes) == [0, 1000, 5000]
+    assert all(len(v) == 1 for v in routes.values())
+    # a file spanning two chunks routes to both
+    import numpy as np
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    wide = pa.table({"time": np.array([500, 1500], np.int64), "v": [1.0, 2.0]})
+    pq.write_table(wide, os.path.join(ranged_dir, "wide.parquet"))
+    routes2 = catalog.route_files(ranged_dir, "time", 1000)
+    hits = [c for c, fs in routes2.items() if any("wide" in f for f in fs)]
+    assert sorted(hits) == [0, 1000]
