@@ -416,6 +416,19 @@ def _zoned_clean(sf_dir: str):
     )
 
 
+def q_ts_value_mask(sf_dir: str):
+    """Per-point value-window mask (M12/T6/T7): the min_speed_filter /
+    remove_pings_wrt_speed semantics — n_tok plays sog; rows outside the
+    window drop, series that empty out vanish with them
+    (/root/reference/aisdb/denoising_encoder.py:231-259)."""
+    from aisdb_ray.stages import trackops
+
+    ds = _clean_tokens(sf_dir).select_columns(
+        ["source", "doc_id", "time", "n_tok", "seg"]
+    )
+    return trackops.mask_value_window(ds, 256, 3584)
+
+
 def q_ts_zones(sf_dir: str):
     """Zone containment with prune + fallback (J6): bbox candidate prune,
     exact ellipse containment, nearest-center resolution, Z0 default."""
@@ -878,6 +891,7 @@ def build_queries() -> dict:
         "ts_asof_join": q_ts_asof_join,
         "ts_grid_snap": q_ts_grid_snap,
         "ts_clean_salted": q_ts_clean_salted,
+        "ts_value_mask": q_ts_value_mask,
         "ts_zones": q_ts_zones,
         "ts_transits": q_ts_transits,
         "ts_split_multi": q_ts_split_multi,
@@ -928,6 +942,10 @@ FROM segmented GROUP BY source, seg"""
 
     sql["ts_clean_salted"] = sql["ts_clean"]  # identical contract, salted path
     sql["csv_ingest"] = sql["ts_clean"]  # CSV reader must drop exactly the garbage
+
+    sql["ts_value_mask"] = f"""WITH {_sql_tokens_clean(tok)}
+SELECT source, doc_id, time, n_tok, seg FROM segmented
+WHERE n_tok >= 256 AND n_tok <= 3584"""
 
     sql["ts_top_sources"] = f"""WITH {_sql_tokens_clean(tok)}
 SELECT source, CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
