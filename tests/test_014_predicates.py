@@ -122,3 +122,46 @@ def test_reference_callback_analogs():
     assert "e.event_type = 'click'" in s
     with pytest.raises(AssertionError):
         P.in_box("x", 5, 1, "y", 0, 1)  # degenerate box rejected
+
+
+# ---------------------------------------------------------- property test
+
+from hypothesis import given, settings, strategies as st
+
+_T = pa.table({
+    "x": pa.array(list(range(-5, 15)) * 3, pa.int64()),
+    "y": pa.array([i * 0.5 - 3 for i in range(60)], pa.float64()),
+    "s": pa.array([f"k{i % 7}" for i in range(60)], pa.string()),
+})
+
+_leaf = st.one_of(
+    st.tuples(st.just("x"), st.sampled_from(["==", "!=", "<", "<=", ">", ">="]),
+              st.integers(-6, 16)),
+    st.tuples(st.just("y"), st.sampled_from(["<", ">="]),
+              st.floats(-4, 28, allow_nan=False)),
+    st.tuples(st.just("s"), st.just("=="), st.sampled_from([f"k{i}" for i in range(8)])),
+)
+
+
+def _build(spec):
+    col, op, v = spec
+    f = P.field(col)
+    return {"==": f.__eq__, "!=": f.__ne__, "<": f.__lt__,
+            "<=": f.__le__, ">": f.__gt__, ">=": f.__ge__}[op](v)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_leaf, min_size=1, max_size=4), st.booleans(), st.booleans())
+def test_expr_and_sql_agree_on_random_predicates(leaves, use_or, negate):
+    pred = _build(leaves[0])
+    for spec in leaves[1:]:
+        pred = (pred | _build(spec)) if use_or else (pred & _build(spec))
+    if negate:
+        pred = ~pred
+    got = pads.dataset(_T).to_table(filter=pred.expr())
+    want = duckdb.connect().execute(
+        f"SELECT * FROM _T WHERE {pred.sql()}"
+    ).arrow()
+    assert got.num_rows == want.num_rows
+    assert sorted(got["x"].to_pylist()) == sorted(want["x"].to_pylist())
+    assert sorted(got["s"].to_pylist()) == sorted(want["s"].to_pylist())
