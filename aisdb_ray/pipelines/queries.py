@@ -834,6 +834,26 @@ def q_ann_lsh_topk(sf_dir: str):
     return ann.lsh_index_topk(idx, _emb_path(sf_dir), q0, k=10)
 
 
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF-bucketed ANN: spherical-kmeans coarse quantizer fit on a bounded
+    sample, distributed assignment persisted as list-partitioned postings,
+    query probes nprobe nearest lists. Approximate -> rows-only; recall
+    pinned by pytest."""
+    import pyarrow.parquet as pq
+
+    from aisdb_ray.stages import ann
+
+    _ctx()
+    t = pq.read_table(_emb_path(sf_dir))
+    q0 = np.asarray(
+        t.filter(pc.equal(t["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64
+    )
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(SF_CACHE_ROOT, name, "ivf_index")
+    ann.build_ivf_index(rd.read_parquet(_emb_path(sf_dir)), idx)
+    return ann.ivf_topk(idx, _emb_path(sf_dir), q0, k=10, nprobe=4)
+
+
 def q_emb_neardup(sf_dir: str):
     """All embedding pairs with cosine >= 0.35 (broadcast brute force)."""
     from aisdb_ray.stages import dedup_text
@@ -916,6 +936,7 @@ def build_queries() -> dict:
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "emb_neardup": q_emb_neardup,
         "media_features": q_media_features,
         "media_audio": q_media_audio,

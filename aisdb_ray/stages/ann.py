@@ -231,6 +231,106 @@ def lsh_index_topk(
     return topk_cosine(ds_cand, query, k)
 
 
+# ------------------------------------------------------------------- IVF
+
+def kmeans_fit(sample: np.ndarray, n_lists: int, iters: int = 10,
+               seed: int = 23) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd) on unit vectors — the IVF
+    coarse quantizer.  Sample-sized driver work; assignment distributes."""
+    rng = np.random.default_rng(seed)
+    m = _norm_rows(sample.astype(np.float64))
+    cent = m[rng.choice(len(m), size=min(n_lists, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = m[assign == c]
+            if len(members):
+                cent[c] = members.sum(axis=0)
+        cent = _norm_rows(cent)
+    return cent
+
+
+def build_ivf_index(
+    ds_emb,
+    index_dir: str,
+    n_lists: int = 16,
+    sample_size: int = 2048,
+    seed: int = 23,
+    min_rows_per_file: int = 100_000,
+) -> str:
+    """IVF index build: fit the coarse quantizer on a bounded sample
+    (driver-side, O(sample x lists)), then one distributed vectorized
+    assignment pass writes skinny (vec_id) postings hive-partitioned by
+    ``list`` — same prune-at-query layout as the LSH index.  Idempotent
+    via _SUCCESS; centroids ride an .npy sidecar."""
+    marker = os.path.join(index_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return index_dir
+
+    head = ds_emb.limit(sample_size).take_all()  # bounded sample, driver-safe
+    sample = np.stack([np.asarray(r["embedding"], np.float64) for r in head])
+    cent = kmeans_fit(sample, n_lists, seed=seed)
+    cent_ref = ray.put(cent)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _norm_rows(_emb_matrix(b))
+        lists = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "list": pa.array(lists),
+                "vec_id": pa.array(
+                    b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        )
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds_emb.map_batches(assign, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "postings"),
+        partition_cols=["list"],
+        min_rows_per_file=min_rows_per_file,
+    )
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return index_dir
+
+
+def ivf_topk(
+    index_dir: str,
+    emb_path: str,
+    query: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+):
+    """IVF query: nearest ``nprobe`` centroid lists prune-read via the
+    predicate layer; candidates brute-force exactly."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from aisdb_ray.predicates import field, scan_parquet
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = query.astype(np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    probe_lists = np.argsort(-(cent @ q))[:nprobe].tolist()
+
+    postings = scan_parquet(
+        os.path.join(index_dir, "postings"),
+        where=field("list").isin(sorted(int(x) for x in probe_lists)),
+        partition_cols=["list"],
+    )
+    cand = sorted(set(postings.unique("vec_id")))
+    if not cand:
+        return rd.from_arrow(
+            pa.table({"vec_id": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+        )
+    ds_cand = rd.read_parquet(emb_path, filter=pads.field("vec_id").isin(cand))
+    return topk_cosine(ds_cand, query, k)
+
+
 def lsh_topk(ds_emb, query: np.ndarray, k: int = 10,
              params: LshIndexParams | None = None, probe_hamming1: bool = True):
     """ANN top-k: probe the query's bucket in every table (+ Hamming-1)."""

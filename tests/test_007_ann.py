@@ -73,6 +73,38 @@ def test_lsh_index_persisted_matches_inline(tmp_path):
     assert len(probed.input_files()) < total
 
 
+def test_ivf_index_recall_and_pruning(tmp_path):
+    ids, m = _matrix()
+    q = m[3]
+    idx = str(tmp_path / "ivf")
+    ann.build_ivf_index(rd.read_parquet(EMB), idx, n_lists=8, sample_size=512)
+    ann.build_ivf_index(rd.read_parquet(EMB), idx)  # idempotent no-op
+
+    exact = ann.topk_cosine(rd.read_parquet(EMB), q, k=10).to_pandas()
+    approx = ann.ivf_topk(idx, EMB, q, k=10, nprobe=3).to_pandas()
+    hit = set(exact["vec_id"]) & set(approx["vec_id"])
+    assert len(hit) >= 5          # nprobe=3 of 8 lists recovers most
+    assert ids[3] in set(approx["vec_id"])  # self is always found
+
+    # nprobe=all lists == exact
+    full = ann.ivf_topk(idx, EMB, q, k=10, nprobe=8).to_pandas()
+    np.testing.assert_array_equal(
+        full["vec_id"].to_numpy(), exact["vec_id"].to_numpy()
+    )
+
+    # probing reads only its lists' partitions
+    import glob
+
+    from aisdb_ray.predicates import field, scan_parquet
+
+    total = len(glob.glob(idx + "/postings/list=*"))
+    probed = scan_parquet(
+        idx + "/postings", where=field("list").isin([0, 1]),
+        partition_cols=["list"],
+    )
+    assert len(probed.input_files()) < total
+
+
 def test_embedding_neardup_symmetric_threshold():
     # the synthetic embeddings are near-orthogonal (max off-diag cosine
     # ~0.48), so use a threshold that yields a non-trivial pair set
