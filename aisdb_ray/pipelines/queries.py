@@ -728,6 +728,18 @@ def q_doc_textstats(sf_dir: str):
     )
 
 
+def q_doc_bpe_count(sf_dir: str):
+    """BPE-ish pre-token count (GPT-2-style RE2 pattern): whitespace counts
+    are doc_token_count; this is the subword-boundary variant a training
+    pipeline budgets with. Hash-verified (Arrow and DuckDB share RE2)."""
+    from aisdb_ray.stages import textstats
+
+    _ctx()
+    return rd.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "text"]
+    ).map_batches(textstats.bpe_token_count_batch, batch_format="pyarrow")
+
+
 def q_doc_langid(sf_dir: str):
     """Heuristic language ID (CJK range check, else stopword-count argmax
     with ties to the inventory order) — hash-verified against a DuckDB
@@ -932,6 +944,7 @@ def build_queries() -> dict:
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_textstats": q_doc_textstats,
         "doc_langid": q_doc_langid,
+        "doc_bpe_count": q_doc_bpe_count,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "ann_topk": q_ann_topk,
@@ -1356,6 +1369,13 @@ FROM documents"""
 FROM documents GROUP BY md5(text)"""
 
     sql["doc_langid"] = _langid_sql()
+
+    from aisdb_ray.stages.textstats import BPE_PATTERN
+
+    _bpe_sql = BPE_PATTERN.replace("'", "''")
+    sql["doc_bpe_count"] = f"""SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '{_bpe_sql}')) AS BIGINT) AS n_bpe
+FROM documents"""
 
     sql["ann_topk"] = """SELECT CAST(row_number() OVER (
          ORDER BY list_cosine_similarity(embedding,

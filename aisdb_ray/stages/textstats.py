@@ -76,6 +76,26 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# GPT-2-style pre-tokenizer pattern, RE2-safe (no lookahead): contraction
+# suffixes, space-prefixed letter runs, digit runs, symbol runs, whitespace.
+# Arrow and DuckDB both compile regexes with RE2, so the SAME pattern string
+# yields identical counts on both sides — the hash-verifiable "BPE-ish"
+# token count of a real tokenizer's pre-split stage.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized BPE-ish pre-token count per document."""
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_bpe": pc.cast(
+                pc.count_substring_regex(batch["text"], BPE_PATTERN), pa.int64()
+            ),
+        }
+    )
+
+
 def quality_batch(batch: pa.Table) -> pa.Table:
     """Vectorized quality counts + an exact-division score.
 
