@@ -728,6 +728,55 @@ def q_doc_textstats(sf_dir: str):
     )
 
 
+def q_doc_clean_corpus(sf_dir: str):
+    """The composed corpus-cleaning pipeline a training-data user runs:
+    quality gate (score >= 0.82, >= 30 words) -> exact dedup keep-first by
+    content hash -> language tag. One read, each stage vectorized; fully
+    SQL-expressible, so the WHOLE composition is hash-verified."""
+    from aisdb_ray.stages import textstats
+
+    _ctx()
+    ds = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def gate(b: pa.Table) -> pa.Table:
+        q = textstats.quality_batch(b)
+        b = b.append_column("n_words", q["n_words"])
+        b = b.append_column("quality_score", q["quality_score"])
+        b = textstats.md5_batch(b)
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(q["quality_score"], pa.scalar(0.82)),
+                pc.greater_equal(q["n_words"], pa.scalar(30, pa.int64())),
+            ),
+            pc.greater(q["n_chars"], pa.scalar(0, pa.int64())),
+        )
+        return b.filter(pc.fill_null(keep, False))
+
+    gated = ds.map_batches(gate, batch_format="pyarrow")
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        return g.take(pa.array([int(np.argmin(ids))]))
+
+    first = gated.groupby("text_md5").map_groups(keep_first, batch_format="pyarrow")
+
+    from aisdb_ray.functions import text as T
+
+    def lang_tag(b: pa.Table) -> pa.Table:
+        langs = [T.lang_id(t) for t in b["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text_md5": b["text_md5"],
+                "n_words": b["n_words"],
+                "quality_score": b["quality_score"],
+                "pred_lang": pa.array(langs, pa.string()),
+            }
+        )
+
+    return first.map_batches(lang_tag, batch_format="pyarrow")
+
+
 def q_doc_bpe_count(sf_dir: str):
     """BPE-ish pre-token count (GPT-2-style RE2 pattern): whitespace counts
     are doc_token_count; this is the subword-boundary variant a training
@@ -945,6 +994,7 @@ def build_queries() -> dict:
         "doc_textstats": q_doc_textstats,
         "doc_langid": q_doc_langid,
         "doc_bpe_count": q_doc_bpe_count,
+        "doc_clean_corpus": q_doc_clean_corpus,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "ann_topk": q_ann_topk,
@@ -1369,6 +1419,31 @@ FROM documents"""
 FROM documents GROUP BY md5(text)"""
 
     sql["doc_langid"] = _langid_sql()
+
+    sql["doc_clean_corpus"] = r"""WITH q AS (
+    SELECT doc_id, text, md5(text) AS text_md5,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+           (CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE))
+           * (1 - CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE)) AS quality_score
+    FROM documents
+  ),
+  kept AS (
+    SELECT * FROM q
+    WHERE quality_score >= 0.82 AND n_words >= 30 AND n_chars > 0
+  ),
+  dedup AS (
+    SELECT *, row_number() OVER (PARTITION BY text_md5 ORDER BY doc_id) AS rn
+    FROM kept
+  ),
+  firstpick AS (
+    SELECT doc_id, text_md5, n_words, quality_score FROM dedup WHERE rn = 1
+  ),
+  lang AS (""" + _langid_sql() + r""")
+SELECT f.doc_id, f.text_md5, f.n_words, f.quality_score, l.pred_lang
+FROM firstpick f JOIN lang l ON l.doc_id = f.doc_id"""
 
     from aisdb_ray.stages.textstats import BPE_PATTERN
 
