@@ -839,6 +839,33 @@ def q_doc_minhash_pairs(sf_dir: str):
     return dedup_text.minhash_dedup_pairs(_docs_path(sf_dir), jaccard_threshold=0.7)
 
 
+def q_doc_jaccard_pairs(sf_dir: str):
+    """Explicit n-gram (3-shingle) Jaccard near-dup pairs at a looser
+    threshold with high-recall banding (32 bands x 2 rows): the same
+    distributed candidate->exact-verify shape as doc_minhash_pairs, tuned
+    for recall over the weaker-similarity regime. Rows-only (banding is
+    probabilistic); exact Jaccard values ride the output."""
+    from aisdb_ray.stages import dedup_text
+
+    _ctx()
+    return dedup_text.minhash_dedup_pairs(
+        _docs_path(sf_dir), jaccard_threshold=0.5, n_bands=32, rows_per_band=2
+    )
+
+
+def q_emb_neardup_lsh(sf_dir: str):
+    """LSH-bucketed APPROXIMATE embedding near-dup (the scale path when
+    exact all-pairs tiling is unaffordable): pairs form only inside shared
+    random-hyperplane buckets, exact cosine verify within the bucket.
+    Rows-only (recall is the LSH tradeoff; pinned by pytest)."""
+    from aisdb_ray.stages import dedup_text
+
+    _ctx()
+    return dedup_text.embedding_neardup_lsh_pairs(
+        _emb_path(sf_dir), threshold=0.35
+    ).select_columns(["a", "b"])
+
+
 def q_doc_simhash_pairs(sf_dir: str):
     from aisdb_ray.stages import dedup_text
 
@@ -996,7 +1023,9 @@ def build_queries() -> dict:
         "doc_bpe_count": q_doc_bpe_count,
         "doc_clean_corpus": q_doc_clean_corpus,
         "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
+        "emb_neardup_lsh": q_emb_neardup_lsh,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,

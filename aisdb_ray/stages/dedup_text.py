@@ -440,3 +440,84 @@ def embedding_neardup_pairs(sf_emb_path: str, threshold: float = 0.95,
         [{"i": i, "j": j} for i, j in tiles], override_num_blocks=len(tiles)
     )
     return items.map_batches(tile_pairs, batch_format="pyarrow", batch_size=None)
+
+
+def embedding_neardup_lsh_pairs(
+    sf_emb_path: str,
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 11,
+):
+    """APPROXIMATE near-dup pairs: candidates form only inside shared LSH
+    buckets (random-hyperplane, multi-table union), with exact cosine
+    verification inside each bucket group — the scale path when the exact
+    all-pairs tiling (:func:`embedding_neardup_pairs`) is unaffordable.
+
+    Recall is the standard LSH tradeoff: a pair at angle θ shares one
+    table's bucket with prob (1 - θ/π)^n_bits; n_tables unions the chance.
+    Near-identical vectors (the dedup regime, cos >= 0.95) are recovered
+    with high probability; distant pairs are deliberately missed.
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from aisdb_ray.stages.ann import LshIndexParams, lsh_bucket_assign
+
+    dim = len(
+        pq.ParquetFile(sf_emb_path).read_row_group(0, columns=["embedding"])
+        .column(0)[0]
+    )
+    params = LshIndexParams(dim, n_bits, n_tables, seed)
+
+    with _hash_ctx():
+        ds = rd.read_parquet(sf_emb_path, columns=["vec_id", "embedding"])
+        assigned = lsh_bucket_assign(ds, params)
+
+        def explode(b: pa.Table) -> pa.Table:
+            ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            emb = b["embedding"].combine_chunks()
+            m = emb.values.to_numpy().reshape(b.num_rows, -1).astype(np.float64)
+            nrm = np.linalg.norm(m, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            m = m / nrm
+            tbls, bks, vids, rows = [], [], [], []
+            for t in range(n_tables):
+                tbls.append(np.full(len(ids), t, dtype=np.int64))
+                bks.append(b[f"bucket_{t}"].to_numpy(zero_copy_only=False))
+                vids.append(ids)
+                rows.append(m)
+            flat = np.concatenate(rows)
+            off = np.arange(0, (len(flat) + 1) * dim, dim, dtype=np.int64)
+            return pa.table(
+                {
+                    "tbl": pa.array(np.concatenate(tbls)),
+                    "bucket": pa.array(np.concatenate(bks).astype(np.int64)),
+                    "vec_id": pa.array(np.concatenate(vids)),
+                    "emb": pa.LargeListArray.from_arrays(
+                        pa.array(off), pa.array(flat.reshape(-1))
+                    ),
+                }
+            )
+
+        exploded = assigned.map_batches(explode, batch_format="pyarrow")
+
+        def bucket_pairs(g: pa.Table) -> pa.Table:
+            ids = g["vec_id"].to_numpy(zero_copy_only=False)
+            la = g["emb"].combine_chunks()
+            m = la.values.to_numpy().reshape(g.num_rows, -1)
+            sims = m @ m.T
+            ki, kj = np.nonzero(np.triu(sims >= threshold, k=1))
+            a, b2 = ids[ki], ids[kj]
+            lo = np.minimum(a, b2)
+            hi = np.maximum(a, b2)
+            keep = lo != hi
+            return pa.table(
+                {"a": pa.array(lo[keep].astype(np.int64)),
+                 "b": pa.array(hi[keep].astype(np.int64))}
+            )
+
+        pairs = exploded.groupby(["tbl", "bucket"], num_partitions=_nparts()).map_groups(
+            bucket_pairs, batch_format="pyarrow"
+        ).materialize()
+        return _distinct_pairs(pairs)

@@ -129,3 +129,40 @@ def test_fingerprint_deterministic_and_order_sensitive():
     b = T.fingerprint64("one two three".split())
     c = T.fingerprint64("three two one".split())
     assert a == b and a != c
+
+
+def test_embedding_neardup_lsh_recall_and_precision(tmp_path):
+    """LSH-bucketed pairs: precision 1 (exact verify), high recall on true
+    near-dups (cos >= 0.95), deterministic under fixed seeds."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aisdb_ray.stages import dedup_text
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(40, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # rows 0..39 distinct; rows 40..59 are near-copies of rows 0..19
+    near = base[:20] + rng.normal(scale=0.01, size=(20, 32))
+    m = np.vstack([base, near])
+    ids = np.arange(len(m), dtype=np.int64)
+    p = str(tmp_path / "emb.parquet")
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([row.astype(np.float32) for row in m],
+                                  pa.list_(pa.float32())),
+        }),
+        p,
+    )
+    got = dedup_text.embedding_neardup_lsh_pairs(p, threshold=0.95).to_pandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got["a"], got["b"])}
+
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    want = {(i, j) for i, j in zip(*np.nonzero(np.triu(sims >= 0.95, 1)))}
+    assert got_pairs <= want                      # precision 1.0
+    assert len(got_pairs) >= 0.8 * len(want)      # LSH recall on near-dups
+    assert (0, 40) in got_pairs                   # a known near-copy found
