@@ -25,7 +25,8 @@ _STRIP = r"""[,#"'\n]|""" + chr(130)
 def wrap_value(x, rng: float = 180.0) -> np.ndarray:
     """Wrap values into [-rng, rng]; exact-boundary values flip sign."""
     x = np.asarray(x, dtype=np.float64).copy()
-    assert x.size > 0, "x must be array-like"
+    if x.size == 0:  # streaming batches are routinely empty after filters
+        return x
     on_edge = np.abs(x) == rng
     x[~on_edge] = ((x[~on_edge] + rng) % (2 * rng)) - rng
     x[on_edge] *= -1

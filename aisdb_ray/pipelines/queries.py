@@ -873,17 +873,24 @@ def q_doc_simhash_pairs(sf_dir: str):
     return dedup_text.simhash_pairs(_docs_path(sf_dir), max_hamming=8)
 
 
-def q_ann_topk(sf_dir: str):
-    """Brute-force cosine top-10 for the vec_id=0 query vector."""
+def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    """The probe vector, read with a parquet row filter — never the whole
+    embedding lake onto the driver."""
     import pyarrow.parquet as pq
 
+    t = pq.read_table(
+        _emb_path(sf_dir), columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", vec_id)],
+    )
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for the vec_id=0 query vector."""
     from aisdb_ray.stages import ann
 
     _ctx()
-    t = pq.read_table(_emb_path(sf_dir))
-    q0 = np.asarray(
-        t.filter(pc.equal(t["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64
-    )
+    q0 = _query_vector(sf_dir)
     top = ann.topk_cosine(rd.read_parquet(_emb_path(sf_dir)), q0, k=10)
 
     # DuckDB computes list_cosine_similarity in float32 (~5e-8 off from the
@@ -905,15 +912,10 @@ def q_ann_lsh_topk(sf_dir: str):
     (idempotent), each query prune-reads only its probed (tbl, bucket)
     partitions — no per-query corpus scan. Approximate by design -> rows-only
     check; recall and per-query pruning pinned by pytest."""
-    import pyarrow.parquet as pq
-
     from aisdb_ray.stages import ann
 
     _ctx()
-    t = pq.read_table(_emb_path(sf_dir))
-    q0 = np.asarray(
-        t.filter(pc.equal(t["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64
-    )
+    q0 = _query_vector(sf_dir)
     name = os.path.basename(os.path.normpath(sf_dir))
     idx = os.path.join(SF_CACHE_ROOT, name, "lsh_index")
     ann.build_lsh_index(
@@ -927,15 +929,10 @@ def q_ann_ivf_topk(sf_dir: str):
     sample, distributed assignment persisted as list-partitioned postings,
     query probes nprobe nearest lists. Approximate -> rows-only; recall
     pinned by pytest."""
-    import pyarrow.parquet as pq
-
     from aisdb_ray.stages import ann
 
     _ctx()
-    t = pq.read_table(_emb_path(sf_dir))
-    q0 = np.asarray(
-        t.filter(pc.equal(t["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64
-    )
+    q0 = _query_vector(sf_dir)
     name = os.path.basename(os.path.normpath(sf_dir))
     idx = os.path.join(SF_CACHE_ROOT, name, "ivf_index")
     ann.build_ivf_index(rd.read_parquet(_emb_path(sf_dir)), idx)

@@ -228,7 +228,10 @@ def scan_parquet(
         fexpr = _and_all(file_p).expr() if file_p else None
         paths = [f.path for f in dset.get_fragments(filter=fexpr)]
         if not paths:
-            return rd.from_arrow(dset.schema.empty_table())
+            empty = dset.schema.empty_table()
+            if columns is not None:
+                empty = empty.select(columns)  # match the projected schema
+            return rd.from_arrow(empty)
         types = {}
         for f in dset.partitioning.schema:
             if f.name in pset:
@@ -245,14 +248,28 @@ def scan_parquet(
         read_kwargs = {**read_kwargs, "partitioning": partitioning}
     if row_p:
         read_kwargs = {**read_kwargs, "filter": _and_all(row_p).expr()}
-    ds = rd.read_parquet(paths, columns=columns, **read_kwargs)
+
+    # a mixed conjunct can reference columns outside the projection: widen
+    # the read to include them (partition cols parse from paths, data cols
+    # from files), then re-project after the post filter
+    read_columns = columns
+    extra: list[str] = []
+    if post_p and columns is not None:
+        needed = set().union(*(c.columns for c in post_p))
+        extra = sorted(needed - set(columns))
+        if extra:
+            read_columns = list(columns) + extra
+
+    ds = rd.read_parquet(paths, columns=read_columns, **read_kwargs)
     if post_p:
         post_expr = _and_all(post_p).expr()
+        keep = list(columns) if extra else None
 
         def _post(b):
             import pyarrow.dataset as pads
 
-            return pads.dataset(b).to_table(filter=post_expr)
+            out = pads.dataset(b).to_table(filter=post_expr)
+            return out.select(keep) if keep else out
 
         ds = ds.map_batches(_post, batch_format="pyarrow")
     return ds

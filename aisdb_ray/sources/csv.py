@@ -31,7 +31,9 @@ import pyarrow.compute as pc
 import pyarrow.csv as pacsv
 
 TOKEN_COLS = ["doc_id", "tokens", "n_tok", "source"]
-_TOKENS_RE = r"^[0-9]+( [0-9]+)*$"
+# token ids bounded to 9 digits so every value fits int32 — a longer digit
+# run is malformed input and must be SKIPPED, not crash the cast
+_TOKENS_RE = r"^[0-9]{1,9}( [0-9]{1,9})*$"
 
 
 def _invalid_row_handler(row):

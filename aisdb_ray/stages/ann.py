@@ -113,6 +113,21 @@ def lsh_bucket_assign(ds_emb, params: LshIndexParams):
     return ds_emb.map_batches(assign, batch_format="pyarrow")
 
 
+def _candidates_topk(emb_path: str, cand: list, query: np.ndarray, k: int):
+    """Shared index-probe tail: fetch candidate rows from the embedding
+    lake (row-group pruned by the id filter) and brute-force exactly."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    if not cand:
+        return rd.from_arrow(
+            pa.table({"vec_id": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+        )
+    ds_cand = rd.read_parquet(emb_path, filter=pads.field("vec_id").isin(cand))
+    return topk_cosine(ds_cand, query, k)
+
+
 def build_lsh_index(
     ds_emb,
     index_dir: str,
@@ -196,9 +211,6 @@ def lsh_index_topk(
 
     Candidate-set size is the index's design knob (~ corpus·T·(1+bits) /
     2^bits) — sized so the id list is driver-safe for a query stream."""
-    import pyarrow.dataset as pads
-    import ray.data as rd
-
     from aisdb_ray.predicates import Pred, field, scan_parquet
 
     params = load_lsh_params(index_dir)
@@ -220,15 +232,7 @@ def lsh_index_topk(
         partition_cols=["tbl", "bucket"],
     )
     cand = sorted(set(postings.unique("vec_id")))
-    if not cand:
-        return rd.from_arrow(
-            pa.table({"vec_id": pa.array([], pa.int64()),
-                      "cosine": pa.array([], pa.float64())})
-        )
-    ds_cand = rd.read_parquet(
-        emb_path, filter=pads.field("vec_id").isin(cand)
-    )
-    return topk_cosine(ds_cand, query, k)
+    return _candidates_topk(emb_path, cand, query, k)
 
 
 # ------------------------------------------------------------------- IVF
@@ -306,9 +310,6 @@ def ivf_topk(
 ):
     """IVF query: nearest ``nprobe`` centroid lists prune-read via the
     predicate layer; candidates brute-force exactly."""
-    import pyarrow.dataset as pads
-    import ray.data as rd
-
     from aisdb_ray.predicates import field, scan_parquet
 
     cent = np.load(os.path.join(index_dir, "centroids.npy"))
@@ -322,13 +323,7 @@ def ivf_topk(
         partition_cols=["list"],
     )
     cand = sorted(set(postings.unique("vec_id")))
-    if not cand:
-        return rd.from_arrow(
-            pa.table({"vec_id": pa.array([], pa.int64()),
-                      "cosine": pa.array([], pa.float64())})
-        )
-    ds_cand = rd.read_parquet(emb_path, filter=pads.field("vec_id").isin(cand))
-    return topk_cosine(ds_cand, query, k)
+    return _candidates_topk(emb_path, cand, query, k)
 
 
 def lsh_topk(ds_emb, query: np.ndarray, k: int = 10,

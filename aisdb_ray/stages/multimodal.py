@@ -49,11 +49,12 @@ def encode_ppm(px: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
 
 
-def _parse_ppm_header(payload: bytes) -> tuple[int, int, int]:
-    """-> (width, height, data_offset); comments (#...) skipped."""
-    if not payload.startswith(b"P6"):
+def _parse_ppm_header(payload: bytes, start: int = 0) -> tuple[int, int, int]:
+    """-> (width, height, data_offset relative to payload[0]); comments
+    (#...) skipped.  ``start`` avoids per-frame byte copies when demuxing."""
+    if payload[start : start + 2] != b"P6":
         raise ValueError("not a P6 PPM payload")
-    tokens, pos = [], 2
+    tokens, pos = [], start + 2
     while len(tokens) < 3:
         while payload[pos : pos + 1].isspace():
             pos += 1
@@ -76,6 +77,11 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     w, h, pos = _parse_ppm_header(payload)
     buf = np.frombuffer(payload, np.uint8, count=w * h * 3, offset=pos)
     return buf.reshape(h, w, 3)
+
+
+def _ppm_frame_end(payload: bytes, start: int) -> int:
+    w, h, data_off = _parse_ppm_header(payload, start)
+    return data_off + w * h * 3
 
 
 def encode_bmp(px: np.ndarray) -> bytes:
@@ -138,11 +144,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def split_ppm_frames(payload: bytes) -> list[bytes]:
-    """Demux a concatenated-PPM 'video' stream into per-frame payloads."""
+    """Demux a concatenated-PPM 'video' stream into per-frame payloads —
+    linear in total bytes (header walks use offsets, not slices)."""
     frames, pos = [], 0
     while pos < len(payload):
-        w, h, data_off = _parse_ppm_header(payload[pos:])
-        end = pos + data_off + w * h * 3
+        end = _ppm_frame_end(payload, pos)
         frames.append(payload[pos:end])
         pos = end
     return frames

@@ -234,7 +234,16 @@ def gapfill_rate_group(
     segment's last grid point carries the ORIGINAL series' final hop rate
     (last two unique-timestamp points).
     """
-    g = group if cleaned else clean_group(group, max_gap)
+    if cleaned:
+        # defensive re-sort (the key shuffle need not preserve within-key
+        # order) — same contract as gapfill_group's own sort; seg increases
+        # with time within a source, so seg runs stay contiguous
+        t0 = group[TIME].to_numpy(zero_copy_only=False)
+        s0 = group[SEQ].to_numpy(zero_copy_only=False)
+        s0 = np.where(np.isnan(s0.astype(np.float64)), -1, s0) if s0.dtype.kind == "f" else s0
+        g = group.take(pa.array(np.lexsort((s0, t0))))
+    else:
+        g = clean_group(group, max_gap)
 
     # original final-hop rate per segment (unique timestamps, keep-first)
     t = g[TIME].to_numpy(zero_copy_only=False)

@@ -68,11 +68,10 @@ class Domain:
             inside = d <= 1.0
             # phase 3 — nearest-centroid resolution; strict < + ascending
             # name order == ties to lexicographically-first name
-            take = np.flatnonzero(cand)[inside & (d < best_d[cand])]
+            sel = inside & (d < best_d[cand])
+            take = np.flatnonzero(cand)[sel]
             if take.size:
-                dxf = (x[take] - self.cx[i]) / self.rx[i]
-                dyf = (y[take] - self.cy[i]) / self.ry[i]
-                best_d[take] = dxf * dxf + dyf * dyf
+                best_d[take] = d[sel]
                 best[take] = name
         return best
 

@@ -82,3 +82,15 @@ def test_csv_ingest_equals_ts_clean(csv_dir, small_dir):
     got = got.sort_values(key).reset_index(drop=True)
     want = want.sort_values(key).reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_csv_oversized_token_skipped_not_crash(tmp_path):
+    # a >9-digit token would overflow int32: the row must DROP, not crash
+    p = tmp_path / "big.csv"
+    p.write_text(
+        "doc_id,tokens,n_tok,source\n"
+        "s0:0000000001:0000,4294967296,1,s0\n"
+        "s0:0000000002:0000,7 8,2,s0\n"
+    )
+    t = read_token_csv(str(p)).to_pandas()
+    assert len(t) == 1 and list(t["tokens"][0]) == [7, 8]

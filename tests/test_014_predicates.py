@@ -165,3 +165,27 @@ def test_expr_and_sql_agree_on_random_predicates(leaves, use_or, negate):
     assert got.num_rows == want.num_rows
     assert sorted(got["x"].to_pylist()) == sorted(want["x"].to_pylist())
     assert sorted(got["s"].to_pylist()) == sorted(want["s"].to_pylist())
+
+
+def test_mixed_post_with_projection_widens_then_reprojects(hive_dir):
+    # the mixed conjunct references day+key, but the caller projects only
+    # ["time"]: the scan must widen the read for the post filter and then
+    # return exactly the requested columns
+    pred = P.in_timerange(0, 250_000) & ((P.field("day") == 2) | (P.field("key") == 7))
+    ds = P.scan_parquet(hive_dir, where=pred, partition_cols=["day"],
+                        columns=["time"])
+    df = ds.to_pandas()
+    assert list(df.columns) == ["time"]
+    want = duckdb.connect().execute(
+        f"""SELECT count(*) n FROM read_parquet('{hive_dir}/*/*.parquet',
+                                                hive_partitioning=1)
+            WHERE {pred.sql()}"""
+    ).df()
+    assert len(df) == int(want["n"][0])
+
+
+def test_empty_prune_respects_projection(hive_dir):
+    ds = P.scan_parquet(hive_dir, where=P.field("day") > 99,
+                        partition_cols=["day"], columns=["time", "key"])
+    assert ds.count() == 0
+    assert ds.schema().names == ["time", "key"]
