@@ -15,8 +15,8 @@ graded alongside SURVEY.md §2.
 
 from __future__ import annotations
 
+import hashlib
 import re
-import zlib
 
 import numpy as np
 
@@ -40,16 +40,36 @@ def words(text: str) -> list[str]:
     return _WORD_RE.findall(text)
 
 
+def md5_64(s: str) -> int:
+    """First 8 bytes of md5 as a big-endian uint64 — chosen because the SQL
+    oracle can compute the identical value portably:
+    ``('0x' || substr(md5(w), 1, 16))::UBIGINT`` in DuckDB."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+
+
+# per-process memo: corpora repeat words heavily, md5 is the slow part
+_WORD_HASH_CACHE: dict[str, int] = {}
+
+
 def word_hashes(ws: list[str]) -> np.ndarray:
-    """Deterministic 32-bit hash per word (crc32)."""
-    return np.array([zlib.crc32(w.encode()) for w in ws], dtype=np.uint64)
+    """Deterministic 64-bit hash per word (md5 low 64, SQL-replicable)."""
+    cache = _WORD_HASH_CACHE
+    out = np.empty(len(ws), dtype=np.uint64)
+    for i, w in enumerate(ws):
+        h = cache.get(w)
+        if h is None:
+            h = md5_64(w)
+            if len(cache) < 1 << 20:
+                cache[w] = h
+        out[i] = h
+    return out
 
 
 def shingle_hashes(ws: list[str], k: int = 3) -> np.ndarray:
     """Hashes of word k-grams (the MinHash/Jaccard feature set)."""
     if len(ws) < k:
         joined = [" ".join(ws)] if ws else []
-        return np.array([zlib.crc32(s.encode()) for s in joined], dtype=np.uint64)
+        return np.array([md5_64(s) for s in joined], dtype=np.uint64)
     h = word_hashes(ws)
     # combine k consecutive word hashes with position-dependent multipliers
     out = np.zeros(len(ws) - k + 1, dtype=np.uint64)
@@ -79,9 +99,7 @@ def simhash64(ws: list[str]) -> np.uint64:
     """64-bit SimHash over word features (unweighted)."""
     if not ws:
         return np.uint64(0)
-    h32 = word_hashes(ws)
-    # widen to 64 bits deterministically
-    h = h32 * np.uint64(0x9E3779B97F4A7C15) + np.uint64(0x85EBCA6B)
+    h = word_hashes(ws)  # already 64-bit well-mixed (md5 low 64)
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int64
     )

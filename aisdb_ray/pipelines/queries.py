@@ -718,8 +718,10 @@ def q_doc_exact_dedup(sf_dir: str):
 
 
 def q_doc_textstats(sf_dir: str):
-    """Language-ID + fingerprint + counts (actor pool). Heuristic ops —
-    no SQL oracle; pinned by pytest instead."""
+    """Language-ID + fingerprint + counts (actor pool). Hash-verified:
+    oracle_text.textstats_sql recomputes the rolling-hash fingerprint as a
+    recursive CTE over the shared md5 word hashes, plus the counts and
+    language vote."""
     from aisdb_ray.stages import textstats
 
     _ctx()
@@ -832,32 +834,40 @@ LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1"""
 
 
 def q_doc_minhash_pairs(sf_dir: str):
-    """MinHash+LSH near-duplicate pairs (verified Jaccard >= 0.7)."""
+    """MinHash+LSH near-duplicate pairs (verified Jaccard >= 0.7).
+
+    HASH-VERIFIED end-to-end: the oracle (oracle_text.minhash_pairs_sql)
+    recomputes signatures, banding, candidates and exact Jaccard in SQL
+    from the embedded permutation coefficients; the query emits the exact
+    integer evidence (n_inter, n_union) instead of the float ratio."""
     from aisdb_ray.stages import dedup_text
 
     _ctx()
-    return dedup_text.minhash_dedup_pairs(_docs_path(sf_dir), jaccard_threshold=0.7)
+    return dedup_text.minhash_dedup_pairs(
+        _docs_path(sf_dir), jaccard_threshold=0.7
+    ).select_columns(["a", "b", "n_inter", "n_union"])
 
 
 def q_doc_jaccard_pairs(sf_dir: str):
     """Explicit n-gram (3-shingle) Jaccard near-dup pairs at a looser
     threshold with high-recall banding (32 bands x 2 rows): the same
     distributed candidate->exact-verify shape as doc_minhash_pairs, tuned
-    for recall over the weaker-similarity regime. Rows-only (banding is
-    probabilistic); exact Jaccard values ride the output."""
+    for recall over the weaker-similarity regime. Hash-verified like
+    doc_minhash_pairs (same oracle generator, different band layout)."""
     from aisdb_ray.stages import dedup_text
 
     _ctx()
     return dedup_text.minhash_dedup_pairs(
         _docs_path(sf_dir), jaccard_threshold=0.5, n_bands=32, rows_per_band=2
-    )
+    ).select_columns(["a", "b", "n_inter", "n_union"])
 
 
 def q_emb_neardup_lsh(sf_dir: str):
     """LSH-bucketed APPROXIMATE embedding near-dup (the scale path when
     exact all-pairs tiling is unaffordable): pairs form only inside shared
     random-hyperplane buckets, exact cosine verify within the bucket.
-    Rows-only (recall is the LSH tradeoff; pinned by pytest)."""
+    Hash-verified: the seeded hyperplanes embed as literals in the oracle
+    (oracle_text.emb_neardup_lsh_sql), which replays bucketing + verify."""
     from aisdb_ray.stages import dedup_text
 
     _ctx()
@@ -867,6 +877,9 @@ def q_emb_neardup_lsh(sf_dir: str):
 
 
 def q_doc_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (Hamming <= 8 over banded 64-bit signatures).
+    Hash-verified: oracle_text.simhash_pairs_sql recomputes the per-bit
+    majority vote and pigeonhole banding from the shared md5 word hashes."""
     from aisdb_ray.stages import dedup_text
 
     _ctx()
@@ -885,17 +898,12 @@ def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
     return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
 
 
-def q_ann_topk(sf_dir: str):
-    """Brute-force cosine top-10 for the vec_id=0 query vector."""
-    from aisdb_ray.stages import ann
+def _ranked_ids(top):
+    """(rank, vec_id) projection of a top-k result: DuckDB computes
+    list_cosine_similarity in float32 (~5e-8 off from the float64 matmul),
+    so the hashed compare carries ranks + ids only; the cosine VALUES are
+    pinned against numpy in pytest instead."""
 
-    _ctx()
-    q0 = _query_vector(sf_dir)
-    top = ann.topk_cosine(rd.read_parquet(_emb_path(sf_dir)), q0, k=10)
-
-    # DuckDB computes list_cosine_similarity in float32 (~5e-8 off from the
-    # float64 matmul), so the hashed compare carries ranks + ids only; the
-    # cosine VALUES are pinned against numpy in pytest instead.
     def ranked(b: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -907,11 +915,21 @@ def q_ann_topk(sf_dir: str):
     return top.map_batches(ranked, batch_format="pyarrow", batch_size=None)
 
 
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for the vec_id=0 query vector."""
+    from aisdb_ray.stages import ann
+
+    _ctx()
+    q0 = _query_vector(sf_dir)
+    return _ranked_ids(ann.topk_cosine(rd.read_parquet(_emb_path(sf_dir)), q0, k=10))
+
+
 def q_ann_lsh_topk(sf_dir: str):
     """LSH-bucketed ANN via the PERSISTED postings index: built once per sf
     (idempotent), each query prune-reads only its probed (tbl, bucket)
-    partitions — no per-query corpus scan. Approximate by design -> rows-only
-    check; recall and per-query pruning pinned by pytest."""
+    partitions — no per-query corpus scan. Hash-verified: the oracle
+    (oracle_text.ann_lsh_topk_sql) rebuilds the candidate set from the
+    embedded seeded hyperplanes and ranks it by exact cosine."""
     from aisdb_ray.stages import ann
 
     _ctx()
@@ -921,7 +939,7 @@ def q_ann_lsh_topk(sf_dir: str):
     ann.build_lsh_index(
         rd.read_parquet(_emb_path(sf_dir)), idx, ann.LshIndexParams(len(q0))
     )
-    return ann.lsh_index_topk(idx, _emb_path(sf_dir), q0, k=10)
+    return _ranked_ids(ann.lsh_index_topk(idx, _emb_path(sf_dir), q0, k=10))
 
 
 def q_ann_ivf_topk(sf_dir: str):
@@ -1491,8 +1509,20 @@ LIMIT 10"""
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35"""
 
+    # sketch/probabilistic pipelines: the oracles embed the engines'
+    # parameter constants (seeded permutation coefficients, hyperplanes)
+    # as literals and replay the FULL pipeline in SQL — see oracle_text.py
+    from aisdb_ray.pipelines import oracle_text
+
+    sql["doc_minhash_pairs"] = oracle_text.minhash_pairs_sql(16, 4, 7, 10)
+    sql["doc_jaccard_pairs"] = oracle_text.minhash_pairs_sql(32, 2, 1, 2)
+    sql["doc_simhash_pairs"] = oracle_text.simhash_pairs_sql(max_hamming=8)
+    sql["doc_textstats"] = oracle_text.textstats_sql(_langid_sql())
+    sql["ann_lsh_topk"] = oracle_text.ann_lsh_topk_sql(k=10)
+    sql["emb_neardup_lsh"] = oracle_text.emb_neardup_lsh_sql(threshold=0.35)
+
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
-    #   ts_gapfill (interpolation), doc_textstats (heuristic lang-id),
-    #   doc_minhash_pairs / doc_simhash_pairs (probabilistic banding),
-    #   ann_lsh_topk (approximate), media_features (stubbed decode)
+    #   ts_relink / ts_decimate / ts_cubic_resample (greedy/sequential
+    #   numeric recurrences), ann_ivf_topk (centroids are data-derived —
+    #   see oracle_text.py), media_features / media_audio (binary codecs)
     return sql

@@ -282,7 +282,7 @@ def minhash_dedup_pairs(sf_docs_path: str, jaccard_threshold: float = 0.7,
         sb = b["sh"].to_pylist()
         a_ids = b["a"].to_numpy(zero_copy_only=False)
         b_ids = b["b"].to_numpy(zero_copy_only=False)
-        out_a, out_b, out_j = [], [], []
+        out_a, out_b, out_i, out_u = [], [], [], []
         for i in range(b.num_rows):
             x = np.frombuffer(sa[i], dtype=np.int64)
             y = np.frombuffer(sb[i], dtype=np.int64)
@@ -292,10 +292,19 @@ def minhash_dedup_pairs(sf_docs_path: str, jaccard_threshold: float = 0.7,
             if j >= thr:
                 out_a.append(int(a_ids[i]))
                 out_b.append(int(b_ids[i]))
-                out_j.append(round(j, 6))
+                out_i.append(inter)
+                out_u.append(union)
+        # exact integer evidence (n_inter, n_union) rides with each pair so
+        # the SQL oracle can hash-compare without float-rounding hazards;
+        # jaccard itself derives as n_inter/n_union
         return pa.table(
             {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
-             "jaccard": pa.array(out_j, pa.float64())}
+             "n_inter": pa.array(out_i, pa.int64()),
+             "n_union": pa.array(out_u, pa.int64()),
+             "jaccard": pa.array(
+                 [(i / u) if u else 1.0 for i, u in zip(out_i, out_u)],
+                 pa.float64(),
+             )}
         )
 
     return j2.map_batches(verify, batch_format="pyarrow")

@@ -51,7 +51,7 @@ def value_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01"):
+def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
     import ray
 
     ray.init(
@@ -62,6 +62,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
 
     qs = e.queries()
     sqls = e.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
 
     con = duckdb.connect()
     for t in TABLES:
@@ -109,4 +111,5 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:2])
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+         sys.argv[2:] or None)
