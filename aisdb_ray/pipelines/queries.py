@@ -1273,6 +1273,83 @@ SELECT source, mark AS cum_tokens,
        END AS time
 FROM joined"""
 
+    # LTTB decimation (Visvalingam analog, trackops.lttb_indices): the
+    # sequential "largest triangle" recurrence is expressed as a recursive
+    # CTE — each recursion step selects, per source, the point in bucket i
+    # maximizing the triangle area against the previously-selected anchor
+    # (carried in `sel`) and the NEXT bucket's centroid (precomputed in
+    # `centers`, with the engine's final-bucket fallback to the last point).
+    # Bucket edges replicate np.linspace + trunc; series with n <= n_out
+    # pass through whole.  Tie-break on area is lowest index (row_number
+    # ORDER BY area DESC, j ASC == np.argmax first-max semantics).
+    no = 100
+    sql["ts_decimate"] = f"""WITH RECURSIVE {_sql_tokens_clean(tok)},
+  pts AS MATERIALIZED (
+    SELECT source, time, n_tok,
+           CAST(time AS DOUBLE) AS t, CAST(n_tok AS DOUBLE) AS v,
+           row_number() OVER (PARTITION BY source ORDER BY time, seq) - 1 AS j,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM segmented
+  ),
+  srcs AS MATERIALIZED (SELECT DISTINCT source, n FROM pts),
+  big AS MATERIALIZED (SELECT * FROM srcs WHERE n > {no}),
+  edges AS MATERIALIZED (
+    SELECT b.source, b.n, t.i,
+           CASE WHEN t.i = {no - 2} THEN b.n - 1
+                ELSE CAST(trunc(t.i * ((b.n - 2)::DOUBLE / {no - 2}) + 1.0) AS BIGINT)
+           END AS e
+    FROM big b, LATERAL (SELECT unnest(generate_series(0, {no - 2})) AS i) t
+  ),
+  lastpt AS MATERIALIZED (
+    SELECT p.source, p.t AS lt, p.v AS lv
+    FROM pts p JOIN big b ON b.source = p.source AND p.j = b.n - 1
+  ),
+  centers AS MATERIALIZED (
+    SELECT e0.source, e0.i,
+           e0.e AS lo,
+           CASE WHEN e1.e <= e0.e THEN e0.e + 1 ELSE e1.e END AS hi,
+           CASE WHEN COALESCE(e2.e, e0.n) > e1.e
+                THEN m.st / (COALESCE(e2.e, e0.n) - e1.e) ELSE lp.lt END AS cx,
+           CASE WHEN COALESCE(e2.e, e0.n) > e1.e
+                THEN m.sv / (COALESCE(e2.e, e0.n) - e1.e) ELSE lp.lv END AS cy
+    FROM edges e0
+    JOIN edges e1 ON e1.source = e0.source AND e1.i = e0.i + 1
+    LEFT JOIN edges e2 ON e2.source = e0.source AND e2.i = e0.i + 2
+    JOIN lastpt lp ON lp.source = e0.source
+    LEFT JOIN LATERAL (
+      SELECT sum(p.t) AS st, sum(p.v) AS sv FROM pts p
+      WHERE p.source = e0.source AND p.j >= e1.e AND p.j < COALESCE(e2.e, e0.n)
+    ) m ON true
+    WHERE e0.i <= {no - 3}
+  ),
+  sel AS (
+    SELECT source, 0 AS i, 0::BIGINT AS a FROM big
+    UNION ALL
+    SELECT source, i + 1 AS i, j AS a FROM (
+      SELECT s.source, s.i, p.j,
+             row_number() OVER (PARTITION BY s.source
+               ORDER BY abs((pa.t - c.cx) * (p.v - pa.v)
+                            - (pa.t - p.t) * (c.cy - pa.v)) DESC, p.j ASC) AS rn
+      FROM sel s
+      JOIN centers c ON c.source = s.source AND c.i = s.i
+      JOIN pts pa ON pa.source = s.source AND pa.j = s.a
+      JOIN pts p ON p.source = s.source AND p.j >= c.lo AND p.j < c.hi
+      WHERE s.i <= {no - 3}
+    ) WHERE rn = 1
+  ),
+  keep AS (
+    SELECT source, a AS j FROM sel
+    UNION
+    SELECT source, 0 FROM big
+    UNION
+    SELECT source, n - 1 FROM big
+  )
+SELECT p.source, p.time, p.n_tok
+FROM pts p JOIN keep k ON k.source = p.source AND k.j = p.j
+UNION ALL
+SELECT p.source, p.time, p.n_tok
+FROM pts p JOIN srcs s ON s.source = p.source AND s.n <= {no}"""
+
     # aisdb.interp linear gap-fill: per-(source, seg) epoch grid
     # generate_series(t0, t_end + step - 1, step) == np.arange(t0,
     # t_end + step, step); same-timestamp keep-first dedup before
@@ -1522,7 +1599,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35"""
     sql["emb_neardup_lsh"] = oracle_text.emb_neardup_lsh_sql(threshold=0.35)
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
-    #   ts_relink / ts_decimate / ts_cubic_resample (greedy/sequential
-    #   numeric recurrences), ann_ivf_topk (centroids are data-derived —
+    #   ts_relink / ts_cubic_resample (greedy/sequential numeric
+    #   recurrences), ann_ivf_topk (centroids are data-derived —
     #   see oracle_text.py), media_features / media_audio (binary codecs)
     return sql
