@@ -1350,6 +1350,77 @@ UNION ALL
 SELECT p.source, p.time, p.n_tok
 FROM pts p JOIN srcs s ON s.source = p.source AND s.n <= {no}"""
 
+    # Greedy pathway relinking (trackops.relink_group, the
+    # encode_greatcircledistance analog): the per-source sequential state —
+    # an UNBOUNDED list of open pathway tails — is carried through a
+    # recursive CTE as a LIST<STRUCT(t,v,lab)> column.  Each recursion step
+    # scores the next segment's head against every open tail with a list
+    # lambda, takes argmax with the engine's tie-to-latest rule
+    # (list_reverse + list_position == last index attaining the max), and
+    # either updates the winning tail in place or appends a new pathway.
+    # Score arithmetic is the same IEEE-double expression the engine uses,
+    # so equality-on-float in the tie-break is deterministic.
+    dt_clamp, minscore = 10, 1e-5
+    sql["ts_relink"] = f"""WITH RECURSIVE {_sql_tokens_clean(tok)},
+  segrows AS MATERIALIZED (
+    SELECT source, seg, time, n_tok,
+           row_number() OVER (PARTITION BY source, seg ORDER BY time, seq) AS rn,
+           count(*) OVER (PARTITION BY source, seg) AS cnt
+    FROM segmented
+  ),
+  segs0 AS MATERIALIZED (
+    SELECT source, seg,
+           max(CASE WHEN rn = 1 THEN n_tok END) AS v0,
+           max(CASE WHEN rn = 1 THEN time END) AS t0,
+           max(CASE WHEN rn = cnt THEN n_tok END) AS v1,
+           max(CASE WHEN rn = cnt THEN time END) AS t1
+    FROM segrows GROUP BY source, seg
+  ),
+  segs AS MATERIALIZED (
+    SELECT *, dense_rank() OVER (PARTITION BY source ORDER BY seg) - 1 AS k
+    FROM segs0
+  ),
+  nseg AS MATERIALIZED (SELECT source, count(*) AS nk FROM segs GROUP BY source),
+  walk AS (
+    SELECT s.source, s.seg, 0 AS k, n.nk,
+           0::BIGINT AS lab, 1::BIGINT AS next_lab,
+           [{{'t': CAST(s.t1 AS DOUBLE), 'v': CAST(s.v1 AS DOUBLE), 'lab': 0::BIGINT}}] AS paths
+    FROM segs s JOIN nseg n ON n.source = s.source
+    WHERE s.k = 0
+    UNION ALL
+    SELECT source, seg, k, nk, lab, next_lab,
+           CASE WHEN is_new THEN list_append(paths0, {{'t': t1d, 'v': v1d, 'lab': lab}})
+                ELSE list_transform(paths0, p -> CASE WHEN p.lab = lab
+                     THEN {{'t': t1d, 'v': v1d, 'lab': p.lab}} ELSE p END)
+           END AS paths
+    FROM (
+      SELECT s.source, s.seg, s.k, w.nk,
+             CAST(s.t1 AS DOUBLE) AS t1d, CAST(s.v1 AS DOUBLE) AS v1d,
+             w.paths AS paths0,
+             best_i IS NULL OR best_s < {minscore} AS is_new,
+             CASE WHEN best_i IS NULL OR best_s < {minscore}
+                  THEN w.next_lab ELSE paths0[best_i].lab END AS lab,
+             CASE WHEN best_i IS NULL OR best_s < {minscore}
+                  THEN w.next_lab + 1 ELSE w.next_lab END AS next_lab
+      FROM walk w
+      JOIN segs s ON s.source = w.source AND s.k = w.k + 1,
+      LATERAL (
+        SELECT scores, list_max(scores) AS best_s,
+               len(scores) + 1 - list_position(list_reverse(scores), list_max(scores)) AS best_i
+        FROM (SELECT list_transform(w.paths, p ->
+                CASE WHEN CAST(s.t0 AS DOUBLE) - p.t >= 0
+                      AND CAST(s.t0 AS DOUBLE) - p.t < {2 * g}
+                     THEN 1.0 / (greatest(CAST(s.t0 AS DOUBLE) - p.t, {dt_clamp}.0)
+                                 * (1.0 + abs(CAST(s.v0 AS DOUBLE) - p.v)))
+                     ELSE -1.0 END) AS scores)
+      ) sc
+      WHERE w.k + 1 < w.nk
+    )
+  ),
+  labels AS (SELECT source, seg, lab FROM walk)
+SELECT g.source, g.source || ':' || CAST(l.lab AS VARCHAR) AS label, g.time, g.n_tok
+FROM segmented g JOIN labels l ON l.source = g.source AND l.seg = g.seg"""
+
     # aisdb.interp linear gap-fill: per-(source, seg) epoch grid
     # generate_series(t0, t_end + step - 1, step) == np.arange(t0,
     # t_end + step, step); same-timestamp keep-first dedup before
@@ -1599,7 +1670,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35"""
     sql["emb_neardup_lsh"] = oracle_text.emb_neardup_lsh_sql(threshold=0.35)
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
-    #   ts_relink / ts_cubic_resample (greedy/sequential numeric
-    #   recurrences), ann_ivf_topk (centroids are data-derived —
+    #   ts_cubic_resample (tridiagonal Thomas-solve recurrence),
+    #   ann_ivf_topk (centroids are data-derived —
     #   see oracle_text.py), media_features / media_audio (binary codecs)
     return sql
