@@ -273,3 +273,42 @@ JOIN vb y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
 JOIN embeddings ea ON ea.vec_id = x.vec_id
 JOIN embeddings eb ON eb.vec_id = y.vec_id
 WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {threshold}"""
+
+
+def ann_ivf_topk_sql(cent, probes, k: int = 10) -> str:
+    """IVF ANN oracle.  ``cent`` is the engine's fitted coarse-quantizer
+    matrix (a derived parameter constant, embedded as literals exactly like
+    the seeded hyperplanes above); ``probes`` the nprobe nearest lists to
+    the query vector.  Per-vector list assignment reduces to
+    argmax(e . cent) — the engine normalizes e first, but |e| is a
+    positive per-vector constant so the argmax is identical — computed
+    in DOUBLE via an unnest dot product; candidates = vectors assigned to
+    a probed list; exact cosine ranks them (vec_id tie-break)."""
+    dim = len(cent[0])
+    vals = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(float(x)) for x in cent[i]))
+        for i in range(len(cent))
+    )
+    return f"""WITH cent(list, v) AS (VALUES
+    {vals}),
+  dots AS (
+    SELECT e.vec_id, c.list,
+           (SELECT sum(CAST(e.embedding[u.i] AS DOUBLE) * c.v[u.i])
+            FROM (SELECT unnest(generate_series(1, {dim})) AS i) u) AS d
+    FROM embeddings e, cent c
+  ),
+  assign AS (
+    SELECT vec_id, list FROM (
+      SELECT vec_id, list,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, list) AS rn
+      FROM dots) WHERE rn = 1
+  ),
+  cand AS (SELECT vec_id FROM assign
+           WHERE list IN ({", ".join(str(int(p)) for p in probes)}))
+SELECT CAST(row_number() OVER (
+         ORDER BY list_cosine_similarity(e.embedding,
+                  (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+                  e.vec_id) AS BIGINT) AS rank,
+       e.vec_id
+FROM embeddings e JOIN cand USING (vec_id)
+ORDER BY rank LIMIT {k}"""

@@ -945,8 +945,10 @@ def q_ann_lsh_topk(sf_dir: str):
 def q_ann_ivf_topk(sf_dir: str):
     """IVF-bucketed ANN: spherical-kmeans coarse quantizer fit on a bounded
     sample, distributed assignment persisted as list-partitioned postings,
-    query probes nprobe nearest lists. Approximate -> rows-only; recall
-    pinned by pytest."""
+    query probes nprobe nearest lists. Hash-verified: build_oracle_sql
+    recomputes the seeded k-means fit on the same parquet head and embeds
+    the centroids + probe set as literals (oracle_text.ann_ivf_topk_sql);
+    exact cosine ranks the candidate set in SQL."""
     from aisdb_ray.stages import ann
 
     _ctx()
@@ -954,7 +956,7 @@ def q_ann_ivf_topk(sf_dir: str):
     name = os.path.basename(os.path.normpath(sf_dir))
     idx = os.path.join(SF_CACHE_ROOT, name, "ivf_index")
     ann.build_ivf_index(rd.read_parquet(_emb_path(sf_dir)), idx)
-    return ann.ivf_topk(idx, _emb_path(sf_dir), q0, k=10, nprobe=4)
+    return _ranked_ids(ann.ivf_topk(idx, _emb_path(sf_dir), q0, k=10, nprobe=4))
 
 
 def q_emb_neardup(sf_dir: str):
@@ -1669,8 +1671,27 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35"""
     sql["ann_lsh_topk"] = oracle_text.ann_lsh_topk_sql(k=10)
     sql["emb_neardup_lsh"] = oracle_text.emb_neardup_lsh_sql(threshold=0.35)
 
+    # IVF: the fitted coarse quantizer is a derived parameter constant —
+    # recompute the seeded k-means on the same bounded parquet head the
+    # engine samples (file row order == ds.limit() order) and embed the
+    # centroids + probed lists as literals; exact cosine ranks in SQL
+    import pyarrow.parquet as _pq
+
+    _emb_t = _pq.read_table(
+        _emb_path(sf_dir_for_tokens), columns=["vec_id", "embedding"]
+    )
+    from aisdb_ray.stages.ann import kmeans_fit as _kmeans_fit
+
+    _sample = np.stack(
+        [np.asarray(v, np.float64) for v in _emb_t["embedding"].to_pylist()[:2048]]
+    )
+    _cent = _kmeans_fit(_sample, 16, seed=23)
+    _q0 = np.asarray(_emb_t["embedding"][0].as_py(), np.float64)
+    _q0 = _q0 / (np.linalg.norm(_q0) or 1.0)
+    _probes = sorted(int(x) for x in np.argsort(-(_cent @ _q0))[:4])
+    sql["ann_ivf_topk"] = oracle_text.ann_ivf_topk_sql(_cent, _probes, k=10)
+
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
     #   ts_cubic_resample (tridiagonal Thomas-solve recurrence),
-    #   ann_ivf_topk (centroids are data-derived —
-    #   see oracle_text.py), media_features / media_audio (binary codecs)
+    #   media_features / media_audio (binary codecs)
     return sql
