@@ -1423,6 +1423,104 @@ FROM pts p JOIN srcs s ON s.source = p.source AND s.n <= {no}"""
 SELECT g.source, g.source || ':' || CAST(l.lab AS VARCHAR) AS label, g.time, g.n_tok
 FROM segmented g JOIN labels l ON l.source = g.source AND l.seg = g.seg"""
 
+    # Natural-cubic-spline resample (trackops.natural_cubic_spline): the
+    # tridiagonal Thomas solve is two linear recurrences per segment —
+    # forward sweep then back substitution — each a recursive CTE carrying
+    # scalar (bp, dp) / m state and advancing ALL segments one interior
+    # point per step.  The arithmetic mirrors the engine's numpy
+    # expressions op-for-op, so agreement holds at the driver's %.9g float
+    # hashing.  Recursive CTEs re-execute per reference in DuckDB, so each
+    # is wrapped in an AS MATERIALIZED shim before reuse.  n=2 segments
+    # use the np.interp slope form; bracketing replicates
+    # clip(searchsorted(x, xq) - 1, 0, n-2).
+    step = TS_STEP
+    sql["ts_cubic_resample"] = f"""WITH RECURSIVE {_sql_tokens_clean(tok)},
+  uniq AS (
+    SELECT *, row_number() OVER (PARTITION BY source, seg, time ORDER BY seq) AS urn
+    FROM segmented
+  ),
+  pts AS MATERIALIZED (
+    SELECT source, seg, time, n_tok,
+           CAST(time AS DOUBLE) AS x, CAST(n_tok AS DOUBLE) AS y,
+           row_number() OVER (PARTITION BY source, seg ORDER BY time) - 1 AS j,
+           count(*) OVER (PARTITION BY source, seg) AS n
+    FROM uniq WHERE urn = 1
+  ),
+  spsegs AS MATERIALIZED (
+    SELECT source, seg, min(time) AS t0, max(time) AS t_end, count(*) AS n
+    FROM pts GROUP BY source, seg HAVING count(*) >= 2
+  ),
+  hvals AS MATERIALIZED (
+    SELECT p0.source, p0.seg, p0.j AS i, p1.x - p0.x AS h,
+           p0.x AS x0, p0.y AS y0, p1.x AS x1, p1.y AS y1
+    FROM pts p0
+    JOIN pts p1 ON p1.source = p0.source AND p1.seg = p0.seg AND p1.j = p0.j + 1
+  ),
+  sysrows AS MATERIALIZED (
+    SELECT h0.source, h0.seg, h0.i AS r,
+           2 * (h0.h + h1.h) AS b,
+           6 * ((h1.y1 - h1.y0) / h1.h - (h0.y1 - h0.y0) / h0.h) AS d,
+           h0.h AS a_r, h1.h AS c_r
+    FROM hvals h0
+    JOIN hvals h1 ON h1.source = h0.source AND h1.seg = h0.seg AND h1.i = h0.i + 1
+  ),
+  fwd AS (
+    SELECT source, seg, r, b AS bp, d AS dp, a_r, c_r FROM sysrows WHERE r = 0
+    UNION ALL
+    SELECT s.source, s.seg, s.r,
+           s.b - (f.a_r / f.bp) * f.c_r AS bp,
+           s.d - (f.a_r / f.bp) * f.dp AS dp,
+           s.a_r, s.c_r
+    FROM fwd f
+    JOIN sysrows s ON s.source = f.source AND s.seg = f.seg AND s.r = f.r + 1
+  ),
+  fwd2 AS MATERIALIZED (SELECT * FROM fwd),
+  fmax AS MATERIALIZED (SELECT source, seg, max(r) AS rmax FROM fwd2 GROUP BY source, seg),
+  bwd AS (
+    SELECT f.source, f.seg, f.r, f.dp / f.bp AS m
+    FROM fwd2 f JOIN fmax mx ON mx.source = f.source AND mx.seg = f.seg AND f.r = mx.rmax
+    UNION ALL
+    SELECT f.source, f.seg, f.r, (f.dp - f.c_r * b.m) / f.bp AS m
+    FROM bwd b
+    JOIN fwd2 f ON f.source = b.source AND f.seg = b.seg AND f.r = b.r - 1
+  ),
+  bwd2 AS MATERIALIZED (SELECT * FROM bwd),
+  spgrid AS (
+    SELECT s.source, s.seg, s.n, gs.g
+    FROM spsegs s, LATERAL (
+      SELECT unnest(generate_series(s.t0, s.t_end + {step} - 1, {step})) AS g
+    ) gs
+  ),
+  brack AS (
+    SELECT gr.source, gr.seg, gr.n, gr.g,
+           greatest(least(COALESCE(
+             (SELECT max(p.j) FROM pts p
+              WHERE p.source = gr.source AND p.seg = gr.seg
+                AND p.x < CAST(gr.g AS DOUBLE)), -1), gr.n - 2), 0) AS j0
+    FROM spgrid gr
+  ),
+  ev AS (
+    SELECT b2.source, b2.seg, b2.g AS time, b2.n,
+           p0.x AS x0, p0.y AS y0, p1.x AS x1, p1.y AS y1,
+           CASE WHEN b2.j0 = 0 THEN 0.0 ELSE m0.m END AS m0,
+           CASE WHEN b2.j0 + 1 = b2.n - 1 THEN 0.0 ELSE m1.m END AS m1,
+           CAST(b2.g AS DOUBLE) AS xq
+    FROM brack b2
+    JOIN pts p0 ON p0.source = b2.source AND p0.seg = b2.seg AND p0.j = b2.j0
+    JOIN pts p1 ON p1.source = b2.source AND p1.seg = b2.seg AND p1.j = b2.j0 + 1
+    LEFT JOIN bwd2 m0 ON m0.source = b2.source AND m0.seg = b2.seg AND m0.r = b2.j0 - 1
+    LEFT JOIN bwd2 m1 ON m1.source = b2.source AND m1.seg = b2.seg AND m1.r = b2.j0
+  )
+SELECT source, seg, time,
+       CASE WHEN n = 2 THEN ((y1 - y0) / (x1 - x0)) * (xq - x0) + y0
+            ELSE ((x1 - xq) / (x1 - x0)) * y0
+                 + ((xq - x0) / (x1 - x0)) * y1
+                 + ((pow((x1 - xq) / (x1 - x0), 3) - (x1 - xq) / (x1 - x0)) * m0
+                    + (pow((xq - x0) / (x1 - x0), 3) - (xq - x0) / (x1 - x0)) * m1)
+                   * pow(x1 - x0, 2) / 6.0
+       END AS n_tok
+FROM ev"""
+
     # aisdb.interp linear gap-fill: per-(source, seg) epoch grid
     # generate_series(t0, t_end + step - 1, step) == np.arange(t0,
     # t_end + step, step); same-timestamp keep-first dedup before
@@ -1692,6 +1790,6 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35"""
     sql["ann_ivf_topk"] = oracle_text.ann_ivf_topk_sql(_cent, _probes, k=10)
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
-    #   ts_cubic_resample (tridiagonal Thomas-solve recurrence),
-    #   media_features / media_audio (binary codecs)
+    #   media_features / media_audio (binary codecs: pure-numpy PPM/BMP/WAV
+    #   decode has no SQL analog)
     return sql
