@@ -779,6 +779,74 @@ def q_doc_clean_corpus(sf_dir: str):
     return first.map_batches(lang_tag, batch_format="pyarrow")
 
 
+def q_doc_embed_join(sf_dir: str):
+    """Large×large co-partitioned hash equi-join (stages/join.py): enrich
+    documents with their embedding's cluster label on doc_id = vec_id.
+    One co-shuffle of both (projected) sides, vectorized Acero join per
+    partition — the shuffle form of the reference's dynamic⟕static join
+    for when neither side fits a broadcast."""
+    from aisdb_ray.stages import join
+
+    _ctx()
+    docs = rd.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "source", "n_chars"]
+    )
+    embs = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "label"])
+    return join.hash_join(docs, embs, on="doc_id", right_on="vec_id", how="inner")
+
+
+def q_doc_sample_hash(sf_dir: str):
+    """Deterministic ~20% corpus sample by key hash (stages/sample.py):
+    resumable/reproducible selection with zero shuffle."""
+    from aisdb_ray.stages import sample
+
+    _ctx()
+    docs = rd.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "source", "n_chars"]
+    )
+    return sample.hash_sample(docs, "doc_id", 20)
+
+
+def q_doc_sample_stratified(sf_dir: str):
+    """Exactly-3-per-source stratified sample: k smallest md5 hashes per
+    stratum via hash-ranked top-k (per-batch partials, one small shuffle)."""
+    from aisdb_ray.stages import sample
+
+    _ctx()
+    docs = rd.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "source", "n_chars"]
+    )
+    return sample.stratified_sample(docs, "source", "doc_id", 3)
+
+
+def q_ts_quantiles(sf_dir: str):
+    """Exact per-source p50/p95 of the token channel via the histogram
+    decomposition (stages/rank.group_quantiles): (source, n_tok, count)
+    partials are the only thing shuffled — exact quantiles with no sort
+    of the data and no sketch error."""
+    from aisdb_ray.stages import rank
+
+    _ctx()
+    pts = _clean_tokens(sf_dir).select_columns(["source", "n_tok"])
+    return rank.group_quantiles(pts, "source", "n_tok", ps=(50, 95))
+
+
+def q_ts_topk(sf_dir: str):
+    """Top-3 rows per source by token count (ties: earliest time, seq) —
+    per-batch partial top-k, then a final pass over the O(k × groups ×
+    blocks) candidates only."""
+    from aisdb_ray.stages import rank
+
+    _ctx()
+    pts = _clean_tokens(sf_dir).select_columns(
+        ["source", "doc_id", "time", "seq", "n_tok"]
+    )
+    return rank.topk_per_group(
+        pts, "source", ["n_tok", "time", "seq"], 3,
+        descending=[True, False, False],
+    )
+
+
 def q_doc_bpe_count(sf_dir: str):
     """BPE-ish pre-token count (GPT-2-style RE2 pattern): whitespace counts
     are doc_token_count; this is the subword-boundary variant a training
@@ -1039,6 +1107,11 @@ def build_queries() -> dict:
         "doc_langid": q_doc_langid,
         "doc_bpe_count": q_doc_bpe_count,
         "doc_clean_corpus": q_doc_clean_corpus,
+        "doc_embed_join": q_doc_embed_join,
+        "doc_sample_hash": q_doc_sample_hash,
+        "doc_sample_stratified": q_doc_sample_stratified,
+        "ts_quantiles": q_ts_quantiles,
+        "ts_topk": q_ts_topk,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
@@ -1711,6 +1784,44 @@ FROM documents"""
 FROM documents GROUP BY md5(text)"""
 
     sql["doc_langid"] = _langid_sql()
+
+    sql["doc_embed_join"] = """SELECT d.doc_id, d.source, d.n_chars, e.label
+FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id"""
+
+    # md5-prefix parity: engine md5_u32 == CAST('0x'||substr(md5(k),1,8) AS BIGINT)
+    sql["doc_sample_hash"] = """SELECT doc_id, source, n_chars FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 20"""
+
+    sql["doc_sample_stratified"] = """SELECT doc_id, source, n_chars FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source
+  ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT), doc_id
+) <= 3"""
+
+    # discrete quantile rank rule shared with stages/rank.py: smallest value
+    # whose cumulative count reaches (p*n + 99) // 100 — integer arithmetic
+    # on both sides, so no float boundary can disagree
+    sql["ts_quantiles"] = f"""WITH {_sql_tokens_clean(tok)},
+  hist AS (
+    SELECT source, n_tok, count(*) AS n FROM segmented GROUP BY source, n_tok
+  ),
+  cw AS (
+    SELECT source, n_tok,
+           sum(n) OVER (PARTITION BY source ORDER BY n_tok) AS cum,
+           sum(n) OVER (PARTITION BY source) AS tot
+    FROM hist
+  )
+SELECT source,
+       CAST(max(tot) AS BIGINT) AS n_rows,
+       CAST(min(CASE WHEN cum >= (50 * tot + 99) // 100 THEN n_tok END) AS BIGINT) AS q50_n_tok,
+       CAST(min(CASE WHEN cum >= (95 * tot + 99) // 100 THEN n_tok END) AS BIGINT) AS q95_n_tok
+FROM cw GROUP BY source"""
+
+    sql["ts_topk"] = f"""WITH {_sql_tokens_clean(tok)}
+SELECT source, doc_id, time, seq, n_tok FROM segmented
+QUALIFY row_number() OVER (
+  PARTITION BY source ORDER BY n_tok DESC, time, seq
+) <= 3"""
 
     sql["doc_clean_corpus"] = r"""WITH q AS (
     SELECT doc_id, text, md5(text) AS text_md5,

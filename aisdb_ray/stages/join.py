@@ -1,0 +1,200 @@
+"""Co-partitioned hash equi-join — the large×large join the broadcast path
+can't do.
+
+The reference joins its dynamic table to static/aggregate tables inside one
+SQL engine (/root/reference/aisdb/database/sql_query_strings.py and
+sqlfcn.py crawl()); at warehouse scale the equivalent is a distributed hash
+join.  The engine already has the broadcast form (pipelines/queries.py
+q_seg_revenue: `ray.put` the small side, lookup in map_batches).  This
+module adds the shuffle form for when BOTH sides are big:
+
+1. normalize the right side's key column names to the left's,
+2. pad each side to one unified schema (missing columns -> typed nulls),
+   tag rows with a side bit, and append a key-hash partition id,
+3. union the two datasets — ONE co-shuffle (`groupby(part)`) moves each
+   row exactly once,
+4. per partition, split by the side bit and run the vectorized Arrow
+   (Acero) hash join on the pair of sub-tables.
+
+Matching keys land in the same partition by construction, so per-partition
+joins compose to the global join for every join type that is local under
+key co-partitioning: inner, left/right/full outer, left semi, left anti.
+Skew caveat (documented contract): a single key hotter than one partition's
+memory needs salting on the build side — same remedy as the salted series
+path (stages/salted.py).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+_SIDE = "_jside"
+_PART = "_jpart"
+
+JOIN_TYPES = (
+    "inner",
+    "left outer",
+    "right outer",
+    "full outer",
+    "left semi",
+    "left anti",
+)
+
+
+def _key_hash(tbl: pa.Table, keys: list[str], num_parts: int) -> np.ndarray:
+    """Deterministic per-row partition id from the key column(s).
+
+    Strings hash via crc32 over the batch's *unique* values (one Python
+    call per distinct key, not per row); integers via a Fibonacci
+    multiplicative hash, fully vectorized.  Null keys go to partition 0 —
+    they never match anything, so placement is arbitrary.
+    """
+    import pyarrow.compute as pc
+
+    acc = np.zeros(len(tbl), dtype=np.uint64)
+    for key in keys:
+        col = tbl[key]
+        if pa.types.is_integer(col.type):
+            v = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+            h = v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        else:
+            v = pc.fill_null(pc.cast(col, pa.string()), "").to_numpy(
+                zero_copy_only=False
+            )
+            uniq, inv = np.unique(v, return_inverse=True)
+            lut = np.array(
+                [zlib.crc32(s.encode()) for s in uniq], dtype=np.uint64
+            )
+            h = lut[inv]
+        acc ^= h + np.uint64(0x9E3779B9) + (acc << np.uint64(6))
+    return (acc % np.uint64(num_parts)).astype(np.int32)
+
+
+def _arrow_schema(ds) -> pa.Schema:
+    """The dataset's pyarrow schema.  Parquet-backed datasets report it
+    from metadata; pandas-block datasets (from_pandas) report Python types,
+    so fall back to converting one batch the same way map_batches will."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    if all(isinstance(t, pa.DataType) for t in s.types):
+        return pa.schema(list(zip(s.names, s.types)))
+    return ds.take_batch(1, batch_format="pyarrow").schema
+
+
+def _pad_to(tbl: pa.Table, schema: pa.Schema, side: int, keys, num_parts):
+    """Cast a one-side batch into the unified schema + side/part columns."""
+    n = len(tbl)
+    cols = {}
+    for f in schema:
+        if f.name in tbl.column_names:
+            cols[f.name] = tbl[f.name]
+        else:
+            cols[f.name] = pa.nulls(n, f.type)
+    out = pa.table(cols)
+    out = out.append_column(_SIDE, pa.array(np.full(n, side, dtype=np.int8)))
+    return out.append_column(_PART, pa.array(_key_hash(tbl, keys, num_parts)))
+
+
+def hash_join(
+    left,
+    right,
+    on,
+    right_on=None,
+    how: str = "inner",
+    num_parts: int | None = None,
+):
+    """Distributed hash equi-join of two Datasets on ``on`` (str or list).
+
+    ``right_on`` renames the right side's key column(s) to the left's
+    before the exchange.  Non-key column names must be disjoint across
+    sides (no silent suffixing — callers project first, which is also the
+    right thing for shuffle width).  Output columns follow Arrow's join
+    layout: left columns, then right non-key columns.
+    """
+    import ray
+    import ray.data  # noqa: F401  (Dataset methods)
+
+    if how not in JOIN_TYPES:
+        raise ValueError(f"how={how!r}; expected one of {JOIN_TYPES}")
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_on is not None:
+        rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
+        right = right.map_batches(
+            lambda b, m=dict(zip(rkeys, keys)): b.rename_columns(
+                [m.get(c, c) for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+
+    ls, rs = _arrow_schema(left), _arrow_schema(right)
+    lcols, rcols = list(ls.names), list(rs.names)
+    overlap = (set(lcols) - set(keys)) & (set(rcols) - set(keys))
+    if overlap:
+        raise ValueError(f"non-key columns collide: {sorted(overlap)}")
+    unified = pa.schema(
+        list(ls) + [f for f in rs if f.name not in set(lcols)]
+    )
+    if num_parts is None:
+        num_parts = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+
+    l2 = left.map_batches(
+        lambda b: _pad_to(b, unified, 0, keys, num_parts), batch_format="pyarrow"
+    )
+    r2 = right.map_batches(
+        lambda b: _pad_to(b, unified, 1, keys, num_parts), batch_format="pyarrow"
+    )
+
+    rnon = [c for c in rcols if c not in keys]
+
+    def pad_left(lt: pa.Table) -> pa.Table:
+        for c in rnon:
+            lt = lt.append_column(c, pa.nulls(len(lt), unified.field(c).type))
+        return lt
+
+    def pad_right(rt: pa.Table) -> pa.Table:
+        cols = {}
+        for c in lcols:
+            cols[c] = (
+                rt[c] if c in keys
+                else pa.nulls(len(rt), unified.field(c).type)
+            )
+        for c in rnon:
+            cols[c] = rt[c]
+        return pa.table(cols)
+
+    def degenerate(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        """Either side empty: the join is a projection/pad — skip Acero
+        (which also rejects null-typed columns on degenerate inputs)."""
+        if how == "inner":
+            return pad_left(lt.slice(0, 0))
+        if how == "left semi":
+            return lt.slice(0, 0)
+        if how == "left anti":
+            return lt  # nothing to subtract (rt empty) or nothing left (lt empty)
+        if how == "left outer":
+            return pad_left(lt)
+        if how == "right outer":
+            return pad_right(rt) if len(lt) == 0 else pad_left(lt.slice(0, 0))
+        # full outer: the union of the two one-sided pads
+        return pad_left(lt) if len(rt) == 0 else pad_right(rt)
+
+    def join_part(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = group[_SIDE]
+        lt = group.filter(pc.equal(side, 0)).select(lcols)
+        rt = group.filter(pc.equal(side, 1)).select(rcols)
+        if len(lt) == 0 or len(rt) == 0:
+            return degenerate(lt, rt)
+        return lt.join(rt, keys=keys, join_type=how)
+
+    return (
+        l2.union(r2)
+        .groupby(_PART)
+        .map_groups(join_part, batch_format="pyarrow")
+    )

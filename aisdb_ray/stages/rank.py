@@ -1,0 +1,119 @@
+"""Per-group ranking operators: top-k rows and exact quantiles.
+
+Top-k per group is the selection form of the reference's decimation
+(keep the k most important rows per track — /root/reference/aisdb/
+track_gen.py min_speed/decimate keep-subset semantics) and the everyday
+training-data op ("3 best-scoring docs per domain").  Shape: a per-batch
+vectorized partial top-k (each batch can contribute at most k rows per
+group it contains) -> one ``groupby(group).map_groups`` final pass over
+the surviving candidates — the shuffle moves O(k × groups × blocks) rows,
+never the corpus.
+
+Quantiles use the value-histogram decomposition: counts of (group, value)
+are algebraic (per-batch ``pyarrow.Table.group_by().count`` partials, sum
+to merge), and an exact discrete quantile is a cumulative-count walk over
+the per-group histogram.  For bounded-cardinality value channels (token
+counts, scores, durations) the histogram is tiny regardless of row count,
+so this computes EXACT quantiles with one small shuffle — no sort of the
+data, no sketch error.  Rank rule (both here and in the SQL oracles):
+the q-th percentile is the smallest value whose cumulative count reaches
+``ceil(q/100 * n)``, computed in integer arithmetic ``(q*n + 99) // 100``
+so engine and oracle can never disagree on a float boundary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _order_key(col: pa.ChunkedArray, descending: bool) -> np.ndarray:
+    """A numpy sort key preserving the column's total order.
+
+    Non-numeric columns are factorized (np.unique ordinals) — order-
+    isomorphic within the table, which is all each selection stage
+    compares across.
+    """
+    if pa.types.is_integer(col.type):
+        v = col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    elif pa.types.is_floating(col.type):
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    else:
+        arr = col.to_numpy(zero_copy_only=False)
+        _, inv = np.unique(arr, return_inverse=True)
+        v = inv.astype(np.int64)
+    return -v if descending else v
+
+
+def _topk_table(
+    tbl: pa.Table, group: str, order: list[str], k: int, descending: list[bool]
+) -> pa.Table:
+    """Keep the first k rows per group under (order, descending) — one
+    lexsort + run-boundary arithmetic, no Python per row/group."""
+    if len(tbl) == 0:
+        return tbl
+    _, ginv = np.unique(
+        tbl[group].to_numpy(zero_copy_only=False), return_inverse=True
+    )
+    keys = [_order_key(tbl[c], d) for c, d in zip(order, descending)]
+    # np.lexsort: last key is primary -> (group, order[0], order[1], ...)
+    idx = np.lexsort(tuple(reversed(keys)) + (ginv,))
+    gs = ginv[idx]
+    starts = np.r_[0, np.flatnonzero(np.diff(gs)) + 1]
+    lens = np.diff(np.r_[starts, len(gs)])
+    rank = np.arange(len(gs)) - np.repeat(starts, lens)
+    return tbl.take(pa.array(idx[rank < k]))
+
+
+def topk_per_group(ds, group: str, order, k: int, descending=None):
+    """k best rows per group; ``order`` must be a total order within each
+    group (include a tiebreak column) or the selection is ambiguous."""
+    order = [order] if isinstance(order, str) else list(order)
+    if descending is None:
+        descending = [False] * len(order)
+
+    def partial(b: pa.Table) -> pa.Table:
+        return _topk_table(b, group, order, k, descending)
+
+    cand = ds.map_batches(partial, batch_format="pyarrow")
+    return cand.groupby(group).map_groups(partial, batch_format="pyarrow")
+
+
+def _quantile_partial(b: pa.Table, group: str, value: str) -> pa.Table:
+    g = (
+        pa.table({group: b[group], value: b[value]})
+        .group_by([group, value], use_threads=False)
+        .aggregate([([], "count_all")])
+    )
+    return g.rename_columns([group, value, "n"])
+
+
+def _quantile_pick(tbl: pa.Table, group: str, value: str, ps) -> pa.Table:
+    """One group's (value, partial-count) rows -> one quantile row."""
+    t = tbl.group_by([group, value], use_threads=False).aggregate([("n", "sum")])
+    t = t.rename_columns([group, value, "n"])
+    v = t[value].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(v, kind="stable")
+    cum = np.cumsum(n[order])
+    tot = int(cum[-1])
+    out = {group: [t[group][0].as_py()], "n_rows": pa.array([tot], pa.int64())}
+    for p in ps:
+        rank = (p * tot + 99) // 100
+        i = int(np.searchsorted(cum, rank, side="left"))
+        out[f"q{p}_{value}"] = pa.array([int(v[order][i])], pa.int64())
+    return pa.table(out)
+
+
+def group_quantiles(ds, group: str, value: str, ps=(50, 95)):
+    """Exact per-group discrete quantiles of an integer channel.
+
+    Returns one row per group: (group, n_rows, q{p}_{value}...).  Only
+    (group, value, count) partials ever shuffle.
+    """
+    partials = ds.map_batches(
+        lambda b: _quantile_partial(b, group, value), batch_format="pyarrow"
+    )
+    return partials.groupby(group).map_groups(
+        lambda t: _quantile_pick(t, group, value, ps), batch_format="pyarrow"
+    )

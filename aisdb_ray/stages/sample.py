@@ -1,0 +1,81 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Random sampling is useless at 100 TB if it isn't reproducible and
+resumable: a rerun (or a resumed partition) must pick the SAME rows.  So
+both operators key off a content hash, not an RNG — the same property the
+reference leans on for dedup keys and checksum resume
+(/root/reference/aisdb/database/decoder.py checksum ledger), applied to
+selection:
+
+- ``hash_sample``: keep rows where ``md5(key) mod 100 < pct`` — an
+  embarrassingly-parallel filter (no shuffle, no state), stable under
+  repartitioning, resume, and cluster-size changes.  The md5 prefix is
+  what the SQL oracle can recompute exactly (``CAST('0x' || substr(md5(k),
+  1, 8) AS BIGINT)``), making the sample hash-verifiable.
+- ``stratified_sample``: exactly ``k`` rows per group (fewer if the group
+  is smaller), chosen as the k smallest key-hashes — a uniform-without-
+  replacement sample per stratum, implemented as hash-ranked top-k via
+  stages/rank.py (per-batch partials, one small shuffle).
+
+md5 is a per-row Python call (~1 µs) — same accepted trade as
+textstats.md5_batch: there is no vectorized md5 kernel in Arrow/NumPy,
+and the cost is linear map work that scales with cores.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+_HCOL = "_sample_h64"
+
+
+def md5_u32(col) -> np.ndarray:
+    """int(md5(s)[:8], 16) per row — matches the DuckDB oracle expression
+    CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8) AS BIGINT).
+    Integer keys hash their decimal-string form (what DuckDB's VARCHAR
+    cast produces); float keys are rejected — their string forms are not
+    portable across engines."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_floating(col.type):
+        raise TypeError("hash-sample keys must be string or integer")
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(str(s).encode()).digest()[:4], "big")
+            for s in col.to_pylist()
+        ],
+        dtype=np.int64,
+    )
+
+
+def hash_sample(ds, key: str, pct: int):
+    """Keep ~pct% of rows, deterministically, by key hash. Pure filter."""
+    if not 0 <= pct <= 100:
+        raise ValueError("pct must be in [0, 100]")
+
+    def keep(b: pa.Table) -> pa.Table:
+        h = md5_u32(b[key]) % 100
+        return b.filter(pa.array(h < pct))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample(ds, group: str, key: str, k: int):
+    """Exactly min(k, |group|) rows per group: the k smallest md5 hashes
+    of ``key`` (ties broken by the key itself — md5 collisions in 32 bits
+    are possible, key equality is not)."""
+    from aisdb_ray.stages import rank
+
+    def add_h(b: pa.Table) -> pa.Table:
+        return b.append_column(_HCOL, pa.array(md5_u32(b[key])))
+
+    with_h = ds.map_batches(add_h, batch_format="pyarrow")
+    picked = rank.topk_per_group(
+        with_h, group, [_HCOL, key], k, descending=[False, False]
+    )
+    return picked.map_batches(
+        lambda b: b.drop_columns([_HCOL]), batch_format="pyarrow"
+    )

@@ -1,0 +1,238 @@
+"""Co-partitioned hash join, deterministic sampling, top-k / quantiles."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from aisdb_ray.stages import join, rank, sample
+
+# ------------------------------------------------------------------- join
+
+
+def _sides():
+    left = pd.DataFrame(
+        {
+            "k": ["a", "b", "b", "c", None, "z"],
+            "x": [1, 2, 3, 4, 5, 6],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": ["b", "c", "c", "d"],
+            "y": [10, 20, 21, 30],
+        }
+    )
+    return left, right
+
+
+def _run(how, num_parts=3):
+    left, right = _sides()
+    out = join.hash_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        on="k",
+        right_on="rk",
+        how=how,
+        num_parts=num_parts,
+    ).to_pandas()
+    return out.sort_values(list(out.columns)).reset_index(drop=True)
+
+
+def _expect(how):
+    left, right = _sides()
+    right = right.rename(columns={"rk": "k"})
+    if how in ("inner", "left outer", "right outer", "full outer"):
+        pd_how = {"left outer": "left", "right outer": "right",
+                  "full outer": "outer", "inner": "inner"}[how]
+        exp = left.merge(right, on="k", how=pd_how)
+    elif how == "left semi":
+        exp = left[left["k"].isin(right["k"])]
+    else:  # left anti — SQL: null keys match nothing, so they survive
+        exp = left[~left["k"].isin(right["k"])]
+    exp = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+    return exp
+
+
+def test_join_types_match_pandas():
+    for how in ("inner", "left semi", "left anti"):
+        got, exp = _run(how), _expect(how)
+        pd.testing.assert_frame_equal(
+            got.astype(str), exp[got.columns].astype(str), check_dtype=False
+        ), how
+
+
+def test_join_left_outer_many_to_one():
+    got = _run("left outer")
+    exp = _expect("left outer")
+    # multiplicity: b (2 left rows × 1 right), c (1 left × 2 right),
+    # a/None/z unmatched -> 4 matched + 3 null-padded rows
+    assert len(got) == len(exp) == 7
+    assert got["y"].notna().sum() == 4
+    # null-key left row survives with null y (SQL LEFT JOIN semantics)
+    assert got["k"].isna().sum() == 1
+
+
+def test_join_int_keys_and_partition_invariance():
+    left = pd.DataFrame({"k": np.arange(100, dtype=np.int64), "x": np.arange(100)})
+    right = pd.DataFrame({"k": np.arange(0, 200, 2, dtype=np.int64),
+                          "y": np.arange(100)})
+    for parts in (1, 7):
+        out = join.hash_join(
+            rd.from_pandas(left), rd.from_pandas(right), on="k",
+            how="inner", num_parts=parts,
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        assert (out["k"].to_numpy() == np.arange(0, 100, 2)).all()
+        assert len(out) == 50
+
+
+def test_join_one_sided_partitions_outer():
+    # disjoint keys force partitions holding only one side — the degenerate
+    # (no-Acero) path must pad correctly for every outer flavor
+    left = pd.DataFrame({"k": ["a", "b"], "x": [1, 2]})
+    right = pd.DataFrame({"rk": ["c", "d"], "y": [3, 4]})
+    args = dict(on="k", right_on="rk", num_parts=8)
+    l, r = rd.from_pandas(left), rd.from_pandas(right)
+    full = join.hash_join(l, r, how="full outer", **args).to_pandas()
+    assert len(full) == 4 and full["y"].notna().sum() == 2
+    assert set(full["k"]) == {"a", "b", "c", "d"}
+    ro = join.hash_join(l, r, how="right outer", **args).to_pandas()
+    assert len(ro) == 2 and ro["x"].isna().all()
+    assert join.hash_join(l, r, how="inner", **args).count() == 0
+    anti = join.hash_join(l, r, how="left anti", **args).to_pandas()
+    assert sorted(anti["k"]) == ["a", "b"]
+
+
+def test_join_collision_and_bad_how_raise():
+    left, right = _sides()
+    right = right.rename(columns={"rk": "k", "y": "x"})
+    import pytest
+
+    with pytest.raises(ValueError):
+        join.hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k")
+    with pytest.raises(ValueError):
+        join.hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                       on="k", how="cross")
+
+
+# ----------------------------------------------------------------- sample
+
+
+def _md5u32(s) -> int:
+    return int.from_bytes(hashlib.md5(str(s).encode()).digest()[:4], "big")
+
+
+def test_hash_sample_exact_and_deterministic():
+    df = pd.DataFrame({"doc_id": np.arange(1000, dtype=np.int64)})
+    out1 = sample.hash_sample(rd.from_pandas(df), "doc_id", 30).to_pandas()
+    out2 = sample.hash_sample(rd.from_pandas(df), "doc_id", 30).to_pandas()
+    exp = {i for i in range(1000) if _md5u32(i) % 100 < 30}
+    assert set(out1["doc_id"]) == exp == set(out2["doc_id"])
+    # rate lands near 30% (hash uniformity, not an assertion of exactness)
+    assert 0.2 < len(out1) / 1000 < 0.4
+
+
+def test_hash_sample_bounds():
+    df = pd.DataFrame({"doc_id": ["a", "b"]})
+    assert sample.hash_sample(rd.from_pandas(df), "doc_id", 0).count() == 0
+    assert sample.hash_sample(rd.from_pandas(df), "doc_id", 100).count() == 2
+
+
+def test_stratified_sample_quota_and_selection():
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "g": np.repeat(["g1", "g2", "g3"], [50, 5, 2]),
+            "doc_id": np.arange(57, dtype=np.int64),
+        }
+    )
+    df = df.sample(frac=1, random_state=3).reset_index(drop=True)  # shuffle
+    out = sample.stratified_sample(rd.from_pandas(df), "g", "doc_id", 4)
+    got = out.to_pandas().sort_values(["g", "doc_id"]).reset_index(drop=True)
+    sizes = got.groupby("g").size().to_dict()
+    assert sizes == {"g1": 4, "g2": 4, "g3": 2}  # min(k, |group|)
+    for g, grp in df.groupby("g"):
+        want = sorted(grp["doc_id"], key=lambda d: (_md5u32(d), d))[:4]
+        assert sorted(got[got["g"] == g]["doc_id"]) == sorted(want)
+    assert "_sample_h64" not in got.columns
+
+
+# ------------------------------------------------------------------- rank
+
+
+def test_topk_per_group_matches_pandas():
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 500),
+            "v": rng.integers(0, 50, 500).astype(np.int64),
+            "t": np.arange(500, dtype=np.int64),  # unique tiebreak
+        }
+    )
+    got = rank.topk_per_group(
+        rd.from_pandas(df), "g", ["v", "t"], 5, descending=[True, False]
+    ).to_pandas()
+    exp = (
+        df.sort_values(["g", "v", "t"], ascending=[True, False, True])
+        .groupby("g")
+        .head(5)
+    )
+    got = got.sort_values(["g", "v", "t"], ascending=[True, False, True])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True)[["g", "v", "t"]],
+        exp.reset_index(drop=True)[["g", "v", "t"]],
+    )
+
+
+def test_topk_k_larger_than_group():
+    df = pd.DataFrame({"g": ["a", "a", "b"], "v": [1, 2, 3]})
+    out = rank.topk_per_group(rd.from_pandas(df), "g", ["v"], 10).to_pandas()
+    assert len(out) == 3
+
+
+def test_group_quantiles_match_numpy_rule():
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], 400),
+            "v": rng.integers(0, 30, 400).astype(np.int64),
+        }
+    )
+    out = (
+        rank.group_quantiles(rd.from_pandas(df), "g", "v", ps=(50, 95))
+        .to_pandas()
+        .set_index("g")
+        .sort_index()
+    )
+    for g, grp in df.groupby("g"):
+        v = np.sort(grp["v"].to_numpy())
+        n = len(v)
+        assert out.loc[g, "n_rows"] == n
+        for p in (50, 95):
+            assert out.loc[g, f"q{p}_v"] == v[(p * n + 99) // 100 - 1]
+
+
+def test_group_quantiles_match_duckdb_quantile_disc():
+    import duckdb
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y", "z"], 300),
+            "v": rng.integers(0, 100, 300).astype(np.int64),
+        }
+    )
+    got = (
+        rank.group_quantiles(rd.from_pandas(df), "g", "v", ps=(50,))
+        .to_pandas()
+        .set_index("g")["q50_v"]
+        .sort_index()
+    )
+    want = duckdb.sql(
+        "SELECT g, quantile_disc(v, 0.5) q FROM df GROUP BY g ORDER BY g"
+    ).df().set_index("g")["q"]
+    assert (got == want).all()
