@@ -847,6 +847,17 @@ def q_ts_topk(sf_dir: str):
     )
 
 
+def q_ts_rolling(sf_dir: str):
+    """Trailing 300 s windowed aggregates per source (stages/window.py):
+    RANGE-window sum/count/mean/min/max with prefix sums + sparse-table
+    RMQ — the streaming-window operator, exact and fully vectorized."""
+    from aisdb_ray.stages import window
+
+    _ctx()
+    pts = _clean_tokens(sf_dir).select_columns(["source", "time", "n_tok"])
+    return window.rolling_time_aggregate(pts, "source", "time", "n_tok", 300)
+
+
 def q_doc_bpe_count(sf_dir: str):
     """BPE-ish pre-token count (GPT-2-style RE2 pattern): whitespace counts
     are doc_token_count; this is the subword-boundary variant a training
@@ -1112,6 +1123,7 @@ def build_queries() -> dict:
         "doc_sample_stratified": q_doc_sample_stratified,
         "ts_quantiles": q_ts_quantiles,
         "ts_topk": q_ts_topk,
+        "ts_rolling": q_ts_rolling,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
@@ -1822,6 +1834,21 @@ SELECT source, doc_id, time, seq, n_tok FROM segmented
 QUALIFY row_number() OVER (
   PARTITION BY source ORDER BY n_tok DESC, time, seq
 ) <= 3"""
+
+    # trailing RANGE window; w_mean = CAST(sum AS DOUBLE)/count is the same
+    # IEEE division of exact int64 operands the engine performs
+    sql["ts_rolling"] = f"""WITH {_sql_tokens_clean(tok)}
+SELECT source, time, n_tok,
+       CAST(sum(n_tok) OVER w AS BIGINT) AS w_sum,
+       CAST(count(*) OVER w AS BIGINT) AS w_n,
+       CAST(sum(n_tok) OVER w AS DOUBLE) / count(*) OVER w AS w_mean,
+       CAST(min(n_tok) OVER w AS BIGINT) AS w_min,
+       CAST(max(n_tok) OVER w AS BIGINT) AS w_max
+FROM segmented
+WINDOW w AS (
+  PARTITION BY source ORDER BY time
+  RANGE BETWEEN 300 PRECEDING AND CURRENT ROW
+)"""
 
     sql["doc_clean_corpus"] = r"""WITH q AS (
     SELECT doc_id, text, md5(text) AS text_md5,

@@ -1,0 +1,76 @@
+"""Trailing RANGE-window aggregates: exactness vs DuckDB, tie semantics."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from aisdb_ray.stages import window
+
+
+def _frame(n=400, ties=True, seed=13):
+    rng = np.random.default_rng(seed)
+    t = np.sort(rng.integers(0, 2000, n))
+    if ties:
+        t[n // 3] = t[n // 3 + 1]  # forced same-timestamp burst
+        t[10] = t[11] = t[12]
+    return pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], n),
+            "time": t.astype(np.int64),
+            "v": rng.integers(-50, 500, n).astype(np.int64),
+        }
+    )
+
+
+def _oracle(df, width):
+    return duckdb.sql(
+        f"""SELECT g, time, v,
+       CAST(sum(v) OVER w AS BIGINT) AS w_sum,
+       CAST(count(*) OVER w AS BIGINT) AS w_n,
+       CAST(sum(v) OVER w AS DOUBLE) / count(*) OVER w AS w_mean,
+       CAST(min(v) OVER w AS BIGINT) AS w_min,
+       CAST(max(v) OVER w AS BIGINT) AS w_max
+FROM df WINDOW w AS (
+  PARTITION BY g ORDER BY time
+  RANGE BETWEEN {width} PRECEDING AND CURRENT ROW)"""
+    ).df()
+
+
+def _compare(df, width):
+    got = (
+        window.rolling_time_aggregate(rd.from_pandas(df), "g", "time", "v", width)
+        .to_pandas()
+        .sort_values(["g", "time", "v"])
+        .reset_index(drop=True)
+    )
+    want = _oracle(df, width).sort_values(["g", "time", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_rolling_matches_duckdb_with_ties():
+    _compare(_frame(), 120)
+
+
+def test_rolling_width_zero_is_peer_group():
+    # width 0: the window is exactly the peer set (equal timestamps)
+    _compare(_frame(), 0)
+
+
+def test_rolling_wide_window_is_running_aggregate():
+    _compare(_frame(), 10_000)
+
+
+def test_rolling_single_row_groups():
+    df = pd.DataFrame(
+        {"g": ["a", "b"], "time": np.int64([5, 9]), "v": np.int64([7, -3])}
+    )
+    out = (
+        window.rolling_time_aggregate(rd.from_pandas(df), "g", "time", "v", 60)
+        .to_pandas()
+        .sort_values("g")
+    )
+    assert out["w_n"].tolist() == [1, 1]
+    assert out["w_min"].tolist() == [7, -3] == out["w_max"].tolist()
