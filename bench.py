@@ -116,7 +116,7 @@ def run_bench() -> dict:
     # standalone query timings (no materialized tiers); skipped during
     # scaling trials (GRAFT_BENCH_QUERIES=0) — they are informational and
     # would triple each trial's wall time
-    rollup_s = gapfill_s = None
+    rollup_s = gapfill_s = rolling_s = None
     if os.environ.get("GRAFT_BENCH_QUERIES", "1") != "0":
         def prepared():
             return rd.read_parquet(tokens).map_batches(
@@ -136,6 +136,16 @@ def run_bench() -> dict:
         mat, recon = salted.clean_chunks_materialized(skinny, series.DEFAULT_MAX_GAP)
         salted.gapfill_blocks(mat, recon, 60, with_provenance=False).count()
         gapfill_s = time.time() - t0
+
+        # trailing RANGE-window aggregates (stages/window.py) over the same
+        # prepared points — the streaming-window operator's throughput
+        from aisdb_ray.stages import window
+
+        t0 = time.time()
+        window.rolling_time_aggregate(
+            skinny, "source", "time", "n_tok", 300
+        ).count()
+        rolling_s = time.time() - t0
 
     # per-stage wall decomposition from the lineage manifest
     stage_walls: dict[str, float] = {}
@@ -157,6 +167,7 @@ def run_bench() -> dict:
             "cascade": round(cascade_s, 3),
             **({"rollup_1h": round(rollup_s, 3)} if rollup_s is not None else {}),
             **({"gapfill": round(gapfill_s, 3)} if gapfill_s is not None else {}),
+            **({"rolling": round(rolling_s, 3)} if rolling_s is not None else {}),
             **{f"stage:{k}": v for k, v in sorted(stage_walls.items())},
         },
         "sf": os.path.basename(os.path.normpath(SF_DIR)),
