@@ -136,6 +136,7 @@ def run_bench() -> dict:
         mat, recon = salted.clean_chunks_materialized(skinny, series.DEFAULT_MAX_GAP)
         salted.gapfill_blocks(mat, recon, 60, with_provenance=False).count()
         gapfill_s = time.time() - t0
+        del mat, recon  # unpin the materialized blocks before the next timing
 
         # trailing RANGE-window aggregates (stages/window.py) over the same
         # prepared points — the streaming-window operator's throughput
