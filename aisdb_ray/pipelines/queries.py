@@ -509,6 +509,35 @@ def q_ev_sessions(sf_dir: str):
     )
 
 
+def q_ev_interval_join(sf_dir: str):
+    """Range (interval) join: every raw event row paired with the containing
+    multi-event session interval of its user (stages/join.interval_join) —
+    inner semantics, so events falling only in short sessions drop out and
+    duplicate raw rows each join once.  The zone-containment analog
+    (reference aisdb/track_gen.py:266-284) with time ranges as zones;
+    DuckDB oracle: ``p.time BETWEEN s.t_start AND s.t_end``."""
+    from aisdb_ray.stages import join
+
+    pts = (
+        _events_ds(sf_dir, ["event_id", "ts", "user_id"])
+        .map_batches(_events_adapter, batch_format="pyarrow")
+        .select_columns(["user_id", "event_id", "time"])
+    )
+    sess = (
+        q_ev_sessions(sf_dir)
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b["n_rows"], pa.scalar(2, pa.int64()))
+            ),
+            batch_format="pyarrow",
+        )
+        .select_columns(["user_id", "seg", "t_start", "t_end"])
+    )
+    return join.interval_join(
+        pts, sess, "user_id", time_col="time", lo_col="t_start", hi_col="t_end"
+    )
+
+
 def q_ev_rollup_1h(sf_dir: str):
     """Hourly min/max/sum/count/mean of value (cents) per event_type."""
     ds = _events_ds(sf_dir, ["ts", "event_type", "value"]).map_batches(
@@ -1104,6 +1133,7 @@ def build_queries() -> dict:
         "ts_resample_tokens": q_ts_resample_tokens,
         "ts_cubic_resample": q_ts_cubic_resample,
         "ev_sessions": q_ev_sessions,
+        "ev_interval_join": q_ev_interval_join,
         "ev_rollup_1h": q_ev_rollup_1h,
         "ev_mode": q_ev_mode,
         "ev_dedup": q_ev_dedup,
@@ -1755,6 +1785,17 @@ SELECT user_id, mode_value, n AS mode_count FROM pick WHERE rn = 1"""
 
     sql["ev_dedup"] = f"""WITH {ev_prelude}
 SELECT user_id, event_id, time, seg FROM ev_seg"""
+
+    sql["ev_interval_join"] = f"""WITH {ev_prelude},
+  sess AS (
+    SELECT user_id, seg,
+           CAST(min(time) AS BIGINT) AS t_start,
+           CAST(max(time) AS BIGINT) AS t_end
+    FROM ev_seg GROUP BY user_id, seg HAVING count(*) >= 2),
+  pts AS (SELECT user_id, event_id, time FROM ev)
+SELECT p.user_id, p.event_id, p.time, s.seg, s.t_start, s.t_end
+FROM pts p JOIN sess s
+  ON p.user_id = s.user_id AND p.time BETWEEN s.t_start AND s.t_end"""
 
     sql["q1_pricing"] = """WITH li AS (
     SELECT l_returnflag, l_linestatus,

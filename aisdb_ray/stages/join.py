@@ -198,3 +198,183 @@ def hash_join(
         .groupby(_PART)
         .map_groups(join_part, batch_format="pyarrow")
     )
+
+
+# --------------------------------------------------------------------------
+# Range (interval) join
+# --------------------------------------------------------------------------
+
+def _key_codes(pt: pa.Table, it: pa.Table, keys: list[str]):
+    """Exact-equality integer codes for the key tuple, factorized jointly
+    over both sides (so equal keys get equal codes).  Null keys -> -1
+    (never match, SQL semantics).  Key columns are compared through a
+    string cast, which is injective for ints and identity for strings."""
+    import pyarrow.compute as pc
+
+    n_p, n_i = len(pt), len(it)
+    code = np.zeros(n_p + n_i, dtype=np.int64)
+    null = np.zeros(n_p + n_i, dtype=bool)
+    for k in keys:
+        col = pa.chunked_array([pt[k].combine_chunks(), it[k].combine_chunks()])
+        null |= pc.is_null(col).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(pc.cast(col, pa.string()), "").to_numpy(
+            zero_copy_only=False
+        )
+        uniq, inv = np.unique(v, return_inverse=True)
+        code = code * np.int64(len(uniq)) + inv.astype(np.int64)
+    code[null] = -1
+    return code[:n_p], code[n_p:]
+
+
+def _numeric(col: pa.ChunkedArray) -> np.ndarray:
+    """Comparison vector for the time/bound columns: int64 when integral
+    (exact), float64 otherwise.  Nulls become NaN (never match)."""
+    import pyarrow.compute as pc
+
+    if pa.types.is_integer(col.type) and col.null_count == 0:
+        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+    return pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+
+
+def interval_join(
+    points,
+    intervals,
+    on,
+    *,
+    time_col: str,
+    lo_col: str,
+    hi_col: str,
+    how: str = "inner",
+    num_parts: int | None = None,
+):
+    """Distributed range join: each point row pairs with every interval row
+    of the same key whose ``lo <= t <= hi`` (SQL ``p.t BETWEEN i.lo AND
+    i.hi`` on top of key equality).  Intervals may overlap — a point can
+    match many intervals.
+
+    Reference analog: zone containment / ``fence_tracks``
+    (/root/reference/aisdb/track_gen.py:266-284) where a "zone" is a time
+    range rather than a polygon; the SQL shape is DuckDB's range join.
+
+    Execution: the same single co-shuffle as :func:`hash_join` (key-hash
+    partition id + side bit, union, one ``groupby``), then per partition a
+    vectorized sweep — points sorted once by (key, t); the interval side
+    (segments/sessions per key: small by construction) is walked once, each
+    row resolving its match set with two binary searches into its key's
+    point slice; the pair index arrays are then built without any per-pair
+    Python work.  Cost per partition: O(P log P + I log P + output).
+    Partitioning assumption (documented contract): both sides co-partition
+    on the key columns, so a key hotter than one partition's memory needs
+    the interval side replicated under point-side salting — not needed
+    while the interval side stays per-key-small.
+
+    how: 'inner' (matching pairs only) or 'left outer' (unmatched points
+    kept once with null interval columns).
+    """
+    import ray
+    import ray.data  # noqa: F401
+
+    if how not in ("inner", "left outer"):
+        raise ValueError(f"how={how!r}; expected 'inner' or 'left outer'")
+    keys = [on] if isinstance(on, str) else list(on)
+
+    ps, is_ = _arrow_schema(points), _arrow_schema(intervals)
+    pcols, icols = list(ps.names), list(is_.names)
+    for c in (time_col,):
+        if c not in pcols:
+            raise ValueError(f"points lack time column {c!r}")
+    for c in (lo_col, hi_col):
+        if c not in icols:
+            raise ValueError(f"intervals lack bound column {c!r}")
+    overlap = (set(pcols) - set(keys)) & (set(icols) - set(keys))
+    if overlap:
+        raise ValueError(f"non-key columns collide: {sorted(overlap)}")
+    inon = [c for c in icols if c not in keys]
+    unified = pa.schema(list(ps) + [is_.field(c) for c in inon])
+    out_schema = unified  # output = point columns, then interval non-keys
+    if num_parts is None:
+        num_parts = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+
+    p2 = points.map_batches(
+        lambda b: _pad_to(b, unified, 0, keys, num_parts), batch_format="pyarrow"
+    )
+    i2 = intervals.map_batches(
+        lambda b: _pad_to(b, unified, 1, keys, num_parts), batch_format="pyarrow"
+    )
+
+    def pad_points(pt: pa.Table) -> pa.Table:
+        for c in inon:
+            pt = pt.append_column(c, pa.nulls(len(pt), unified.field(c).type))
+        return pt
+
+    def join_part(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = group[_SIDE]
+        pt = group.filter(pc.equal(side, 0)).select(pcols)
+        it = group.filter(pc.equal(side, 1)).select(icols)
+        if len(pt) == 0:
+            return pa.table(
+                {f.name: pa.nulls(0, f.type) for f in out_schema}
+            )
+        if len(it) == 0:
+            return (
+                pad_points(pt) if how == "left outer"
+                else pa.table({f.name: pa.nulls(0, f.type) for f in out_schema})
+            )
+
+        cp, ci = _key_codes(pt, it, keys)
+        t = _numeric(pt[time_col])
+        lo = _numeric(it[lo_col])
+        hi = _numeric(it[hi_col])
+        # exclude never-matching rows from the sweep (null key/time/bounds)
+        pvalid = (cp >= 0) & ~np.isnan(t.astype(np.float64, copy=False))
+        ivalid = (
+            (ci >= 0)
+            & ~np.isnan(lo.astype(np.float64, copy=False))
+            & ~np.isnan(hi.astype(np.float64, copy=False))
+        )
+        ppos = np.flatnonzero(pvalid)
+        ipos = np.flatnonzero(ivalid)
+
+        order = ppos[np.lexsort((t[ppos], cp[ppos]))]
+        cs, ts = cp[order], t[order]
+        a = np.searchsorted(cs, ci[ipos], side="left")
+        b = np.searchsorted(cs, ci[ipos], side="right")
+        starts = np.empty(len(ipos), dtype=np.int64)
+        ends = np.empty(len(ipos), dtype=np.int64)
+        for j in range(len(ipos)):  # loop over the SMALL side only
+            lo_j, hi_j = lo[ipos[j]], hi[ipos[j]]
+            seg = ts[a[j]:b[j]]
+            starts[j] = a[j] + np.searchsorted(seg, lo_j, side="left")
+            ends[j] = a[j] + np.searchsorted(seg, hi_j, side="right")
+        counts = np.maximum(ends - starts, 0)
+        total = int(counts.sum())
+        iidx = np.repeat(np.arange(len(ipos)), counts)
+        pidx = (
+            np.arange(total)
+            - np.repeat(np.cumsum(counts) - counts, counts)
+            + np.repeat(starts, counts)
+        )
+        p_orig = order[pidx]
+        i_orig = ipos[iidx]
+
+        matched = pt.take(pa.array(p_orig, pa.int64()))
+        cols = {c: matched[c] for c in pcols}
+        itake = it.take(pa.array(i_orig, pa.int64()))
+        for c in inon:
+            cols[c] = itake[c]
+        out = pa.table(cols)
+        if how == "left outer":
+            mask = np.zeros(len(pt), dtype=bool)
+            mask[p_orig] = True
+            out = pa.concat_tables(
+                [out, pad_points(pt.filter(pa.array(~mask)))]
+            )
+        return out
+
+    return (
+        p2.union(i2)
+        .groupby(_PART)
+        .map_groups(join_part, batch_format="pyarrow")
+    )

@@ -119,6 +119,115 @@ def test_join_collision_and_bad_how_raise():
                        on="k", how="cross")
 
 
+# ---------------------------------------------------------- interval join
+
+
+def _interval_fixture(seed=7, n=500, m=40):
+    rng = np.random.default_rng(seed)
+    pts = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n).astype(str),
+            "pid": np.arange(n),
+            "t": rng.integers(0, 1000, n).astype(float),
+        }
+    )
+    iv = pd.DataFrame(
+        {
+            "k": rng.integers(0, 10, m).astype(str),
+            "iid": np.arange(m),
+            "lo": rng.integers(0, 900, m).astype(float),
+        }
+    )
+    iv["hi"] = iv["lo"] + rng.integers(0, 300, m)  # overlapping intervals
+    pts.loc[3, "t"] = None  # null time never matches
+    iv.loc[5, "hi"] = None  # null bound never matches
+    exp = pts.merge(iv, on="k")
+    exp = exp[(exp["t"] >= exp["lo"]) & (exp["t"] <= exp["hi"])]
+    return pts, iv, exp
+
+
+def test_interval_join_matches_bruteforce_and_partition_invariant():
+    pts, iv, exp = _interval_fixture()
+    cols = ["k", "pid", "t", "iid", "lo", "hi"]
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    for parts in (1, 7):
+        got = join.interval_join(
+            rd.from_pandas(pts),
+            rd.from_pandas(iv),
+            "k",
+            time_col="t",
+            lo_col="lo",
+            hi_col="hi",
+            num_parts=parts,
+        ).to_pandas()
+        assert len(got) > 0
+        a = got[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a, b.astype(a.dtypes.to_dict()), check_dtype=False
+        )
+
+
+def test_interval_join_left_outer_pads_unmatched():
+    pts, iv, exp = _interval_fixture()
+    got = join.interval_join(
+        rd.from_pandas(pts),
+        rd.from_pandas(iv),
+        "k",
+        time_col="t",
+        lo_col="lo",
+        hi_col="hi",
+        how="left outer",
+        num_parts=5,
+    ).to_pandas()
+    # every point survives: matched pairs + one padded row per unmatched pt
+    assert len(got) == len(exp) + len(pts) - exp["pid"].nunique()
+    unmatched = got[got["iid"].isna()]
+    assert set(unmatched["pid"]) == set(pts["pid"]) - set(exp["pid"])
+
+
+def test_interval_join_inclusive_bounds_and_point_width():
+    pts = pd.DataFrame({"k": ["a"] * 3, "pid": [0, 1, 2], "t": [9, 10, 11]})
+    iv = pd.DataFrame(
+        {"k": ["a", "a"], "iid": [0, 1], "lo": [10, 10], "hi": [10, 9]}
+    )
+    got = join.interval_join(
+        rd.from_pandas(pts),
+        rd.from_pandas(iv),
+        "k",
+        time_col="t",
+        lo_col="lo",
+        hi_col="hi",
+        num_parts=2,
+    ).to_pandas()
+    # width-0 interval matches exactly t==10; inverted interval matches none
+    assert got["pid"].tolist() == [1] and got["iid"].tolist() == [0]
+
+
+def test_interval_join_multi_key():
+    pts = pd.DataFrame(
+        {
+            "k1": ["a", "a", "b"],
+            "k2": [1, 2, 1],
+            "pid": [0, 1, 2],
+            "t": [5, 5, 5],
+        }
+    )
+    iv = pd.DataFrame(
+        {"k1": ["a", "b"], "k2": [2, 1], "iid": [0, 1], "lo": [0, 6], "hi": [9, 9]}
+    )
+    got = join.interval_join(
+        rd.from_pandas(pts),
+        rd.from_pandas(iv),
+        ["k1", "k2"],
+        time_col="t",
+        lo_col="lo",
+        hi_col="hi",
+        num_parts=3,
+    ).to_pandas()
+    # only (a,2) matches its interval; (b,1)'s interval starts after t=5
+    assert got["pid"].tolist() == [1] and got["iid"].tolist() == [0]
+
+
 # ----------------------------------------------------------------- sample
 
 
