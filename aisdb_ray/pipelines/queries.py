@@ -351,6 +351,56 @@ def q_ts_asof_join(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def q_ts_asof_nearest(sf_dir: str):
+    """Nearest as-of join (J4: the reference's weather `.sel(method=
+    'nearest')` semantics, /root/reference/aisdb/weather/data_store.py:
+    244-289): each cleaned point gets the hourly rollup whose bucket
+    CENTER is nearest in time, ties -> the earlier bucket.  Same broadcast
+    shape as ts_asof_join; direction='nearest' in the kernel."""
+    import pyarrow.compute as pc2
+
+    from aisdb_ray.stages import asof
+
+    cleaned = _clean_tokens(sf_dir).select_columns(
+        ["source", "doc_id", "time", "n_tok"]
+    )
+    roll = rollup.rollup(_clean_tokens(sf_dir), 3600)
+
+    def center(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "rt": pc2.add(b["bucket"], pa.scalar(1800, pa.int64())),
+                "near_bucket": b["bucket"],
+                "near_mean": b["mean_n_tok"],
+            }
+        )
+
+    right = pa.concat_tables(
+        ray.get(roll.map_batches(center, batch_format="pyarrow").to_arrow_refs()),
+        promote_options="default",
+    )
+    joined = asof.asof_join(
+        cleaned, right, by="source", on="time", right_on="rt",
+        value_cols=["near_bucket", "near_mean"], how="inner",
+        direction="nearest",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "doc_id": b["doc_id"],
+                "time": b["time"],
+                "n_tok": pc2.cast(b["n_tok"], pa.int64()),
+                "near_bucket": b["near_bucket"],
+                "near_mean": b["near_mean"],
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def q_ts_grid_snap(sf_dir: str):
     """Nearest-grid snap (raster-lookup semantics, ceiling-clamp rule of
     the reference's binarysearch_vector): snap each point's epoch to a
@@ -1122,6 +1172,7 @@ def build_queries() -> dict:
         "ts_gapfill": q_ts_gapfill,
         "ts_gapfill_rate": q_ts_gapfill_rate,
         "ts_asof_join": q_ts_asof_join,
+        "ts_asof_nearest": q_ts_asof_nearest,
         "ts_grid_snap": q_ts_grid_snap,
         "ts_clean_salted": q_ts_clean_salted,
         "ts_value_mask": q_ts_value_mask,
@@ -1290,6 +1341,27 @@ SELECT c.source, c.doc_id, c.time, CAST(c.n_tok AS BIGINT) AS n_tok,
        r.prev_bucket, r.prev_hour_mean
 FROM clean c ASOF JOIN avail r
   ON c.source = r.source AND c.time >= r.avail_from"""
+
+    sql["ts_asof_nearest"] = f"""WITH {_sql_tokens_clean(tok)},
+  roll AS (
+    SELECT source,
+           (time // 3600) * 3600 AS bucket,
+           CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_v
+    FROM clean GROUP BY source, bucket
+  ),
+  cand AS (
+    SELECT c.source, c.doc_id, c.time, CAST(c.n_tok AS BIGINT) AS n_tok,
+           r.bucket AS near_bucket, r.mean_v AS near_mean,
+           abs(c.time - (r.bucket + 1800)) AS adist, r.bucket + 1800 AS rt
+    FROM clean c JOIN roll r ON c.source = r.source
+  ),
+  pick AS (
+    SELECT *, row_number() OVER
+      (PARTITION BY source, doc_id ORDER BY adist ASC, rt ASC) AS rn
+    FROM cand
+  )
+SELECT source, doc_id, time, n_tok, near_bucket, near_mean
+FROM pick WHERE rn = 1"""
 
     sql["ts_grid_snap"] = f"""WITH {_sql_tokens_clean(tok)},
   bounds AS (

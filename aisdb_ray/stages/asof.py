@@ -14,14 +14,18 @@ Three kernels:
   vectorized snap + gather, the raster-pixel-fetch pattern
   (/root/reference/aisdb/webdata/load_raster.py:27-79 routes each point
   through the same binary search into tile axes).
-- :func:`asof_backward_join` — per-key backward as-of join (DuckDB
-  ``ASOF JOIN`` semantics): for each left row (key, t) attach the right
-  row with the greatest ``t_right <= t`` for that key, optionally within
-  a tolerance; unmatched rows drop (inner) or keep nulls (left).  The
-  right side is the small side (a rollup tier, a dimension series) and is
-  broadcast — the weather-cube-in-every-worker pattern
-  (/root/reference/aisdb/weather/data_store.py:244-289 loads the cube
-  once per process and does vectorized nearest selection per track).
+- :func:`asof_join` — per-key as-of join with ``direction`` 'backward'
+  (DuckDB ``ASOF JOIN`` semantics: greatest ``t_right <= t``), 'forward'
+  (least ``t_right >= t``), or 'nearest' (min ``|t_right - t|``, ties ->
+  the earlier right row, matching xarray's lower-index tie rule the
+  reference's weather join relies on,
+  /root/reference/aisdb/weather/data_store.py:244-289); optional
+  tolerance on the matched distance; unmatched rows drop (inner) or keep
+  nulls (left).  The right side is the small side (a rollup tier, a
+  dimension series) and is broadcast — the weather-cube-in-every-worker
+  pattern (the reference loads the cube once per process and does
+  vectorized nearest selection per track).
+  :func:`asof_backward_join` is the backward-direction alias.
 
 All lookups are O(log n) vectorized searchsorted per batch — no shuffle
 of the big side, ever.
@@ -111,7 +115,7 @@ def _right_index(right: pa.Table, by: str, on: str, value_cols: list[str]):
     }
 
 
-def asof_backward_join(
+def asof_join(
     left_ds,
     right: pa.Table,
     *,
@@ -121,19 +125,26 @@ def asof_backward_join(
     value_cols: list[str],
     tolerance: int | None = None,
     how: str = "inner",
+    direction: str = "backward",
 ):
-    """For each left row, attach the right row with greatest rt <= t per key.
+    """For each left row, attach the right row selected by ``direction``:
+    'backward' = greatest rt <= t, 'forward' = least rt >= t, 'nearest' =
+    min |rt - t| with ties to the earlier right row.
 
     The right side is broadcast (``ray.put`` once); each batch groups its
-    rows by key and does one ``searchsorted(side='right') - 1`` per key —
-    the as-of kernel.  ``tolerance`` drops matches older than
-    ``t - tolerance``. ``how='left'`` keeps unmatched rows with nulls.
+    rows by key and does one vectorized ``searchsorted`` per key — the
+    as-of kernel.  ``tolerance`` drops matches farther than it (in the
+    chosen direction's distance).  ``how='left'`` keeps unmatched rows
+    with nulls.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction={direction!r}")
     right_on = right_on or on
     idx_ref = ray.put(_right_index(right, by, right_on, value_cols))
     out_dtypes = [
         right[c].to_numpy(zero_copy_only=False).dtype for c in value_cols
     ]
+    FAR = np.int64(1) << 62
 
     def join(batch: pa.Table) -> pa.Table:
         rindex = ray.get(idx_ref)
@@ -150,10 +161,27 @@ def asof_backward_join(
             if entry is None:
                 continue
             rt, vs = entry
-            pos = np.searchsorted(rt, t[rows], side="right") - 1
-            ok = pos >= 0
+            tr = t[rows]
+            pos_b = np.searchsorted(rt, tr, side="right") - 1
+            ok_b = pos_b >= 0
+            dist_b = np.where(ok_b, tr - rt[np.maximum(pos_b, 0)], FAR)
+            if direction == "backward":
+                pos, ok, dist = pos_b, ok_b, dist_b
+            else:
+                pos_f = np.searchsorted(rt, tr, side="left")
+                ok_f = pos_f < len(rt)
+                dist_f = np.where(
+                    ok_f, rt[np.minimum(pos_f, len(rt) - 1)] - tr, FAR
+                )
+                if direction == "forward":
+                    pos, ok, dist = pos_f, ok_f, dist_f
+                else:  # nearest: strict < keeps ties on the backward side
+                    use_f = dist_f < dist_b
+                    pos = np.where(use_f, pos_f, pos_b)
+                    ok = ok_b | ok_f
+                    dist = np.minimum(dist_b, dist_f)
             if tolerance is not None:
-                ok &= np.where(pos >= 0, t[rows] - rt[np.maximum(pos, 0)], 1 << 62) <= tolerance
+                ok &= dist <= tolerance
             rsel = rows[ok]
             psel = pos[ok]
             matched[rsel] = True
@@ -174,3 +202,8 @@ def asof_backward_join(
         return out
 
     return left_ds.map_batches(join, batch_format="pyarrow")
+
+
+def asof_backward_join(left_ds, right: pa.Table, **kw):
+    """Backward-direction alias (DuckDB ``ASOF JOIN`` semantics)."""
+    return asof_join(left_ds, right, direction="backward", **kw)

@@ -67,6 +67,64 @@ def test_asof_backward_join_matches_pandas():
     np.testing.assert_array_equal(g["val"].to_numpy(), w["val"].to_numpy(np.int64))
 
 
+def test_asof_forward_and_nearest_match_bruteforce():
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({
+        "source": rng.choice(["a", "b", "c"], 400),
+        "time": rng.integers(0, 1000, 400).astype(np.int64),
+    })
+    right = pd.DataFrame({
+        "source": ["a"] * 6 + ["b"] * 4,
+        "rt": np.r_[np.sort(rng.choice(1000, 6, replace=False)),
+                    np.sort(rng.choice(1000, 4, replace=False))].astype(np.int64),
+    })
+    right["val"] = np.arange(len(right), dtype=np.int64) * 10
+
+    def brute(direction):
+        rows = []
+        for _, r in left.iterrows():
+            cand = right[right["source"] == r["source"]]
+            if direction == "forward":
+                cand = cand[cand["rt"] >= r["time"]]
+                if len(cand):
+                    pick = cand.loc[cand["rt"].idxmin()]
+                    rows.append((r["source"], r["time"], pick["val"]))
+            else:  # nearest: min |dt|, tie -> earlier rt
+                if len(cand):
+                    d = (cand["rt"] - r["time"]).abs()
+                    best = cand[d == d.min()].sort_values("rt").iloc[0]
+                    rows.append((r["source"], r["time"], best["val"]))
+        return pd.DataFrame(rows, columns=["source", "time", "val"])
+
+    for direction in ("forward", "nearest"):
+        got = asof.asof_join(
+            rd.from_pandas(left), pa.Table.from_pandas(right),
+            by="source", on="time", right_on="rt", value_cols=["val"],
+            how="inner", direction=direction,
+        ).to_pandas()
+        want = brute(direction)
+        assert len(got) == len(want), direction
+        g = got.sort_values(["source", "time", "val"]).reset_index(drop=True)
+        w = want.sort_values(["source", "time", "val"]).reset_index(drop=True)
+        np.testing.assert_array_equal(
+            g["val"].to_numpy(), w["val"].to_numpy(np.int64), err_msg=direction
+        )
+
+
+def test_asof_nearest_tie_prefers_earlier():
+    left = pd.DataFrame({"source": ["a"], "time": [100]})
+    right = pa.table({
+        "source": ["a", "a"],
+        "rt": pa.array([90, 110], pa.int64()),  # equidistant
+        "val": pa.array([1, 2], pa.int64()),
+    })
+    out = asof.asof_join(
+        rd.from_pandas(left), right, by="source", on="time", right_on="rt",
+        value_cols=["val"], how="inner", direction="nearest",
+    ).to_pandas()
+    assert out["val"].tolist() == [1]  # backward (earlier) wins the tie
+
+
 def test_asof_tolerance_and_left():
     left = pd.DataFrame({"source": ["a", "a", "a"], "time": [5, 50, 500]})
     right = pa.table({"source": ["a"], "rt": pa.array([0], pa.int64()),
