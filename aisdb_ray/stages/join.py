@@ -246,6 +246,7 @@ def interval_join(
     hi_col: str,
     how: str = "inner",
     num_parts: int | None = None,
+    salt: int = 1,
 ):
     """Distributed range join: each point row pairs with every interval row
     of the same key whose ``lo <= t <= hi`` (SQL ``p.t BETWEEN i.lo AND
@@ -263,10 +264,12 @@ def interval_join(
     row resolving its match set with two binary searches into its key's
     point slice; the pair index arrays are then built without any per-pair
     Python work.  Cost per partition: O(P log P + I log P + output).
-    Partitioning assumption (documented contract): both sides co-partition
-    on the key columns, so a key hotter than one partition's memory needs
-    the interval side replicated under point-side salting — not needed
-    while the interval side stays per-key-small.
+    Skew: ``salt=S > 1`` splits each key's POINT rows across S partitions
+    (salted by a hash of the time value) and replicates each interval row
+    to all S — the hot-source remedy of stages/salted.py applied to the
+    join.  Each point exists in exactly one salted partition, so every
+    match is emitted exactly once and results are salt-invariant; the cost
+    is S× the (small) interval side through the exchange.
 
     how: 'inner' (matching pairs only) or 'left outer' (unmatched points
     kept once with null interval columns).
@@ -295,12 +298,37 @@ def interval_join(
     if num_parts is None:
         num_parts = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
 
-    p2 = points.map_batches(
-        lambda b: _pad_to(b, unified, 0, keys, num_parts), batch_format="pyarrow"
-    )
-    i2 = intervals.map_batches(
-        lambda b: _pad_to(b, unified, 1, keys, num_parts), batch_format="pyarrow"
-    )
+    S = max(int(salt), 1)
+    WIDE = (1 << 31) - 1
+    NP64 = np.uint64(num_parts)
+
+    def _reassign_part(padded: pa.Table, part: np.ndarray) -> pa.Table:
+        i = padded.schema.get_field_index(_PART)
+        return padded.set_column(i, _PART, pa.array(part.astype(np.int32)))
+
+    def pad_pts(b: pa.Table) -> pa.Table:
+        out = _pad_to(b, unified, 0, keys, num_parts)
+        if S == 1:
+            return out
+        kh = _key_hash(b, keys, WIDE).astype(np.uint64)
+        t = _numeric(b[time_col])
+        ti = np.nan_to_num(t.astype(np.float64, copy=False)).astype(np.int64)
+        srow = (ti.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(S)
+        return _reassign_part(out, (kh * np.uint64(S) + srow) % NP64)
+
+    def pad_iv(b: pa.Table) -> pa.Table:
+        out = _pad_to(b, unified, 1, keys, num_parts)
+        if S == 1:
+            return out
+        kh = _key_hash(b, keys, WIDE).astype(np.uint64)
+        copies = [
+            _reassign_part(out, (kh * np.uint64(S) + np.uint64(s)) % NP64)
+            for s in range(S)
+        ]
+        return pa.concat_tables(copies)
+
+    p2 = points.map_batches(pad_pts, batch_format="pyarrow")
+    i2 = intervals.map_batches(pad_iv, batch_format="pyarrow")
 
     def pad_points(pt: pa.Table) -> pa.Table:
         for c in inon:

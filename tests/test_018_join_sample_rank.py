@@ -203,6 +203,38 @@ def test_interval_join_inclusive_bounds_and_point_width():
     assert got["pid"].tolist() == [1] and got["iid"].tolist() == [0]
 
 
+def test_interval_join_salted_results_invariant():
+    # hot key: 60% of points on one key — salting must not change results
+    pts, iv, exp = _interval_fixture()
+    pts.loc[: len(pts) * 3 // 5, "k"] = "0"
+    exp = pts.merge(iv, on="k")
+    exp = exp[(exp["t"] >= exp["lo"]) & (exp["t"] <= exp["hi"])]
+    cols = ["k", "pid", "t", "iid", "lo", "hi"]
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    for how in ("inner", "left outer"):
+        outs = []
+        for s in (1, 4):
+            got = join.interval_join(
+                rd.from_pandas(pts),
+                rd.from_pandas(iv),
+                "k",
+                time_col="t",
+                lo_col="lo",
+                hi_col="hi",
+                how=how,
+                num_parts=8,
+                salt=s,
+            ).to_pandas()
+            outs.append(
+                got[cols].sort_values(cols).reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1], check_dtype=False)
+        if how == "inner":
+            pd.testing.assert_frame_equal(
+                outs[0], b.astype(outs[0].dtypes.to_dict()), check_dtype=False
+            )
+
+
 def test_interval_join_multi_key():
     pts = pd.DataFrame(
         {
