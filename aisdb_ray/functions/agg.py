@@ -12,13 +12,22 @@ from __future__ import annotations
 import pyarrow as pa
 
 
-def grouped_sums(ds, keys: list[str], sum_cols: list[str], count_as: str = "n"):
+def grouped_sums(
+    ds,
+    keys: list[str],
+    sum_cols: list[str],
+    count_as: str = "n",
+    hash_combine: bool = False,
+):
     """SUM(each of sum_cols) + COUNT(*) per key tuple.
 
     Returns a Dataset with columns keys + sum_cols (same names, summed) +
     ``count_as``.  Combine is the same vectorized two-level pattern as
     stages/rollup._combine (per-block pyarrow group_by, then a one-block
-    global combine) — no per-group Python.
+    global combine) — no per-group Python.  ``hash_combine=True`` swaps the
+    one-block funnel for a ``groupby(keys[0])`` hash shuffle of the partial
+    rows (the scale path for high-cardinality key tuples; co-grouping on
+    the first key is sufficient since it is a prefix of the group key).
     """
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -38,6 +47,10 @@ def grouped_sums(ds, keys: list[str], sum_cols: list[str], count_as: str = "n"):
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     local = partials.map_batches(combine, batch_format="pyarrow", batch_size=None)
+    if hash_combine:
+        return local.groupby(keys[0]).map_groups(
+            combine, batch_format="pyarrow"
+        )
     return local.repartition(1).map_batches(
         combine, batch_format="pyarrow", batch_size=None
     )

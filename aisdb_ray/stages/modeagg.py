@@ -48,12 +48,19 @@ def _pick_all(batch: pa.Table, key: str) -> pd.DataFrame:
     return top.rename(columns={"n": MODE_COUNT}).reset_index(drop=True)
 
 
-def mode_per_key(ds, key: str, col: str):
+def mode_per_key(ds, key: str, col: str, hash_combine: bool = False):
     """Dataset of (key, mode_value, mode_count), ties -> smallest value.
 
-    Same vectorized two-level combine as stages/rollup._combine: the global
-    counts table (one row per distinct (key, value) — small by construction)
-    lands in one block where the per-key pick is a single vectorized pass.
+    Default: the same vectorized two-level combine as
+    stages/rollup._combine — the global counts table (one row per distinct
+    (key, value) — small by construction for metadata-mode use) lands in
+    one block where the per-key pick is a single vectorized pass.
+
+    ``hash_combine=True`` is the scale path when distinct (key, value)
+    cardinality outgrows one block: a ``groupby(key)`` hash shuffle of the
+    (already collapsed) partial counts, with the combine + argmax pick run
+    per key group — no single task ever holds the whole counts table.
+    Mirrors rollup._combine(hash_combine=True).
     """
     partials = ds.map_batches(
         lambda b: _partial_counts(b, key, col), batch_format="pyarrow"
@@ -61,6 +68,11 @@ def mode_per_key(ds, key: str, col: str):
     local = partials.map_batches(
         _combine_counts, batch_format="pyarrow", batch_size=None
     )
+    if hash_combine:
+        return local.groupby(key).map_groups(
+            lambda g: _pick_all(_combine_counts(g), key),
+            batch_format="pyarrow",
+        )
     merged = local.repartition(1).map_batches(
         _combine_counts, batch_format="pyarrow", batch_size=None
     )

@@ -72,3 +72,32 @@ def test_hash_combine_matches_single_funnel(micro_dir, micro_df):
         hash_combine=True,
     ).to_pandas()
     _cmp(h1, oracle.rollup(oracle.clean(micro_df), 3600))
+
+
+def test_mode_and_grouped_sums_hash_combine_paths(micro_dir, micro_df):
+    """modeagg.mode_per_key / functions.agg.grouped_sums hash_combine=True
+    (groupby scale path) equals the default one-block funnel exactly."""
+    from aisdb_ray.functions import agg
+    from aisdb_ray.stages import modeagg
+
+    ds = _clean_ds(micro_dir)
+
+    def norm(df, cols):
+        return df.sort_values(cols, kind="stable").reset_index(drop=True)
+
+    a = norm(modeagg.mode_per_key(ds, "source", "n_tok").to_pandas(), ["source"])
+    b = norm(
+        modeagg.mode_per_key(ds, "source", "n_tok", hash_combine=True).to_pandas(),
+        ["source"],
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    c = norm(agg.grouped_sums(ds, ["source", "seg"], ["n_tok"]).to_pandas(),
+             ["source", "seg"])
+    d = norm(
+        agg.grouped_sums(
+            ds, ["source", "seg"], ["n_tok"], hash_combine=True
+        ).to_pandas(),
+        ["source", "seg"],
+    )
+    pd.testing.assert_frame_equal(c, d, check_dtype=False)
