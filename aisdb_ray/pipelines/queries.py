@@ -910,6 +910,18 @@ def q_ts_quantiles(sf_dir: str):
     return rank.group_quantiles(pts, "source", "n_tok", ps=(50, 95))
 
 
+def q_ts_quantiles_cont(sf_dir: str):
+    """Interpolated per-source p25/p50/p75 of the token channel
+    (SQL percentile_cont / DuckDB quantile_cont semantics) —
+    stages/rank.group_quantiles_cont, same shuffle-light histogram
+    decomposition as ts_quantiles."""
+    from aisdb_ray.stages import rank
+
+    _ctx()
+    pts = _clean_tokens(sf_dir).select_columns(["source", "n_tok"])
+    return rank.group_quantiles_cont(pts, "source", "n_tok", ps=(25, 50, 75))
+
+
 def q_ts_topk(sf_dir: str):
     """Top-3 rows per source by token count (ties: earliest time, seq) —
     per-batch partial top-k, then a final pass over the O(k × groups ×
@@ -1203,6 +1215,7 @@ def build_queries() -> dict:
         "doc_sample_hash": q_doc_sample_hash,
         "doc_sample_stratified": q_doc_sample_stratified,
         "ts_quantiles": q_ts_quantiles,
+        "ts_quantiles_cont": q_ts_quantiles_cont,
         "ts_topk": q_ts_topk,
         "ts_rolling": q_ts_rolling,
         "doc_minhash_pairs": q_doc_minhash_pairs,
@@ -1926,6 +1939,14 @@ QUALIFY row_number() OVER (
     # discrete quantile rank rule shared with stages/rank.py: smallest value
     # whose cumulative count reaches (p*n + 99) // 100 — integer arithmetic
     # on both sides, so no float boundary can disagree
+    sql["ts_quantiles_cont"] = f"""WITH {_sql_tokens_clean(tok)}
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       quantile_cont(n_tok, 0.25) AS p25_n_tok,
+       quantile_cont(n_tok, 0.50) AS p50_n_tok,
+       quantile_cont(n_tok, 0.75) AS p75_n_tok
+FROM segmented GROUP BY source"""
+
     sql["ts_quantiles"] = f"""WITH {_sql_tokens_clean(tok)},
   hist AS (
     SELECT source, n_tok, count(*) AS n FROM segmented GROUP BY source, n_tok

@@ -117,3 +117,46 @@ def group_quantiles(ds, group: str, value: str, ps=(50, 95)):
     return partials.groupby(group).map_groups(
         lambda t: _quantile_pick(t, group, value, ps), batch_format="pyarrow"
     )
+
+
+def _quantile_cont_pick(tbl: pa.Table, group: str, value: str, ps) -> pa.Table:
+    """One group's histogram rows -> interpolated (SQL percentile_cont /
+    numpy 'linear') quantiles: h = (n-1)·p, lerp between the floor(h) and
+    ceil(h) order statistics.  For dyadic p (25/50/75) over integer values
+    the result is exactly representable, so every lerp formula (and
+    DuckDB's quantile_cont) produces the identical double."""
+    t = tbl.group_by([group, value], use_threads=False).aggregate([("n", "sum")])
+    t = t.rename_columns([group, value, "n"])
+    v = t[value].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(v, kind="stable")
+    vs = v[order]
+    cum = np.cumsum(n[order])
+    tot = int(cum[-1])
+    out = {group: [t[group][0].as_py()], "n_rows": pa.array([tot], pa.int64())}
+    for p in ps:
+        h = (tot - 1) * (p / 100.0)
+        k = int(np.floor(h))
+        frac = h - k
+        lo = float(vs[np.searchsorted(cum, k + 1, side="left")])
+        if frac > 0.0:
+            hi = float(vs[np.searchsorted(cum, k + 2, side="left")])
+            q = lo + frac * (hi - lo)
+        else:
+            q = lo
+        out[f"p{p}_{value}"] = pa.array([q], pa.float64())
+    return pa.table(out)
+
+
+def group_quantiles_cont(ds, group: str, value: str, ps=(25, 50, 75)):
+    """Exact per-group INTERPOLATED quantiles (SQL percentile_cont /
+    DuckDB quantile_cont semantics) via the same histogram decomposition
+    as :func:`group_quantiles` — only (group, value, count) partials
+    shuffle; no data sort, no sketch error."""
+    partials = ds.map_batches(
+        lambda b: _quantile_partial(b, group, value), batch_format="pyarrow"
+    )
+    return partials.groupby(group).map_groups(
+        lambda t: _quantile_cont_pick(t, group, value, ps),
+        batch_format="pyarrow",
+    )

@@ -357,6 +357,29 @@ def test_group_quantiles_match_numpy_rule():
             assert out.loc[g, f"q{p}_v"] == v[(p * n + 99) // 100 - 1]
 
 
+def test_group_quantiles_cont_match_numpy_linear():
+    rng = np.random.default_rng(19)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 1000),
+        "v": rng.integers(0, 500, 1000).astype(np.int32),
+    })
+    got = rank.group_quantiles_cont(
+        rd.from_pandas(df), "g", "v", ps=(25, 50, 75, 95)
+    ).to_pandas().set_index("g").sort_index()
+    for g, sub in df.groupby("g"):
+        for p in (25, 50, 75, 95):
+            want = np.percentile(sub["v"].to_numpy(), p, method="linear")
+            assert got.loc[g, f"p{p}_v"] == want, (g, p)
+        assert got.loc[g, "n_rows"] == len(sub)
+
+
+def test_group_quantiles_cont_single_value_group():
+    df = pd.DataFrame({"g": ["x"], "v": [42]})
+    out = rank.group_quantiles_cont(rd.from_pandas(df), "g", "v").to_pandas()
+    assert out["p25_v"].tolist() == [42.0]
+    assert out["p75_v"].tolist() == [42.0]
+
+
 def test_group_quantiles_match_duckdb_quantile_disc():
     import duckdb
 
