@@ -775,6 +775,17 @@ def q_doc_token_count(sf_dir: str):
     )
 
 
+def q_doc_df_topk(sf_dir: str):
+    """Corpus document frequency (the df half of TF-IDF): top-100 whitespace
+    tokens by number of containing documents — stages/textstats.doc_freq_topk
+    (vectorized split+dedup partials, token-only shuffle)."""
+    from aisdb_ray.stages import textstats
+
+    _ctx()
+    docs = rd.read_parquet(_docs_path(sf_dir), columns=["text"])
+    return textstats.doc_freq_topk(docs, k=100)
+
+
 def q_doc_quality(sf_dir: str):
     from aisdb_ray.stages import textstats
 
@@ -1206,6 +1217,7 @@ def build_queries() -> dict:
         "seg_revenue": q_seg_revenue,
         "doc_token_count": q_doc_token_count,
         "doc_quality": q_doc_quality,
+        "doc_df_topk": q_doc_df_topk,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_textstats": q_doc_textstats,
         "doc_langid": q_doc_langid,
@@ -1905,6 +1917,14 @@ GROUP BY c_mktsegment"""
     sql["doc_token_count"] = r"""SELECT doc_id,
        CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
 FROM documents"""
+
+    sql["doc_df_topk"] = r"""WITH tok AS (
+    SELECT DISTINCT d.doc_id, t.w AS token
+    FROM documents d, LATERAL unnest(regexp_extract_all(d.text, '\S+')) AS t(w))
+SELECT token, CAST(count(*) AS BIGINT) AS df
+FROM tok GROUP BY token
+ORDER BY df DESC, token ASC
+LIMIT 100"""
 
     sql["doc_quality"] = r"""SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,

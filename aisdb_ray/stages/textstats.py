@@ -131,3 +131,50 @@ def md5_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     vals = batch[col].to_pylist()
     h = [hashlib.md5(v.encode()).hexdigest() for v in vals]
     return batch.append_column("text_md5", pa.array(h, pa.string()))
+
+
+def _df_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch document-frequency partial: (token, #docs-in-batch).
+
+    Fully vectorized: regex split -> flatten with parent indices ->
+    per-document dedup via an Arrow group_by on (doc, token) -> count per
+    token.  Splitting on ``\\s+`` and dropping empties yields exactly the
+    ``\\S+`` match set (both sides RE2, same as token_count_batch)."""
+    toks = pc.split_pattern_regex(batch["text"], pattern=r"\s+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, pa.scalar(""))
+    pairs = pa.table(
+        {"d": parents.filter(keep), "token": flat.filter(keep)}
+    )
+    uniq = pairs.group_by(["d", "token"], use_threads=False).aggregate([])
+    g = uniq.group_by(["token"], use_threads=False).aggregate(
+        [([], "count_all")]
+    )
+    return g.rename_columns(["token", "df"])
+
+
+def doc_freq_topk(ds, k: int = 100):
+    """Corpus document frequency: for each distinct whitespace token, the
+    number of documents containing it; top-k by (df desc, token asc).
+
+    The LLM-corpus vocabulary statistic (stop-word discovery, df-based
+    filtering, the df half of TF-IDF).  Shape: vectorized per-batch
+    partials (one row per document means a batch never splits a doc) ->
+    per-block combine -> ``groupby(token)`` hash combine — only (token,
+    partial df) rows shuffle, never text.  The final sort+limit runs on
+    the combined vocabulary table (bounded by distinct-token count, not
+    corpus size)."""
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["token"], use_threads=False).aggregate([("df", "sum")])
+        return g.rename_columns(["token", "df"])
+
+    partials = ds.map_batches(_df_partial, batch_format="pyarrow")
+    local = partials.map_batches(
+        combine, batch_format="pyarrow", batch_size=None
+    )
+    merged = local.groupby("token").map_groups(
+        combine, batch_format="pyarrow"
+    )
+    return merged.sort(["df", "token"], descending=[True, False]).limit(k)

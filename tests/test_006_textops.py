@@ -62,6 +62,25 @@ def test_text_stats_stage_runs(docs_pdf):
     assert (stats["n_words"] > 0).all()
 
 
+def test_doc_freq_topk_handcrafted():
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "text": [
+                "a b a",          # 'a' twice in one doc counts ONCE
+                "  b  c ",        # leading/trailing whitespace
+                "c",
+                "",               # empty doc contributes nothing
+            ]
+        }
+    )
+    out = textstats.doc_freq_topk(rd.from_pandas(docs), k=2).to_pandas()
+    # df: b=2, c=2, a=1 -> top-2 by (df desc, token asc) = b then c
+    assert out["token"].tolist() == ["b", "c"]
+    assert out["df"].tolist() == [2, 2]
+
+
 def test_exact_dedup_keep_first(docs_pdf):
     hashed = rd.read_parquet(DOCS).map_batches(
         lambda b: textstats.md5_batch(b), batch_format="pyarrow"
