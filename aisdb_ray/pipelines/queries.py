@@ -786,6 +786,21 @@ def q_doc_df_topk(sf_dir: str):
     return textstats.doc_freq_topk(docs, k=100)
 
 
+def q_doc_keywords(sf_dir: str):
+    """Per-document keywords: top-3 tokens by term frequency (ties -> the
+    lexicographically smaller token) — textstats.term_freq_batch tf rows
+    through rank.topk_per_group; all-integer contract, no float idf."""
+    from aisdb_ray.stages import rank, textstats
+
+    _ctx()
+    tf = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"]).map_batches(
+        textstats.term_freq_batch, batch_format="pyarrow"
+    )
+    return rank.topk_per_group(
+        tf, "doc_id", ["tf", "token"], k=3, descending=[True, False]
+    )
+
+
 def q_doc_quality(sf_dir: str):
     from aisdb_ray.stages import textstats
 
@@ -1218,6 +1233,7 @@ def build_queries() -> dict:
         "doc_token_count": q_doc_token_count,
         "doc_quality": q_doc_quality,
         "doc_df_topk": q_doc_df_topk,
+        "doc_keywords": q_doc_keywords,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_textstats": q_doc_textstats,
         "doc_langid": q_doc_langid,
@@ -1925,6 +1941,16 @@ SELECT token, CAST(count(*) AS BIGINT) AS df
 FROM tok GROUP BY token
 ORDER BY df DESC, token ASC
 LIMIT 100"""
+
+    sql["doc_keywords"] = r"""WITH tf AS (
+    SELECT d.doc_id, t.w AS token, CAST(count(*) AS BIGINT) AS tf
+    FROM documents d, LATERAL unnest(regexp_extract_all(d.text, '\S+')) AS t(w)
+    GROUP BY d.doc_id, t.w),
+  pick AS (
+    SELECT *, row_number() OVER
+      (PARTITION BY doc_id ORDER BY tf DESC, token ASC) AS rn
+    FROM tf)
+SELECT doc_id, token, tf FROM pick WHERE rn <= 3"""
 
     sql["doc_quality"] = r"""SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,

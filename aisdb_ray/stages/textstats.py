@@ -154,6 +154,26 @@ def _df_partial(batch: pa.Table) -> pa.Table:
     return g.rename_columns(["token", "df"])
 
 
+def term_freq_batch(batch: pa.Table) -> pa.Table:
+    """Per-(document, token) term frequency — the tf half of TF-IDF.
+
+    Same vectorized split as :func:`_df_partial` but keyed by doc_id and
+    counting occurrences instead of deduping.  One row per document per
+    batch, so per-batch output rows are already globally unique per
+    (doc_id, token)."""
+    toks = pc.split_pattern_regex(batch["text"], pattern=r"\s+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, pa.scalar(""))
+    doc_ids = batch["doc_id"].take(parents.filter(keep))
+    g = (
+        pa.table({"doc_id": doc_ids, "token": flat.filter(keep)})
+        .group_by(["doc_id", "token"], use_threads=False)
+        .aggregate([([], "count_all")])
+    )
+    return g.rename_columns(["doc_id", "token", "tf"])
+
+
 def doc_freq_topk(ds, k: int = 100):
     """Corpus document frequency: for each distinct whitespace token, the
     number of documents containing it; top-k by (df desc, token asc).

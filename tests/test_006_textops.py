@@ -81,6 +81,18 @@ def test_doc_freq_topk_handcrafted():
     assert out["df"].tolist() == [2, 2]
 
 
+def test_term_freq_batch_handcrafted():
+    import pandas as pd
+    import pyarrow as pa
+
+    b = pa.table({"doc_id": ["d1", "d2"], "text": ["a b a", " c  c c "]})
+    out = textstats.term_freq_batch(b).to_pandas()
+    out = out.sort_values(["doc_id", "token"]).reset_index(drop=True)
+    assert list(map(tuple, out.itertuples(index=False))) == [
+        ("d1", "a", 2), ("d1", "b", 1), ("d2", "c", 3),
+    ]
+
+
 def test_exact_dedup_keep_first(docs_pdf):
     hashed = rd.read_parquet(DOCS).map_batches(
         lambda b: textstats.md5_batch(b), batch_format="pyarrow"
