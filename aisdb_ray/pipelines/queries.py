@@ -975,6 +975,17 @@ def q_ts_rolling(sf_dir: str):
     return window.rolling_time_aggregate(pts, "source", "time", "n_tok", 300)
 
 
+def q_ts_running(sf_dir: str):
+    """Running (RANGE UNBOUNDED PRECEDING) per-source aggregates of the
+    token channel — the cumulative form of ts_rolling, same one-co-shuffle
+    kernel with the window opened at each group's first row."""
+    from aisdb_ray.stages import window
+
+    _ctx()
+    pts = _clean_tokens(sf_dir).select_columns(["source", "time", "n_tok"])
+    return window.rolling_time_aggregate(pts, "source", "time", "n_tok", None)
+
+
 def q_doc_bpe_count(sf_dir: str):
     """BPE-ish pre-token count (GPT-2-style RE2 pattern): whitespace counts
     are doc_token_count; this is the subword-boundary variant a training
@@ -1246,6 +1257,7 @@ def build_queries() -> dict:
         "ts_quantiles_cont": q_ts_quantiles_cont,
         "ts_topk": q_ts_topk,
         "ts_rolling": q_ts_rolling,
+        "ts_running": q_ts_running,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
@@ -2028,6 +2040,19 @@ FROM segmented
 WINDOW w AS (
   PARTITION BY source ORDER BY time
   RANGE BETWEEN 300 PRECEDING AND CURRENT ROW
+)"""
+
+    sql["ts_running"] = f"""WITH {_sql_tokens_clean(tok)}
+SELECT source, time, n_tok,
+       CAST(sum(n_tok) OVER w AS BIGINT) AS w_sum,
+       CAST(count(*) OVER w AS BIGINT) AS w_n,
+       CAST(sum(n_tok) OVER w AS DOUBLE) / count(*) OVER w AS w_mean,
+       CAST(min(n_tok) OVER w AS BIGINT) AS w_min,
+       CAST(max(n_tok) OVER w AS BIGINT) AS w_max
+FROM segmented
+WINDOW w AS (
+  PARTITION BY source ORDER BY time
+  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
 )"""
 
     sql["doc_clean_corpus"] = r"""WITH q AS (

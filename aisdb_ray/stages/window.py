@@ -66,10 +66,13 @@ def _range_query(st: np.ndarray, lo: np.ndarray, hi: np.ndarray, reduce_fn):
 
 
 def rolling_block(
-    tbl: pa.Table, group: str, time_col: str, value: str, width: int
+    tbl: pa.Table, group: str, time_col: str, value: str, width: int | None
 ) -> pa.Table:
     """All groups in one table -> the same rows (group+time sorted) +
-    trailing-window sum / count / mean / min / max of ``value``."""
+    trailing-window sum / count / mean / min / max of ``value``.
+
+    ``width=None`` means RANGE UNBOUNDED PRECEDING (running aggregates):
+    the window opens at the group's first row instead of ``t - width``."""
     n = len(tbl)
     if n == 0:
         return tbl
@@ -89,10 +92,15 @@ def rolling_block(
     v = tbl[value].to_numpy(zero_copy_only=False).astype(np.int64)
 
     tmin = t.min()
-    stride = (t.max() - tmin) + np.int64(width) + 2
+    w = np.int64(0 if width is None else width)
+    stride = (t.max() - tmin) + w + 2
     key = g * stride + (t - tmin)
 
-    lo = np.searchsorted(key, key - width, side="left")
+    if width is None:
+        gchange = np.r_[True, g[1:] != g[:-1]]
+        lo = np.maximum.accumulate(np.where(gchange, np.arange(n), 0))
+    else:
+        lo = np.searchsorted(key, key - w, side="left")
     # RANGE semantics: the window closes at the last PEER (equal-time) row,
     # not at this row's position — same-timestamp bursts aggregate together
     hi = np.searchsorted(key, key, side="right") - 1
@@ -118,7 +126,9 @@ def rolling_block(
     return out
 
 
-def rolling_group(tbl: pa.Table, time_col: str, value: str, width: int) -> pa.Table:
+def rolling_group(
+    tbl: pa.Table, time_col: str, value: str, width: int | None
+) -> pa.Table:
     """Single-group convenience wrapper (one series already in hand)."""
     tagged = tbl.append_column("_one", pa.array(np.zeros(len(tbl), np.int8)))
     return rolling_block(tagged, "_one", time_col, value, width).drop_columns(
@@ -127,9 +137,15 @@ def rolling_group(tbl: pa.Table, time_col: str, value: str, width: int) -> pa.Ta
 
 
 def rolling_time_aggregate(
-    ds, group: str, time_col: str, value: str, width: int, num_parts: int | None = None
+    ds,
+    group: str,
+    time_col: str,
+    value: str,
+    width: int | None,
+    num_parts: int | None = None,
 ):
-    """Per-(group, row) trailing-window aggregates over a Dataset.
+    """Per-(group, row) trailing-window aggregates over a Dataset
+    (``width=None`` -> running/unbounded-preceding aggregates).
 
     One hash-partition co-shuffle (same pattern as stages/join.py), then
     one multi-group vectorized task per partition.

@@ -63,6 +63,29 @@ def test_rolling_wide_window_is_running_aggregate():
     _compare(_frame(), 10_000)
 
 
+def test_running_unbounded_matches_duckdb():
+    # width=None: RANGE UNBOUNDED PRECEDING (running aggregates with peers)
+    df = _frame()
+    got = (
+        window.rolling_time_aggregate(rd.from_pandas(df), "g", "time", "v", None)
+        .to_pandas()
+        .sort_values(["g", "time", "v"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """SELECT g, time, v,
+       CAST(sum(v) OVER w AS BIGINT) AS w_sum,
+       CAST(count(*) OVER w AS BIGINT) AS w_n,
+       CAST(sum(v) OVER w AS DOUBLE) / count(*) OVER w AS w_mean,
+       CAST(min(v) OVER w AS BIGINT) AS w_min,
+       CAST(max(v) OVER w AS BIGINT) AS w_max
+FROM df WINDOW w AS (
+  PARTITION BY g ORDER BY time
+  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+    ).df().sort_values(["g", "time", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
 def test_rolling_single_row_groups():
     df = pd.DataFrame(
         {"g": ["a", "b"], "time": np.int64([5, 9]), "v": np.int64([7, -3])}
