@@ -1131,6 +1131,32 @@ def q_ann_topk(sf_dir: str):
     return _ranked_ids(ann.topk_cosine(rd.read_parquet(_emb_path(sf_dir)), q0, k=10))
 
 
+def q_ann_topk_multi(sf_dir: str):
+    """Batched brute-force cosine top-10 for THREE probe vectors in one
+    corpus pass (ann.topk_cosine_multi) — the query-stream workload form;
+    qid = the probing vec_id."""
+    from aisdb_ray.stages import ann
+
+    _ctx()
+    probe_ids = (0, 1, 2)
+    qv = np.vstack([_query_vector(sf_dir, i) for i in probe_ids])
+    top = ann.topk_cosine_multi(rd.read_parquet(_emb_path(sf_dir)), qv, k=10)
+
+    def finish(b: pa.Table) -> pa.Table:
+        qmap = np.asarray(probe_ids, dtype=np.int64)
+        return pa.table(
+            {
+                "qid": pa.array(
+                    qmap[b["qid"].to_numpy(zero_copy_only=False)]
+                ),
+                "rank": b["rank"],
+                "vec_id": b["vec_id"],
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
 def q_ann_lsh_topk(sf_dir: str):
     """LSH-bucketed ANN via the PERSISTED postings index: built once per sf
     (idempotent), each query prune-reads only its probed (tbl, bucket)
@@ -1263,6 +1289,7 @@ def build_queries() -> dict:
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "ann_topk": q_ann_topk,
+        "ann_topk_multi": q_ann_topk_multi,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_neardup": q_emb_neardup,
@@ -2095,6 +2122,17 @@ FROM documents"""
 FROM embeddings
 ORDER BY rank
 LIMIT 10"""
+
+    sql["ann_topk_multi"] = """WITH q AS (
+    SELECT vec_id AS qid, embedding AS qe FROM embeddings
+    WHERE vec_id IN (0, 1, 2)),
+  scored AS (
+    SELECT q.qid, e.vec_id,
+           CAST(row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC,
+                        e.vec_id) AS BIGINT) AS rank
+    FROM embeddings e CROSS JOIN q)
+SELECT qid, rank, vec_id FROM scored WHERE rank <= 10"""
 
     sql["emb_neardup"] = """SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

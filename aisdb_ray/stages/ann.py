@@ -47,13 +47,15 @@ def topk_cosine(ds_emb, query: np.ndarray, k: int = 10):
         ids = b["vec_id"].to_numpy(zero_copy_only=False)
         take = min(k, len(sims))
         idx = np.argpartition(-sims, take - 1)[:take]
-        # deterministic order: sim desc, vec_id asc
+        # deterministic order: sim desc, vec_id asc; cosine stays full
+        # precision until the final merge so near-ties rank by the true
+        # float64 value (rounding first would reorder them)
         order = np.lexsort((ids[idx], -sims[idx]))
         idx = idx[order]
         return pa.table(
             {
                 "vec_id": pa.array(ids[idx].astype(np.int64)),
-                "cosine": pa.array(np.round(sims[idx], 4)),
+                "cosine": pa.array(sims[idx]),
             }
         )
 
@@ -65,7 +67,73 @@ def topk_cosine(ds_emb, query: np.ndarray, k: int = 10):
         order = np.lexsort((ids, -sims))[:k]
         return pa.table(
             {"vec_id": pa.array(ids[order].astype(np.int64)),
-             "cosine": pa.array(sims[order])}
+             "cosine": pa.array(np.round(sims[order], 4))}
+        )
+
+    return partial.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )
+
+
+def topk_cosine_multi(ds_emb, queries: np.ndarray, k: int = 10):
+    """Batched exact top-k: Q probe vectors answered in ONE corpus pass.
+
+    Per batch: one (B×d)·(d×Q) matmul, then per-query partial top-k — only
+    O(Q·k) rows leave each task, and the global merge sees
+    O(Q·k·n_batches) rows regardless of corpus size.  The workload form of
+    :func:`topk_cosine`: a query STREAM amortizes the scan instead of
+    rescanning the corpus per query.  Output rows
+    (qid, rank, vec_id, cosine): rank 1..k per qid by (cosine desc,
+    vec_id asc); qid is the row index into ``queries``.
+    """
+    Q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    norms = np.linalg.norm(Q, axis=1)
+    norms[norms == 0] = 1.0
+    q_ref = ray.put(Q / norms[:, None])
+    nq = len(Q)
+
+    def batch_topk(b: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        m = _norm_rows(_emb_matrix(b))
+        sims = m @ qm.T  # B x Q
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        take = min(k, len(ids))
+        qout, iout, sout = [], [], []
+        for qi in range(nq):  # loop over the Q queries only
+            s = sims[:, qi]
+            idx = np.argpartition(-s, take - 1)[:take]
+            order = np.lexsort((ids[idx], -s[idx]))
+            idx = idx[order]
+            qout.append(np.full(take, qi, np.int64))
+            iout.append(ids[idx])
+            sout.append(s[idx])  # full precision until the final merge
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(qout)),
+                "vec_id": pa.array(np.concatenate(iout)),
+                "cosine": pa.array(np.concatenate(sout)),
+            }
+        )
+
+    partial = ds_emb.map_batches(batch_topk, batch_format="pyarrow")
+
+    def merge(b: pa.Table) -> pa.Table:
+        qid = b["qid"].to_numpy(zero_copy_only=False)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        sims = b["cosine"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims, qid))
+        qs = qid[order]
+        first = np.r_[True, qs[1:] != qs[:-1]]
+        start = np.maximum.accumulate(np.where(first, np.arange(len(qs)), 0))
+        rank = np.arange(len(qs)) - start + 1
+        keep = rank <= k
+        return pa.table(
+            {
+                "qid": pa.array(qs[keep].astype(np.int64)),
+                "rank": pa.array(rank[keep].astype(np.int64)),
+                "vec_id": pa.array(ids[order][keep].astype(np.int64)),
+                "cosine": pa.array(np.round(sims[order][keep], 4)),
+            }
         )
 
     return partial.repartition(1).map_batches(

@@ -29,6 +29,24 @@ def test_topk_matches_numpy():
     np.testing.assert_allclose(got["cosine"].to_numpy(), np.round(sims[order], 4))
 
 
+def test_topk_multi_matches_single_and_numpy():
+    ids, m = _matrix()
+    qs = m[[0, 3, 7]]
+    got = ann.topk_cosine_multi(rd.read_parquet(EMB), qs, k=10).to_pandas()
+    assert len(got) == 30
+    for qi, q in enumerate(qs):
+        sub = got[got["qid"] == qi].sort_values("rank")
+        sims = m @ q
+        order = np.lexsort((ids, -sims))[:10]
+        np.testing.assert_array_equal(sub["vec_id"].to_numpy(), ids[order])
+        assert sub["rank"].tolist() == list(range(1, 11))
+        # and the batched path agrees with the single-query operator
+        single = ann.topk_cosine(rd.read_parquet(EMB), q, k=10).to_pandas()
+        np.testing.assert_array_equal(
+            sub["vec_id"].to_numpy(), single["vec_id"].to_numpy()
+        )
+
+
 def test_lsh_topk_recall():
     ids, m = _matrix()
     q = m[3]
