@@ -1157,6 +1157,19 @@ def q_ann_topk_multi(sf_dir: str):
     return top.map_batches(finish, batch_format="pyarrow")
 
 
+def q_emb_dim_stats(sf_dir: str):
+    """Per-dimension embedding statistics (ann.embedding_dim_stats):
+    int64 fixed-point sums/min/max per dimension so the hash compare is
+    exact — the vector-column aggregate a feature-normalization pipeline
+    computes before scaling embeddings."""
+    from aisdb_ray.stages import ann
+
+    _ctx()
+    return ann.embedding_dim_stats(
+        rd.read_parquet(_emb_path(sf_dir), columns=["embedding"])
+    )
+
+
 def q_ann_lsh_topk(sf_dir: str):
     """LSH-bucketed ANN via the PERSISTED postings index: built once per sf
     (idempotent), each query prune-reads only its probed (tbl, bucket)
@@ -1293,6 +1306,7 @@ def build_queries() -> dict:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_neardup": q_emb_neardup,
+        "emb_dim_stats": q_emb_dim_stats,
         "media_features": q_media_features,
         "media_audio": q_media_audio,
     }
@@ -2133,6 +2147,19 @@ LIMIT 10"""
                         e.vec_id) AS BIGINT) AS rank
     FROM embeddings e CROSS JOIN q)
 SELECT qid, rank, vec_id FROM scored WHERE rank <= 10"""
+
+    sql["emb_dim_stats"] = """WITH ex AS (
+    SELECT generate_subscripts(e.embedding, 1) - 1 AS dim,
+           CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) * 1000000)
+                AS BIGINT) AS fx
+    FROM embeddings e)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(fx) AS BIGINT) AS sum_fx,
+       CAST(min(fx) AS BIGINT) AS min_fx,
+       CAST(max(fx) AS BIGINT) AS max_fx,
+       CAST(sum(fx) AS DOUBLE) / count(*) AS mean_fx
+FROM ex GROUP BY dim"""
 
     sql["emb_neardup"] = """SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -75,6 +75,64 @@ def topk_cosine(ds_emb, query: np.ndarray, k: int = 10):
     )
 
 
+def embedding_dim_stats(ds_emb, scale: int = 1_000_000):
+    """Per-dimension corpus statistics of the embedding column.
+
+    Values are fixed-pointed (``floor(v * scale)`` as int64; the
+    float32 -> float64 widening and the product are both exact) so sums are
+    order-independent integers and the result hash-matches SQL exactly —
+    the engine's money-in-cents policy applied to vectors.  Shape: one
+    (dim, n, sum, min, max) partial row per dimension per batch, so only
+    d rows per task ever shuffle; the global combine handles d rows total.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_fx": pa.array([], pa.int64()),
+                    "min_fx": pa.array([], pa.int64()),
+                    "max_fx": pa.array([], pa.int64()),
+                }
+            )
+        m = _emb_matrix(b).astype(np.float64)
+        fx = np.floor(m * scale).astype(np.int64)
+        d = fx.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "n": pa.array(np.full(d, fx.shape[0], np.int64)),
+                "sum_fx": pa.array(fx.sum(axis=0, dtype=np.int64)),
+                "min_fx": pa.array(fx.min(axis=0)),
+                "max_fx": pa.array(fx.max(axis=0)),
+            }
+        )
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["dim"], use_threads=False).aggregate(
+            [("n", "sum"), ("sum_fx", "sum"), ("min_fx", "min"), ("max_fx", "max")]
+        )
+        return g.rename_columns(["dim", "n", "sum_fx", "min_fx", "max_fx"])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mean = pc.divide(
+            pc.cast(b["sum_fx"], pa.float64()), pc.cast(b["n"], pa.float64())
+        )
+        return b.append_column("mean_fx", mean)
+
+    partials = ds_emb.map_batches(partial, batch_format="pyarrow")
+    local = partials.map_batches(combine, batch_format="pyarrow", batch_size=None)
+    # global combine input is exactly d rows per upstream block — tiny
+    merged = local.repartition(1).map_batches(
+        combine, batch_format="pyarrow", batch_size=None
+    )
+    return merged.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
 def topk_cosine_multi(ds_emb, queries: np.ndarray, k: int = 10):
     """Batched exact top-k: Q probe vectors answered in ONE corpus pass.
 

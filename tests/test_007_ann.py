@@ -47,6 +47,24 @@ def test_topk_multi_matches_single_and_numpy():
         )
 
 
+def test_embedding_dim_stats_matches_numpy():
+    ids, _ = _matrix()
+    t = pq.read_table(EMB)
+    raw = t["embedding"].combine_chunks().values.to_numpy().reshape(
+        len(ids), -1
+    ).astype(np.float64)
+    fx = np.floor(raw * 1_000_000).astype(np.int64)
+    got = ann.embedding_dim_stats(rd.read_parquet(EMB)).to_pandas()
+    got = got.sort_values("dim").reset_index(drop=True)
+    assert got["n"].tolist() == [len(ids)] * raw.shape[1]
+    np.testing.assert_array_equal(got["sum_fx"].to_numpy(), fx.sum(axis=0))
+    np.testing.assert_array_equal(got["min_fx"].to_numpy(), fx.min(axis=0))
+    np.testing.assert_array_equal(got["max_fx"].to_numpy(), fx.max(axis=0))
+    np.testing.assert_array_equal(
+        got["mean_fx"].to_numpy(), fx.sum(axis=0) / len(ids)
+    )
+
+
 def test_lsh_topk_recall():
     ids, m = _matrix()
     q = m[3]
