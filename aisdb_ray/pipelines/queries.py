@@ -195,6 +195,29 @@ def q_csv_ingest(sf_dir: str):
     )
 
 
+def q_jsonl_ingest(sf_dir: str):
+    """JSONL source path (the second lake text format): parallel
+    jsonl/gz read with vectorized C parsing and per-line quarantine of
+    injected corrupt lines (sources/jsonl.py), then the SAME clean
+    pipeline as ts_clean — hash-matches the parquet path's oracle,
+    proving the reader drops exactly the garbage and nothing else."""
+    from aisdb_ray.sources.jsonl import read_token_jsonl, write_token_jsonl
+
+    _ctx()
+    tok = ensure_sf_tokens(sf_dir)
+    name = os.path.basename(os.path.normpath(sf_dir))
+    jl_dir = write_token_jsonl(
+        tok, os.path.join(SF_CACHE_ROOT, name, "tokens_jsonl"), corrupt_every=89
+    )
+    ds = read_token_jsonl(jl_dir).map_batches(
+        prepare.prepare, batch_format="pyarrow"
+    )
+    ds = ds.map_batches(lambda b: b.drop_columns(["tokens"]), batch_format="pyarrow")
+    return series.clean_series(ds, TS_MAX_GAP).select_columns(
+        ["source", "doc_id", "time", "seq", "n_tok", "seg"]
+    )
+
+
 def q_ts_segments(sf_dir: str):
     return series.segment_table(_prepared(sf_dir), TS_MAX_GAP)
 
@@ -1248,6 +1271,7 @@ def build_queries() -> dict:
     return {
         "ts_clean": q_ts_clean,
         "csv_ingest": q_csv_ingest,
+        "jsonl_ingest": q_jsonl_ingest,
         "ts_top_sources": q_ts_top_sources,
         "ts_calendar": q_ts_calendar,
         "ts_segments": q_ts_segments,
@@ -1332,6 +1356,7 @@ FROM segmented GROUP BY source, seg"""
 
     sql["ts_clean_salted"] = sql["ts_clean"]  # identical contract, salted path
     sql["csv_ingest"] = sql["ts_clean"]  # CSV reader must drop exactly the garbage
+    sql["jsonl_ingest"] = sql["ts_clean"]  # same contract for the JSONL reader
 
     sql["ts_value_mask"] = f"""WITH {_sql_tokens_clean(tok)}
 SELECT source, doc_id, time, n_tok, seg FROM segmented
