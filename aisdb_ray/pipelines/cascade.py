@@ -88,7 +88,12 @@ class CascadeConfig:
     heavy_mode: str = "part"
 
     def fingerprint(self) -> str:
-        files = lineage.list_parquet_files(self.input_path)
+        """Config-only fingerprint: a changed CONFIG restarts the run clean.
+        Input files are tracked separately (the ``_inputs`` manifest record)
+        so that appended files trigger an incremental refresh of only the
+        affected partitions — the continuous-aggregate semantics — instead
+        of invalidating the whole manifest; modified or deleted inputs still
+        force a clean restart (see run_cascade)."""
         extra = {
             "num_parts": self.num_parts,
             "max_gap": self.max_gap,
@@ -100,7 +105,15 @@ class CascadeConfig:
             "heavy_mode": self.heavy_mode,
             "retention": {k: int(v) for k, v in sorted(self.retention.items())},
         }
-        return lineage.fingerprint_paths(files, extra)
+        return lineage.fingerprint_paths([], extra)
+
+
+def _input_sigs(input_path: str) -> dict:
+    """{file: "size:mtime"} for every input parquet — the generation map."""
+    return {
+        p: f"{os.stat(p).st_size}:{int(os.stat(p).st_mtime)}"
+        for p in lineage.list_parquet_files(input_path)
+    }
 
 
 def part_of(source: str, num_parts: int) -> int:
@@ -579,10 +592,141 @@ def apply_retention(cfg: CascadeConfig, manifest: lineage.Manifest) -> dict:
     return pruned
 
 
+# ---------------------------------------------------- incremental refresh
+
+# series-tier identity columns: what a re-clean needs (seg is recomputed)
+_SERIES_ID_COLS = ["doc_id", SOURCE, TIME, SEQ, N_TOK]
+
+
+def _refresh_parts(cfg: CascadeConfig, manifest: lineage.Manifest,
+                   new_files: list[str]) -> dict:
+    """Incremental continuous-aggregate refresh: fold newly-appended input
+    files into an already-built cascade, recomputing ONLY the hash
+    partitions their sources touch (TimescaleDB's continuous-aggregate
+    invalidation, expressed as partition-granular recompute; the reference's
+    per-month rebuild in /root/reference/aisdb/database/dbconn.py:110-197 is
+    the coarse ancestor).
+
+    Soundness: clean = keep-first dedup on (time, seq) + sort + re-segment
+    is a pure function of a source's ROW SET, so re-cleaning
+    (old series rows ∪ new prepared rows) equals a full recompute over all
+    input — duplicates collapse deterministically (exact-copy duplicates,
+    the O4 PK contract) and segments that a new row bridges merge exactly.
+    The same property makes refresh IDEMPOTENT: re-running it after a
+    mid-refresh kill re-unions rows that are already in the series tier and
+    dedup removes them, so tombstoned tier partitions are simply rebuilt.
+    """
+    t0 = time.time()
+    new = rd.read_parquet(new_files)
+    new = new.map_batches(prepare.prepare, batch_format="pyarrow")
+    new = new.map_batches(_drop_payload, batch_format="pyarrow")
+    new = new.map_batches(
+        lambda b: _add_part_batch(b, cfg.num_parts), batch_format="pyarrow"
+    ).materialize()  # the increment: small vs the corpus, pinned once
+    affected = sorted(int(p) for p in new.unique("part"))
+    if not affected:
+        return {"new_files": len(new_files), "affected_parts": []}
+
+    # one job re-cleans every affected part: union(old series rows, new rows)
+    # -> the engine's standard key shuffle -> hive part dirs swapped in place
+    old_files = [
+        f
+        for part in affected
+        for f in lineage.list_parquet_files(_part_dir(cfg.out_root, "series", part))
+    ]
+    un = new.select_columns(_SERIES_ID_COLS)
+    if old_files:
+        un = un.union(
+            rd.read_parquet(old_files, columns=_SERIES_ID_COLS)
+            .select_columns(_SERIES_ID_COLS)
+        )
+    cleaned = series.clean_series(un, cfg.max_gap).map_batches(
+        lambda b: _add_part_batch(b, cfg.num_parts), batch_format="pyarrow",
+        batch_size=None,
+    )
+    tmp = os.path.join(cfg.out_root, "_refresh_tmp")
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    cleaned.write_parquet(
+        tmp, partition_cols=["part"], min_rows_per_file=250_000, **WRITE_ARGS
+    )
+    for part in affected:
+        src = os.path.join(tmp, f"part={part}")
+        if not os.path.isdir(src):
+            continue  # part had rows before dedup only; nothing new survives
+        dst = _part_dir(cfg.out_root, "series", part)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        os.replace(src, dst)  # the atomic commit point per partition
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    # retract + rebuild the derived tiers for the affected partitions only
+    stages = [f"tier_{t}" for t in cfg.tiers]
+    if cfg.gapfill:
+        stages.append("gapfill")
+    if cfg.compress:
+        stages.append("compressed")
+    for part in affected:
+        for s in stages:
+            manifest.invalidate(s, part)
+    part_cfg = cfg if cfg.heavy_mode == "part" else CascadeConfig(
+        **{**cfg.__dict__, "heavy_mode": "part"}
+    )
+    with ThreadPoolExecutor(max_workers=cfg.max_concurrent_parts) as ex:
+        list(ex.map(lambda p: _run_part(part_cfg, manifest, p), affected))
+
+    # stage-mode manifests carry ("all") totals — re-derive them from disk
+    # so the summary metrics stay truthful after a partial rebuild
+    manifest.record(
+        "series", "all", rows=_dataset_rows(os.path.join(cfg.out_root, "series")),
+        refreshed_parts=affected,
+    )
+    if manifest.get("tier_1m", "all") is not None and "1m" in cfg.tiers:
+        files = lineage.list_parquet_files(os.path.join(cfg.out_root, "tier_1m"))
+        tok = sum(
+            int(pa.compute.sum(pq.read_table(f, columns=[SUM_V])[SUM_V]).as_py() or 0)
+            for f in files
+        )
+        manifest.record(
+            "tier_1m", "all", rows=_dataset_rows(os.path.join(cfg.out_root, "tier_1m")),
+            tokens=tok, refreshed_parts=affected,
+        )
+    return {
+        "new_files": len(new_files),
+        "affected_parts": affected,
+        "refresh_wall_s": round(time.time() - t0, 3),
+    }
+
+
 def run_cascade(cfg: CascadeConfig) -> dict:
-    """Execute (or resume) the full cascade; returns a metrics summary."""
+    """Execute (or resume) the full cascade; returns a metrics summary.
+
+    Continuous-aggregate behavior: re-running over an input directory that
+    has GROWN since the recorded generation finishes any pending work, then
+    incrementally refreshes only the partitions the new files touch
+    (_refresh_parts).  Modified or deleted input files force a clean restart
+    (mixing generations of a mutated file is unsound)."""
     t0 = time.time()
     manifest = lineage.Manifest.open(cfg.out_root, cfg.fingerprint())
+
+    cur_sigs = _input_sigs(cfg.input_path)
+    gen = manifest.get("_inputs", "all")
+    new_files: list[str] = []
+    if gen is not None:
+        rec_sigs = gen["files"]
+        unchanged = all(cur_sigs.get(p) == s for p, s in rec_sigs.items())
+        if unchanged and set(rec_sigs) == set(cur_sigs):
+            pass  # same generation: plain resume
+        elif unchanged:
+            new_files = sorted(set(cur_sigs) - set(rec_sigs))
+        else:
+            # a recorded file changed or vanished: restart clean
+            os.remove(manifest.path)
+            manifest = lineage.Manifest.open(cfg.out_root, cfg.fingerprint())
+            gen = None
+    if gen is None:
+        manifest.record("_inputs", "all", files=cur_sigs)
 
     parts = list(range(cfg.num_parts))
     if cfg.heavy_mode == "stage":
@@ -600,16 +744,29 @@ def run_cascade(cfg: CascadeConfig) -> dict:
         if pending:
             with ThreadPoolExecutor(max_workers=cfg.max_concurrent_parts) as ex:
                 list(ex.map(lambda p: _run_part(cfg, manifest, p), pending))
+
+    refresh_info = {}
+    if new_files:
+        refresh_info = _refresh_parts(cfg, manifest, new_files)
+        manifest.record("_inputs", "all", files=cur_sigs)  # commit generation
+
     if cfg.retention:
         apply_retention(cfg, manifest)
 
-    tokens = sum(r.get("tokens", 0) for r in manifest.completed("tier_1m"))
-    rows = next((r["rows"] for r in manifest.completed("series")), 0)
+    recs_1m = manifest.completed("tier_1m")
+    all_1m = next((r for r in recs_1m if r["partition"] == "all"), None)
+    tokens = (
+        all_1m.get("tokens", 0)
+        if all_1m is not None
+        else sum(r.get("tokens", 0) for r in recs_1m)
+    )
+    rows = (manifest.get("series", "all") or {}).get("rows", 0)
     wall = time.time() - t0
     return {
         "rows": rows,
         "tokens": tokens,
         "wall_s": round(wall, 3),
+        **({"refresh": refresh_info} if refresh_info else {}),
         "watermarks": {
             s: manifest.watermark(s, parts if cfg.heavy_mode == "part" else ["all"])
             for s in [f"tier_{t}" for t in cfg.tiers]

@@ -76,7 +76,11 @@ class Manifest:
                             stale = True
                             break
                         continue
-                    m._records[(rec["stage"], str(rec["partition"]))] = rec
+                    key = (rec["stage"], str(rec["partition"]))
+                    if rec.get("kind") == "tombstone":
+                        m._records.pop(key, None)
+                    else:
+                        m._records[key] = rec
             if stale:
                 # input or config changed: restart clean rather than mixing runs
                 os.remove(mpath)
@@ -112,6 +116,30 @@ class Manifest:
                 os.fsync(f.fileno())
             self._records[(stage, str(partition))] = rec
         return rec
+
+    def invalidate(self, stage: str, partition: Any) -> None:
+        """Mark a completed unit stale (durable tombstone): the incremental
+        refresh path retracts a (stage, partition) before recomputing it, so
+        a kill mid-refresh resumes the recompute rather than trusting the
+        superseded output's record."""
+        key = (stage, str(partition))
+        with self._lock:
+            if key not in self._records:
+                return
+            rec = {
+                "kind": "tombstone",
+                "stage": stage,
+                "partition": str(partition),
+                "ts": time.time(),
+            }
+            with open(self.path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
+            self._records.pop(key, None)
+
+    def get(self, stage: str, partition: Any) -> dict | None:
+        return self._records.get((stage, str(partition)))
 
     def watermark(self, stage: str, partitions: list[Any]) -> dict:
         """Contiguous-completion watermark over an ordered partition list."""
