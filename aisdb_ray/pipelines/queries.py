@@ -1092,6 +1092,36 @@ def q_doc_jaccard_pairs(sf_dir: str):
     ).select_columns(["a", "b", "n_inter", "n_union"])
 
 
+def q_doc_dup_components(sf_dir: str):
+    """Near-dup CLUSTERS: connected components over the verified MinHash
+    pair graph (stages/components.py: min-label propagation with pointer
+    jumping, Dataset-native joins per round).  component = min doc_id of
+    the cluster.  Hash-verified: the oracle closes the same pair oracle
+    transitively with a recursive CTE."""
+    from aisdb_ray.stages import components, dedup_text
+
+    _ctx()
+    pairs = dedup_text.minhash_dedup_pairs(_docs_path(sf_dir), jaccard_threshold=0.7)
+    comp = components.connected_components(pairs)
+    return comp.map_batches(
+        lambda b: b.rename_columns(["doc_id", "component"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_doc_dedup_survivors(sf_dir: str):
+    """Cluster dedup decision: keep one canonical document per near-dup
+    cluster (the component minimum) plus every unpaired document —
+    components + a distributed left anti join, no driver materialization."""
+    from aisdb_ray.stages import components, dedup_text
+
+    _ctx()
+    pairs = dedup_text.minhash_dedup_pairs(_docs_path(sf_dir), jaccard_threshold=0.7)
+    comp = components.connected_components(pairs)
+    ids = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id"])
+    return components.dedup_survivors(ids, comp)
+
+
 def q_emb_neardup_lsh(sf_dir: str):
     """LSH-bucketed APPROXIMATE embedding near-dup (the scale path when
     exact all-pairs tiling is unaffordable): pairs form only inside shared
@@ -1322,6 +1352,8 @@ def build_queries() -> dict:
         "ts_rolling": q_ts_rolling,
         "ts_running": q_ts_running,
         "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_dup_components": q_doc_dup_components,
+        "doc_dedup_survivors": q_doc_dedup_survivors,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_neardup_lsh": q_emb_neardup_lsh,
@@ -2196,6 +2228,8 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35"""
     from aisdb_ray.pipelines import oracle_text
 
     sql["doc_minhash_pairs"] = oracle_text.minhash_pairs_sql(16, 4, 7, 10)
+    sql["doc_dup_components"] = oracle_text.dup_components_sql(16, 4, 7, 10)
+    sql["doc_dedup_survivors"] = oracle_text.dedup_survivors_sql(16, 4, 7, 10)
     sql["doc_jaccard_pairs"] = oracle_text.minhash_pairs_sql(32, 2, 1, 2)
     sql["doc_simhash_pairs"] = oracle_text.simhash_pairs_sql(max_hamming=8)
     sql["doc_textstats"] = oracle_text.textstats_sql(_langid_sql())
