@@ -744,6 +744,45 @@ def q_q1_pricing(sf_dir: str):
     )
 
 
+def q_ev_bloom_semijoin(sf_dir: str):
+    """Fact-side Bloom prefilter + exact semi-join (stages/bloomjoin.py):
+    lineitem rows belonging to high-value orders.  The bitmap is built in
+    one distributed pass over the filtered key side, broadcast via ray.put,
+    tested vectorized per fact batch; only Bloom survivors (true matches +
+    a ~0 false-positive sliver) enter the co-partitioned exact semi-join.
+    Hash-verified against the plain SQL semi-join (Bloom misses are exact
+    non-members, and the verify pass removes false positives)."""
+    from aisdb_ray.stages import bloomjoin
+
+    _ctx()
+    fact = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    keys = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.greater(b["o_totalprice"], pa.scalar(150_000.0))
+        ).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    out = bloomjoin.bloom_semi_join(
+        fact, keys, on="l_orderkey", right_on="o_orderkey"
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_linenumber": b["l_linenumber"],
+                "qty": pc.cast(pc.round(b["l_quantity"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_seg_revenue(sf_dir: str):
     """Revenue (order totalprice, cents) per customer market segment —
     broadcast hash join: the small customer dim is ray.put once and looked
@@ -1327,6 +1366,7 @@ def build_queries() -> dict:
         "ts_cubic_resample": q_ts_cubic_resample,
         "ev_sessions": q_ev_sessions,
         "ev_interval_join": q_ev_interval_join,
+        "ev_bloom_semijoin": q_ev_bloom_semijoin,
         "ev_rollup_1h": q_ev_rollup_1h,
         "ev_mode": q_ev_mode,
         "ev_dedup": q_ev_dedup,
@@ -2019,6 +2059,12 @@ SELECT user_id, event_id, time, seg FROM ev_seg"""
 SELECT p.user_id, p.event_id, p.time, s.seg, s.t_start, s.t_end
 FROM pts p JOIN sess s
   ON p.user_id = s.user_id AND p.time BETWEEN s.t_start AND s.t_end"""
+
+    sql["ev_bloom_semijoin"] = """SELECT l.l_orderkey, l.l_linenumber,
+       CAST(round(l.l_quantity) AS BIGINT) AS qty
+FROM lineitem l
+WHERE l.l_orderkey IN
+      (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0)"""
 
     sql["q1_pricing"] = """WITH li AS (
     SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,90 @@
+"""Bloom-filter semi-join: no false negatives ever, exact mode equals a
+plain semi join, prefilter fp-rate in the expected band, null keys safe."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from aisdb_ray.stages import bloomjoin
+
+
+def _ds(tbl: pa.Table):
+    import ray.data as rd
+
+    return rd.from_arrow(tbl)
+
+
+@pytest.fixture(scope="module")
+def sides():
+    rng = np.random.default_rng(11)
+    fact_keys = rng.integers(0, 50_000, 20_000, dtype=np.int64)
+    key_set = rng.choice(50_000, 3_000, replace=False).astype(np.int64)
+    fact = pa.table(
+        {"fk": pa.array(fact_keys), "payload": pa.array(np.arange(20_000))}
+    )
+    keys = pa.table({"pk": pa.array(key_set)})
+    return fact, keys, set(key_set.tolist())
+
+
+def test_exact_mode_equals_plain_semi_join(sides):
+    fact, keys, key_set = sides
+    got = (
+        bloomjoin.bloom_semi_join(
+            _ds(fact), _ds(keys), on="fk", right_on="pk", num_parts=4
+        )
+        .to_pandas()
+        .sort_values(["fk", "payload"])
+        .reset_index(drop=True)
+    )
+    want = (
+        fact.to_pandas()[lambda d: d["fk"].isin(key_set)]
+        .sort_values(["fk", "payload"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+
+def test_prefilter_no_false_negatives_and_low_fp(sides):
+    fact, keys, key_set = sides
+    pre = bloomjoin.bloom_semi_join(
+        _ds(fact), _ds(keys), on="fk", right_on="pk", exact=False
+    ).to_pandas()
+    member = fact.to_pandas()["fk"].isin(key_set)
+    # every true match must survive
+    assert member.sum() <= len(pre)
+    assert set(pre.loc[pre["fk"].isin(key_set), "payload"]) == set(
+        fact.to_pandas().loc[member, "payload"]
+    )
+    # false-positive sliver stays small (m=8Mbit, k=7, 3k keys -> fp ~ 0)
+    fp = (~pre["fk"].isin(key_set)).sum()
+    assert fp <= 0.01 * len(fact)
+
+
+def test_small_filter_has_false_positives_but_exact_verify_removes_them(sides):
+    fact, keys, key_set = sides
+    # deliberately undersized bitmap: fp-rate becomes visible
+    pre = bloomjoin.bloom_semi_join(
+        _ds(fact), _ds(keys), on="fk", right_on="pk",
+        m_bits=1 << 12, k=2, exact=False,
+    ).to_pandas()
+    member = fact.to_pandas()["fk"].isin(key_set)
+    assert member.sum() <= len(pre)
+    exact = bloomjoin.bloom_semi_join(
+        _ds(fact), _ds(keys), on="fk", right_on="pk",
+        m_bits=1 << 12, k=2, exact=True, num_parts=4,
+    ).to_pandas()
+    assert len(exact) == int(member.sum())
+
+
+def test_null_keys_dropped():
+    fact = pa.table(
+        {"fk": pa.array([1, None, 2, None], pa.int64()),
+         "payload": pa.array([0, 1, 2, 3])}
+    )
+    keys = pa.table({"fk": pa.array([1, 2], pa.int64())})
+    got = bloomjoin.bloom_semi_join(
+        _ds(fact), _ds(keys), on="fk", num_parts=2
+    ).to_pandas()
+    assert sorted(got["payload"].tolist()) == [0, 2]
