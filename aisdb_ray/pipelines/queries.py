@@ -226,6 +226,43 @@ def _q_ts_rollup(sf_dir: str, width: int):
     return rollup.rollup(_clean_tokens(sf_dir), width)
 
 
+def q_ts_rollup_var(sf_dir: str):
+    """Per-(source, 1h bucket) variance with INTEGER evidence: sum and
+    sum-of-squares accumulate as int64 (order-independent, exact), variance
+    derives as one float64 expression mirrored token-for-token in the SQL
+    oracle so even the double hash-matches.  Extends the A2 rollup kernel
+    family with a second moment via the generic grouped_sums combiner."""
+    _ctx()
+
+    def pre(b: pa.Table) -> pa.Table:
+        v = pc.cast(b["n_tok"], pa.int64())
+        bucket = pc.multiply(
+            pc.divide(pc.cast(b["time"], pa.int64()), pa.scalar(3600, pa.int64())),
+            pa.scalar(3600, pa.int64()),
+        )
+        return pa.table(
+            {"source": b["source"], "bucket": bucket,
+             "sum_n_tok": v, "sum_sq_n_tok": pc.multiply(v, v)}
+        )
+
+    g = grouped_sums(
+        _clean_tokens(sf_dir).map_batches(pre, batch_format="pyarrow"),
+        ["source", "bucket"],
+        ["sum_n_tok", "sum_sq_n_tok"],
+        count_as="count_n_tok",
+        hash_combine=True,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["count_n_tok"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = b["sum_n_tok"].to_numpy(zero_copy_only=False).astype(np.float64)
+        q = b["sum_sq_n_tok"].to_numpy(zero_copy_only=False).astype(np.float64)
+        var = (q - s * s / n) / n
+        return b.append_column("var_n_tok", pa.array(var, pa.float64()))
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
 def q_ts_cascade_1h(sf_dir: str):
     """1h tier computed from 1m partials (continuous-aggregate path);
     the oracle computes 1h directly from raw — parity must be exact."""
@@ -1345,6 +1382,7 @@ def build_queries() -> dict:
         "ts_calendar": q_ts_calendar,
         "ts_segments": q_ts_segments,
         "ts_rollup_1m": lambda sf: _q_ts_rollup(sf, 60),
+        "ts_rollup_var": q_ts_rollup_var,
         "ts_rollup_1h": lambda sf: _q_ts_rollup(sf, 3600),
         "ts_rollup_1d": lambda sf: _q_ts_rollup(sf, 86400),
         "ts_cascade_1h": q_ts_cascade_1h,
@@ -1565,6 +1603,18 @@ SELECT c.source, c.doc_id, c.time,
                             (b.g1 - b.g0) // 86400) AS snap_day
 FROM clean c, bounds b"""
     sql["ts_rollup_1m"] = _sql_rollup(tok, 60)
+    sql["ts_rollup_var"] = f"""WITH {_sql_tokens_clean(tok)},
+  pre AS (SELECT source, (time // 3600) * 3600 AS bucket,
+                 CAST(n_tok AS BIGINT) AS v FROM clean)
+SELECT source, bucket,
+       CAST(sum(v) AS BIGINT) AS sum_n_tok,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq_n_tok,
+       CAST(count(*) AS BIGINT) AS count_n_tok,
+       (CAST(sum(v * v) AS DOUBLE)
+        - CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE))
+       / CAST(count(*) AS DOUBLE) AS var_n_tok
+FROM pre GROUP BY source, bucket"""
     sql["ts_rollup_1h"] = _sql_rollup(tok, 3600)
     sql["ts_rollup_1d"] = _sql_rollup(tok, 86400)
     sql["ts_cascade_1h"] = _sql_rollup(tok, 3600)  # direct-from-raw oracle
