@@ -169,7 +169,8 @@ def run_bench() -> dict:
             **({"rollup_1h": round(rollup_s, 3)} if rollup_s is not None else {}),
             **({"gapfill": round(gapfill_s, 3)} if gapfill_s is not None else {}),
             **({"rolling": round(rolling_s, 3)} if rolling_s is not None else {}),
-            **{f"stage:{k}": v for k, v in sorted(stage_walls.items())},
+            **{f"stage:{k}": v for k, v in sorted(stage_walls.items())
+               if not k.startswith("_")},  # bookkeeping records aren't stages
         },
         "sf": os.path.basename(os.path.normpath(SF_DIR)),
         "num_cpus": CPUS,
