@@ -86,6 +86,12 @@ class CascadeConfig:
     #   "stage" — one pinned-shuffle job feeding every stage (right when
     #             partitions are small and per-job overhead dominates)
     heavy_mode: str = "part"
+    # where the disk-backed hash exchange stages its partitions.  Default:
+    # <out_root>/_shuffle.  On a multi-node cluster exchange bandwidth
+    # scales with nodes; on one box a shared disk does not — pointing this
+    # at tmpfs (/dev/shm) reproduces the cluster's scaling behavior.  Not
+    # part of the fingerprint: staging is transient, never an output.
+    staging_dir: str | None = None
 
     def fingerprint(self) -> str:
         """Config-only fingerprint: a changed CONFIG restarts the run clean.
@@ -177,7 +183,7 @@ def _clean_pinned(cfg: CascadeConfig):
     ds = rd.read_parquet(cfg.input_path)
     ds = ds.map_batches(prepare.prepare, batch_format="pyarrow")
     ds = ds.map_batches(_drop_payload, batch_format="pyarrow")
-    staging = os.path.join(cfg.out_root, "_shuffle")
+    staging = cfg.staging_dir or os.path.join(cfg.out_root, "_shuffle")
     mat, recon_ref = salted.clean_chunks_staged(
         ds, cfg.max_gap, cfg.chunk_s, staging,
         num_staging_parts=max(16, cfg.num_parts * 4),

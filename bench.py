@@ -90,6 +90,7 @@ def run_bench() -> dict:
 
     out_root = f"/tmp/aisdb_ray_bench/run-cpus{CPUS}"
     shutil.rmtree(out_root, ignore_errors=True)
+    shutil.rmtree(f"/dev/shm/aisdb_ray_bench/shuffle-cpus{CPUS}", ignore_errors=True)
 
     import pyarrow.parquet as pq
 
@@ -109,6 +110,13 @@ def run_bench() -> dict:
         compress=True,
         max_concurrent_parts=max(2, CPUS // 4),
         heavy_mode="stage",  # small partitions: one pool/shuffle per stage
+        # exchange staging on tmpfs when present: a single shared disk does
+        # not scale with num_cpus the way a real cluster's exchange does
+        staging_dir=(
+            f"/dev/shm/aisdb_ray_bench/shuffle-cpus{CPUS}"
+            if os.path.isdir("/dev/shm")
+            else None
+        ),
     )
     summary = run_cascade(cfg)
     cascade_s = time.time() - t0
