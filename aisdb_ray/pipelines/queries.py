@@ -1168,6 +1168,48 @@ def q_doc_jaccard_pairs(sf_dir: str):
     ).select_columns(["a", "b", "n_inter", "n_union"])
 
 
+# demo scrub list: the stock PII patterns (exercised, no-op on the synthetic
+# corpus) plus two word patterns that DO fire on it, so the query proves the
+# chained-replacement order end-to-end
+_SCRUB_DEMO = None
+
+
+def _scrub_patterns():
+    global _SCRUB_DEMO
+    if _SCRUB_DEMO is None:
+        from aisdb_ray.stages.scrub import PII_PATTERNS
+
+        _SCRUB_DEMO = PII_PATTERNS + [
+            ("term1", r"\bcustomer\b", "<PII>"),
+            ("term2", r"\bspark\b", "<TM>"),
+        ]
+    return _SCRUB_DEMO
+
+
+def q_doc_scrub(sf_dir: str):
+    """Vectorized regex redaction (stages/scrub.py): chained RE2
+    replacements, one C pass per pattern.  Hash-verified — Arrow and DuckDB
+    both compile RE2, so nested regexp_replace(..., 'g') in the same order
+    is semantics-identical."""
+    from aisdb_ray.stages import scrub
+
+    _ctx()
+    docs = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return scrub.scrub(docs, "text", _scrub_patterns(), out_col="text_clean")
+
+
+def q_doc_chunks(sf_dir: str):
+    """Fixed-width overlapping document chunking (training prep): each doc
+    -> codepoint windows of 120 chars, stride 96.  Row-expanding but
+    vectorized per chunk index; Arrow slices and DuckDB substr both count
+    codepoints, so the generate_series+substr oracle hash-matches."""
+    from aisdb_ray.stages import scrub
+
+    _ctx()
+    docs = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return scrub.chunk_documents(docs, chunk_chars=120, overlap=24)
+
+
 def q_doc_dup_components(sf_dir: str):
     """Near-dup CLUSTERS: connected components over the verified MinHash
     pair graph (stages/components.py: min-label propagation with pointer
@@ -1431,6 +1473,8 @@ def build_queries() -> dict:
         "ts_running": q_ts_running,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_dup_components": q_doc_dup_components,
+        "doc_scrub": q_doc_scrub,
+        "doc_chunks": q_doc_chunks,
         "doc_dedup_survivors": q_doc_dedup_survivors,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
@@ -2324,6 +2368,21 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35"""
     from aisdb_ray.pipelines import oracle_text
 
     sql["doc_minhash_pairs"] = oracle_text.minhash_pairs_sql(16, 4, 7, 10)
+    from aisdb_ray.stages.scrub import scrub_sql as _scrub_sql
+
+    sql["doc_scrub"] = (
+        "SELECT doc_id, text, "
+        + _scrub_sql("text", _scrub_patterns())
+        + " AS text_clean FROM documents"
+    )
+    sql["doc_chunks"] = """SELECT d.doc_id,
+       CAST(g.s // 96 AS BIGINT) AS chunk_idx,
+       substr(d.text, CAST(g.s AS BIGINT) + 1, 120) AS chunk_text,
+       CAST(length(substr(d.text, CAST(g.s AS BIGINT) + 1, 120)) AS BIGINT)
+         AS chunk_chars_n
+FROM documents d,
+     LATERAL unnest(generate_series(0,
+         CAST(length(d.text) AS BIGINT) - 1, 96)) AS g(s)"""
     sql["doc_dup_components"] = oracle_text.dup_components_sql(16, 4, 7, 10)
     sql["doc_dedup_survivors"] = oracle_text.dedup_survivors_sql(16, 4, 7, 10)
     sql["doc_jaccard_pairs"] = oracle_text.minhash_pairs_sql(32, 2, 1, 2)

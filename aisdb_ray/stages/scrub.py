@@ -1,0 +1,123 @@
+"""Corpus scrubbing + chunking — the last mile before tokenization.
+
+Two per-batch, fully vectorized text transforms a training-data pipeline
+runs on every document:
+
+- ``scrub``: pattern redaction (PII and anything else expressible as RE2)
+  via chained ``pc.replace_substring_regex`` — one C pass per pattern, no
+  per-row Python.  Arrow and DuckDB both compile RE2, so the SQL oracle's
+  nested ``regexp_replace(..., 'g')`` replays the engine's semantics
+  exactly (same regex dialect, same all-occurrences rule, same order).
+  The reference's CSV sanitizer (M6, /root/reference/aisdb/proc_util.py:
+  14-31) is the fixed-pattern ancestor.
+
+- ``chunk_documents``: split each document into fixed-width codepoint
+  windows with overlap (the training-chunking shape).  Row-expanding but
+  still vectorized: one ``utf8_slice_codeunits`` call per chunk INDEX (a
+  small loop over k, not over rows), each slicing every surviving document
+  at once.  Arrow slices and DuckDB ``substr`` both count codepoints
+  (verified on CJK text), so the oracle is ``generate_series`` + substr.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# stock PII patterns (RE2-safe: no lookaround, no backrefs); applied in
+# list order — order matters when patterns could overlap (emails contain
+# dots that the URL pattern must not eat first)
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_batch(b: pa.Table, col: str,
+                patterns: list[tuple[str, str, str]] = PII_PATTERNS,
+                out_col: str | None = None) -> pa.Table:
+    """Chained all-occurrence regex redaction of one string column."""
+    s = b[col]
+    for _name, pat, repl in patterns:
+        s = pc.replace_substring_regex(s, pattern=pat, replacement=repl)
+    out = out_col or col
+    if out in b.column_names:
+        b = b.drop_columns([out])
+    return b.append_column(out, s)
+
+
+def scrub(ds, col: str,
+          patterns: list[tuple[str, str, str]] = PII_PATTERNS,
+          out_col: str | None = None):
+    return ds.map_batches(
+        lambda b: scrub_batch(b, col, patterns, out_col),
+        batch_format="pyarrow",
+    )
+
+
+def scrub_sql(col: str,
+              patterns: list[tuple[str, str, str]] = PII_PATTERNS) -> str:
+    """The DuckDB expression mirroring scrub_batch: nested regexp_replace
+    in the same pattern order, global flag (RE2 on both sides)."""
+    expr = col
+    for _name, pat, repl in patterns:
+        p = pat.replace("'", "''")
+        r = repl.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return expr
+
+
+def chunk_documents(ds, id_col: str = "doc_id", text_col: str = "text",
+                    chunk_chars: int = 100, overlap: int = 20):
+    """Each document -> overlapping fixed-width codepoint chunks.
+
+    Chunk k covers codepoints [k*stride, k*stride + chunk_chars) with
+    stride = chunk_chars - overlap; chunks exist for every start < length
+    (empty documents produce no chunks).  Output: (id, chunk_idx,
+    chunk_text, chunk_chars_n).
+    """
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError("need 0 <= overlap < chunk_chars")
+    stride = chunk_chars - overlap
+
+    def expand(b: pa.Table) -> pa.Table:
+        n = pc.utf8_length(b[text_col])
+        nmax = pc.max(n).as_py()
+        outs = []
+        k = 0
+        while nmax is not None and k * stride < nmax:
+            start = k * stride
+            t = b.filter(pc.greater(n, start))
+            piece = pc.utf8_slice_codeunits(
+                t[text_col], start=start, stop=start + chunk_chars
+            )
+            outs.append(
+                pa.table(
+                    {
+                        id_col: t[id_col],
+                        "chunk_idx": pa.array(
+                            np.full(t.num_rows, k, np.int64)
+                        ),
+                        "chunk_text": piece,
+                        "chunk_chars_n": pc.cast(
+                            pc.utf8_length(piece), pa.int64()
+                        ),
+                    }
+                )
+            )
+            k += 1
+        if not outs:
+            return pa.table(
+                {
+                    id_col: b[id_col].slice(0, 0),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                    "chunk_chars_n": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(expand, batch_format="pyarrow")

@@ -1,0 +1,79 @@
+"""Scrub + chunking: stock PII patterns on handcrafted text, chunk-window
+edge cases (empty doc, short doc, exact boundary, overlap stitching)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from aisdb_ray.stages import scrub
+
+
+def _ds(tbl: pa.Table):
+    import ray.data as rd
+
+    return rd.from_arrow(tbl)
+
+
+def test_pii_patterns_redact():
+    texts = [
+        "mail me at jane.doe+spam@example.co.uk today",
+        "see https://example.com/a?b=1 and http://x.io",
+        "server at 192.168.001.1 is down",
+        "call +1 (555) 123-4567 now",
+        "nothing sensitive here",
+    ]
+    got = (
+        scrub.scrub(_ds(pa.table({"text": texts})), "text")
+        .to_pandas()["text"]
+        .tolist()
+    )
+    assert got[0] == "mail me at <EMAIL> today"
+    assert got[1] == "see <URL> and <URL>"
+    assert got[2] == "server at <IP> is down"
+    assert got[3] == "call <PHONE> now"
+    assert got[4] == "nothing sensitive here"
+
+
+def test_scrub_out_col_keeps_original():
+    t = pa.table({"doc_id": ["a"], "text": ["x@y.zz"]})
+    df = scrub.scrub(_ds(t), "text", out_col="clean").to_pandas()
+    assert df["text"][0] == "x@y.zz" and df["clean"][0] == "<EMAIL>"
+
+
+def test_chunk_windows_and_overlap():
+    text = "".join(chr(ord("a") + (i % 26)) for i in range(250))
+    t = pa.table({"doc_id": ["d1", "d2", "d3"],
+                  "text": [text, "short", ""]})
+    df = (
+        scrub.chunk_documents(_ds(t), chunk_chars=100, overlap=20)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    d1 = df[df["doc_id"] == "d1"]
+    # starts at 0, 80, 160, 240 (all < 250)
+    assert d1["chunk_idx"].tolist() == [0, 1, 2, 3]
+    assert d1["chunk_chars_n"].tolist() == [100, 100, 90, 10]
+    # overlap region of consecutive chunks must agree
+    c0, c1 = d1["chunk_text"].iloc[0], d1["chunk_text"].iloc[1]
+    assert c0[80:] == c1[:20]
+    # stitching non-overlapping parts reconstructs the document
+    rebuilt = c0 + "".join(c[20:] for c in d1["chunk_text"].iloc[1:])
+    assert rebuilt == text
+    # short doc -> one truncated chunk; empty doc -> no chunks
+    assert df[df["doc_id"] == "d2"]["chunk_text"].tolist() == ["short"]
+    assert len(df[df["doc_id"] == "d3"]) == 0
+
+
+def test_chunk_exact_boundary():
+    # length == chunk_chars: exactly one chunk (next start = stride >= len
+    # only when stride >= len; with stride 80 < 100 a second, overlap-only
+    # chunk exists — pin the start-< len rule precisely)
+    t = pa.table({"doc_id": ["x"], "text": ["a" * 100]})
+    df = scrub.chunk_documents(_ds(t), chunk_chars=100, overlap=20).to_pandas()
+    assert df["chunk_idx"].tolist() == [0, 1]
+    assert df["chunk_chars_n"].tolist() == [100, 20]
+
+    t2 = pa.table({"doc_id": ["y"], "text": ["a" * 80]})
+    df2 = scrub.chunk_documents(_ds(t2), chunk_chars=100, overlap=20).to_pandas()
+    assert df2["chunk_idx"].tolist() == [0]
