@@ -54,3 +54,24 @@ def test_retention_prunes_old_buckets(micro_dir, micro_df, tmp_path):
     # 1m/1h tiers untouched
     m1 = pq.read_table(os.path.join(out, "tier_1m")).to_pandas()
     assert len(m1) == len(oracle.rollup(cleaned, 60))
+
+
+def test_retention_prunes_in_stage_mode(micro_dir, micro_df, tmp_path):
+    """Same pruning contract under heavy_mode='stage', whose tiers land in
+    hive 'part=K' dirs — retention must prune THAT layout too (the layout
+    mismatch was a silent no-op once)."""
+    out = str(tmp_path / "run_stage")
+    cleaned = oracle.clean(micro_df)
+    buckets = sorted(oracle.rollup(cleaned, 86400)["bucket"].unique())
+    cutoff = int(buckets[len(buckets) // 2])
+    cfg = cascade.CascadeConfig(
+        input_path=micro_dir, out_root=out, num_parts=4, max_gap=MAX_GAP,
+        retention={"1d": cutoff}, max_concurrent_parts=2, heavy_mode="stage",
+    )
+    cascade.run_cascade(cfg)
+    got = pq.read_table(os.path.join(out, "tier_1d")).to_pandas()
+    assert (got["bucket"] >= cutoff).all()
+    want = oracle.rollup(cleaned, 86400)
+    assert len(got) == len(want[want["bucket"] >= cutoff])
+    recs = [json.loads(l) for l in open(os.path.join(out, "manifest.jsonl")) if l.strip()]
+    assert any(r.get("stage") == "retention_1d" for r in recs)
