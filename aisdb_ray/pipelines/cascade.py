@@ -116,10 +116,11 @@ class CascadeConfig:
 
 def _input_sigs(input_path: str) -> dict:
     """{file: "size:mtime"} for every input parquet — the generation map."""
-    return {
-        p: f"{os.stat(p).st_size}:{int(os.stat(p).st_mtime)}"
-        for p in lineage.list_parquet_files(input_path)
-    }
+    out = {}
+    for p in lineage.list_parquet_files(input_path):
+        st = os.stat(p)
+        out[p] = f"{st.st_size}:{int(st.st_mtime)}"
+    return out
 
 
 def part_of(source: str, num_parts: int) -> int:
@@ -622,7 +623,24 @@ def _refresh_parts(cfg: CascadeConfig, manifest: lineage.Manifest,
     mid-refresh kill re-unions rows that are already in the series tier and
     dedup removes them, so tombstoned tier partitions are simply rebuilt.
     """
+    import shutil
+
     t0 = time.time()
+    # crash recovery from a prior refresh killed mid-swap: a '<dir>.old'
+    # sibling is the displaced durable copy — restore it if the live dir
+    # vanished (killed between the two renames), else it is stale debris
+    series_root = os.path.join(cfg.out_root, "series")
+    if os.path.isdir(series_root):
+        for d in os.listdir(series_root):
+            if not d.endswith(".old"):
+                continue
+            old = os.path.join(series_root, d)
+            live = old[: -len(".old")]
+            if os.path.isdir(live):
+                shutil.rmtree(old)
+            else:
+                os.replace(old, live)
+
     new = rd.read_parquet(new_files)
     new = new.map_batches(prepare.prepare, batch_format="pyarrow")
     new = new.map_batches(_drop_payload, batch_format="pyarrow")
@@ -651,8 +669,6 @@ def _refresh_parts(cfg: CascadeConfig, manifest: lineage.Manifest,
         batch_size=None,
     )
     tmp = os.path.join(cfg.out_root, "_refresh_tmp")
-    import shutil
-
     shutil.rmtree(tmp, ignore_errors=True)
     cleaned.write_parquet(
         tmp, partition_cols=["part"], min_rows_per_file=250_000, **WRITE_ARGS
@@ -662,9 +678,17 @@ def _refresh_parts(cfg: CascadeConfig, manifest: lineage.Manifest,
         if not os.path.isdir(src):
             continue  # part had rows before dedup only; nothing new survives
         dst = _part_dir(cfg.out_root, "series", part)
-        if os.path.exists(dst):
-            shutil.rmtree(dst)
+        # two-phase swap: the durable old copy is DISPLACED (rename), never
+        # deleted, until the new dir is in place — a kill in the window
+        # leaves '<dst>.old', which the recovery sweep above restores; only
+        # then is the stale copy removed
+        old = dst + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(dst):
+            os.replace(dst, old)
         os.replace(src, dst)  # the atomic commit point per partition
+        shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
 
     # retract + rebuild the derived tiers for the affected partitions only
@@ -688,15 +712,19 @@ def _refresh_parts(cfg: CascadeConfig, manifest: lineage.Manifest,
         "series", "all", rows=_dataset_rows(os.path.join(cfg.out_root, "series")),
         refreshed_parts=affected,
     )
-    if manifest.get("tier_1m", "all") is not None and "1m" in cfg.tiers:
-        files = lineage.list_parquet_files(os.path.join(cfg.out_root, "tier_1m"))
-        tok = sum(
-            int(pa.compute.sum(pq.read_table(f, columns=[SUM_V])[SUM_V]).as_py() or 0)
-            for f in files
-        )
+    for s in stages:  # every stage-mode ("all") total the rebuild changed
+        if manifest.get(s, "all") is None:
+            continue
+        extra = {}
+        if s == "tier_1m":
+            files = lineage.list_parquet_files(os.path.join(cfg.out_root, s))
+            extra["tokens"] = sum(
+                int(pa.compute.sum(pq.read_table(f, columns=[SUM_V])[SUM_V]).as_py() or 0)
+                for f in files
+            )
         manifest.record(
-            "tier_1m", "all", rows=_dataset_rows(os.path.join(cfg.out_root, "tier_1m")),
-            tokens=tok, refreshed_parts=affected,
+            s, "all", rows=_dataset_rows(os.path.join(cfg.out_root, s)),
+            refreshed_parts=affected, **extra,
         )
     return {
         "new_files": len(new_files),

@@ -314,11 +314,11 @@ FROM embeddings e JOIN cand USING (vec_id)
 ORDER BY rank LIMIT {k}"""
 
 
-def dup_components_sql(n_bands: int, rows_per_band: int,
-                       thr_num: int, thr_den: int) -> str:
-    """Connected components over the MinHash near-dup pair graph: the pair
-    oracle embedded as a subquery, closed transitively with a recursive CTE;
-    component = min reachable doc_id (the engine's min-label fixpoint)."""
+def _components_cte(n_bands: int, rows_per_band: int,
+                    thr_num: int, thr_den: int) -> str:
+    """Shared WITH-RECURSIVE prelude closing the MinHash pair oracle
+    transitively: ends with a ``comp(node, component)`` CTE that must stay
+    token-identical to the engine's min-label fixpoint semantics."""
     pairs = minhash_pairs_sql(n_bands, rows_per_band, thr_num, thr_den)
     return f"""WITH RECURSIVE pairs AS (
     SELECT a, b FROM ({pairs}) q WHERE a <> b
@@ -333,31 +333,26 @@ def dup_components_sql(n_bands: int, rows_per_band: int,
     SELECT node, node FROM nodes
     UNION
     SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.m
-  )
-SELECT node AS doc_id, min(m) AS component FROM reach GROUP BY node"""
+  ),
+  comp AS (SELECT node, min(m) AS component FROM reach GROUP BY node)"""
+
+
+def dup_components_sql(n_bands: int, rows_per_band: int,
+                       thr_num: int, thr_den: int) -> str:
+    """Connected components over the MinHash near-dup pair graph: the pair
+    oracle embedded as a subquery, closed transitively with a recursive CTE;
+    component = min reachable doc_id (the engine's min-label fixpoint)."""
+    return (_components_cte(n_bands, rows_per_band, thr_num, thr_den)
+            + "\nSELECT node AS doc_id, component FROM comp")
 
 
 def dedup_survivors_sql(n_bands: int, rows_per_band: int,
                         thr_num: int, thr_den: int) -> str:
     """One canonical document per near-dup cluster: every document except
     the NON-minimum members of each component."""
-    pairs = minhash_pairs_sql(n_bands, rows_per_band, thr_num, thr_den)
-    return f"""WITH RECURSIVE pairs AS (
-    SELECT a, b FROM ({pairs}) q WHERE a <> b
-  ),
-  edges AS (
-    SELECT a AS u, b AS v FROM pairs
-    UNION
-    SELECT b AS u, a AS v FROM pairs
-  ),
-  nodes AS (SELECT DISTINCT u AS node FROM edges),
-  reach(node, m) AS (
-    SELECT node, node FROM nodes
-    UNION
-    SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.m
-  ),
-  comp AS (SELECT node, min(m) AS component FROM reach GROUP BY node)
+    return (_components_cte(n_bands, rows_per_band, thr_num, thr_den)
+            + """
 SELECT d.doc_id FROM documents d
 WHERE NOT EXISTS (
   SELECT 1 FROM comp c WHERE c.node = d.doc_id AND c.node <> c.component
-)"""
+)""")

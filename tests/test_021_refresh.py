@@ -188,6 +188,40 @@ def test_rerun_after_refresh_is_noop(env, refreshed):
     assert sum(1 for l in open(man) if l.strip()) == n_before
 
 
+def test_crash_recovery_mid_swap(env, refreshed, tmp_path_factory):
+    """Simulate a refresh SIGKILLed between the two partition renames: the
+    live series dir is gone and only '<dir>.old' holds the durable copy.
+    The next refresh must restore it BEFORE unioning, or every pre-existing
+    row of that partition would silently vanish."""
+    inp, out, part_a = env["inp"], env["out"], env["part_a"]
+
+    # a second increment for the same source keeps part_a the affected part
+    series = _stage_df(out, "series", columns=["source", "time"])
+    src_a = sorted(series["source"].unique())[0]
+    frontier = int(series.loc[series["source"] == src_a, "time"].max())
+    inc2 = _mk_rows(src_a, [frontier + 60, frontier + 120], [0, 0])
+    pq.write_table(inc2, os.path.join(inp, "part-increment2.parquet"))
+
+    # reproduce the crash window: live dir displaced to .old, nothing else
+    live = cascade._part_dir(out, "series", part_a)
+    os.replace(live, live + ".old")
+    assert not os.path.isdir(live)
+
+    summary = cascade.run_cascade(_cfg(inp, out))
+    assert summary["refresh"]["affected_parts"] == [part_a]
+    assert os.path.isdir(live) and not os.path.isdir(live + ".old")
+
+    out2 = str(tmp_path_factory.mktemp("crash_scratch"))
+    cascade.run_cascade(_cfg(inp, out2))
+    a = _stage_df(out, "series").sort_values(
+        ["source", "time", "seq"], kind="stable").reset_index(drop=True)
+    b = _stage_df(out2, "series").sort_values(
+        ["source", "time", "seq"], kind="stable").reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in ["source", "time", "seq", "n_tok", "seg", "doc_id"]:
+        np.testing.assert_array_equal(a[c].to_numpy(), b[c].to_numpy(), err_msg=c)
+
+
 def test_modified_input_forces_clean_restart(env, refreshed, scratch):
     # rewrite (not append) one recorded input file -> generations can't mix
     inp = env["inp"]
