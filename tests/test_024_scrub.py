@@ -77,3 +77,41 @@ def test_chunk_exact_boundary():
     t2 = pa.table({"doc_id": ["y"], "text": ["a" * 80]})
     df2 = scrub.chunk_documents(_ds(t2), chunk_chars=100, overlap=20).to_pandas()
     assert df2["chunk_idx"].tolist() == [0]
+
+
+# ---------------------------------------------------------------- property
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    text=st.text(min_size=0, max_size=400),
+    chunk=st.integers(min_value=2, max_value=120),
+    data=st.data(),
+)
+def test_chunk_stitching_property(text, chunk, data):
+    """For ANY text (unicode included) and window geometry: chunk k starts
+    at k*stride, covers min(chunk, len-start) codepoints, and stitching
+    non-overlap tails reconstructs the document exactly."""
+    overlap = data.draw(st.integers(min_value=0, max_value=chunk - 1))
+    stride = chunk - overlap
+    tbl = pa.table({"doc_id": ["d"], "text": [text]})
+    df = scrub.chunk_documents(
+        _ds(tbl), chunk_chars=chunk, overlap=overlap
+    ).to_pandas()
+    if len(df):
+        df = df.sort_values("chunk_idx").reset_index(drop=True)
+    n = len(text)
+    want_chunks = 0 if n == 0 else (n - 1) // stride + 1
+    assert len(df) == want_chunks
+    for k, row in df.iterrows():
+        start = k * stride
+        assert row["chunk_text"] == text[start:start + chunk]
+        assert row["chunk_chars_n"] == len(text[start:start + chunk])
+    if want_chunks:
+        rebuilt = df["chunk_text"].iloc[0] + "".join(
+            c[overlap:] for c in df["chunk_text"].iloc[1:]
+        )
+        assert rebuilt == text
