@@ -263,6 +263,55 @@ def q_ts_rollup_var(sf_dir: str):
     return g.map_batches(finish, batch_format="pyarrow")
 
 
+def q_ts_refresh_1h(sf_dir: str):
+    """Incremental continuous-aggregate refresh under the DRIVER's hash
+    gate: build the cascade over HALF the token files, append the other
+    half, rerun (run_cascade detects the grown generation and recomputes
+    only the touched partitions via _refresh_parts), return the refreshed
+    1h tier.  The oracle is the plain full-data 1h rollup — equality proves
+    refresh == from-scratch at the tier level."""
+    import shutil
+
+    import pyarrow.parquet as pq_
+
+    from aisdb_ray.pipelines import cascade as casc
+    from aisdb_ray.state.lineage import list_parquet_files
+
+    _ctx()
+    tok = ensure_sf_tokens(sf_dir)
+    name = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(SF_CACHE_ROOT, name, "refresh_demo")
+    inp = os.path.join(base, "input")
+    run = os.path.join(base, "run")
+    done = os.path.join(base, "_DONE")
+
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(inp)
+        # deterministic halves: rows split by position, file by file
+        for i, f in enumerate(list_parquet_files(tok)):
+            t = pq_.read_table(f)
+            half = t.num_rows // 2
+            pq_.write_table(t.slice(0, half), os.path.join(inp, f"a{i:03d}.parquet"))
+            pq_.write_table(t.slice(half), os.path.join(base, f"b{i:03d}.parquet"))
+        cfg = casc.CascadeConfig(
+            input_path=inp, out_root=run, num_parts=4, max_gap=TS_MAX_GAP,
+            max_concurrent_parts=2,
+        )
+        casc.run_cascade(cfg)  # generation 0: first halves only
+        for f in sorted(os.listdir(base)):
+            if f.startswith("b") and f.endswith(".parquet"):
+                os.replace(os.path.join(base, f), os.path.join(inp, f))
+        summary = casc.run_cascade(cfg)  # generation 1: incremental refresh
+        assert summary.get("refresh", {}).get("new_files", 0) > 0
+        with open(done, "w") as fh:
+            fh.write("ok\n")
+
+    return rd.read_parquet(
+        sorted(list_parquet_files(os.path.join(run, "tier_1h")))
+    )
+
+
 def q_ts_cascade_1h(sf_dir: str):
     """1h tier computed from 1m partials (continuous-aggregate path);
     the oracle computes 1h directly from raw — parity must be exact."""
@@ -1425,6 +1474,7 @@ def build_queries() -> dict:
         "ts_segments": q_ts_segments,
         "ts_rollup_1m": lambda sf: _q_ts_rollup(sf, 60),
         "ts_rollup_var": q_ts_rollup_var,
+        "ts_refresh_1h": q_ts_refresh_1h,
         "ts_rollup_1h": lambda sf: _q_ts_rollup(sf, 3600),
         "ts_rollup_1d": lambda sf: _q_ts_rollup(sf, 86400),
         "ts_cascade_1h": q_ts_cascade_1h,
@@ -1662,6 +1712,7 @@ FROM pre GROUP BY source, bucket"""
     sql["ts_rollup_1h"] = _sql_rollup(tok, 3600)
     sql["ts_rollup_1d"] = _sql_rollup(tok, 86400)
     sql["ts_cascade_1h"] = _sql_rollup(tok, 3600)  # direct-from-raw oracle
+    sql["ts_refresh_1h"] = _sql_rollup(tok, 3600)  # refresh == from-scratch
 
     sql["ts_gorilla_roundtrip"] = f"""WITH {_sql_tokens_clean(tok)}
 SELECT source, seg, time, CAST(n_tok AS BIGINT) AS n_tok FROM segmented"""
