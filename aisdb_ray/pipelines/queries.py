@@ -263,6 +263,19 @@ def q_ts_rollup_var(sf_dir: str):
     return g.map_batches(finish, batch_format="pyarrow")
 
 
+def q_ts_token_windows(sf_dir: str):
+    """Fixed-length TRAINING WINDOWS cut from the native list<int32> token
+    payload (scrub.chunk_token_sequences): window k covers token positions
+    [k*48, k*48+64).  Hash-verified via per-window integer evidence
+    (length, sum, first, last) against DuckDB list slicing — list columns
+    themselves never enter the compare."""
+    from aisdb_ray.stages import scrub
+
+    _ctx()
+    ds = _prepared(sf_dir, with_tokens=True).select_columns(["doc_id", "tokens"])
+    return scrub.chunk_token_sequences(ds, window=64, overlap=16)
+
+
 def q_ts_refresh_1h(sf_dir: str):
     """Incremental continuous-aggregate refresh under the DRIVER's hash
     gate: build the cascade over HALF the token files, append the other
@@ -1475,6 +1488,7 @@ def build_queries() -> dict:
         "ts_rollup_1m": lambda sf: _q_ts_rollup(sf, 60),
         "ts_rollup_var": q_ts_rollup_var,
         "ts_refresh_1h": q_ts_refresh_1h,
+        "ts_token_windows": q_ts_token_windows,
         "ts_rollup_1h": lambda sf: _q_ts_rollup(sf, 3600),
         "ts_rollup_1d": lambda sf: _q_ts_rollup(sf, 86400),
         "ts_cascade_1h": q_ts_cascade_1h,
@@ -1713,6 +1727,19 @@ FROM pre GROUP BY source, bucket"""
     sql["ts_rollup_1d"] = _sql_rollup(tok, 86400)
     sql["ts_cascade_1h"] = _sql_rollup(tok, 3600)  # direct-from-raw oracle
     sql["ts_refresh_1h"] = _sql_rollup(tok, 3600)  # refresh == from-scratch
+
+    # token windows: 1-based inclusive-both DuckDB slice [s+1 : s+64] ==
+    # Arrow's 0-based [s, s+64); valid-row filter mirrors prepare.validate
+    sql["ts_token_windows"] = f"""SELECT t.doc_id,
+       CAST(g.s // 48 AS BIGINT) AS win_idx,
+       CAST(len(t.tokens[CAST(g.s + 1 AS BIGINT):CAST(g.s + 64 AS BIGINT)]) AS BIGINT) AS win_len,
+       CAST(list_aggregate(t.tokens[CAST(g.s + 1 AS BIGINT):CAST(g.s + 64 AS BIGINT)], 'sum') AS BIGINT) AS tok_sum,
+       CAST(t.tokens[CAST(g.s + 1 AS BIGINT)] AS BIGINT) AS tok_first,
+       CAST(t.tokens[CAST(least(g.s + 64, len(t.tokens)) AS BIGINT)] AS BIGINT) AS tok_last
+FROM read_parquet('{tok}/*.parquet') t,
+     LATERAL unnest(generate_series(0, CAST(len(t.tokens) AS BIGINT) - 1, 48)) AS g(s)
+WHERE t.n_tok > 0 AND len(t.tokens) = t.n_tok
+  AND regexp_matches(t.doc_id, '^.*:[0-9]{{1,18}}:[0-9]{{1,18}}$')"""
 
     sql["ts_gorilla_roundtrip"] = f"""WITH {_sql_tokens_clean(tok)}
 SELECT source, seg, time, CAST(n_tok AS BIGINT) AS n_tok FROM segmented"""

@@ -121,3 +121,63 @@ def chunk_documents(ds, id_col: str = "doc_id", text_col: str = "text",
         return pa.concat_tables(outs)
 
     return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def chunk_token_sequences(ds, id_col: str = "doc_id",
+                          tokens_col: str = "tokens",
+                          window: int = 64, overlap: int = 16):
+    """Pre-tokenized sequences -> fixed-length training windows.
+
+    The token-level twin of :func:`chunk_documents`, operating directly on
+    the engine's native ``list<int32>`` payload: window k of a document
+    covers token positions [k*stride, k*stride + window).  Vectorized per
+    window INDEX via ``pc.list_slice`` (one Arrow kernel call slices every
+    surviving document's list at once); per-window evidence (length, sum,
+    first, last — all int64) derives from the flattened child buffer with
+    ``np.add.reduceat``, so the output is hash-comparable against DuckDB
+    list slicing without shipping list columns through the compare.
+    """
+    if not 0 <= overlap < window:
+        raise ValueError("need 0 <= overlap < window")
+    stride = window - overlap
+
+    def expand(b: pa.Table) -> pa.Table:
+        n = pc.list_value_length(b[tokens_col])
+        nmax = pc.max(n).as_py()
+        outs = []
+        k = 0
+        while nmax is not None and k * stride < nmax:
+            start = k * stride
+            t = b.filter(pc.greater(n, start))
+            win = pc.list_slice(t[tokens_col], start=start, stop=start + window)
+            lens = pc.list_value_length(win).to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = pc.list_flatten(win).to_numpy(zero_copy_only=False).astype(np.int64)
+            offs = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            outs.append(
+                pa.table(
+                    {
+                        id_col: t[id_col],
+                        "win_idx": pa.array(np.full(t.num_rows, k, np.int64)),
+                        "win_len": pa.array(lens),
+                        "tok_sum": pa.array(np.add.reduceat(flat, offs) if len(lens) else np.array([], np.int64)),
+                        "tok_first": pa.array(flat[offs] if len(lens) else np.array([], np.int64)),
+                        "tok_last": pa.array(flat[offs + lens - 1] if len(lens) else np.array([], np.int64)),
+                    }
+                )
+            )
+            k += 1
+        if not outs:
+            return pa.table(
+                {
+                    id_col: b[id_col].slice(0, 0),
+                    "win_idx": pa.array([], pa.int64()),
+                    "win_len": pa.array([], pa.int64()),
+                    "tok_sum": pa.array([], pa.int64()),
+                    "tok_first": pa.array([], pa.int64()),
+                    "tok_last": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(expand, batch_format="pyarrow")

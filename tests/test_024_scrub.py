@@ -115,3 +115,28 @@ def test_chunk_stitching_property(text, chunk, data):
             c[overlap:] for c in df["chunk_text"].iloc[1:]
         )
         assert rebuilt == text
+
+
+def test_token_windows_evidence():
+    toks = [list(range(10)), [7], []]
+    t = pa.table({
+        "doc_id": ["a", "b", "c"],
+        "tokens": pa.array(toks, pa.list_(pa.int32())),
+    })
+    df = (
+        scrub.chunk_token_sequences(_ds(t), window=4, overlap=1)
+        .to_pandas()
+        .sort_values(["doc_id", "win_idx"])
+        .reset_index(drop=True)
+    )
+    # doc a: starts 0,3,6,9 -> windows [0..3],[3..6],[6..9],[9]
+    a = df[df["doc_id"] == "a"]
+    assert a["win_idx"].tolist() == [0, 1, 2, 3]
+    assert a["win_len"].tolist() == [4, 4, 4, 1]
+    assert a["tok_sum"].tolist() == [0 + 1 + 2 + 3, 3 + 4 + 5 + 6, 6 + 7 + 8 + 9, 9]
+    assert a["tok_first"].tolist() == [0, 3, 6, 9]
+    assert a["tok_last"].tolist() == [3, 6, 9, 9]
+    # single-token doc -> one window; empty doc -> none
+    b = df[df["doc_id"] == "b"]
+    assert b["win_len"].tolist() == [1] and b["tok_sum"].tolist() == [7]
+    assert len(df[df["doc_id"] == "c"]) == 0
