@@ -266,14 +266,14 @@ def q_ts_rollup_var(sf_dir: str):
 def q_ts_token_windows(sf_dir: str):
     """Fixed-length TRAINING WINDOWS cut from the native list<int32> token
     payload (scrub.chunk_token_sequences): window k covers token positions
-    [k*48, k*48+64).  Hash-verified via per-window integer evidence
+    [k*192, k*192+256).  Hash-verified via per-window integer evidence
     (length, sum, first, last) against DuckDB list slicing — list columns
     themselves never enter the compare."""
     from aisdb_ray.stages import scrub
 
     _ctx()
     ds = _prepared(sf_dir, with_tokens=True).select_columns(["doc_id", "tokens"])
-    return scrub.chunk_token_sequences(ds, window=64, overlap=16)
+    return scrub.chunk_token_sequences(ds, window=256, overlap=64)
 
 
 def q_ts_refresh_1h(sf_dir: str):
@@ -1731,13 +1731,13 @@ FROM pre GROUP BY source, bucket"""
     # token windows: 1-based inclusive-both DuckDB slice [s+1 : s+64] ==
     # Arrow's 0-based [s, s+64); valid-row filter mirrors prepare.validate
     sql["ts_token_windows"] = f"""SELECT t.doc_id,
-       CAST(g.s // 48 AS BIGINT) AS win_idx,
-       CAST(len(t.tokens[CAST(g.s + 1 AS BIGINT):CAST(g.s + 64 AS BIGINT)]) AS BIGINT) AS win_len,
-       CAST(list_aggregate(t.tokens[CAST(g.s + 1 AS BIGINT):CAST(g.s + 64 AS BIGINT)], 'sum') AS BIGINT) AS tok_sum,
+       CAST(g.s // 192 AS BIGINT) AS win_idx,
+       CAST(len(t.tokens[CAST(g.s + 1 AS BIGINT):CAST(g.s + 256 AS BIGINT)]) AS BIGINT) AS win_len,
+       CAST(list_aggregate(t.tokens[CAST(g.s + 1 AS BIGINT):CAST(g.s + 256 AS BIGINT)], 'sum') AS BIGINT) AS tok_sum,
        CAST(t.tokens[CAST(g.s + 1 AS BIGINT)] AS BIGINT) AS tok_first,
-       CAST(t.tokens[CAST(least(g.s + 64, len(t.tokens)) AS BIGINT)] AS BIGINT) AS tok_last
+       CAST(t.tokens[CAST(least(g.s + 256, len(t.tokens)) AS BIGINT)] AS BIGINT) AS tok_last
 FROM read_parquet('{tok}/*.parquet') t,
-     LATERAL unnest(generate_series(0, CAST(len(t.tokens) AS BIGINT) - 1, 48)) AS g(s)
+     LATERAL unnest(generate_series(0, CAST(len(t.tokens) AS BIGINT) - 1, 192)) AS g(s)
 WHERE t.n_tok > 0 AND len(t.tokens) = t.n_tok
   AND regexp_matches(t.doc_id, '^.*:[0-9]{{1,18}}:[0-9]{{1,18}}$')"""
 
