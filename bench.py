@@ -249,8 +249,92 @@ def run_scaling() -> None:
     )
 
 
+def run_refresh():
+    """Refresh-vs-rebuild: append a small increment to a built cascade and
+    measure the incremental refresh against a from-scratch rebuild over the
+    same combined input (BASELINE.md 'Continuous-aggregate refresh')."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray
+
+    ray.init(address="local", num_cpus=CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from aisdb_ray.pipelines import queries as q
+    from aisdb_ray.pipelines.cascade import CascadeConfig, run_cascade
+    from aisdb_ray.state.lineage import list_parquet_files
+
+    q._ctx()
+    tok = q.ensure_sf_tokens(SF_DIR)
+    base = "/tmp/aisdb_ray_bench/refresh"
+    shutil.rmtree(base, ignore_errors=True)
+    inp = os.path.join(base, "input")
+    os.makedirs(inp)
+    for i, f in enumerate(list_parquet_files(tok)):
+        os.symlink(f, os.path.join(inp, f"base{i:03d}.parquet"))
+
+    def cfg(out):
+        return CascadeConfig(
+            input_path=inp, out_root=os.path.join(base, out), num_parts=16,
+            max_gap=q.TS_MAX_GAP, gapfill=True, compress=True,
+            max_concurrent_parts=max(2, CPUS // 4),
+            staging_dir=(f"/dev/shm/aisdb_ray_bench/refresh-{out}"
+                         if os.path.isdir("/dev/shm") else None),
+        )
+
+    t0 = time.time()
+    run_cascade(cfg("run"))
+    full_s = time.time() - t0
+
+    # increment: new frontier rows for 2 sources (epochs shifted forward)
+    t = pq.read_table(list_parquet_files(tok)[0])
+    srcs = pc.unique(t["source"]).to_pylist()[:2]
+    sub = t.filter(pc.is_in(t["source"], pa.array(srcs))).slice(0, 40_000)
+    doc = sub["doc_id"].to_pylist()
+    shifted = []
+    for d in doc:
+        pre, ep, seq = d.rsplit(":", 2)
+        shifted.append(f"{pre}:{int(ep) + 10_000_000:010d}:{seq}")
+    sub = sub.set_column(
+        sub.schema.get_field_index("doc_id"), "doc_id", pa.array(shifted)
+    )
+    pq.write_table(sub, os.path.join(inp, "increment.parquet"))
+
+    t0 = time.time()
+    s1 = run_cascade(cfg("run"))
+    refresh_s = time.time() - t0
+    t0 = time.time()
+    s2 = run_cascade(cfg("run2"))
+    rebuild_s = time.time() - t0
+    assert s1["rows"] == s2["rows"], (s1["rows"], s2["rows"])
+    print(
+        json.dumps(
+            {
+                "metric": "incremental refresh vs from-scratch rebuild",
+                "full_build_sec": round(full_s, 1),
+                "increment_rows": sub.num_rows,
+                "refresh_sec": round(refresh_s, 1),
+                "rebuild_sec": round(rebuild_s, 1),
+                "speedup": round(rebuild_s / refresh_s, 1),
+                "affected_parts": s1.get("refresh", {}).get("affected_parts"),
+                "rows": s1["rows"],
+                "sf": os.path.basename(os.path.normpath(SF_DIR)),
+                "num_cpus": CPUS,
+            }
+        )
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree("/dev/shm/aisdb_ray_bench", ignore_errors=True)
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--refresh" in sys.argv:
+        run_refresh()
     else:
         print(json.dumps(run_bench()))
