@@ -332,6 +332,88 @@ def q_ts_cascade_1h(sf_dir: str):
     return rollup.rollup_from_rollup(m1, 3600)
 
 
+def q_ts_ohlc_1h(sf_dir: str):
+    """Per-(source, hour) candle: open/close = n_tok at the earliest/latest
+    (time, seq) in the bucket, plus min/max/sum/count.  The engine expresses
+    the arg-extremes as min/max over a packed int64 so the aggregate stays
+    algebraic (cascade-compatible); the oracle states them independently as
+    DuckDB arg_min/arg_max over the (time, seq) order."""
+    return rollup.ohlc(_clean_tokens(sf_dir), 3600)
+
+
+def _realtime_paths(sf_dir: str):
+    name = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(SF_CACHE_ROOT, name, "realtime_demo")
+    return base, os.path.join(base, "input"), os.path.join(base, "run"), \
+        os.path.join(base, "_WATERMARK")
+
+
+def q_ts_realtime_1h(sf_dir: str):
+    """Real-time continuous aggregate under the driver's hash gate: the 1h
+    tier is MATERIALIZED only over history (time < watermark, the 75%-point
+    of the epoch range floored to the hour grid) via the cascade; the query
+    serves the union of that frozen tier with an on-the-fly rollup of the
+    raw tail at/after the watermark (rollup.realtime_rollup).  The oracle is
+    the plain full-data 1h rollup — equality proves the frozen/fresh split
+    covers every bucket exactly once and both sides match."""
+    import shutil
+
+    import pyarrow.parquet as pq_
+
+    from aisdb_ray.pipelines import cascade as casc
+    from aisdb_ray.state.lineage import list_parquet_files
+
+    _ctx()
+    tok = ensure_sf_tokens(sf_dir)
+    base, inp, run, wm_file = _realtime_paths(sf_dir)
+
+    if not os.path.exists(wm_file):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(inp)
+        files = list_parquet_files(tok)
+        lo = hi = None
+        for f in files:
+            e = prepare.derive_epoch(pq_.read_table(f, columns=["doc_id"]))["time"]
+            mm = pc.min_max(e)
+            flo, fhi = mm["min"].as_py(), mm["max"].as_py()
+            if flo is not None:
+                lo = flo if lo is None else min(lo, flo)
+                hi = fhi if hi is None else max(hi, fhi)
+        wm = (lo + (hi - lo) * 3 // 4) // 3600 * 3600
+        # history input = rows NOT provably at/after the watermark
+        # (unparsable rows ride along; the cascade's prepare drops them)
+        for i, f in enumerate(files):
+            t = pq_.read_table(f)
+            e = prepare.derive_epoch(t)["time"]
+            tail = pc.fill_null(
+                pc.greater_equal(e, pa.scalar(wm, pa.int64())), False
+            )
+            pq_.write_table(
+                t.filter(pc.invert(tail)), os.path.join(inp, f"h{i:03d}.parquet")
+            )
+        casc.run_cascade(casc.CascadeConfig(
+            input_path=inp, out_root=run, num_parts=4, max_gap=TS_MAX_GAP,
+            max_concurrent_parts=2,
+        ))
+        with open(wm_file, "w") as fh:
+            fh.write(f"{wm}\n")
+
+    with open(wm_file) as fh:
+        wm = int(fh.read().strip())
+    tier = rd.read_parquet(sorted(list_parquet_files(os.path.join(run, "tier_1h"))))
+    wm_s = pa.scalar(wm, pa.int64())
+
+    def tail_b(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(pc.cast(b["time"], pa.int64()), wm_s))
+
+    # clean only the tail: duplicates share their timestamp, so keep-first
+    # dedup within the tail equals the global dedup restricted to it
+    tail = series.clean_series(
+        _prepared(sf_dir).map_batches(tail_b, batch_format="pyarrow"), TS_MAX_GAP
+    )
+    return rollup.realtime_rollup(tier, tail, 3600, wm)
+
+
 def q_ts_gorilla_roundtrip(sf_dir: str):
     """clean -> pack -> Gorilla encode (actor pool) -> decode -> points.
     The oracle is simply the cleaned points: the driver's value-hash equality
@@ -1492,6 +1574,8 @@ def build_queries() -> dict:
         "ts_rollup_1h": lambda sf: _q_ts_rollup(sf, 3600),
         "ts_rollup_1d": lambda sf: _q_ts_rollup(sf, 86400),
         "ts_cascade_1h": q_ts_cascade_1h,
+        "ts_ohlc_1h": q_ts_ohlc_1h,
+        "ts_realtime_1h": q_ts_realtime_1h,
         "ts_gorilla_roundtrip": q_ts_gorilla_roundtrip,
         "ts_mode": q_ts_mode,
         "ts_gapfill": q_ts_gapfill,
@@ -1727,6 +1811,19 @@ FROM pre GROUP BY source, bucket"""
     sql["ts_rollup_1d"] = _sql_rollup(tok, 86400)
     sql["ts_cascade_1h"] = _sql_rollup(tok, 3600)  # direct-from-raw oracle
     sql["ts_refresh_1h"] = _sql_rollup(tok, 3600)  # refresh == from-scratch
+    sql["ts_realtime_1h"] = _sql_rollup(tok, 3600)  # frozen ∪ fresh == full
+
+    # independent arg_min/arg_max formulation of the packed-int64 extremes
+    sql["ts_ohlc_1h"] = f"""WITH {_sql_tokens_clean(tok)}
+SELECT source,
+       (time // 3600) * 3600 AS bucket,
+       CAST(arg_min(n_tok, time * 16384 + seq) AS BIGINT) AS open_n_tok,
+       CAST(arg_max(n_tok, time * 16384 + seq) AS BIGINT) AS close_n_tok,
+       CAST(min(n_tok) AS BIGINT) AS min_n_tok,
+       CAST(max(n_tok) AS BIGINT) AS max_n_tok,
+       CAST(sum(n_tok) AS BIGINT) AS sum_n_tok,
+       CAST(count(*) AS BIGINT) AS count_n_tok
+FROM clean GROUP BY source, bucket"""
 
     # token windows: 1-based inclusive-both DuckDB slice [s+1 : s+64] ==
     # Arrow's 0-based [s, s+64); valid-row filter mirrors prepare.validate

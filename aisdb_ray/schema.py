@@ -53,6 +53,9 @@ SUM_V = "sum_n_tok"
 CNT_V = "count_n_tok"
 MEAN_V = "mean_n_tok"
 
+OPEN_V = "open_n_tok"   # value at the earliest (time, seq) in the bucket
+CLOSE_V = "close_n_tok"  # value at the latest (time, seq) in the bucket
+
 # tier name -> bucket width in seconds; raw -> 1m -> 1h -> 1d cascade
 TIERS: dict[str, int] = {"1m": 60, "1h": 3600, "1d": 86400}
 TIER_ORDER: list[str] = ["1m", "1h", "1d"]

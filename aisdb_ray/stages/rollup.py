@@ -27,11 +27,13 @@ import pyarrow.compute as pc
 
 from aisdb_ray.schema import (
     BUCKET,
+    CLOSE_V,
     CNT_V,
     MAX_V,
     MEAN_V,
     MIN_V,
     N_TOK,
+    OPEN_V,
     SOURCE,
     SUM_V,
     TIME,
@@ -203,3 +205,236 @@ def rollup_from_rollup(
         lambda b: repartial_batch(b, width_s, key_col), batch_format="pyarrow"
     )
     return _combine(partials, key_col, hash_combine=hash_combine)
+
+
+# ---------------------------------------------------------------------------
+# OHLC rollup: open/close = value at the earliest/latest (time, seq) in the
+# bucket — the reference's per-visit first/last channel stats
+# (/root/reference/aisdb/network_graph.py:110-143 first/last point of a zone
+# visit) as a candle tier.  arg-min/arg-max is expressed as a plain min/max
+# over a PACKED int64, ``((rel * 2^14 + seq) * 2^20) + value`` with
+# ``rel = time - bucket``, so the aggregate stays fully algebraic and
+# cascade-compatible (tier-from-tier rebases ``rel`` by adding a constant).
+# (time, seq) is unique per source after keep-first dedup, so the key part
+# never ties and the value bits never influence which row wins.
+# ---------------------------------------------------------------------------
+
+_SEQ_MOD = 1 << 14   # seq must be in [0, 2^14)
+_VAL_MOD = 1 << 20   # value channel must be in [0, 2^20)
+PK_OPEN = "_pk_open"
+PK_CLOSE = "_pk_close"
+
+
+def _check_pack_bounds(name: str, arr, mod: int) -> None:
+    mm = pc.min_max(arr)
+    lo, hi = mm["min"], mm["max"]
+    if lo.as_py() is not None and (lo.as_py() < 0 or hi.as_py() >= mod):
+        raise ValueError(
+            f"{name} out of packable range [0, {mod}): saw [{lo}, {hi}]"
+        )
+
+
+def partial_ohlc_batch(
+    batch: pa.Table,
+    width_s: int,
+    value: str = N_TOK,
+    time_col: str = TIME,
+    key_col: str = SOURCE,
+    seq_col: str = "seq",
+) -> pa.Table:
+    """Vectorized per-batch OHLC partial: one row per (key, bucket)."""
+    t = pc.cast(batch[time_col], pa.int64())
+    bucket = _bucket(t, width_s)
+    rel = pc.subtract(t, bucket)
+    sq = pc.cast(batch[seq_col], pa.int64())
+    v = pc.cast(batch[value], pa.int64())
+    if batch.num_rows:
+        _check_pack_bounds(seq_col, sq, _SEQ_MOD)
+        _check_pack_bounds(value, v, _VAL_MOD)
+    key = pc.add(pc.multiply(rel, pa.scalar(_SEQ_MOD, pa.int64())), sq)
+    packed = pc.add(pc.multiply(key, pa.scalar(_VAL_MOD, pa.int64())), v)
+    t2 = pa.table(
+        {key_col: batch[key_col], BUCKET: bucket, "pk": packed, value: v}
+    )
+    g = t2.group_by([key_col, BUCKET], use_threads=False).aggregate(
+        [
+            ("pk", "min"),
+            ("pk", "max"),
+            (value, "min"),
+            (value, "max"),
+            (value, "sum"),
+            (value, "count", pc.CountOptions(mode="all")),
+        ]
+    )
+    return g.rename_columns(
+        [key_col, BUCKET, PK_OPEN, PK_CLOSE, MIN_V, MAX_V, SUM_V, CNT_V]
+    )
+
+
+def reohlc_batch(batch: pa.Table, width_s: int, key_col: str = SOURCE) -> pa.Table:
+    """Partial combine of an OHLC tier into wider buckets: rebase the packed
+    keys onto the wider bucket start (a constant shift of the rel field),
+    then plain min/max/sum — exact tier-from-tier reaggregation."""
+    old = pc.cast(batch[BUCKET], pa.int64())
+    nb = _bucket(old, width_s)
+    delta = pc.multiply(
+        pc.subtract(old, nb), pa.scalar(_SEQ_MOD * _VAL_MOD, pa.int64())
+    )
+    t = pa.table(
+        {
+            key_col: batch[key_col],
+            BUCKET: nb,
+            PK_OPEN: pc.add(pc.cast(batch[PK_OPEN], pa.int64()), delta),
+            PK_CLOSE: pc.add(pc.cast(batch[PK_CLOSE], pa.int64()), delta),
+            MIN_V: batch[MIN_V],
+            MAX_V: batch[MAX_V],
+            SUM_V: batch[SUM_V],
+            CNT_V: batch[CNT_V],
+        }
+    )
+    g = t.group_by([key_col, BUCKET], use_threads=False).aggregate(
+        [
+            (PK_OPEN, "min"),
+            (PK_CLOSE, "max"),
+            (MIN_V, "min"),
+            (MAX_V, "max"),
+            (SUM_V, "sum"),
+            (CNT_V, "sum"),
+        ]
+    )
+    return g.rename_columns(
+        [key_col, BUCKET, PK_OPEN, PK_CLOSE, MIN_V, MAX_V, SUM_V, CNT_V]
+    )
+
+
+def _finalize_ohlc(batch: pa.Table, key_col: str = SOURCE) -> pa.Table:
+    mask = pa.scalar(_VAL_MOD - 1, pa.int64())
+    return pa.table(
+        {
+            key_col: batch[key_col],
+            BUCKET: pc.cast(batch[BUCKET], pa.int64()),
+            OPEN_V: pc.bit_wise_and(pc.cast(batch[PK_OPEN], pa.int64()), mask),
+            CLOSE_V: pc.bit_wise_and(pc.cast(batch[PK_CLOSE], pa.int64()), mask),
+            MIN_V: pc.cast(batch[MIN_V], pa.int64()),
+            MAX_V: pc.cast(batch[MAX_V], pa.int64()),
+            SUM_V: pc.cast(batch[SUM_V], pa.int64()),
+            CNT_V: pc.cast(batch[CNT_V], pa.int64()),
+        }
+    )
+
+
+def _combine_ohlc(partials, key_col: str = SOURCE, hash_combine: bool = False):
+    """Same funnel / hash-combine merge policy as :func:`_combine`, over the
+    OHLC partial schema (see _combine's docstring for the policy)."""
+
+    def combine_b(b: pa.Table) -> pa.Table:
+        return reohlc_batch(b, 1, key_col)
+
+    local = partials.map_batches(combine_b, batch_format="pyarrow", batch_size=None)
+    if hash_combine:
+        merged = local.groupby(key_col).map_groups(combine_b, batch_format="pyarrow")
+    else:
+        merged = local.repartition(1).map_batches(
+            combine_b, batch_format="pyarrow", batch_size=None
+        )
+    return merged.map_batches(
+        lambda b: _finalize_ohlc(b, key_col), batch_format="pyarrow", batch_size=None
+    )
+
+
+def ohlc(
+    ds,
+    width_s: int,
+    value: str = N_TOK,
+    time_col: str = TIME,
+    key_col: str = SOURCE,
+    seq_col: str = "seq",
+    hash_combine: bool = False,
+):
+    """Full OHLC rollup of a point dataset."""
+    partials = ds.map_batches(
+        lambda b: partial_ohlc_batch(b, width_s, value, time_col, key_col, seq_col),
+        batch_format="pyarrow",
+    )
+    return _combine_ohlc(partials, key_col, hash_combine=hash_combine)
+
+
+def ohlc_from_ohlc(ds, width_s: int, key_col: str = SOURCE, hash_combine: bool = False):
+    """Next OHLC tier from the previous tier (needs the packed columns, i.e.
+    the PRE-finalize partial schema — see :func:`ohlc_partial_tier`)."""
+    partials = ds.map_batches(
+        lambda b: reohlc_batch(b, width_s, key_col), batch_format="pyarrow"
+    )
+    return _combine_ohlc(partials, key_col, hash_combine=hash_combine)
+
+
+def ohlc_partial_tier(
+    ds,
+    width_s: int,
+    value: str = N_TOK,
+    time_col: str = TIME,
+    key_col: str = SOURCE,
+    seq_col: str = "seq",
+    hash_combine: bool = False,
+):
+    """OHLC tier in PARTIAL (packed) form — what a cascade materializes so
+    the next tier can reaggregate it exactly; finalize with
+    ``map_batches(_finalize_ohlc)`` when serving."""
+
+    def combine_b(b: pa.Table) -> pa.Table:
+        return reohlc_batch(b, 1, key_col)
+
+    partials = ds.map_batches(
+        lambda b: partial_ohlc_batch(b, width_s, value, time_col, key_col, seq_col),
+        batch_format="pyarrow",
+    )
+    local = partials.map_batches(combine_b, batch_format="pyarrow", batch_size=None)
+    if hash_combine:
+        return local.groupby(key_col).map_groups(combine_b, batch_format="pyarrow")
+    return local.repartition(1).map_batches(
+        combine_b, batch_format="pyarrow", batch_size=None
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real-time continuous aggregate: materialized tier + raw tail, unioned
+# ---------------------------------------------------------------------------
+
+def realtime_rollup(
+    materialized,
+    raw_points,
+    width_s: int,
+    watermark: int,
+    value: str = N_TOK,
+    time_col: str = TIME,
+    key_col: str = SOURCE,
+    hash_combine: bool = False,
+):
+    """TimescaleDB-style real-time continuous aggregate (the reference's
+    deployment target configures continuous aggregates over the hypertable:
+    /root/reference/aisdb/aisdb_sql/timescale_createtable_dynamic.sql): serve
+    the MATERIALIZED tier for buckets strictly below the materialization
+    watermark, aggregate the raw tail (``time >= watermark``) on the fly,
+    and union the two.  The watermark is floored to the bucket grid so no
+    bucket is ever split between the frozen and fresh sides; with an
+    aligned watermark the union is exactly the full-data rollup.
+
+    Both sides stream: the tier scan is a bucket-pruned filter (at real
+    scale, partition pruning on the tier's bucket ranges), and the fresh
+    side moves only algebraic partials through its combine."""
+    wm = (int(watermark) // width_s) * width_s
+    wm_s = pa.scalar(wm, pa.int64())
+    cols = [key_col, BUCKET, MIN_V, MAX_V, SUM_V, CNT_V, MEAN_V]
+
+    def frozen_b(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(pc.cast(b[BUCKET], pa.int64()), wm_s)).select(cols)
+
+    def tail_b(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(pc.cast(b[time_col], pa.int64()), wm_s))
+
+    frozen = materialized.map_batches(frozen_b, batch_format="pyarrow")
+    fresh = rollup(
+        raw_points.map_batches(tail_b, batch_format="pyarrow"),
+        width_s, value, time_col, key_col, hash_combine,
+    )
+    return frozen.union(fresh)

@@ -101,3 +101,90 @@ def test_mode_and_grouped_sums_hash_combine_paths(micro_dir, micro_df):
         ["source", "seg"],
     )
     pd.testing.assert_frame_equal(c, d, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# OHLC candle tier + real-time continuous aggregate
+# ---------------------------------------------------------------------------
+
+def _ohlc_oracle(clean: pd.DataFrame, width: int) -> pd.DataFrame:
+    df = clean.copy()
+    df["bucket"] = (df["time"] // width) * width
+    df = df.sort_values(["source", "bucket", "time", "seq"], kind="stable")
+    g = df.groupby(["source", "bucket"], sort=False)
+    return g.agg(
+        open_n_tok=("n_tok", "first"),
+        close_n_tok=("n_tok", "last"),
+        min_n_tok=("n_tok", "min"),
+        max_n_tok=("n_tok", "max"),
+        sum_n_tok=("n_tok", "sum"),
+        count_n_tok=("n_tok", "size"),
+    ).reset_index()
+
+
+def _cmp_ohlc(got: pd.DataFrame, want: pd.DataFrame):
+    got = got.sort_values(["source", "bucket"], kind="stable").reset_index(drop=True)
+    want = want.sort_values(["source", "bucket"], kind="stable").reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in ["source", "bucket", "open_n_tok", "close_n_tok",
+              "min_n_tok", "max_n_tok", "sum_n_tok", "count_n_tok"]:
+        np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy(), err_msg=c)
+
+
+def test_ohlc_matches_bruteforce(micro_dir, micro_df):
+    got = rollup.ohlc(_clean_ds(micro_dir), 3600).to_pandas()
+    want = _ohlc_oracle(oracle.clean(micro_df), 3600)
+    _cmp_ohlc(got, want)
+
+
+def test_ohlc_tier_from_tier_exact(micro_dir, micro_df):
+    """1d candles reaggregated from the 1h PARTIAL tier == 1d from raw:
+    the packed arg-extreme rebasing is exact across tier widths."""
+    h1 = rollup.ohlc_partial_tier(_clean_ds(micro_dir), 3600)
+    d_from_h = rollup.ohlc_from_ohlc(h1, 86400).to_pandas()
+    _cmp_ohlc(d_from_h, _ohlc_oracle(oracle.clean(micro_df), 86400))
+    # hash-shuffle combine path identical
+    h1b = rollup.ohlc_partial_tier(_clean_ds(micro_dir), 3600, hash_combine=True)
+    d2 = rollup.ohlc_from_ohlc(h1b, 86400, hash_combine=True).to_pandas()
+    _cmp_ohlc(d2, _ohlc_oracle(oracle.clean(micro_df), 86400))
+
+
+def test_ohlc_pack_bounds_rejected():
+    """Values outside the packable range must raise, not silently corrupt."""
+    import pyarrow as pa
+    import pytest
+
+    def tbl(n_tok, seq):
+        return pa.table({
+            "source": ["s"], "time": pa.array([1000], pa.int64()),
+            "seq": pa.array([seq], pa.int32()),
+            "n_tok": pa.array([n_tok], pa.int32()),
+        })
+
+    rollup.partial_ohlc_batch(tbl(1, 0), 3600)  # in range: fine
+    with pytest.raises(ValueError):
+        rollup.partial_ohlc_batch(tbl(1 << 20, 0), 3600)
+    with pytest.raises(ValueError):
+        rollup.partial_ohlc_batch(tbl(1, 1 << 14), 3600)
+
+
+def test_realtime_rollup_matches_full(micro_dir, micro_df):
+    """Frozen materialized tier (history only) ∪ fresh tail rollup == the
+    full-data rollup, including watermark flooring to the bucket grid."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    clean = oracle.clean(micro_df)
+    wm = int(clean["time"].quantile(0.6))  # deliberately NOT hour-aligned
+    wm_floor = (wm // 3600) * 3600
+    ds = _clean_ds(micro_dir)
+
+    def hist_b(b):
+        return b.filter(pc.less(pc.cast(b["time"], pa.int64()),
+                                pa.scalar(wm_floor, pa.int64())))
+
+    tier = rollup.rollup(ds.map_batches(hist_b, batch_format="pyarrow"), 3600)
+    got = rollup.realtime_rollup(tier, _clean_ds(micro_dir), 3600, wm).to_pandas()
+    _cmp(got, oracle.rollup(clean, 3600))
+    # every bucket appears exactly once (no frozen/fresh overlap)
+    assert not got.duplicated(["source", "bucket"]).any()
