@@ -1207,6 +1207,23 @@ def q_ts_topk(sf_dir: str):
     )
 
 
+def q_ts_anomaly(sf_dir: str):
+    """Trailing-window z-score anomaly detection: rows whose n_tok deviates
+    from the trailing-hour mean by more than 3 window standard deviations
+    (population), decided entirely in int64 — (v·n − sum)² > 9·(n·sumsq −
+    sum²) — so the flag is bit-exact vs the SQL window oracle.  Returns the
+    anomalous rows with their integer evidence."""
+    from aisdb_ray.stages import window
+
+    _ctx()
+    pts = _clean_tokens(sf_dir).select_columns(
+        ["source", "doc_id", "time", "n_tok"]
+    )
+    return window.zscore_anomalies(
+        pts, "source", "time", "n_tok", width=3600, k2_num=9, min_n=8
+    )
+
+
 def q_ts_rolling(sf_dir: str):
     """Trailing 300 s windowed aggregates per source (stages/window.py):
     RANGE-window sum/count/mean/min/max with prefix sums + sparse-table
@@ -1619,6 +1636,7 @@ def build_queries() -> dict:
         "ts_topk": q_ts_topk,
         "ts_rolling": q_ts_rolling,
         "ts_running": q_ts_running,
+        "ts_anomaly": q_ts_anomaly,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_dup_components": q_doc_dup_components,
         "doc_scrub": q_doc_scrub,
@@ -2454,6 +2472,24 @@ WINDOW w AS (
   PARTITION BY source ORDER BY time
   RANGE BETWEEN 300 PRECEDING AND CURRENT ROW
 )"""
+
+    sql["ts_anomaly"] = f"""WITH {_sql_tokens_clean(tok)},
+  win AS (
+    SELECT source, doc_id, time, n_tok,
+           CAST(sum(CAST(n_tok AS BIGINT)) OVER w AS BIGINT) AS w_sum,
+           CAST(count(*) OVER w AS BIGINT) AS w_n,
+           CAST(sum(CAST(n_tok AS BIGINT) * CAST(n_tok AS BIGINT)) OVER w
+                AS BIGINT) AS w_sumsq
+    FROM segmented
+    WINDOW w AS (
+      PARTITION BY source ORDER BY time
+      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+    )
+  )
+SELECT * FROM win
+WHERE w_n >= 8
+  AND (n_tok * w_n - w_sum) * (n_tok * w_n - w_sum)
+      > 9 * (w_n * w_sumsq - w_sum * w_sum)"""
 
     sql["ts_running"] = f"""WITH {_sql_tokens_clean(tok)}
 SELECT source, time, n_tok,

@@ -66,7 +66,12 @@ def _range_query(st: np.ndarray, lo: np.ndarray, hi: np.ndarray, reduce_fn):
 
 
 def rolling_block(
-    tbl: pa.Table, group: str, time_col: str, value: str, width: int | None
+    tbl: pa.Table,
+    group: str,
+    time_col: str,
+    value: str,
+    width: int | None,
+    with_sumsq: bool = False,
 ) -> pa.Table:
     """All groups in one table -> the same rows (group+time sorted) +
     trailing-window sum / count / mean / min / max of ``value``.
@@ -108,6 +113,13 @@ def rolling_block(
     cum = np.concatenate(([0], np.cumsum(v, dtype=np.int64)))
     w_sum = cum[hi + 1] - cum[lo]
     w_n = hi - lo + 1
+    w_sumsq = None
+    if with_sumsq:
+        # second moment for variance / z-score consumers; v < 2^20 is
+        # enforced by the packable-value contract elsewhere, so v**2 sums
+        # stay far inside int64 for any realistic window population
+        cum2 = np.concatenate(([0], np.cumsum(v * v, dtype=np.int64)))
+        w_sumsq = cum2[hi + 1] - cum2[lo]
 
     levels = max(1, int(np.floor(np.log2(int(w_n.max())))) + 1)
     st_min = _sparse_table(v, np.minimum, levels)
@@ -123,6 +135,8 @@ def rolling_block(
     )
     out = out.append_column("w_min", pa.array(w_min, pa.int64()))
     out = out.append_column("w_max", pa.array(w_max, pa.int64()))
+    if w_sumsq is not None:
+        out = out.append_column("w_sumsq", pa.array(w_sumsq, pa.int64()))
     return out
 
 
@@ -143,6 +157,7 @@ def rolling_time_aggregate(
     value: str,
     width: int | None,
     num_parts: int | None = None,
+    with_sumsq: bool = False,
 ):
     """Per-(group, row) trailing-window aggregates over a Dataset
     (``width=None`` -> running/unbounded-preceding aggregates).
@@ -161,12 +176,56 @@ def rolling_time_aggregate(
         return b.append_column(_WPART, pa.array(_key_hash(b, [group], num_parts)))
 
     def per_part(part: pa.Table) -> pa.Table:
-        return rolling_block(part, group, time_col, value, width).drop_columns(
-            [_WPART]
-        )
+        return rolling_block(
+            part, group, time_col, value, width, with_sumsq
+        ).drop_columns([_WPART])
 
     return (
         ds.map_batches(add_part, batch_format="pyarrow")
         .groupby(_WPART)
         .map_groups(per_part, batch_format="pyarrow")
     )
+
+
+def zscore_anomalies(
+    ds,
+    group: str,
+    time_col: str,
+    value: str,
+    width: int,
+    k2_num: int = 9,
+    k2_den: int = 1,
+    min_n: int = 8,
+    num_parts: int | None = None,
+):
+    """Trailing-window z-score anomaly detection, exact in integers.
+
+    A row is anomalous when its deviation from the trailing-window mean
+    exceeds ``k`` window standard deviations (population variance, window =
+    ``[t - width, t]`` including peers), with ``k² = k2_num / k2_den``:
+
+        (v - mean)² > k²·var
+      ⇔ (v·n - sum)² · k2_den  >  k2_num · (n·sumsq - sum²)
+
+    — both sides int64, so the flag is bit-exact vs a SQL window oracle
+    (no float thresholds).  Windows with fewer than ``min_n`` rows never
+    flag (cold-start rule).  Returns only the anomalous rows, carrying the
+    integer evidence columns (w_sum / w_n / w_sumsq)."""
+    import pyarrow.compute as pc
+
+    rolled = rolling_time_aggregate(
+        ds, group, time_col, value, width, num_parts, with_sumsq=True
+    )
+
+    def flag(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.drop_columns(["w_mean", "w_min", "w_max"])
+        v = b[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["w_n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b["w_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ss = b["w_sumsq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dev = v * n - s
+        keep = (n >= min_n) & (dev * dev * k2_den > k2_num * (n * ss - s * s))
+        return b.filter(pa.array(keep)).drop_columns(["w_mean", "w_min", "w_max"])
+
+    return rolled.map_batches(flag, batch_format="pyarrow")

@@ -97,3 +97,51 @@ def test_rolling_single_row_groups():
     )
     assert out["w_n"].tolist() == [1, 1]
     assert out["w_min"].tolist() == [7, -3] == out["w_max"].tolist()
+
+
+def test_zscore_anomalies_vs_duckdb():
+    """Integer z-score flag == SQL window formulation, including a planted
+    spike that must flag and a flat series that must not."""
+    df = _frame(300, ties=True, seed=7)
+    df["v"] = np.abs(df["v"])  # value channel contract: non-negative
+    # plant an extreme spike late in group 'a' (plenty of prior rows)
+    ga = df[df["g"] == "a"].index
+    df.loc[ga[-1], "v"] = 500_000
+    want = duckdb.sql(
+        """WITH win AS (
+      SELECT g, time, v,
+             CAST(sum(v) OVER w AS BIGINT) AS w_sum,
+             CAST(count(*) OVER w AS BIGINT) AS w_n,
+             CAST(sum(v * v) OVER w AS BIGINT) AS w_sumsq
+      FROM df WINDOW w AS (
+        PARTITION BY g ORDER BY time
+        RANGE BETWEEN 600 PRECEDING AND CURRENT ROW))
+    SELECT * FROM win
+    WHERE w_n >= 8
+      AND (v * w_n - w_sum) * (v * w_n - w_sum)
+          > 9 * (w_n * w_sumsq - w_sum * w_sum)
+    ORDER BY g, time, v"""
+    ).df()
+    got = (
+        window.zscore_anomalies(
+            rd.from_pandas(df), "g", "time", "v", width=600, k2_num=9, min_n=8
+        )
+        .to_pandas()
+        .sort_values(["g", "time", "v"], kind="stable")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert (got["v"] == 500_000).any()  # the planted spike flags
+    for c in ["g", "time", "v", "w_sum", "w_n", "w_sumsq"]:
+        np.testing.assert_array_equal(
+            got[c].to_numpy(), want[c].to_numpy(), err_msg=c
+        )
+    # a constant series never flags (variance 0, deviation 0: 0 > 0 false)
+    flat = pd.DataFrame(
+        {"g": ["z"] * 50, "time": np.arange(50, dtype=np.int64),
+         "v": np.full(50, 7, dtype=np.int64)}
+    )
+    none = window.zscore_anomalies(
+        rd.from_pandas(flat), "g", "time", "v", width=600
+    ).to_pandas()
+    assert len(none) == 0
