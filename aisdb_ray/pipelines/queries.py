@@ -843,6 +843,18 @@ def _ev_scan_pred():
     )
 
 
+def q_ev_hll_users(sf_dir: str):
+    """Per-event-type HyperLogLog register table (b=10, m=1024) over
+    user_id — the mergeable-sketch form of ev_distinct_users.  The hash,
+    register split and rank are all integers, so the register table itself
+    is the oracle contract (bit-exact vs the same construction in SQL); the
+    float estimate's accuracy is pinned by pytest."""
+    from aisdb_ray.stages import sketch
+
+    ds = _events_ds(sf_dir, ["event_type", "user_id"])
+    return sketch.hll_registers(ds, "event_type", "user_id", b=10)
+
+
 def q_ev_distinct_users(sf_dir: str):
     """Exact distinct-key count (A5): per-batch (event_type, user_id)
     dedup partials, then a per-event_type unique count — the distinct set
@@ -1617,6 +1629,7 @@ def build_queries() -> dict:
         "ev_dedup": q_ev_dedup,
         "ev_pruned_scan": q_ev_pruned_scan,
         "ev_distinct_users": q_ev_distinct_users,
+        "ev_hll_users": q_ev_hll_users,
         "q1_pricing": q_q1_pricing,
         "seg_revenue": q_seg_revenue,
         "doc_token_count": q_doc_token_count,
@@ -1699,6 +1712,25 @@ FROM segmented"""
     sql["ev_distinct_users"] = """SELECT event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type"""
+
+    # the same md5 → (top-10-bit register, leading-zero rank of the 54-bit
+    # suffix) construction as stages/sketch.py, stated independently in SQL
+    sql["ev_hll_users"] = """WITH h AS (
+    SELECT event_type,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                AS UBIGINT) AS hv
+    FROM events
+  ),
+  r AS (
+    SELECT event_type,
+           CAST(hv >> 54 AS BIGINT) AS register,
+           CAST(hv & ((1::UBIGINT << 54) - 1) AS BIGINT) AS suffix
+    FROM h
+  )
+SELECT event_type, register,
+       CAST(max(CASE WHEN suffix = 0 THEN 55
+                     ELSE 55 - length(bin(suffix)) END) AS BIGINT) AS max_rank
+FROM r GROUP BY event_type, register"""
 
     sql["ts_zones"] = f"""WITH {_sql_zones(tok)}
 SELECT source, doc_id, zone FROM zoned"""

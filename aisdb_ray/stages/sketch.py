@@ -1,0 +1,152 @@
+"""Mergeable distinct-count sketches (HyperLogLog).
+
+The reference counts distinct keys with exact SQL aggregation
+(/root/reference/aisdb/database/dbqry.py distinct-vessel scans); at corpus
+scale an exact distinct is a full shuffle of every key.  A HyperLogLog
+register table is the classic mergeable substitute: each task folds its
+batch into (register, max_rank) partials, the combine is a plain max — no
+row ever moves twice, and sketches from disjoint partitions (or days, in a
+continuous-aggregate cascade) merge exactly.
+
+Determinism contract: the hash is md5 of the value's decimal/string form,
+top ``b`` bits select the register, the rank is the 1-based position of
+the highest set bit measured from the top of the remaining ``64-b`` bits —
+all integers, so the register table is bit-exact reproducible and
+SQL-expressible (DuckDB: ``md5``, hex cast, ``length(bin(x))``); only the
+final cardinality estimate is floating point.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+REGISTER = "register"
+MAX_RANK = "max_rank"
+
+
+def _hash64(vals: list) -> np.ndarray:
+    """First 8 bytes of md5(str(v)), big-endian — mirrors SQL
+    ``CAST('0x' || substr(md5(v), 1, 16) AS UBIGINT)`` exactly."""
+    return np.array(
+        [int(hashlib.md5(str(v).encode()).hexdigest()[:16], 16) for v in vals],
+        dtype=np.uint64,
+    )
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized integer bit_length (exact — no float log2)."""
+    bl = np.zeros(len(x), np.int64)
+    v = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        t = v >> np.uint64(s)
+        m = t > 0
+        bl[m] += s
+        v[m] = t[m]
+    bl += (v > 0).astype(np.int64)
+    return bl
+
+
+def hll_partial_batch(batch: pa.Table, key_col: str, value_col: str, b: int = 10) -> pa.Table:
+    """Per-batch HLL partial: one (key, register, max_rank) row per touched
+    register.  The md5 is a per-row loop (no vectorized md5 exists in Arrow —
+    same precedent as textstats.md5_batch); everything after it is numpy."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {key_col: pa.array([], pa.string()),
+             REGISTER: pa.array([], pa.int64()),
+             MAX_RANK: pa.array([], pa.int64())}
+        )
+    h = _hash64(batch[value_col].to_pylist())
+    suffix_bits = 64 - b
+    reg = (h >> np.uint64(suffix_bits)).astype(np.int64)
+    suffix = h & np.uint64((1 << suffix_bits) - 1)
+    rank = np.where(
+        suffix == 0, suffix_bits + 1, suffix_bits + 1 - _bit_length_u64(suffix)
+    ).astype(np.int64)
+    t = pa.table(
+        {key_col: batch[key_col], REGISTER: pa.array(reg), MAX_RANK: pa.array(rank)}
+    )
+    g = t.group_by([key_col, REGISTER], use_threads=False).aggregate(
+        [(MAX_RANK, "max")]
+    )
+    return g.rename_columns([key_col, REGISTER, MAX_RANK])
+
+
+def _merge_b(b: pa.Table, key_col: str) -> pa.Table:
+    g = b.group_by([key_col, REGISTER], use_threads=False).aggregate(
+        [(MAX_RANK, "max")]
+    )
+    return g.rename_columns([key_col, REGISTER, MAX_RANK])
+
+
+def hll_registers(ds, key_col: str, value_col: str, b: int = 10,
+                  hash_combine: bool = False):
+    """Distributed HLL register table per key: algebraic partials per batch,
+    max-merge combine (same funnel / hash-combine policy as stages/rollup).
+    Only touched registers appear (zero registers are implicit)."""
+    partials = ds.map_batches(
+        lambda t: hll_partial_batch(t, key_col, value_col, b),
+        batch_format="pyarrow",
+    )
+    local = partials.map_batches(
+        lambda t: _merge_b(t, key_col), batch_format="pyarrow", batch_size=None
+    )
+    if hash_combine:
+        return local.groupby(key_col).map_groups(
+            lambda t: _merge_b(t, key_col), batch_format="pyarrow"
+        )
+    return local.repartition(1).map_batches(
+        lambda t: _merge_b(t, key_col), batch_format="pyarrow", batch_size=None
+    )
+
+
+def merge_registers(*tables: pa.Table, key_col: str) -> pa.Table:
+    """Exact sketch union: concat + max per (key, register) — sketches of
+    disjoint (or overlapping) inputs merge to the sketch of the union."""
+    return _merge_b(pa.concat_tables(list(tables)), key_col)
+
+
+def hll_estimate(registers: pa.Table, key_col: str, b: int = 10) -> pa.Table:
+    """Cardinality estimate per key from a register table (standard HLL:
+    harmonic mean + small-range linear counting).  Float output — accuracy
+    (±1.04/√m) is pinned by tests, not by a hash oracle."""
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    keys = registers[key_col].to_pylist()
+    regs = registers[REGISTER].to_numpy(zero_copy_only=False)
+    ranks = registers[MAX_RANK].to_numpy(zero_copy_only=False)
+    out_k, out_e = [], []
+    order = np.argsort(np.array(keys, dtype=object), kind="stable")
+    keys_s = [keys[i] for i in order]
+    regs_s, ranks_s = regs[order], ranks[order]
+    i = 0
+    n = len(keys_s)
+    while i < n:
+        j = i
+        while j < n and keys_s[j] == keys_s[i]:
+            j += 1
+        # registers absent from the table have rank 0
+        full = np.zeros(m, np.int64)
+        full[regs_s[i:j]] = ranks_s[i:j]
+        est = alpha * m * m / np.sum(np.exp2(-full.astype(np.float64)))
+        zeros = m - (j - i)
+        if est <= 2.5 * m and zeros > 0:
+            est = m * np.log(m / zeros)
+        out_k.append(keys_s[i])
+        out_e.append(float(est))
+        i = j
+    return pa.table(
+        {key_col: pa.array(out_k), "estimate": pa.array(out_e, pa.float64())}
+    )
+
+
+def hll_distinct(ds, key_col: str, value_col: str, b: int = 10) -> pa.Table:
+    """End-to-end approximate distinct: registers (distributed) → estimate
+    (driver-side over the tiny ≤ m-rows-per-key register table)."""
+    regs = hll_registers(ds, key_col, value_col, b)
+    tbl = pa.Table.from_pandas(regs.to_pandas())
+    return hll_estimate(tbl, key_col, b)

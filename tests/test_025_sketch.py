@@ -1,0 +1,71 @@
+"""HyperLogLog sketch: exact register parity, merge law, estimate accuracy."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from aisdb_ray.stages import sketch
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def test_bit_length_exact():
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 1 << 54, 5000).astype(np.uint64)
+    x[:5] = [0, 1, 2, (1 << 54) - 1, 1 << 53]
+    got = sketch._bit_length_u64(x)
+    want = np.array([int(v).bit_length() for v in x], np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
+def _registers_df(ds, **kw) -> pd.DataFrame:
+    return (
+        sketch.hll_registers(ds, "event_type", "user_id", **kw)
+        .to_pandas()
+        .sort_values(["event_type", "register"], kind="stable")
+        .reset_index(drop=True)
+    )
+
+
+def test_merge_law_and_hash_combine():
+    """sketch(A) ⊔ sketch(B) == sketch(A ∪ B), and the groupby combine path
+    equals the funnel path exactly."""
+    df = pd.read_parquet(EVENTS, columns=["event_type", "user_id"])
+    half = len(df) // 2
+    a, b = df.iloc[:half], df.iloc[half:]
+
+    full = _registers_df(rd.from_pandas(df))
+    hashp = _registers_df(rd.from_pandas(df), hash_combine=True)
+    pd.testing.assert_frame_equal(full, hashp, check_dtype=False)
+
+    ra = pa.Table.from_pandas(_registers_df(rd.from_pandas(a)))
+    rb = pa.Table.from_pandas(_registers_df(rd.from_pandas(b)))
+    merged = (
+        sketch.merge_registers(ra, rb, key_col="event_type")
+        .to_pandas()
+        .sort_values(["event_type", "register"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        merged[full.columns.tolist()], full, check_dtype=False
+    )
+
+
+def test_estimate_accuracy():
+    """Estimates within 3σ-ish (±12% at m=1024) of the exact distincts."""
+    est = sketch.hll_distinct(
+        rd.read_parquet(EVENTS, columns=["event_type", "user_id"]),
+        "event_type", "user_id", b=10,
+    ).to_pandas()
+    exact = duckdb.sql(
+        f"""SELECT event_type, count(DISTINCT user_id) AS n
+FROM read_parquet('{EVENTS}') GROUP BY event_type"""
+    ).df()
+    j = est.merge(exact, on="event_type")
+    assert len(j) == len(exact) and len(j) > 0
+    rel = np.abs(j["estimate"] - j["n"]) / np.maximum(j["n"], 1)
+    assert (rel < 0.12).all(), j
