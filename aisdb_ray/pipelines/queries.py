@@ -1065,6 +1065,19 @@ def q_doc_quality(sf_dir: str):
     )
 
 
+def q_doc_cms_words(sf_dir: str):
+    """Count-Min sketch (d=4, w=256) of whitespace-token frequencies over
+    the corpus — the mergeable heavy-hitter counter table.  All-integer
+    construction (salted md5 → column, counts sum), bit-exact vs the same
+    construction stated independently in SQL; point-estimate guarantees are
+    pinned by pytest."""
+    from aisdb_ray.stages import sketch
+
+    _ctx()
+    ds = rd.read_parquet(_docs_path(sf_dir), columns=["text"])
+    return sketch.cms_counts(ds, "text", d=4, w=256)
+
+
 def q_doc_exact_dedup(sf_dir: str):
     """Exact dedup keep-first by content hash (md5) — the PK-dedup
     semantics applied to document content."""
@@ -1637,6 +1650,7 @@ def build_queries() -> dict:
         "doc_df_topk": q_doc_df_topk,
         "doc_keywords": q_doc_keywords,
         "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_cms_words": q_doc_cms_words,
         "doc_textstats": q_doc_textstats,
         "doc_langid": q_doc_langid,
         "doc_bpe_count": q_doc_bpe_count,
@@ -2443,6 +2457,22 @@ FROM documents"""
 FROM documents GROUP BY md5(text)"""
 
     sql["doc_langid"] = _langid_sql()
+
+    # the same salted-md5 → column Count-Min construction as
+    # stages/sketch.cms_partial_batch, stated independently in SQL
+    sql["doc_cms_words"] = r"""WITH words AS (
+    SELECT t.w AS w
+    FROM documents doc, LATERAL unnest(regexp_extract_all(doc.text, '\S+')) AS t(w)
+  ),
+  wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY w),
+  h AS (
+    SELECT CAST(r.i AS BIGINT) AS depth, c,
+           CAST(CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || w), 1, 16))
+                     AS UBIGINT) % 256 AS BIGINT) AS col
+    FROM wc CROSS JOIN range(4) AS r(i)
+  )
+SELECT depth, col, CAST(sum(c) AS BIGINT) AS cnt
+FROM h GROUP BY depth, col"""
 
     sql["doc_embed_join"] = """SELECT d.doc_id, d.source, d.n_chars, e.label
 FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id"""

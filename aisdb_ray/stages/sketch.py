@@ -144,6 +144,108 @@ def hll_estimate(registers: pa.Table, key_col: str, b: int = 10) -> pa.Table:
     )
 
 
+# ---------------------------------------------------------------------------
+# Count-Min sketch (heavy-hitter counts over an unbounded vocabulary)
+# ---------------------------------------------------------------------------
+
+DEPTH = "depth"
+COL = "col"
+CNT = "cnt"
+
+
+def _cms_empty() -> pa.Table:
+    return pa.table(
+        {DEPTH: pa.array([], pa.int64()),
+         COL: pa.array([], pa.int64()),
+         CNT: pa.array([], pa.int64())}
+    )
+
+
+def cms_partial_batch(
+    batch: pa.Table, text_col: str = "text", d: int = 4, w: int = 256
+) -> pa.Table:
+    """Per-batch Count-Min partial over whitespace tokens: a (depth, col,
+    cnt) counter table.  Tokens are counted vectorized FIRST (Arrow
+    group_by), so the per-row md5 loop runs once per distinct token per
+    batch, not once per occurrence.  Row i's hash is md5(f"{i}:{token}") —
+    d independent hash functions by salting, mirrored exactly in SQL."""
+    if batch.num_rows == 0:
+        return _cms_empty()
+    toks = pc.split_pattern_regex(batch[text_col], pattern=r"\s+")
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, pa.scalar(""))
+    g = (
+        pa.table({"w": flat.filter(keep)})
+        .group_by(["w"], use_threads=False)
+        .aggregate([([], "count_all")])
+    )
+    words = g["w"].to_pylist()
+    counts = g.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+    if not words:
+        return _cms_empty()
+    parts = []
+    for i in range(d):
+        h = np.array(
+            [int(hashlib.md5(f"{i}:{t}".encode()).hexdigest()[:16], 16)
+             for t in words],
+            dtype=np.uint64,
+        )
+        col = (h % np.uint64(w)).astype(np.int64)
+        parts.append(pa.table(
+            {DEPTH: pa.array(np.full(len(words), i, np.int64)),
+             COL: pa.array(col), CNT: pa.array(counts)}
+        ))
+    t = pa.concat_tables(parts)
+    g2 = t.group_by([DEPTH, COL], use_threads=False).aggregate([(CNT, "sum")])
+    return g2.rename_columns([DEPTH, COL, CNT])
+
+
+def _cms_merge_b(b: pa.Table) -> pa.Table:
+    g = b.group_by([DEPTH, COL], use_threads=False).aggregate([(CNT, "sum")])
+    return g.rename_columns([DEPTH, COL, CNT])
+
+
+def cms_counts(ds, text_col: str = "text", d: int = 4, w: int = 256):
+    """Distributed Count-Min sketch of whitespace-token frequencies:
+    algebraic counter partials per batch, sum-merge combine.  The result is
+    a ≤ d·w-row integer counter table — mergeable across partitions/days
+    by plain addition (see :func:`cms_merge`)."""
+    partials = ds.map_batches(
+        lambda b: cms_partial_batch(b, text_col, d, w), batch_format="pyarrow"
+    )
+    local = partials.map_batches(
+        _cms_merge_b, batch_format="pyarrow", batch_size=None
+    )
+    return local.repartition(1).map_batches(
+        _cms_merge_b, batch_format="pyarrow", batch_size=None
+    )
+
+
+def cms_merge(*tables: pa.Table) -> pa.Table:
+    """Exact sketch union: counters add."""
+    return _cms_merge_b(pa.concat_tables(list(tables)))
+
+
+def cms_estimate(counters: pa.Table, queries: list[str], d: int = 4, w: int = 256) -> dict:
+    """Point estimates: min over depths of the addressed counter (0 when the
+    counter was never touched).  Guarantees est >= true count always."""
+    lut = {}
+    for row in counters.to_pylist():
+        lut[(row[DEPTH], row[COL])] = row[CNT]
+    out = {}
+    for q in queries:
+        est = None
+        for i in range(d):
+            col = int(
+                np.uint64(int(hashlib.md5(f"{i}:{q}".encode()).hexdigest()[:16], 16))
+                % np.uint64(w)
+            )
+            c = lut.get((i, col), 0)
+            est = c if est is None else min(est, c)
+        out[q] = int(est)
+    return out
+
+
 def hll_distinct(ds, key_col: str, value_col: str, b: int = 10) -> pa.Table:
     """End-to-end approximate distinct: registers (distributed) → estimate
     (driver-side over the tiny ≤ m-rows-per-key register table)."""

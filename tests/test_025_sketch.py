@@ -69,3 +69,50 @@ FROM read_parquet('{EVENTS}') GROUP BY event_type"""
     assert len(j) == len(exact) and len(j) > 0
     rel = np.abs(j["estimate"] - j["n"]) / np.maximum(j["n"], 1)
     assert (rel < 0.12).all(), j
+
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def test_cms_overestimates_never_under():
+    """CMS point estimates are >= the true counts, always."""
+    ds = rd.read_parquet(DOCS, columns=["text"])
+    counters = pa.Table.from_pandas(
+        sketch.cms_counts(ds, "text", d=4, w=256).to_pandas()
+    )
+    truth = duckdb.sql(
+        rf"""SELECT t.w AS w, count(*) AS c
+FROM read_parquet('{DOCS}') doc,
+     LATERAL unnest(regexp_extract_all(doc.text, '\S+')) AS t(w)
+GROUP BY t.w ORDER BY c DESC LIMIT 50"""
+    ).df()
+    est = sketch.cms_estimate(counters, truth["w"].tolist(), d=4, w=256)
+    assert len(truth) > 0
+    for w_, c_ in zip(truth["w"], truth["c"]):
+        assert est[w_] >= c_, (w_, est[w_], c_)
+    # total mass per depth row equals the total token count (sum identity)
+    import pandas as pd  # noqa: F811
+    per_depth = counters.to_pandas().groupby("depth")["cnt"].sum()
+    total = duckdb.sql(
+        rf"""SELECT count(*) FROM read_parquet('{DOCS}') doc,
+     LATERAL unnest(regexp_extract_all(doc.text, '\S+')) AS t(w)"""
+    ).fetchone()[0]
+    assert (per_depth == total).all()
+
+
+def test_cms_merge_law():
+    df = pd.read_parquet(DOCS, columns=["text"])
+    half = len(df) // 2
+
+    def counters(frame):
+        return pa.Table.from_pandas(
+            sketch.cms_counts(rd.from_pandas(frame), "text").to_pandas()
+        )
+
+    full = counters(df).to_pandas().sort_values(["depth", "col"]).reset_index(drop=True)
+    merged = (
+        sketch.cms_merge(counters(df.iloc[:half]), counters(df.iloc[half:]))
+        .to_pandas().sort_values(["depth", "col"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(merged[full.columns.tolist()], full,
+                                  check_dtype=False)
