@@ -1232,6 +1232,21 @@ def q_ts_topk(sf_dir: str):
     )
 
 
+def q_ts_pack_bins(sf_dir: str):
+    """Sequence packing for training: greedy next-fit assignment of docs
+    into 16384-token bins per (source, day chunk), in (time, seq) order —
+    row-level (chunk, bin) labels.  The oracle restates the sequential
+    packing rule as a recursive CTE; the day-chunk reset bounds its
+    recursion depth (and makes packing resumable per chunk)."""
+    from aisdb_ray.stages import packing
+
+    _ctx()
+    pts = _clean_tokens(sf_dir).select_columns(
+        ["source", "doc_id", "time", "seq", "n_tok"]
+    )
+    return packing.pack_documents(pts, cap=16384, chunk_s=86400)
+
+
 def q_ts_anomaly(sf_dir: str):
     """Trailing-window z-score anomaly detection: rows whose n_tok deviates
     from the trailing-hour mean by more than 3 window standard deviations
@@ -1664,6 +1679,7 @@ def build_queries() -> dict:
         "ts_rolling": q_ts_rolling,
         "ts_running": q_ts_running,
         "ts_anomaly": q_ts_anomaly,
+        "ts_pack_bins": q_ts_pack_bins,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_dup_components": q_doc_dup_components,
         "doc_scrub": q_doc_scrub,
@@ -2534,6 +2550,29 @@ WINDOW w AS (
   PARTITION BY source ORDER BY time
   RANGE BETWEEN 300 PRECEDING AND CURRENT ROW
 )"""
+
+    sql["ts_pack_bins"] = f"""WITH RECURSIVE {_sql_tokens_clean(tok)},
+  numbered AS MATERIALIZED (
+    SELECT source, doc_id, time, seq, n_tok,
+           (time // 86400) * 86400 AS chunk,
+           row_number() OVER (PARTITION BY source, time // 86400
+                              ORDER BY time, seq) AS rn
+    FROM clean
+  ),
+  packed AS (
+    SELECT source, chunk, doc_id, time, seq, n_tok, rn,
+           CAST(0 AS BIGINT) AS bin, CAST(n_tok AS BIGINT) AS acc
+    FROM numbered WHERE rn = 1
+    UNION ALL
+    SELECT n.source, n.chunk, n.doc_id, n.time, n.seq, n.n_tok, n.rn,
+           CASE WHEN p.acc + n.n_tok <= 16384 THEN p.bin ELSE p.bin + 1 END,
+           CASE WHEN p.acc + n.n_tok <= 16384 THEN p.acc + n.n_tok
+                ELSE CAST(n.n_tok AS BIGINT) END
+    FROM packed p
+    JOIN numbered n
+      ON n.source = p.source AND n.chunk = p.chunk AND n.rn = p.rn + 1
+  )
+SELECT source, doc_id, time, seq, n_tok, chunk, bin FROM packed"""
 
     sql["ts_anomaly"] = f"""WITH {_sql_tokens_clean(tok)},
   win AS (

@@ -1,0 +1,156 @@
+"""Sequence packing: greedy next-fit binning of documents into fixed
+token-budget training bins.
+
+An LLM training pipeline packs variable-length documents into fixed-size
+context windows to minimize padding.  This operator assigns every document
+(in per-source (time, seq) order — the reference's per-track ordering
+contract, /root/reference/aisdb/track_gen.py TrackGen sort) to a bin:
+a document joins the current bin while the bin's token total stays within
+``cap``, else it opens a new bin; a document larger than ``cap`` gets a
+bin of its own.  Bins restart at ``chunk_s`` time boundaries so that
+(a) packing is resumable per time chunk — the same contract as the salted
+time-chunk layout in stages/salted.py — and (b) a bounded number of rows
+ever participates in one sequential packing decision chain.
+
+Shape: one co-shuffle by hash(source) (the stages/window.py pattern), then
+one vectorized task per partition.  Within a group, bin boundaries are
+found by ``np.searchsorted`` on the prefix-sum of token counts — the loop
+runs once per BIN (output windows), not once per row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from aisdb_ray.schema import N_TOK, SOURCE, TIME
+
+_PPART = "_ppart"
+CHUNK = "chunk"
+BIN = "bin"
+
+
+def _pack_group(prefix: np.ndarray, cap: int) -> np.ndarray:
+    """Next-fit bin ids for one group given the token prefix sums
+    (prefix[0] = 0, prefix[i] = sum of the first i docs)."""
+    n = len(prefix) - 1
+    bins = np.empty(n, np.int64)
+    i = b = 0
+    while i < n:
+        j = int(np.searchsorted(prefix, prefix[i] + cap, side="right")) - 1
+        if j <= i:
+            j = i + 1  # oversized document: its own bin
+        bins[i:j] = b
+        b += 1
+        i = j
+    return bins
+
+
+def pack_block(
+    tbl: pa.Table,
+    cap: int,
+    key_col: str = SOURCE,
+    time_col: str = TIME,
+    seq_col: str = "seq",
+    value_col: str = N_TOK,
+    chunk_s: int = 86400,
+) -> pa.Table:
+    """All groups in one table -> same rows + (chunk, bin) assignment."""
+    n = len(tbl)
+    if n == 0:
+        out = tbl.append_column(CHUNK, pa.array([], pa.int64()))
+        return out.append_column(BIN, pa.array([], pa.int64()))
+    import pyarrow.compute as pc
+
+    t = tbl[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    sq = tbl[seq_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    kcol = tbl[key_col]
+    if isinstance(kcol, pa.ChunkedArray):
+        kcol = kcol.combine_chunks()
+    ginv = pc.dictionary_encode(kcol).indices.to_numpy().astype(np.int64)
+    chunk = (t // chunk_s) * chunk_s
+
+    order = np.lexsort((sq, t, chunk, ginv))
+    tbl = tbl.take(pa.array(order))
+    g, ch, vs = ginv[order], chunk[order], v[order]
+
+    # group boundaries: change of (source, chunk)
+    change = np.r_[True, (g[1:] != g[:-1]) | (ch[1:] != ch[:-1])]
+    starts = np.flatnonzero(change)
+    ends = np.r_[starts[1:], len(g)]
+    prefix = np.concatenate(([0], np.cumsum(vs, dtype=np.int64)))
+    bins = np.empty(len(g), np.int64)
+    for s, e in zip(starts, ends):
+        bins[s:e] = _pack_group(prefix[s : e + 1] - prefix[s], cap)
+
+    out = tbl.append_column(CHUNK, pa.array(ch, pa.int64()))
+    return out.append_column(BIN, pa.array(bins, pa.int64()))
+
+
+def pack_documents(
+    ds,
+    cap: int,
+    key_col: str = SOURCE,
+    time_col: str = TIME,
+    seq_col: str = "seq",
+    value_col: str = N_TOK,
+    chunk_s: int = 86400,
+    num_parts: int | None = None,
+):
+    """Per-(source, time-chunk) greedy next-fit sequence packing over a
+    Dataset: every row gains (chunk, bin); bins are numbered from 0 within
+    their (source, chunk) group in (time, seq) order."""
+    import ray
+
+    from aisdb_ray.stages.join import _key_hash
+
+    if num_parts is None:
+        num_parts = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column(_PPART, pa.array(_key_hash(b, [key_col], num_parts)))
+
+    def per_part(part: pa.Table) -> pa.Table:
+        return pack_block(
+            part, cap, key_col, time_col, seq_col, value_col, chunk_s
+        ).drop_columns([_PPART])
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby(_PPART)
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+
+
+def pack_summary(packed, key_col: str = SOURCE):
+    """Per-bin summary (docs, token total) of a packed dataset — the
+    padding-efficiency audit table (all-integer, shuffle of partial rows
+    only)."""
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                key_col: b[key_col],
+                CHUNK: b[CHUNK],
+                BIN: b[BIN],
+                "n_docs": pa.nulls(b.num_rows, pa.int64()),
+                "sum_n_tok": pc.cast(b[N_TOK], pa.int64()),
+            }
+        )
+        g = t.group_by([key_col, CHUNK, BIN], use_threads=False).aggregate(
+            [("n_docs", "count", pc.CountOptions(mode="all")), ("sum_n_tok", "sum")]
+        )
+        return g.rename_columns([key_col, CHUNK, BIN, "n_docs", "sum_n_tok"])
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by([key_col, CHUNK, BIN], use_threads=False).aggregate(
+            [("n_docs", "sum"), ("sum_n_tok", "sum")]
+        )
+        return g.rename_columns([key_col, CHUNK, BIN, "n_docs", "sum_n_tok"])
+
+    partials = packed.map_batches(partial, batch_format="pyarrow")
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )

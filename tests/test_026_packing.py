@@ -1,0 +1,83 @@
+"""Sequence packing: greedy next-fit parity, bin invariants, summary."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from aisdb_ray.stages import packing
+
+
+def _brute_pack(v, cap):
+    bins, b, acc = [], 0, 0
+    for x in v:
+        if acc and acc + x <= cap:
+            acc += x
+        else:
+            if acc:
+                b += 1
+            acc = x
+        bins.append(b)
+    # first doc correction: b starts at 0 only when first row opens bin 0
+    off = bins[0]
+    return [x - off for x in bins]
+
+
+def _frame(seed=5, n=600):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "source": rng.choice(["a", "b", "c"], n),
+            "time": rng.integers(0, 4 * 86400, n).astype(np.int64),
+            "seq": np.arange(n, dtype=np.int32),
+            "n_tok": rng.integers(1, 9000, n).astype(np.int32),
+            "doc_id": [f"d{i}" for i in range(n)],
+        }
+    )
+
+
+def test_pack_matches_sequential_bruteforce():
+    df = _frame()
+    cap = 16384
+    got = (
+        packing.pack_documents(rd.from_pandas(df), cap=cap, chunk_s=86400)
+        .to_pandas()
+        .sort_values(["source", "chunk", "time", "seq"], kind="stable")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(df)
+    for (_, _), grp in got.groupby(["source", "chunk"], sort=False):
+        want = _brute_pack(grp["n_tok"].tolist(), cap)
+        np.testing.assert_array_equal(grp["bin"].to_numpy(), np.array(want))
+        # invariants: bins contiguous from 0; totals within cap unless solo
+        assert grp["bin"].iloc[0] == 0
+        assert (np.diff(grp["bin"].to_numpy()) <= 1).all()
+        tot = grp.groupby("bin")["n_tok"].agg(["sum", "size"])
+        over = tot[tot["sum"] > cap]
+        assert (over["size"] == 1).all()
+
+
+def test_oversized_doc_gets_own_bin():
+    df = pd.DataFrame(
+        {
+            "source": ["s"] * 4,
+            "time": np.array([0, 1, 2, 3], np.int64),
+            "seq": np.arange(4, dtype=np.int32),
+            "n_tok": np.array([100, 99999, 50, 60], np.int32),
+            "doc_id": list("wxyz"),
+        }
+    )
+    got = (
+        packing.pack_documents(rd.from_pandas(df), cap=1000, chunk_s=86400)
+        .to_pandas().sort_values("time").reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(got["bin"].to_numpy(), [0, 1, 2, 2])
+
+
+def test_pack_summary_identities():
+    df = _frame(seed=11)
+    packed = packing.pack_documents(rd.from_pandas(df), cap=16384)
+    summ = packing.pack_summary(packed).to_pandas()
+    assert summ["n_docs"].sum() == len(df)
+    assert summ["sum_n_tok"].sum() == int(df["n_tok"].sum())
