@@ -1232,6 +1232,18 @@ def q_ts_topk(sf_dir: str):
     )
 
 
+def q_ts_source_corr(sf_dir: str):
+    """Pairwise Pearson correlation between sources over the 1h tier's
+    sum_n_tok channel (co-present buckets only): distributed Gram-matrix
+    partials (one int64 matmul per partition), algebraic pair-sum combine,
+    float r finalized with the oracle's exact operand order."""
+    from aisdb_ray.stages import corr
+
+    _ctx()
+    tier = rollup.rollup(_clean_tokens(sf_dir), 3600)
+    return corr.pairwise_corr(tier, value_col="sum_n_tok")
+
+
 def q_ts_pack_bins(sf_dir: str):
     """Sequence packing for training: greedy next-fit assignment of docs
     into 16384-token bins per (source, day chunk), in (time, seq) order —
@@ -1680,6 +1692,7 @@ def build_queries() -> dict:
         "ts_running": q_ts_running,
         "ts_anomaly": q_ts_anomaly,
         "ts_pack_bins": q_ts_pack_bins,
+        "ts_source_corr": q_ts_source_corr,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_dup_components": q_doc_dup_components,
         "doc_scrub": q_doc_scrub,
@@ -2550,6 +2563,31 @@ WINDOW w AS (
   PARTITION BY source ORDER BY time
   RANGE BETWEEN 300 PRECEDING AND CURRENT ROW
 )"""
+
+    sql["ts_source_corr"] = f"""WITH {_sql_tokens_clean(tok)},
+  t AS (
+    SELECT source, (time // 3600) * 3600 AS bucket,
+           CAST(sum(n_tok) AS BIGINT) AS v
+    FROM clean GROUP BY source, bucket
+  ),
+  pair AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(a.v) AS BIGINT) AS sx,
+           CAST(sum(b.v) AS BIGINT) AS sy,
+           CAST(sum(a.v * b.v) AS BIGINT) AS sxy,
+           CAST(sum(a.v * a.v) AS BIGINT) AS sx2,
+           CAST(sum(b.v * b.v) AS BIGINT) AS sy2
+    FROM t a JOIN t b ON a.bucket = b.bucket AND a.source < b.source
+    GROUP BY a.source, b.source
+  )
+SELECT src_a, src_b, n, sx, sy, sxy, sx2, sy2,
+       CASE WHEN (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
+                        * CAST(n * sy2 - sy * sy AS DOUBLE))
+       END AS r
+FROM pair"""
 
     sql["ts_pack_bins"] = f"""WITH RECURSIVE {_sql_tokens_clean(tok)},
   numbered AS MATERIALIZED (

@@ -1,0 +1,162 @@
+"""Pairwise series correlation via distributed Gram-matrix partials.
+
+Cross-series analytics (which sources move together?) over a rollup tier:
+for every source pair, the co-presence count and the sums needed for
+Pearson r over buckets where BOTH sources have a row (inner-join
+semantics).  The reference's nearest analog is its network-graph pass that
+relates per-vessel series pairwise (/root/reference/aisdb/network_graph.py);
+this states it as linear algebra so it distributes:
+
+- co-shuffle tier rows by ``hash(bucket)`` so each bucket's rows land in
+  one partition (the stages/join.py pattern);
+- per partition, pivot to a dense (buckets × sources) value matrix ``M``
+  and presence indicator ``A``; then ONE int64 matmul each gives
+  ``n = AᵀA``, ``sxy = MᵀM``, ``sx = MᵀA``, ``sy = AᵀM``,
+  ``sx2 = (M∘M)ᵀA``, ``sy2 = Aᵀ(M∘M)`` — all pair stats of the partition
+  at once, exactly (integer matmul, no float accumulation);
+- partials are plain sums per (src_a, src_b): an algebraic combine.
+
+Pairwise output is quadratic in the number of sources — apply to a
+bounded key set (a tier's source universe, or a top-k pre-filter), not an
+unbounded id space.  Pearson r is finalized with the exact operand order
+mirrored by the SQL oracle (int64 evidence → double cast → sqrt), so even
+the float column hash-matches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from aisdb_ray.schema import BUCKET, SOURCE, SUM_V
+
+_CPART = "_cpart"
+_STATS = ["n", "sx", "sy", "sxy", "sx2", "sy2"]
+
+
+def gram_block(
+    tbl: pa.Table,
+    key_col: str = SOURCE,
+    bucket_col: str = BUCKET,
+    value_col: str = SUM_V,
+) -> pa.Table:
+    """One partition's pair partials: (src_a, src_b) with src_a < src_b."""
+    empty = pa.table(
+        {"src_a": pa.array([], pa.string()),
+         "src_b": pa.array([], pa.string()),
+         **{s: pa.array([], pa.int64()) for s in _STATS}}
+    )
+    if tbl.num_rows == 0:
+        return empty
+    import pyarrow.compute as pc
+
+    kcol = tbl[key_col]
+    if isinstance(kcol, pa.ChunkedArray):
+        kcol = kcol.combine_chunks()
+    enc = pc.dictionary_encode(kcol)
+    src_names = enc.dictionary.to_pylist()
+    s_idx = enc.indices.to_numpy().astype(np.int64)
+    s = len(src_names)
+    if s < 2:
+        return empty
+
+    bcol = tbl[bucket_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    _, b_idx = np.unique(bcol, return_inverse=True)
+    nb = int(b_idx.max()) + 1
+    v = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    M = np.zeros((nb, s), np.int64)
+    A = np.zeros((nb, s), np.int64)
+    M[b_idx, s_idx] = v
+    A[b_idx, s_idx] = 1
+    M2 = M * M
+
+    n = A.T @ A
+    sxy = M.T @ M
+    sx = M.T @ A
+    sy = A.T @ M
+    sx2 = M2.T @ A
+    sy2 = A.T @ M2
+
+    iu, ju = np.triu_indices(s, k=1)
+    # canonical pair order is by NAME, not local index: swap where needed
+    names = np.array(src_names, dtype=object)
+    swap = names[iu] > names[ju]
+    a_i = np.where(swap, ju, iu)
+    b_i = np.where(swap, iu, ju)
+    return pa.table(
+        {
+            "src_a": pa.array(names[a_i].tolist(), pa.string()),
+            "src_b": pa.array(names[b_i].tolist(), pa.string()),
+            "n": pa.array(n[a_i, b_i]),
+            "sx": pa.array(sx[a_i, b_i]),
+            "sy": pa.array(sy[a_i, b_i]),
+            "sxy": pa.array(sxy[a_i, b_i]),
+            "sx2": pa.array(sx2[a_i, b_i]),
+            "sy2": pa.array(sy2[a_i, b_i]),
+        }
+    )
+
+
+def _merge_b(b: pa.Table) -> pa.Table:
+    g = b.group_by(["src_a", "src_b"], use_threads=False).aggregate(
+        [(s, "sum") for s in _STATS]
+    )
+    return g.rename_columns(["src_a", "src_b", *_STATS])
+
+
+def _finalize(b: pa.Table) -> pa.Table:
+    """Append Pearson r (zero-variance pairs -> null), dropping pairs that
+    never co-occur.  Operand order mirrors the SQL oracle exactly."""
+    import pyarrow.compute as pc
+
+    b = b.filter(pc.greater(b["n"], 0))
+    n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sx = b["sx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sy = b["sy"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sxy = b["sxy"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sx2 = b["sx2"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sy2 = b["sy2"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vx = n * sx2 - sx * sx
+    vy = n * sy2 - sy * sy
+    ok = (vx > 0) & (vy > 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = (n * sxy - sx * sy).astype(np.float64) / np.sqrt(
+            vx.astype(np.float64) * vy.astype(np.float64)
+        )
+    return b.append_column("r", pa.array(np.where(ok, r, np.nan), mask=~ok))
+
+
+def pairwise_corr(
+    tier_ds,
+    key_col: str = SOURCE,
+    bucket_col: str = BUCKET,
+    value_col: str = SUM_V,
+    num_parts: int | None = None,
+):
+    """Pearson correlation (+ integer evidence) for every co-occurring
+    source pair of a rollup tier."""
+    import ray
+
+    from aisdb_ray.stages.join import _key_hash
+
+    if num_parts is None:
+        num_parts = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            _CPART, pa.array(_key_hash(b, [bucket_col], num_parts))
+        )
+
+    def per_part(part: pa.Table) -> pa.Table:
+        return gram_block(part.drop_columns([_CPART]), key_col, bucket_col, value_col)
+
+    partials = (
+        tier_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby(_CPART)
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+    merged = partials.map_batches(
+        _merge_b, batch_format="pyarrow", batch_size=None
+    ).repartition(1).map_batches(_merge_b, batch_format="pyarrow", batch_size=None)
+    return merged.map_batches(_finalize, batch_format="pyarrow", batch_size=None)

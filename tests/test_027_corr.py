@@ -1,0 +1,84 @@
+"""Pairwise Gram-partial correlation: brute-force parity, partition invariance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from aisdb_ray.stages import corr
+
+
+def _tier(seed=9, n=800, srcs=6, buckets=50):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "source": rng.choice([f"s{i}" for i in range(srcs)], n),
+            "bucket": (rng.integers(0, buckets, n) * 3600).astype(np.int64),
+            "sum_n_tok": rng.integers(0, 10_000, n).astype(np.int64),
+        }
+    ).drop_duplicates(["source", "bucket"]).reset_index(drop=True)
+    return df
+
+
+def _brute(df):
+    rows = []
+    srcs = sorted(df["source"].unique())
+    piv = df.pivot(index="bucket", columns="source", values="sum_n_tok")
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            both = piv[[a, b]].dropna()
+            if len(both) == 0:
+                continue
+            x = both[a].to_numpy(np.int64)
+            y = both[b].to_numpy(np.int64)
+            n = len(both)
+            rows.append(
+                dict(src_a=a, src_b=b, n=n, sx=x.sum(), sy=y.sum(),
+                     sxy=(x * y).sum(), sx2=(x * x).sum(), sy2=(y * y).sum())
+            )
+    return pd.DataFrame(rows)
+
+
+def test_pairwise_corr_matches_bruteforce():
+    df = _tier()
+    got = (
+        corr.pairwise_corr(rd.from_pandas(df), value_col="sum_n_tok", num_parts=7)
+        .to_pandas().sort_values(["src_a", "src_b"]).reset_index(drop=True)
+    )
+    want = _brute(df).sort_values(["src_a", "src_b"]).reset_index(drop=True)
+    assert len(got) == len(want) and len(got) > 0
+    for c in ["src_a", "src_b", "n", "sx", "sy", "sxy", "sx2", "sy2"]:
+        np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy(), err_msg=c)
+    # r equals numpy's pearson on the evidence wherever defined
+    vx = want["n"] * want["sx2"] - want["sx"] ** 2
+    vy = want["n"] * want["sy2"] - want["sy"] ** 2
+    ok = (vx > 0) & (vy > 0)
+    r_want = (want["n"] * want["sxy"] - want["sx"] * want["sy"]).astype(float) / np.sqrt(
+        vx.astype(float) * vy.astype(float)
+    )
+    np.testing.assert_allclose(
+        got.loc[ok, "r"].to_numpy(), r_want[ok].to_numpy(), rtol=0, atol=0
+    )
+    assert got.loc[~ok, "r"].isna().all()
+
+
+def test_partition_invariance():
+    df = _tier(seed=21)
+    a = corr.pairwise_corr(rd.from_pandas(df), value_col="sum_n_tok", num_parts=3)
+    b = corr.pairwise_corr(rd.from_pandas(df), value_col="sum_n_tok", num_parts=64)
+    pa_ = a.to_pandas().sort_values(["src_a", "src_b"]).reset_index(drop=True)
+    pb = b.to_pandas().sort_values(["src_a", "src_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa_, pb, check_dtype=False)
+
+
+def test_zero_variance_pair_is_null():
+    df = pd.DataFrame(
+        {
+            "source": ["a", "a", "b", "b"],
+            "bucket": np.array([0, 3600, 0, 3600], np.int64),
+            "sum_n_tok": np.array([5, 5, 1, 9], np.int64),  # a is constant
+        }
+    )
+    got = corr.pairwise_corr(rd.from_pandas(df), value_col="sum_n_tok").to_pandas()
+    assert len(got) == 1 and got["r"].isna().all() and got["n"].iloc[0] == 2
