@@ -332,6 +332,48 @@ def q_ts_cascade_1h(sf_dir: str):
     return rollup.rollup_from_rollup(m1, 3600)
 
 
+def _tier_range_bounds(tok: str) -> tuple[int, int]:
+    """Deterministic ragged query range: 2%..20% of the epoch span (the
+    dense region — most sources live early in the span) with prime offsets,
+    so the plan exercises raw, 1m, 1h AND 1d pieces over many sources."""
+    lo, hi = _epoch_range(tok)
+    return lo + (hi - lo) * 2 // 100 + 37, lo + (hi - lo) * 20 // 100 + 41
+
+
+def q_ts_tier_range(sf_dir: str):
+    """Tier-stitching range aggregate: per-source stats over an arbitrary
+    ragged [t0, t1) assembled from the cascade's materialized 1d/1h/1m
+    tiers plus raw points only at the sub-minute edges
+    (pipelines/tierquery.py).  The oracle scans raw — equality proves the
+    plan's pieces are disjoint, aligned, and cover the range exactly."""
+    import shutil
+
+    from aisdb_ray.pipelines import cascade as casc
+    from aisdb_ray.pipelines import tierquery
+    from aisdb_ray.state.lineage import list_parquet_files
+
+    _ctx()
+    tok = ensure_sf_tokens(sf_dir)
+    name = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(SF_CACHE_ROOT, name, "tierq_demo")
+    inp = os.path.join(base, "input")
+    run = os.path.join(base, "run")
+    done = os.path.join(base, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(inp)
+        for i, f in enumerate(list_parquet_files(tok)):
+            os.symlink(f, os.path.join(inp, f"t{i:03d}.parquet"))
+        casc.run_cascade(casc.CascadeConfig(
+            input_path=inp, out_root=run, num_parts=4, max_gap=TS_MAX_GAP,
+            max_concurrent_parts=2,
+        ))
+        with open(done, "w") as fh:
+            fh.write("ok\n")
+    t0, t1 = _tier_range_bounds(tok)
+    return tierquery.range_aggregate(run, t0, t1)
+
+
 def q_ts_ohlc_1h(sf_dir: str):
     """Per-(source, hour) candle: open/close = n_tok at the earliest/latest
     (time, seq) in the bucket, plus min/max/sum/count.  The engine expresses
@@ -339,6 +381,29 @@ def q_ts_ohlc_1h(sf_dir: str):
     algebraic (cascade-compatible); the oracle states them independently as
     DuckDB arg_min/arg_max over the (time, seq) order."""
     return rollup.ohlc(_clean_tokens(sf_dir), 3600)
+
+
+_EPOCH_RANGE_CACHE: dict = {}
+
+
+def _epoch_range(tok: str) -> tuple[int, int]:
+    """(min, max) valid epoch over a token dir — deterministic, cached."""
+    import pyarrow.parquet as pq_
+
+    from aisdb_ray.state.lineage import list_parquet_files
+
+    if tok in _EPOCH_RANGE_CACHE:
+        return _EPOCH_RANGE_CACHE[tok]
+    lo = hi = None
+    for f in list_parquet_files(tok):
+        e = prepare.derive_epoch(pq_.read_table(f, columns=["doc_id"]))["time"]
+        mm = pc.min_max(e)
+        flo, fhi = mm["min"].as_py(), mm["max"].as_py()
+        if flo is not None:
+            lo = flo if lo is None else min(lo, flo)
+            hi = fhi if hi is None else max(hi, fhi)
+    _EPOCH_RANGE_CACHE[tok] = (lo, hi)
+    return lo, hi
 
 
 def _realtime_paths(sf_dir: str):
@@ -371,14 +436,7 @@ def q_ts_realtime_1h(sf_dir: str):
         shutil.rmtree(base, ignore_errors=True)
         os.makedirs(inp)
         files = list_parquet_files(tok)
-        lo = hi = None
-        for f in files:
-            e = prepare.derive_epoch(pq_.read_table(f, columns=["doc_id"]))["time"]
-            mm = pc.min_max(e)
-            flo, fhi = mm["min"].as_py(), mm["max"].as_py()
-            if flo is not None:
-                lo = flo if lo is None else min(lo, flo)
-                hi = fhi if hi is None else max(hi, fhi)
+        lo, hi = _epoch_range(tok)
         wm = (lo + (hi - lo) * 3 // 4) // 3600 * 3600
         # history input = rows NOT provably at/after the watermark
         # (unparsable rows ride along; the cascade's prepare drops them)
@@ -1645,6 +1703,7 @@ def build_queries() -> dict:
         "ts_cascade_1h": q_ts_cascade_1h,
         "ts_ohlc_1h": q_ts_ohlc_1h,
         "ts_realtime_1h": q_ts_realtime_1h,
+        "ts_tier_range": q_ts_tier_range,
         "ts_gorilla_roundtrip": q_ts_gorilla_roundtrip,
         "ts_mode": q_ts_mode,
         "ts_gapfill": q_ts_gapfill,
@@ -1905,6 +1964,19 @@ FROM pre GROUP BY source, bucket"""
     sql["ts_cascade_1h"] = _sql_rollup(tok, 3600)  # direct-from-raw oracle
     sql["ts_refresh_1h"] = _sql_rollup(tok, 3600)  # refresh == from-scratch
     sql["ts_realtime_1h"] = _sql_rollup(tok, 3600)  # frozen ∪ fresh == full
+
+    t0, t1 = _tier_range_bounds(tok)
+    sql["ts_tier_range"] = f"""WITH {_sql_tokens_clean(tok)}
+SELECT source,
+       CAST({t0} AS BIGINT) AS bucket,
+       CAST(min(n_tok) AS BIGINT) AS min_n_tok,
+       CAST(max(n_tok) AS BIGINT) AS max_n_tok,
+       CAST(sum(n_tok) AS BIGINT) AS sum_n_tok,
+       CAST(count(*) AS BIGINT) AS count_n_tok,
+       CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_n_tok
+FROM clean
+WHERE time >= {t0} AND time < {t1}
+GROUP BY source"""
 
     # independent arg_min/arg_max formulation of the packed-int64 extremes
     sql["ts_ohlc_1h"] = f"""WITH {_sql_tokens_clean(tok)}
