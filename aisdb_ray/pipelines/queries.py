@@ -1123,6 +1123,23 @@ def q_doc_quality(sf_dir: str):
     )
 
 
+def q_doc_contamination(sf_dir: str):
+    """Eval decontamination: training docs sharing any word-8-gram with the
+    (deterministic 20%) benchmark split, with the distinct shared-gram
+    count.  Benchmark gram set broadcast once; the training corpus streams
+    through a vectorized membership filter."""
+    from aisdb_ray.stages import contamination as cont
+    from aisdb_ray.stages.sample import md5_u32
+
+    _ctx()
+    ds = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def bench_pred(b: pa.Table) -> pa.Array:
+        return pa.array(md5_u32(b["doc_id"]) % 100 < 20)
+
+    return cont.contamination(ds, bench_pred, n=8)
+
+
 def q_doc_cms_words(sf_dir: str):
     """Count-Min sketch (d=4, w=256) of whitespace-token frequencies over
     the corpus — the mergeable heavy-hitter counter table.  All-integer
@@ -1737,6 +1754,7 @@ def build_queries() -> dict:
         "doc_keywords": q_doc_keywords,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_cms_words": q_doc_cms_words,
+        "doc_contamination": q_doc_contamination,
         "doc_textstats": q_doc_textstats,
         "doc_langid": q_doc_langid,
         "doc_bpe_count": q_doc_bpe_count,
@@ -2558,6 +2576,32 @@ FROM documents"""
 FROM documents GROUP BY md5(text)"""
 
     sql["doc_langid"] = _langid_sql()
+
+    # word-8-gram overlap vs the deterministic 20% benchmark split — list
+    # slicing keeps gram order deterministic (no unnest-ordering reliance)
+    sql["doc_contamination"] = r"""WITH toks AS (
+    SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+  ),
+  grams AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 6),
+                                 i -> array_to_string(w[i:i+7], ' '))) AS g
+    FROM toks WHERE len(w) >= 8
+  ),
+  bench AS (
+    SELECT doc_id FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          % 100 < 20
+  ),
+  bg AS (SELECT DISTINCT g FROM grams
+         WHERE doc_id IN (SELECT doc_id FROM bench)),
+  hits AS (
+    SELECT t.doc_id, t.g FROM grams t
+    WHERE t.doc_id NOT IN (SELECT doc_id FROM bench)
+      AND t.g IN (SELECT g FROM bg)
+  )
+SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_shared
+FROM hits GROUP BY doc_id"""
 
     # the same salted-md5 → column Count-Min construction as
     # stages/sketch.cms_partial_batch, stated independently in SQL

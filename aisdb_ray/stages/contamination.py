@@ -1,0 +1,107 @@
+"""Eval-set decontamination: flag training documents that share word
+n-grams with a benchmark set.
+
+The standard LLM-corpus hygiene pass: any training document containing an
+exact word-level n-gram that also appears in an evaluation/benchmark
+document is contaminated and must be dropped (or audited).  Shape:
+
+- n-grams are built fully vectorized: regex split → flatten with parent
+  indices → n shifted slices joined element-wise — no Python per row;
+- the benchmark side is SMALL by construction (a held-out eval set), so
+  its distinct gram set is collected once and broadcast via ``ray.put``;
+  the training corpus then streams through a ``pc.is_in`` membership
+  filter — the broadcast-semi-join pattern (SURVEY.md §4), never a
+  corpus×corpus shuffle;
+- a document's grams all come from its own row, so per-batch distinct
+  (doc, gram) pairs are already globally distinct: the per-doc shared-gram
+  count needs no extra dedup shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+GRAM = "gram"
+N_SHARED = "n_shared"
+
+
+def word_ngrams_block(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+) -> pa.Table:
+    """(id, gram) rows: every word-level n-gram of every document.
+    Splitting on ``\\s+`` and dropping empties yields exactly the ``\\S+``
+    match sequence (empties only ever appear at string boundaries, so word
+    adjacency is preserved)."""
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    empty = pa.table({id_col: ids.slice(0, 0), GRAM: pa.array([], pa.string())})
+    if batch.num_rows == 0:
+        return empty
+    toks = pc.split_pattern_regex(batch[text_col], pattern=r"\s+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, pa.scalar(""))
+    w = flat.filter(keep)
+    if isinstance(w, pa.ChunkedArray):
+        w = w.combine_chunks()
+    par = parents.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+    L = len(w) - (n - 1)
+    if L <= 0:
+        return empty
+    cols = [w.slice(k, L) for k in range(n)]
+    grams = pc.binary_join_element_wise(*cols, pa.scalar(" "))
+    valid = pa.array(par[:L] == par[n - 1:])
+    doc = ids.take(pa.array(par[:L][valid.to_numpy(zero_copy_only=False)]))
+    return pa.table({id_col: doc, GRAM: grams.filter(valid)})
+
+
+def contamination(
+    docs_ds,
+    bench_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+):
+    """Per-TRAINING-doc count of distinct n-grams shared with the benchmark
+    side.  ``bench_pred(batch) -> BooleanArray`` splits the corpus (True =
+    benchmark row); only docs with ≥1 shared gram are returned."""
+    import ray
+
+    def bench_b(b: pa.Table) -> pa.Table:
+        return b.filter(bench_pred(b))
+
+    def train_b(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(bench_pred(b)))
+
+    bench_grams = (
+        docs_ds.map_batches(bench_b, batch_format="pyarrow")
+        .map_batches(
+            lambda b: pa.table(
+                {GRAM: pc.unique(word_ngrams_block(b, text_col, id_col, n)[GRAM])}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    # benchmark = the small held-out side: collect its distinct grams once
+    uniq = pc.unique(
+        pa.Table.from_pandas(bench_grams.to_pandas())[GRAM].combine_chunks()
+    )
+    bench_ref = ray.put(uniq)
+
+    def flag(b: pa.Table) -> pa.Table:
+        g = word_ngrams_block(b, text_col, id_col, n)
+        vset = ray.get(bench_ref)
+        hit = g.filter(pc.is_in(g[GRAM], value_set=vset))
+        # one doc == one corpus row, so batch-local distinct is global
+        dd = hit.group_by([id_col, GRAM], use_threads=False).aggregate([])
+        out = dd.group_by([id_col], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns([id_col, N_SHARED])
+
+    return docs_ds.map_batches(train_b, batch_format="pyarrow").map_batches(
+        flag, batch_format="pyarrow"
+    )
