@@ -78,6 +78,11 @@ class CascadeConfig:
     tiers: tuple = ("1m", "1h", "1d")
     gapfill: bool = False
     compress: bool = False
+    # materialize OHLC candle tiers (ohlc_1m/1h/1d) alongside the stats
+    # tiers, in PARTIAL (packed arg-extreme) form so higher tiers and
+    # refreshes reaggregate exactly; finalize with rollup._finalize_ohlc
+    # when serving.  Part mode only (the resume unit is the partition).
+    ohlc: bool = False
     max_concurrent_parts: int = 4
     retention: dict = field(default_factory=dict)  # tier -> keep-after epoch
     # how the heavy gapfill/compress tiers are scheduled:
@@ -108,6 +113,7 @@ class CascadeConfig:
             "tiers": list(self.tiers),
             "gapfill": self.gapfill,
             "compress": self.compress,
+            "ohlc": self.ohlc,
             "heavy_mode": self.heavy_mode,
             "retention": {k: int(v) for k, v in sorted(self.retention.items())},
         }
@@ -286,6 +292,41 @@ def _run_part(cfg: CascadeConfig, manifest: lineage.Manifest, part: int) -> None
                 manifest.record(
                     stage, part, rows=rows, tokens=0,
                     wall_s=round(time.time() - t0, 3),
+                )
+                t0 = time.time()
+
+    # ---- optional OHLC candle tiers, partial (packed) form — same chain
+    # shape as the stats tiers: distributed first tier, in-memory exact
+    # reaggregation for the higher ones
+    if cfg.ohlc and tiers and not all(
+        manifest.done(f"ohlc_{t}", part) for t in tiers
+    ):
+        t0 = time.time()
+        src = _read_part(cfg, "series", part, columns=[SOURCE, TIME, SEQ, N_TOK])
+        if src is None:
+            for t in tiers:
+                if not manifest.done(f"ohlc_{t}", part):
+                    os.makedirs(_part_dir(cfg.out_root, f"ohlc_{t}", part), exist_ok=True)
+                    manifest.record(f"ohlc_{t}", part, rows=0, wall_s=0.0)
+        else:
+            stage0 = f"ohlc_{tiers[0]}"
+            out0 = _part_dir(cfg.out_root, stage0, part)
+            if not manifest.done(stage0, part):
+                first = rollup.ohlc_partial_tier(src, TIER_WIDTHS[tiers[0]])
+                rows = _write_tier(first, out0)
+                manifest.record(
+                    stage0, part, rows=rows, wall_s=round(time.time() - t0, 3)
+                )
+                t0 = time.time()
+            tier_tbl = pq.read_table(out0)
+            for tier in tiers[1:]:
+                stage = f"ohlc_{tier}"
+                tier_tbl = rollup.reohlc_batch(tier_tbl, TIER_WIDTHS[tier])
+                if manifest.done(stage, part):
+                    continue
+                rows = _write_tier(tier_tbl, _part_dir(cfg.out_root, stage, part))
+                manifest.record(
+                    stage, part, rows=rows, wall_s=round(time.time() - t0, 3)
                 )
                 t0 = time.time()
 
@@ -578,7 +619,9 @@ def apply_retention(cfg: CascadeConfig, manifest: lineage.Manifest) -> dict:
 
     pruned = {}
     for tier, cutoff in cfg.retention.items():
-        stage = f"tier_{tier}"
+        # plain names prune the stats tiers; 'ohlc_*' / 'tier_*' keys
+        # address a stage directly (candle tiers carry 'bucket' too)
+        stage = tier if tier.startswith(("tier_", "ohlc_")) else f"tier_{tier}"
         for label, d in _tier_part_dirs(cfg.out_root, stage):
             files = lineage.list_parquet_files(d)
             if not files:
@@ -693,6 +736,8 @@ def _refresh_parts(cfg: CascadeConfig, manifest: lineage.Manifest,
 
     # retract + rebuild the derived tiers for the affected partitions only
     stages = [f"tier_{t}" for t in cfg.tiers]
+    if cfg.ohlc:
+        stages += [f"ohlc_{t}" for t in cfg.tiers]
     if cfg.gapfill:
         stages.append("gapfill")
     if cfg.compress:
@@ -742,6 +787,8 @@ def run_cascade(cfg: CascadeConfig) -> dict:
     (_refresh_parts).  Modified or deleted input files force a clean restart
     (mixing generations of a mutated file is unsound)."""
     t0 = time.time()
+    if cfg.ohlc and cfg.heavy_mode != "part":
+        raise ValueError("ohlc tiers require heavy_mode='part'")
     manifest = lineage.Manifest.open(cfg.out_root, cfg.fingerprint())
 
     cur_sigs = _input_sigs(cfg.input_path)
@@ -804,6 +851,7 @@ def run_cascade(cfg: CascadeConfig) -> dict:
         "watermarks": {
             s: manifest.watermark(s, parts if cfg.heavy_mode == "part" else ["all"])
             for s in [f"tier_{t}" for t in cfg.tiers]
+            + ([f"ohlc_{t}" for t in cfg.tiers] if cfg.ohlc else [])
             + (["gapfill"] if cfg.gapfill else [])
             + (["compressed"] if cfg.compress else [])
         },
@@ -813,6 +861,8 @@ def run_cascade(cfg: CascadeConfig) -> dict:
 def _part_done(cfg: CascadeConfig, manifest: lineage.Manifest, part: int) -> bool:
     stages = [f"tier_{t}" for t in cfg.tiers]
     if cfg.heavy_mode == "part":
+        if cfg.ohlc:
+            stages += [f"ohlc_{t}" for t in cfg.tiers]
         if cfg.gapfill:
             stages.append("gapfill")
         if cfg.compress:

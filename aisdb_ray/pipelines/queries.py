@@ -340,19 +340,15 @@ def _tier_range_bounds(tok: str) -> tuple[int, int]:
     return lo + (hi - lo) * 2 // 100 + 37, lo + (hi - lo) * 20 // 100 + 41
 
 
-def q_ts_tier_range(sf_dir: str):
-    """Tier-stitching range aggregate: per-source stats over an arbitrary
-    ragged [t0, t1) assembled from the cascade's materialized 1d/1h/1m
-    tiers plus raw points only at the sub-minute edges
-    (pipelines/tierquery.py).  The oracle scans raw — equality proves the
-    plan's pieces are disjoint, aligned, and cover the range exactly."""
+def _ensure_full_cascade(sf_dir: str) -> str:
+    """Build (once) a full-data cascade with stats + OHLC candle tiers over
+    the token fixture; returns its out_root.  Shared by the tier-routing
+    and cascade-candle queries."""
     import shutil
 
     from aisdb_ray.pipelines import cascade as casc
-    from aisdb_ray.pipelines import tierquery
     from aisdb_ray.state.lineage import list_parquet_files
 
-    _ctx()
     tok = ensure_sf_tokens(sf_dir)
     name = os.path.basename(os.path.normpath(sf_dir))
     base = os.path.join(SF_CACHE_ROOT, name, "tierq_demo")
@@ -366,12 +362,43 @@ def q_ts_tier_range(sf_dir: str):
             os.symlink(f, os.path.join(inp, f"t{i:03d}.parquet"))
         casc.run_cascade(casc.CascadeConfig(
             input_path=inp, out_root=run, num_parts=4, max_gap=TS_MAX_GAP,
-            max_concurrent_parts=2,
+            max_concurrent_parts=2, ohlc=True,
         ))
         with open(done, "w") as fh:
             fh.write("ok\n")
-    t0, t1 = _tier_range_bounds(tok)
+    return run
+
+
+def q_ts_tier_range(sf_dir: str):
+    """Tier-stitching range aggregate: per-source stats over an arbitrary
+    ragged [t0, t1) assembled from the cascade's materialized 1d/1h/1m
+    tiers plus raw points only at the sub-minute edges
+    (pipelines/tierquery.py).  The oracle scans raw — equality proves the
+    plan's pieces are disjoint, aligned, and cover the range exactly."""
+    from aisdb_ray.pipelines import tierquery
+
+    _ctx()
+    run = _ensure_full_cascade(sf_dir)
+    t0, t1 = _tier_range_bounds(ensure_sf_tokens(sf_dir))
     return tierquery.range_aggregate(run, t0, t1)
+
+
+def q_ts_ohlc_cascade_1h(sf_dir: str):
+    """OHLC candles served from the CASCADE's materialized partial tier
+    (ohlc_1h across all partitions, finalized at read) — must equal the
+    direct ts_ohlc_1h computation; the shared arg_min/arg_max oracle proves
+    the partial tier materialization + partition union exact."""
+    from aisdb_ray.state.lineage import list_parquet_files
+
+    _ctx()
+    run = _ensure_full_cascade(sf_dir)
+    files = sorted(list_parquet_files(os.path.join(run, "ohlc_1h")))
+    return rd.read_parquet(files).map_batches(
+        lambda b: rollup._finalize_ohlc(b.drop_columns(
+            [c for c in ("part",) if c in b.column_names]
+        )),
+        batch_format="pyarrow",
+    )
 
 
 def q_ts_ohlc_1h(sf_dir: str):
@@ -1721,6 +1748,7 @@ def build_queries() -> dict:
         "ts_ohlc_1h": q_ts_ohlc_1h,
         "ts_realtime_1h": q_ts_realtime_1h,
         "ts_tier_range": q_ts_tier_range,
+        "ts_ohlc_cascade_1h": q_ts_ohlc_cascade_1h,
         "ts_gorilla_roundtrip": q_ts_gorilla_roundtrip,
         "ts_mode": q_ts_mode,
         "ts_gapfill": q_ts_gapfill,
@@ -2007,6 +2035,8 @@ SELECT source,
        CAST(sum(n_tok) AS BIGINT) AS sum_n_tok,
        CAST(count(*) AS BIGINT) AS count_n_tok
 FROM clean GROUP BY source, bucket"""
+    # cascade-materialized candles must equal the direct computation
+    sql["ts_ohlc_cascade_1h"] = sql["ts_ohlc_1h"]
 
     # token windows: 1-based inclusive-both DuckDB slice [s+1 : s+64] ==
     # Arrow's 0-based [s, s+64); valid-row filter mirrors prepare.validate
