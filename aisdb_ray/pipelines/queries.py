@@ -401,6 +401,12 @@ def q_ts_ohlc_cascade_1h(sf_dir: str):
     )
 
 
+def q_ts_rollup_month(sf_dir: str):
+    """Calendar-month rollup — month boundaries are not fixed-width, so the
+    bucket floors via Arrow's floor_temporal (== DuckDB date_trunc)."""
+    return rollup.rollup_calendar(_clean_tokens(sf_dir), "month")
+
+
 def q_ts_ohlc_1h(sf_dir: str):
     """Per-(source, hour) candle: open/close = n_tok at the earliest/latest
     (time, seq) in the bucket, plus min/max/sum/count.  The engine expresses
@@ -1744,6 +1750,7 @@ def build_queries() -> dict:
         "ts_token_windows": q_ts_token_windows,
         "ts_rollup_1h": lambda sf: _q_ts_rollup(sf, 3600),
         "ts_rollup_1d": lambda sf: _q_ts_rollup(sf, 86400),
+        "ts_rollup_month": q_ts_rollup_month,
         "ts_cascade_1h": q_ts_cascade_1h,
         "ts_ohlc_1h": q_ts_ohlc_1h,
         "ts_realtime_1h": q_ts_realtime_1h,
@@ -2007,6 +2014,16 @@ SELECT source, bucket,
 FROM pre GROUP BY source, bucket"""
     sql["ts_rollup_1h"] = _sql_rollup(tok, 3600)
     sql["ts_rollup_1d"] = _sql_rollup(tok, 86400)
+    sql["ts_rollup_month"] = f"""WITH {_sql_tokens_clean(tok)}
+SELECT source,
+       CAST(epoch(date_trunc('month',
+            make_timestamp(CAST(time AS BIGINT) * 1000000))) AS BIGINT) AS bucket,
+       CAST(min(n_tok) AS BIGINT) AS min_n_tok,
+       CAST(max(n_tok) AS BIGINT) AS max_n_tok,
+       CAST(sum(n_tok) AS BIGINT) AS sum_n_tok,
+       CAST(count(*) AS BIGINT) AS count_n_tok,
+       CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_n_tok
+FROM clean GROUP BY source, bucket"""
     sql["ts_cascade_1h"] = _sql_rollup(tok, 3600)  # direct-from-raw oracle
     sql["ts_refresh_1h"] = _sql_rollup(tok, 3600)  # refresh == from-scratch
     sql["ts_realtime_1h"] = _sql_rollup(tok, 3600)  # frozen ∪ fresh == full

@@ -207,6 +207,43 @@ def rollup_from_rollup(
     return _combine(partials, key_col, hash_combine=hash_combine)
 
 
+def calendar_bucket(time_col, unit: str = "month"):
+    """Calendar-aware bucket start (epoch seconds): month/quarter/year/week
+    boundaries are NOT fixed-width, so they floor via temporal kernels
+    instead of integer division.  Arrow's floor_temporal and DuckDB's
+    date_trunc agree bucket-for-bucket (both proleptic-Gregorian UTC)."""
+    ts = pc.cast(pc.cast(time_col, pa.int64()), pa.timestamp("s"))
+    return pc.cast(pc.floor_temporal(ts, unit=unit), pa.int64())
+
+
+def rollup_calendar(
+    ds,
+    unit: str = "month",
+    value: str = N_TOK,
+    time_col: str = TIME,
+    key_col: str = SOURCE,
+    hash_combine: bool = False,
+):
+    """Calendar-period rollup (month/quarter/year): precompute the bucket
+    per batch, then the standard algebraic partial/combine with width 1
+    (the bucket column IS the grid)."""
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: b[key_col],
+                time_col: calendar_bucket(b[time_col], unit),
+                value: b[value],
+            }
+        )
+
+    partials = ds.map_batches(
+        lambda b: partial_rollup_batch(pre(b), 1, value, time_col, key_col),
+        batch_format="pyarrow",
+    )
+    return _combine(partials, key_col, hash_combine=hash_combine)
+
+
 # ---------------------------------------------------------------------------
 # OHLC rollup: open/close = value at the earliest/latest (time, seq) in the
 # bucket — the reference's per-visit first/last channel stats

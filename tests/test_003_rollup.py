@@ -188,3 +188,22 @@ def test_realtime_rollup_matches_full(micro_dir, micro_df):
     _cmp(got, oracle.rollup(clean, 3600))
     # every bucket appears exactly once (no frozen/fresh overlap)
     assert not got.duplicated(["source", "bucket"]).any()
+
+
+def test_calendar_month_rollup(micro_dir, micro_df):
+    """Month buckets via floor_temporal == pandas month-start flooring."""
+    got = rollup.rollup_calendar(_clean_ds(micro_dir), "month").to_pandas()
+    clean = oracle.clean(micro_df)
+    ts = pd.to_datetime(clean["time"], unit="s", utc=True)
+    clean = clean.assign(
+        bucket=(ts.dt.tz_localize(None).dt.to_period("M").dt.start_time
+                .astype("int64") // 10**9)
+    )
+    want = (
+        clean.groupby(["source", "bucket"])["n_tok"]
+        .agg(min_n_tok="min", max_n_tok="max", sum_n_tok="sum",
+             count_n_tok="size")
+        .reset_index()
+    )
+    want["mean_n_tok"] = want["sum_n_tok"] / want["count_n_tok"]
+    _cmp(got, want)
