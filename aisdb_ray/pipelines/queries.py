@@ -362,7 +362,7 @@ def _ensure_full_cascade(sf_dir: str) -> str:
             os.symlink(f, os.path.join(inp, f"t{i:03d}.parquet"))
         casc.run_cascade(casc.CascadeConfig(
             input_path=inp, out_root=run, num_parts=4, max_gap=TS_MAX_GAP,
-            max_concurrent_parts=2, ohlc=True,
+            max_concurrent_parts=2, ohlc=True, compress=True,
         ))
         with open(done, "w") as fh:
             fh.write("ok\n")
@@ -381,6 +381,20 @@ def q_ts_tier_range(sf_dir: str):
     run = _ensure_full_cascade(sf_dir)
     t0, t1 = _tier_range_bounds(ensure_sf_tokens(sf_dir))
     return tierquery.range_aggregate(run, t0, t1)
+
+
+def q_ts_compressed_rollup_1h(sf_dir: str):
+    """Aggregate straight off the STORED Gorilla tier: read the cascade's
+    compressed partition files, decode in an actor pool, roll up 1h.  The
+    plain-rollup oracle proves the compressed tier is a lossless, queryable
+    storage format (disk round-trip, not just in-memory)."""
+    from aisdb_ray.state.lineage import list_parquet_files
+
+    _ctx()
+    run = _ensure_full_cascade(sf_dir)
+    files = sorted(list_parquet_files(os.path.join(run, "compressed")))
+    pts = compress.decompress(rd.read_parquet(files))
+    return rollup.rollup(pts, 3600)
 
 
 def q_ts_ohlc_cascade_1h(sf_dir: str):
@@ -1756,6 +1770,7 @@ def build_queries() -> dict:
         "ts_realtime_1h": q_ts_realtime_1h,
         "ts_tier_range": q_ts_tier_range,
         "ts_ohlc_cascade_1h": q_ts_ohlc_cascade_1h,
+        "ts_compressed_rollup_1h": q_ts_compressed_rollup_1h,
         "ts_gorilla_roundtrip": q_ts_gorilla_roundtrip,
         "ts_mode": q_ts_mode,
         "ts_gapfill": q_ts_gapfill,
@@ -2027,6 +2042,7 @@ FROM clean GROUP BY source, bucket"""
     sql["ts_cascade_1h"] = _sql_rollup(tok, 3600)  # direct-from-raw oracle
     sql["ts_refresh_1h"] = _sql_rollup(tok, 3600)  # refresh == from-scratch
     sql["ts_realtime_1h"] = _sql_rollup(tok, 3600)  # frozen ∪ fresh == full
+    sql["ts_compressed_rollup_1h"] = _sql_rollup(tok, 3600)  # decode == raw
 
     t0, t1 = _tier_range_bounds(tok)
     sql["ts_tier_range"] = f"""WITH {_sql_tokens_clean(tok)}
