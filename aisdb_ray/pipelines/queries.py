@@ -1381,6 +1381,19 @@ def q_ts_pack_bins(sf_dir: str):
     return packing.pack_documents(pts, cap=16384, chunk_s=86400)
 
 
+def q_ts_iat_quantiles(sf_dir: str):
+    """Inter-arrival-time quantiles per source: the M11 Δt kernel composed
+    with the exact histogram-partial quantile kernel — p50/p95 of the gap
+    between consecutive points (single-row sources have no deltas and drop
+    out on both sides)."""
+    from aisdb_ray.stages import rank, window
+
+    _ctx()
+    pts = _clean_tokens(sf_dir).select_columns(["source", "time", "seq"])
+    d = window.group_deltas(pts, "source", "time", "seq")
+    return rank.group_quantiles(d, "source", "dt", ps=(50, 95))
+
+
 def q_ts_anomaly(sf_dir: str):
     """Trailing-window z-score anomaly detection: rows whose n_tok deviates
     from the trailing-hour mean by more than 3 window standard deviations
@@ -1818,6 +1831,7 @@ def build_queries() -> dict:
         "ts_rolling": q_ts_rolling,
         "ts_running": q_ts_running,
         "ts_anomaly": q_ts_anomaly,
+        "ts_iat_quantiles": q_ts_iat_quantiles,
         "ts_pack_bins": q_ts_pack_bins,
         "ts_source_corr": q_ts_source_corr,
         "doc_minhash_pairs": q_doc_minhash_pairs,
@@ -2720,6 +2734,28 @@ SELECT source,
        CAST(max(tot) AS BIGINT) AS n_rows,
        CAST(min(CASE WHEN cum >= (50 * tot + 99) // 100 THEN n_tok END) AS BIGINT) AS q50_n_tok,
        CAST(min(CASE WHEN cum >= (95 * tot + 99) // 100 THEN n_tok END) AS BIGINT) AS q95_n_tok
+FROM cw GROUP BY source"""
+
+    sql["ts_iat_quantiles"] = f"""WITH {_sql_tokens_clean(tok)},
+  d AS (
+    SELECT source,
+           time - lag(time) OVER (PARTITION BY source ORDER BY time, seq) AS dt
+    FROM clean
+  ),
+  dd AS (SELECT source, CAST(dt AS BIGINT) AS dt FROM d WHERE dt IS NOT NULL),
+  hist AS (
+    SELECT source, dt, count(*) AS n FROM dd GROUP BY source, dt
+  ),
+  cw AS (
+    SELECT source, dt,
+           sum(n) OVER (PARTITION BY source ORDER BY dt) AS cum,
+           sum(n) OVER (PARTITION BY source) AS tot
+    FROM hist
+  )
+SELECT source,
+       CAST(max(tot) AS BIGINT) AS n_rows,
+       CAST(min(CASE WHEN cum >= (50 * tot + 99) // 100 THEN dt END) AS BIGINT) AS q50_dt,
+       CAST(min(CASE WHEN cum >= (95 * tot + 99) // 100 THEN dt END) AS BIGINT) AS q95_dt
 FROM cw GROUP BY source"""
 
     sql["ts_topk"] = f"""WITH {_sql_tokens_clean(tok)}

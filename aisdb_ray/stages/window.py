@@ -187,6 +187,69 @@ def rolling_time_aggregate(
     )
 
 
+def deltas_block(
+    tbl: pa.Table, group: str, time_col: str, seq_col: str
+) -> pa.Table:
+    """(group, time, seq, dt) rows: per-group inter-arrival deltas in
+    (time, seq) order; each group's first row (no predecessor) is dropped."""
+    import pyarrow.compute as pc
+
+    n = len(tbl)
+    if n == 0:
+        return pa.table(
+            {group: pa.array([], pa.string()),
+             time_col: pa.array([], pa.int64()),
+             seq_col: pa.array([], pa.int64()),
+             "dt": pa.array([], pa.int64())}
+        )
+    t = tbl[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    sq = tbl[seq_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    gcol = tbl[group]
+    if isinstance(gcol, pa.ChunkedArray):
+        gcol = gcol.combine_chunks()
+    ginv = pc.dictionary_encode(gcol).indices.to_numpy().astype(np.int64)
+    order = np.lexsort((sq, t, ginv))
+    g, ts, ss = ginv[order], t[order], sq[order]
+    same = np.r_[False, g[1:] == g[:-1]]
+    dt = np.empty(n, np.int64)
+    dt[1:] = ts[1:] - ts[:-1]
+    keep = pa.array(same)
+    return pa.table(
+        {
+            group: gcol.take(pa.array(order)).filter(keep),
+            time_col: pa.array(ts, pa.int64()).filter(keep),
+            seq_col: pa.array(ss, pa.int64()).filter(keep),
+            "dt": pa.array(dt, pa.int64()).filter(keep),
+        }
+    )
+
+
+def group_deltas(ds, group: str, time_col: str, seq_col: str,
+                 num_parts: int | None = None):
+    """Per-group inter-arrival deltas over a Dataset — the M11 Δt kernel as
+    a standalone stage (one co-shuffle, multi-group vectorized tasks)."""
+    import ray
+
+    from aisdb_ray.stages.join import _key_hash
+
+    if num_parts is None:
+        num_parts = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column(_WPART, pa.array(_key_hash(b, [group], num_parts)))
+
+    def per_part(part: pa.Table) -> pa.Table:
+        return deltas_block(
+            part.drop_columns([_WPART]), group, time_col, seq_col
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby(_WPART)
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+
+
 def zscore_anomalies(
     ds,
     group: str,

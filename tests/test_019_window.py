@@ -145,3 +145,26 @@ def test_zscore_anomalies_vs_duckdb():
         rd.from_pandas(flat), "g", "time", "v", width=600
     ).to_pandas()
     assert len(none) == 0
+
+
+def test_group_deltas_bruteforce():
+    """Δt kernel == pandas diff per group; first rows and single-row groups
+    are dropped."""
+    df = _frame(250, ties=True, seed=17)
+    df = pd.concat(
+        [df, pd.DataFrame({"g": ["solo"], "time": [999], "v": [1]})],
+        ignore_index=True,
+    )
+    df["seq"] = np.arange(len(df), dtype=np.int64)
+    got = (
+        window.group_deltas(rd.from_pandas(df), "g", "time", "seq")
+        .to_pandas().sort_values(["g", "time", "seq"]).reset_index(drop=True)
+    )
+    w = df.sort_values(["g", "time", "seq"], kind="stable").copy()
+    w["dt"] = w.groupby("g")["time"].diff()
+    want = w.dropna(subset=["dt"]).astype({"dt": np.int64})
+    want = want.sort_values(["g", "time", "seq"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert "solo" not in set(got["g"])
+    for c in ["g", "time", "seq", "dt"]:
+        np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy(), err_msg=c)
