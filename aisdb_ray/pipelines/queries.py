@@ -1381,6 +1381,23 @@ def q_ts_pack_bins(sf_dir: str):
     return packing.pack_documents(pts, cap=16384, chunk_s=86400)
 
 
+def q_ts_cusum(sf_dir: str):
+    """CUSUM drift detection per source: one-sided cumulative deviation
+    from the series' own early baseline (floor-mean of its first 32 rows),
+    flagged when it exceeds h=20000.  The max(0, s+x) recurrence runs as
+    its exact closed form (prefix sums − running min) — vectorized, int64,
+    bit-exact vs the SQL window formulation."""
+    from aisdb_ray.stages import window
+
+    _ctx()
+    pts = _clean_tokens(sf_dir).select_columns(
+        ["source", "doc_id", "time", "seq", "n_tok"]
+    )
+    return window.cusum_changepoints(
+        pts, "source", "time", "seq", "n_tok", h=20000, baseline_k=32
+    )
+
+
 def q_ts_iat_quantiles(sf_dir: str):
     """Inter-arrival-time quantiles per source: the M11 Δt kernel composed
     with the exact histogram-partial quantile kernel — p50/p95 of the gap
@@ -1832,6 +1849,7 @@ def build_queries() -> dict:
         "ts_running": q_ts_running,
         "ts_anomaly": q_ts_anomaly,
         "ts_iat_quantiles": q_ts_iat_quantiles,
+        "ts_cusum": q_ts_cusum,
         "ts_pack_bins": q_ts_pack_bins,
         "ts_source_corr": q_ts_source_corr,
         "doc_minhash_pairs": q_doc_minhash_pairs,
@@ -2735,6 +2753,37 @@ SELECT source,
        CAST(min(CASE WHEN cum >= (50 * tot + 99) // 100 THEN n_tok END) AS BIGINT) AS q50_n_tok,
        CAST(min(CASE WHEN cum >= (95 * tot + 99) // 100 THEN n_tok END) AS BIGINT) AS q95_n_tok
 FROM cw GROUP BY source"""
+
+    sql["ts_cusum"] = f"""WITH {_sql_tokens_clean(tok)},
+  rn AS (
+    SELECT source, doc_id, time, seq, n_tok,
+           row_number() OVER (PARTITION BY source ORDER BY time, seq) AS r
+    FROM clean
+  ),
+  base AS (
+    SELECT source,
+           CAST(sum(n_tok) FILTER (WHERE r <= 32)
+                // count(*) FILTER (WHERE r <= 32) AS BIGINT) AS target
+    FROM rn GROUP BY source
+  ),
+  x AS (
+    SELECT rn.source, doc_id, time, seq, n_tok,
+           CAST(n_tok AS BIGINT) - b.target AS xv
+    FROM rn JOIN base b ON b.source = rn.source
+  ),
+  p AS (
+    SELECT *, sum(xv) OVER (PARTITION BY source ORDER BY time, seq
+                            ROWS UNBOUNDED PRECEDING) AS P
+    FROM x
+  ),
+  m AS (
+    SELECT *, least(CAST(0 AS BIGINT),
+                    min(P) OVER (PARTITION BY source ORDER BY time, seq
+                                 ROWS UNBOUNDED PRECEDING)) AS mn
+    FROM p
+  )
+SELECT source, doc_id, time, seq, n_tok, CAST(P - mn AS BIGINT) AS cusum
+FROM m WHERE P - mn > 20000"""
 
     sql["ts_iat_quantiles"] = f"""WITH {_sql_tokens_clean(tok)},
   d AS (

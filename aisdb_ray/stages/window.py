@@ -250,6 +250,95 @@ def group_deltas(ds, group: str, time_col: str, seq_col: str,
     )
 
 
+def cusum_block(
+    tbl: pa.Table,
+    group: str,
+    time_col: str,
+    seq_col: str,
+    value: str,
+    h: int,
+    baseline_k: int = 32,
+) -> pa.Table:
+    """One partition's CUSUM change-points, exact in int64.
+
+    The classic one-sided CUSUM recurrence ``s_i = max(0, s_{i-1} + x_i)``
+    (x = value − per-group baseline) has the closed form
+    ``s_i = P_i − min(0, min_{j≤i} P_j)`` over the prefix sums P — a pure
+    cumsum + segmented running-min, so the whole detector vectorizes with
+    no sequential Python loop.  The baseline is the integer-floor mean of
+    the group's first ``baseline_k`` rows (drift is measured against the
+    series' own early behavior).  Rows with ``s > h`` are returned with the
+    ``cusum`` evidence column."""
+    import pyarrow.compute as pc
+
+    n = len(tbl)
+    if n == 0:
+        return tbl.append_column("cusum", pa.array([], pa.int64()))
+    t = tbl[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    sq = tbl[seq_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    gcol = tbl[group]
+    if isinstance(gcol, pa.ChunkedArray):
+        gcol = gcol.combine_chunks()
+    ginv = pc.dictionary_encode(gcol).indices.to_numpy().astype(np.int64)
+    order = np.lexsort((sq, t, ginv))
+    tbl = tbl.take(pa.array(order))
+    g = ginv[order]
+    v = tbl[value].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    ends = np.r_[starts[1:], n]
+    # per-group baseline: floor-mean of the first baseline_k rows
+    cv = np.concatenate(([0], np.cumsum(v, dtype=np.int64)))
+    k = np.minimum(ends - starts, baseline_k)
+    target = (cv[starts + k] - cv[starts]) // k
+    seg_id = np.repeat(np.arange(len(starts)), ends - starts)
+    xv = v - target[seg_id]
+
+    cx = np.cumsum(xv, dtype=np.int64)
+    p = cx - np.repeat(cx[starts] - xv[starts], ends - starts)
+    big = 2 * (np.abs(p).max() + 1)
+    q = p - seg_id * big  # later groups strictly below all earlier ones
+    runmin = np.minimum.accumulate(q) + seg_id * big
+    s = p - np.minimum(0, runmin)
+    out = tbl.append_column("cusum", pa.array(s, pa.int64()))
+    return out.filter(pa.array(s > h))
+
+
+def cusum_changepoints(
+    ds,
+    group: str,
+    time_col: str,
+    seq_col: str,
+    value: str,
+    h: int,
+    baseline_k: int = 32,
+    num_parts: int | None = None,
+):
+    """Distributed CUSUM drift detection per group (one co-shuffle, then a
+    fully-vectorized multi-group task per partition)."""
+    import ray
+
+    from aisdb_ray.stages.join import _key_hash
+
+    if num_parts is None:
+        num_parts = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column(_WPART, pa.array(_key_hash(b, [group], num_parts)))
+
+    def per_part(part: pa.Table) -> pa.Table:
+        return cusum_block(
+            part.drop_columns([_WPART]), group, time_col, seq_col, value,
+            h, baseline_k,
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby(_WPART)
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+
+
 def zscore_anomalies(
     ds,
     group: str,

@@ -168,3 +168,52 @@ def test_group_deltas_bruteforce():
     assert "solo" not in set(got["g"])
     for c in ["g", "time", "seq", "dt"]:
         np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy(), err_msg=c)
+
+
+def test_cusum_closed_form_matches_sequential():
+    """Vectorized closed form == the literal max(0, s+x) recurrence, and
+    a planted level shift is detected at/after the shift."""
+    rng = np.random.default_rng(23)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * n + ["b"] * n,
+            "time": np.tile(np.arange(n, dtype=np.int64), 2),
+            "seq": np.arange(2 * n, dtype=np.int64),
+            "v": np.concatenate(
+                [
+                    rng.integers(90, 110, n),          # a: stationary
+                    np.concatenate([rng.integers(90, 110, n // 2),
+                                    rng.integers(150, 170, n - n // 2)]),  # b: shift
+                ]
+            ).astype(np.int64),
+        }
+    )
+    H, K = 500, 32
+    got = (
+        window.cusum_changepoints(rd.from_pandas(df), "g", "time", "seq", "v",
+                                  h=H, baseline_k=K)
+        .to_pandas().sort_values(["g", "time"]).reset_index(drop=True)
+    )
+
+    # literal sequential reference
+    rows = []
+    for gname, grp in df.groupby("g", sort=False):
+        grp = grp.sort_values(["time", "seq"])
+        v = grp["v"].to_numpy(np.int64)
+        target = v[:K].sum() // min(K, len(v))
+        s = 0
+        for _, row in zip(range(len(v)), grp.itertuples()):
+            s = max(0, s + int(row.v) - int(target))
+            if s > H:
+                rows.append((gname, row.time, s))
+    want = pd.DataFrame(rows, columns=["g", "time", "cusum"])
+    assert len(got) == len(want) and len(got) > 0
+    np.testing.assert_array_equal(got["cusum"].to_numpy(), want["cusum"].to_numpy())
+    np.testing.assert_array_equal(got["time"].to_numpy(), want["time"].to_numpy())
+    # the shifted series must flag, only after its shift, and its drift
+    # dwarfs any floor-mean-baseline noise drift of the stationary series
+    b = got[got["g"] == "b"]
+    assert len(b) > 0 and b["time"].min() >= n // 2
+    a_max = got.loc[got["g"] == "a", "cusum"].max() if (got["g"] == "a").any() else 0
+    assert b["cusum"].max() > 10 * max(a_max, H)
