@@ -1274,6 +1274,57 @@ def q_doc_clean_corpus(sf_dir: str):
     return first.map_batches(lang_tag, batch_format="pyarrow")
 
 
+def q_doc_training_pipeline(sf_dir: str):
+    """The FULL last-mile training-prep composition a corpus user runs:
+    PII scrub -> quality gate over the scrubbed text -> exact dedup
+    keep-first by content hash -> language tag -> overlapping 120/24
+    codepoint chunks with the language carried onto every chunk.  Five
+    stages, one read, each vectorized; the entire composition is
+    hash-verified against one SQL restatement."""
+    from aisdb_ray.functions import text as T
+    from aisdb_ray.stages import scrub as scrub_mod
+    from aisdb_ray.stages import textstats
+
+    _ctx()
+    ds = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ds = scrub_mod.scrub(ds, "text", _scrub_patterns())  # in place
+
+    def gate(b: pa.Table) -> pa.Table:
+        q = textstats.quality_batch(b)
+        b = textstats.md5_batch(b)
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(q["quality_score"], pa.scalar(0.75)),
+                pc.greater_equal(q["n_words"], pa.scalar(20, pa.int64())),
+            ),
+            pc.greater(q["n_chars"], pa.scalar(0, pa.int64())),
+        )
+        return b.filter(pc.fill_null(keep, False))
+
+    gated = ds.map_batches(gate, batch_format="pyarrow")
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        return g.take(pa.array([int(np.argmin(ids))]))
+
+    first = gated.groupby("text_md5").map_groups(keep_first, batch_format="pyarrow")
+
+    def lang_tag(b: pa.Table) -> pa.Table:
+        langs = [T.lang_id(t) for t in b["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text": b["text"],
+                "pred_lang": pa.array(langs, pa.string()),
+            }
+        )
+
+    tagged = first.map_batches(lang_tag, batch_format="pyarrow")
+    return scrub_mod.chunk_documents(
+        tagged, chunk_chars=120, overlap=24, carry_cols=("pred_lang",)
+    )
+
+
 def q_doc_embed_join(sf_dir: str):
     """Large×large co-partitioned hash equi-join (stages/join.py): enrich
     documents with their embedding's cluster label on doc_id = vec_id.
@@ -1839,6 +1890,7 @@ def build_queries() -> dict:
         "doc_langid": q_doc_langid,
         "doc_bpe_count": q_doc_bpe_count,
         "doc_clean_corpus": q_doc_clean_corpus,
+        "doc_training_pipeline": q_doc_training_pipeline,
         "doc_embed_join": q_doc_embed_join,
         "doc_sample_hash": q_doc_sample_hash,
         "doc_sample_stratified": q_doc_sample_stratified,
@@ -2931,6 +2983,71 @@ WINDOW w AS (
   lang AS (""" + _langid_sql() + r""")
 SELECT f.doc_id, f.text_md5, f.n_words, f.quality_score, l.pred_lang
 FROM firstpick f JOIN lang l ON l.doc_id = f.doc_id"""
+
+    # the full scrub -> gate -> dedup -> langid -> chunk composition, each
+    # stage the same SQL fragment its standalone oracle already proves
+    from aisdb_ray.functions.text import STOPWORDS as _SW
+    from aisdb_ray.stages.scrub import scrub_sql as _scrub_sql_f
+
+    _sw_vals = ", ".join(
+        f"('{lang}', {prio}, '{w}')"
+        for prio, (lang, sws) in enumerate(_SW.items())
+        for w in sorted(sws)
+    )
+    sql["doc_training_pipeline"] = rf"""WITH s AS (
+    SELECT doc_id, {_scrub_sql_f('text', _scrub_patterns())} AS text
+    FROM documents
+  ),
+  q AS (
+    SELECT doc_id, text, md5(text) AS text_md5,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+           (CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE))
+           * (1 - CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE)) AS quality_score
+    FROM s
+  ),
+  kept AS (
+    SELECT * FROM q
+    WHERE quality_score >= 0.75 AND n_words >= 20 AND n_chars > 0
+  ),
+  dedup AS (
+    SELECT *, row_number() OVER (PARTITION BY text_md5 ORDER BY doc_id) AS rn
+    FROM kept
+  ),
+  surv AS (SELECT doc_id, text FROM dedup WHERE rn = 1),
+  w AS (
+    SELECT doc_id, trim(lower(t.w), '.,;:!?') AS w
+    FROM surv, LATERAL unnest(regexp_extract_all(text, '\S+')) AS t(w)
+  ),
+  sw(lang, prio, word) AS (VALUES {_sw_vals}),
+  cnt AS (
+    SELECT w.doc_id, s2.lang, s2.prio, count(*) AS n
+    FROM w JOIN sw s2 ON s2.word = w.w
+    GROUP BY w.doc_id, s2.lang, s2.prio
+  ),
+  best AS (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, prio ASC) AS rn
+    FROM cnt
+  ),
+  lang AS (
+    SELECT sv.doc_id,
+           CASE WHEN regexp_matches(sv.text, '[一-鿿]') THEN 'zh'
+                ELSE COALESCE(b.lang, 'unknown') END AS pred_lang
+    FROM surv sv LEFT JOIN best b ON b.doc_id = sv.doc_id AND b.rn = 1
+  )
+SELECT sv.doc_id,
+       CAST(g.s // 96 AS BIGINT) AS chunk_idx,
+       substr(sv.text, CAST(g.s AS BIGINT) + 1, 120) AS chunk_text,
+       CAST(length(substr(sv.text, CAST(g.s AS BIGINT) + 1, 120)) AS BIGINT)
+         AS chunk_chars_n,
+       l.pred_lang
+FROM surv sv
+JOIN lang l ON l.doc_id = sv.doc_id,
+     LATERAL unnest(generate_series(0,
+         CAST(length(sv.text) AS BIGINT) - 1, 96)) AS g(s)"""
 
     from aisdb_ray.stages.textstats import BPE_PATTERN
 

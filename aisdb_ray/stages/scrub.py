@@ -71,13 +71,15 @@ def scrub_sql(col: str,
 
 
 def chunk_documents(ds, id_col: str = "doc_id", text_col: str = "text",
-                    chunk_chars: int = 100, overlap: int = 20):
+                    chunk_chars: int = 100, overlap: int = 20,
+                    carry_cols: tuple = ()):
     """Each document -> overlapping fixed-width codepoint chunks.
 
     Chunk k covers codepoints [k*stride, k*stride + chunk_chars) with
     stride = chunk_chars - overlap; chunks exist for every start < length
     (empty documents produce no chunks).  Output: (id, chunk_idx,
-    chunk_text, chunk_chars_n).
+    chunk_text, chunk_chars_n [, carry_cols...]) — ``carry_cols`` are
+    per-document columns replicated onto every chunk (e.g. a language tag).
     """
     if not 0 <= overlap < chunk_chars:
         raise ValueError("need 0 <= overlap < chunk_chars")
@@ -105,6 +107,7 @@ def chunk_documents(ds, id_col: str = "doc_id", text_col: str = "text",
                         "chunk_chars_n": pc.cast(
                             pc.utf8_length(piece), pa.int64()
                         ),
+                        **{c: t[c] for c in carry_cols},
                     }
                 )
             )
@@ -116,6 +119,7 @@ def chunk_documents(ds, id_col: str = "doc_id", text_col: str = "text",
                     "chunk_idx": pa.array([], pa.int64()),
                     "chunk_text": pa.array([], pa.string()),
                     "chunk_chars_n": pa.array([], pa.int64()),
+                    **{c: b[c].slice(0, 0) for c in carry_cols},
                 }
             )
         return pa.concat_tables(outs)

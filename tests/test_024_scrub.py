@@ -140,3 +140,31 @@ def test_token_windows_evidence():
     b = df[df["doc_id"] == "b"]
     assert b["win_len"].tolist() == [1] and b["tok_sum"].tolist() == [7]
     assert len(df[df["doc_id"] == "c"]) == 0
+
+
+def test_chunk_carry_cols():
+    """Per-document columns replicate onto every chunk."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aisdb_ray.stages.scrub import chunk_documents
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2],
+            "text": ["abcdefghij", "xy"],
+            "lang": ["en", "de"],
+        }
+    )
+    out = (
+        chunk_documents(rd.from_arrow(t), chunk_chars=4, overlap=1,
+                        carry_cols=("lang",))
+        .to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    )
+    assert out.loc[out["doc_id"] == 1, "lang"].eq("en").all()
+    assert out.loc[out["doc_id"] == 2, "lang"].tolist() == ["de"]
+    # stitching unchanged by the carry column
+    got = "".join(
+        c[: 3] for c in out.loc[out["doc_id"] == 1, "chunk_text"][:-1]
+    ) + out.loc[out["doc_id"] == 1, "chunk_text"].iloc[-1]
+    assert got == "abcdefghij"
