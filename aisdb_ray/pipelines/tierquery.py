@@ -109,12 +109,20 @@ def range_aggregate(
 
     if tiers is None:
         tiers = {60: "tier_1m", 3600: "tier_1h", 86400: "tier_1d"}
+    import pyarrow.dataset as pads
+
     pieces = tier_plan(t0, t1, tuple(sorted(tiers)))
     parts = []
     for w, lo, hi in pieces:
+        # predicate PUSHED into the scan: parquet row-group statistics prune
+        # everything outside [lo, hi) before bytes leave storage — the raw
+        # tier is only ever read around the sub-minute edges, never rescanned
         if w == RAW:
             files = sorted(list_parquet_files(os.path.join(out_root, "series")))
-            ds = rd.read_parquet(files, columns=[SOURCE, TIME, value])
+            ds = rd.read_parquet(
+                files, columns=[SOURCE, TIME, value],
+                filter=(pads.field(TIME) >= lo) & (pads.field(TIME) < hi),
+            )
 
             def raw_partial(b: pa.Table, lo=lo, hi=hi) -> pa.Table:
                 b = b.filter(_filter_range(b[TIME], lo, hi))
@@ -126,7 +134,8 @@ def range_aggregate(
         else:
             files = sorted(list_parquet_files(os.path.join(out_root, tiers[w])))
             ds = rd.read_parquet(
-                files, columns=[SOURCE, BUCKET, MIN_V, MAX_V, SUM_V, CNT_V]
+                files, columns=[SOURCE, BUCKET, MIN_V, MAX_V, SUM_V, CNT_V],
+                filter=(pads.field(BUCKET) >= lo) & (pads.field(BUCKET) < hi),
             )
 
             def tier_partial(b: pa.Table, lo=lo, hi=hi) -> pa.Table:

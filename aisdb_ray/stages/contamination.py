@@ -85,9 +85,12 @@ def contamination(
             batch_format="pyarrow",
         )
     )
-    # benchmark = the small held-out side: collect its distinct grams once
+    # benchmark = the small held-out side: collect its distinct grams once,
+    # staying in Arrow end-to-end (no pandas object-column round trip)
+    blocks = [b for b in ray.get(bench_grams.to_arrow_refs()) if b.num_rows]
     uniq = pc.unique(
-        pa.Table.from_pandas(bench_grams.to_pandas())[GRAM].combine_chunks()
+        pa.concat_tables(blocks)[GRAM].combine_chunks()
+        if blocks else pa.array([], pa.string())
     )
     bench_ref = ray.put(uniq)
 

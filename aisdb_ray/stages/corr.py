@@ -71,12 +71,12 @@ def gram_block(
     A[b_idx, s_idx] = 1
     M2 = M * M
 
+    # 4 matmuls, not 6: n and sxy are symmetric, and sy/sy2 are just the
+    # transposes of sx/sx2 (sy[a,b] == sx[b,a]) — index instead of recompute
     n = A.T @ A
     sxy = M.T @ M
     sx = M.T @ A
-    sy = A.T @ M
     sx2 = M2.T @ A
-    sy2 = A.T @ M2
 
     iu, ju = np.triu_indices(s, k=1)
     # canonical pair order is by NAME, not local index: swap where needed
@@ -90,10 +90,10 @@ def gram_block(
             "src_b": pa.array(names[b_i].tolist(), pa.string()),
             "n": pa.array(n[a_i, b_i]),
             "sx": pa.array(sx[a_i, b_i]),
-            "sy": pa.array(sy[a_i, b_i]),
+            "sy": pa.array(sx[b_i, a_i]),
             "sxy": pa.array(sxy[a_i, b_i]),
             "sx2": pa.array(sx2[a_i, b_i]),
-            "sy2": pa.array(sy2[a_i, b_i]),
+            "sy2": pa.array(sx2[b_i, a_i]),
         }
     )
 

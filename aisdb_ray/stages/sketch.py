@@ -249,6 +249,10 @@ def cms_estimate(counters: pa.Table, queries: list[str], d: int = 4, w: int = 25
 def hll_distinct(ds, key_col: str, value_col: str, b: int = 10) -> pa.Table:
     """End-to-end approximate distinct: registers (distributed) → estimate
     (driver-side over the tiny ≤ m-rows-per-key register table)."""
+    import ray
+
     regs = hll_registers(ds, key_col, value_col, b)
-    tbl = pa.Table.from_pandas(regs.to_pandas())
+    tbl = pa.concat_tables(
+        [t for t in ray.get(regs.to_arrow_refs()) if t.num_rows]
+    )
     return hll_estimate(tbl, key_col, b)

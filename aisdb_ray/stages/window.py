@@ -376,6 +376,16 @@ def zscore_anomalies(
         n = b["w_n"].to_numpy(zero_copy_only=False).astype(np.int64)
         s = b["w_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
         ss = b["w_sumsq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # int64 safety: |dev| <= n·max(v) and the flag squares it, so the
+        # exact-integer contract needs n·max(v) < 2^31 (then dev² < 2^62 and
+        # n·sumsq < 2^62 too).  Denser windows must rescale or narrow —
+        # raise rather than silently wrap (the SQL oracle errors likewise).
+        vmax = int(np.abs(v).max()) if len(v) else 0
+        if int(n.max()) * max(vmax, 1) * max(k2_num, k2_den) >= (1 << 31):
+            raise ValueError(
+                "z-score flag would overflow int64: window population × "
+                "value magnitude too large — narrow the window or rescale"
+            )
         dev = v * n - s
         keep = (n >= min_n) & (dev * dev * k2_den > k2_num * (n * ss - s * s))
         return b.filter(pa.array(keep)).drop_columns(["w_mean", "w_min", "w_max"])
