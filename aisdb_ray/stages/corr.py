@@ -30,7 +30,6 @@ import pyarrow as pa
 
 from aisdb_ray.schema import BUCKET, SOURCE, SUM_V
 
-_CPART = "_cpart"
 _STATS = ["n", "sx", "sy", "sxy", "sx2", "sy2"]
 
 
@@ -136,27 +135,11 @@ def pairwise_corr(
 ):
     """Pearson correlation (+ integer evidence) for every co-occurring
     source pair of a rollup tier."""
-    import ray
+    from aisdb_ray.stages._dist import co_shuffle, funnel_combine
 
-    from aisdb_ray.stages.join import _key_hash
-
-    if num_parts is None:
-        num_parts = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
-
-    def add_part(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            _CPART, pa.array(_key_hash(b, [bucket_col], num_parts))
-        )
-
-    def per_part(part: pa.Table) -> pa.Table:
-        return gram_block(part.drop_columns([_CPART]), key_col, bucket_col, value_col)
-
-    partials = (
-        tier_ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby(_CPART)
-        .map_groups(per_part, batch_format="pyarrow")
+    partials = co_shuffle(
+        tier_ds, [bucket_col],
+        lambda part: gram_block(part, key_col, bucket_col, value_col),
+        num_parts,
     )
-    merged = partials.map_batches(
-        _merge_b, batch_format="pyarrow", batch_size=None
-    ).repartition(1).map_batches(_merge_b, batch_format="pyarrow", batch_size=None)
-    return merged.map_batches(_finalize, batch_format="pyarrow", batch_size=None)
+    return funnel_combine(partials, _merge_b, finalize_fn=_finalize)

@@ -25,7 +25,6 @@ import pyarrow as pa
 
 from aisdb_ray.schema import N_TOK, SOURCE, TIME
 
-_PPART = "_ppart"
 CHUNK = "chunk"
 BIN = "bin"
 
@@ -101,25 +100,14 @@ def pack_documents(
     """Per-(source, time-chunk) greedy next-fit sequence packing over a
     Dataset: every row gains (chunk, bin); bins are numbered from 0 within
     their (source, chunk) group in (time, seq) order."""
-    import ray
+    from aisdb_ray.stages._dist import co_shuffle
 
-    from aisdb_ray.stages.join import _key_hash
-
-    if num_parts is None:
-        num_parts = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
-
-    def add_part(b: pa.Table) -> pa.Table:
-        return b.append_column(_PPART, pa.array(_key_hash(b, [key_col], num_parts)))
-
-    def per_part(part: pa.Table) -> pa.Table:
-        return pack_block(
+    return co_shuffle(
+        ds, [key_col],
+        lambda part: pack_block(
             part, cap, key_col, time_col, seq_col, value_col, chunk_s
-        ).drop_columns([_PPART])
-
-    return (
-        ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby(_PPART)
-        .map_groups(per_part, batch_format="pyarrow")
+        ),
+        num_parts,
     )
 
 
@@ -150,7 +138,7 @@ def pack_summary(packed, key_col: str = SOURCE):
         )
         return g.rename_columns([key_col, CHUNK, BIN, "n_docs", "sum_n_tok"])
 
+    from aisdb_ray.stages._dist import funnel_combine
+
     partials = packed.map_batches(partial, batch_format="pyarrow")
-    return partials.repartition(1).map_batches(
-        merge, batch_format="pyarrow", batch_size=None
-    )
+    return funnel_combine(partials, merge)

@@ -88,19 +88,14 @@ def hll_registers(ds, key_col: str, value_col: str, b: int = 10,
     """Distributed HLL register table per key: algebraic partials per batch,
     max-merge combine (same funnel / hash-combine policy as stages/rollup).
     Only touched registers appear (zero registers are implicit)."""
+    from aisdb_ray.stages._dist import funnel_combine
+
     partials = ds.map_batches(
         lambda t: hll_partial_batch(t, key_col, value_col, b),
         batch_format="pyarrow",
     )
-    local = partials.map_batches(
-        lambda t: _merge_b(t, key_col), batch_format="pyarrow", batch_size=None
-    )
-    if hash_combine:
-        return local.groupby(key_col).map_groups(
-            lambda t: _merge_b(t, key_col), batch_format="pyarrow"
-        )
-    return local.repartition(1).map_batches(
-        lambda t: _merge_b(t, key_col), batch_format="pyarrow", batch_size=None
+    return funnel_combine(
+        partials, lambda t: _merge_b(t, key_col), key_col, hash_combine
     )
 
 
@@ -210,15 +205,12 @@ def cms_counts(ds, text_col: str = "text", d: int = 4, w: int = 256):
     algebraic counter partials per batch, sum-merge combine.  The result is
     a ≤ d·w-row integer counter table — mergeable across partitions/days
     by plain addition (see :func:`cms_merge`)."""
+    from aisdb_ray.stages._dist import funnel_combine
+
     partials = ds.map_batches(
         lambda b: cms_partial_batch(b, text_col, d, w), batch_format="pyarrow"
     )
-    local = partials.map_batches(
-        _cms_merge_b, batch_format="pyarrow", batch_size=None
-    )
-    return local.repartition(1).map_batches(
-        _cms_merge_b, batch_format="pyarrow", batch_size=None
-    )
+    return funnel_combine(partials, _cms_merge_b)
 
 
 def cms_merge(*tables: pa.Table) -> pa.Table:

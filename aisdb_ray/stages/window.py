@@ -228,25 +228,12 @@ def group_deltas(ds, group: str, time_col: str, seq_col: str,
                  num_parts: int | None = None):
     """Per-group inter-arrival deltas over a Dataset — the M11 Δt kernel as
     a standalone stage (one co-shuffle, multi-group vectorized tasks)."""
-    import ray
+    from aisdb_ray.stages._dist import co_shuffle
 
-    from aisdb_ray.stages.join import _key_hash
-
-    if num_parts is None:
-        num_parts = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
-
-    def add_part(b: pa.Table) -> pa.Table:
-        return b.append_column(_WPART, pa.array(_key_hash(b, [group], num_parts)))
-
-    def per_part(part: pa.Table) -> pa.Table:
-        return deltas_block(
-            part.drop_columns([_WPART]), group, time_col, seq_col
-        )
-
-    return (
-        ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby(_WPART)
-        .map_groups(per_part, batch_format="pyarrow")
+    return co_shuffle(
+        ds, [group],
+        lambda part: deltas_block(part, group, time_col, seq_col),
+        num_parts,
     )
 
 
@@ -316,26 +303,14 @@ def cusum_changepoints(
 ):
     """Distributed CUSUM drift detection per group (one co-shuffle, then a
     fully-vectorized multi-group task per partition)."""
-    import ray
+    from aisdb_ray.stages._dist import co_shuffle
 
-    from aisdb_ray.stages.join import _key_hash
-
-    if num_parts is None:
-        num_parts = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
-
-    def add_part(b: pa.Table) -> pa.Table:
-        return b.append_column(_WPART, pa.array(_key_hash(b, [group], num_parts)))
-
-    def per_part(part: pa.Table) -> pa.Table:
-        return cusum_block(
-            part.drop_columns([_WPART]), group, time_col, seq_col, value,
-            h, baseline_k,
-        )
-
-    return (
-        ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby(_WPART)
-        .map_groups(per_part, batch_format="pyarrow")
+    return co_shuffle(
+        ds, [group],
+        lambda part: cusum_block(
+            part, group, time_col, seq_col, value, h, baseline_k
+        ),
+        num_parts,
     )
 
 
