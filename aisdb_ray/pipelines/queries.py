@@ -415,6 +415,14 @@ def q_ts_ohlc_cascade_1h(sf_dir: str):
     )
 
 
+def q_ts_throttle_5m(sf_dir: str):
+    """Telemetry throttle: exactly one point per (source, 5-minute bucket) —
+    the earliest (time, seq) row, its fields reconstructed losslessly from
+    the packed arg-min (rollup.first_per_bucket).  Algebraic min partials;
+    no per-group shuffle."""
+    return rollup.first_per_bucket(_clean_tokens(sf_dir), 300)
+
+
 def q_ts_rollup_month(sf_dir: str):
     """Calendar-month rollup — month boundaries are not fixed-width, so the
     bucket floors via Arrow's floor_temporal (== DuckDB date_trunc)."""
@@ -1124,6 +1132,19 @@ def _docs_path(sf_dir: str) -> str:
 
 def _emb_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "embeddings.parquet")
+
+
+def q_doc_normalize(sf_dir: str):
+    """Canonical text normalization (NFC → lower → whitespace collapse →
+    edge trim), vectorized Arrow kernels matching the SQL functions
+    codepoint-for-codepoint."""
+    from aisdb_ray.stages import scrub as scrub_mod
+
+    _ctx()
+    ds = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return scrub_mod.normalize_text(ds, "text", out_col="text_norm").map_batches(
+        lambda b: b.select(["doc_id", "text_norm"]), batch_format="pyarrow"
+    )
 
 
 def q_doc_token_count(sf_dir: str):
@@ -1846,6 +1867,8 @@ def build_queries() -> dict:
         "ts_rollup_1h": lambda sf: _q_ts_rollup(sf, 3600),
         "ts_rollup_1d": lambda sf: _q_ts_rollup(sf, 86400),
         "ts_rollup_month": q_ts_rollup_month,
+        "ts_throttle_5m": q_ts_throttle_5m,
+        "doc_normalize": q_doc_normalize,
         "ts_cascade_1h": q_ts_cascade_1h,
         "ts_ohlc_1h": q_ts_ohlc_1h,
         "ts_realtime_1h": q_ts_realtime_1h,
@@ -2154,6 +2177,18 @@ SELECT source,
 FROM clean GROUP BY source, bucket"""
     # cascade-materialized candles must equal the direct computation
     sql["ts_ohlc_cascade_1h"] = sql["ts_ohlc_1h"]
+
+    sql["ts_throttle_5m"] = f"""WITH {_sql_tokens_clean(tok)}
+SELECT source, (time // 300) * 300 AS bucket, time,
+       CAST(seq AS BIGINT) AS seq, CAST(n_tok AS BIGINT) AS n_tok
+FROM clean
+QUALIFY row_number() OVER (PARTITION BY source, time // 300
+                           ORDER BY time, seq) = 1"""
+
+    sql["doc_normalize"] = r"""SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'), ' ')
+         AS text_norm
+FROM documents"""
 
     # token windows: 1-based inclusive-both DuckDB slice [s+1 : s+64] ==
     # Arrow's 0-based [s, s+64); valid-row filter mirrors prepare.validate

@@ -433,6 +433,58 @@ def ohlc_partial_tier(
     )
 
 
+def first_per_bucket(
+    ds,
+    width_s: int,
+    value: str = N_TOK,
+    time_col: str = TIME,
+    key_col: str = SOURCE,
+    seq_col: str = "seq",
+    hash_combine: bool = False,
+):
+    """Throttle / telemetry downsample: exactly ONE row per (key, bucket) —
+    the earliest (time, seq) point, with its time, seq and value
+    reconstructed EXACTLY from the packed arg-min (the OHLC packing carries
+    all three fields losslessly).  Algebraic min partials: O7's
+    decimation-as-sampling at rollup cost, no per-group shuffle."""
+    from aisdb_ray.stages._dist import funnel_combine
+
+    def partial(b: pa.Table) -> pa.Table:
+        p = partial_ohlc_batch(b, width_s, value, time_col, key_col, seq_col)
+        return p.select([key_col, BUCKET, PK_OPEN])
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by([key_col, BUCKET], use_threads=False).aggregate(
+            [(PK_OPEN, "min")]
+        )
+        return g.rename_columns([key_col, BUCKET, PK_OPEN])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        pk = pc.cast(b[PK_OPEN], pa.int64())
+        val = pc.bit_wise_and(pk, pa.scalar(_VAL_MOD - 1, pa.int64()))
+        key = pc.divide(pk, pa.scalar(_VAL_MOD, pa.int64()))
+        sq = pc.subtract(
+            key, pc.multiply(
+                pc.divide(key, pa.scalar(_SEQ_MOD, pa.int64())),
+                pa.scalar(_SEQ_MOD, pa.int64()),
+            )
+        )
+        rel = pc.divide(key, pa.scalar(_SEQ_MOD, pa.int64()))
+        bucket = pc.cast(b[BUCKET], pa.int64())
+        return pa.table(
+            {
+                key_col: b[key_col],
+                BUCKET: bucket,
+                time_col: pc.add(bucket, rel),
+                seq_col: sq,
+                value: val,
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return funnel_combine(partials, merge, key_col, hash_combine, finalize)
+
+
 # ---------------------------------------------------------------------------
 # Real-time continuous aggregate: materialized tier + raw tail, unioned
 # ---------------------------------------------------------------------------

@@ -70,6 +70,44 @@ def scrub_sql(col: str,
     return expr
 
 
+def normalize_batch(b: pa.Table, col: str, out_col: str | None = None) -> pa.Table:
+    """Canonical text normalization: NFC → lowercase → collapse whitespace
+    runs to one space → trim edge spaces.
+
+    NFC: Arrow's utf8_normalize(form="NFC") does NOT compose on this
+    pyarrow build (measured: 'é' → 'e'+U+0301, diverging from DuckDB's
+    nfc_normalize), so composition runs through unicodedata on exactly the
+    rows containing non-ASCII bytes — NFC is the identity on ASCII, so the
+    common path stays fully vectorized.  utf8_lower matches SQL lower()
+    codepoint-for-codepoint (verified incl. ẞ→ß and fullwidth forms); the
+    trim strips ASCII space only, mirroring SQL trim()'s default."""
+    import unicodedata
+
+    s = b[col]
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    mask = pc.fill_null(pc.match_substring_regex(s, r"[^\x00-\x7F]"), False)
+    if pc.any(mask).as_py():
+        fixed = pa.array(
+            [unicodedata.normalize("NFC", v) for v in s.filter(mask).to_pylist()],
+            pa.string(),
+        )
+        s = pc.replace_with_mask(s, mask, fixed)
+    s = pc.utf8_lower(s)
+    s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
+    s = pc.utf8_trim(s, characters=" ")
+    out = out_col or col
+    if out in b.column_names:
+        b = b.drop_columns([out])
+    return b.append_column(out, s)
+
+
+def normalize_text(ds, col: str, out_col: str | None = None):
+    return ds.map_batches(
+        lambda b: normalize_batch(b, col, out_col), batch_format="pyarrow"
+    )
+
+
 def chunk_documents(ds, id_col: str = "doc_id", text_col: str = "text",
                     chunk_chars: int = 100, overlap: int = 20,
                     carry_cols: tuple = ()):

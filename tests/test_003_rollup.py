@@ -207,3 +207,24 @@ def test_calendar_month_rollup(micro_dir, micro_df):
     )
     want["mean_n_tok"] = want["sum_n_tok"] / want["count_n_tok"]
     _cmp(got, want)
+
+
+def test_first_per_bucket_reconstruction(micro_dir, micro_df):
+    """Throttle rows carry the exact (time, seq, value) of the earliest
+    point per (source, bucket)."""
+    got = (
+        rollup.first_per_bucket(_clean_ds(micro_dir), 300)
+        .to_pandas().sort_values(["source", "bucket"]).reset_index(drop=True)
+    )
+    clean = oracle.clean(micro_df).copy()
+    clean["bucket"] = (clean["time"] // 300) * 300
+    want = (
+        clean.sort_values(["source", "bucket", "time", "seq"], kind="stable")
+        .groupby(["source", "bucket"], sort=False)
+        .first()
+        .reset_index()
+        .sort_values(["source", "bucket"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in ["source", "bucket", "time", "seq", "n_tok"]:
+        np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy(), err_msg=c)

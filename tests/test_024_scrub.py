@@ -168,3 +168,22 @@ def test_chunk_carry_cols():
         c[: 3] for c in out.loc[out["doc_id"] == 1, "chunk_text"][:-1]
     ) + out.loc[out["doc_id"] == 1, "chunk_text"].iloc[-1]
     assert got == "abcdefghij"
+
+
+def test_normalize_text():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aisdb_ray.stages.scrub import normalize_batch, normalize_text
+
+    t = pa.table(
+        {"doc_id": [1, 2, 3],
+         "text": ["Caf\u00e9  X ", "\u1e9e One\tTwo", " a  b "]}
+    )
+    out = normalize_batch(t, "text", "norm")["norm"].to_pylist()
+    assert out == ["caf\u00e9 x", "\u00df one two", "a b"]
+    # NFC must COMPOSE: decomposed e+combining-acute -> precomposed é
+    dec = pa.table({"text": ["Cafe\u0301"]})
+    assert normalize_batch(dec, "text")["text"].to_pylist() == ["caf\u00e9"]
+    ds = normalize_text(rd.from_arrow(t), "text").to_pandas()
+    assert ds["text"].tolist() == out
