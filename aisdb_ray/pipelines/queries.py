@@ -415,6 +415,20 @@ def q_ts_ohlc_cascade_1h(sf_dir: str):
     )
 
 
+def q_ts_twa_1h(sf_dir: str):
+    """Time-weighted average per (source, hour): LOCF step-hold integral
+    over the cleaned/segmented points (stages/twa.py) — holds clip at
+    segment ends, split exactly at bucket boundaries; integer evidence
+    (twa_num, dur_s) plus the float twa."""
+    from aisdb_ray.stages import twa
+
+    _ctx()
+    pts = _clean_tokens(sf_dir).select_columns(
+        ["source", "seg", "time", "seq", "n_tok"]
+    )
+    return twa.twa_rollup(pts, 3600)
+
+
 def q_ts_throttle_5m(sf_dir: str):
     """Telemetry throttle: exactly one point per (source, 5-minute bucket) —
     the earliest (time, seq) row, its fields reconstructed losslessly from
@@ -1868,6 +1882,7 @@ def build_queries() -> dict:
         "ts_rollup_1d": lambda sf: _q_ts_rollup(sf, 86400),
         "ts_rollup_month": q_ts_rollup_month,
         "ts_throttle_5m": q_ts_throttle_5m,
+        "ts_twa_1h": q_ts_twa_1h,
         "doc_normalize": q_doc_normalize,
         "ts_cascade_1h": q_ts_cascade_1h,
         "ts_ohlc_1h": q_ts_ohlc_1h,
@@ -2177,6 +2192,26 @@ SELECT source,
 FROM clean GROUP BY source, bucket"""
     # cascade-materialized candles must equal the direct computation
     sql["ts_ohlc_cascade_1h"] = sql["ts_ohlc_1h"]
+
+    sql["ts_twa_1h"] = f"""WITH {_sql_tokens_clean(tok)},
+  nxt AS (
+    SELECT source, seg, time AS a, CAST(n_tok AS BIGINT) AS v,
+           lead(time) OVER (PARTITION BY source, seg ORDER BY time, seq) AS b
+    FROM segmented
+  ),
+  iv AS (SELECT * FROM nxt WHERE b IS NOT NULL AND b > a),
+  expl AS (
+    SELECT source,
+           CAST(g.bk AS BIGINT) AS bucket,
+           least(b, g.bk + 3600) - greatest(a, g.bk) AS dur, v
+    FROM iv, LATERAL unnest(generate_series(
+        (a // 3600) * 3600, ((b - 1) // 3600) * 3600, 3600)) AS g(bk)
+  )
+SELECT source, bucket,
+       CAST(sum(v * dur) AS BIGINT) AS twa_num,
+       CAST(sum(dur) AS BIGINT) AS dur_s,
+       CAST(sum(v * dur) AS DOUBLE) / CAST(sum(dur) AS DOUBLE) AS twa
+FROM expl GROUP BY source, bucket"""
 
     sql["ts_throttle_5m"] = f"""WITH {_sql_tokens_clean(tok)}
 SELECT source, (time // 300) * 300 AS bucket, time,
