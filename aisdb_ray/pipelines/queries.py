@@ -1148,6 +1148,28 @@ def _emb_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "embeddings.parquet")
 
 
+def q_doc_ttr(sf_dir: str):
+    """Vocabulary-richness stats per document: total tokens, distinct
+    tokens, and the top term frequency (the all-integer evidence behind
+    type-token ratio / repetition filters).  Per-batch term frequencies are
+    already globally unique per doc (one doc == one row), so no combine
+    shuffle is needed."""
+    from aisdb_ray.stages import textstats
+
+    _ctx()
+    ds = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def per_doc(b: pa.Table) -> pa.Table:
+        tf = textstats.term_freq_batch(b)
+        g = tf.group_by(["doc_id"], use_threads=False).aggregate(
+            [("tf", "sum"), ("tf", "count", pc.CountOptions(mode="all")),
+             ("tf", "max")]
+        )
+        return g.rename_columns(["doc_id", "n_tokens", "n_distinct", "max_tf"])
+
+    return ds.map_batches(per_doc, batch_format="pyarrow")
+
+
 def q_doc_normalize(sf_dir: str):
     """Canonical text normalization (NFC → lower → whitespace collapse →
     edge trim), vectorized Arrow kernels matching the SQL functions
@@ -1465,6 +1487,35 @@ def q_ts_pack_bins(sf_dir: str):
         ["source", "doc_id", "time", "seq", "n_tok"]
     )
     return packing.pack_documents(pts, cap=16384, chunk_s=86400)
+
+
+def q_ts_increase_1h(sf_dir: str):
+    """Prometheus-style increase(): per (source, hour) sum of POSITIVE
+    value deltas (total upward movement), assigned to the later point's
+    bucket — the Δvalue kernel composed with grouped sums."""
+    from aisdb_ray.functions import agg
+    from aisdb_ray.stages import window
+
+    _ctx()
+    pts = _clean_tokens(sf_dir).select_columns(
+        ["source", "time", "seq", "n_tok"]
+    )
+    d = window.group_deltas(pts, "source", "time", "seq", value_col="n_tok")
+
+    def pos_bucket(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["dv"], pa.scalar(0, pa.int64())))
+        bk = pc.multiply(
+            pc.divide(pc.cast(b["time"], pa.int64()), pa.scalar(3600, pa.int64())),
+            pa.scalar(3600, pa.int64()),
+        )
+        return pa.table(
+            {"source": b["source"], "bucket": bk, "increase": b["dv"]}
+        )
+
+    return agg.grouped_sums(
+        d.map_batches(pos_bucket, batch_format="pyarrow"),
+        ["source", "bucket"], ["increase"], count_as="n_deltas",
+    )
 
 
 def q_ts_cusum(sf_dir: str):
@@ -1884,6 +1935,7 @@ def build_queries() -> dict:
         "ts_throttle_5m": q_ts_throttle_5m,
         "ts_twa_1h": q_ts_twa_1h,
         "doc_normalize": q_doc_normalize,
+        "doc_ttr": q_doc_ttr,
         "ts_cascade_1h": q_ts_cascade_1h,
         "ts_ohlc_1h": q_ts_ohlc_1h,
         "ts_realtime_1h": q_ts_realtime_1h,
@@ -1940,6 +1992,7 @@ def build_queries() -> dict:
         "ts_anomaly": q_ts_anomaly,
         "ts_iat_quantiles": q_ts_iat_quantiles,
         "ts_cusum": q_ts_cusum,
+        "ts_increase_1h": q_ts_increase_1h,
         "ts_pack_bins": q_ts_pack_bins,
         "ts_source_corr": q_ts_source_corr,
         "doc_minhash_pairs": q_doc_minhash_pairs,
@@ -2219,6 +2272,17 @@ SELECT source, (time // 300) * 300 AS bucket, time,
 FROM clean
 QUALIFY row_number() OVER (PARTITION BY source, time // 300
                            ORDER BY time, seq) = 1"""
+
+    sql["doc_ttr"] = r"""WITH tf AS (
+    SELECT doc_id, t.w AS w, count(*) AS c
+    FROM documents d, LATERAL unnest(regexp_extract_all(d.text, '\S+')) AS t(w)
+    GROUP BY doc_id, t.w
+  )
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(max(c) AS BIGINT) AS max_tf
+FROM tf GROUP BY doc_id"""
 
     sql["doc_normalize"] = r"""SELECT doc_id,
        trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'), ' ')
@@ -2875,6 +2939,19 @@ SELECT source,
        CAST(min(CASE WHEN cum >= (50 * tot + 99) // 100 THEN n_tok END) AS BIGINT) AS q50_n_tok,
        CAST(min(CASE WHEN cum >= (95 * tot + 99) // 100 THEN n_tok END) AS BIGINT) AS q95_n_tok
 FROM cw GROUP BY source"""
+
+    sql["ts_increase_1h"] = f"""WITH {_sql_tokens_clean(tok)},
+  d AS (
+    SELECT source, time,
+           CAST(n_tok AS BIGINT)
+             - lag(CAST(n_tok AS BIGINT)) OVER (PARTITION BY source
+                                                ORDER BY time, seq) AS dv
+    FROM clean
+  )
+SELECT source, (time // 3600) * 3600 AS bucket,
+       CAST(sum(dv) AS BIGINT) AS increase,
+       CAST(count(*) AS BIGINT) AS n_deltas
+FROM d WHERE dv > 0 GROUP BY source, bucket"""
 
     sql["ts_cusum"] = f"""WITH {_sql_tokens_clean(tok)},
   rn AS (

@@ -188,20 +188,24 @@ def rolling_time_aggregate(
 
 
 def deltas_block(
-    tbl: pa.Table, group: str, time_col: str, seq_col: str
+    tbl: pa.Table, group: str, time_col: str, seq_col: str,
+    value_col: str | None = None,
 ) -> pa.Table:
-    """(group, time, seq, dt) rows: per-group inter-arrival deltas in
-    (time, seq) order; each group's first row (no predecessor) is dropped."""
+    """(group, time, seq, dt [, dv]) rows: per-group deltas in (time, seq)
+    order, each row carrying the LATER point's (time, seq); the group's
+    first row (no predecessor) is dropped.  ``value_col`` adds the value
+    delta ``dv`` (later − earlier)."""
     import pyarrow.compute as pc
 
     n = len(tbl)
     if n == 0:
-        return pa.table(
-            {group: pa.array([], pa.string()),
-             time_col: pa.array([], pa.int64()),
-             seq_col: pa.array([], pa.int64()),
-             "dt": pa.array([], pa.int64())}
-        )
+        cols = {group: pa.array([], pa.string()),
+                time_col: pa.array([], pa.int64()),
+                seq_col: pa.array([], pa.int64()),
+                "dt": pa.array([], pa.int64())}
+        if value_col is not None:
+            cols["dv"] = pa.array([], pa.int64())
+        return pa.table(cols)
     t = tbl[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
     sq = tbl[seq_col].to_numpy(zero_copy_only=False).astype(np.int64)
     gcol = tbl[group]
@@ -214,25 +218,29 @@ def deltas_block(
     dt = np.empty(n, np.int64)
     dt[1:] = ts[1:] - ts[:-1]
     keep = pa.array(same)
-    return pa.table(
-        {
-            group: gcol.take(pa.array(order)).filter(keep),
-            time_col: pa.array(ts, pa.int64()).filter(keep),
-            seq_col: pa.array(ss, pa.int64()).filter(keep),
-            "dt": pa.array(dt, pa.int64()).filter(keep),
-        }
-    )
+    cols = {
+        group: gcol.take(pa.array(order)).filter(keep),
+        time_col: pa.array(ts, pa.int64()).filter(keep),
+        seq_col: pa.array(ss, pa.int64()).filter(keep),
+        "dt": pa.array(dt, pa.int64()).filter(keep),
+    }
+    if value_col is not None:
+        v = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        dv = np.empty(n, np.int64)
+        dv[1:] = v[1:] - v[:-1]
+        cols["dv"] = pa.array(dv, pa.int64()).filter(keep)
+    return pa.table(cols)
 
 
 def group_deltas(ds, group: str, time_col: str, seq_col: str,
-                 num_parts: int | None = None):
-    """Per-group inter-arrival deltas over a Dataset — the M11 Δt kernel as
-    a standalone stage (one co-shuffle, multi-group vectorized tasks)."""
+                 value_col: str | None = None, num_parts: int | None = None):
+    """Per-group deltas over a Dataset — the M11 Δt/Δvalue kernel as a
+    standalone stage (one co-shuffle, multi-group vectorized tasks)."""
     from aisdb_ray.stages._dist import co_shuffle
 
     return co_shuffle(
         ds, [group],
-        lambda part: deltas_block(part, group, time_col, seq_col),
+        lambda part: deltas_block(part, group, time_col, seq_col, value_col),
         num_parts,
     )
 
