@@ -885,12 +885,19 @@ def main(argv=None):
     ap.add_argument("--chunk-s", type=int, default=salted.DEFAULT_CHUNK_S)
     ap.add_argument("--gapfill", action="store_true")
     ap.add_argument("--compress", action="store_true")
+    ap.add_argument("--ohlc", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None)
+    # 'local' = single-node session; 'auto' = join the running cluster —
+    # what a `ray job submit` entrypoint uses (the job server exports
+    # RAY_ADDRESS, which wins over this default)
+    ap.add_argument(
+        "--address", default=os.environ.get("RAY_ADDRESS", "local")
+    )
     args = ap.parse_args(argv)
 
     if not ray.is_initialized():
         ray.init(
-            address="local",
+            address=args.address,
             num_cpus=args.num_cpus,
             include_dashboard=False,
             logging_level="ERROR",
@@ -910,6 +917,7 @@ def main(argv=None):
         chunk_s=args.chunk_s,
         gapfill=args.gapfill,
         compress=args.compress,
+        ohlc=args.ohlc,
     )
     summary = run_cascade(cfg)
     import json
