@@ -415,6 +415,54 @@ def q_ts_ohlc_cascade_1h(sf_dir: str):
     )
 
 
+def q_ts_bucket_quantiles(sf_dir: str):
+    """Per-(source, day) exact p50/p95 of n_tok — the windowed-percentile
+    dashboard query, via the composite-group histogram-partial kernel."""
+    from aisdb_ray.stages import rank
+
+    _ctx()
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bk = pc.multiply(
+            pc.divide(pc.cast(b["time"], pa.int64()), pa.scalar(86400, pa.int64())),
+            pa.scalar(86400, pa.int64()),
+        )
+        return pa.table(
+            {"source": b["source"], "bucket": bk, "n_tok": b["n_tok"]}
+        )
+
+    pts = _clean_tokens(sf_dir).map_batches(add_bucket, batch_format="pyarrow")
+    return rank.group_quantiles_multi(pts, ["source", "bucket"], "n_tok")
+
+
+def q_ts_coverage_1d(sf_dir: str):
+    """Data-coverage SLA per (source, day): seconds of the day covered by
+    a live hold (consecutive same-segment points) — the TWA integral with
+    a constant value, so covered_s is its exact duration term."""
+    from aisdb_ray.stages import twa
+
+    _ctx()
+
+    def one(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"], "seg": b["seg"], "time": b["time"],
+                "seq": b["seq"],
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+
+    pts = _clean_tokens(sf_dir).map_batches(one, batch_format="pyarrow")
+    cov = twa.twa_rollup(pts, 86400, value_col="one")
+    return cov.map_batches(
+        lambda b: pa.table(
+            {"source": b["source"], "bucket": b["bucket"],
+             "covered_s": b["dur_s"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_ts_twa_1h(sf_dir: str):
     """Time-weighted average per (source, hour): LOCF step-hold integral
     over the cleaned/segmented points (stages/twa.py) — holds clip at
@@ -1934,6 +1982,8 @@ def build_queries() -> dict:
         "ts_rollup_month": q_ts_rollup_month,
         "ts_throttle_5m": q_ts_throttle_5m,
         "ts_twa_1h": q_ts_twa_1h,
+        "ts_bucket_quantiles": q_ts_bucket_quantiles,
+        "ts_coverage_1d": q_ts_coverage_1d,
         "doc_normalize": q_doc_normalize,
         "doc_ttr": q_doc_ttr,
         "ts_cascade_1h": q_ts_cascade_1h,
@@ -2245,6 +2295,42 @@ SELECT source,
 FROM clean GROUP BY source, bucket"""
     # cascade-materialized candles must equal the direct computation
     sql["ts_ohlc_cascade_1h"] = sql["ts_ohlc_1h"]
+
+    sql["ts_bucket_quantiles"] = f"""WITH {_sql_tokens_clean(tok)},
+  pts AS (
+    SELECT source, (time // 86400) * 86400 AS bucket, n_tok FROM clean
+  ),
+  hist AS (
+    SELECT source, bucket, n_tok, count(*) AS n
+    FROM pts GROUP BY source, bucket, n_tok
+  ),
+  cw AS (
+    SELECT source, bucket, n_tok,
+           sum(n) OVER (PARTITION BY source, bucket ORDER BY n_tok) AS cum,
+           sum(n) OVER (PARTITION BY source, bucket) AS tot
+    FROM hist
+  )
+SELECT source, CAST(bucket AS BIGINT) AS bucket,
+       CAST(max(tot) AS BIGINT) AS n_rows,
+       CAST(min(CASE WHEN cum >= (50 * tot + 99) // 100 THEN n_tok END) AS BIGINT) AS q50_n_tok,
+       CAST(min(CASE WHEN cum >= (95 * tot + 99) // 100 THEN n_tok END) AS BIGINT) AS q95_n_tok
+FROM cw GROUP BY source, bucket"""
+
+    sql["ts_coverage_1d"] = f"""WITH {_sql_tokens_clean(tok)},
+  nxt AS (
+    SELECT source, seg, time AS a,
+           lead(time) OVER (PARTITION BY source, seg ORDER BY time, seq) AS b
+    FROM segmented
+  ),
+  iv AS (SELECT * FROM nxt WHERE b IS NOT NULL AND b > a),
+  expl AS (
+    SELECT source, CAST(g.bk AS BIGINT) AS bucket,
+           least(b, g.bk + 86400) - greatest(a, g.bk) AS dur
+    FROM iv, LATERAL unnest(generate_series(
+        (a // 86400) * 86400, ((b - 1) // 86400) * 86400, 86400)) AS g(bk)
+  )
+SELECT source, bucket, CAST(sum(dur) AS BIGINT) AS covered_s
+FROM expl GROUP BY source, bucket"""
 
     sql["ts_twa_1h"] = f"""WITH {_sql_tokens_clean(tok)},
   nxt AS (

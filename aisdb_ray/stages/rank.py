@@ -160,3 +160,44 @@ def group_quantiles_cont(ds, group: str, value: str, ps=(25, 50, 75)):
         lambda t: _quantile_cont_pick(t, group, value, ps),
         batch_format="pyarrow",
     )
+
+
+def _q_partial_multi(b: pa.Table, groups: list[str], value: str) -> pa.Table:
+    cols = {g: b[g] for g in groups}
+    cols[value] = b[value]
+    g = (
+        pa.table(cols)
+        .group_by([*groups, value], use_threads=False)
+        .aggregate([([], "count_all")])
+    )
+    return g.rename_columns([*groups, value, "n"])
+
+
+def _q_pick_multi(tbl: pa.Table, groups: list[str], value: str, ps) -> pa.Table:
+    t = tbl.group_by([*groups, value], use_threads=False).aggregate([("n", "sum")])
+    t = t.rename_columns([*groups, value, "n"])
+    v = t[value].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(v, kind="stable")
+    cum = np.cumsum(n[order])
+    tot = int(cum[-1])
+    out = {g: [t[g][0].as_py()] for g in groups}
+    out["n_rows"] = pa.array([tot], pa.int64())
+    for p in ps:
+        rank = (p * tot + 99) // 100
+        i = int(np.searchsorted(cum, rank, side="left"))
+        out[f"q{p}_{value}"] = pa.array([int(v[order][i])], pa.int64())
+    return pa.table(out)
+
+
+def group_quantiles_multi(ds, groups: list[str], value: str, ps=(50, 95)):
+    """Exact discrete quantiles per COMPOSITE group tuple — the same
+    value-histogram decomposition and integer rank rule as
+    :func:`group_quantiles`, shuffling only (groups, value, count)
+    partials.  The per-window percentile form ("p95 per source per day")."""
+    partials = ds.map_batches(
+        lambda b: _q_partial_multi(b, groups, value), batch_format="pyarrow"
+    )
+    return partials.groupby(groups).map_groups(
+        lambda t: _q_pick_multi(t, groups, value, ps), batch_format="pyarrow"
+    )

@@ -400,3 +400,34 @@ def test_group_quantiles_match_duckdb_quantile_disc():
         "SELECT g, quantile_disc(v, 0.5) q FROM df GROUP BY g ORDER BY g"
     ).df().set_index("g")["q"]
     assert (got == want).all()
+
+
+def test_group_quantiles_multi_matches_numpy():
+    """Composite-group quantiles == numpy per-(g1,g2) rank rule."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from aisdb_ray.stages import rank
+
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame(
+        {
+            "g1": rng.choice(["a", "b"], 500),
+            "g2": rng.integers(0, 4, 500).astype(np.int64),
+            "v": rng.integers(0, 40, 500).astype(np.int64),
+        }
+    )
+    got = (
+        rank.group_quantiles_multi(rd.from_pandas(df), ["g1", "g2"], "v",
+                                   ps=(50, 95))
+        .to_pandas().sort_values(["g1", "g2"]).reset_index(drop=True)
+    )
+    for _, r in got.iterrows():
+        vals = np.sort(
+            df[(df["g1"] == r["g1"]) & (df["g2"] == r["g2"])]["v"].to_numpy()
+        )
+        assert r["n_rows"] == len(vals)
+        for p in (50, 95):
+            rank_ = (p * len(vals) + 99) // 100
+            assert r[f"q{p}_v"] == vals[rank_ - 1], (r["g1"], r["g2"], p)
