@@ -1292,6 +1292,45 @@ def q_doc_contamination(sf_dir: str):
     return cont.contamination(ds, bench_pred, n=8)
 
 
+def q_doc_incremental_dedup(sf_dir: str):
+    """Incremental corpus ingestion: dedup a NEW shard against the
+    already-ingested ledger (deterministic 50% split) by content hash.
+    Bloom NEGATIVES (guaranteed-novel docs — the common case in real
+    ingestion) bypass the join entirely; positives go through the exact
+    anti join; survivors then keep-first within the shard."""
+    from aisdb_ray.stages import bloomjoin, textstats
+    from aisdb_ray.stages.sample import md5_u32
+
+    _ctx()
+    ds = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    hashed = ds.map_batches(
+        lambda b: textstats.md5_batch64(b).drop_columns(["text"]),
+        batch_format="pyarrow",
+    )
+
+    def shard(b: pa.Table, ledger: bool) -> pa.Table:
+        m = md5_u32(b["doc_id"]) % 100 < 50
+        return b.filter(pa.array(m if ledger else ~m))
+
+    ledger = hashed.map_batches(lambda b: shard(b, True), batch_format="pyarrow")
+    new = hashed.map_batches(lambda b: shard(b, False), batch_format="pyarrow")
+    # undersized bitmap on purpose at this scale: forces false positives
+    # through the exact verify path every run
+    fresh = bloomjoin.bloom_anti_join(
+        new, ledger, on="text_md5", bloom_on="md5_i64", m_bits=1 << 12, k=4
+    )
+
+    def keep_min(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        i = int(np.argmin(ids))
+        return pa.table(
+            {"text_md5": [g["text_md5"][i].as_py()],
+             "doc_id": pa.array([int(ids[i])], pa.int64())}
+        )
+
+    return fresh.groupby("text_md5").map_groups(keep_min, batch_format="pyarrow")
+
+
 def q_doc_cms_words(sf_dir: str):
     """Count-Min sketch (d=4, w=256) of whitespace-token frequencies over
     the corpus — the mergeable heavy-hitter counter table.  All-integer
@@ -2025,6 +2064,7 @@ def build_queries() -> dict:
         "doc_keywords": q_doc_keywords,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_cms_words": q_doc_cms_words,
+        "doc_incremental_dedup": q_doc_incremental_dedup,
         "doc_contamination": q_doc_contamination,
         "doc_textstats": q_doc_textstats,
         "doc_langid": q_doc_langid,
@@ -2943,6 +2983,21 @@ FROM documents"""
 FROM documents GROUP BY md5(text)"""
 
     sql["doc_langid"] = _langid_sql()
+
+    sql["doc_incremental_dedup"] = """WITH h AS (
+    SELECT doc_id, md5(text) AS text_md5,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             % 100 AS s
+    FROM documents
+  ),
+  led AS (SELECT text_md5 FROM h WHERE s < 50),
+  incoming AS (SELECT doc_id, text_md5 FROM h WHERE s >= 50),
+  novel AS (
+    SELECT * FROM incoming
+    WHERE text_md5 NOT IN (SELECT text_md5 FROM led)
+  )
+SELECT text_md5, CAST(min(doc_id) AS BIGINT) AS doc_id
+FROM novel GROUP BY text_md5"""
 
     # word-8-gram overlap vs the deterministic 20% benchmark split — list
     # slicing keeps gram order deterministic (no unnest-ordering reliance)

@@ -151,3 +151,44 @@ def bloom_semi_join(fact, keys_ds, on: str, right_on: str | None = None,
         )
     return hash_join(pre, keys_proj, on=on, how="left semi",
                      num_parts=num_parts)
+
+
+def bloom_anti_join(fact, keys_ds, on: str, bloom_on: str | None = None,
+                    m_bits: int = 1 << 23, k: int = 7,
+                    num_parts: int | None = None):
+    """``fact LEFT ANTI JOIN keys_ds`` — the incremental-ingest dedup shape.
+
+    A NEGATIVE Bloom test is a guarantee of absence, so most genuinely-new
+    rows bypass the join entirely (no shuffle); only Bloom POSITIVES (true
+    matches + false positives) go through the exact co-partitioned hash
+    anti join, whose survivors union with the bypass stream.  ``bloom_on``
+    names an int64 prefilter key present on BOTH sides when ``on`` itself
+    is not integer (e.g. an md5 hex string with its md5_i64 sibling) —
+    exactness is unaffected: a negative on the derived key implies no
+    ledger row can equal the string key."""
+    import ray
+
+    bkey = bloom_on or on
+    words = build_bloom(keys_ds, bkey, m_bits, k)
+    bm_ref = ray.put(words)
+
+    def split(b: pa.Table, keep_negatives: bool) -> pa.Table:
+        w = ray.get(bm_ref)
+        col = b[bkey]
+        if col.null_count:
+            b = b.filter(pa.compute.is_valid(col))
+            col = b[bkey]
+        keys = col.to_numpy(zero_copy_only=False)
+        hit = _test_bits(w, keys, m_bits, k)
+        return b.filter(pa.array(~hit if keep_negatives else hit))
+
+    definite_new = fact.map_batches(
+        lambda b: split(b, True), batch_format="pyarrow"
+    )
+    positives = fact.map_batches(
+        lambda b: split(b, False), batch_format="pyarrow"
+    )
+    keys_proj = keys_ds.select_columns([on])
+    verified = hash_join(positives, keys_proj, on=on, how="left anti",
+                         num_parts=num_parts)
+    return definite_new.union(verified)

@@ -133,6 +133,21 @@ def md5_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("text_md5", pa.array(h, pa.string()))
 
 
+def md5_batch64(batch: pa.Table, col: str = "text") -> pa.Table:
+    """md5_batch plus an int64 view of the digest's first 8 bytes — a
+    Bloom-filter / bucketing key derived in the SAME per-row pass (no
+    second hash loop).  Equality is still decided on the full hex string;
+    the int64 only prefilters."""
+    vals = batch[col].to_pylist()
+    hexes, u64 = [], []
+    for v in vals:
+        d = hashlib.md5(v.encode())
+        hexes.append(d.hexdigest())
+        u64.append(int.from_bytes(d.digest()[:8], "big", signed=False) - (1 << 63))
+    out = batch.append_column("text_md5", pa.array(hexes, pa.string()))
+    return out.append_column("md5_i64", pa.array(u64, pa.int64()))
+
+
 def _df_partial(batch: pa.Table) -> pa.Table:
     """Per-batch document-frequency partial: (token, #docs-in-batch).
 

@@ -88,3 +88,32 @@ def test_null_keys_dropped():
         _ds(fact), _ds(keys), on="fk", num_parts=2
     ).to_pandas()
     assert sorted(got["payload"].tolist()) == [0, 2]
+
+
+def test_bloom_anti_join_exact_with_fp_pressure():
+    """Anti join == brute set difference even when the bitmap is so small
+    that most bloom tests are false positives (exact verify must catch
+    them); negatives bypass correctly."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from aisdb_ray.stages.bloomjoin import bloom_anti_join
+
+    rng = np.random.default_rng(47)
+    fact = pd.DataFrame({"k": rng.integers(0, 4000, 3000).astype(np.int64),
+                         "payload": np.arange(3000)})
+    keys = pd.DataFrame({"k": rng.integers(0, 4000, 800).astype(np.int64)})
+    got = (
+        bloom_anti_join(rd.from_pandas(fact), rd.from_pandas(keys), on="k",
+                        m_bits=64 * 4, k=3)  # tiny: heavy fp pressure
+        .to_pandas().sort_values(["k", "payload"]).reset_index(drop=True)
+    )
+    want = (
+        fact[~fact["k"].isin(set(keys["k"]))]
+        .sort_values(["k", "payload"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    np.testing.assert_array_equal(got["k"].to_numpy(), want["k"].to_numpy())
+    np.testing.assert_array_equal(got["payload"].to_numpy(),
+                                  want["payload"].to_numpy())
