@@ -106,3 +106,28 @@ def test_ohlc_requires_part_mode(tmp_path):
     )
     with pytest.raises(ValueError):
         cascade.run_cascade(cfg)
+
+
+def test_ohlc_retention_prunes_candle_tiers(built, tmp_path_factory):
+    """Retention keyed 'ohlc_1m' prunes candle partitions by bucket."""
+    inp, out = built
+    import pyarrow.parquet as pq2
+
+    from aisdb_ray.state.lineage import Manifest, list_parquet_files
+
+    files = list_parquet_files(os.path.join(out, "ohlc_1m"))
+    t = pa.concat_tables([pq2.read_table(f) for f in files],
+                         promote_options="default")
+    cutoff = int(pd.Series(t["bucket"].to_pylist()).quantile(0.5))
+    cutoff = (cutoff // 60) * 60
+    cfg = _cfg(inp, out)
+    cfg.retention = {"ohlc_1m": cutoff}
+    manifest = Manifest.open(out, cfg.fingerprint())
+    pruned = cascade.apply_retention(cfg, manifest)
+    assert pruned.get("ohlc_1m", 0) > 0
+    left = pa.concat_tables(
+        [pq2.read_table(f) for f in
+         list_parquet_files(os.path.join(out, "ohlc_1m"))],
+        promote_options="default",
+    )
+    assert min(left["bucket"].to_pylist()) >= cutoff
