@@ -1917,6 +1917,58 @@ def q_ann_topk_multi(sf_dir: str):
     return top.map_batches(finish, batch_format="pyarrow")
 
 
+def q_emb_norms(sf_dir: str):
+    """Per-vector squared L2 norm in int64 fixed point (Σ floor(x·1e6)²) —
+    the exact-evidence form of the norm a normalization / cosine pipeline
+    needs; no float summation order to disagree on."""
+    _ctx()
+    ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        emb = b["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False).astype(np.float64)
+        fx = np.floor(flat * 1_000_000.0).astype(np.int64)
+        parents = pc.list_parent_indices(emb).to_numpy(zero_copy_only=False)
+        norm2 = np.zeros(b.num_rows, np.int64)
+        np.add.at(norm2, parents, fx * fx)
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "n_dims": pc.cast(pc.list_value_length(emb), pa.int64()),
+                "norm2_fx": pa.array(norm2, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def q_ts_hist(sf_dir: str):
+    """Corpus-wide n_tok distribution: 128-wide bins with exact counts —
+    algebraic count partials, funnel combine."""
+    from aisdb_ray.stages._dist import funnel_combine
+
+    _ctx()
+
+    def part(b: pa.Table) -> pa.Table:
+        bins = pc.multiply(
+            pc.divide(pc.cast(b["n_tok"], pa.int64()), pa.scalar(128, pa.int64())),
+            pa.scalar(128, pa.int64()),
+        )
+        g = pa.table({"bin": bins}).group_by(["bin"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["bin", "n"])
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["bin"], use_threads=False).aggregate([("n", "sum")])
+        return g.rename_columns(["bin", "n"])
+
+    partials = _clean_tokens(sf_dir).map_batches(part, batch_format="pyarrow")
+    return funnel_combine(partials, merge)
+
+
 def q_emb_dim_stats(sf_dir: str):
     """Per-dimension embedding statistics (ann.embedding_dim_stats):
     int64 fixed-point sums/min/max per dimension so the hash compare is
@@ -2099,6 +2151,8 @@ def build_queries() -> dict:
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_neardup": q_emb_neardup,
         "emb_dim_stats": q_emb_dim_stats,
+        "emb_norms": q_emb_norms,
+        "ts_hist": q_ts_hist,
         "media_features": q_media_features,
         "media_audio": q_media_audio,
     }
@@ -3376,6 +3430,19 @@ SELECT CAST(dim AS BIGINT) AS dim,
        CAST(max(fx) AS BIGINT) AS max_fx,
        CAST(sum(fx) AS DOUBLE) / count(*) AS mean_fx
 FROM ex GROUP BY dim"""
+
+    sql["emb_norms"] = """SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS n_dims,
+       CAST(list_sum(list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                 * CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+            AS BIGINT) AS norm2_fx
+FROM embeddings"""
+
+    sql["ts_hist"] = f"""WITH {_sql_tokens_clean(tok)}
+SELECT (CAST(n_tok AS BIGINT) // 128) * 128 AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM clean GROUP BY bin"""
 
     sql["emb_neardup"] = """SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
