@@ -48,6 +48,73 @@ def co_shuffle(ds, keys: list[str], block_fn, num_parts: int | None = None):
     )
 
 
+def co_shuffle_staged(ds, keys: list[str], block_fn, staging_dir: str,
+                      num_parts: int | None = None):
+    """Disk-staged variant of :func:`co_shuffle` for big inputs: a map-only
+    compressed-parquet exchange replaces the object-store sort — the
+    cascade's scaling-proven hash exchange
+    (stages/salted.clean_chunks_staged) generalized to any block kernel.
+
+    Phase A (map-only, scales linearly): each map task writes ONE shuffle
+    file with one row group per destination partition, so file-creation
+    cost stays O(map tasks) and phase-B readers prune to their partition
+    via row-group statistics.  Phase B: one task per partition reads its
+    row groups and runs ``block_fn`` over the whole partition.  Partition
+    count comes from config, not cluster size — the work layout (and any
+    resume plan above it) is cluster-size-invariant.
+
+    The returned Dataset READS the stage files lazily: consume (or
+    materialize) it before deleting ``staging_dir``."""
+    import os
+    import shutil
+    import uuid
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+    from aisdb_ray.stages.join import _key_hash
+
+    if num_parts is None:
+        num_parts = _default_parts()
+    shutil.rmtree(staging_dir, ignore_errors=True)
+    os.makedirs(staging_dir, exist_ok=True)
+
+    def write_stage(b: pa.Table) -> pa.Table:
+        sp = np.asarray(_key_hash(b, keys, num_parts))
+        order = np.argsort(sp, kind="stable")
+        b2 = b.append_column(_PART, pa.array(sp)).take(pa.array(order))
+        sps = sp[order]
+        bounds = np.r_[np.flatnonzero(np.r_[True, sps[1:] != sps[:-1]]), len(sps)]
+        path = os.path.join(staging_dir, f"stage-{uuid.uuid4().hex[:12]}.parquet")
+        with pq.ParquetWriter(path, b2.schema, compression="zstd") as w:
+            for a, e in zip(bounds[:-1], bounds[1:]):
+                w.write_table(b2.slice(a, e - a), row_group_size=e - a)
+        return pa.table({"n": pa.array([b.num_rows], pa.int64())})
+
+    # the exchange barrier: every shuffle file durable before any read
+    ds.map_batches(write_stage, batch_format="pyarrow").sum("n")
+    files = sorted(
+        os.path.join(staging_dir, f)
+        for f in os.listdir(staging_dir)
+        if f.endswith(".parquet")
+    )
+
+    def run_part(batch: pa.Table) -> pa.Table:
+        out = []
+        for k in batch["part"].to_pylist():
+            tbl = pq.read_table(
+                files, filters=[(_PART, "==", int(k))], use_threads=False
+            ).drop_columns([_PART])
+            out.append(block_fn(tbl))
+        return pa.concat_tables(out, promote_options="default")
+
+    items = rd.from_items(
+        [{"part": k} for k in range(num_parts)], override_num_blocks=num_parts
+    )
+    return items.map_batches(run_part, batch_format="pyarrow", batch_size=None)
+
+
 def funnel_combine(partials, merge_fn, key_col: str | None = None,
                    hash_combine: bool = False, finalize_fn=None):
     """Combine algebraic partial blocks: local vectorized merge, then one

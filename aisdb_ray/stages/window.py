@@ -158,16 +158,28 @@ def rolling_time_aggregate(
     width: int | None,
     num_parts: int | None = None,
     with_sumsq: bool = False,
+    staging_dir: str | None = None,
 ):
     """Per-(group, row) trailing-window aggregates over a Dataset
     (``width=None`` -> running/unbounded-preceding aggregates).
 
     One hash-partition co-shuffle (same pattern as stages/join.py), then
-    one multi-group vectorized task per partition.
+    one multi-group vectorized task per partition.  ``staging_dir`` routes
+    the exchange through the disk-staged map-side shuffle instead of the
+    object-store sort (stages/_dist.co_shuffle_staged) — the scale path
+    for inputs whose sort barrier dominates.
     """
     import ray
 
     from aisdb_ray.stages.join import _key_hash
+
+    def block(part: pa.Table) -> pa.Table:
+        return rolling_block(part, group, time_col, value, width, with_sumsq)
+
+    if staging_dir is not None:
+        from aisdb_ray.stages._dist import co_shuffle_staged
+
+        return co_shuffle_staged(ds, [group], block, staging_dir, num_parts)
 
     if num_parts is None:
         num_parts = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
@@ -176,9 +188,7 @@ def rolling_time_aggregate(
         return b.append_column(_WPART, pa.array(_key_hash(b, [group], num_parts)))
 
     def per_part(part: pa.Table) -> pa.Table:
-        return rolling_block(
-            part, group, time_col, value, width, with_sumsq
-        ).drop_columns([_WPART])
+        return block(part.drop_columns([_WPART]))
 
     return (
         ds.map_batches(add_part, batch_format="pyarrow")

@@ -217,3 +217,24 @@ def test_cusum_closed_form_matches_sequential():
     assert len(b) > 0 and b["time"].min() >= n // 2
     a_max = got.loc[got["g"] == "a", "cusum"].max() if (got["g"] == "a").any() else 0
     assert b["cusum"].max() > 10 * max(a_max, H)
+
+
+def test_staged_exchange_equals_sort_shuffle(tmp_path):
+    """co_shuffle_staged (disk-staged map-side exchange) produces exactly
+    the object-store groupby's rows for the rolling kernel."""
+    df = _frame(400, ties=True, seed=29)
+    a = (
+        window.rolling_time_aggregate(rd.from_pandas(df), "g", "time", "v", 300)
+        .to_pandas()
+    )
+    b = (
+        window.rolling_time_aggregate(
+            rd.from_pandas(df), "g", "time", "v", 300,
+            staging_dir=str(tmp_path / "stage"),
+        )
+        .to_pandas()
+    )
+    key = ["g", "time", "v", "w_sum", "w_n", "w_min", "w_max"]
+    a2 = a.sort_values(key, kind="stable").reset_index(drop=True)
+    b2 = b.sort_values(key, kind="stable").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a2[key], b2[key], check_dtype=False)
