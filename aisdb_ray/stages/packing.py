@@ -99,13 +99,31 @@ def pack_documents(
 ):
     """Per-(source, time-chunk) greedy next-fit sequence packing over a
     Dataset: every row gains (chunk, bin); bins are numbered from 0 within
-    their (source, chunk) group in (time, seq) order."""
+    their (source, chunk) group in (time, seq) order.
+
+    Skew: bins reset at chunk boundaries, so (key, chunk) groups are fully
+    independent — the co-shuffle hashes on BOTH, spreading a hot source's
+    chunks across partitions instead of pinning the whole source to one
+    task (the salted-path contract, stages/salted.py)."""
+    import pyarrow.compute as pc
+
     from aisdb_ray.stages._dist import co_shuffle
 
+    def pre(b: pa.Table) -> pa.Table:
+        t = pc.cast(b[time_col], pa.int64())
+        ck = pc.multiply(
+            pc.divide(t, pa.scalar(chunk_s, pa.int64())),
+            pa.scalar(chunk_s, pa.int64()),
+        )
+        if CHUNK in b.column_names:
+            b = b.drop_columns([CHUNK])
+        return b.append_column(CHUNK, ck)
+
     return co_shuffle(
-        ds, [key_col],
+        ds.map_batches(pre, batch_format="pyarrow"), [key_col, CHUNK],
         lambda part: pack_block(
-            part, cap, key_col, time_col, seq_col, value_col, chunk_s
+            part.drop_columns([CHUNK]), cap, key_col, time_col, seq_col,
+            value_col, chunk_s,
         ),
         num_parts,
     )

@@ -139,12 +139,14 @@ def twa_rollup(
     hash_combine: bool = False,
 ):
     """Per-(key, bucket) time-weighted average over a cleaned/segmented
-    dataset: one co-shuffle by key (holds need same-segment neighbors),
-    vectorized interval explode, algebraic sum combine."""
+    dataset: one co-shuffle, vectorized interval explode, algebraic sum
+    combine.  Holds need same-SEGMENT neighbors only, so the shuffle
+    hashes on (key, seg) — a hot source's segments spread across
+    partitions instead of pinning the source to one task."""
     from aisdb_ray.stages._dist import co_shuffle, funnel_combine
 
     partials = co_shuffle(
-        ds, [key_col],
+        ds, [key_col, seg_col],
         lambda part: twa_block(
             part, width_s, key_col, seg_col, time_col, seq_col, value_col
         ),
