@@ -415,6 +415,21 @@ def q_ts_ohlc_cascade_1h(sf_dir: str):
     )
 
 
+def q_ts_latest(sf_dir: str):
+    """Current-value view: each source's single latest row by (time, seq)
+    — top-k selection with k=1 descending (partial top-k per batch, only
+    candidates shuffle)."""
+    from aisdb_ray.stages import rank
+
+    _ctx()
+    pts = _clean_tokens(sf_dir).select_columns(
+        ["source", "doc_id", "time", "seq", "n_tok"]
+    )
+    return rank.topk_per_group(
+        pts, "source", ["time", "seq"], k=1, descending=[True, True]
+    )
+
+
 def q_ts_bucket_quantiles(sf_dir: str):
     """Per-(source, day) exact p50/p95 of n_tok — the windowed-percentile
     dashboard query, via the composite-group histogram-partial kernel."""
@@ -964,6 +979,146 @@ def q_ev_interval_join(sf_dir: str):
     )
     return join.interval_join(
         pts, sess, "user_id", time_col="time", lo_col="t_start", hi_col="t_end"
+    )
+
+
+def _user_first_time(ds, pred_type: str | None = None):
+    """(user_id, t) per-user minimum event time — algebraic min partials
+    with the hash combine (user cardinality outgrows one block at scale)."""
+    from aisdb_ray.stages._dist import funnel_combine
+
+    def partial(b: pa.Table) -> pa.Table:
+        if pred_type is not None:
+            b = b.filter(pc.equal(b["event_type"], pa.scalar(pred_type)))
+        g = (
+            pa.table({"user_id": b["user_id"], "t": pc.cast(b["time"], pa.int64())})
+            .group_by(["user_id"], use_threads=False)
+            .aggregate([("t", "min")])
+        )
+        return g.rename_columns(["user_id", "t"])
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id"], use_threads=False).aggregate([("t", "min")])
+        return g.rename_columns(["user_id", "t"])
+
+    return funnel_combine(
+        ds.map_batches(partial, batch_format="pyarrow"), merge,
+        "user_id", hash_combine=True,
+    )
+
+
+def q_ev_funnel(sf_dir: str):
+    """Two-step funnel (first-touch attribution): users whose FIRST 'view'
+    is followed by a 'purchase' within 24h — per-user min-view partials,
+    one co-partitioned join of the purchase stream onto them, windowed
+    filter, earliest-conversion aggregate."""
+    from aisdb_ray.stages import join as join_mod
+
+    _ctx()
+    ds = _events_ds(sf_dir, ["user_id", "event_type", "ts"]).map_batches(
+        _events_adapter, batch_format="pyarrow"
+    )
+    first_view = _user_first_time(ds, "view").map_batches(
+        lambda b: b.rename_columns(["user_id", "t_a"]), batch_format="pyarrow"
+    )
+
+    def purchases(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], pa.scalar("purchase")))
+        return pa.table(
+            {"user_id": b["user_id"], "t": pc.cast(b["time"], pa.int64())}
+        )
+
+    pur = ds.map_batches(purchases, batch_format="pyarrow")
+    joined = join_mod.hash_join(pur, first_view, on="user_id", how="inner")
+
+    def conv_partial(b: pa.Table) -> pa.Table:
+        w = pa.scalar(86400, pa.int64())
+        ok = pc.and_(
+            pc.greater(b["t"], b["t_a"]),
+            pc.less_equal(b["t"], pc.add(b["t_a"], w)),
+        )
+        b = b.filter(ok)
+        g = b.group_by(["user_id"], use_threads=False).aggregate(
+            [("t", "min"), ("t_a", "min")]
+        )
+        return g.rename_columns(["user_id", "t_b", "t_a"])
+
+    def conv_merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id"], use_threads=False).aggregate(
+            [("t_b", "min"), ("t_a", "min")]
+        )
+        return g.rename_columns(["user_id", "t_b", "t_a"])
+
+    from aisdb_ray.stages._dist import funnel_combine
+
+    return funnel_combine(
+        joined.map_batches(conv_partial, batch_format="pyarrow"),
+        conv_merge, "user_id", hash_combine=True,
+    )
+
+
+def q_ev_cohorts(sf_dir: str):
+    """Cohort retention: users grouped by first-activity week; one row per
+    (cohort_week, week_offset) with the distinct active users — the
+    warehouse retention triangle.  Distinct-triple partials per batch, a
+    groupby combine counting exactly."""
+    from aisdb_ray.stages import join as join_mod
+
+    _ctx()
+    W = 604800
+    ds = _events_ds(sf_dir, ["user_id", "ts"]).map_batches(
+        _events_adapter, batch_format="pyarrow"
+    )
+    first = _user_first_time(ds).map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "cohort_week": pc.multiply(
+                    pc.divide(b["t"], pa.scalar(W, pa.int64())),
+                    pa.scalar(W, pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = join_mod.hash_join(
+        ds.map_batches(
+            lambda b: pa.table(
+                {"user_id": b["user_id"], "t": pc.cast(b["time"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        first, on="user_id", how="inner",
+    )
+
+    def triple_dedup(b: pa.Table) -> pa.Table:
+        w = pa.scalar(W, pa.int64())
+        ew = pc.multiply(pc.divide(b["t"], w), w)
+        off = pc.divide(pc.subtract(ew, b["cohort_week"]), w)
+        t = pa.table(
+            {"cohort_week": b["cohort_week"], "week_offset": off,
+             "user_id": b["user_id"]}
+        )
+        return t.group_by(
+            ["cohort_week", "week_offset", "user_id"], use_threads=False
+        ).aggregate([])
+
+    def count_users(g: pa.Table) -> pa.Table:
+        d = g.group_by(
+            ["cohort_week", "week_offset", "user_id"], use_threads=False
+        ).aggregate([])
+        return pa.table(
+            {
+                "cohort_week": d["cohort_week"].slice(0, 1),
+                "week_offset": d["week_offset"].slice(0, 1),
+                "n_users": pa.array([d.num_rows], pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(triple_dedup, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .map_groups(count_users, batch_format="pyarrow")
     )
 
 
@@ -2074,6 +2229,7 @@ def build_queries() -> dict:
         "ts_throttle_5m": q_ts_throttle_5m,
         "ts_twa_1h": q_ts_twa_1h,
         "ts_bucket_quantiles": q_ts_bucket_quantiles,
+        "ts_latest": q_ts_latest,
         "ts_coverage_1d": q_ts_coverage_1d,
         "doc_normalize": q_doc_normalize,
         "doc_ttr": q_doc_ttr,
@@ -2103,6 +2259,8 @@ def build_queries() -> dict:
         "ev_interval_join": q_ev_interval_join,
         "ev_bloom_semijoin": q_ev_bloom_semijoin,
         "ev_rollup_1h": q_ev_rollup_1h,
+        "ev_funnel": q_ev_funnel,
+        "ev_cohorts": q_ev_cohorts,
         "ev_mode": q_ev_mode,
         "ev_dedup": q_ev_dedup,
         "ev_pruned_scan": q_ev_pruned_scan,
@@ -2389,6 +2547,11 @@ SELECT source,
 FROM clean GROUP BY source, bucket"""
     # cascade-materialized candles must equal the direct computation
     sql["ts_ohlc_cascade_1h"] = sql["ts_ohlc_1h"]
+
+    sql["ts_latest"] = f"""WITH {_sql_tokens_clean(tok)}
+SELECT source, doc_id, time, seq, n_tok FROM clean
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY time DESC, seq DESC) = 1"""
 
     sql["ts_bucket_quantiles"] = f"""WITH {_sql_tokens_clean(tok)},
   pts AS (
@@ -2929,6 +3092,39 @@ SELECT user_id, seg,
        CAST(max(time) AS BIGINT) AS t_end,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM ev_seg GROUP BY user_id, seg"""
+
+    sql["ev_funnel"] = """WITH ev AS (
+    SELECT user_id, event_type,
+           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t
+    FROM events
+  ),
+  a AS (
+    SELECT user_id, CAST(min(t) AS BIGINT) AS t_a
+    FROM ev WHERE event_type = 'view' GROUP BY user_id
+  )
+SELECT e.user_id,
+       CAST(min(e.t) AS BIGINT) AS t_b,
+       CAST(min(a.t_a) AS BIGINT) AS t_a
+FROM ev e JOIN a ON a.user_id = e.user_id
+WHERE e.event_type = 'purchase' AND e.t > a.t_a AND e.t <= a.t_a + 86400
+GROUP BY e.user_id"""
+
+    sql["ev_cohorts"] = """WITH ev AS (
+    SELECT user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t FROM events
+  ),
+  f AS (
+    SELECT user_id, (min(t) // 604800) * 604800 AS cw
+    FROM ev GROUP BY user_id
+  ),
+  x AS (
+    SELECT DISTINCT e.user_id, f.cw AS cohort_week,
+           ((e.t // 604800) * 604800 - f.cw) // 604800 AS week_offset
+    FROM ev e JOIN f ON f.user_id = e.user_id
+  )
+SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+       CAST(week_offset AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM x GROUP BY cohort_week, week_offset"""
 
     sql["ev_rollup_1h"] = """WITH ev AS (
     SELECT event_type,
