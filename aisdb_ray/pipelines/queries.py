@@ -1458,10 +1458,14 @@ def q_doc_incremental_dedup(sf_dir: str):
 
     _ctx()
     ds = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    # materialize the (tiny) hash table once: four downstream scans (bloom
+    # build, join side, negatives split, positives split) would otherwise
+    # each re-run the per-row md5 pass over the whole corpus; at real scale
+    # this is the persisted ingest ledger, not an in-memory pin
     hashed = ds.map_batches(
         lambda b: textstats.md5_batch64(b).drop_columns(["text"]),
         batch_format="pyarrow",
-    )
+    ).materialize()
 
     def shard(b: pa.Table, ledger: bool) -> pa.Table:
         m = md5_u32(b["doc_id"]) % 100 < 50

@@ -81,6 +81,8 @@ def co_shuffle_staged(ds, keys: list[str], block_fn, staging_dir: str,
     os.makedirs(staging_dir, exist_ok=True)
 
     def write_stage(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"n": pa.array([0], pa.int64())})
         sp = np.asarray(_key_hash(b, keys, num_parts))
         order = np.argsort(sp, kind="stable")
         b2 = b.append_column(_PART, pa.array(sp)).take(pa.array(order))

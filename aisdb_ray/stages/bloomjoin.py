@@ -175,11 +175,17 @@ def bloom_anti_join(fact, keys_ds, on: str, bloom_on: str | None = None,
     def split(b: pa.Table, keep_negatives: bool) -> pa.Table:
         w = ray.get(bm_ref)
         col = b[bkey]
-        if col.null_count:
-            b = b.filter(pa.compute.is_valid(col))
-            col = b[bkey]
-        keys = col.to_numpy(zero_copy_only=False)
+        keys = np.asarray(
+            pa.compute.fill_null(col, 0).to_numpy(zero_copy_only=False)
+        )
         hit = _test_bits(w, keys, m_bits, k)
+        if col.null_count:
+            # anti-join semantics: a null key matches NOTHING, so null rows
+            # are definite keeps (unlike the semi join, which drops them)
+            nulls = ~pa.compute.is_valid(col).to_numpy(zero_copy_only=False)
+            hit = hit & ~nulls
+            if keep_negatives:
+                return b.filter(pa.array(~hit))
         return b.filter(pa.array(~hit if keep_negatives else hit))
 
     definite_new = fact.map_batches(

@@ -88,35 +88,14 @@ def _quantile_partial(b: pa.Table, group: str, value: str) -> pa.Table:
     return g.rename_columns([group, value, "n"])
 
 
-def _quantile_pick(tbl: pa.Table, group: str, value: str, ps) -> pa.Table:
-    """One group's (value, partial-count) rows -> one quantile row."""
-    t = tbl.group_by([group, value], use_threads=False).aggregate([("n", "sum")])
-    t = t.rename_columns([group, value, "n"])
-    v = t[value].to_numpy(zero_copy_only=False)
-    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(v, kind="stable")
-    cum = np.cumsum(n[order])
-    tot = int(cum[-1])
-    out = {group: [t[group][0].as_py()], "n_rows": pa.array([tot], pa.int64())}
-    for p in ps:
-        rank = (p * tot + 99) // 100
-        i = int(np.searchsorted(cum, rank, side="left"))
-        out[f"q{p}_{value}"] = pa.array([int(v[order][i])], pa.int64())
-    return pa.table(out)
-
-
 def group_quantiles(ds, group: str, value: str, ps=(50, 95)):
     """Exact per-group discrete quantiles of an integer channel.
 
     Returns one row per group: (group, n_rows, q{p}_{value}...).  Only
-    (group, value, count) partials ever shuffle.
+    (group, value, count) partials ever shuffle.  Single-group form of
+    :func:`group_quantiles_multi` — one definition of the rank rule.
     """
-    partials = ds.map_batches(
-        lambda b: _quantile_partial(b, group, value), batch_format="pyarrow"
-    )
-    return partials.groupby(group).map_groups(
-        lambda t: _quantile_pick(t, group, value, ps), batch_format="pyarrow"
-    )
+    return group_quantiles_multi(ds, [group], value, ps)
 
 
 def _quantile_cont_pick(tbl: pa.Table, group: str, value: str, ps) -> pa.Table:

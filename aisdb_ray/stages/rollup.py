@@ -450,8 +450,24 @@ def first_per_bucket(
     from aisdb_ray.stages._dist import funnel_combine
 
     def partial(b: pa.Table) -> pa.Table:
-        p = partial_ohlc_batch(b, width_s, value, time_col, key_col, seq_col)
-        return p.select([key_col, BUCKET, PK_OPEN])
+        # lean variant of partial_ohlc_batch: only the packed arg-min is
+        # needed, so aggregate once instead of six times per batch
+        t = pc.cast(b[time_col], pa.int64())
+        bucket = _bucket(t, width_s)
+        rel = pc.subtract(t, bucket)
+        sq = pc.cast(b[seq_col], pa.int64())
+        v = pc.cast(b[value], pa.int64())
+        if b.num_rows:
+            _check_pack_bounds(seq_col, sq, _SEQ_MOD)
+            _check_pack_bounds(value, v, _VAL_MOD)
+        key = pc.add(pc.multiply(rel, pa.scalar(_SEQ_MOD, pa.int64())), sq)
+        packed = pc.add(pc.multiply(key, pa.scalar(_VAL_MOD, pa.int64())), v)
+        g = (
+            pa.table({key_col: b[key_col], BUCKET: bucket, "pk": packed})
+            .group_by([key_col, BUCKET], use_threads=False)
+            .aggregate([("pk", "min")])
+        )
+        return g.rename_columns([key_col, BUCKET, PK_OPEN])
 
     def merge(b: pa.Table) -> pa.Table:
         g = b.group_by([key_col, BUCKET], use_threads=False).aggregate(

@@ -42,8 +42,10 @@ def twa_block(
     value_col: str = N_TOK,
 ) -> pa.Table:
     """One partition's (key, bucket, twa_num, dur_s) partials."""
+    key_type = tbl.schema.field(key_col).type if key_col in tbl.column_names \
+        else pa.string()
     empty = pa.table(
-        {key_col: pa.array([], pa.string()),
+        {key_col: pa.array([], key_type),
          BUCKET: pa.array([], pa.int64()),
          TWA_NUM: pa.array([], pa.int64()),
          DUR_S: pa.array([], pa.int64())}

@@ -80,7 +80,18 @@ def rolling_block(
     the window opens at the group's first row instead of ``t - width``."""
     n = len(tbl)
     if n == 0:
-        return tbl
+        # keep the OUTPUT schema stable for empty partitions (the staged
+        # exchange runs block_fn on empty partitions; mixed schemas break
+        # downstream unification)
+        out = tbl
+        for c in ("w_sum", "w_n"):
+            out = out.append_column(c, pa.array([], pa.int64()))
+        out = out.append_column("w_mean", pa.array([], pa.float64()))
+        for c in ("w_min", "w_max"):
+            out = out.append_column(c, pa.array([], pa.int64()))
+        if with_sumsq:
+            out = out.append_column("w_sumsq", pa.array([], pa.int64()))
+        return out
     import pyarrow.compute as pc
 
     t_raw = tbl[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -169,32 +180,14 @@ def rolling_time_aggregate(
     object-store sort (stages/_dist.co_shuffle_staged) — the scale path
     for inputs whose sort barrier dominates.
     """
-    import ray
-
-    from aisdb_ray.stages.join import _key_hash
+    from aisdb_ray.stages._dist import co_shuffle, co_shuffle_staged
 
     def block(part: pa.Table) -> pa.Table:
         return rolling_block(part, group, time_col, value, width, with_sumsq)
 
     if staging_dir is not None:
-        from aisdb_ray.stages._dist import co_shuffle_staged
-
         return co_shuffle_staged(ds, [group], block, staging_dir, num_parts)
-
-    if num_parts is None:
-        num_parts = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
-
-    def add_part(b: pa.Table) -> pa.Table:
-        return b.append_column(_WPART, pa.array(_key_hash(b, [group], num_parts)))
-
-    def per_part(part: pa.Table) -> pa.Table:
-        return block(part.drop_columns([_WPART]))
-
-    return (
-        ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby(_WPART)
-        .map_groups(per_part, batch_format="pyarrow")
-    )
+    return co_shuffle(ds, [group], block, num_parts)
 
 
 def deltas_block(

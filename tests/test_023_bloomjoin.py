@@ -117,3 +117,23 @@ def test_bloom_anti_join_exact_with_fp_pressure():
     np.testing.assert_array_equal(got["k"].to_numpy(), want["k"].to_numpy())
     np.testing.assert_array_equal(got["payload"].to_numpy(),
                                   want["payload"].to_numpy())
+
+
+def test_bloom_anti_join_keeps_null_keys():
+    """Anti-join semantics: a null key matches nothing, so the row is a
+    definite keep — parity with pa.Table.join 'left anti'."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aisdb_ray.stages.bloomjoin import bloom_anti_join
+
+    fact = pa.table({"k": pa.array([1, 2, None, 4], pa.int64()),
+                     "p": pa.array([10, 20, 30, 40], pa.int64())})
+    keys = pa.table({"k": pa.array([2, 4], pa.int64())})
+    got = (
+        bloom_anti_join(rd.from_arrow(fact), rd.from_arrow(keys), on="k")
+        .to_pandas().sort_values("p").reset_index(drop=True)
+    )
+    assert got["p"].tolist() == [10, 30]  # k=1 kept, k=None kept
