@@ -331,10 +331,51 @@ def run_refresh():
     ray.shutdown()
 
 
+def run_corpus():
+    """Training-data corpus side: the composed prep pipeline (scrub -> gate
+    -> exact dedup -> langid -> chunk) plus MinHash near-dup pair mining
+    over $GRAFT_SF_DIR's documents table; one JSON line of docs/s."""
+    import ray
+
+    ray.init(address="local", num_cpus=CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from aisdb_ray.pipelines import queries as q
+
+    q._ctx()
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).metadata.num_rows
+
+    t0 = time.time()
+    chunks = q.q_doc_training_pipeline(SF_DIR).count()
+    prep_s = time.time() - t0
+
+    t0 = time.time()
+    pairs = q.q_doc_minhash_pairs(SF_DIR).count()
+    minhash_s = time.time() - t0
+
+    print(json.dumps({
+        "metric": "corpus training-prep throughput (docs/sec)",
+        "n_docs": n_docs,
+        "prep_sec": round(prep_s, 2),
+        "prep_docs_per_s": round(n_docs / prep_s, 1),
+        "prep_chunks": chunks,
+        "minhash_sec": round(minhash_s, 2),
+        "minhash_pairs": pairs,
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "num_cpus": CPUS,
+    }))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
     elif "--refresh" in sys.argv:
         run_refresh()
+    elif "--corpus" in sys.argv:
+        run_corpus()
     else:
         print(json.dumps(run_bench()))
