@@ -81,3 +81,24 @@ def test_pack_summary_identities():
     summ = packing.pack_summary(packed).to_pandas()
     assert summ["n_docs"].sum() == len(df)
     assert summ["sum_n_tok"].sum() == int(df["n_tok"].sum())
+
+
+def test_pack_property_random():
+    """Hypothesis: _pack_group == the literal next-fit recurrence for any
+    value sequence and cap."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        vals=st.lists(st.integers(min_value=1, max_value=500),
+                      min_size=1, max_size=60),
+        cap=st.integers(min_value=1, max_value=800),
+    )
+    def check(vals, cap):
+        prefix = np.concatenate(([0], np.cumsum(vals, dtype=np.int64)))
+        got = packing._pack_group(prefix, cap).tolist()
+        want = _brute_pack(vals, cap)
+        assert got == want
+
+    check()

@@ -92,3 +92,49 @@ def test_twa_splits_across_buckets_exactly():
     assert got["bucket"].tolist() == [0, 3600, 7200]
     assert got["dur_s"].tolist() == [600, 3600, 1000]
     assert got["twa_num"].tolist() == [7 * 600, 7 * 3600, 7 * 1000]
+
+
+def test_twa_property_random_series():
+    """Hypothesis: for arbitrary (times, values, segs), the vectorized TWA
+    equals the second-by-second integral."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        times=st.lists(st.integers(min_value=0, max_value=8000),
+                       min_size=2, max_size=40, unique=True),
+        width=st.sampled_from([60, 3600]),
+        segsplit=st.integers(min_value=0, max_value=39),
+    )
+    def check(times, width, segsplit):
+        import pyarrow as pa
+
+        times = sorted(times)
+        n = len(times)
+        segs = [0 if i < segsplit else 1 for i in range(n)]
+        vals = [(t % 13) + 1 for t in times]
+        tbl = pa.table(
+            {
+                "source": pa.array(["s"] * n),
+                "seg": pa.array(segs, pa.int64()),
+                "time": pa.array(times, pa.int64()),
+                "seq": pa.array(list(range(n)), pa.int64()),
+                "n_tok": pa.array(vals, pa.int32()),
+            }
+        )
+        got = {
+            (r["source"], r["bucket"]): (r["twa_num"], r["dur_s"])
+            for r in twa.twa_block(tbl, width).to_pylist()
+        }
+        want = {}
+        for i in range(n - 1):
+            if segs[i] != segs[i + 1]:
+                continue
+            for s in range(times[i], times[i + 1]):
+                bk = (s // width) * width
+                num, dur = want.get(("s", bk), (0, 0))
+                want[("s", bk)] = (num + vals[i], dur + 1)
+        assert got == want
+
+    check()
