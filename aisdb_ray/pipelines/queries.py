@@ -2128,6 +2128,39 @@ def q_ts_hist(sf_dir: str):
     return funnel_combine(partials, merge)
 
 
+_PQ_SAMPLE = 2048
+
+
+def _pq_cents(sf_dir: str):
+    """Fit the PQ codebooks on the bounded parquet head (file row order ==
+    ds.limit order — the IVF precedent), all-integer so the oracle's
+    replica fit is bit-identical."""
+    import pyarrow.parquet as pq_
+
+    from aisdb_ray.stages import ann
+
+    head = pq_.read_table(
+        _emb_path(sf_dir), columns=["vec_id", "embedding"]
+    ).slice(0, _PQ_SAMPLE)
+    fx = ann._fx_matrix(head)
+    return ann.pq_fit(fx, m=4, ksub=16)
+
+
+def q_emb_pq_codes(sf_dir: str):
+    """Product-quantization codes per vector (4 subspaces × 16 centroids)
+    plus the exact int64 quantization error — the embedding analog of the
+    Gorilla tier (compressed representation ANN search serves from).  The
+    codebooks are integer (floor-mean k-means over the fixed-point view),
+    so assignment is exact on both sides; the oracle embeds them as
+    literals and re-derives every code in SQL."""
+    from aisdb_ray.stages import ann
+
+    _ctx()
+    cents = _pq_cents(sf_dir)
+    ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    return ann.pq_encode(ds, cents)
+
+
 def q_emb_dim_stats(sf_dir: str):
     """Per-dimension embedding statistics (ann.embedding_dim_stats):
     int64 fixed-point sums/min/max per dimension so the hash compare is
@@ -2314,6 +2347,7 @@ def build_queries() -> dict:
         "emb_neardup": q_emb_neardup,
         "emb_dim_stats": q_emb_dim_stats,
         "emb_norms": q_emb_norms,
+        "emb_pq_codes": q_emb_pq_codes,
         "ts_hist": q_ts_hist,
         "media_features": q_media_features,
         "media_audio": q_media_audio,
@@ -3630,6 +3664,42 @@ SELECT CAST(dim AS BIGINT) AS dim,
        CAST(max(fx) AS BIGINT) AS max_fx,
        CAST(sum(fx) AS DOUBLE) / count(*) AS mean_fx
 FROM ex GROUP BY dim"""
+
+    # PQ codebooks are derived parameter constants (same replica-fit rule
+    # as IVF): embed the integer centroids and re-derive every code in SQL
+    _cents = _pq_cents(sf_dir_for_tokens)
+    _m, _ksub, _dsub = _cents.shape
+    _cb_vals = ", ".join(
+        f"({s}, {c}, {list(map(int, _cents[s, c]))})"
+        for s in range(_m) for c in range(_ksub)
+    )
+    sql["emb_pq_codes"] = f"""WITH e AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fx
+    FROM embeddings
+  ),
+  cb(s, cid, v) AS (VALUES {_cb_vals}),
+  d AS (
+    SELECT e.vec_id, cb.s, cb.cid,
+           list_sum(list_transform(range(1, {_dsub + 1}),
+               i -> (e.fx[cb.s * {_dsub} + i] - cb.v[i])
+                    * (e.fx[cb.s * {_dsub} + i] - cb.v[i]))) AS dist
+    FROM e CROSS JOIN cb
+  ),
+  best AS (
+    SELECT vec_id, s, cid, dist,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist, cid) AS rn
+    FROM d
+  )
+SELECT vec_id,
+       CAST(max(CASE WHEN s = 0 THEN cid END) AS BIGINT) AS c0,
+       CAST(max(CASE WHEN s = 1 THEN cid END) AS BIGINT) AS c1,
+       CAST(max(CASE WHEN s = 2 THEN cid END) AS BIGINT) AS c2,
+       CAST(max(CASE WHEN s = 3 THEN cid END) AS BIGINT) AS c3,
+       CAST(sum(dist) AS BIGINT) AS err_fx
+FROM best WHERE rn = 1 GROUP BY vec_id"""
 
     sql["emb_norms"] = """SELECT vec_id,
        CAST(len(embedding) AS BIGINT) AS n_dims,

@@ -480,3 +480,85 @@ def lsh_topk(ds_emb, query: np.ndarray, k: int = 10,
 
     cand = assigned.map_batches(filt, batch_format="pyarrow")
     return topk_cosine(cand, query, k)
+
+
+# ------------------------------------------------------- product quantization
+
+def _fx_matrix(b: pa.Table, col: str = "embedding") -> np.ndarray:
+    """(n, d) int64 fixed-point view (floor(x * 1e6)) of a vector column —
+    the same exactness convention as embedding_dim_stats."""
+    emb = b[col]
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    import pyarrow.compute as pc
+
+    flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False).astype(np.float64)
+    n = b.num_rows
+    d = len(flat) // max(n, 1)
+    return np.floor(flat * 1_000_000.0).astype(np.int64).reshape(n, d)
+
+
+def pq_fit(sample_fx: np.ndarray, m: int = 4, ksub: int = 16,
+           iters: int = 10, seed: int = 29) -> np.ndarray:
+    """Product-quantizer codebooks: per-SUBSPACE k-means over the int64
+    fixed-point view, with integer-floor centroid updates and exact int64
+    L2 distances (ties to the lower centroid id) — every quantity is an
+    integer, so engine and oracle can never drift.
+
+    The PQ code (m uint8s per vector) is the embedding analog of the
+    Gorilla tier: a lossy-but-bounded compressed representation the ANN
+    literature serves search from (Jégou et al., TPAMI 2011)."""
+    n, d = sample_fx.shape
+    assert d % m == 0, "dim must split evenly into subspaces"
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    cents = np.empty((m, ksub, dsub), np.int64)
+    for s in range(m):
+        x = sample_fx[:, s * dsub:(s + 1) * dsub]
+        cent = x[rng.choice(n, size=min(ksub, n), replace=False)].copy()
+        for _ in range(iters):
+            d2 = (
+                (x * x).sum(1, keepdims=True)
+                - 2 * (x @ cent.T)
+                + (cent * cent).sum(1)[None, :]
+            )
+            assign = np.argmin(d2, axis=1)  # first (lowest id) min wins
+            for c in range(len(cent)):
+                members = x[assign == c]
+                if len(members):
+                    cent[c] = members.sum(0) // len(members)  # floor mean
+        cents[s, : len(cent)] = cent
+        if len(cent) < ksub:
+            cents[s, len(cent):] = cent[-1]
+    return cents
+
+
+def pq_encode(ds_emb, cents: np.ndarray):
+    """Distributed PQ encoding: per batch, one int64 matmul per subspace
+    assigns every vector its nearest codebook entry; emits the m code
+    columns plus the exact total quantization error (int64)."""
+    m, ksub, dsub = cents.shape
+    cent_ref = ray.put(cents)
+
+    def encode(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        fx = _fx_matrix(b)
+        out = {"vec_id": pa.array(
+            b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )}
+        err = np.zeros(len(fx), np.int64)
+        for s in range(m):
+            x = fx[:, s * dsub:(s + 1) * dsub]
+            cs = c[s]
+            d2 = (
+                (x * x).sum(1, keepdims=True)
+                - 2 * (x @ cs.T)
+                + (cs * cs).sum(1)[None, :]
+            )
+            code = np.argmin(d2, axis=1)
+            err += d2[np.arange(len(fx)), code]
+            out[f"c{s}"] = pa.array(code.astype(np.int64))
+        out["err_fx"] = pa.array(err, pa.int64())
+        return pa.table(out)
+
+    return ds_emb.map_batches(encode, batch_format="pyarrow")

@@ -152,3 +152,48 @@ def test_embedding_neardup_symmetric_threshold():
     got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
     assert want, "threshold produced no pairs — test would be vacuous"
     assert got == want
+
+
+def test_pq_codes_properties():
+    """PQ encoding: codes in range, err exact vs brute force, and the
+    fitted codebook beats a degenerate one-centroid codebook."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aisdb_ray.stages import ann
+
+    rng = np.random.default_rng(53)
+    n, d, m, ksub = 300, 32, 4, 8
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(emb.tolist(), pa.list_(pa.float32())),
+    })
+    fx = ann._fx_matrix(t)
+    cents = ann.pq_fit(fx, m=m, ksub=ksub, seed=3)
+    got = (
+        ann.pq_encode(rd.from_arrow(t), cents)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    dsub = d // m
+    for s in range(m):
+        codes = got[f"c{s}"].to_numpy()
+        assert ((codes >= 0) & (codes < ksub)).all()
+        # brute-force err check on a few rows
+    for i in (0, 7, 123):
+        err = 0
+        for s in range(m):
+            x = fx[i, s * dsub:(s + 1) * dsub]
+            c = cents[s, got.loc[i, f"c{s}"]]
+            dists = ((fx[i, s*dsub:(s+1)*dsub] - cents[s]) ** 2).sum(1)
+            assert ((x - c) ** 2).sum() == dists.min()
+            err += int(dists.min())
+        assert got.loc[i, "err_fx"] == err
+    # degenerate codebook: every subspace one repeated centroid (zeros)
+    flat = np.zeros_like(cents)
+    worse = (
+        ann.pq_encode(rd.from_arrow(t), flat)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert got["err_fx"].sum() < worse["err_fx"].sum()
