@@ -2161,6 +2161,20 @@ def q_emb_pq_codes(sf_dir: str):
     return ann.pq_encode(ds, cents)
 
 
+def q_ann_pq_topk(sf_dir: str):
+    """ANN served from the COMPRESSED representation: asymmetric-distance
+    top-10 over PQ codes (one integer lookup table per query, m lookups
+    per vector).  Exact-integer scores, ties to the lower vec_id — the
+    oracle re-derives codes AND the LUT from the embedded codebooks."""
+    from aisdb_ray.stages import ann
+
+    _ctx()
+    cents = _pq_cents(sf_dir)
+    q0 = _query_vector(sf_dir)
+    ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    return ann.pq_adc_topk(ds, cents, q0, k=10)
+
+
 def q_emb_dim_stats(sf_dir: str):
     """Per-dimension embedding statistics (ann.embedding_dim_stats):
     int64 fixed-point sums/min/max per dimension so the hash compare is
@@ -2348,6 +2362,7 @@ def build_queries() -> dict:
         "emb_dim_stats": q_emb_dim_stats,
         "emb_norms": q_emb_norms,
         "emb_pq_codes": q_emb_pq_codes,
+        "ann_pq_topk": q_ann_pq_topk,
         "ts_hist": q_ts_hist,
         "media_features": q_media_features,
         "media_audio": q_media_audio,
@@ -3700,6 +3715,43 @@ SELECT vec_id,
        CAST(max(CASE WHEN s = 3 THEN cid END) AS BIGINT) AS c3,
        CAST(sum(dist) AS BIGINT) AS err_fx
 FROM best WHERE rn = 1 GROUP BY vec_id"""
+
+    sql["ann_pq_topk"] = f"""WITH e AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fx
+    FROM embeddings
+  ),
+  cb(s, cid, v) AS (VALUES {_cb_vals}),
+  q AS (SELECT fx FROM e WHERE vec_id = 0),
+  lut AS (
+    SELECT cb.s, cb.cid,
+           list_sum(list_transform(range(1, {_dsub + 1}),
+               i -> (q.fx[cb.s * {_dsub} + i] - cb.v[i])
+                    * (q.fx[cb.s * {_dsub} + i] - cb.v[i]))) AS qd
+    FROM cb CROSS JOIN q
+  ),
+  d AS (
+    SELECT e.vec_id, cb.s, cb.cid,
+           list_sum(list_transform(range(1, {_dsub + 1}),
+               i -> (e.fx[cb.s * {_dsub} + i] - cb.v[i])
+                    * (e.fx[cb.s * {_dsub} + i] - cb.v[i]))) AS dist
+    FROM e CROSS JOIN cb
+  ),
+  best AS (
+    SELECT vec_id, s, cid,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist, cid) AS rn
+    FROM d
+  ),
+  adc AS (
+    SELECT b.vec_id, CAST(sum(l.qd) AS BIGINT) AS adc_fx
+    FROM best b JOIN lut l ON l.s = b.s AND l.cid = b.cid
+    WHERE b.rn = 1 GROUP BY b.vec_id
+  )
+SELECT CAST(row_number() OVER (ORDER BY adc_fx, vec_id) AS BIGINT) AS rank,
+       vec_id, adc_fx
+FROM adc ORDER BY rank LIMIT 10"""
 
     sql["emb_norms"] = """SELECT vec_id,
        CAST(len(embedding) AS BIGINT) AS n_dims,

@@ -562,3 +562,61 @@ def pq_encode(ds_emb, cents: np.ndarray):
         return pa.table(out)
 
     return ds_emb.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_adc_topk(ds_emb, cents: np.ndarray, query: np.ndarray, k: int = 10):
+    """Asymmetric-distance top-k over PQ codes — serving search from the
+    compressed representation (the point of PQ): the query builds ONE
+    integer lookup table (m × ksub subspace distances to each codebook
+    entry); every corpus vector's approximate distance is then the sum of
+    m table lookups on its codes.  All int64 (query in the same fixed
+    point), so ranks are exact given the codes; ties break to the lower
+    vec_id.  Per-batch top-k, tiny candidate merge — the corpus never
+    sorts."""
+    m, ksub, dsub = cents.shape
+    qfx = np.floor(np.asarray(query, np.float64) * 1_000_000.0).astype(np.int64)
+    lut = np.empty((m, ksub), np.int64)
+    for s in range(m):
+        diff = cents[s] - qfx[s * dsub:(s + 1) * dsub][None, :]
+        lut[s] = (diff * diff).sum(1)
+    cent_ref = ray.put(cents)
+    lut_ref = ray.put(lut)
+
+    def batch_topk(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        t = ray.get(lut_ref)
+        fx = _fx_matrix(b)
+        vid = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        score = np.zeros(len(fx), np.int64)
+        for s in range(m):
+            x = fx[:, s * dsub:(s + 1) * dsub]
+            cs = c[s]
+            d2 = (
+                (x * x).sum(1, keepdims=True)
+                - 2 * (x @ cs.T)
+                + (cs * cs).sum(1)[None, :]
+            )
+            score += t[s][np.argmin(d2, axis=1)]
+        order = np.lexsort((vid, score))[:k]
+        return pa.table(
+            {"vec_id": pa.array(vid[order]),
+             "adc_fx": pa.array(score[order], pa.int64())}
+        )
+
+    cand = ds_emb.map_batches(batch_topk, batch_format="pyarrow")
+
+    def merge(b: pa.Table) -> pa.Table:
+        vid = b["vec_id"].to_numpy(zero_copy_only=False)
+        sc = b["adc_fx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, sc))[:k]
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "vec_id": pa.array(vid[order].astype(np.int64)),
+                "adc_fx": pa.array(sc[order].astype(np.int64)),
+            }
+        )
+
+    return cand.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )

@@ -197,3 +197,35 @@ def test_pq_codes_properties():
         .to_pandas().sort_values("vec_id").reset_index(drop=True)
     )
     assert got["err_fx"].sum() < worse["err_fx"].sum()
+
+
+def test_pq_adc_recall_vs_exact():
+    """ADC top-k over codes approximates exact fixed-point L2 top-k with
+    decent recall, and the self-match (query == corpus row) ranks first."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aisdb_ray.stages import ann
+
+    rng = np.random.default_rng(61)
+    n, d = 400, 32
+    # clustered corpus (the regime PQ exists for; i.i.d. gaussian noise is
+    # its known worst case): 8 centers + small noise
+    centers = rng.normal(size=(8, d)) * 3.0
+    emb = (
+        centers[rng.integers(0, 8, n)] + rng.normal(size=(n, d)) * 0.3
+    ).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(emb.tolist(), pa.list_(pa.float32())),
+    })
+    fx = ann._fx_matrix(t)
+    cents = ann.pq_fit(fx, m=4, ksub=32, seed=5)
+    q = emb[0]
+    got = ann.pq_adc_topk(rd.from_arrow(t), cents, q, k=10).to_pandas()
+    assert got["vec_id"].iloc[0] == 0  # self-match wins (ADC err 0-ish tie low id)
+    qfx = np.floor(q.astype(np.float64) * 1e6).astype(np.int64)
+    exact = np.argsort(((fx - qfx) ** 2).sum(1), kind="stable")[:10]
+    recall = len(set(got["vec_id"]) & set(exact.tolist())) / 10
+    assert recall >= 0.5, recall
