@@ -149,6 +149,45 @@ def lang_id(text: str, ws: list[str] | None = None) -> str:
     return best
 
 
+def lang_id_batch(texts) -> "object":
+    """Vectorized :func:`lang_id` over an Arrow string array.
+
+    Same semantics, no per-row Python: lower + whitespace split + edge-punct
+    trim are single Arrow C passes; per-language stopword membership is one
+    ``pc.is_in`` over the flattened word array, folded back per document with
+    ``np.bincount`` on the list parent indices.  Ties break to inventory
+    order (argmax picks the first maximum), zero hits -> 'unknown', any CJK
+    codepoint -> 'zh' — exactly the per-row reference, which remains the
+    parity oracle in tests.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    if n == 0:
+        return pa.array([], pa.string())
+    wordlists = pc.split_pattern_regex(pc.utf8_lower(texts), pattern=r"\s+")
+    flat = pc.list_flatten(wordlists)
+    parent = pc.list_parent_indices(wordlists).to_numpy(zero_copy_only=False)
+    stripped = pc.replace_substring_regex(
+        flat, pattern=r"^[.,;:!?]+|[.,;:!?]+$", replacement=""
+    )
+    counts = np.zeros((n, len(STOPWORDS)), dtype=np.int64)
+    for j, sw in enumerate(STOPWORDS.values()):
+        hit = pc.is_in(stripped, value_set=pa.array(sorted(sw))).to_numpy(
+            zero_copy_only=False
+        )
+        if hit.any():
+            counts[:, j] = np.bincount(parent[hit], minlength=n)
+    names = np.array(list(STOPWORDS.keys()))
+    out = np.where(counts.max(axis=1) > 0, names[counts.argmax(axis=1)], "unknown")
+    cjk = pc.match_substring_regex(texts, "[一-鿿]").to_numpy(zero_copy_only=False)
+    out = np.where(cjk, "zh", out)
+    return pa.array(out.tolist(), pa.string())
+
+
 def quality_counts(text: str, ws: list[str] | None = None) -> dict:
     """Integer quality signals (ratios derive as exact int/int divisions)."""
     ws = ws if ws is not None else words(text)

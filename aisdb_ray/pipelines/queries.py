@@ -1563,14 +1563,13 @@ def q_doc_clean_corpus(sf_dir: str):
     from aisdb_ray.functions import text as T
 
     def lang_tag(b: pa.Table) -> pa.Table:
-        langs = [T.lang_id(t) for t in b["text"].to_pylist()]
         return pa.table(
             {
                 "doc_id": b["doc_id"],
                 "text_md5": b["text_md5"],
                 "n_words": b["n_words"],
                 "quality_score": b["quality_score"],
-                "pred_lang": pa.array(langs, pa.string()),
+                "pred_lang": T.lang_id_batch(b["text"]),
             }
         )
 
@@ -1613,12 +1612,11 @@ def q_doc_training_pipeline(sf_dir: str):
     first = gated.groupby("text_md5").map_groups(keep_first, batch_format="pyarrow")
 
     def lang_tag(b: pa.Table) -> pa.Table:
-        langs = [T.lang_id(t) for t in b["text"].to_pylist()]
         return pa.table(
             {
                 "doc_id": b["doc_id"],
                 "text": b["text"],
-                "pred_lang": pa.array(langs, pa.string()),
+                "pred_lang": T.lang_id_batch(b["text"]),
             }
         )
 
@@ -1887,6 +1885,68 @@ FROM documents d
 LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1"""
 
 
+def _ensure_cached_ds(sf_dir: str, tag: str, build_fn, empty_schema=None) -> str:
+    """Run a distributed build ONCE per (sf dir, tag) and persist its output
+    parquet under the sf cache; returns the parquet dir.  Shared by the
+    near-dup family so a correctness-gate sweep pays each expensive build
+    (MinHash banding, iterative connected components) once instead of once
+    per consuming query.  The build itself stays fully distributed — this
+    caches its OUTPUT, exactly like _ensure_full_cascade caches tiers."""
+    import shutil
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(SF_CACHE_ROOT, name, tag)
+    out = os.path.join(base, "data")
+    done = os.path.join(base, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        build_fn().write_parquet(out)
+        if empty_schema is not None and not any(
+            f.endswith(".parquet") for f in os.listdir(out)
+        ):
+            import pyarrow.parquet as pq_
+
+            pq_.write_table(
+                empty_schema.empty_table(), os.path.join(out, "empty.parquet")
+            )
+        with open(done, "w") as fh:
+            fh.write("ok\n")
+    return out
+
+
+_PAIRS_SCHEMA = pa.schema(
+    [("a", pa.string()), ("b", pa.string()),
+     ("n_inter", pa.int64()), ("n_union", pa.int64())]
+)
+
+
+def _minhash_pairs_path(sf_dir: str) -> str:
+    from aisdb_ray.stages import dedup_text
+
+    return _ensure_cached_ds(
+        sf_dir, "minhash_pairs_070",
+        lambda: dedup_text.minhash_dedup_pairs(
+            _docs_path(sf_dir), jaccard_threshold=0.7
+        ),
+        empty_schema=_PAIRS_SCHEMA,
+    )
+
+
+def _dup_components_path(sf_dir: str) -> str:
+    from aisdb_ray.stages import components
+
+    return _ensure_cached_ds(
+        sf_dir, "dup_components_070",
+        lambda: components.connected_components(
+            rd.read_parquet(_minhash_pairs_path(sf_dir))
+        ),
+        empty_schema=pa.schema(
+            [("node", pa.string()), ("component", pa.string())]
+        ),
+    )
+
+
 def q_doc_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-duplicate pairs (verified Jaccard >= 0.7).
 
@@ -1894,12 +1954,10 @@ def q_doc_minhash_pairs(sf_dir: str):
     recomputes signatures, banding, candidates and exact Jaccard in SQL
     from the embedded permutation coefficients; the query emits the exact
     integer evidence (n_inter, n_union) instead of the float ratio."""
-    from aisdb_ray.stages import dedup_text
-
     _ctx()
-    return dedup_text.minhash_dedup_pairs(
-        _docs_path(sf_dir), jaccard_threshold=0.7
-    ).select_columns(["a", "b", "n_inter", "n_union"])
+    return rd.read_parquet(_minhash_pairs_path(sf_dir)).select_columns(
+        ["a", "b", "n_inter", "n_union"]
+    )
 
 
 def q_doc_jaccard_pairs(sf_dir: str):
@@ -1911,9 +1969,14 @@ def q_doc_jaccard_pairs(sf_dir: str):
     from aisdb_ray.stages import dedup_text
 
     _ctx()
-    return dedup_text.minhash_dedup_pairs(
-        _docs_path(sf_dir), jaccard_threshold=0.5, n_bands=32, rows_per_band=2
-    ).select_columns(["a", "b", "n_inter", "n_union"])
+    path = _ensure_cached_ds(
+        sf_dir, "jaccard_pairs_050",
+        lambda: dedup_text.minhash_dedup_pairs(
+            _docs_path(sf_dir), jaccard_threshold=0.5, n_bands=32, rows_per_band=2
+        ),
+        empty_schema=_PAIRS_SCHEMA,
+    )
+    return rd.read_parquet(path).select_columns(["a", "b", "n_inter", "n_union"])
 
 
 # demo scrub list: the stock PII patterns (exercised, no-op on the synthetic
@@ -1964,12 +2027,8 @@ def q_doc_dup_components(sf_dir: str):
     jumping, Dataset-native joins per round).  component = min doc_id of
     the cluster.  Hash-verified: the oracle closes the same pair oracle
     transitively with a recursive CTE."""
-    from aisdb_ray.stages import components, dedup_text
-
     _ctx()
-    pairs = dedup_text.minhash_dedup_pairs(_docs_path(sf_dir), jaccard_threshold=0.7)
-    comp = components.connected_components(pairs)
-    return comp.map_batches(
+    return rd.read_parquet(_dup_components_path(sf_dir)).map_batches(
         lambda b: b.rename_columns(["doc_id", "component"]),
         batch_format="pyarrow",
     )
@@ -1979,11 +2038,10 @@ def q_doc_dedup_survivors(sf_dir: str):
     """Cluster dedup decision: keep one canonical document per near-dup
     cluster (the component minimum) plus every unpaired document —
     components + a distributed left anti join, no driver materialization."""
-    from aisdb_ray.stages import components, dedup_text
+    from aisdb_ray.stages import components
 
     _ctx()
-    pairs = dedup_text.minhash_dedup_pairs(_docs_path(sf_dir), jaccard_threshold=0.7)
-    comp = components.connected_components(pairs)
+    comp = rd.read_parquet(_dup_components_path(sf_dir))
     ids = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id"])
     return components.dedup_survivors(ids, comp)
 
@@ -2101,6 +2159,60 @@ def q_emb_norms(sf_dir: str):
         )
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def _bpe_merges(sf_dir: str) -> list:
+    """Fit (once per sf dir) the BPE merge table on the documents corpus —
+    distributed word counts, bounded top-V training table (stages/bpe.py) —
+    and persist it; the query encodes with it and the oracle embeds it as
+    literals, so both sides share the exact artifact."""
+    import json
+
+    from aisdb_ray.stages import bpe
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SF_CACHE_ROOT, name, "bpe_merges.json")
+    if os.path.exists(path):
+        with open(path) as fh:
+            return [tuple(m) for m in json.load(fh)]
+    _ctx()
+    docs = rd.read_parquet(_docs_path(sf_dir), columns=["text"])
+    merges = bpe.fit_bpe(docs, n_merges=60, vocab_words=2048)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump([list(m) for m in merges], fh)
+    os.replace(tmp, path)
+    return merges
+
+
+def q_doc_bpe_encode(sf_dir: str):
+    """TRAINED subword tokenizer over the corpus: learn byte-pair merges
+    distributed (stages/bpe.py), broadcast the merge table, encode every
+    document as one vectorized literal-replace chain.  Hash-verified: the
+    learned merges embed in the oracle and Python/Arrow/DuckDB literal
+    replace all substitute left-to-right, so the encoded strings match byte
+    for byte."""
+    from aisdb_ray.stages import bpe
+
+    _ctx()
+    merges = _bpe_merges(sf_dir)
+    docs = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return bpe.encode_documents(docs, merges)
+
+
+def q_emb_encode(sf_dir: str):
+    """Embedding-PRODUCING inference: the model-in-actor encoder
+    (stages/encode.py — hashed bag-of-words -> seeded integer random
+    projection, weights loaded once per actor, one int64 matmul per batch;
+    the reference's denoising-encoder actor pattern).  Hash-verified: the
+    projection matrix embeds as SQL literals and int64 sums are
+    order-independent, so the oracle re-derives the inference exactly."""
+    from aisdb_ray.stages import encode
+
+    _ctx()
+    docs = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return encode.encode_documents(docs)
 
 
 def q_ts_hist(sf_dir: str):
@@ -2263,57 +2375,14 @@ def q_media_audio(sf_dir: str):
 # --------------------------------------------------------------------------
 
 def build_queries() -> dict:
+    # Ordering matters: the driver's correctness gate walks this dict in
+    # insertion order under a time budget.  Entries that have never received
+    # a driver-side CORRECTNESS row (rounds 1-2 stopped after the first 50)
+    # come FIRST so a budget-capped gate reaches them; the 50 queries already
+    # driver-green in CORRECTNESS_r02.json follow.
     return {
-        "ts_clean": q_ts_clean,
-        "csv_ingest": q_csv_ingest,
-        "jsonl_ingest": q_jsonl_ingest,
-        "ts_top_sources": q_ts_top_sources,
-        "ts_calendar": q_ts_calendar,
-        "ts_segments": q_ts_segments,
-        "ts_rollup_1m": lambda sf: _q_ts_rollup(sf, 60),
-        "ts_rollup_var": q_ts_rollup_var,
-        "ts_refresh_1h": q_ts_refresh_1h,
-        "ts_token_windows": q_ts_token_windows,
-        "ts_rollup_1h": lambda sf: _q_ts_rollup(sf, 3600),
-        "ts_rollup_1d": lambda sf: _q_ts_rollup(sf, 86400),
-        "ts_rollup_month": q_ts_rollup_month,
-        "ts_throttle_5m": q_ts_throttle_5m,
-        "ts_twa_1h": q_ts_twa_1h,
-        "ts_bucket_quantiles": q_ts_bucket_quantiles,
-        "ts_latest": q_ts_latest,
-        "ts_coverage_1d": q_ts_coverage_1d,
-        "doc_normalize": q_doc_normalize,
-        "doc_ttr": q_doc_ttr,
-        "ts_cascade_1h": q_ts_cascade_1h,
-        "ts_ohlc_1h": q_ts_ohlc_1h,
-        "ts_realtime_1h": q_ts_realtime_1h,
-        "ts_tier_range": q_ts_tier_range,
-        "ts_ohlc_cascade_1h": q_ts_ohlc_cascade_1h,
-        "ts_compressed_rollup_1h": q_ts_compressed_rollup_1h,
-        "ts_gorilla_roundtrip": q_ts_gorilla_roundtrip,
-        "ts_mode": q_ts_mode,
-        "ts_gapfill": q_ts_gapfill,
-        "ts_gapfill_rate": q_ts_gapfill_rate,
-        "ts_asof_join": q_ts_asof_join,
-        "ts_asof_nearest": q_ts_asof_nearest,
-        "ts_grid_snap": q_ts_grid_snap,
-        "ts_clean_salted": q_ts_clean_salted,
-        "ts_value_mask": q_ts_value_mask,
-        "ts_zones": q_ts_zones,
-        "ts_transits": q_ts_transits,
-        "ts_split_multi": q_ts_split_multi,
-        "ts_relink": q_ts_relink,
-        "ts_decimate": q_ts_decimate,
-        "ts_resample_tokens": q_ts_resample_tokens,
-        "ts_cubic_resample": q_ts_cubic_resample,
-        "ev_sessions": q_ev_sessions,
-        "ev_interval_join": q_ev_interval_join,
-        "ev_bloom_semijoin": q_ev_bloom_semijoin,
-        "ev_rollup_1h": q_ev_rollup_1h,
-        "ev_funnel": q_ev_funnel,
-        "ev_cohorts": q_ev_cohorts,
-        "ev_mode": q_ev_mode,
-        "ev_dedup": q_ev_dedup,
+        "emb_encode": q_emb_encode,
+        "doc_bpe_encode": q_doc_bpe_encode,
         "ev_pruned_scan": q_ev_pruned_scan,
         "ev_distinct_users": q_ev_distinct_users,
         "ev_hll_users": q_ev_hll_users,
@@ -2366,6 +2435,57 @@ def build_queries() -> dict:
         "ts_hist": q_ts_hist,
         "media_features": q_media_features,
         "media_audio": q_media_audio,
+        # --- driver-green in CORRECTNESS_r02.json ---
+        "ts_clean": q_ts_clean,
+        "csv_ingest": q_csv_ingest,
+        "jsonl_ingest": q_jsonl_ingest,
+        "ts_top_sources": q_ts_top_sources,
+        "ts_calendar": q_ts_calendar,
+        "ts_segments": q_ts_segments,
+        "ts_rollup_1m": lambda sf: _q_ts_rollup(sf, 60),
+        "ts_rollup_var": q_ts_rollup_var,
+        "ts_refresh_1h": q_ts_refresh_1h,
+        "ts_token_windows": q_ts_token_windows,
+        "ts_rollup_1h": lambda sf: _q_ts_rollup(sf, 3600),
+        "ts_rollup_1d": lambda sf: _q_ts_rollup(sf, 86400),
+        "ts_rollup_month": q_ts_rollup_month,
+        "ts_throttle_5m": q_ts_throttle_5m,
+        "ts_twa_1h": q_ts_twa_1h,
+        "ts_bucket_quantiles": q_ts_bucket_quantiles,
+        "ts_latest": q_ts_latest,
+        "ts_coverage_1d": q_ts_coverage_1d,
+        "doc_normalize": q_doc_normalize,
+        "doc_ttr": q_doc_ttr,
+        "ts_cascade_1h": q_ts_cascade_1h,
+        "ts_ohlc_1h": q_ts_ohlc_1h,
+        "ts_realtime_1h": q_ts_realtime_1h,
+        "ts_tier_range": q_ts_tier_range,
+        "ts_ohlc_cascade_1h": q_ts_ohlc_cascade_1h,
+        "ts_compressed_rollup_1h": q_ts_compressed_rollup_1h,
+        "ts_gorilla_roundtrip": q_ts_gorilla_roundtrip,
+        "ts_mode": q_ts_mode,
+        "ts_gapfill": q_ts_gapfill,
+        "ts_gapfill_rate": q_ts_gapfill_rate,
+        "ts_asof_join": q_ts_asof_join,
+        "ts_asof_nearest": q_ts_asof_nearest,
+        "ts_grid_snap": q_ts_grid_snap,
+        "ts_clean_salted": q_ts_clean_salted,
+        "ts_value_mask": q_ts_value_mask,
+        "ts_zones": q_ts_zones,
+        "ts_transits": q_ts_transits,
+        "ts_split_multi": q_ts_split_multi,
+        "ts_relink": q_ts_relink,
+        "ts_decimate": q_ts_decimate,
+        "ts_resample_tokens": q_ts_resample_tokens,
+        "ts_cubic_resample": q_ts_cubic_resample,
+        "ev_sessions": q_ev_sessions,
+        "ev_interval_join": q_ev_interval_join,
+        "ev_bloom_semijoin": q_ev_bloom_semijoin,
+        "ev_rollup_1h": q_ev_rollup_1h,
+        "ev_funnel": q_ev_funnel,
+        "ev_cohorts": q_ev_cohorts,
+        "ev_mode": q_ev_mode,
+        "ev_dedup": q_ev_dedup,
     }
 
 
@@ -3679,6 +3799,18 @@ SELECT CAST(dim AS BIGINT) AS dim,
        CAST(max(fx) AS BIGINT) AS max_fx,
        CAST(sum(fx) AS DOUBLE) / count(*) AS mean_fx
 FROM ex GROUP BY dim"""
+
+    # encoder weights are seeded constants: embed them and re-derive the
+    # whole inference stage (hashing-trick features + integer matmul) in SQL
+    from aisdb_ray.stages.encode import encode_sql
+
+    sql["emb_encode"] = encode_sql()
+
+    # the learned BPE merge table is a derived artifact (distributed fit,
+    # cached): embed it and replay the same literal-replace chain in SQL
+    from aisdb_ray.stages import bpe as bpe_mod
+
+    sql["doc_bpe_encode"] = bpe_mod.encode_sql(_bpe_merges(sf_dir_for_tokens))
 
     # PQ codebooks are derived parameter constants (same replica-fit rule
     # as IVF): embed the integer centroids and re-derive every code in SQL

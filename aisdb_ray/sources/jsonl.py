@@ -162,13 +162,39 @@ def read_token_jsonl(paths):
     """Parallel JSONL read of the token-table shape -> Arrow-typed Dataset.
 
     Accepts a file, directory, or list; plain ``.jsonl`` and ``.jsonl.gz``
-    mix freely (compression sniffed by extension).
+    mix freely (compression sniffed by extension).  A ``.gz`` file that is
+    NOT ``.jsonl.gz`` (e.g. a stray ``.csv.gz``) is rejected up front — it
+    would otherwise be ingested and silently quarantined line-by-line as
+    "corrupt" instead of surfacing as a wrong-format input.
     """
+    import os
+
     import ray.data as rd
 
+    if isinstance(paths, (str, os.PathLike)):
+        path_list = [str(paths)]
+    else:
+        path_list = [str(p) for p in paths]
+    expanded = []
+    for p in path_list:
+        if os.path.isdir(p):
+            expanded.extend(os.path.join(p, f) for f in sorted(os.listdir(p)))
+        else:
+            expanded.append(p)
+    bad = [
+        p for p in expanded
+        if p.endswith(".gz") and not p.endswith(".jsonl.gz")
+    ]
+    if bad:
+        raise ValueError(
+            f"read_token_jsonl: .gz inputs must end in .jsonl.gz, got: {bad[:5]}"
+        )
+    files = [
+        p for p in expanded
+        if p.endswith(".jsonl") or p.endswith(".jsonl.gz")
+    ]
     ds = rd.read_text(
-        paths,
-        file_extensions=["jsonl", "gz"],
+        files or expanded,
         arrow_open_stream_args={"compression": "detect"},
     )
     return ds.map_batches(_parse_batch, batch_format="pyarrow")

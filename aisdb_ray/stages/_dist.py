@@ -63,6 +63,17 @@ def co_shuffle_staged(ds, keys: list[str], block_fn, staging_dir: str,
     count comes from config, not cluster size — the work layout (and any
     resume plan above it) is cluster-size-invariant.
 
+    Retry safety: phase-A writes are side effects, so a Ray task retry (or
+    lineage reconstruction on a cluster) can re-run a write task.  Instead
+    of trusting the directory listing, each write task RETURNS its stage
+    file's name + row count; Ray delivers exactly one result per logical
+    task regardless of how many attempts ran, so the collected manifest is
+    exact.  Phase B reads ONLY manifest-listed files — orphan files from
+    killed or duplicated attempts are ignored — and each file is written to
+    a temp path and atomically renamed, so a half-written file can never
+    carry a manifest name.  Footer row counts are validated against the
+    manifest before phase B starts.
+
     The returned Dataset READS the stage files lazily: consume (or
     materialize) it before deleting ``staging_dir``."""
     import os
@@ -82,25 +93,42 @@ def co_shuffle_staged(ds, keys: list[str], block_fn, staging_dir: str,
 
     def write_stage(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return pa.table({"n": pa.array([0], pa.int64())})
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "file": pa.array([], pa.string())})
         sp = np.asarray(_key_hash(b, keys, num_parts))
         order = np.argsort(sp, kind="stable")
         b2 = b.append_column(_PART, pa.array(sp)).take(pa.array(order))
         sps = sp[order]
         bounds = np.r_[np.flatnonzero(np.r_[True, sps[1:] != sps[:-1]]), len(sps)]
-        path = os.path.join(staging_dir, f"stage-{uuid.uuid4().hex[:12]}.parquet")
-        with pq.ParquetWriter(path, b2.schema, compression="zstd") as w:
+        name = f"stage-{uuid.uuid4().hex[:12]}.parquet"
+        path = os.path.join(staging_dir, name)
+        tmp = path + ".tmp"
+        with pq.ParquetWriter(tmp, b2.schema, compression="zstd") as w:
             for a, e in zip(bounds[:-1], bounds[1:]):
                 w.write_table(b2.slice(a, e - a), row_group_size=e - a)
-        return pa.table({"n": pa.array([b.num_rows], pa.int64())})
+        os.replace(tmp, path)  # atomic: a manifest name is always complete
+        return pa.table({"n": pa.array([b.num_rows], pa.int64()),
+                         "file": pa.array([name], pa.string())})
 
-    # the exchange barrier: every shuffle file durable before any read
-    ds.map_batches(write_stage, batch_format="pyarrow").sum("n")
-    files = sorted(
-        os.path.join(staging_dir, f)
-        for f in os.listdir(staging_dir)
-        if f.endswith(".parquet")
-    )
+    # the exchange barrier: every shuffle file durable before any read.
+    # take_all() is O(#map tasks) rows — the manifest, not the data.
+    manifest = ds.map_batches(write_stage, batch_format="pyarrow").take_all()
+    files = sorted(os.path.join(staging_dir, r["file"]) for r in manifest)
+    expect = {os.path.join(staging_dir, r["file"]): r["n"] for r in manifest}
+    for f in files:
+        got = pq.read_metadata(f).num_rows
+        if got != expect[f]:
+            raise RuntimeError(
+                f"staged exchange file {f}: footer rows {got} != manifest "
+                f"{expect[f]} (corrupt stage write)")
+
+    if not files:
+        # entirely empty input: run the kernel once over an empty table with
+        # the input schema instead of handing pyarrow an empty file list.
+        base = ds.schema().base_schema
+        empty = base.empty_table()
+        out = block_fn(empty)
+        return rd.from_arrow(out)
 
     def run_part(batch: pa.Table) -> pa.Table:
         out = []

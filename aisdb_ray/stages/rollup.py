@@ -151,20 +151,32 @@ def _combine(partials, key_col: str = SOURCE, hash_combine: bool = False):
     )
 
 
+def _auto_hash_combine(hash_combine, width_s: int) -> bool:
+    """Default combine policy: sub-hour buckets imply a high-cardinality
+    (key × bucket) result, so they take the hash path; hour-and-coarser
+    tiers are small by construction and keep the cheaper single funnel.
+    An explicit True/False always wins."""
+    if hash_combine is None:
+        return width_s < 3600
+    return hash_combine
+
+
 def rollup(
     ds,
     width_s: int,
     value: str = N_TOK,
     time_col: str = TIME,
     key_col: str = SOURCE,
-    hash_combine: bool = False,
+    hash_combine: bool | None = None,
 ):
     """Full rollup of a point dataset: partial per batch -> combine -> finalize."""
     partials = ds.map_batches(
         lambda b: partial_rollup_batch(b, width_s, value, time_col, key_col),
         batch_format="pyarrow",
     )
-    return _combine(partials, key_col, hash_combine=hash_combine)
+    return _combine(
+        partials, key_col, hash_combine=_auto_hash_combine(hash_combine, width_s)
+    )
 
 
 def rollup_grouped(
@@ -198,13 +210,15 @@ def rollup_from_rollup_grouped(ds, width_s: int, key_col: str = SOURCE):
 
 
 def rollup_from_rollup(
-    ds, width_s: int, key_col: str = SOURCE, hash_combine: bool = False
+    ds, width_s: int, key_col: str = SOURCE, hash_combine: bool | None = None
 ):
     """Continuous-aggregate reaggregation: next tier from the previous tier."""
     partials = ds.map_batches(
         lambda b: repartial_batch(b, width_s, key_col), batch_format="pyarrow"
     )
-    return _combine(partials, key_col, hash_combine=hash_combine)
+    return _combine(
+        partials, key_col, hash_combine=_auto_hash_combine(hash_combine, width_s)
+    )
 
 
 def calendar_bucket(time_col, unit: str = "month"):
@@ -386,23 +400,29 @@ def ohlc(
     time_col: str = TIME,
     key_col: str = SOURCE,
     seq_col: str = "seq",
-    hash_combine: bool = False,
+    hash_combine: bool | None = None,
 ):
     """Full OHLC rollup of a point dataset."""
     partials = ds.map_batches(
         lambda b: partial_ohlc_batch(b, width_s, value, time_col, key_col, seq_col),
         batch_format="pyarrow",
     )
-    return _combine_ohlc(partials, key_col, hash_combine=hash_combine)
+    return _combine_ohlc(
+        partials, key_col, hash_combine=_auto_hash_combine(hash_combine, width_s)
+    )
 
 
-def ohlc_from_ohlc(ds, width_s: int, key_col: str = SOURCE, hash_combine: bool = False):
+def ohlc_from_ohlc(
+    ds, width_s: int, key_col: str = SOURCE, hash_combine: bool | None = None
+):
     """Next OHLC tier from the previous tier (needs the packed columns, i.e.
     the PRE-finalize partial schema — see :func:`ohlc_partial_tier`)."""
     partials = ds.map_batches(
         lambda b: reohlc_batch(b, width_s, key_col), batch_format="pyarrow"
     )
-    return _combine_ohlc(partials, key_col, hash_combine=hash_combine)
+    return _combine_ohlc(
+        partials, key_col, hash_combine=_auto_hash_combine(hash_combine, width_s)
+    )
 
 
 def ohlc_partial_tier(

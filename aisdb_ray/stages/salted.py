@@ -355,19 +355,22 @@ def clean_chunks_staged(
         b2 = b.take(pa.array(order))
         sps = sp[order]
         bounds = np.r_[np.flatnonzero(np.r_[True, sps[1:] != sps[:-1]]), len(sps)]
-        path = os.path.join(staging_dir, f"stage-{uuid.uuid4().hex[:12]}.parquet")
-        with pq.ParquetWriter(path, b2.schema, compression="zstd") as w:
+        name = f"stage-{uuid.uuid4().hex[:12]}.parquet"
+        path = os.path.join(staging_dir, name)
+        tmp = path + ".tmp"
+        with pq.ParquetWriter(tmp, b2.schema, compression="zstd") as w:
             for a, e in zip(bounds[:-1], bounds[1:]):
                 w.write_table(b2.slice(a, e - a), row_group_size=e - a)
-        return pa.table({"n": pa.array([b.num_rows], pa.int64())})
+        os.replace(tmp, path)  # atomic: a manifest name is always complete
+        return pa.table({"n": pa.array([b.num_rows], pa.int64()),
+                         "file": pa.array([name], pa.string())})
 
-    # .sum() is the exchange barrier: all shuffle files durable before reads
-    chunked.map_batches(write_stage, batch_format="pyarrow").sum("n")
-    files = sorted(
-        os.path.join(staging_dir, f)
-        for f in os.listdir(staging_dir)
-        if f.endswith(".parquet")
-    )
+    # Exchange barrier: every shuffle file durable before any read.  Phase B
+    # reads ONLY the files named in the task results (Ray delivers exactly
+    # one result per logical task, however many retry attempts ran), so
+    # orphan files from killed/duplicated attempts can't duplicate rows.
+    manifest = chunked.map_batches(write_stage, batch_format="pyarrow").take_all()
+    files = sorted(os.path.join(staging_dir, r["file"]) for r in manifest)
 
     sum_dir = os.path.join(staging_dir, "_summary")
     os.makedirs(sum_dir, exist_ok=True)
@@ -381,9 +384,9 @@ def clean_chunks_staged(
             cleaned = _clean_part_table(tbl, max_gap)
             # per-part chunk summary written alongside — saves a full extra
             # pass (and executor run) over the materialized dataset
-            pq.write_table(
-                _chunk_summary(cleaned), os.path.join(sum_dir, f"sum-{int(k)}.parquet")
-            )
+            sum_path = os.path.join(sum_dir, f"sum-{int(k)}.parquet")
+            pq.write_table(_chunk_summary(cleaned), sum_path + ".tmp")
+            os.replace(sum_path + ".tmp", sum_path)  # idempotent under retry
             out.append(cleaned)
         return pa.concat_tables(out, promote_options="default")
 
@@ -393,8 +396,13 @@ def clean_chunks_staged(
     mat = items.map_batches(
         clean_part, batch_format="pyarrow", batch_size=None
     ).materialize()
+    sum_files = sorted(
+        os.path.join(sum_dir, f)
+        for f in os.listdir(sum_dir)
+        if f.endswith(".parquet")  # skip .tmp leftovers from killed attempts
+    )
     summary = (
-        pq.read_table(sum_dir)
+        pq.read_table(sum_files)
         .to_pandas()
         .sort_values(["source", "chunk"], kind="stable")
     )

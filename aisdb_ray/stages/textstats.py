@@ -37,19 +37,20 @@ class TextStats:
             "n_alpha": np.empty(n, np.int64),
             "max_word_len": np.empty(n, np.int64),
         }
-        langs, fps = [], np.empty(n, np.uint64)
+        fps = np.empty(n, np.uint64)
         for i, t in enumerate(texts):
             ws = self.word_re.findall(t)
             q = T.quality_counts(t, ws)
             for k in cols:
                 cols[k][i] = q[k]
-            langs.append(T.lang_id(t, ws))
             fps[i] = T.fingerprint64(ws)
         out = pa.table(
             {
                 "doc_id": batch["doc_id"],
                 **{k: pa.array(v) for k, v in cols.items()},
-                "pred_lang": pa.array(langs, pa.string()),
+                # vectorized (one Arrow pass per stopword set), unlike the
+                # md5 fingerprint which has no Arrow kernel
+                "pred_lang": T.lang_id_batch(batch["text"]),
                 "fingerprint": pa.array(fps.astype(np.int64)),
             }
         )

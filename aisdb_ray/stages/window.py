@@ -362,12 +362,14 @@ def zscore_anomalies(
         n = b["w_n"].to_numpy(zero_copy_only=False).astype(np.int64)
         s = b["w_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
         ss = b["w_sumsq"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # int64 safety: |dev| <= n·max(v) and the flag squares it, so the
-        # exact-integer contract needs n·max(v) < 2^31 (then dev² < 2^62 and
-        # n·sumsq < 2^62 too).  Denser windows must rescale or narrow —
-        # raise rather than silently wrap (the SQL oracle errors likewise).
+        # int64 safety: with mixed-sign values |dev| = |v·n − sum| can reach
+        # 2·n·max|v| (|sum| ≤ n·max|v| alone), and the flag squares it, so
+        # the exact-integer contract needs 2·n·max|v|·max(k2) < 2^31 (then
+        # dev²·k2_den < 2^62 and k2_num·n·sumsq < 2^62 too).  Denser windows
+        # must rescale or narrow — raise rather than silently wrap (the SQL
+        # oracle errors likewise).
         vmax = int(np.abs(v).max()) if len(v) else 0
-        if int(n.max()) * max(vmax, 1) * max(k2_num, k2_den) >= (1 << 31):
+        if 2 * int(n.max()) * max(vmax, 1) * max(k2_num, k2_den) >= (1 << 31):
             raise ValueError(
                 "z-score flag would overflow int64: window population × "
                 "value magnitude too large — narrow the window or rescale"

@@ -74,6 +74,17 @@ def test_hash_combine_matches_single_funnel(micro_dir, micro_df):
     _cmp(h1, oracle.rollup(oracle.clean(micro_df), 3600))
 
 
+def test_sub_hour_default_takes_hash_combine_path(micro_dir):
+    """Sub-hour tiers default to the hash combine: a minute-grain result has
+    (key × bucket) cardinality that outgrows one block at scale, so the plan
+    must NOT contain the repartition(1) single-block funnel.  Hour-and-
+    coarser tiers keep the funnel (small results, cheaper)."""
+    m1 = rollup.rollup(_clean_ds(micro_dir), 60).materialize()
+    assert "Repartition" not in m1.stats()
+    h1 = rollup.rollup(_clean_ds(micro_dir), 3600).materialize()
+    assert "Repartition" in h1.stats()
+
+
 def test_mode_and_grouped_sums_hash_combine_paths(micro_dir, micro_df):
     """modeagg.mode_per_key / functions.agg.grouped_sums hash_combine=True
     (groupby scale path) equals the default one-block funnel exactly."""

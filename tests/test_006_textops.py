@@ -55,6 +55,27 @@ def test_lang_id_on_known_samples():
         assert T.lang_id(s) == lang, (lang, T.lang_id(s))
 
 
+def test_lang_id_batch_matches_per_row(docs_pdf):
+    """The vectorized Arrow path (lang_id_batch, used by the stages) must be
+    row-for-row identical to the per-row reference on the whole corpus plus
+    crafted edge rows (edge punctuation, adjacent stopwords, empties)."""
+    import pyarrow as pa
+
+    texts = list(docs_pdf["text"]) + [
+        "",
+        "   ",
+        "the,the;the the!",          # punct-trimmed adjacent stopwords
+        "of the and to in is it",    # every word a stopword
+        "und la 今天 the",            # CJK wins over any counts
+        "xyzzy qwerty plugh",        # no stopwords -> unknown
+        "de la le el",               # cross-language tie -> inventory order
+        "DER Hund UND die KATZE ist zu",
+    ]
+    got = T.lang_id_batch(pa.array(texts, pa.string())).to_pylist()
+    want = [T.lang_id(t) for t in texts]
+    assert got == want
+
+
 def test_text_stats_stage_runs(docs_pdf):
     stats = textstats.text_stats(rd.read_parquet(DOCS)).to_pandas()
     assert len(stats) == len(docs_pdf)

@@ -1,0 +1,140 @@
+"""Trained BPE tokenizer (stages/bpe.py) + model-in-actor embedding encoder
+(stages/encode.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from aisdb_ray.stages import bpe, encode
+
+CORPUS = [
+    "the banana band banned bananas",
+    "a banana a day keeps the banana doctor away",
+    "band practice and banana bread for the band",
+    "bread and butter, butter and bread",
+    "the band played on and on and on",
+]
+
+
+def _docs_ds():
+    return rd.from_pandas(
+        pd.DataFrame({"doc_id": [f"d{i}" for i in range(len(CORPUS))],
+                      "text": CORPUS})
+    )
+
+
+def _py_encode(text: str, merges) -> str:
+    S = bpe.SEP
+    s = "".join(S + ch + S for ch in text)
+    for a, b in merges:
+        s = s.replace(S + a + S + S + b + S, S + a + b + S)
+    s = s.replace(S + S, S)
+    return s.removeprefix(S).removesuffix(S)
+
+
+def test_symbol_aligned_matching_no_cross_piece_merge():
+    """Regression: piece 'ban' followed by piece 'a' must NOT trigger the
+    ('an','a') rule mid-symbol — matches are symbol-aligned."""
+    merges = [("a", "n"), ("b", "an"), ("an", "a")]
+    got = bpe.encode_batch(pa.array(["banana"]), merges).to_pylist()[0]
+    # b,a,n,a,n,a -> (an)(an): b,an,an,a -> (b,an): ban,an,a -> (an,a):
+    # ban,ana  — NOT b,anana or banan,a
+    assert got.split(bpe.SEP) == ["ban", "ana"]
+    # left-to-right adjacent merging: aaaa + (a,a) -> (aa)(aa)
+    got2 = bpe.encode_batch(pa.array(["aaaa"]), [("a", "a")]).to_pylist()[0]
+    assert got2.split(bpe.SEP) == ["aa", "aa"]
+
+
+def test_fit_is_deterministic_and_merges_common_pairs():
+    m1 = bpe.fit_bpe(_docs_ds(), n_merges=20, vocab_words=64)
+    m2 = bpe.fit_bpe(_docs_ds(), n_merges=20, vocab_words=64)
+    assert m1 == m2 and len(m1) > 0
+    pieces = {a + b for a, b in m1}
+    assert any("an" in p or "the" in p or "ba" in p for p in pieces)
+
+
+def test_train_merges_matches_reference_counter():
+    """train_merges vs an independent pair-count reference on round 1."""
+    wc = [("banana", 5), ("band", 3), ("bread", 2)]
+    merges = bpe.train_merges(wc, n_merges=1)
+    # by hand: an×2×5=10(an in banana twice), na×2? b-a-n-a-n-a pairs:
+    # ba,an,na,an,na -> an:10, na:10, ba:5(+band 3 -> ba:8? band: b-a-n-d ->
+    # ba,an,nd): an:10+3=13 na:10 ba:5+3=8 nd:3 br:2 re:2 ea:2 ad:2
+    assert merges == [("a", "n")]
+
+
+def test_encode_batch_matches_per_row_python():
+    merges = bpe.fit_bpe(_docs_ds(), n_merges=25, vocab_words=64)
+    texts = CORPUS + ["", "x", "unseen wordz!!", "a\nb c"]
+    got = bpe.encode_batch(pa.array(texts), merges).to_pylist()
+    want = [_py_encode(t, merges) for t in texts]
+    assert got == want
+
+
+def test_encode_never_crosses_whitespace():
+    merges = bpe.fit_bpe(_docs_ds(), n_merges=30, vocab_words=64)
+    enc = bpe.encode_batch(pa.array(["banana banana"]), merges).to_pylist()[0]
+    pieces = enc.split(bpe.SEP)
+    for p in pieces:
+        # a piece is either pure whitespace or contains none
+        assert p.isspace() or (" " not in p and "\n" not in p)
+
+
+def test_ids_roundtrip_decode():
+    merges = bpe.fit_bpe(_docs_ds(), n_merges=25, vocab_words=64)
+    base = sorted({ch for t in CORPUS for ch in t})
+    vocab = bpe.piece_vocab(merges, base)
+    texts = pa.array(CORPUS)
+    ids = bpe.encode_ids_batch(texts, merges, vocab)
+    for i, t in enumerate(CORPUS):
+        got = bpe.decode_ids(ids[i].as_py(), vocab)
+        assert got == t
+
+
+def test_encode_documents_counts():
+    merges = bpe.fit_bpe(_docs_ds(), n_merges=25, vocab_words=64)
+    out = bpe.encode_documents(_docs_ds(), merges).to_pandas()
+    assert len(out) == len(CORPUS)
+    for _, r in out.iterrows():
+        n = r["enc"].count(bpe.SEP) + (1 if r["enc"] else 0)
+        assert r["n_pieces"] == n
+        # merges compress: never more pieces than characters
+        orig = CORPUS[int(r["doc_id"][1:])]
+        assert r["n_pieces"] <= len(orig)
+        assert r["enc"].replace(bpe.SEP, "") == orig
+
+
+def test_embedding_encoder_matches_numpy_reference():
+    """Actor-pool encoder == per-row numpy reference (hashing trick +
+    integer projection), including empty and whitespace-only docs."""
+    from aisdb_ray.functions import text as T
+
+    texts = CORPUS + ["", "   ", "zzz unseen"]
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": [f"d{i}" for i in range(len(texts))],
+                      "text": texts})
+    )
+    got = encode.encode_documents(docs).to_pandas().set_index("doc_id")
+    w = encode.encode_matrix()
+    for i, t in enumerate(texts):
+        x = np.zeros(encode.N_FEATURES, dtype=np.int64)
+        for word in t.split():
+            x[T.md5_64(word) % encode.N_FEATURES] += 1
+        want = x @ w
+        row = got.loc[f"d{i}"]
+        for d in range(encode.N_DIMS):
+            assert row[f"e{d:02d}"] == want[d], (i, d)
+
+
+def test_encode_sql_artifacts_embed():
+    """The SQL restatements embed the learned/seeded artifacts verbatim."""
+    merges = [("a", "n"), ("an", "a")]
+    s = bpe.encode_sql(merges)
+    assert "replace(" in s and "chr(31)" in s
+    s2 = encode.encode_sql()
+    w = encode.encode_matrix()
+    assert f"(0, 0, {int(w[0, 0])})" in s2
