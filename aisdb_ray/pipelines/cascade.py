@@ -195,7 +195,14 @@ def _clean_pinned(cfg: CascadeConfig):
         ds, cfg.max_gap, cfg.chunk_s, staging,
         num_staging_parts=max(16, cfg.num_parts * 4),
     )
-    shutil.rmtree(staging, ignore_errors=True)  # mat is pinned; spill done
+    # mat is pinned, so the exchange's DATA files can go — but the `_recon`
+    # stage files must outlive this call: downstream consumers (relabel /
+    # gap-fill / pack) resolve their partition's reconciliation rows from
+    # them lazily (salted.ReconStore).
+    for f in os.listdir(staging):
+        if f != "_recon":
+            p = os.path.join(staging, f)
+            shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.remove(p)
     return mat, recon_ref
 
 
@@ -590,6 +597,13 @@ def _run_fused_stage_mode(cfg: CascadeConfig, manifest: lineage.Manifest) -> Non
         futs = [ex.submit(j) for j in jobs]
         for f in futs:
             f.result()  # propagate the first failure
+    # all consumers done: the `_recon` stage files are no longer needed
+    import shutil as _shutil
+
+    _shutil.rmtree(
+        cfg.staging_dir or os.path.join(cfg.out_root, "_shuffle"),
+        ignore_errors=True,
+    )
 
 
 def _tier_part_dirs(root: str, stage: str) -> list[tuple[str, str]]:

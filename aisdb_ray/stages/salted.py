@@ -189,6 +189,130 @@ def _chunk_summary(batch: pa.Table) -> pa.Table:
     )
 
 
+def _reconcile_source_table(g: pa.Table, max_gap: int) -> pa.Table:
+    """Vectorized reconcile of ONE source's chunk-summary rows -> per-chunk
+    reconciliation columns.  Runs inside a ``groupby(source)`` task in the
+    staged path (the driver never walks the O(#chunks) summary); the pandas
+    walk in :func:`_reconcile` is the reference implementation and the
+    parity test pins them equal on random summaries."""
+    order = pc.sort_indices(g, sort_keys=[("chunk", "ascending")])
+    g = g.take(order)
+    t_first = g["t_first"].to_numpy(zero_copy_only=False)
+    t_last = g["t_last"].to_numpy(zero_copy_only=False)
+    n_segs = g["n_segs"].to_numpy(zero_copy_only=False)
+    v_last = g["v_last"].to_numpy(zero_copy_only=False)
+    ls_start = g["t_lastseg_start"].to_numpy(zero_copy_only=False)
+    n = len(t_first)
+    cont = np.zeros(n, dtype=bool)
+    if n > 1:
+        cont[1:] = (t_first[1:] - t_last[:-1]) < max_gap
+    off = np.cumsum(np.r_[0, n_segs[:-1]]) - np.cumsum(cont.astype(np.int64))
+    # open_t0 recurrence (the epoch the still-open segment started at):
+    #   open_t0[i] = ls_start[i]          if the chunk has >1 local segs
+    #              = open_t0[i-1]         elif it continues the previous one
+    #              = t_first[i]           otherwise
+    # -> forward-fill of the reset values over the carry positions
+    is_reset = (n_segs > 1) | ~cont
+    reset_val = np.where(n_segs > 1, ls_start, t_first)
+    last_reset = np.maximum.accumulate(np.where(is_reset, np.arange(n), -1))
+    open_t0 = reset_val[last_reset]
+    seg_t0 = t_first.copy()
+    if n > 1:
+        seg_t0[1:] = np.where(cont[1:], open_t0[:-1], t_first[1:])
+    # but a continuing chunk with >1 segs still STARTS in the carried seg:
+    # seg_t0 uses open_t0[i-1] (handled above) regardless of its own resets
+    t_prev = np.r_[np.int64(0), t_last[:-1]]
+    v_prev = np.r_[np.float64(0.0), v_last[:-1]]
+    closes = np.r_[~cont[1:], True]
+    return pa.table(
+        {
+            "source": g["source"],
+            "chunk": g["chunk"],
+            "off": pa.array(off, pa.int64()),
+            "cont": pa.array(cont, pa.bool_()),
+            "seg_t0": pa.array(seg_t0, pa.int64()),
+            "t_prev": pa.array(t_prev, pa.int64()),
+            "v_prev": pa.array(v_prev, pa.float64()),
+            "closes": pa.array(closes, pa.bool_()),
+        }
+    )
+
+
+def _recon_map_from_table(tbl: pa.Table) -> ReconMap:
+    keys = np.array(
+        [
+            ReconMap.key_of(s, int(c))
+            for s, c in zip(tbl["source"].to_pylist(), tbl["chunk"].to_pylist())
+        ]
+    )
+    order = np.argsort(keys)
+    return ReconMap(
+        keys=keys[order],
+        off=tbl["off"].to_numpy(zero_copy_only=False)[order],
+        cont=tbl["cont"].to_numpy(zero_copy_only=False)[order],
+        seg_t0=tbl["seg_t0"].to_numpy(zero_copy_only=False)[order],
+        t_prev=tbl["t_prev"].to_numpy(zero_copy_only=False)[order],
+        v_prev=tbl["v_prev"].to_numpy(zero_copy_only=False)[order],
+        closes=tbl["closes"].to_numpy(zero_copy_only=False)[order],
+    )
+
+
+class ReconStore:
+    """Partition-local reconciliation lookup for the STAGED path.
+
+    The driver holds only the staged recon-file list (O(#map tasks)) —
+    never the O(#chunks) map.  Each consumer task resolves ONLY the
+    reconciliation rows of the staging partitions its batch touches
+    (usually exactly one: phase-B blocks are per-partition), via
+    row-group-pruned parquet reads of the `_recon` stage files — the same
+    layout the data exchange itself uses.
+    """
+
+    def __init__(self, files: list, num_parts: int):
+        self.files = sorted(files)
+        self.num_parts = num_parts
+        self._cache: dict = {}
+
+    def for_batch(self, batch: pa.Table) -> ReconMap:
+        src = batch[SOURCE].to_numpy(zero_copy_only=False)
+        ch = batch[CHUNK_COL].to_numpy(zero_copy_only=False).astype(np.int64)
+        need = sorted({int(k) for k in _spart_of(src, ch, self.num_parts)})
+        parts = [self._load(k) for k in need]
+        if len(parts) == 1:
+            return parts[0]
+        keys = np.concatenate([p.keys for p in parts]) if parts else np.array([])
+        order = np.argsort(keys)
+
+        def cat(attr):
+            return np.concatenate([getattr(p, attr) for p in parts])[order]
+
+        return ReconMap(
+            keys=keys[order], off=cat("off"), cont=cat("cont"),
+            seg_t0=cat("seg_t0"), t_prev=cat("t_prev"), v_prev=cat("v_prev"),
+            closes=cat("closes"),
+        )
+
+    def _load(self, spart: int) -> ReconMap:
+        rm = self._cache.get(spart)
+        if rm is None:
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(
+                self.files, filters=[(SPART_COL, "==", int(spart))],
+                use_threads=False,
+            ).drop_columns([SPART_COL])
+            rm = self._cache[spart] = _recon_map_from_table(tbl)
+        return rm
+
+
+def _resolve_recon(recon_ref, batch: pa.Table):
+    """Consumer-side: ObjectRef -> object; ReconStore -> batch-local map."""
+    obj = ray.get(recon_ref) if isinstance(recon_ref, ray.ObjectRef) else recon_ref
+    if isinstance(obj, ReconStore):
+        return obj.for_batch(batch)
+    return obj
+
+
 def _reconcile(summary, max_gap: int) -> ReconMap:
     """Driver walk of the O(#chunks) summary -> :class:`ReconMap`."""
     recon: dict[tuple[str, int], list] = {}
@@ -254,17 +378,23 @@ def clean_chunks_materialized(
 SPART_COL = "_spart"
 
 
-def _add_spart(batch: pa.Table, num_parts: int) -> pa.Table:
+def _spart_of(src: np.ndarray, ch: np.ndarray, num_parts: int) -> np.ndarray:
     """Staging partition id = hash(source, chunk) — spreads a hot source's
     chunks across partitions (hash(source) alone would re-concentrate it)."""
-    src = batch[SOURCE].to_numpy(zero_copy_only=False)
-    ch = batch[CHUNK_COL].to_numpy(zero_copy_only=False).astype(np.int64)
     uniq, inv = np.unique(src, return_inverse=True)
     src_h = np.array(
         [__import__("zlib").crc32(s.encode()) for s in uniq], dtype=np.int64
     )[inv]
     part = ((src_h ^ (ch * np.int64(2654435761))) % num_parts).astype(np.int32)
-    return batch.append_column(SPART_COL, pa.array(np.abs(part)))
+    return np.abs(part)
+
+
+def _add_spart(batch: pa.Table, num_parts: int) -> pa.Table:
+    src = batch[SOURCE].to_numpy(zero_copy_only=False)
+    ch = batch[CHUNK_COL].to_numpy(zero_copy_only=False).astype(np.int64)
+    return batch.append_column(
+        SPART_COL, pa.array(_spart_of(src, ch, num_parts))
+    )
 
 
 def _clean_part_table(tbl: pa.Table, max_gap: int) -> pa.Table:
@@ -401,20 +531,54 @@ def clean_chunks_staged(
         for f in os.listdir(sum_dir)
         if f.endswith(".parquet")  # skip .tmp leftovers from killed attempts
     )
-    summary = (
-        pq.read_table(sum_files)
-        .to_pandas()
-        .sort_values(["source", "chunk"], kind="stable")
+    # DISTRIBUTED reconcile: the per-source sequential walk runs inside a
+    # groupby(source) task over the O(#chunks) summary rows (never on the
+    # driver), and the resulting per-chunk reconciliation rows are staged
+    # with one row group per partition so each consumer task loads only its
+    # partition's rows.  The driver holds file paths, not the map.
+    recon_rows = (
+        rd.read_parquet(sum_files)
+        .groupby("source")
+        .map_groups(
+            lambda g: _reconcile_source_table(g, max_gap),
+            batch_format="pyarrow",
+        )
     )
-    recon = _reconcile(summary, max_gap)
-    return mat, ray.put(recon)
+    recon_dir = os.path.join(staging_dir, "_recon")
+    os.makedirs(recon_dir, exist_ok=True)
+
+    def write_recon(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"file": pa.array([], pa.string())})
+        sp = _spart_of(
+            b["source"].to_numpy(zero_copy_only=False),
+            b["chunk"].to_numpy(zero_copy_only=False).astype(np.int64),
+            num_parts,
+        )
+        order = np.argsort(sp, kind="stable")
+        b2 = b.append_column(SPART_COL, pa.array(sp)).take(pa.array(order))
+        sps = sp[order]
+        bounds = np.r_[np.flatnonzero(np.r_[True, sps[1:] != sps[:-1]]), len(sps)]
+        name = f"recon-{uuid.uuid4().hex[:12]}.parquet"
+        path = os.path.join(recon_dir, name)
+        with pq.ParquetWriter(path + ".tmp", b2.schema, compression="zstd") as w:
+            for a, e in zip(bounds[:-1], bounds[1:]):
+                w.write_table(b2.slice(a, e - a), row_group_size=e - a)
+        os.replace(path + ".tmp", path)
+        return pa.table({"file": pa.array([name], pa.string())})
+
+    rmanifest = recon_rows.map_batches(
+        write_recon, batch_format="pyarrow"
+    ).take_all()  # O(#groupby output blocks) rows — the manifest, not the map
+    rfiles = [os.path.join(recon_dir, r["file"]) for r in rmanifest]
+    return mat, ReconStore(rfiles, num_parts)
 
 
 def relabel_blocks(mat, recon_ref):
     """Rewrite local seg ids to global ones; drop the chunk column."""
 
     def relabel(b: pa.Table) -> pa.Table:
-        rm = ray.get(recon_ref)
+        rm = _resolve_recon(recon_ref, b)
         seg = b[SEG].to_numpy(zero_copy_only=False).copy()
         src = b[SOURCE].to_numpy(zero_copy_only=False)
         ch = b[CHUNK_COL].to_numpy(zero_copy_only=False)
@@ -577,7 +741,7 @@ def gapfill_blocks(mat, recon_ref, step: int = DEFAULT_STEP, with_provenance: bo
     """Dataset-level chunk-local gap-fill over pinned cleaned blocks."""
 
     def fn(b: pa.Table) -> pa.Table:
-        return gapfill_chunk_block(b, ray.get(recon_ref), step, with_provenance)
+        return gapfill_chunk_block(b, _resolve_recon(recon_ref, b), step, with_provenance)
 
     return mat.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
@@ -639,7 +803,7 @@ def pack_chunk_block(
 
 def pack_blocks(mat, recon_ref, target_points: int = DEFAULT_PACK_POINTS):
     def fn(b: pa.Table) -> pa.Table:
-        return pack_chunk_block(b, ray.get(recon_ref), target_points)
+        return pack_chunk_block(b, _resolve_recon(recon_ref, b), target_points)
 
     return mat.map_batches(fn, batch_format="pyarrow", batch_size=None)
 

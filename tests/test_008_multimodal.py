@@ -42,13 +42,43 @@ def test_video_stream_demux():
         np.testing.assert_array_equal(mm.decode_ppm(p), f)
 
 
-def test_compressed_formats_still_declared_unsupported():
+def test_entropy_coded_formats_still_declared_unsupported():
+    """JPEG (needs a DCT/entropy codec) stays a declared gap; fake=True
+    supplies the deterministic fallback.  PNG no longer qualifies — it
+    decodes for real (zlib is stdlib)."""
     dec = mm.DecodeImage()
     with pytest.raises(NotImplementedError):
-        dec._decode(b"\x89PNG...", "image/png", 4, 4)
-    # fake=True supplies the deterministic fallback
-    px = mm.DecodeImage(fake=True)._decode(b"\x89PNG...", "image/png", 4, 6)
+        dec._decode(b"\xff\xd8\xff...", "image/jpeg", 4, 4)
+    px = mm.DecodeImage(fake=True)._decode(b"\xff\xd8\xff...", "image/jpeg", 4, 6)
     assert px.shape == (6, 4, 3)
+
+
+def test_png_roundtrip_every_filter():
+    """encode->decode is exact under each of the five PNG scanline filters,
+    and the byte stream is a spec-level PNG (signature, CRC-valid chunks)."""
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (11, 7, 3), dtype=np.uint8)
+    for f in range(5):
+        payload = mm.encode_png(px, filter_type=f)
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        np.testing.assert_array_equal(mm.decode_png(payload), px, err_msg=f"filter {f}")
+    # gradient image (exercises predictor paths non-trivially)
+    grad = np.arange(13 * 9 * 3, dtype=np.int64).reshape(13, 9, 3) % 256
+    for f in range(5):
+        np.testing.assert_array_equal(
+            mm.decode_png(mm.encode_png(grad.astype(np.uint8), f)),
+            grad.astype(np.uint8),
+        )
+
+
+def test_png_rejects_corruption_and_unsupported_profiles():
+    px = np.zeros((4, 4, 3), np.uint8)
+    payload = bytearray(mm.encode_png(px))
+    payload[20] ^= 0xFF  # flip a byte inside IHDR -> CRC must catch it
+    with pytest.raises(ValueError, match="CRC"):
+        mm.decode_png(bytes(payload))
+    with pytest.raises(ValueError, match="not a PNG"):
+        mm.decode_png(b"P6\n1 1\n255\n\x00\x00\x00")
 
 
 def test_decode_and_featurize_pipeline_real_payloads():
@@ -64,9 +94,9 @@ def test_decode_and_featurize_pipeline_real_payloads():
     mid = int(out["media_id"][0])
     i = int(np.flatnonzero(t["media_id"].to_numpy() == mid)[0])
     mime = t["mime"][i].as_py()
-    px = (mm.decode_ppm if mime != "image/bmp" else mm.decode_bmp)(
-        t["payload"][i].as_py()
-    )
+    px = mm._IMAGE_DECODERS.get(mime, mm.decode_ppm)(t["payload"][i].as_py())
+    # and the synthetic corpus must actually contain real PNG rows now
+    assert "image/png" in set(t["mime"].to_pylist())
     np.testing.assert_allclose(
         out.iloc[0][["mean_r", "mean_g", "mean_b"]].to_numpy().astype(float),
         px.reshape(-1, 3).mean(axis=0),

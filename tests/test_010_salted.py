@@ -115,3 +115,57 @@ def test_gapfill_by_segment_equals_by_source(micro_dir, micro_df):
     assert len(got) == len(want)
     np.testing.assert_array_equal(got["time"].to_numpy(), want["time"].to_numpy())
     np.testing.assert_allclose(got["n_tok"].to_numpy(), want["n_tok"].to_numpy())
+
+
+def test_distributed_reconcile_matches_reference_walk():
+    """_reconcile_source_table (the groupby(source) task kernel) must equal
+    the pandas reference walk _reconcile on randomized chunk summaries,
+    including continuation chains, single-seg carries and gap breaks."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for s in range(20):
+        src = f"s{s:02d}"
+        t = int(rng.integers(0, 1000))
+        for ch in range(int(rng.integers(1, 12))):
+            t_first = t + int(rng.integers(0, MAX_GAP * 2))  # may or may not continue
+            n_segs = int(rng.integers(1, 4))
+            span = int(rng.integers(1, 5000))
+            t_last = t_first + span
+            ls_start = t_first if n_segs == 1 else t_first + int(rng.integers(1, span + 1))
+            rows.append(dict(source=src, chunk=ch, t_first=t_first,
+                             t_last=t_last, n_segs=n_segs,
+                             v_last=float(rng.integers(0, 100)),
+                             t_lastseg_start=ls_start))
+            t = t_last
+    summary = pd.DataFrame(rows).sort_values(["source", "chunk"], kind="stable")
+    want = salted._reconcile(summary, MAX_GAP)
+
+    parts = []
+    for _, g in summary.groupby("source", sort=False):
+        parts.append(salted._reconcile_source_table(
+            pa.Table.from_pandas(g.sample(frac=1.0, random_state=7)), MAX_GAP
+        ))
+    got = salted._recon_map_from_table(pa.concat_tables(parts))
+    np.testing.assert_array_equal(got.keys, want.keys)
+    for attr in ("off", "cont", "seg_t0", "t_prev", "v_prev", "closes"):
+        np.testing.assert_array_equal(
+            getattr(got, attr), getattr(want, attr), err_msg=attr
+        )
+
+
+def test_staged_reconcile_driver_holds_no_chunk_state(micro_dir, tmp_path):
+    """The staged path's driver-side handle is a ReconStore of stage-file
+    paths (O(#map tasks)), never the O(#chunks) map; consumers resolve only
+    their partition's rows and outputs still equal the unsalted path."""
+    ds = _prepared(micro_dir)
+    mat, recon_ref = salted.clean_chunks_staged(
+        ds, MAX_GAP, CHUNK_S, staging_dir=str(tmp_path / "stage")
+    )
+    assert isinstance(recon_ref, salted.ReconStore)
+    # the handle itself carries only file names + a partition count
+    assert all(isinstance(f, str) for f in recon_ref.files)
+    got = _norm(salted.relabel_blocks(mat, recon_ref).to_pandas())
+    want = _norm(series.clean_series(_prepared(micro_dir), MAX_GAP).to_pandas())
+    pd.testing.assert_frame_equal(got, want)
