@@ -55,6 +55,8 @@ from aisdb_ray.stages import compress as compress_stage
 from aisdb_ray.stages import prepare, rollup, salted, series
 from aisdb_ray.state import lineage
 
+from aisdb_ray.functions.codes import factorize_sorted
+
 TIER_WIDTHS = {"1m": 60, "1h": 3600, "1d": 86400}
 TIER_CHAIN = ["1m", "1h", "1d"]
 
@@ -156,7 +158,7 @@ def _part_dir(root: str, stage: str, part: int) -> str:
 def _add_part_batch(b: pa.Table, num_parts: int) -> pa.Table:
     """Vectorized hash-partition column: crc32 per *unique* source."""
     src = b[SOURCE].to_numpy(zero_copy_only=False)
-    uniq, inv = np.unique(src, return_inverse=True)
+    uniq, inv = factorize_sorted(src)
     lut = np.array([part_of(s, num_parts) for s in uniq], dtype=np.int32)
     return b.append_column("part", pa.array(lut[inv]))
 

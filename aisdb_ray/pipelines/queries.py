@@ -2161,29 +2161,36 @@ def q_emb_norms(sf_dir: str):
     return ds.map_batches(per_batch, batch_format="pyarrow")
 
 
-def _bpe_merges(sf_dir: str) -> list:
-    """Fit (once per sf dir) the BPE merge table on the documents corpus —
-    distributed word counts, bounded top-V training table (stages/bpe.py) —
-    and persist it; the query encodes with it and the oracle embeds it as
-    literals, so both sides share the exact artifact."""
+def _bpe_artifacts(sf_dir: str) -> tuple[list, list]:
+    """Fit (once per sf dir) the BPE merge table + base alphabet on the
+    documents corpus — distributed word counts, bounded top-V training
+    table, distributed distinct-char pass (stages/bpe.py) — and persist
+    them; the queries encode with them and the oracles embed them as
+    literals, so both sides share the exact artifacts."""
     import json
 
     from aisdb_ray.stages import bpe
 
     name = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(SF_CACHE_ROOT, name, "bpe_merges.json")
+    path = os.path.join(SF_CACHE_ROOT, name, "bpe_artifacts.json")
     if os.path.exists(path):
         with open(path) as fh:
-            return [tuple(m) for m in json.load(fh)]
+            d = json.load(fh)
+        return [tuple(m) for m in d["merges"]], d["base"]
     _ctx()
     docs = rd.read_parquet(_docs_path(sf_dir), columns=["text"])
     merges = bpe.fit_bpe(docs, n_merges=60, vocab_words=2048)
+    base = bpe.corpus_alphabet(docs)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump([list(m) for m in merges], fh)
+        json.dump({"merges": [list(m) for m in merges], "base": base}, fh)
     os.replace(tmp, path)
-    return merges
+    return merges, base
+
+
+def _bpe_merges(sf_dir: str) -> list:
+    return _bpe_artifacts(sf_dir)[0]
 
 
 def q_doc_bpe_encode(sf_dir: str):
@@ -2201,6 +2208,21 @@ def q_doc_bpe_encode(sf_dir: str):
     return bpe.encode_documents(docs, merges)
 
 
+def q_doc_tokens(sf_dir: str):
+    """The `tokens` column PRODUCED end-to-end (the input_hint's core
+    payload): learned-BPE encode -> piece ids, emitted in exploded
+    (doc_id, pos, token_id) long form so the value hash covers every token
+    of every document.  Vocab = sorted corpus alphabet + merge products in
+    training order; the oracle embeds it as a literal table."""
+    from aisdb_ray.stages import bpe
+
+    _ctx()
+    merges, base = _bpe_artifacts(sf_dir)
+    vocab = bpe.piece_vocab(merges, base)
+    docs = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return bpe.encode_token_ids(docs, merges, vocab)
+
+
 def q_emb_encode(sf_dir: str):
     """Embedding-PRODUCING inference: the model-in-actor encoder
     (stages/encode.py — hashed bag-of-words -> seeded integer random
@@ -2213,6 +2235,19 @@ def q_emb_encode(sf_dir: str):
     _ctx()
     docs = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
     return encode.encode_documents(docs)
+
+
+def q_ann_encoded_topk(sf_dir: str):
+    """The inference stage COMPOSED with ANN serving: encode the corpus in
+    the actor pool, then exact max-inner-product top-k against embedded
+    integer query vectors — produced embeddings feeding the search family,
+    end-to-end in one streaming pipeline.  Hash-verified: integer scores,
+    deterministic tie rule, everything re-derived in SQL."""
+    from aisdb_ray.stages import encode
+
+    _ctx()
+    docs = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return encode.mips_topk(encode.encode_documents(docs), encode.mips_queries())
 
 
 def q_ts_hist(sf_dir: str):
@@ -2383,6 +2418,8 @@ def build_queries() -> dict:
     return {
         "emb_encode": q_emb_encode,
         "doc_bpe_encode": q_doc_bpe_encode,
+        "doc_tokens": q_doc_tokens,
+        "ann_encoded_topk": q_ann_encoded_topk,
         "ev_pruned_scan": q_ev_pruned_scan,
         "ev_distinct_users": q_ev_distinct_users,
         "ev_hll_users": q_ev_hll_users,
@@ -3806,11 +3843,19 @@ FROM ex GROUP BY dim"""
 
     sql["emb_encode"] = encode_sql()
 
+    from aisdb_ray.stages.encode import mips_queries, mips_topk_sql
+
+    sql["ann_encoded_topk"] = mips_topk_sql(mips_queries())
+
     # the learned BPE merge table is a derived artifact (distributed fit,
     # cached): embed it and replay the same literal-replace chain in SQL
     from aisdb_ray.stages import bpe as bpe_mod
 
-    sql["doc_bpe_encode"] = bpe_mod.encode_sql(_bpe_merges(sf_dir_for_tokens))
+    _bm, _bb = _bpe_artifacts(sf_dir_for_tokens)
+    sql["doc_bpe_encode"] = bpe_mod.encode_sql(_bm)
+    sql["doc_tokens"] = bpe_mod.token_ids_sql(
+        _bm, bpe_mod.piece_vocab(_bm, _bb)
+    )
 
     # PQ codebooks are derived parameter constants (same replica-fit rule
     # as IVF): embed the integer centroids and re-derive every code in SQL

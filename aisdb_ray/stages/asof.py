@@ -40,6 +40,8 @@ import ray
 
 from aisdb_ray.schema import SOURCE, TIME
 
+from aisdb_ray.functions.codes import factorize_sorted
+
 
 def binarysearch_vector(arr: np.ndarray, search: np.ndarray) -> np.ndarray:
     """Vectorized grid snap, exact semantics of the reference kernel.
@@ -154,7 +156,7 @@ def asof_join(
         match_t = np.full(n, -1, dtype=np.int64)
         outs = [np.zeros(n, dtype=dt) for dt in out_dtypes]
         matched = np.zeros(n, dtype=bool)
-        uniq, inv = np.unique(key, return_inverse=True)
+        uniq, inv = factorize_sorted(key)
         for ui, k in enumerate(uniq):
             rows = np.flatnonzero(inv == ui)
             entry = rindex.get(k)

@@ -71,6 +71,23 @@ def corpus_word_counts(ds, text_col: str = "text"):
     return local.groupby("word").map_groups(combine, batch_format="pyarrow")
 
 
+def corpus_alphabet(ds, text_col: str = "text") -> list[str]:
+    """Distributed distinct-codepoint pass -> the sorted base alphabet
+    (bounded: alphabet size, not corpus size).  Per batch a C-speed set()
+    collapses the text; only distinct chars ever shuffle."""
+
+    def chars(b: pa.Table) -> pa.Table:
+        s = set("".join(b[text_col].to_pylist()))
+        return pa.table({"ch": pa.array(sorted(s), pa.string())})
+
+    distinct = (
+        ds.map_batches(chars, batch_format="pyarrow")
+        .groupby("ch")
+        .count()
+    )
+    return sorted(r["ch"] for r in distinct.take_all())
+
+
 def train_merges(word_counts: list[tuple[str, int]], n_merges: int = 80
                  ) -> list[tuple[str, str]]:
     """Learn BPE merges from a (word, count) table.
@@ -150,21 +167,26 @@ def piece_vocab(merges: list[tuple[str, str]], base: list[str]) -> dict[str, int
     return vocab
 
 
-def encode_ids_batch(texts, merges, vocab: dict[str, int]):
-    """Arrow string array -> list<int32> token ids (the `tokens` column a
-    training pipeline materializes).  Splitting the encoded string on SEP is
-    one Arrow pass; the piece->id lookup is a numpy searchsorted over the
-    (per-worker constant) vocab, not a per-token dict loop."""
-    enc = encode_batch(texts, merges)
-    pieces = pc.split_pattern(enc, pattern=SEP)
-    flat = pieces.values if isinstance(pieces, pa.ListArray) else pc.list_flatten(pieces)
+def _ids_of_pieces(flat, vocab: dict[str, int]) -> np.ndarray:
+    """Flat piece array -> int32 ids via a numpy searchsorted over the
+    (per-worker constant) vocab — no per-token dict loop; unknown -> -1."""
     keys = np.array(sorted(vocab), dtype=object)
     vals = np.array([vocab[k] for k in keys], dtype=np.int32)
     fl = flat.to_numpy(zero_copy_only=False)
-    idx = np.searchsorted(keys, fl)
-    idx = np.clip(idx, 0, len(keys) - 1)
+    idx = np.clip(np.searchsorted(keys, fl), 0, len(keys) - 1)
     ok = keys[idx] == fl
-    ids = np.where(ok, vals[idx], -1).astype(np.int32)
+    return np.where(ok, vals[idx], -1).astype(np.int32)
+
+
+def encode_ids_batch(texts, merges, vocab: dict[str, int]):
+    """Arrow string array -> list<int32> token ids (the `tokens` column a
+    training pipeline materializes).  Splitting the encoded string on SEP is
+    one Arrow pass; the piece->id lookup is vectorized."""
+    enc = encode_batch(texts, merges)
+    pieces = pc.split_pattern(enc, pattern=SEP)
+    if isinstance(pieces, pa.ChunkedArray):
+        pieces = pieces.combine_chunks()
+    ids = _ids_of_pieces(pc.list_flatten(pieces), vocab)
     return pa.ListArray.from_arrays(pieces.offsets, pa.array(ids, pa.int32()))
 
 
@@ -192,6 +214,59 @@ def encode_documents(ds, merges: list[tuple[str, str]],
         )
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def encode_token_ids(ds, merges: list[tuple[str, str]], vocab: dict[str, int],
+                     text_col: str = "text"):
+    """documents -> exploded (doc_id, pos, token_id): the `tokens` column a
+    training pipeline materializes, in the long form a value-hash gate can
+    compare.  pos is 1-based (SQL generate_series parity)."""
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        enc = encode_batch(b[text_col], merges)
+        pieces = pc.split_pattern(enc, pattern=SEP)
+        if isinstance(pieces, pa.ChunkedArray):
+            pieces = pieces.combine_chunks()
+        flat = pc.list_flatten(pieces)
+        ids = _ids_of_pieces(flat, vocab)
+        parent = pc.list_parent_indices(pieces)
+        offs = pieces.offsets.to_numpy(zero_copy_only=False)
+        pidx = parent.to_numpy(zero_copy_only=False)
+        pos = np.arange(len(flat), dtype=np.int64) - offs[pidx] + 1
+        # empty text -> enc "" -> one empty piece: emit no token rows
+        keep = pc.not_equal(flat, "")
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].take(parent),
+                "pos": pa.array(pos, pa.int64()),
+                "token_id": pa.array(ids.astype(np.int64), pa.int64()),
+            }
+        ).filter(keep)
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def token_ids_sql(merges: list[tuple[str, str]], vocab: dict[str, int],
+                  docs_table: str = "documents") -> str:
+    """SQL restatement of the ids path: the learned vocab embeds as a
+    literal table; pieces come from splitting the (replayed) encoded string
+    and join to their ids positionally."""
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    enc_inner = encode_sql(merges, docs_table)
+    vals = ", ".join(f"('{q(p)}', {i})" for p, i in sorted(vocab.items()))
+    return f"""WITH enc AS ({enc_inner}),
+  s AS (SELECT doc_id, string_split(enc, chr(31)) AS ps FROM enc
+        WHERE length(enc) > 0),
+  x AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos, ps[i] AS piece
+    FROM s, LATERAL (SELECT unnest(generate_series(1, len(ps))) AS i) t
+  ),
+  vocab(piece, id) AS (VALUES {vals})
+SELECT x.doc_id, x.pos, CAST(v.id AS BIGINT) AS token_id
+FROM x JOIN vocab v ON v.piece = x.piece"""
 
 
 def encode_sql(merges: list[tuple[str, str]],

@@ -28,6 +28,8 @@ import pyarrow.compute as pc
 
 from aisdb_ray.functions import text as T
 
+from aisdb_ray.functions.codes import factorize_sorted
+
 ENC_SEED = 20240601
 N_FEATURES = 64   # hashing-trick bucket count
 N_DIMS = 16       # output embedding width
@@ -74,7 +76,7 @@ class Encoder:
             nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
             words = np.asarray(flat.to_pylist(), dtype=object)[nonempty]
             parent = parent[nonempty]
-            uniq, inv = np.unique(words, return_inverse=True)
+            uniq, inv = factorize_sorted(words)
             hu = T.word_hashes(list(uniq))  # md5 low-64, memoized per actor
             bucket = (hu % np.uint64(f)).astype(np.int64)[inv]
             counts = np.bincount(
@@ -97,6 +99,83 @@ def encode_documents(ds, concurrency: int = 8, batch_size: int = 512,
         concurrency=(1, concurrency),
         batch_size=batch_size,
     )
+
+
+def mips_queries(seed: int = ENC_SEED + 1, n_queries: int = 4,
+                 n_dims: int = N_DIMS) -> np.ndarray:
+    """Deterministic integer query vectors for the MIPS serving path."""
+    rng = np.random.default_rng(seed)
+    return rng.integers(-9, 10, size=(n_queries, n_dims), dtype=np.int64)
+
+
+def mips_topk(ds, queries: np.ndarray, k: int = 8):
+    """Exact max-inner-product top-k over PRODUCED embeddings — the
+    inference stage composed with the ANN serving family: per-batch
+    integer score matmul + partial top-k (O(n_q·k) rows leave each task),
+    then one small funnel pick.  Ties break to the smaller doc_id, so the
+    result is hash-exact vs the SQL window restatement."""
+    from aisdb_ray.stages._dist import funnel_combine
+
+    q = np.asarray(queries, dtype=np.int64)
+    n_q, n_dims = q.shape
+
+    def pick(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        ids = np.asarray(b["doc_id"].to_pylist(), dtype=object)
+        scores = b["score"].to_numpy(zero_copy_only=False)
+        qids = b["qid"].to_numpy(zero_copy_only=False)
+        out_idx = []
+        for qi in range(n_q):
+            rows = np.flatnonzero(qids == qi)
+            order = rows[np.lexsort((ids[rows], -scores[rows]))][:k]
+            out_idx.append(order)
+        sel = np.concatenate(out_idx) if out_idx else np.array([], np.int64)
+        return b.take(pa.array(sel))
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        y = np.empty((n, n_dims), dtype=np.int64)
+        for d in range(n_dims):
+            y[:, d] = b[f"e{d:02d}"].to_numpy(zero_copy_only=False)
+        s = y @ q.T  # (n, n_q) integer scores — exact in any order
+        t = pa.table(
+            {
+                "qid": pa.array(np.repeat(np.arange(n_q, dtype=np.int64), n)),
+                "doc_id": pa.concat_arrays(
+                    [b["doc_id"].combine_chunks()] * n_q
+                ),
+                "score": pa.array(s.T.reshape(-1), pa.int64()),
+            }
+        )
+        return pick(t)
+
+    partials = ds.map_batches(score_batch, batch_format="pyarrow")
+    return funnel_combine(partials, pick)
+
+
+def mips_topk_sql(queries: np.ndarray, k: int = 8,
+                  docs_table: str = "documents", seed: int = ENC_SEED) -> str:
+    """SQL restatement: replay the encoder, score each embedded query
+    vector, window top-k with the identical tie rule."""
+    q = np.asarray(queries, dtype=np.int64)
+    enc = encode_sql(docs_table, seed)
+    selects = []
+    for qi in range(q.shape[0]):
+        expr = " + ".join(
+            f"e{d:02d} * ({int(q[qi, d])})" for d in range(q.shape[1])
+        )
+        selects.append(
+            f"SELECT {qi} AS qid, doc_id, CAST({expr} AS BIGINT) AS score FROM enc"
+        )
+    union = "\n  UNION ALL ".join(selects)
+    return f"""WITH enc AS ({enc}),
+  scored AS ({union})
+SELECT qid, doc_id, score FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}"""
 
 
 def encode_sql(docs_table: str = "documents", seed: int = ENC_SEED,

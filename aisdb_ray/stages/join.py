@@ -31,6 +31,8 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+from aisdb_ray.functions.codes import factorize_sorted
+
 _SIDE = "_jside"
 _PART = "_jpart"
 
@@ -64,7 +66,7 @@ def _key_hash(tbl: pa.Table, keys: list[str], num_parts: int) -> np.ndarray:
             v = pc.fill_null(pc.cast(col, pa.string()), "").to_numpy(
                 zero_copy_only=False
             )
-            uniq, inv = np.unique(v, return_inverse=True)
+            uniq, inv = factorize_sorted(v)
             lut = np.array(
                 [zlib.crc32(s.encode()) for s in uniq], dtype=np.uint64
             )
@@ -220,7 +222,7 @@ def _key_codes(pt: pa.Table, it: pa.Table, keys: list[str]):
         v = pc.fill_null(pc.cast(col, pa.string()), "").to_numpy(
             zero_copy_only=False
         )
-        uniq, inv = np.unique(v, return_inverse=True)
+        uniq, inv = factorize_sorted(v)
         code = code * np.int64(len(uniq)) + inv.astype(np.int64)
     code[null] = -1
     return code[:n_p], code[n_p:]

@@ -15,7 +15,6 @@ distinct (key, value): tiny by construction.
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 
 MODE_VALUE = "mode_value"
@@ -38,14 +37,23 @@ def _combine_counts(batch: pa.Table) -> pa.Table:
     return g.rename_columns([batch.column_names[0], MODE_VALUE, "n"])
 
 
-def _pick_all(batch: pa.Table, key: str) -> pd.DataFrame:
-    """Vectorized per-key argmax over the (small) global counts table."""
-    df = batch.to_pandas()
-    df = df.sort_values(
-        [key, "n", MODE_VALUE], ascending=[True, False, True], kind="stable"
+def _pick_all(batch: pa.Table, key: str) -> pa.Table:
+    """Vectorized per-key argmax over the (small) global counts table —
+    pure Arrow: one sort, then keep the first row of each key run."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(
+        batch,
+        sort_keys=[(key, "ascending"), ("n", "descending"),
+                   (MODE_VALUE, "ascending")],
     )
-    top = df.drop_duplicates(subset=[key], keep="first")
-    return top.rename(columns={"n": MODE_COUNT}).reset_index(drop=True)
+    t = batch.take(idx)
+    k = t[key].to_numpy(zero_copy_only=False)
+    first = np.r_[True, k[1:] != k[:-1]] if len(k) else np.array([], bool)
+    return t.filter(pa.array(first)).rename_columns(
+        [key, MODE_VALUE, MODE_COUNT]
+    )
 
 
 def mode_per_key(ds, key: str, col: str, hash_combine: bool = False):

@@ -26,6 +26,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from aisdb_ray.functions.codes import factorize_sorted
+
 
 def _order_key(col: pa.ChunkedArray, descending: bool) -> np.ndarray:
     """A numpy sort key preserving the column's total order.
@@ -40,7 +42,7 @@ def _order_key(col: pa.ChunkedArray, descending: bool) -> np.ndarray:
         v = col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
     else:
         arr = col.to_numpy(zero_copy_only=False)
-        _, inv = np.unique(arr, return_inverse=True)
+        _, inv = factorize_sorted(arr)
         v = inv.astype(np.int64)
     return -v if descending else v
 
@@ -52,9 +54,7 @@ def _topk_table(
     lexsort + run-boundary arithmetic, no Python per row/group."""
     if len(tbl) == 0:
         return tbl
-    _, ginv = np.unique(
-        tbl[group].to_numpy(zero_copy_only=False), return_inverse=True
-    )
+    _, ginv = factorize_sorted(tbl[group].to_numpy(zero_copy_only=False))
     keys = [_order_key(tbl[c], d) for c, d in zip(order, descending)]
     # np.lexsort: last key is primary -> (group, order[0], order[1], ...)
     idx = np.lexsort(tuple(reversed(keys)) + (ginv,))

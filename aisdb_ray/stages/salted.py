@@ -50,6 +50,7 @@ import pyarrow.compute as pc
 
 import ray
 
+from aisdb_ray.functions.codes import factorize_sorted
 from aisdb_ray.schema import DOC_ID, IS_ORIGINAL, N_TOK, SEG, SEQ, SOURCE, TIME, TOKENS
 from aisdb_ray.stages.compress import PACKED_CHUNK_SCHEMA
 from aisdb_ray.stages.series import (
@@ -381,7 +382,7 @@ SPART_COL = "_spart"
 def _spart_of(src: np.ndarray, ch: np.ndarray, num_parts: int) -> np.ndarray:
     """Staging partition id = hash(source, chunk) — spreads a hot source's
     chunks across partitions (hash(source) alone would re-concentrate it)."""
-    uniq, inv = np.unique(src, return_inverse=True)
+    uniq, inv = factorize_sorted(src)
     src_h = np.array(
         [__import__("zlib").crc32(s.encode()) for s in uniq], dtype=np.int64
     )[inv]
@@ -408,7 +409,7 @@ def _clean_part_table(tbl: pa.Table, max_gap: int) -> pa.Table:
     s = tbl[SEQ].to_numpy(zero_copy_only=False)
     src = tbl[SOURCE].to_numpy(zero_copy_only=False)
     ch = tbl[CHUNK_COL].to_numpy(zero_copy_only=False)
-    _, src_code = np.unique(src, return_inverse=True)
+    _, src_code = factorize_sorted(src)
     order = np.lexsort((s, t, ch, src_code))
     t2, s2, sc2, ch2 = t[order], s[order], src_code[order], ch[order]
     # keep-first dedup on (source, time, seq) — duplicates are adjacent

@@ -108,6 +108,32 @@ def test_encode_documents_counts():
         assert r["enc"].replace(bpe.SEP, "") == orig
 
 
+def test_encode_token_ids_exploded_matches_ids():
+    """The (doc_id, pos, token_id) long form re-assembles into exactly the
+    per-doc id lists (and decodes back to the original text); empty docs
+    emit zero rows."""
+    merges = bpe.fit_bpe(_docs_ds(), n_merges=25, vocab_words=64)
+    base = sorted({ch for t in CORPUS for ch in t})
+    vocab = bpe.piece_vocab(merges, base)
+    texts = CORPUS + [""]
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": [f"d{i}" for i in range(len(texts))],
+                      "text": texts})
+    )
+    out = bpe.encode_token_ids(docs, merges, vocab).to_pandas()
+    assert (out["token_id"] >= 0).all()  # full vocab coverage
+    assert f"d{len(CORPUS)}" not in set(out["doc_id"])  # empty doc -> 0 rows
+    for i, t in enumerate(CORPUS):
+        g = out[out["doc_id"] == f"d{i}"].sort_values("pos")
+        assert list(g["pos"]) == list(range(1, len(g) + 1))
+        assert bpe.decode_ids(g["token_id"].tolist(), vocab) == t
+
+
+def test_corpus_alphabet_distributed():
+    base = bpe.corpus_alphabet(_docs_ds())
+    assert base == sorted({ch for t in CORPUS for ch in t})
+
+
 def test_embedding_encoder_matches_numpy_reference():
     """Actor-pool encoder == per-row numpy reference (hashing trick +
     integer projection), including empty and whitespace-only docs."""
@@ -128,6 +154,40 @@ def test_embedding_encoder_matches_numpy_reference():
         row = got.loc[f"d{i}"]
         for d in range(encode.N_DIMS):
             assert row[f"e{d:02d}"] == want[d], (i, d)
+
+
+def test_mips_topk_matches_brute_force():
+    """encode → MIPS top-k equals the numpy brute force with the same
+    (score desc, doc_id asc) tie rule."""
+    from aisdb_ray.functions import text as T
+
+    texts = CORPUS * 3  # duplicated docs force score ties across doc_ids
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": [f"d{i:02d}" for i in range(len(texts))],
+                      "text": texts})
+    )
+    q = encode.mips_queries(n_queries=3)
+    got = (
+        encode.mips_topk(encode.encode_documents(docs), q, k=4)
+        .to_pandas()
+        .sort_values(["qid", "score", "doc_id"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    w = encode.encode_matrix()
+    y = np.zeros((len(texts), encode.N_DIMS), dtype=np.int64)
+    for i, t in enumerate(texts):
+        x = np.zeros(encode.N_FEATURES, dtype=np.int64)
+        for word in t.split():
+            x[T.md5_64(word) % encode.N_FEATURES] += 1
+        y[i] = x @ w
+    for qi in range(3):
+        s = y @ q[qi]
+        ids = np.array([f"d{i:02d}" for i in range(len(texts))], dtype=object)
+        order = np.lexsort((ids, -s))[:4]
+        g = got[got["qid"] == qi]
+        assert list(g["doc_id"]) == list(ids[order])
+        np.testing.assert_array_equal(g["score"].to_numpy(), s[order])
 
 
 def test_encode_sql_artifacts_embed():
