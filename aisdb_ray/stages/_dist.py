@@ -93,36 +93,50 @@ def co_shuffle_staged(ds, keys: list[str], block_fn, staging_dir: str,
 
     def write_stage(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return pa.table({"n": pa.array([], pa.int64()),
-                             "file": pa.array([], pa.string())})
+            return pa.table({"file": pa.array([], pa.string()),
+                             "part": pa.array([], pa.int64()),
+                             "rg": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
         sp = np.asarray(_key_hash(b, keys, num_parts))
         order = np.argsort(sp, kind="stable")
-        b2 = b.append_column(_PART, pa.array(sp)).take(pa.array(order))
+        b2 = b.take(pa.array(order))
         sps = sp[order]
         bounds = np.r_[np.flatnonzero(np.r_[True, sps[1:] != sps[:-1]]), len(sps)]
         name = f"stage-{uuid.uuid4().hex[:12]}.parquet"
         path = os.path.join(staging_dir, name)
         tmp = path + ".tmp"
-        with pq.ParquetWriter(tmp, b2.schema, compression="zstd") as w:
+        # lz4: staging is transient (often tmpfs) — cheap CPU beats ratio
+        with pq.ParquetWriter(tmp, b2.schema, compression="lz4") as w:
             for a, e in zip(bounds[:-1], bounds[1:]):
                 w.write_table(b2.slice(a, e - a), row_group_size=e - a)
         os.replace(tmp, path)  # atomic: a manifest name is always complete
-        return pa.table({"n": pa.array([b.num_rows], pa.int64()),
-                         "file": pa.array([name], pa.string())})
+        rgs = np.arange(len(bounds) - 1, dtype=np.int64)
+        return pa.table({
+            "file": pa.array([name] * len(rgs), pa.string()),
+            "part": pa.array(sps[bounds[:-1]].astype(np.int64), pa.int64()),
+            "rg": pa.array(rgs, pa.int64()),
+            "n": pa.array(np.diff(bounds).astype(np.int64), pa.int64()),
+        })
 
     # the exchange barrier: every shuffle file durable before any read.
-    # take_all() is O(#map tasks) rows — the manifest, not the data.
+    # take_all() is one row per (map task, partition) — the manifest, not
+    # the data.  Phase B reads EXACT (file, row group) pairs, so killed or
+    # re-executed attempts can neither duplicate nor truncate a partition,
+    # and no filter evaluation runs at read time.
     manifest = ds.map_batches(write_stage, batch_format="pyarrow").take_all()
-    files = sorted(os.path.join(staging_dir, r["file"]) for r in manifest)
-    expect = {os.path.join(staging_dir, r["file"]): r["n"] for r in manifest}
-    for f in files:
-        got = pq.read_metadata(f).num_rows
-        if got != expect[f]:
+    per_file: dict[str, int] = {}
+    assign: dict[int, list] = {k: [] for k in range(num_parts)}
+    for r in manifest:
+        per_file[r["file"]] = per_file.get(r["file"], 0) + int(r["n"])
+        assign[int(r["part"])].append((r["file"], int(r["rg"])))
+    for f, n_expect in per_file.items():
+        got = pq.read_metadata(os.path.join(staging_dir, f)).num_rows
+        if got != n_expect:
             raise RuntimeError(
                 f"staged exchange file {f}: footer rows {got} != manifest "
-                f"{expect[f]} (corrupt stage write)")
+                f"{n_expect} (corrupt stage write)")
 
-    if not files:
+    if not per_file:
         # entirely empty input: run the kernel once over an empty table with
         # the input schema instead of handing pyarrow an empty file list.
         base = ds.schema().base_schema
@@ -130,17 +144,40 @@ def co_shuffle_staged(ds, keys: list[str], block_fn, staging_dir: str,
         out = block_fn(empty)
         return rd.from_arrow(out)
 
+    # schema for empty partitions: read it off any stage file footer once
+    empty_schema = pq.read_schema(
+        os.path.join(staging_dir, next(iter(per_file)))
+    )
+
     def run_part(batch: pa.Table) -> pa.Table:
         out = []
-        for k in batch["part"].to_pylist():
-            tbl = pq.read_table(
-                files, filters=[(_PART, "==", int(k))], use_threads=False
-            ).drop_columns([_PART])
+        for fs, rgs in zip(batch["files"].to_pylist(),
+                           batch["rgs"].to_pylist()):
+            open_files: dict = {}
+            pieces = []
+            for f, rg in zip(fs, rgs):
+                pf = open_files.get(f)
+                if pf is None:
+                    pf = open_files[f] = pq.ParquetFile(
+                        os.path.join(staging_dir, f)
+                    )
+                pieces.append(pf.read_row_group(int(rg)))
+            for pf in open_files.values():
+                pf.close()
+            if pieces:
+                tbl = pa.concat_tables(pieces, promote_options="default")
+            else:
+                tbl = empty_schema.empty_table()
             out.append(block_fn(tbl))
         return pa.concat_tables(out, promote_options="default")
 
     items = rd.from_items(
-        [{"part": k} for k in range(num_parts)], override_num_blocks=num_parts
+        [
+            {"part": k, "files": [f for f, _ in assign[k]],
+             "rgs": [rg for _, rg in assign[k]]}
+            for k in range(num_parts)
+        ],
+        override_num_blocks=num_parts,
     )
     return items.map_batches(run_part, batch_format="pyarrow", batch_size=None)
 

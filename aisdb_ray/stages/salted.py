@@ -190,28 +190,46 @@ def _chunk_summary(batch: pa.Table) -> pa.Table:
     )
 
 
-def _reconcile_source_table(g: pa.Table, max_gap: int) -> pa.Table:
-    """Vectorized reconcile of ONE source's chunk-summary rows -> per-chunk
-    reconciliation columns.  Runs inside a ``groupby(source)`` task in the
-    staged path (the driver never walks the O(#chunks) summary); the pandas
-    walk in :func:`_reconcile` is the reference implementation and the
-    parity test pins them equal on random summaries."""
-    order = pc.sort_indices(g, sort_keys=[("chunk", "ascending")])
-    g = g.take(order)
+def _reconcile_sorted_multi(g: pa.Table, max_gap: int) -> pa.Table:
+    """Vectorized reconcile over a (source, chunk)-SORTED summary table
+    holding ANY number of sources — per-source resets are segment
+    boundaries, so one pass covers the whole table: cumsum offsets with a
+    subtract-at-source-start rebase, forward-fill for the open-segment
+    carry.  The pandas walk in :func:`_reconcile` is the reference
+    implementation; a randomized-summary parity test pins them equal."""
     t_first = g["t_first"].to_numpy(zero_copy_only=False)
     t_last = g["t_last"].to_numpy(zero_copy_only=False)
     n_segs = g["n_segs"].to_numpy(zero_copy_only=False)
     v_last = g["v_last"].to_numpy(zero_copy_only=False)
     ls_start = g["t_lastseg_start"].to_numpy(zero_copy_only=False)
+    src = g["source"].to_numpy(zero_copy_only=False)
     n = len(t_first)
+    if n == 0:
+        return pa.table(
+            {
+                "source": g["source"], "chunk": g["chunk"],
+                "off": pa.array([], pa.int64()),
+                "cont": pa.array([], pa.bool_()),
+                "seg_t0": pa.array([], pa.int64()),
+                "t_prev": pa.array([], pa.int64()),
+                "v_prev": pa.array([], pa.float64()),
+                "closes": pa.array([], pa.bool_()),
+            }
+        )
+    new_src = np.r_[True, src[1:] != src[:-1]]
     cont = np.zeros(n, dtype=bool)
     if n > 1:
         cont[1:] = (t_first[1:] - t_last[:-1]) < max_gap
-    off = np.cumsum(np.r_[0, n_segs[:-1]]) - np.cumsum(cont.astype(np.int64))
+    cont[new_src] = False
+    # off: global prefix sums rebased to zero at each source start
+    # (cont[start] == 0, so the rebased cont sum is exact per source)
+    base = np.cumsum(np.r_[0, n_segs[:-1]]) - np.cumsum(cont.astype(np.int64))
+    start_idx = np.maximum.accumulate(np.where(new_src, np.arange(n), -1))
+    off = base - base[start_idx]
     # open_t0 recurrence (the epoch the still-open segment started at):
     #   open_t0[i] = ls_start[i]          if the chunk has >1 local segs
     #              = open_t0[i-1]         elif it continues the previous one
-    #              = t_first[i]           otherwise
+    #              = t_first[i]           otherwise (incl. source starts)
     # -> forward-fill of the reset values over the carry positions
     is_reset = (n_segs > 1) | ~cont
     reset_val = np.where(n_segs > 1, ls_start, t_first)
@@ -220,10 +238,10 @@ def _reconcile_source_table(g: pa.Table, max_gap: int) -> pa.Table:
     seg_t0 = t_first.copy()
     if n > 1:
         seg_t0[1:] = np.where(cont[1:], open_t0[:-1], t_first[1:])
-    # but a continuing chunk with >1 segs still STARTS in the carried seg:
-    # seg_t0 uses open_t0[i-1] (handled above) regardless of its own resets
     t_prev = np.r_[np.int64(0), t_last[:-1]]
     v_prev = np.r_[np.float64(0.0), v_last[:-1]]
+    t_prev[new_src] = 0
+    v_prev[new_src] = 0.0
     closes = np.r_[~cont[1:], True]
     return pa.table(
         {
@@ -237,6 +255,13 @@ def _reconcile_source_table(g: pa.Table, max_gap: int) -> pa.Table:
             "closes": pa.array(closes, pa.bool_()),
         }
     )
+
+
+def _reconcile_source_table(g: pa.Table, max_gap: int) -> pa.Table:
+    """One groupby(source) group -> reconciliation rows (sorts by chunk and
+    delegates to the multi-source kernel)."""
+    order = pc.sort_indices(g, sort_keys=[("chunk", "ascending")])
+    return _reconcile_sorted_multi(g.take(order), max_gap)
 
 
 def _recon_map_from_table(tbl: pa.Table) -> ReconMap:
@@ -478,40 +503,67 @@ def clean_chunks_staged(
 
     def write_stage(b: pa.Table) -> pa.Table:
         # one shuffle file per map task, ONE ROW GROUP PER PARTITION —
-        # file-creation cost stays O(map tasks), and readers prune to their
-        # partition via the _spart row-group statistics (the map-side
-        # shuffle-file layout of MapReduce/Spark, in parquet)
+        # file-creation cost stays O(map tasks).  The manifest row per row
+        # group (file, part, rg) lets phase B read EXACT row groups, so the
+        # partition column itself never hits the file and readers skip
+        # filter evaluation entirely (the map-side shuffle-file layout of
+        # MapReduce/Spark, in parquet).  lz4: staging is transient and
+        # usually on tmpfs — cheap CPU beats ratio there (durable tiers
+        # stay zstd).
         sp = b[SPART_COL].to_numpy(zero_copy_only=False)
         order = np.argsort(sp, kind="stable")
-        b2 = b.take(pa.array(order))
+        b2 = b.take(pa.array(order)).drop_columns([SPART_COL])
         sps = sp[order]
         bounds = np.r_[np.flatnonzero(np.r_[True, sps[1:] != sps[:-1]]), len(sps)]
         name = f"stage-{uuid.uuid4().hex[:12]}.parquet"
         path = os.path.join(staging_dir, name)
         tmp = path + ".tmp"
-        with pq.ParquetWriter(tmp, b2.schema, compression="zstd") as w:
+        with pq.ParquetWriter(tmp, b2.schema, compression="lz4") as w:
             for a, e in zip(bounds[:-1], bounds[1:]):
                 w.write_table(b2.slice(a, e - a), row_group_size=e - a)
         os.replace(tmp, path)  # atomic: a manifest name is always complete
-        return pa.table({"n": pa.array([b.num_rows], pa.int64()),
-                         "file": pa.array([name], pa.string())})
+        rgs = np.arange(len(bounds) - 1, dtype=np.int64)
+        return pa.table({
+            "file": pa.array([name] * len(rgs), pa.string()),
+            "part": pa.array(sps[bounds[:-1]].astype(np.int64), pa.int64()),
+            "rg": pa.array(rgs, pa.int64()),
+        })
 
     # Exchange barrier: every shuffle file durable before any read.  Phase B
-    # reads ONLY the files named in the task results (Ray delivers exactly
-    # one result per logical task, however many retry attempts ran), so
-    # orphan files from killed/duplicated attempts can't duplicate rows.
+    # reads ONLY (file, row group) pairs named in the task results (Ray
+    # delivers exactly one result per logical task, however many retry
+    # attempts ran), so orphan files from killed/duplicated attempts can't
+    # duplicate rows.  Manifest size: one row per (map task, partition).
     manifest = chunked.map_batches(write_stage, batch_format="pyarrow").take_all()
-    files = sorted(os.path.join(staging_dir, r["file"]) for r in manifest)
+    assign: dict[int, list] = {k: [] for k in range(num_parts)}
+    for r in manifest:
+        assign[int(r["part"])].append((r["file"], int(r["rg"])))
 
     sum_dir = os.path.join(staging_dir, "_summary")
     os.makedirs(sum_dir, exist_ok=True)
 
     def clean_part(batch: pa.Table) -> pa.Table:
         out = []
-        for k in batch["part"].to_pylist():
-            tbl = pq.read_table(
-                files, filters=[(SPART_COL, "==", int(k))], use_threads=False
-            ).drop_columns([SPART_COL])
+        for k, fs, rgs in zip(batch["part"].to_pylist(),
+                              batch["files"].to_pylist(),
+                              batch["rgs"].to_pylist()):
+            open_files: dict[str, pq.ParquetFile] = {}
+            pieces = []
+            for f, rg in zip(fs, rgs):
+                pf = open_files.get(f)
+                if pf is None:
+                    pf = open_files[f] = pq.ParquetFile(
+                        os.path.join(staging_dir, f)
+                    )
+                pieces.append(pf.read_row_group(int(rg)))
+            for pf in open_files.values():
+                pf.close()
+            if pieces:
+                tbl = pa.concat_tables(pieces, promote_options="default")
+            else:
+                tbl = chunked.schema().base_schema.empty_table().drop_columns(
+                    [SPART_COL]
+                )
             cleaned = _clean_part_table(tbl, max_gap)
             # per-part chunk summary written alongside — saves a full extra
             # pass (and executor run) over the materialized dataset
@@ -522,7 +574,12 @@ def clean_chunks_staged(
         return pa.concat_tables(out, promote_options="default")
 
     items = rd.from_items(
-        [{"part": k} for k in range(num_parts)], override_num_blocks=num_parts
+        [
+            {"part": k, "files": [f for f, _ in assign[k]],
+             "rgs": [rg for _, rg in assign[k]]}
+            for k in range(num_parts)
+        ],
+        override_num_blocks=num_parts,
     )
     mat = items.map_batches(
         clean_part, batch_format="pyarrow", batch_size=None
@@ -532,11 +589,23 @@ def clean_chunks_staged(
         for f in os.listdir(sum_dir)
         if f.endswith(".parquet")  # skip .tmp leftovers from killed attempts
     )
-    # DISTRIBUTED reconcile: the per-source sequential walk runs inside a
-    # groupby(source) task over the O(#chunks) summary rows (never on the
-    # driver), and the resulting per-chunk reconciliation rows are staged
-    # with one row group per partition so each consumer task loads only its
-    # partition's rows.  The driver holds file paths, not the map.
+    # DISTRIBUTED reconcile: the per-source sequential walk runs inside
+    # Ray tasks over the O(#chunks) summary rows (never on the driver).
+    # Small summaries (the common case: one row per (source, day)) take a
+    # SINGLE-task fast path — one sort + one vectorized multi-source pass —
+    # because a groupby shuffle's fixed latency dwarfs the work; summaries
+    # past the threshold run the groupby(source) path, whose task memory is
+    # bounded by the largest source's chunk count.
+    n_summary = sum(pq.read_metadata(f).num_rows for f in sum_files)
+    recon_dir = os.path.join(staging_dir, "_recon")
+    os.makedirs(recon_dir, exist_ok=True)
+    if n_summary <= 5_000_000:
+        rfiles = ray.get(
+            _reconcile_small_task.remote(sum_files, recon_dir, max_gap, num_parts)
+        )
+        return mat, ReconStore(
+            [os.path.join(recon_dir, f) for f in rfiles], num_parts
+        )
     recon_rows = (
         rd.read_parquet(sum_files)
         .groupby("source")
@@ -545,27 +614,11 @@ def clean_chunks_staged(
             batch_format="pyarrow",
         )
     )
-    recon_dir = os.path.join(staging_dir, "_recon")
-    os.makedirs(recon_dir, exist_ok=True)
 
     def write_recon(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return pa.table({"file": pa.array([], pa.string())})
-        sp = _spart_of(
-            b["source"].to_numpy(zero_copy_only=False),
-            b["chunk"].to_numpy(zero_copy_only=False).astype(np.int64),
-            num_parts,
-        )
-        order = np.argsort(sp, kind="stable")
-        b2 = b.append_column(SPART_COL, pa.array(sp)).take(pa.array(order))
-        sps = sp[order]
-        bounds = np.r_[np.flatnonzero(np.r_[True, sps[1:] != sps[:-1]]), len(sps)]
-        name = f"recon-{uuid.uuid4().hex[:12]}.parquet"
-        path = os.path.join(recon_dir, name)
-        with pq.ParquetWriter(path + ".tmp", b2.schema, compression="zstd") as w:
-            for a, e in zip(bounds[:-1], bounds[1:]):
-                w.write_table(b2.slice(a, e - a), row_group_size=e - a)
-        os.replace(path + ".tmp", path)
+        name = _write_recon_table(b, recon_dir, num_parts)
         return pa.table({"file": pa.array([name], pa.string())})
 
     rmanifest = recon_rows.map_batches(
@@ -573,6 +626,51 @@ def clean_chunks_staged(
     ).take_all()  # O(#groupby output blocks) rows — the manifest, not the map
     rfiles = [os.path.join(recon_dir, r["file"]) for r in rmanifest]
     return mat, ReconStore(rfiles, num_parts)
+
+
+def _write_recon_table(b: pa.Table, recon_dir: str, num_parts: int) -> str:
+    """Write reconciliation rows as one stage file with a row group per
+    partition (atomic rename); returns the file name."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    sp = _spart_of(
+        b["source"].to_numpy(zero_copy_only=False),
+        b["chunk"].to_numpy(zero_copy_only=False).astype(np.int64),
+        num_parts,
+    )
+    order = np.argsort(sp, kind="stable")
+    b2 = b.append_column(SPART_COL, pa.array(sp)).take(pa.array(order))
+    sps = sp[order]
+    bounds = np.r_[np.flatnonzero(np.r_[True, sps[1:] != sps[:-1]]), len(sps)]
+    name = f"recon-{uuid.uuid4().hex[:12]}.parquet"
+    path = os.path.join(recon_dir, name)
+    with pq.ParquetWriter(path + ".tmp", b2.schema, compression="zstd") as w:
+        for a, e in zip(bounds[:-1], bounds[1:]):
+            w.write_table(b2.slice(a, e - a), row_group_size=e - a)
+    os.replace(path + ".tmp", path)
+    return name
+
+
+def _reconcile_small(sum_files: list, recon_dir: str, max_gap: int,
+                     num_parts: int) -> list:
+    """One-task reconcile for small summaries: read, one sort, one
+    vectorized multi-source pass, one staged write."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(sum_files)
+    if tbl.num_rows == 0:
+        return []
+    idx = pc.sort_indices(
+        tbl, sort_keys=[("source", "ascending"), ("chunk", "ascending")]
+    )
+    rows = _reconcile_sorted_multi(tbl.take(idx), max_gap)
+    return [_write_recon_table(rows, recon_dir, num_parts)]
+
+
+_reconcile_small_task = ray.remote(num_cpus=1)(_reconcile_small)
 
 
 def relabel_blocks(mat, recon_ref):
