@@ -512,7 +512,9 @@ def clean_chunks_staged(
         # stay zstd).
         sp = b[SPART_COL].to_numpy(zero_copy_only=False)
         order = np.argsort(sp, kind="stable")
-        b2 = b.take(pa.array(order)).drop_columns([SPART_COL])
+        # _chunk is time // chunk_s — derivable, so it never hits the wire;
+        # phase B recomputes it (8 B/row off the exchange)
+        b2 = b.take(pa.array(order)).drop_columns([SPART_COL, CHUNK_COL])
         sps = sp[order]
         bounds = np.r_[np.flatnonzero(np.r_[True, sps[1:] != sps[:-1]]), len(sps)]
         name = f"stage-{uuid.uuid4().hex[:12]}.parquet"
@@ -562,8 +564,9 @@ def clean_chunks_staged(
                 tbl = pa.concat_tables(pieces, promote_options="default")
             else:
                 tbl = chunked.schema().base_schema.empty_table().drop_columns(
-                    [SPART_COL]
+                    [SPART_COL, CHUNK_COL]
                 )
+            tbl = _add_chunk(tbl, chunk_s)  # derivable: recomputed, not shipped
             cleaned = _clean_part_table(tbl, max_gap)
             # per-part chunk summary written alongside — saves a full extra
             # pass (and executor run) over the materialized dataset
