@@ -169,3 +169,28 @@ def test_staged_reconcile_driver_holds_no_chunk_state(micro_dir, tmp_path):
     got = _norm(salted.relabel_blocks(mat, recon_ref).to_pandas())
     want = _norm(series.clean_series(_prepared(micro_dir), MAX_GAP).to_pandas())
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_doc_id_sparse_dense_roundtrip_exact():
+    """The exchange wire codec nulls only canonical ids and reconstructs
+    them exactly; non-canonical ids (odd padding, colons in the source,
+    wide epochs) ride through untouched."""
+    import pyarrow as pa
+
+    tbl = pa.table({
+        "doc_id": [
+            "src-1:0000000100:0007",      # canonical -> nulled + rebuilt
+            "src-1:100:7",                # unpadded -> kept verbatim
+            "a:b:0000000100:0007",        # colon in source (canonical)
+            "src-2:99999999999:0012",     # 11-digit epoch (lpad no-op)
+            "src-3:0000000200:12",        # seq unpadded -> kept verbatim
+        ],
+        "source": ["src-1", "src-1", "a:b", "src-2", "src-3"],
+        "time": pa.array([100, 100, 100, 99999999999, 200], pa.int64()),
+        "seq": pa.array([7, 7, 7, 12, 12], pa.int32()),
+    })
+    sparse = salted._doc_id_sparse(tbl)
+    nulls = sparse["doc_id"].null_count
+    assert nulls == 3  # rows 0, 2, 3 are canonical
+    dense = salted._doc_id_dense(sparse)
+    assert dense["doc_id"].to_pylist() == tbl["doc_id"].to_pylist()
