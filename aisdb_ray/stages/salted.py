@@ -580,7 +580,16 @@ def clean_chunks_staged(
     # delivers exactly one result per logical task, however many retry
     # attempts ran), so orphan files from killed/duplicated attempts can't
     # duplicate rows.  Manifest size: one row per (map task, partition).
+    import sys
+    import time as _time
+
+    _trace = os.environ.get("GRAFT_EXCHANGE_TIMING") == "1"
+    _t0 = _time.time()
     manifest = chunked.map_batches(write_stage, batch_format="pyarrow").take_all()
+    if _trace:
+        print(f"[exchange] phase A (stage write): {_time.time() - _t0:.2f}s",
+              file=sys.stderr)
+        _t0 = _time.time()
     assign: dict[int, list] = {k: [] for k in range(num_parts)}
     for r in manifest:
         assign[int(r["part"])].append((r["file"], int(r["rg"])))
@@ -631,6 +640,10 @@ def clean_chunks_staged(
     mat = items.map_batches(
         clean_part, batch_format="pyarrow", batch_size=None
     ).materialize()
+    if _trace:
+        print(f"[exchange] phase B (clean+pin): {_time.time() - _t0:.2f}s",
+              file=sys.stderr)
+        _t0 = _time.time()
     sum_files = sorted(
         os.path.join(sum_dir, f)
         for f in os.listdir(sum_dir)
@@ -650,6 +663,9 @@ def clean_chunks_staged(
         rfiles = ray.get(
             _reconcile_small_task.remote(sum_files, recon_dir, max_gap, num_parts)
         )
+        if _trace:
+            print(f"[exchange] reconcile (single task, {n_summary} rows): "
+                  f"{_time.time() - _t0:.2f}s", file=sys.stderr)
         return mat, ReconStore(
             [os.path.join(recon_dir, f) for f in rfiles], num_parts
         )

@@ -19,39 +19,99 @@ import pyarrow.compute as pc
 from aisdb_ray.functions import text as T
 
 
+def _doc_words_flat(texts: pa.Array):
+    """Flatten per-doc ``\\S+`` words: returns (words, parent_doc_index)
+    with empties from edge whitespace removed — one Arrow split pass
+    instead of a Python regex findall per row."""
+    wl = pc.split_pattern_regex(texts, pattern=r"\s+")
+    flat = pc.list_flatten(wl)
+    parent = pc.list_parent_indices(wl).to_numpy(zero_copy_only=False)
+    nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    if not nonempty.all():
+        flat = flat.filter(pa.array(nonempty))
+        parent = parent[nonempty]
+    return flat, parent
+
+
+def _segment_starts(parent: np.ndarray) -> np.ndarray:
+    """Start offsets of each contiguous parent run (parent is sorted)."""
+    return np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]])
+
+
+def fingerprint64_batch(texts: pa.Array, _flat_parent=None) -> np.ndarray:
+    """Vectorized :func:`aisdb_ray.functions.text.fingerprint64` over a
+    string array: md5 once per UNIQUE word (pandas hash factorize), then
+    the per-doc polynomial rolling hash as segmented uint64 arithmetic
+    (natural mod-2^64 wraparound) with a power table indexed by word
+    position.  The per-row function stays as the parity oracle in tests."""
+    import pandas as pd
+
+    n = len(texts)
+    fps = np.zeros(n, dtype=np.uint64)
+    flat, parent = _flat_parent or _doc_words_flat(texts)
+    if len(flat) == 0:
+        return fps
+    codes, uniques = pd.factorize(flat.to_numpy(zero_copy_only=False))
+    uh = np.fromiter(
+        (T.md5_64(w) for w in uniques), dtype=np.uint64, count=len(uniques)
+    )
+    h = uh[codes]
+    starts = _segment_starts(parent)
+    seg_len = np.diff(np.r_[starts, len(parent)])
+    pos = np.arange(len(parent), dtype=np.int64)
+    pos -= np.repeat(pos[starts], seg_len)
+    # P^pos via a LUT over [0, max_doc_len): one cumprod, not 370k powmods
+    lut = np.ones(int(seg_len.max()), dtype=np.uint64)
+    lut[1:] = np.uint64(1_000_003)
+    vals = h * np.cumprod(lut)[pos]
+    fps[parent[starts]] = np.add.reduceat(vals, starts)
+    return fps
+
+
 class TextStats:
-    """Per-document counts + fingerprint + heuristic language id."""
+    """Per-document counts + fingerprint + heuristic language id.
+
+    Fully vectorized: counts are single Arrow regex kernels, max word
+    length is a segmented reduceat over the flattened word lengths, and
+    the fingerprint hashes each unique word once (see
+    :func:`fingerprint64_batch`); the per-row functions in
+    ``functions/text.py`` remain the parity oracles."""
 
     def __init__(self):
-        import re
-
-        self.word_re = re.compile(r"\S+")
+        pass
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
         n = len(texts)
-        cols = {
-            "n_chars": np.empty(n, np.int64),
-            "n_words": np.empty(n, np.int64),
-            "n_punct": np.empty(n, np.int64),
-            "n_alpha": np.empty(n, np.int64),
-            "max_word_len": np.empty(n, np.int64),
-        }
-        fps = np.empty(n, np.uint64)
-        for i, t in enumerate(texts):
-            ws = self.word_re.findall(t)
-            q = T.quality_counts(t, ws)
-            for k in cols:
-                cols[k][i] = q[k]
-            fps[i] = T.fingerprint64(ws)
+        maxw = np.zeros(n, dtype=np.int64)
+        nw = np.zeros(n, dtype=np.int64)
+        flat, parent = _doc_words_flat(texts)
+        if len(flat):
+            wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+            starts = _segment_starts(parent)
+            maxw[parent[starts]] = np.maximum.reduceat(wlen, starts)
+            nw = np.bincount(parent, minlength=n).astype(np.int64)
+        i64 = pa.int64()
         out = pa.table(
             {
                 "doc_id": batch["doc_id"],
-                **{k: pa.array(v) for k, v in cols.items()},
-                # vectorized (one Arrow pass per stopword set), unlike the
-                # md5 fingerprint which has no Arrow kernel
-                "pred_lang": T.lang_id_batch(batch["text"]),
-                "fingerprint": pa.array(fps.astype(np.int64)),
+                "n_chars": pc.cast(pc.utf8_length(texts), i64),
+                "n_words": pa.array(nw),
+                "n_punct": pc.cast(
+                    pc.count_substring_regex(texts, "[.,;:!?]"), i64
+                ),
+                "n_alpha": pc.cast(
+                    pc.count_substring_regex(texts, "[A-Za-z]"), i64
+                ),
+                "max_word_len": pa.array(maxw),
+                "pred_lang": T.lang_id_batch(texts),
+                "fingerprint": pa.array(
+                    fingerprint64_batch(
+                        texts, _flat_parent=(flat, parent)
+                    ).astype(np.int64)
+                ),
             }
         )
         return out

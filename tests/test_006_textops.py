@@ -218,3 +218,36 @@ def test_embedding_neardup_lsh_recall_and_precision(tmp_path):
     assert got_pairs <= want                      # precision 1.0
     assert len(got_pairs) >= 0.8 * len(want)      # LSH recall on near-dups
     assert (0, 40) in got_pairs                   # a known near-copy found
+
+
+def test_text_stats_vectorized_matches_per_row_oracle():
+    """The vectorized TextStats batch (Arrow regex kernels + segmented
+    reduceat + unique-word md5 fingerprint) must equal the per-row
+    reference functions on every column.  ASCII whitespace only: the
+    batch path is RE2 (like the SQL oracle), the per-row path is
+    Python re."""
+    import pyarrow as pa
+
+    texts = [
+        "the quick brown fox",
+        "  edge  whitespace  both ends  ",
+        "",
+        "punct! heavy, text; with: marks? everywhere.",
+        "unicode wörds ünd ßtrings 日本語もある",
+        "a",
+        "repeat repeat repeat repeat",
+        "\tmixed\nwhitespace\tforms\n",
+    ]
+    b = pa.table({"doc_id": [f"d{i}" for i in range(len(texts))],
+                  "text": texts})
+    got = textstats.TextStats()(b).to_pandas().set_index("doc_id")
+    import re
+    word_re = re.compile(r"\S+")
+    for i, t in enumerate(texts):
+        ws = word_re.findall(t)
+        q = T.quality_counts(t, ws)
+        row = got.loc[f"d{i}"]
+        for k, v in q.items():
+            assert row[k] == v, (k, t, row[k], v)
+        assert np.uint64(row["fingerprint"]) == T.fingerprint64(ws), t
+        assert row["pred_lang"] == T.lang_id(t)
