@@ -1855,6 +1855,20 @@ def q_doc_langid(sf_dir: str):
     ).select_columns(["doc_id", "pred_lang"])
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (Rae et al. 2021, App.
+    A1.1): duplicate-line and top-n-gram evidence per document as exact
+    integers (the published filters' fractions derive as int/int).  One
+    vectorized batch pass — a doc never splits across batches, so no
+    combine shuffle."""
+    from aisdb_ray.stages import textstats
+
+    _ctx()
+    return rd.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "text"]
+    ).map_batches(textstats.repetition_batch, batch_format="pyarrow")
+
+
 def _langid_sql() -> str:
     from aisdb_ray.functions.text import STOPWORDS
 
@@ -2435,6 +2449,7 @@ def build_queries() -> dict:
         "doc_contamination": q_doc_contamination,
         "doc_textstats": q_doc_textstats,
         "doc_langid": q_doc_langid,
+        "doc_repetition": q_doc_repetition,
         "doc_bpe_count": q_doc_bpe_count,
         "doc_clean_corpus": q_doc_clean_corpus,
         "doc_training_pipeline": q_doc_training_pipeline,
@@ -2836,6 +2851,59 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_distinct,
        CAST(max(c) AS BIGINT) AS max_tf
 FROM tf GROUP BY doc_id"""
+
+    # repetition grams: list-slice + array_to_string (deterministic — no
+    # unnest ordering dependence); words are \S+ so the ' ' join is
+    # collision-free.  length()/len() count codepoints on both sides.
+    sql["doc_repetition"] = r"""WITH lines AS (
+    SELECT doc_id, t.ln AS ln
+    FROM documents, LATERAL unnest(string_split(text, chr(10))) AS t(ln)
+  ),
+  lc AS (
+    SELECT doc_id, ln, count(*) AS c, length(ln) AS len
+    FROM lines GROUP BY doc_id, ln
+  ),
+  lstats AS (
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_lines,
+           CAST(count(*) AS BIGINT) AS n_distinct_lines,
+           CAST(coalesce(sum(CASE WHEN c >= 2 THEN c * len END), 0) AS BIGINT)
+             AS dup_line_chars
+    FROM lc GROUP BY doc_id
+  ),
+  w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+  g2 AS (
+    SELECT doc_id,
+           array_to_string(ws[CAST(s.i AS BIGINT):CAST(s.i + 1 AS BIGINT)], ' ') AS g
+    FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS s(i)
+  ),
+  g2s AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+           CAST(max(c) AS BIGINT) AS top_2gram_count
+    FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g)
+    GROUP BY doc_id
+  ),
+  g3 AS (
+    SELECT doc_id,
+           array_to_string(ws[CAST(s.i AS BIGINT):CAST(s.i + 2 AS BIGINT)], ' ') AS g
+    FROM w, LATERAL unnest(generate_series(1, len(ws) - 2)) AS s(i)
+  ),
+  g3s AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_3grams,
+           CAST(max(c) AS BIGINT) AS top_3gram_count
+    FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g)
+    GROUP BY doc_id
+  )
+SELECT d.doc_id,
+       l.n_lines, l.n_distinct_lines, l.dup_line_chars,
+       CAST(coalesce(g2s.n_2grams, 0) AS BIGINT) AS n_2grams,
+       CAST(coalesce(g2s.top_2gram_count, 0) AS BIGINT) AS top_2gram_count,
+       CAST(coalesce(g3s.n_3grams, 0) AS BIGINT) AS n_3grams,
+       CAST(coalesce(g3s.top_3gram_count, 0) AS BIGINT) AS top_3gram_count
+FROM documents d
+JOIN lstats l USING (doc_id)
+LEFT JOIN g2s USING (doc_id)
+LEFT JOIN g3s USING (doc_id)"""
 
     sql["doc_normalize"] = r"""SELECT doc_id,
        trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'), ' ')

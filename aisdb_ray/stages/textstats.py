@@ -274,3 +274,106 @@ def doc_freq_topk(ds, k: int = 100):
         combine, batch_format="pyarrow"
     )
     return merged.sort(["df", "token"], descending=[True, False]).limit(k)
+
+
+def _per_key_counts(*cols: np.ndarray):
+    """Run-length counts over composite integer keys: returns (sort order,
+    run start offsets into the sorted arrays, count per run).  Columns are
+    given least-significant first (np.lexsort convention)."""
+    order = np.lexsort(cols)
+    sorted_cols = [c[order] for c in cols]
+    change = np.zeros(len(order), dtype=bool)
+    change[0] = True
+    for c in sorted_cols:
+        change[1:] |= c[1:] != c[:-1]
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.r_[starts, len(order)])
+    return order, starts, counts
+
+
+def _top_adjacent_gram_counts(
+    wcodes: np.ndarray, parent: np.ndarray, n_docs: int, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(total k-grams, most-frequent k-gram count) per doc, over adjacent
+    word k-grams — segmented: a gram never crosses a doc boundary."""
+    total = np.zeros(n_docs, dtype=np.int64)
+    top = np.zeros(n_docs, dtype=np.int64)
+    if len(wcodes) < k:
+        return total, top
+    m = len(wcodes) - (k - 1)
+    keep = parent[:m] == parent[k - 1:]
+    if not keep.any():
+        return total, top
+    gp = parent[:m][keep]
+    grams = [wcodes[j:m + j][keep] for j in range(k)]
+    total += np.bincount(gp, minlength=n_docs)
+    order, starts, counts = _per_key_counts(*reversed(grams), gp)
+    # per-doc max count: runs are sorted with gp as the PRIMARY key
+    gp_sorted = gp[order][starts]
+    doc_starts = _segment_starts(gp_sorted)
+    top[gp_sorted[doc_starts]] = np.maximum.reduceat(counts, doc_starts)
+    return total, top
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models", App. A1.1 — the public quality-filter
+    heuristics), as exact INTEGER evidence so distributed results
+    hash-match the SQL oracle (the float fractions derive as int/int):
+
+    - ``n_lines`` / ``n_distinct_lines``: '\\n'-split line counts;
+    - ``dup_line_chars``: total codepoints of lines whose within-doc
+      occurrence count is >= 2 (all occurrences counted);
+    - ``n_2grams`` / ``top_2gram_count`` (and the 3-gram pair): adjacent
+      word n-gram totals and the most-frequent gram's count.
+
+    Fully vectorized: one Arrow split pass per feature family, then
+    factorize + lexsort run-length counting — no per-row Python.
+    """
+    import pandas as pd
+
+    texts = batch["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    n_lines = np.zeros(n, dtype=np.int64)
+    n_dist = np.zeros(n, dtype=np.int64)
+    dup_chars = np.zeros(n, dtype=np.int64)
+    if n:
+        ll = pc.split_pattern(texts, "\n")
+        flat = pc.list_flatten(ll)
+        parent = pc.list_parent_indices(ll).to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, _ = pd.factorize(flat.to_numpy(zero_copy_only=False))
+        n_lines = np.bincount(parent, minlength=n).astype(np.int64)
+        order, starts, counts = _per_key_counts(codes, parent)
+        par_sorted = parent[order]
+        n_dist = np.bincount(par_sorted[starts], minlength=n).astype(np.int64)
+        # occurrences of each line within its doc, scattered back
+        occ = np.empty(len(order), dtype=np.int64)
+        occ[order] = np.repeat(counts, counts)
+        dup = occ >= 2
+        dup_chars = np.bincount(
+            parent[dup], weights=lens[dup], minlength=n
+        ).astype(np.int64)
+
+    wflat, wparent = _doc_words_flat(texts)
+    if len(wflat):
+        wcodes, _ = pd.factorize(wflat.to_numpy(zero_copy_only=False))
+        n2, top2 = _top_adjacent_gram_counts(wcodes, wparent, n, 2)
+        n3, top3 = _top_adjacent_gram_counts(wcodes, wparent, n, 3)
+    else:
+        n2 = top2 = n3 = top3 = np.zeros(n, dtype=np.int64)
+
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_lines": pa.array(n_lines),
+            "n_distinct_lines": pa.array(n_dist),
+            "dup_line_chars": pa.array(dup_chars),
+            "n_2grams": pa.array(n2),
+            "top_2gram_count": pa.array(top2),
+            "n_3grams": pa.array(n3),
+            "top_3gram_count": pa.array(top3),
+        }
+    )

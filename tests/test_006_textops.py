@@ -251,3 +251,45 @@ def test_text_stats_vectorized_matches_per_row_oracle():
             assert row[k] == v, (k, t, row[k], v)
         assert np.uint64(row["fingerprint"]) == T.fingerprint64(ws), t
         assert row["pred_lang"] == T.lang_id(t)
+
+
+def test_repetition_batch_matches_brute_force():
+    """Gopher repetition signals: the vectorized kernel equals a per-doc
+    Counter reference on crafted inputs (dup lines, repeated grams, empty
+    and single-word docs)."""
+    import re
+    from collections import Counter
+
+    import pyarrow as pa
+
+    texts = [
+        "line a\nline b\nline a\nline c",
+        "x\nx\nx",
+        "",
+        "one two one two one",
+        "solo",
+        "a b\na b\nc d e c d e c d",
+        "  spaced   words  \nagain spaced words",
+    ]
+    b = pa.table({"doc_id": [f"d{i}" for i in range(len(texts))],
+                  "text": texts})
+    got = textstats.repetition_batch(b).to_pandas()
+    wr = re.compile(r"\S+")
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        lc = Counter(lines)
+        ws = wr.findall(t)
+        g2 = [" ".join(ws[j:j + 2]) for j in range(len(ws) - 1)]
+        g3 = [" ".join(ws[j:j + 3]) for j in range(len(ws) - 2)]
+        exp = dict(
+            n_lines=len(lines),
+            n_distinct_lines=len(lc),
+            dup_line_chars=sum(len(ln) for ln in lines if lc[ln] >= 2),
+            n_2grams=len(g2),
+            top_2gram_count=max(Counter(g2).values()) if g2 else 0,
+            n_3grams=len(g3),
+            top_3gram_count=max(Counter(g3).values()) if g3 else 0,
+        )
+        row = got.iloc[i]
+        for k, v in exp.items():
+            assert row[k] == v, (t, k, row[k], v)
