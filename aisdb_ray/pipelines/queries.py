@@ -1855,6 +1855,25 @@ def q_doc_langid(sf_dir: str):
     ).select_columns(["doc_id", "pred_lang"])
 
 
+def q_ts_ewma(sf_dir: str):
+    """Per-source exponential smoothing (alpha=1/4) of the daily token
+    rate: shuffle-light 1d rollup -> one co-shuffle on source -> the
+    rank-synchronous vectorized recurrence (window.ewma_block).  Bit-exact
+    vs a per-source recursive-CTE oracle: both sides evaluate the
+    identical IEEE double expression in the identical order.  Daily (not
+    hourly) grain keeps the oracle's recursion depth = #days — a recursive
+    CTE rebuilds its join hash table every iteration, so depth is the
+    oracle's cost driver (the engine side is grain-independent)."""
+    from aisdb_ray.stages import rollup as rollup_mod
+    from aisdb_ray.stages import window
+
+    _ctx()
+    daily = rollup_mod.rollup(_clean_tokens(sf_dir), 86400).select_columns(
+        ["source", "bucket", "sum_n_tok"]
+    )
+    return window.ewma(daily, "source", "bucket", "sum_n_tok", 1, 4)
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher-style repetition quality signals (Rae et al. 2021, App.
     A1.1): duplicate-line and top-n-gram evidence per document as exact
@@ -2450,6 +2469,7 @@ def build_queries() -> dict:
         "doc_textstats": q_doc_textstats,
         "doc_langid": q_doc_langid,
         "doc_repetition": q_doc_repetition,
+        "ts_ewma": q_ts_ewma,
         "doc_bpe_count": q_doc_bpe_count,
         "doc_clean_corpus": q_doc_clean_corpus,
         "doc_training_pipeline": q_doc_training_pipeline,
@@ -2855,6 +2875,34 @@ FROM tf GROUP BY doc_id"""
     # repetition grams: list-slice + array_to_string (deterministic — no
     # unnest ordering dependence); words are \S+ so the ' ' join is
     # collision-free.  length()/len() count codepoints on both sides.
+    # EWMA: the recursive CTE advances every source one in-group rank per
+    # iteration — the literal `0.25` and the expression shape match
+    # window.ewma_block token-for-token, so the doubles are bit-identical
+    sql["ts_ewma"] = f"""WITH RECURSIVE {_sql_tokens_clean(tok)},
+  daily AS (
+    SELECT source, (time // 86400) * 86400 AS bucket,
+           CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
+    FROM clean GROUP BY source, bucket
+  ),
+  o AS MATERIALIZED (
+    -- MATERIALIZED is load-bearing: without it DuckDB inlines the whole
+    -- prelude (regex parse + windows) into the recursive term and re-runs
+    -- it every iteration (~2 min); materialized it's ~2 s.
+    SELECT source, bucket, sum_n_tok,
+           row_number() OVER (PARTITION BY source ORDER BY bucket) AS rn
+    FROM daily
+  ),
+  r AS (
+    SELECT source, bucket, sum_n_tok, rn,
+           CAST(sum_n_tok AS DOUBLE) AS ewma
+    FROM o WHERE rn = 1
+    UNION ALL
+    SELECT o.source, o.bucket, o.sum_n_tok, o.rn,
+           r.ewma + (CAST(o.sum_n_tok AS DOUBLE) - r.ewma) * 0.25
+    FROM r JOIN o ON o.source = r.source AND o.rn = r.rn + 1
+  )
+SELECT source, bucket, sum_n_tok, ewma FROM r"""
+
     sql["doc_repetition"] = r"""WITH lines AS (
     SELECT doc_id, t.ln AS ln
     FROM documents, LATERAL unnest(string_split(text, chr(10))) AS t(ln)

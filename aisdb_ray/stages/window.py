@@ -379,3 +379,68 @@ def zscore_anomalies(
         return b.filter(pa.array(keep)).drop_columns(["w_mean", "w_min", "w_max"])
 
     return rolled.map_batches(flag, batch_format="pyarrow")
+
+
+def ewma_block(
+    tbl: pa.Table,
+    group: str,
+    time_col: str,
+    value: str,
+    a_num: int = 1,
+    a_den: int = 4,
+) -> pa.Table:
+    """One partition's exponentially-weighted moving average per group.
+
+    The recurrence ``s_0 = v_0; s_i = s_{i-1} + (v_i - s_{i-1}) * alpha``
+    (alpha = a_num/a_den, evaluated once as a double — write the SAME
+    literal division in the SQL oracle) is sequential in i but independent
+    across groups, so it runs RANK-synchronously: one vectorized step per
+    in-group rank over all groups at once — the loop count is the longest
+    group's length, not the row count, and each element sees the exact
+    IEEE op sequence of the scalar recurrence (bit-identical to a
+    per-group recursive CTE)."""
+    n = len(tbl)
+    if n == 0:
+        return tbl.append_column("ewma", pa.array([], pa.float64()))
+    import pyarrow.compute as pc
+
+    gcol = tbl[group]
+    if isinstance(gcol, pa.ChunkedArray):
+        gcol = gcol.combine_chunks()
+    ginv = pc.dictionary_encode(gcol).indices.to_numpy().astype(np.int64)
+    t = tbl[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((t, ginv))
+    tbl = tbl.take(pa.array(order))
+    g = ginv[order]
+    v = tbl[value].to_numpy(zero_copy_only=False).astype(np.float64)
+
+    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    ends = np.r_[starts[1:], n]
+    alpha = float(a_num) / float(a_den)
+    s = np.empty(n, dtype=np.float64)
+    s[starts] = v[starts]
+    for j in range(1, int((ends - starts).max())):
+        idx = starts + j
+        live = idx[idx < ends]
+        s[live] = s[live - 1] + (v[live] - s[live - 1]) * alpha
+    return tbl.append_column("ewma", pa.array(s, pa.float64()))
+
+
+def ewma(
+    ds,
+    group: str,
+    time_col: str,
+    value: str,
+    a_num: int = 1,
+    a_den: int = 4,
+    num_parts: int | None = None,
+):
+    """Distributed per-group EWMA: one co-shuffle on the group key, then
+    the rank-synchronous vectorized recurrence per partition."""
+    from aisdb_ray.stages._dist import co_shuffle
+
+    return co_shuffle(
+        ds, [group],
+        lambda part: ewma_block(part, group, time_col, value, a_num, a_den),
+        num_parts,
+    )

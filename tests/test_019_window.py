@@ -238,3 +238,55 @@ def test_staged_exchange_equals_sort_shuffle(tmp_path):
     a2 = a.sort_values(key, kind="stable").reset_index(drop=True)
     b2 = b.sort_values(key, kind="stable").reset_index(drop=True)
     pd.testing.assert_frame_equal(a2[key], b2[key], check_dtype=False)
+
+
+def test_ewma_block_matches_scalar_recurrence():
+    """The rank-synchronous vectorized EWMA must be BIT-identical to the
+    per-group scalar fold s_i = s_{i-1} + (v_i - s_{i-1})*alpha — same IEEE
+    ops in the same order, just batched across groups per rank."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(7)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c", "only1"], n, p=[0.5, 0.3, 0.198, 0.002]),
+            "time": rng.permutation(n).astype(np.int64),  # unsorted input
+            "v": rng.integers(0, 10_000, n).astype(np.int64),
+        }
+    ).drop_duplicates(["g", "time"])
+    out = window.ewma_block(
+        pa.Table.from_pandas(df, preserve_index=False), "g", "time", "v", 1, 4
+    ).to_pandas()
+    alpha = 1.0 / 4.0
+    want = {}
+    for g, sub in df.sort_values(["g", "time"]).groupby("g"):
+        s = None
+        for t, v in zip(sub["time"], sub["v"]):
+            s = float(v) if s is None else s + (float(v) - s) * alpha
+            want[(g, t)] = s
+    got = {(r.g, r.time): r.ewma for r in out.itertuples()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == want[k], k  # exact equality, not approx
+
+
+def test_ewma_distributed_equals_block():
+    df = _frame(300, ties=False, seed=41).drop_duplicates(["g", "time"])
+    import pyarrow as pa
+
+    a = (
+        window.ewma(rd.from_pandas(df), "g", "time", "v", 1, 4)
+        .to_pandas()
+        .sort_values(["g", "time"])
+        .reset_index(drop=True)
+    )
+    b = (
+        window.ewma_block(pa.Table.from_pandas(df, preserve_index=False),
+                          "g", "time", "v", 1, 4)
+        .to_pandas()
+        .sort_values(["g", "time"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a[["g", "time", "v", "ewma"]],
+                                  b[["g", "time", "v", "ewma"]])
