@@ -356,3 +356,74 @@ SELECT d.doc_id FROM documents d
 WHERE NOT EXISTS (
   SELECT 1 FROM comp c WHERE c.node = d.doc_id AND c.node <> c.component
 )""")
+
+
+def ann_ivfpq_topk_sql(cent, probes, cb_vals: str, dsub: int,
+                       k: int = 10) -> str:
+    """IVFADC oracle — the IVF assignment CTE (embedded coarse centroids,
+    same argmax-tie rule as ann_ivf_topk_sql) restricted to the probed
+    lists, composed with the PQ re-derivation (codes from the embedded
+    integer codebooks, query LUT from the vec_id=0 row's fixed-point
+    view), ranked by the exact int64 ADC score with vec_id tie-break —
+    token-matching stages/ann.ivfpq_topk."""
+    dim = len(cent[0])
+    vals = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(float(x)) for x in cent[i]))
+        for i in range(len(cent))
+    )
+    probe_list = ", ".join(str(int(p)) for p in probes)
+    return f"""WITH cent(list, v) AS (VALUES
+    {vals}),
+  dots AS (
+    SELECT e.vec_id, c.list,
+           (SELECT sum(CAST(e.embedding[u.i] AS DOUBLE) * c.v[u.i])
+            FROM (SELECT unnest(generate_series(1, {dim})) AS i) u) AS d
+    FROM embeddings e, cent c
+  ),
+  assign AS (
+    SELECT vec_id, list FROM (
+      SELECT vec_id, list,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, list) AS rn
+      FROM dots) WHERE rn = 1
+  ),
+  cand AS (SELECT vec_id FROM assign WHERE list IN ({probe_list})),
+  e AS (
+    SELECT em.vec_id,
+           list_transform(em.embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fx
+    FROM embeddings em JOIN cand USING (vec_id)
+  ),
+  cb(s, cid, v) AS (VALUES {cb_vals}),
+  q AS (
+    SELECT list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fx
+    FROM embeddings WHERE vec_id = 0
+  ),
+  lut AS (
+    SELECT cb.s, cb.cid,
+           list_sum(list_transform(range(1, {dsub + 1}),
+               i -> (q.fx[cb.s * {dsub} + i] - cb.v[i])
+                    * (q.fx[cb.s * {dsub} + i] - cb.v[i]))) AS qd
+    FROM cb CROSS JOIN q
+  ),
+  d AS (
+    SELECT e.vec_id, cb.s, cb.cid,
+           list_sum(list_transform(range(1, {dsub + 1}),
+               i -> (e.fx[cb.s * {dsub} + i] - cb.v[i])
+                    * (e.fx[cb.s * {dsub} + i] - cb.v[i]))) AS dist
+    FROM e CROSS JOIN cb
+  ),
+  best AS (
+    SELECT vec_id, s, cid,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist, cid) AS rn
+    FROM d
+  ),
+  adc AS (
+    SELECT b.vec_id, CAST(sum(l.qd) AS BIGINT) AS adc_fx
+    FROM best b JOIN lut l ON l.s = b.s AND l.cid = b.cid
+    WHERE b.rn = 1 GROUP BY b.vec_id
+  )
+SELECT CAST(row_number() OVER (ORDER BY adc_fx, vec_id) AS BIGINT) AS rank,
+       vec_id, adc_fx
+FROM adc ORDER BY rank LIMIT {k}"""

@@ -2403,6 +2403,40 @@ def q_ann_ivf_topk(sf_dir: str):
     return _ranked_ids(ann.ivf_topk(idx, _emb_path(sf_dir), q0, k=10, nprobe=4))
 
 
+def _ivf_cent(sf_dir: str):
+    """Coarse-quantizer fit on the bounded parquet head (file row order ==
+    ds.limit order), identical to the oracle's replica fit."""
+    import pyarrow.parquet as pq_
+
+    from aisdb_ray.stages import ann
+
+    head = pq_.read_table(_emb_path(sf_dir), columns=["embedding"]).slice(0, 2048)
+    sample = np.stack(
+        [np.asarray(v, np.float64) for v in head["embedding"].to_pylist()]
+    )
+    return ann.kmeans_fit(sample, 16, seed=23)
+
+
+def q_ann_ivfpq_topk(sf_dir: str):
+    """IVFADC: ANN served from PQ codes stored INSIDE the coarse
+    quantizer's inverted lists — a query prune-reads only its nprobe
+    probed lists' code rows and never touches a raw vector (the full
+    IVF+PQ composition, Jégou et al. TPAMI 2011).  Exact-int64 ADC
+    scores; the oracle re-derives coarse assignment, codes, and the
+    query LUT from the embedded quantizer literals."""
+    from aisdb_ray.stages import ann
+
+    _ctx()
+    q0 = _query_vector(sf_dir)
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(SF_CACHE_ROOT, name, "ivfpq_index")
+    ann.build_ivfpq_index(
+        rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"]),
+        idx, _ivf_cent(sf_dir), _pq_cents(sf_dir),
+    )
+    return ann.ivfpq_topk(idx, q0, k=10, nprobe=4)
+
+
 def q_emb_neardup(sf_dir: str):
     """All embedding pairs with cosine >= 0.35 (broadcast brute force)."""
     from aisdb_ray.stages import dedup_text
@@ -2450,6 +2484,7 @@ def build_queries() -> dict:
     # driver-green in CORRECTNESS_r02.json follow.
     return {
         "emb_encode": q_emb_encode,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "doc_bpe_encode": q_doc_bpe_encode,
         "doc_tokens": q_doc_tokens,
         "ann_encoded_topk": q_ann_encoded_topk,
@@ -4111,6 +4146,9 @@ FROM documents d,
     _q0 = _q0 / (np.linalg.norm(_q0) or 1.0)
     _probes = sorted(int(x) for x in np.argsort(-(_cent @ _q0))[:4])
     sql["ann_ivf_topk"] = oracle_text.ann_ivf_topk_sql(_cent, _probes, k=10)
+    sql["ann_ivfpq_topk"] = oracle_text.ann_ivfpq_topk_sql(
+        _cent, _probes, _cb_vals, _dsub, k=10
+    )
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
     #   media_features / media_audio (binary codecs: pure-numpy PPM/BMP/WAV

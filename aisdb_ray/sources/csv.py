@@ -124,23 +124,44 @@ def write_token_csv(
         for lo in range(0, t.num_rows, rows_per_file):
             chunks.append(t.slice(lo, rows_per_file))
 
+    import pyarrow.compute as pc
+
     for fi, t in enumerate(chunks):
+        # all the per-token stringification runs in Arrow C kernels — the
+        # naive per-row f-string loop was ~100 s per sf0.01 rebuild
         toks = t["tokens"].combine_chunks()
-        joined = [" ".join(map(str, x)) for x in toks.to_pylist()]
-        doc = t["doc_id"].to_pylist()
-        ntk = t["n_tok"].to_pylist()
-        src = t["source"].to_pylist()
+        joined = pc.binary_join(
+            pc.cast(toks, pa.list_(pa.string())), " "
+        )
+        base = pc.binary_join_element_wise(
+            t["doc_id"].combine_chunks(),
+            joined,
+            pc.cast(t["n_tok"], pa.string()).combine_chunks(),
+            t["source"].combine_chunks(),
+            ",",
+        ).to_pylist()
         lines = ["doc_id,tokens,n_tok,source"]
-        for i in range(t.num_rows):
-            lines.append(f"{doc[i]},{joined[i]},{ntk[i]},{src[i]}")
-            if corrupt_every and (i + 1) % corrupt_every == 0:
+        if not corrupt_every:
+            lines.extend(base)
+        else:
+            prev = 0
+            for i in range(corrupt_every - 1, t.num_rows, corrupt_every):
+                lines.extend(base[prev:i + 1])
+                prev = i + 1
                 kind = i % 3
                 if kind == 0:
                     lines.append("this,line,has,too,many,columns,entirely")
                 elif kind == 1:
-                    lines.append(f"{doc[i]}-bad,{joined[i]},NOT_AN_INT,{src[i]}")
+                    lines.append(
+                        f"{t['doc_id'][i].as_py()}-bad,{joined[i].as_py()},"
+                        f"NOT_AN_INT,{t['source'][i].as_py()}"
+                    )
                 else:
-                    lines.append(f"{doc[i]}-bad,one two NaN,{ntk[i]},{src[i]}")
+                    lines.append(
+                        f"{t['doc_id'][i].as_py()}-bad,one two NaN,"
+                        f"{t['n_tok'][i].as_py()},{t['source'][i].as_py()}"
+                    )
+            lines.extend(base[prev:])
         body = ("\n".join(lines) + "\n").encode()
         is_last = fi == len(chunks) - 1
         if gzip_last and is_last:

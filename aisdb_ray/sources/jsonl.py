@@ -233,28 +233,60 @@ def write_token_jsonl(
         for lo in range(0, t.num_rows, rows_per_file):
             chunks.append(t.slice(lo, rows_per_file))
 
+    import pyarrow.compute as pc
+
     for fi, t in enumerate(chunks):
-        doc = t["doc_id"].to_pylist()
-        toks = t["tokens"].to_pylist()
-        ntk = t["n_tok"].to_pylist()
-        src = t["source"].to_pylist()
-        lines = []
-        for i in range(t.num_rows):
-            lines.append(
+        # JSON lines assembled by Arrow C kernels (the per-row json.dumps
+        # loop was the dominant fixture-rebuild cost).  Safe because the
+        # serialized strings are verified free of characters that would
+        # need JSON escaping — any offending row falls back to json.dumps.
+        doc_c = t["doc_id"].combine_chunks()
+        src_c = t["source"].combine_chunks()
+        needs_esc = pc.any(
+            pc.match_substring_regex(
+                pc.binary_join_element_wise(doc_c, src_c, ""),
+                r'["\\\x00-\x1f]',
+            )
+        ).as_py()
+        if needs_esc:
+            base = [
                 json.dumps(
-                    {"doc_id": doc[i], "tokens": toks[i],
-                     "n_tok": ntk[i], "source": src[i]},
+                    {"doc_id": d, "tokens": tk, "n_tok": n, "source": s},
                     separators=(",", ":"),
                 )
+                for d, tk, n, s in zip(
+                    doc_c.to_pylist(), t["tokens"].to_pylist(),
+                    t["n_tok"].to_pylist(), src_c.to_pylist(),
+                )
+            ]
+        else:
+            tok_join = pc.binary_join(
+                pc.cast(t["tokens"].combine_chunks(), pa.list_(pa.string())),
+                ",",
             )
-            if corrupt_every and (i + 1) % corrupt_every == 0:
+            base = pc.binary_join_element_wise(
+                '{"doc_id":"', doc_c, '","tokens":[', tok_join,
+                '],"n_tok":', pc.cast(t["n_tok"], pa.string()).combine_chunks(),
+                ',"source":"', src_c, '"}', "",
+            ).to_pylist()
+        if not corrupt_every:
+            lines = base
+        else:
+            doc = doc_c.to_pylist()
+            ntk = t["n_tok"].to_pylist()
+            src = src_c.to_pylist()
+            lines = []
+            prev = 0
+            for i in range(corrupt_every - 1, t.num_rows, corrupt_every):
+                lines.extend(base[prev:i + 1])
+                prev = i + 1
                 kind = i % 3
                 if kind == 0:
                     lines.append('{"doc_id": "broken json, no close')
                 elif kind == 1:
                     lines.append(
                         json.dumps({"doc_id": doc[i] + "-bad",
-                                    "tokens": toks[i],
+                                    "tokens": t["tokens"][i].as_py(),
                                     "n_tok": "NOT_AN_INT",
                                     "source": src[i]})
                     )
@@ -265,6 +297,7 @@ def write_token_jsonl(
                                     "n_tok": ntk[i],
                                     "source": src[i]})
                     )
+            lines.extend(base[prev:])
         body = ("\n".join(lines) + "\n").encode()
         is_last = fi == len(chunks) - 1
         if gzip_last and is_last:

@@ -620,3 +620,129 @@ def pq_adc_topk(ds_emb, cents: np.ndarray, query: np.ndarray, k: int = 10):
     return cand.repartition(1).map_batches(
         merge, batch_format="pyarrow", batch_size=None
     )
+
+
+# --------------------------------------------------------------- IVF + PQ
+
+def build_ivfpq_index(
+    ds_emb,
+    index_dir: str,
+    cent: np.ndarray,
+    cents_pq: np.ndarray,
+    min_rows_per_file: int = 100_000,
+) -> str:
+    """IVFADC index (Jégou et al., TPAMI 2011 — the composition both
+    halves of this file build toward): PQ codes stored INSIDE the coarse
+    quantizer's inverted lists, so a query touches only its probed lists
+    AND never reads a raw vector — serving runs entirely off m uint8-range
+    codes per vector.  One distributed pass assigns every vector its list
+    (argmax against ``cent``) and its m codes (exact-int64 argmin against
+    ``cents_pq``); postings are hive-partitioned by list.  Quantizers are
+    fit by the caller (bounded-sample driver work, same as the separate
+    IVF / PQ builds) so the oracle can re-derive them.  Idempotent via
+    _SUCCESS; quantizers ride .npy sidecars."""
+    marker = os.path.join(index_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return index_dir
+
+    m, ksub, dsub = cents_pq.shape
+    cent_ref = ray.put(cent)
+    pq_ref = ray.put(cents_pq)
+
+    def assign_encode(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        cp = ray.get(pq_ref)
+        lists = np.argmax(_norm_rows(_emb_matrix(b)) @ c.T, axis=1)
+        fx = _fx_matrix(b)
+        out = {
+            "list": pa.array(lists.astype(np.int64)),
+            "vec_id": pa.array(
+                b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ),
+        }
+        for s in range(m):
+            x = fx[:, s * dsub:(s + 1) * dsub]
+            cs = cp[s]
+            d2 = (
+                (x * x).sum(1, keepdims=True)
+                - 2 * (x @ cs.T)
+                + (cs * cs).sum(1)[None, :]
+            )
+            out[f"c{s}"] = pa.array(np.argmin(d2, axis=1).astype(np.int64))
+        return pa.table(out)
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds_emb.map_batches(assign_encode, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "postings"),
+        partition_cols=["list"],
+        min_rows_per_file=min_rows_per_file,
+    )
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    np.save(os.path.join(index_dir, "pq_cents.npy"), cents_pq)
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return index_dir
+
+
+def ivfpq_topk(index_dir: str, query: np.ndarray, k: int = 10,
+               nprobe: int = 4):
+    """ANN top-k served from the IVFADC index: probe the ``nprobe``
+    nearest lists, prune-read ONLY those lists' code rows (the raw
+    embedding lake is never touched), build the query's integer ADC
+    lookup table once, score every candidate as m table lookups, per-batch
+    top-k then a tiny merge.  All int64; ties to the lower vec_id."""
+    import pyarrow.compute as pc
+
+    from aisdb_ray.predicates import field, scan_parquet
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    cents_pq = np.load(os.path.join(index_dir, "pq_cents.npy"))
+    m, ksub, dsub = cents_pq.shape
+    q = query.astype(np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probes = sorted(int(x) for x in np.argsort(-(cent @ qn))[:nprobe])
+
+    qfx = np.floor(q * 1_000_000.0).astype(np.int64)
+    lut = np.empty((m, ksub), np.int64)
+    for s in range(m):
+        diff = cents_pq[s] - qfx[s * dsub:(s + 1) * dsub][None, :]
+        lut[s] = (diff * diff).sum(1)
+    lut_ref = ray.put(lut)
+
+    postings = scan_parquet(
+        os.path.join(index_dir, "postings"),
+        where=field("list").isin(probes),
+        partition_cols=["list"],
+        columns=["vec_id"] + [f"c{s}" for s in range(m)],
+    )
+
+    def batch_topk(b: pa.Table) -> pa.Table:
+        t = ray.get(lut_ref)
+        vid = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        score = np.zeros(len(vid), np.int64)
+        for s in range(m):
+            codes = b[f"c{s}"].to_numpy(zero_copy_only=False).astype(np.int64)
+            score += t[s][codes]
+        order = np.lexsort((vid, score))[:k]
+        return pa.table(
+            {"vec_id": pa.array(vid[order]),
+             "adc_fx": pa.array(score[order], pa.int64())}
+        )
+
+    cand = postings.map_batches(batch_topk, batch_format="pyarrow")
+
+    def merge(b: pa.Table) -> pa.Table:
+        vid = b["vec_id"].to_numpy(zero_copy_only=False)
+        sc = b["adc_fx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, sc))[:k]
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "vec_id": pa.array(vid[order].astype(np.int64)),
+                "adc_fx": pa.array(sc[order].astype(np.int64)),
+            }
+        )
+
+    return cand.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )

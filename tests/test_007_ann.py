@@ -229,3 +229,67 @@ def test_pq_adc_recall_vs_exact():
     exact = np.argsort(((fx - qfx) ** 2).sum(1), kind="stable")[:10]
     recall = len(set(got["vec_id"]) & set(exact.tolist())) / 10
     assert recall >= 0.5, recall
+
+
+def test_ivfpq_index_serving(tmp_path):
+    """IVFADC: serving from codes-in-lists must equal PQ-ADC restricted to
+    the probed lists, and probing must prune the read to those lists."""
+    ids, m = _matrix()
+    q_raw = pq.read_table(EMB)["embedding"][5].as_py()
+    q = np.asarray(q_raw, np.float64)
+
+    head = pq.read_table(EMB, columns=["embedding"]).slice(0, 512)
+    sample = np.stack([np.asarray(v, np.float64)
+                       for v in head["embedding"].to_pylist()])
+    cent = ann.kmeans_fit(sample, 8, seed=23)
+    fx = np.floor(sample * 1_000_000.0).astype(np.int64)
+    cents_pq = ann.pq_fit(fx, m=4, ksub=16)
+
+    idx = str(tmp_path / "ivfpq")
+    ann.build_ivfpq_index(rd.read_parquet(EMB), idx, cent, cents_pq)
+    ann.build_ivfpq_index(rd.read_parquet(EMB), idx, cent, cents_pq)  # no-op
+
+    got = ann.ivfpq_topk(idx, q, k=10, nprobe=3).to_pandas()
+    assert list(got.columns) == ["rank", "vec_id", "adc_fx"]
+    assert len(got) == 10 and got["rank"].tolist() == list(range(1, 11))
+
+    # reference: numpy replica — assign all vectors, keep probed lists,
+    # encode, LUT-score, rank by (adc, vec_id)
+    mm = m  # normalized
+    lists = np.argmax(mm @ cent.T, axis=1)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probes = set(int(x) for x in np.argsort(-(cent @ qn))[:3])
+    keep = np.isin(lists, list(probes))
+    allfx = np.floor(
+        pq.read_table(EMB)["embedding"].combine_chunks().values.to_numpy()
+        .reshape(len(ids), -1).astype(np.float64) * 1_000_000.0
+    ).astype(np.int64)
+    qfx = np.floor(q * 1_000_000.0).astype(np.int64)
+    msub, ksub, dsub = cents_pq.shape
+    score = np.zeros(len(ids), np.int64)
+    for s in range(msub):
+        x = allfx[:, s * dsub:(s + 1) * dsub]
+        cs = cents_pq[s]
+        d2 = ((x * x).sum(1, keepdims=True) - 2 * (x @ cs.T)
+              + (cs * cs).sum(1)[None, :])
+        codes = np.argmin(d2, axis=1)
+        diff = cs - qfx[s * dsub:(s + 1) * dsub][None, :]
+        lut = (diff * diff).sum(1)
+        score += lut[codes]
+    cand_ids = ids[keep].astype(np.int64)
+    cand_score = score[keep]
+    order = np.lexsort((cand_ids, cand_score))[:10]
+    np.testing.assert_array_equal(got["vec_id"].to_numpy(), cand_ids[order])
+    np.testing.assert_array_equal(got["adc_fx"].to_numpy(), cand_score[order])
+
+    # pruned read: fewer input files than total list partitions
+    import glob
+
+    from aisdb_ray.predicates import field, scan_parquet
+
+    total = len(glob.glob(idx + "/postings/list=*"))
+    probed = scan_parquet(
+        idx + "/postings", where=field("list").isin(sorted(probes)),
+        partition_cols=["list"],
+    )
+    assert len(probed.input_files()) < total
