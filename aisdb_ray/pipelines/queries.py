@@ -1874,6 +1874,41 @@ def q_ts_ewma(sf_dir: str):
     return window.ewma(daily, "source", "bucket", "sum_n_tok", 1, 4)
 
 
+def q_ts_acf(sf_dir: str):
+    """Per-source autocorrelation at lags 1-3 over the (time, seq)-ordered
+    token-count series (burstiness / mean-reversion diagnostics, the
+    time-series cousin of ts_source_corr's cross-correlation).  One
+    co-shuffle on source, multi-group reduceat sums per partition
+    (stages/corr.group_acf); int64 evidence + the corr-exact float r."""
+    from aisdb_ray.stages import corr
+
+    _ctx()
+    return corr.group_acf(_clean_tokens(sf_dir), lags=(1, 2, 3))
+
+
+def q_ts_seasonal_hod(sf_dir: str):
+    """Hour-of-day seasonal profile per source (diurnal-shape analytics):
+    the rollup kernel over a derived cyclic bucket — min/max/sum/count/mean
+    of n_tok per (source, hour-of-day).  Result is <= 24 rows per source,
+    so the single-funnel combine is the right shape."""
+    from aisdb_ray.stages import rollup as rollup_mod
+
+    _ctx()
+
+    def add_hod(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # times are nonnegative epochs: // then % is exact integer math
+        hod = pc.subtract(
+            pc.divide(b["time"], 3600),
+            pc.multiply(pc.divide(pc.divide(b["time"], 3600), 24), 24),
+        )
+        return b.append_column("hod", pc.cast(hod, pa.int64()))
+
+    pts = _clean_tokens(sf_dir).map_batches(add_hod, batch_format="pyarrow")
+    return rollup_mod.rollup(pts, 1, time_col="hod", hash_combine=False)
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher-style repetition quality signals (Rae et al. 2021, App.
     A1.1): duplicate-line and top-n-gram evidence per document as exact
@@ -2505,6 +2540,8 @@ def build_queries() -> dict:
         "doc_langid": q_doc_langid,
         "doc_repetition": q_doc_repetition,
         "ts_ewma": q_ts_ewma,
+        "ts_acf": q_ts_acf,
+        "ts_seasonal_hod": q_ts_seasonal_hod,
         "doc_bpe_count": q_doc_bpe_count,
         "doc_clean_corpus": q_doc_clean_corpus,
         "doc_training_pipeline": q_doc_training_pipeline,
@@ -3803,6 +3840,50 @@ SELECT src_a, src_b, n, sx, sy, sxy, sx2, sy2,
                         * CAST(n * sy2 - sy * sy AS DOUBLE))
        END AS r
 FROM pair"""
+
+    sql["ts_acf"] = f"""WITH {_sql_tokens_clean(tok)},
+  w AS (
+    SELECT source, CAST(n_tok AS BIGINT) AS x,
+           CAST(lead(n_tok, 1) OVER ww AS BIGINT) AS y1,
+           CAST(lead(n_tok, 2) OVER ww AS BIGINT) AS y2,
+           CAST(lead(n_tok, 3) OVER ww AS BIGINT) AS y3
+    FROM clean
+    WINDOW ww AS (PARTITION BY source ORDER BY time, seq)
+  ),
+  lagged AS (
+    SELECT source, 1 AS lag, x, y1 AS y FROM w WHERE y1 IS NOT NULL
+    UNION ALL
+    SELECT source, 2, x, y2 FROM w WHERE y2 IS NOT NULL
+    UNION ALL
+    SELECT source, 3, x, y3 FROM w WHERE y3 IS NOT NULL
+  ),
+  ev AS (
+    SELECT source, CAST(lag AS BIGINT) AS lag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sx2,
+           CAST(sum(y * y) AS BIGINT) AS sy2
+    FROM lagged GROUP BY source, lag
+  )
+SELECT source, lag, n, sx, sy, sxy, sx2, sy2,
+       CASE WHEN (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
+                        * CAST(n * sy2 - sy * sy AS DOUBLE))
+       END AS r
+FROM ev"""
+
+    sql["ts_seasonal_hod"] = f"""WITH {_sql_tokens_clean(tok)}
+SELECT source,
+       (time // 3600) - ((time // 3600) // 24) * 24 AS bucket,
+       CAST(min(n_tok) AS BIGINT) AS min_n_tok,
+       CAST(max(n_tok) AS BIGINT) AS max_n_tok,
+       CAST(sum(n_tok) AS BIGINT) AS sum_n_tok,
+       CAST(count(*) AS BIGINT) AS count_n_tok,
+       CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_n_tok
+FROM clean
+GROUP BY source, bucket"""
 
     sql["ts_pack_bins"] = f"""WITH RECURSIVE {_sql_tokens_clean(tok)},
   numbered AS MATERIALIZED (

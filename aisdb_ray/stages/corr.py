@@ -143,3 +143,90 @@ def pairwise_corr(
         num_parts,
     )
     return funnel_combine(partials, _merge_b, finalize_fn=_finalize)
+
+
+def acf_block(
+    tbl: pa.Table,
+    key_col: str,
+    order_cols: tuple,
+    value_col: str,
+    lags: tuple,
+) -> pa.Table:
+    """One partition's autocorrelation evidence: for every key group (the
+    partition holds whole groups) and every lag L, the Pearson sums over
+    the (x_i, x_{i+L}) pairs of the group's order_cols-sorted series.
+    Multi-group vectorized: one lexsort, then per lag a same-key pair mask
+    and ``np.add.reduceat`` int64 segment sums — no per-group Python."""
+    empty = pa.table(
+        {key_col: pa.array([], pa.string()),
+         "lag": pa.array([], pa.int64()),
+         **{s: pa.array([], pa.int64()) for s in _STATS}}
+    )
+    if tbl.num_rows == 0:
+        return empty
+    import pyarrow.compute as pc
+
+    kcol = tbl[key_col]
+    if isinstance(kcol, pa.ChunkedArray):
+        kcol = kcol.combine_chunks()
+    enc = pc.dictionary_encode(kcol)
+    names = np.array(enc.dictionary.to_pylist(), dtype=object)
+    k_idx = enc.indices.to_numpy().astype(np.int64)
+    order_keys = [
+        tbl[c].to_numpy(zero_copy_only=False).astype(np.int64)
+        for c in reversed(order_cols)
+    ]
+    order = np.lexsort((*order_keys, k_idx))
+    k = k_idx[order]
+    x = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+
+    outs = []
+    for lag in lags:
+        lag = int(lag)
+        if lag <= 0 or lag >= len(x):
+            continue
+        same = k[:-lag] == k[lag:]
+        xi, yi, ki = x[:-lag][same], x[lag:][same], k[:-lag][same]
+        if len(ki) == 0:
+            continue
+        starts = np.flatnonzero(np.r_[True, ki[1:] != ki[:-1]])
+        outs.append(pa.table({
+            key_col: pa.array(names[ki[starts]].tolist(), pa.string()),
+            "lag": pa.array(np.full(len(starts), lag, np.int64)),
+            "n": pa.array(np.diff(np.r_[starts, len(ki)]).astype(np.int64)),
+            "sx": pa.array(np.add.reduceat(xi, starts)),
+            "sy": pa.array(np.add.reduceat(yi, starts)),
+            "sxy": pa.array(np.add.reduceat(xi * yi, starts)),
+            "sx2": pa.array(np.add.reduceat(xi * xi, starts)),
+            "sy2": pa.array(np.add.reduceat(yi * yi, starts)),
+        }))
+    if not outs:
+        return empty
+    return pa.concat_tables(outs)
+
+
+def group_acf(
+    ds,
+    key_col: str = SOURCE,
+    order_cols: tuple = ("time", "seq"),
+    value_col: str = "n_tok",
+    lags: tuple = (1, 2, 3),
+    num_parts: int | None = None,
+):
+    """Per-key autocorrelation function at the given lags over the
+    order_cols-sorted value series (classic time-series diagnostics —
+    which sources are bursty vs mean-reverting?).  ONE co-shuffle on the
+    key places whole groups per partition, so block outputs are already
+    final (no combine); r is finalized with the same exact operand order
+    as :func:`pairwise_corr` so the float column hash-matches the SQL
+    oracle.  Evidence columns stay int64-exact."""
+    from aisdb_ray.stages._dist import co_shuffle
+
+    out = co_shuffle(
+        ds.select_columns([key_col, *order_cols, value_col]),
+        [key_col],
+        lambda part: acf_block(part, key_col, tuple(order_cols),
+                               value_col, tuple(lags)),
+        num_parts,
+    )
+    return out.map_batches(_finalize, batch_format="pyarrow")

@@ -82,3 +82,66 @@ def test_zero_variance_pair_is_null():
     )
     got = corr.pairwise_corr(rd.from_pandas(df), value_col="sum_n_tok").to_pandas()
     assert len(got) == 1 and got["r"].isna().all() and got["n"].iloc[0] == 2
+
+def _series(seed=4, n=600, srcs=5):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "source": rng.choice([f"s{i}" for i in range(srcs)], n),
+            "time": rng.integers(0, 100_000, n).astype(np.int64),
+            "seq": np.arange(n, dtype=np.int64),
+            "n_tok": rng.integers(1, 500, n).astype(np.int64),
+        }
+    )
+    return df
+
+
+def _acf_brute(df, lags=(1, 2, 3)):
+    rows = []
+    for s, g in df.sort_values(["time", "seq"]).groupby("source"):
+        x = g["n_tok"].to_numpy(np.int64)
+        for lag in lags:
+            if lag >= len(x):
+                continue
+            a, b = x[:-lag], x[lag:]
+            rows.append(dict(source=s, lag=lag, n=len(a), sx=a.sum(),
+                             sy=b.sum(), sxy=(a * b).sum(),
+                             sx2=(a * a).sum(), sy2=(b * b).sum()))
+    return pd.DataFrame(rows)
+
+
+def test_group_acf_matches_bruteforce():
+    df = _series()
+    got = (
+        corr.group_acf(rd.from_pandas(df), num_parts=7)
+        .to_pandas().sort_values(["source", "lag"]).reset_index(drop=True)
+    )
+    want = _acf_brute(df).sort_values(["source", "lag"]).reset_index(drop=True)
+    assert len(got) == len(want) and len(got) > 0
+    for c in ["source", "lag", "n", "sx", "sy", "sxy", "sx2", "sy2"]:
+        np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy(), err_msg=c)
+    vx = want["n"] * want["sx2"] - want["sx"] ** 2
+    vy = want["n"] * want["sy2"] - want["sy"] ** 2
+    ok = (vx > 0) & (vy > 0)
+    r_want = (want["n"] * want["sxy"] - want["sx"] * want["sy"]).astype(float) / np.sqrt(
+        vx.astype(float) * vy.astype(float)
+    )
+    np.testing.assert_allclose(
+        got.loc[ok, "r"].to_numpy(), r_want[ok].to_numpy(), rtol=0, atol=0
+    )
+
+
+def test_group_acf_degenerate():
+    # single-row group: no pairs at any lag; constant group: r is null
+    df = pd.DataFrame(
+        {
+            "source": ["lone", "flat", "flat", "flat", "flat"],
+            "time": np.array([0, 0, 1, 2, 3], np.int64),
+            "seq": np.zeros(5, np.int64),
+            "n_tok": np.array([7, 5, 5, 5, 5], np.int64),
+        }
+    )
+    got = corr.group_acf(rd.from_pandas(df), lags=(1, 2)).to_pandas()
+    assert set(got["source"]) == {"flat"}
+    assert got["r"].isna().all()
+    assert got.set_index("lag")["n"].to_dict() == {1: 3, 2: 2}
