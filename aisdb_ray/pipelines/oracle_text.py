@@ -427,3 +427,38 @@ def ann_ivfpq_topk_sql(cent, probes, cb_vals: str, dsub: int,
 SELECT CAST(row_number() OVER (ORDER BY adc_fx, vec_id) AS BIGINT) AS rank,
        vec_id, adc_fx
 FROM adc ORDER BY rank LIMIT {k}"""
+
+
+def emb_semdedup_sql(cent, threshold: float = 0.95) -> str:
+    """SemDeDup oracle — the IVF assignment CTE (same embedded centroids
+    and argmax tie rule as ann_ivf_topk_sql) names each vector's cluster;
+    a vector survives unless a SAME-CLUSTER vector with a smaller vec_id
+    sits within the cosine threshold — mirroring
+    dedup_text.semdedup_survivors' keep-lowest-id rule."""
+    dim = len(cent[0])
+    vals = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(float(x)) for x in cent[i]))
+        for i in range(len(cent))
+    )
+    return f"""WITH cent(list, v) AS (VALUES
+    {vals}),
+  dots AS (
+    SELECT e.vec_id, c.list,
+           (SELECT sum(CAST(e.embedding[u.i] AS DOUBLE) * c.v[u.i])
+            FROM (SELECT unnest(generate_series(1, {dim})) AS i) u) AS d
+    FROM embeddings e, cent c
+  ),
+  assign AS (
+    SELECT vec_id, list FROM (
+      SELECT vec_id, list,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, list) AS rn
+      FROM dots) WHERE rn = 1
+  )
+SELECT e.vec_id, CAST(a.list AS BIGINT) AS cluster
+FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+WHERE NOT EXISTS (
+  SELECT 1
+  FROM embeddings e2 JOIN assign a2 ON a2.vec_id = e2.vec_id
+  WHERE a2.list = a.list AND e2.vec_id < e.vec_id
+    AND list_cosine_similarity(e.embedding, e2.embedding) >= {threshold}
+)"""

@@ -2472,6 +2472,21 @@ def q_ann_ivfpq_topk(sf_dir: str):
     return ann.ivfpq_topk(idx, q0, k=10, nprobe=4)
 
 
+def q_emb_semdedup(sf_dir: str):
+    """SemDeDup survivors (Abbas et al. 2023): k-means-cluster the
+    embedding space (the IVF coarse quantizer, reused), then inside each
+    cluster keep only vectors with no smaller-id neighbor at cosine >=
+    0.35.  Pairwise work is cluster-local (never corpus^2); the oracle
+    re-derives clustering from the embedded centroid literals and mirrors
+    the keep-lowest-id rule with NOT EXISTS."""
+    from aisdb_ray.stages import dedup_text
+
+    _ctx()
+    return dedup_text.semdedup_survivors(
+        _emb_path(sf_dir), _ivf_cent(sf_dir), threshold=0.35
+    )
+
+
 def q_emb_neardup(sf_dir: str):
     """All embedding pairs with cosine >= 0.35 (broadcast brute force)."""
     from aisdb_ray.stages import dedup_text
@@ -2542,6 +2557,7 @@ def build_queries() -> dict:
         "ts_ewma": q_ts_ewma,
         "ts_acf": q_ts_acf,
         "ts_seasonal_hod": q_ts_seasonal_hod,
+        "emb_semdedup": q_emb_semdedup,
         "doc_bpe_count": q_doc_bpe_count,
         "doc_clean_corpus": q_doc_clean_corpus,
         "doc_training_pipeline": q_doc_training_pipeline,
@@ -4230,6 +4246,7 @@ FROM documents d,
     sql["ann_ivfpq_topk"] = oracle_text.ann_ivfpq_topk_sql(
         _cent, _probes, _cb_vals, _dsub, k=10
     )
+    sql["emb_semdedup"] = oracle_text.emb_semdedup_sql(_cent, threshold=0.35)
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
     #   media_features / media_audio (binary codecs: pure-numpy PPM/BMP/WAV

@@ -530,3 +530,85 @@ def embedding_neardup_lsh_pairs(
             bucket_pairs, batch_format="pyarrow"
         ).materialize()
         return _distinct_pairs(pairs)
+
+
+def semdedup_survivors(sf_emb_path: str, cent: np.ndarray,
+                       threshold: float = 0.95):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering the embedding space with k-means, then dropping — INSIDE
+    each cluster only — every vector that has a same-cluster neighbor with
+    cosine >= threshold and a smaller vec_id.  Keep-lowest-id replaces the
+    paper's keep-farthest-from-centroid so the decision is deterministic
+    and SQL-re-derivable; the clustering, cluster-locality and
+    cosine-threshold semantics are the paper's.
+
+    Scale shape: assignment is one vectorized map over the lake (argmax
+    against the broadcast centroid matrix, same kernel as stages/ann IVF);
+    pairwise work is cluster-local — O(sum g_i^2) with g_i ≈ n/k, never
+    corpus^2 — and each cluster lands in one task via a hash groupby.
+    Partitioning assumption: a single cluster's vectors fit one worker
+    (pick k accordingly; the paper runs ~100k clusters at web scale).
+    The per-cluster scan is chunked so peak memory is O(chunk x g), not
+    O(g^2)."""
+    import ray.data as rd
+
+    cent_ref = ray.put(np.asarray(cent, np.float64))
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        emb = b["embedding"].combine_chunks()
+        m = emb.values.to_numpy().reshape(b.num_rows, -1).astype(np.float64)
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        lists = np.argmax((m / nrm) @ c.T, axis=1)
+        dim = m.shape[1]
+        off = np.arange(0, (len(m) + 1) * dim, dim, dtype=np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "cluster": pa.array(lists.astype(np.int64)),
+                "emb": pa.LargeListArray.from_arrays(
+                    pa.array(off),
+                    pa.array((m / nrm).reshape(-1)),
+                ),
+            }
+        )
+
+    def prune(g: pa.Table, chunk: int = 2048) -> pa.Table:
+        ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = (
+            g["emb"].combine_chunks().values.to_numpy()
+            .reshape(g.num_rows, -1)[order]
+        )
+        dup = np.zeros(len(ids), bool)
+        for lo in range(0, len(ids), chunk):
+            hi = min(lo + chunk, len(ids))
+            sims = m[lo:hi] @ m[:hi].T          # only earlier-or-self cols
+            # row i (global lo+i) duplicates if any strictly-earlier column
+            # >= threshold
+            tri = sims >= threshold
+            cols = np.arange(hi)
+            rows_g = np.arange(lo, hi)[:, None]
+            tri &= cols[None, :] < rows_g
+            dup[lo:hi] = tri.any(axis=1)
+        keep = ~dup
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep]),
+                "cluster": pa.array(
+                    g["cluster"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[order][keep]
+                ),
+            }
+        )
+
+    with _hash_ctx():
+        ds = rd.read_parquet(sf_emb_path, columns=["vec_id", "embedding"])
+        assigned = ds.map_batches(assign, batch_format="pyarrow")
+        return assigned.groupby("cluster", num_partitions=_nparts()).map_groups(
+            prune, batch_format="pyarrow"
+        )

@@ -293,3 +293,63 @@ def test_repetition_batch_matches_brute_force():
         row = got.iloc[i]
         for k, v in exp.items():
             assert row[k] == v, (t, k, row[k], v)
+
+
+def test_semdedup_matches_bruteforce(tmp_path):
+    """semdedup survivors == numpy replica of assign + cluster-local
+    keep-lowest-id pruning, and chunking is invariant."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(31)
+    n, dim = 300, 8
+    base = rng.normal(size=(40, dim))
+    m = base[rng.integers(0, 40, n)] + rng.normal(scale=0.05, size=(n, dim))
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(m.astype(np.float32))),
+        }),
+        path,
+    )
+    from aisdb_ray.stages.ann import kmeans_fit
+
+    cent = kmeans_fit(m.astype(np.float64), 6, seed=5)
+    got = (
+        dedup_text.semdedup_survivors(path, cent, threshold=0.9)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+
+    mf = m.astype(np.float32).astype(np.float64)
+    nrm = np.linalg.norm(mf, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    mn = mf / nrm
+    cl = np.argmax(mn @ cent.T, axis=1)
+    keep = []
+    for c in np.unique(cl):
+        idx = np.flatnonzero(cl == c)          # vec_ids ascending
+        sub = mn[idx]
+        sims = sub @ sub.T
+        dup = (np.tril(sims >= 0.9, k=-1)).any(axis=1)
+        keep.extend(idx[~dup].tolist())
+    want = sorted(keep)
+    assert got["vec_id"].tolist() == want
+    assert (got["cluster"].to_numpy() == cl[np.array(want)]).all()
+    assert 0 < len(got) < n  # some dupes actually dropped
+
+
+def test_semdedup_all_identical_keeps_one(tmp_path):
+    import pyarrow as pa
+
+    v = np.ones((5, 4), np.float32)
+    path = str(tmp_path / "same.parquet")
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(np.arange(5, dtype=np.int64)),
+            "embedding": pa.array(list(v)),
+        }),
+        path,
+    )
+    cent = np.eye(4, dtype=np.float64)[:2]
+    got = dedup_text.semdedup_survivors(path, cent, threshold=0.99).to_pandas()
+    assert got["vec_id"].tolist() == [0]
