@@ -1447,6 +1447,18 @@ def q_doc_contamination(sf_dir: str):
     return cont.contamination(ds, bench_pred, n=8)
 
 
+def q_doc_dup_ngrams(sf_dir: str):
+    """Within-corpus duplicated-n-gram signal (Lee et al. 2022): per doc,
+    distinct word-8-gram count and how many of those grams appear in >= 2
+    documents corpus-wide.  One gram-keyed co-shuffle (partition-local doc
+    count per gram is exact), integer evidence only."""
+    from aisdb_ray.stages import contamination as cont
+
+    _ctx()
+    ds = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return cont.dup_ngram_stats(ds, n=8)
+
+
 def q_doc_incremental_dedup(sf_dir: str):
     """Incremental corpus ingestion: dedup a NEW shard against the
     already-ingested ledger (deterministic 50% split) by content hash.
@@ -2551,6 +2563,7 @@ def build_queries() -> dict:
         "doc_cms_words": q_doc_cms_words,
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "doc_contamination": q_doc_contamination,
+        "doc_dup_ngrams": q_doc_dup_ngrams,
         "doc_textstats": q_doc_textstats,
         "doc_langid": q_doc_langid,
         "doc_repetition": q_doc_repetition,
@@ -3688,6 +3701,23 @@ FROM novel GROUP BY text_md5"""
   )
 SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_shared
 FROM hits GROUP BY doc_id"""
+
+    sql["doc_dup_ngrams"] = r"""WITH toks AS (
+    SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+  ),
+  grams AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 6),
+                                 i -> array_to_string(w[i:i+7], ' '))) AS g
+    FROM toks WHERE len(w) >= 8
+  ),
+  dg AS (SELECT DISTINCT doc_id, g FROM grams),
+  cnt AS (SELECT g, count(*) AS docs FROM dg GROUP BY g)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN c.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+FROM dg d JOIN cnt c ON d.g = c.g
+GROUP BY d.doc_id"""
 
     # the same salted-md5 → column Count-Min construction as
     # stages/sketch.cms_partial_batch, stated independently in SQL

@@ -108,3 +108,72 @@ def contamination(
     return docs_ds.map_batches(train_b, batch_format="pyarrow").map_batches(
         flag, batch_format="pyarrow"
     )
+
+
+def dup_ngram_stats(
+    docs_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    num_parts: int | None = None,
+):
+    """Within-corpus duplicated-n-gram evidence per document (the Lee et
+    al. 2022 "Deduplicating Training Data Makes Language Models Better"
+    substring-dup signal, at word-n-gram granularity): for each document,
+    how many of its distinct word n-grams also appear in at least one
+    OTHER document.
+
+    Returns integer evidence ``(doc_id, n_grams, n_dup)`` — distinct
+    n-grams of the doc and how many of those are corpus-duplicated — so
+    the dup fraction ``n_dup / n_grams`` is left to the consumer and the
+    result hashes exactly.  Docs shorter than ``n`` words emit no row.
+
+    Scale shape: per-batch distinct (doc, gram) pairs (one doc == one
+    corpus row, so batch-local distinct is global), then ONE hash
+    co-shuffle on the gram — every occurrence of a gram lands in one
+    partition, so the partition-local doc count per gram IS the global
+    count — emitting tiny per-(doc, partition) partials, finished by a
+    hash combine on doc_id.  Gram payloads cross the wire once; the
+    reference's corpus passes are per-file Python loops
+    (/root/reference/aisdb/proc_util.py) — this is the distributed
+    restatement."""
+    from aisdb_ray.stages._dist import co_shuffle, funnel_combine
+
+    def pairs_b(b: pa.Table) -> pa.Table:
+        g = word_ngrams_block(b, text_col, id_col, n)
+        return g.group_by([id_col, GRAM], use_threads=False).aggregate([])
+
+    pairs = docs_ds.map_batches(pairs_b, batch_format="pyarrow")
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: part[id_col],
+                    "n_grams": pa.array([], pa.int64()),
+                    "n_dup": pa.array([], pa.int64()),
+                }
+            )
+        cnt = part.group_by([GRAM], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        dup = cnt.filter(pc.greater_equal(cnt["count_all"], pa.scalar(2)))[GRAM]
+        if isinstance(dup, pa.ChunkedArray):
+            dup = dup.combine_chunks()
+        is_dup = pc.cast(pc.is_in(part[GRAM], value_set=dup), pa.int64())
+        t = pa.table({id_col: part[id_col], "_d": is_dup})
+        g = t.group_by([id_col], use_threads=False).aggregate(
+            [("_d", "count"), ("_d", "sum")]
+        )
+        return g.rename_columns([id_col, "n_grams", "n_dup"])
+
+    partials = co_shuffle(pairs, [GRAM], per_part, num_parts=num_parts)
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by([id_col], use_threads=False).aggregate(
+            [("n_grams", "sum"), ("n_dup", "sum")]
+        )
+        return g.rename_columns([id_col, "n_grams", "n_dup"])
+
+    # one output row per document: combine on the doc key (scale path)
+    return funnel_combine(partials, merge, key_col=id_col, hash_combine=True)

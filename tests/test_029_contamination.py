@@ -51,3 +51,43 @@ def test_contamination_planted():
     assert got["doc_id"].tolist() == [2, 3]
     # each hit shares exactly the one planted 8-gram
     assert got["n_shared"].tolist() == [1, 1]
+
+
+def test_dup_ngram_stats_planted():
+    shared = "one two three four five six seven eight"  # exactly one 8-gram
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                f"{shared} tail0 tail1",       # 3 grams, 1 duplicated
+                f"lead0 {shared}",             # 2 grams, 1 duplicated
+                "u1 u2 u3 u4 u5 u6 u7 u8 u9",  # 2 grams, all unique
+                "too short",                   # < 8 words: no row
+            ],
+        }
+    )
+    got = (
+        cont.dup_ngram_stats(rd.from_pandas(docs), n=8, num_parts=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [0, 1, 2]
+    assert got["n_grams"].tolist() == [3, 2, 2]
+    assert got["n_dup"].tolist() == [1, 1, 0]
+
+
+def test_dup_ngram_stats_within_doc_repeat_not_dup():
+    # a gram repeated INSIDE one doc but in no other doc is not duplicated
+    rep = "r1 r2 r3 r4 r5 r6 r7 r8"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [f"{rep} {rep}", "z1 z2 z3 z4 z5 z6 z7 z8"],
+        }
+    )
+    got = (
+        cont.dup_ngram_stats(rd.from_pandas(docs), n=8, num_parts=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # doc 0 has 9 distinct grams (window slides across the doubled text)
+    assert int(got.loc[got.doc_id == 0, "n_dup"].iloc[0]) == 0
+    assert int(got.loc[got.doc_id == 1, "n_dup"].iloc[0]) == 0
