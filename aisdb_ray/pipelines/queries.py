@@ -1447,6 +1447,17 @@ def q_doc_contamination(sf_dir: str):
     return cont.contamination(ds, bench_pred, n=8)
 
 
+def q_doc_oov_rate(sf_dir: str):
+    """Out-of-vocabulary quality signal: per doc, word count and how many
+    words fall outside the corpus vocabulary (tokens in >= 5 documents).
+    Exact df pass -> broadcast vocab -> vectorized membership count."""
+    from aisdb_ray.stages import textstats
+
+    _ctx()
+    ds = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return textstats.oov_stats(ds, min_df=5)
+
+
 def q_doc_dup_ngrams(sf_dir: str):
     """Within-corpus duplicated-n-gram signal (Lee et al. 2022): per doc,
     distinct word-8-gram count and how many of those grams appear in >= 2
@@ -2330,6 +2341,41 @@ def q_ann_encoded_topk(sf_dir: str):
     return encode.mips_topk(encode.encode_documents(docs), encode.mips_queries())
 
 
+def _tok_sample(sf_dir: str, pct: int):
+    """Deterministic doc_id-hash sample of the raw token table — the
+    standard estimator for corpus-level token statistics (bigram/unigram
+    distributions are estimated on a fixed hash slice, never the full
+    10^12-sequence corpus; the slice is reproducible so the oracle filters
+    identically)."""
+    from aisdb_ray.stages.sample import md5_u32
+
+    _ctx()
+    ds = rd.read_parquet(ensure_sf_tokens(sf_dir), columns=["doc_id", "tokens", "n_tok"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(md5_u32(b["doc_id"]) % 100 < pct))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def q_tok_bigram_topk(sf_dir: str):
+    """Top-100 adjacent token-id bigrams over the tokens payload (5%
+    doc-hash sample): zero-copy list_flatten partials, int64-packed codes,
+    one code-keyed hash combine — only (code, count) rows shuffle, never
+    token arrays."""
+    from aisdb_ray.stages import tokstats
+
+    return tokstats.bigram_topk(_tok_sample(sf_dir, 5), k=100)
+
+
+def q_tok_unigram_hist(sf_dir: str):
+    """Corpus token-id histogram (vocabulary-bounded result; 5% doc-hash
+    sample) — the vocab-usage statistic behind pruning/re-fit decisions."""
+    from aisdb_ray.stages import tokstats
+
+    return tokstats.unigram_hist(_tok_sample(sf_dir, 5))
+
+
 def q_ts_hist(sf_dir: str):
     """Corpus-wide n_tok distribution: 128-wide bins with exact counts —
     algebraic count partials, funnel combine."""
@@ -2564,6 +2610,7 @@ def build_queries() -> dict:
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "doc_contamination": q_doc_contamination,
         "doc_dup_ngrams": q_doc_dup_ngrams,
+        "doc_oov_rate": q_doc_oov_rate,
         "doc_textstats": q_doc_textstats,
         "doc_langid": q_doc_langid,
         "doc_repetition": q_doc_repetition,
@@ -2571,6 +2618,8 @@ def build_queries() -> dict:
         "ts_acf": q_ts_acf,
         "ts_seasonal_hod": q_ts_seasonal_hod,
         "emb_semdedup": q_emb_semdedup,
+        "tok_bigram_topk": q_tok_bigram_topk,
+        "tok_unigram_hist": q_tok_unigram_hist,
         "doc_bpe_count": q_doc_bpe_count,
         "doc_clean_corpus": q_doc_clean_corpus,
         "doc_training_pipeline": q_doc_training_pipeline,
@@ -3702,6 +3751,23 @@ FROM novel GROUP BY text_md5"""
 SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_shared
 FROM hits GROUP BY doc_id"""
 
+    sql["doc_oov_rate"] = r"""WITH toks AS (
+    SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+  ),
+  per AS (
+    SELECT doc_id, t.tk AS token FROM toks, LATERAL unnest(w) AS t(tk)
+  ),
+  dfv AS (
+    SELECT token FROM (
+      SELECT token, count(DISTINCT doc_id) AS df FROM per GROUP BY token
+    ) WHERE df >= 5
+  )
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM per p LEFT JOIN dfv v USING (token)
+GROUP BY p.doc_id"""
+
     sql["doc_dup_ngrams"] = r"""WITH toks AS (
     SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
   ),
@@ -4220,6 +4286,33 @@ FROM embeddings"""
 SELECT (CAST(n_tok AS BIGINT) // 128) * 128 AS bin,
        CAST(count(*) AS BIGINT) AS n
 FROM clean GROUP BY bin"""
+
+    sql["tok_bigram_topk"] = f"""WITH v AS (
+    SELECT tokens FROM read_parquet('{tok}/*.parquet')
+    WHERE n_tok > 0 AND len(tokens) = n_tok
+      AND CAST('0x' || substr(md5(doc_id), 1, 8) AS BIGINT) % 100 < 5
+  ),
+  bg AS (
+    SELECT unnest(list_transform(range(1, len(tokens)),
+                  i -> CAST(tokens[i] AS BIGINT) * 4294967296
+                       + CAST(tokens[i+1] AS BIGINT))) AS code
+    FROM v WHERE len(tokens) >= 2
+  )
+SELECT CAST(code // 4294967296 AS BIGINT) AS tok_a,
+       CAST(code % 4294967296 AS BIGINT) AS tok_b,
+       CAST(count(*) AS BIGINT) AS n
+FROM bg GROUP BY code
+ORDER BY n DESC, tok_a ASC, tok_b ASC
+LIMIT 100"""
+
+    sql["tok_unigram_hist"] = f"""WITH v AS (
+    SELECT tokens FROM read_parquet('{tok}/*.parquet')
+    WHERE n_tok > 0 AND len(tokens) = n_tok
+      AND CAST('0x' || substr(md5(doc_id), 1, 8) AS BIGINT) % 100 < 5
+  )
+SELECT CAST(t.tk AS BIGINT) AS token_id, CAST(count(*) AS BIGINT) AS n
+FROM v, LATERAL unnest(v.tokens) AS t(tk)
+GROUP BY t.tk"""
 
     sql["emb_neardup"] = """SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

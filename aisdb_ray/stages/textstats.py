@@ -377,3 +377,64 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
             "top_3gram_count": pa.array(top3),
         }
     )
+
+
+def oov_stats(ds, min_df: int = 5, id_col: str = "doc_id"):
+    """Per-document out-of-vocabulary evidence vs a corpus-derived
+    vocabulary: ``(doc_id, n_words, n_oov)`` where the vocabulary is every
+    token appearing in at least ``min_df`` documents (the CCNet/C4-style
+    common-word quality signal: a high OOV rate marks gibberish, encoding
+    damage, or non-target-language text).
+
+    Two streaming passes over the corpus: (1) exact document frequencies
+    via the token-keyed hash combine (only (token, df) rows shuffle), the
+    >= min_df slice collected ONCE and broadcast via ``ray.put`` — the
+    vocabulary is heavy-hitter-bounded by construction (raise ``min_df``
+    or cap to top-k at extreme corpus sizes); (2) the corpus streams
+    through a vectorized ``pc.is_in`` membership count.  Documents with no
+    words emit no row (mirrored by the SQL oracle's inner unnest)."""
+    import ray
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["token"], use_threads=False).aggregate([("df", "sum")])
+        return g.rename_columns(["token", "df"])
+
+    partials = ds.map_batches(_df_partial, batch_format="pyarrow")
+    local = partials.map_batches(combine, batch_format="pyarrow", batch_size=None)
+    merged = local.groupby("token").map_groups(combine, batch_format="pyarrow")
+    vocab_blocks = [
+        b.filter(pc.greater_equal(b["df"], pa.scalar(min_df)))["token"]
+        for b in ray.get(merged.to_arrow_refs())
+        if b.num_rows
+    ]
+    vocab = (
+        pa.concat_arrays(
+            [c for blk in vocab_blocks for c in
+             (blk.chunks if isinstance(blk, pa.ChunkedArray) else [blk])]
+        )
+        if vocab_blocks
+        else pa.array([], pa.string())
+    )
+    vocab_ref = ray.put(vocab)
+
+    def flag(b: pa.Table) -> pa.Table:
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        toks = pc.split_pattern_regex(b["text"], pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, pa.scalar(""))
+        w = flat.filter(keep)
+        par = parents.filter(keep)
+        inv = pc.cast(
+            pc.invert(pc.is_in(w, value_set=ray.get(vocab_ref))), pa.int64()
+        )
+        t = pa.table({id_col: ids.take(par), "_oov": inv})
+        g = t.group_by([id_col], use_threads=False).aggregate(
+            [("_oov", "count"), ("_oov", "sum")]
+        )
+        return g.rename_columns([id_col, "n_words", "n_oov"])
+
+    # one corpus row per doc, so per-batch aggregation is already global
+    return ds.map_batches(flag, batch_format="pyarrow")

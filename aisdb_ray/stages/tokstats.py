@@ -1,0 +1,139 @@
+"""Corpus statistics over the token-id payload itself.
+
+The engine's input rows carry the training payload as ``tokens:
+list<int32>`` (BASELINE.json input_hint).  These operators read that
+column directly — the vocabulary-usage statistics an LLM-data pipeline
+runs before training (token unigram/bigram distributions drive vocab
+pruning, BPE re-fitting decisions, and corpus-mix diagnostics; the
+reference's analogous corpus passes are the per-file track statistics of
+/root/reference/aisdb/track_gen.py, restated over token arrays).
+
+Shape: zero-copy ``list_flatten`` + ``list_parent_indices`` per batch (a
+bigram never crosses a row boundary), int64-packed bigram codes, per-batch
+group-count partials, then ONE hash combine keyed by the code — only
+(code, partial-count) rows ever shuffle, never token arrays.  The final
+sort+limit runs on the combined code table (bounded by distinct-bigram
+count, not corpus size).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SHIFT = 1 << 32  # token ids are int32 (vocab << 2^32): (a, b) packs losslessly
+
+
+def _valid_tokens(batch: pa.Table) -> pa.ChunkedArray | pa.Array:
+    """The payload contract filter (n_tok > 0 and len(tokens) == n_tok) —
+    the same row validity rule as prepare.prepare, applied here because
+    these stats read the raw table without the epoch parse."""
+    ok = pc.and_(
+        pc.greater(batch["n_tok"], pa.scalar(0)),
+        pc.equal(pc.list_value_length(batch["tokens"]), batch["n_tok"]),
+    )
+    return batch.filter(ok)["tokens"]
+
+
+def bigram_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (packed bigram code, count) partial."""
+    toks = _valid_tokens(batch)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    empty = pa.table(
+        {"code": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+    )
+    if len(toks) == 0:
+        return empty
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(flat) < 2:
+        return empty
+    par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    same = par[:-1] == par[1:]
+    code = flat[:-1] * _SHIFT + flat[1:]
+    code = code[same]
+    if len(code) == 0:
+        return empty
+    uniq, cnt = np.unique(code, return_counts=True)
+    return pa.table({"code": uniq, "n": cnt.astype(np.int64)})
+
+
+def _combine_codes(b: pa.Table) -> pa.Table:
+    g = b.group_by(["code"], use_threads=False).aggregate([("n", "sum")])
+    return g.rename_columns(["code", "n"])
+
+
+def bigram_topk(ds, k: int = 100):
+    """Top-k adjacent token-id bigrams corpus-wide, ties broken by
+    (tok_a asc, tok_b asc) — i.e. packed code ascending.
+
+    The global combine is a code-keyed hash co-shuffle with ONE vectorized
+    task per partition (never ``groupby(code).map_groups`` — per-group
+    invocation over millions of distinct codes is the per-tiny-group
+    anti-pattern, see stages/_dist.py).  Each partition holds every count
+    of its codes, so a per-partition top-k prefilter is exact; the final
+    sort+limit sees only num_parts × k rows."""
+    from aisdb_ray.stages._dist import co_shuffle
+
+    partials = ds.map_batches(bigram_partial, batch_format="pyarrow")
+    local = partials.map_batches(
+        _combine_codes, batch_format="pyarrow", batch_size=None
+    )
+
+    def per_part(part: pa.Table) -> pa.Table:
+        g = _combine_codes(part)
+        order = pc.sort_indices(
+            g, sort_keys=[("n", "descending"), ("code", "ascending")]
+        )
+        return g.take(order.slice(0, k))
+
+    merged = co_shuffle(local, ["code"], per_part)
+    top = merged.sort(["n", "code"], descending=[True, False]).limit(k)
+
+    def unpack(b: pa.Table) -> pa.Table:
+        code = b["code"]
+        return pa.table(
+            {
+                "tok_a": pc.divide(code, pa.scalar(_SHIFT, pa.int64())),
+                "tok_b": pc.subtract(
+                    code,
+                    pc.multiply(
+                        pc.divide(code, pa.scalar(_SHIFT, pa.int64())),
+                        pa.scalar(_SHIFT, pa.int64()),
+                    ),
+                ),
+                "n": b["n"],
+            }
+        )
+
+    return top.map_batches(unpack, batch_format="pyarrow")
+
+
+def unigram_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (token_id, count) partial."""
+    toks = _valid_tokens(batch)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    if len(toks) == 0:
+        return pa.table(
+            {"token_id": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq, cnt = np.unique(flat, return_counts=True)
+    return pa.table({"token_id": uniq, "n": cnt.astype(np.int64)})
+
+
+def unigram_hist(ds):
+    """Exact corpus token-id histogram (one row per distinct token id —
+    vocabulary-bounded, so the combined result is small by construction)."""
+
+    from aisdb_ray.stages._dist import co_shuffle
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["token_id"], use_threads=False).aggregate([("n", "sum")])
+        return g.rename_columns(["token_id", "n"])
+
+    partials = ds.map_batches(unigram_partial, batch_format="pyarrow")
+    local = partials.map_batches(combine, batch_format="pyarrow", batch_size=None)
+    return co_shuffle(local, ["token_id"], combine)

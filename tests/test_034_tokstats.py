@@ -1,0 +1,74 @@
+"""Token-payload corpus statistics: bigram/unigram over list<int32>."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from aisdb_ray.stages import tokstats
+
+
+def _ds(rows):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "tokens": pa.array([r[0] for r in rows], pa.list_(pa.int32())),
+                "n_tok": pa.array([r[1] for r in rows], pa.int32()),
+            }
+        )
+    )
+
+
+def test_bigram_topk_counts_and_ties():
+    rows = [
+        ([1, 2, 3], 3),      # bigrams (1,2) (2,3)
+        ([1, 2], 2),         # (1,2) again
+        ([9], 1),            # too short: none
+        ([5, 6], 3),         # len != n_tok: dropped by the contract filter
+        ([2, 3], 2),         # (2,3) again
+        ([0, 1], 2),         # (0,1) once
+    ]
+    got = tokstats.bigram_topk(_ds(rows), k=2).to_pandas()
+    # (1,2) and (2,3) both count 2; k=2 keeps them, tie-ordering by code
+    assert got[["tok_a", "tok_b", "n"]].values.tolist() == [[1, 2, 2], [2, 3, 2]]
+
+
+def test_bigram_never_crosses_rows():
+    rows = [([7, 8], 2), ([8, 9], 2)]
+    got = tokstats.bigram_topk(_ds(rows), k=10).to_pandas()
+    pairs = set(map(tuple, got[["tok_a", "tok_b"]].values.tolist()))
+    assert pairs == {(7, 8), (8, 9)}  # no phantom (8, 8) across the boundary
+
+
+def test_unigram_hist_exact():
+    rows = [([1, 1, 2], 3), ([2, 3], 2), ([4], 0)]  # last row invalid
+    got = (
+        tokstats.unigram_hist(_ds(rows))
+        .to_pandas().sort_values("token_id").reset_index(drop=True)
+    )
+    assert got.values.tolist() == [[1, 2], [2, 2], [3, 1]]
+
+
+def test_oov_stats_planted():
+    from aisdb_ray.stages import textstats
+
+    common = "the quick fox"
+    docs = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c", "d"],
+            "text": [
+                f"{common} alpha",      # alpha df=1 -> OOV
+                f"{common} beta",       # beta  df=1 -> OOV
+                f"{common}",
+                "",                      # no words: no row
+            ],
+        }
+    )
+    got = (
+        textstats.oov_stats(rd.from_pandas(docs), min_df=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == ["a", "b", "c"]
+    assert got["n_words"].tolist() == [4, 4, 3]
+    assert got["n_oov"].tolist() == [1, 1, 0]
