@@ -687,6 +687,22 @@ def q_ts_gapfill(sf_dir: str):
     return gf.select_columns(["source", "seg", "time", "n_tok", "is_original"])
 
 
+def q_ts_locf(sf_dir: str):
+    """Grid-aligned last-observation-carried-forward sampling (TimescaleDB
+    locf() analog): same per-segment grid contract as ts_gapfill, value =
+    latest observation at-or-before each grid point — exact int64."""
+    return series.locf_series(_prepared(sf_dir), TS_STEP, TS_MAX_GAP)
+
+
+def q_ts_mad_outliers(sf_dir: str):
+    """Per-source robust outliers: |v − median| > 3·MAD, decided entirely
+    in integers (2·median and 2·MAD of an int series are integers), one
+    source-keyed co-shuffle with a vectorized two-median kernel."""
+    from aisdb_ray.stages import window
+
+    return window.mad_outliers(_clean_tokens(sf_dir), k=3)
+
+
 def q_ts_gapfill_rate(sf_dir: str):
     """T8c (geo_interp_time analog): gap-fill, then RECOMPUTE the derived
     rate channel from the filled grid; each segment's final point carries
@@ -2620,6 +2636,8 @@ def build_queries() -> dict:
         "emb_semdedup": q_emb_semdedup,
         "tok_bigram_topk": q_tok_bigram_topk,
         "tok_unigram_hist": q_tok_unigram_hist,
+        "ts_locf": q_ts_locf,
+        "ts_mad_outliers": q_ts_mad_outliers,
         "doc_bpe_count": q_doc_bpe_count,
         "doc_clean_corpus": q_doc_clean_corpus,
         "doc_training_pipeline": q_doc_training_pipeline,
@@ -3506,6 +3524,38 @@ FROM ev"""
   )"""
     sql["ts_gapfill"] = f"""WITH {gapfill_ctes}
 SELECT source, seg, time, n_tok, is_original FROM filled"""
+
+    # robust outliers: the 2·median / 2·MAD integer construction mirrors
+    # stages/window.mad_outliers exactly (2*median(BIGINT) is a sum of the
+    # middle pair — exactly representable, cast back loss-free)
+    sql["ts_mad_outliers"] = f"""WITH {_sql_tokens_clean(tok)},
+  med AS (
+    SELECT source, CAST(2 * median(n_tok) AS BIGINT) AS med2
+    FROM clean GROUP BY source
+  ),
+  dev AS (
+    SELECT c.source, c.doc_id, c.time, c.n_tok,
+           abs(2 * c.n_tok - m.med2) AS dev2
+    FROM clean c JOIN med m USING (source)
+  ),
+  madt AS (
+    SELECT source, CAST(2 * median(dev2) AS BIGINT) AS mad4
+    FROM dev GROUP BY source
+  )
+SELECT d.source, d.doc_id, d.time, d.n_tok
+FROM dev d JOIN madt m USING (source)
+WHERE 2 * d.dev2 > 3 * m.mad4"""
+
+    # LOCF sampling: same grid/segment/dedup contract, value = latest
+    # observation at-or-before the grid point (stays BIGINT — LOCF never
+    # invents values); reuses every CTE of the gapfill oracle up to
+    # `snapped` and replaces interpolation with the backward pick
+    sql["ts_locf"] = f"""WITH {gapfill_ctes}
+SELECT sn.source, sn.seg, sn.g AS time,
+       CAST(p0.n_tok AS BIGINT) AS n_tok,
+       p0.time = sn.g AS is_original
+FROM snapped sn
+JOIN pts p0 ON p0.source = sn.source AND p0.seg = sn.seg AND p0.rn = sn.j"""
 
     # T8c: derived rate recomputed from the FILLED grid; final grid point
     # carries the original series' last hop rate (interp.py:180-184)

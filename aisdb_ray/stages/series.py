@@ -342,3 +342,92 @@ def gapfill_rate_series(
         lambda g: gapfill_rate_group(g, step, max_gap, cleaned=cleaned),
         batch_format="pyarrow",
     )
+
+
+def locf_group(
+    group: pa.Table,
+    step: int = DEFAULT_STEP,
+    max_gap: int = DEFAULT_MAX_GAP,
+    cleaned: bool = False,
+) -> pa.Table:
+    """Grid-aligned last-observation-carried-forward sampling — the
+    step-function counterpart of :func:`gapfill_group`'s linear fill
+    (TimescaleDB's ``locf()`` continuous-aggregate helper; the reference's
+    nearest-before lookup is the backward half of its raster join,
+    /root/reference/src/lib.rs:514-539).
+
+    Same grid/segment/dedup contract as gapfill (per-segment epoch grid,
+    same-timestamp keep-first, <2-unique-timestamp segments skipped), but
+    each grid point carries the value of the latest observation at-or-
+    before it — so ``n_tok`` stays int64: LOCF never invents values.
+    Output: (source, seg, time, n_tok, is_original)."""
+    if cleaned:
+        t0_ = group[TIME].to_numpy(zero_copy_only=False)
+        s0_ = group[SEQ].to_numpy(zero_copy_only=False)
+        s0_ = (
+            np.where(np.isnan(s0_.astype(np.float64)), -1, s0_)
+            if s0_.dtype.kind == "f"
+            else s0_
+        )
+        g = group.take(pa.array(np.lexsort((s0_, t0_))))
+    else:
+        g = clean_group(group, max_gap)
+    t = g[TIME].to_numpy(zero_copy_only=False)
+    seg = g[SEG].to_numpy(zero_copy_only=False)
+    n = len(t)
+    src = g[SOURCE][0].as_py() if n else ""
+    v = g[N_TOK].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    out_time: list[np.ndarray] = []
+    out_val: list[np.ndarray] = []
+    out_seg: list[np.ndarray] = []
+    out_orig: list[np.ndarray] = []
+    first = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]]) if n else np.array([], int)
+    bounds = np.r_[first, n]
+    for b0, b1 in zip(bounds[:-1], bounds[1:]):
+        ts = t[b0:b1]
+        uniq = np.r_[True, ts[1:] != ts[:-1]]
+        ui = np.flatnonzero(uniq) + b0
+        ts_u = t[ui]
+        if len(ts_u) < 2:
+            continue
+        grid = np.arange(ts_u[0], ts_u[-1] + step, step, dtype=np.int64)
+        pos = np.searchsorted(ts_u, grid, side="right") - 1
+        out_time.append(grid)
+        out_val.append(v[ui[pos]])
+        out_seg.append(np.full(len(grid), seg[b0], dtype=np.int64))
+        out_orig.append(ts_u[pos] == grid)
+
+    if not out_time:
+        return pa.table(
+            {
+                SOURCE: pa.array([], pa.string()),
+                SEG: pa.array([], pa.int64()),
+                TIME: pa.array([], pa.int64()),
+                N_TOK: pa.array([], pa.int64()),
+                IS_ORIGINAL: pa.array([], pa.bool_()),
+            }
+        )
+    grid_t = np.concatenate(out_time)
+    return pa.table(
+        {
+            SOURCE: pa.array(np.full(len(grid_t), src, dtype=object), pa.string()),
+            SEG: pa.array(np.concatenate(out_seg)),
+            TIME: pa.array(grid_t),
+            N_TOK: pa.array(np.concatenate(out_val)),
+            IS_ORIGINAL: pa.array(np.concatenate(out_orig)),
+        }
+    )
+
+
+def locf_series(
+    ds,
+    step: int = DEFAULT_STEP,
+    max_gap: int = DEFAULT_MAX_GAP,
+    cleaned: bool = False,
+):
+    """LOCF sampling onto the per-segment grid, one shuffle."""
+    return ds.groupby(SOURCE).map_groups(
+        lambda g: locf_group(g, step, max_gap, cleaned=cleaned),
+        batch_format="pyarrow",
+    )

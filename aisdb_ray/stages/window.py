@@ -444,3 +444,58 @@ def ewma(
         lambda part: ewma_block(part, group, time_col, value, a_num, a_den),
         num_parts,
     )
+
+
+def mad_outliers(
+    ds,
+    group: str = "source",
+    value: str = "n_tok",
+    k: int = 3,
+    keep_cols: tuple[str, ...] = ("source", "doc_id", "time", "n_tok"),
+    num_parts: int | None = None,
+):
+    """Per-series robust outliers: rows where |v − median| > k · MAD
+    (median absolute deviation) — the standard robust alternative to the
+    z-score flag (:func:`zscore_anomalies`) when the channel has heavy
+    tails or level shifts.
+
+    Exact integer evidence: with med2 = 2·median(v) (an integer for any
+    int series: the middle pair's sum) and mad4 = 2·median(|2v − med2|),
+    the flag is ``2·|2v − med2| > k·mad4`` — all-integer, so Ray and the
+    SQL oracle agree bit-for-bit; no float median ever compares.
+
+    Shape: one hash co-shuffle on the series key, then a vectorized
+    two-median kernel per partition (every row of a series lands in one
+    partition, so partition-local medians are exact)."""
+    from aisdb_ray.stages._dist import co_shuffle
+
+    def block(part: pa.Table) -> pa.Table:
+        out = part.select(list(keep_cols))
+        if part.num_rows == 0:
+            return out
+        import pyarrow.compute as pc
+
+        g = part[group]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        codes = pc.dictionary_encode(g)
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        gid = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = part[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(gid, kind="stable")
+        gs, vs = gid[order], v[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        bounds = np.r_[starts, len(gs)]
+        keep_sorted = np.zeros(len(gs), dtype=bool)
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            seg = vs[b0:b1]
+            med2 = int(round(2 * float(np.median(seg))))
+            dev2 = np.abs(2 * seg - med2)
+            mad4 = int(round(2 * float(np.median(dev2))))
+            keep_sorted[b0:b1] = 2 * dev2 > k * mad4
+        keep = np.zeros(len(gs), dtype=bool)
+        keep[order] = keep_sorted
+        return out.filter(pa.array(keep))
+
+    return co_shuffle(ds, [group], block, num_parts)

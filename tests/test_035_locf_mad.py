@@ -1,0 +1,62 @@
+"""LOCF grid sampling and MAD robust outliers."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from aisdb_ray.stages.series import locf_group, locf_series
+from aisdb_ray.stages.window import mad_outliers
+
+
+def _group(times, vals, source="s0"):
+    n = len(times)
+    return pa.table({
+        "doc_id": pa.array([f"{source}:{t:010d}:{i:04d}" for i, t in enumerate(times)]),
+        "n_tok": pa.array(np.asarray(vals, np.int32)),
+        "source": pa.array([source] * n),
+        "time": pa.array(np.asarray(times, np.int64)),
+        "seq": pa.array(np.arange(n, dtype=np.int32)),
+    })
+
+
+def test_locf_carries_forward_and_grid_edges():
+    out = locf_group(_group([0, 150], [10, 20]), step=60, max_gap=7200).to_pandas()
+    # grid = arange(0, 150+60, 60) = [0, 60, 120, 180]; 180 carries v(150)
+    assert out["time"].tolist() == [0, 60, 120, 180]
+    assert out["n_tok"].tolist() == [10, 10, 10, 20]
+    assert out["is_original"].tolist() == [True, False, False, False]
+    assert out["n_tok"].dtype.kind == "i"  # LOCF never invents values
+
+
+def test_locf_segments_and_short_segment_skipped():
+    out = locf_group(
+        _group([0, 60, 100_000], [1, 2, 9]), step=60, max_gap=7200
+    ).to_pandas()
+    # the single-point far segment is skipped (same contract as gapfill)
+    assert out["seg"].tolist() == [0, 0]
+    assert out["n_tok"].tolist() == [1, 2]
+
+
+def test_locf_same_timestamp_keep_first():
+    g = _group([0, 0, 60], [5, 99, 7])
+    out = locf_group(g, step=60, max_gap=7200).to_pandas()
+    assert out["n_tok"].tolist() == [5, 7]  # seq-0 row wins the tie
+
+
+def test_mad_outliers_flags_only_far_points():
+    tbl = _group([0, 60, 120, 180, 240], [10, 10, 10, 10, 100])
+    ds = rd.from_arrow(tbl)
+    got = mad_outliers(ds, k=3, num_parts=2).to_pandas()
+    # median 10, MAD 0: only the 100 row deviates
+    assert got["n_tok"].tolist() == [100]
+
+
+def test_mad_outliers_integer_boundary():
+    # v = [1..7, 13]: med2=9 (median 4.5), dev2=|2v-9| -> [7,5,3,1,1,3,5,17]
+    # mad4=2*median(dev2)=8 (median 4) wait: sorted dev2 [1,1,3,3,5,5,7,17],
+    # median = 4, mad4 = 8; flag 2*dev2 > 3*8=24 -> dev2 > 12: only 17 (v=13)
+    tbl = _group(list(range(0, 480, 60)), [1, 2, 3, 4, 5, 6, 7, 13])
+    got = mad_outliers(rd.from_arrow(tbl), k=3, num_parts=2).to_pandas()
+    assert got["n_tok"].tolist() == [13]
