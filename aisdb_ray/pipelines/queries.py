@@ -1913,6 +1913,21 @@ def q_ts_ewma(sf_dir: str):
     return window.ewma(daily, "source", "bucket", "sum_n_tok", 1, 4)
 
 
+def q_ts_holt(sf_dir: str):
+    """Per-source Holt linear-trend smoothing (alpha=1/4, beta=1/8) of the
+    daily token rate — the two-state extension of ts_ewma, same
+    rank-synchronous vectorized recurrence, bit-exact vs a per-source
+    recursive-CTE oracle spelling out the identical IEEE expressions."""
+    from aisdb_ray.stages import rollup as rollup_mod
+    from aisdb_ray.stages import window
+
+    _ctx()
+    daily = rollup_mod.rollup(_clean_tokens(sf_dir), 86400).select_columns(
+        ["source", "bucket", "sum_n_tok"]
+    )
+    return window.holt(daily, "source", "bucket", "sum_n_tok", 1, 4, 1, 8)
+
+
 def q_ts_acf(sf_dir: str):
     """Per-source autocorrelation at lags 1-3 over the (time, seq)-ordered
     token-count series (burstiness / mean-reversion diagnostics, the
@@ -2638,6 +2653,7 @@ def build_queries() -> dict:
         "tok_unigram_hist": q_tok_unigram_hist,
         "ts_locf": q_ts_locf,
         "ts_mad_outliers": q_ts_mad_outliers,
+        "ts_holt": q_ts_holt,
         "doc_bpe_count": q_doc_bpe_count,
         "doc_clean_corpus": q_doc_clean_corpus,
         "doc_training_pipeline": q_doc_training_pipeline,
@@ -3070,6 +3086,42 @@ FROM tf GROUP BY doc_id"""
     FROM r JOIN o ON o.source = r.source AND o.rn = r.rn + 1
   )
 SELECT source, bucket, sum_n_tok, ewma FROM r"""
+
+    # Holt linear trend: the two-state recurrence spelled out with the
+    # SAME IEEE expressions (and op order) as window.holt_block; trend
+    # anchors at v_1 - v_0 (0 for single-row groups)
+    sql["ts_holt"] = f"""WITH RECURSIVE {_sql_tokens_clean(tok)},
+  daily AS (
+    SELECT source, (time // 86400) * 86400 AS bucket,
+           CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
+    FROM clean GROUP BY source, bucket
+  ),
+  o AS MATERIALIZED (
+    SELECT source, bucket, sum_n_tok,
+           row_number() OVER (PARTITION BY source ORDER BY bucket) AS rn,
+           lead(sum_n_tok) OVER (PARTITION BY source ORDER BY bucket) AS nxt
+    FROM daily
+  ),
+  r AS (
+    SELECT source, bucket, sum_n_tok, rn,
+           CAST(sum_n_tok AS DOUBLE) AS holt_level,
+           CASE WHEN nxt IS NULL THEN 0.0
+                ELSE CAST(nxt AS DOUBLE) - CAST(sum_n_tok AS DOUBLE)
+           END AS holt_trend
+    FROM o WHERE rn = 1
+    UNION ALL
+    SELECT o.source, o.bucket, o.sum_n_tok, o.rn,
+           (r.holt_level + r.holt_trend)
+             + (CAST(o.sum_n_tok AS DOUBLE) - (r.holt_level + r.holt_trend))
+               * 0.25,
+           r.holt_trend
+             + ((((r.holt_level + r.holt_trend)
+                  + (CAST(o.sum_n_tok AS DOUBLE)
+                     - (r.holt_level + r.holt_trend)) * 0.25)
+                 - r.holt_level) - r.holt_trend) * 0.125
+    FROM r JOIN o ON o.source = r.source AND o.rn = r.rn + 1
+  )
+SELECT source, bucket, sum_n_tok, holt_level, holt_trend FROM r"""
 
     sql["doc_repetition"] = r"""WITH lines AS (
     SELECT doc_id, t.ln AS ln

@@ -499,3 +499,87 @@ def mad_outliers(
         return out.filter(pa.array(keep))
 
     return co_shuffle(ds, [group], block, num_parts)
+
+
+def holt_block(
+    tbl: pa.Table,
+    group: str,
+    time_col: str,
+    value: str,
+    a_num: int = 1,
+    a_den: int = 4,
+    b_num: int = 1,
+    b_den: int = 8,
+) -> pa.Table:
+    """One partition's Holt linear-trend smoothing per group — the
+    two-state extension of :func:`ewma_block`:
+
+        level_0 = v_0;  trend_0 = v_1 - v_0 (0 for length-1 groups)
+        lp      = level + trend                      (one-step forecast)
+        level'  = lp + (v - lp) * alpha
+        trend'  = trend + ((level' - level) - trend) * beta
+
+    Same rank-synchronous execution: the coupled recurrence is sequential
+    in rank but independent across groups, so each rank step is one
+    vectorized update of BOTH state vectors over all groups, and every
+    element sees the exact IEEE op sequence of the scalar recurrence —
+    bit-identical to a per-group recursive CTE that spells out the same
+    expressions."""
+    n = len(tbl)
+    if n == 0:
+        t0 = tbl.append_column("holt_level", pa.array([], pa.float64()))
+        return t0.append_column("holt_trend", pa.array([], pa.float64()))
+    import pyarrow.compute as pc
+
+    gcol = tbl[group]
+    if isinstance(gcol, pa.ChunkedArray):
+        gcol = gcol.combine_chunks()
+    ginv = pc.dictionary_encode(gcol).indices.to_numpy().astype(np.int64)
+    t = tbl[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((t, ginv))
+    tbl = tbl.take(pa.array(order))
+    g = ginv[order]
+    v = tbl[value].to_numpy(zero_copy_only=False).astype(np.float64)
+
+    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    ends = np.r_[starts[1:], n]
+    alpha = float(a_num) / float(a_den)
+    beta = float(b_num) / float(b_den)
+    lev = np.empty(n, dtype=np.float64)
+    trd = np.empty(n, dtype=np.float64)
+    lev[starts] = v[starts]
+    two = starts + 1 < ends
+    trd[starts[two]] = v[starts[two] + 1] - v[starts[two]]
+    trd[starts[~two]] = 0.0
+    for j in range(1, int((ends - starts).max())):
+        idx = starts + j
+        live = idx[idx < ends]
+        lp = lev[live - 1] + trd[live - 1]
+        lev[live] = lp + (v[live] - lp) * alpha
+        trd[live] = trd[live - 1] + ((lev[live] - lev[live - 1]) - trd[live - 1]) * beta
+    out = tbl.append_column("holt_level", pa.array(lev, pa.float64()))
+    return out.append_column("holt_trend", pa.array(trd, pa.float64()))
+
+
+def holt(
+    ds,
+    group: str,
+    time_col: str,
+    value: str,
+    a_num: int = 1,
+    a_den: int = 4,
+    b_num: int = 1,
+    b_den: int = 8,
+    num_parts: int | None = None,
+):
+    """Distributed per-group Holt smoothing: one co-shuffle on the group
+    key, then the rank-synchronous two-state recurrence per partition."""
+    from aisdb_ray.stages._dist import co_shuffle
+
+    return co_shuffle(
+        ds, [group],
+        lambda part: holt_block(
+            part, group, time_col, value, a_num, a_den, b_num, b_den
+        ),
+        num_parts,
+    )

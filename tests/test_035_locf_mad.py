@@ -60,3 +60,32 @@ def test_mad_outliers_integer_boundary():
     tbl = _group(list(range(0, 480, 60)), [1, 2, 3, 4, 5, 6, 7, 13])
     got = mad_outliers(rd.from_arrow(tbl), k=3, num_parts=2).to_pandas()
     assert got["n_tok"].tolist() == [13]
+
+
+def test_holt_block_matches_scalar_recurrence():
+    from aisdb_ray.stages.window import holt_block
+
+    times = [0, 60, 120, 180, 240]
+    vals = [10, 14, 11, 20, 25]
+    tbl = pa.table({
+        "source": ["a"] * 5 + ["b"],
+        "bucket": np.asarray(times + [0], np.int64),
+        "sum_n_tok": np.asarray(vals + [7], np.int64),
+    })
+    out = holt_block(tbl, "source", "bucket", "sum_n_tok", 1, 4, 1, 8).to_pandas()
+    # scalar reference with the same IEEE op order
+    lev, trd = float(vals[0]), float(vals[1]) - float(vals[0])
+    exp_l, exp_t = [lev], [trd]
+    for v in vals[1:]:
+        lp = lev + trd
+        lev_new = lp + (float(v) - lp) * 0.25
+        trd = trd + ((lev_new - lev) - trd) * 0.125
+        lev = lev_new
+        exp_l.append(lev)
+        exp_t.append(trd)
+    got = out[out.source == "a"].sort_values("bucket")
+    assert got["holt_level"].tolist() == exp_l
+    assert got["holt_trend"].tolist() == exp_t
+    # single-row group: level = v, trend anchors at 0
+    gb = out[out.source == "b"]
+    assert gb["holt_level"].tolist() == [7.0] and gb["holt_trend"].tolist() == [0.0]
