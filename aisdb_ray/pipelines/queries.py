@@ -1437,6 +1437,21 @@ def q_doc_keywords(sf_dir: str):
     )
 
 
+_BM25_TERMS = ["hash", "join", "stream"]
+
+
+def q_doc_bm25_topk(sf_dir: str):
+    """Sparse retrieval for targeted curation: top-20 documents by BM25
+    (k1=1.2, b=0.75, odds idf — IEEE-exact, no transcendental) for an
+    embedded 3-term query.  Stats pass (one tiny combined row) -> fully
+    vectorized per-batch scoring -> global sort+limit."""
+    from aisdb_ray.stages import bm25
+
+    _ctx()
+    ds = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return bm25.bm25_topk(ds, _BM25_TERMS, k=20)
+
+
 def q_doc_quality(sf_dir: str):
     from aisdb_ray.stages import textstats
 
@@ -2642,6 +2657,7 @@ def build_queries() -> dict:
         "doc_contamination": q_doc_contamination,
         "doc_dup_ngrams": q_doc_dup_ngrams,
         "doc_oov_rate": q_doc_oov_rate,
+        "doc_bm25_topk": q_doc_bm25_topk,
         "doc_textstats": q_doc_textstats,
         "doc_langid": q_doc_langid,
         "doc_repetition": q_doc_repetition,
@@ -3852,6 +3868,66 @@ FROM novel GROUP BY text_md5"""
   )
 SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_shared
 FROM hits GROUP BY doc_id"""
+
+    # BM25 (odds idf): every float expression below is written in the same
+    # operation order as stages/bm25.py — only + - * / , so bit-exact
+    t0, t1, t2 = _BM25_TERMS
+    sql["doc_bm25_topk"] = f"""WITH toks AS (
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents
+  ),
+  per AS (
+    SELECT doc_id, t.tk AS token FROM toks, LATERAL unnest(w) AS t(tk)
+  ),
+  stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(w)) AS BIGINT) AS n_words
+    FROM toks
+  ),
+  dfs AS (
+    SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM per WHERE token IN ('{t0}', '{t1}', '{t2}') GROUP BY token
+  ),
+  tfs AS (
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+    FROM per WHERE token IN ('{t0}', '{t1}', '{t2}') GROUP BY doc_id, token
+  ),
+  comb AS (
+    SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS dl,
+           coalesce(max(CASE WHEN t.token = '{t0}' THEN t.tf END), 0) AS tf0,
+           coalesce(max(CASE WHEN t.token = '{t1}' THEN t.tf END), 0) AS tf1,
+           coalesce(max(CASE WHEN t.token = '{t2}' THEN t.tf END), 0) AS tf2
+    FROM toks d LEFT JOIN tfs t USING (doc_id) GROUP BY d.doc_id, d.w
+  ),
+  consts AS (
+    SELECT
+      (SELECT (CAST(max(s.n_docs) - coalesce(max(df), 0) AS DOUBLE) + 0.5)
+              / (CAST(coalesce(max(df), 0) AS DOUBLE) + 0.5)
+       FROM dfs, stats s WHERE token = '{t0}') AS idf0,
+      (SELECT (CAST(max(s.n_docs) - coalesce(max(df), 0) AS DOUBLE) + 0.5)
+              / (CAST(coalesce(max(df), 0) AS DOUBLE) + 0.5)
+       FROM dfs, stats s WHERE token = '{t1}') AS idf1,
+      (SELECT (CAST(max(s.n_docs) - coalesce(max(df), 0) AS DOUBLE) + 0.5)
+              / (CAST(coalesce(max(df), 0) AS DOUBLE) + 0.5)
+       FROM dfs, stats s WHERE token = '{t2}') AS idf2,
+      (SELECT CAST(n_words AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM stats)
+        AS avgdl
+  ),
+  scored AS (
+    SELECT doc_id,
+      idf0 * ((CAST(tf0 AS DOUBLE) * 2.2)
+              / (CAST(tf0 AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+      + idf1 * ((CAST(tf1 AS DOUBLE) * 2.2)
+              / (CAST(tf1 AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+      + idf2 * ((CAST(tf2 AS DOUBLE) * 2.2)
+              / (CAST(tf2 AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+      AS score
+    FROM comb, consts
+  )
+SELECT doc_id, score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id ASC LIMIT 20"""
 
     sql["doc_oov_rate"] = r"""WITH toks AS (
     SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents

@@ -1,0 +1,54 @@
+"""BM25 retrieval: scoring, exclusion, determinism."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import ray.data as rd
+
+from aisdb_ray.stages import bm25
+
+
+def _corpus():
+    return pd.DataFrame(
+        {
+            "doc_id": ["d0", "d1", "d2", "d3"],
+            "text": [
+                "hash hash hash join",        # heavy on both terms
+                "hash tiny",                  # one hit, short doc
+                "nothing relevant here at all okay",  # no hits
+                "join join padding words here to make this one long",
+            ],
+        }
+    )
+
+
+def test_bm25_excludes_nonmatching_and_ranks():
+    got = bm25.bm25_topk(rd.from_pandas(_corpus()), ["hash", "join"], k=10).to_pandas()
+    assert "d2" not in set(got.doc_id)
+    assert len(got) == 3
+    # scores strictly ordered, d0 (both terms, high tf) first
+    assert got.iloc[0].doc_id == "d0"
+    assert list(got.score) == sorted(got.score, reverse=True)
+
+
+def test_bm25_matches_scalar_formula():
+    ds = rd.from_pandas(_corpus())
+    got = bm25.bm25_topk(ds, ["hash"], k=10).to_pandas().set_index("doc_id")
+    # corpus constants
+    n_docs, n_words = 4, 4 + 2 + 6 + 10
+    avgdl = float(n_words) / float(n_docs)
+    idf = (float(n_docs - 2) + 0.5) / (float(2) + 0.5)
+
+    def score(tf, dl):
+        return idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+
+    assert got.loc["d0", "score"] == score(3.0, 4.0)
+    assert got.loc["d1", "score"] == score(1.0, 2.0)
+    assert len(got) == 2
+
+
+def test_bm25_zero_df_term_harmless():
+    got = bm25.bm25_topk(rd.from_pandas(_corpus()), ["zzz_absent"], k=5).to_pandas()
+    assert len(got) == 0
