@@ -2245,6 +2245,17 @@ def q_ann_topk(sf_dir: str):
     return _ranked_ids(ann.topk_cosine(rd.read_parquet(_emb_path(sf_dir)), q0, k=10))
 
 
+def q_ann_range_search(sf_dir: str):
+    """Cosine range query around the vec_id=0 probe (threshold 0.3):
+    map-side broadcast matmul + local filter, no shuffle; ids only
+    (float32-vs-float64 cosine, see q_ann_topk note)."""
+    from aisdb_ray.stages import ann
+
+    _ctx()
+    q0 = _query_vector(sf_dir)
+    return ann.range_search(rd.read_parquet(_emb_path(sf_dir)), q0, threshold=0.3)
+
+
 def q_ann_topk_multi(sf_dir: str):
     """Batched brute-force cosine top-10 for THREE probe vectors in one
     corpus pass (ann.topk_cosine_multi) — the query-stream workload form;
@@ -2658,6 +2669,7 @@ def build_queries() -> dict:
         "doc_dup_ngrams": q_doc_dup_ngrams,
         "doc_oov_rate": q_doc_oov_rate,
         "doc_bm25_topk": q_doc_bm25_topk,
+        "ann_range_search": q_ann_range_search,
         "doc_textstats": q_doc_textstats,
         "doc_langid": q_doc_langid,
         "doc_repetition": q_doc_repetition,
@@ -4334,6 +4346,11 @@ FROM documents"""
 FROM embeddings
 ORDER BY rank
 LIMIT 10"""
+
+    sql["ann_range_search"] = """SELECT vec_id
+FROM embeddings
+WHERE list_cosine_similarity(embedding,
+        (SELECT embedding FROM embeddings WHERE vec_id = 0)) >= 0.3"""
 
     sql["ann_topk_multi"] = """WITH q AS (
     SELECT vec_id AS qid, embedding AS qe FROM embeddings

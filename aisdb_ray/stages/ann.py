@@ -746,3 +746,26 @@ def ivfpq_topk(index_dir: str, query: np.ndarray, k: int = 10,
     return cand.repartition(1).map_batches(
         merge, batch_format="pyarrow", batch_size=None
     )
+
+
+def range_search(ds_emb, query: np.ndarray, threshold: float = 0.3):
+    """Cosine range query: every vector with cosine(query, v) >= threshold
+    — the radius-based companion of :func:`topk_cosine` (near-duplicate
+    retrieval around a probe, recall-oriented curation pulls).
+
+    Purely map-side: the normalized query broadcasts once via ``ray.put``,
+    each batch computes one float64 matmul and filters locally — no
+    shuffle, no driver materialization; output is the matching ids."""
+    q = query.astype(np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    q_ref = ray.put(q)
+
+    def batch_range(b: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        m = _norm_rows(_emb_matrix(b))
+        sims = m @ qv
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        keep = sims >= threshold
+        return pa.table({"vec_id": pa.array(ids[keep].astype(np.int64))})
+
+    return ds_emb.map_batches(batch_range, batch_format="pyarrow")

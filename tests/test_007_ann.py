@@ -293,3 +293,25 @@ def test_ivfpq_index_serving(tmp_path):
         partition_cols=["list"],
     )
     assert len(probed.input_files()) < total
+
+
+def test_range_search_threshold_inclusive():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aisdb_ray.stages import ann
+
+    vecs = np.array(
+        [[1.0, 0.0], [0.8, 0.6], [0.0, 1.0], [-1.0, 0.0]], dtype=np.float64
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(4), pa.int64()),
+            "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float64())),
+        }
+    )
+    got = ann.range_search(rd.from_arrow(t), np.array([1.0, 0.0]), threshold=0.8)
+    ids = sorted(got.to_pandas()["vec_id"].tolist())
+    # cos = [1.0, 0.8, 0.0, -1.0]: threshold is inclusive
+    assert ids == [0, 1]
