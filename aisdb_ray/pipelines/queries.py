@@ -2407,7 +2407,10 @@ def _tok_sample(sf_dir: str, pct: int):
     from aisdb_ray.stages.sample import md5_u32
 
     _ctx()
-    ds = rd.read_parquet(ensure_sf_tokens(sf_dir), columns=["doc_id", "tokens", "n_tok"])
+    ds = rd.read_parquet(
+        ensure_sf_tokens(sf_dir),
+        columns=["doc_id", "tokens", "n_tok", "source"],
+    )
 
     def keep(b: pa.Table) -> pa.Table:
         return b.filter(pa.array(md5_u32(b["doc_id"]) % 100 < pct))
@@ -2431,6 +2434,16 @@ def q_tok_unigram_hist(sf_dir: str):
     from aisdb_ray.stages import tokstats
 
     return tokstats.unigram_hist(_tok_sample(sf_dir, 5))
+
+
+def q_tok_simpson(sf_dir: str):
+    """Per-source token-diversity evidence (Simpson collision index):
+    n_tokens and Σc² over per-(source, token) counts, all-integer; one
+    (source, token)-keyed co-shuffle (5% doc-hash sample, mirrored in
+    SQL).  Low diversity flags template-heavy sources."""
+    from aisdb_ray.stages import tokstats
+
+    return tokstats.simpson_diversity(_tok_sample(sf_dir, 5), key="source")
 
 
 def q_ts_hist(sf_dir: str):
@@ -2679,6 +2692,7 @@ def build_queries() -> dict:
         "emb_semdedup": q_emb_semdedup,
         "tok_bigram_topk": q_tok_bigram_topk,
         "tok_unigram_hist": q_tok_unigram_hist,
+        "tok_simpson": q_tok_simpson,
         "ts_locf": q_ts_locf,
         "ts_mad_outliers": q_ts_mad_outliers,
         "ts_holt": q_ts_holt,
@@ -4508,6 +4522,21 @@ LIMIT 100"""
 SELECT CAST(t.tk AS BIGINT) AS token_id, CAST(count(*) AS BIGINT) AS n
 FROM v, LATERAL unnest(v.tokens) AS t(tk)
 GROUP BY t.tk"""
+
+    sql["tok_simpson"] = f"""WITH v AS (
+    SELECT source, tokens FROM read_parquet('{tok}/*.parquet')
+    WHERE n_tok > 0 AND len(tokens) = n_tok
+      AND CAST('0x' || substr(md5(doc_id), 1, 8) AS BIGINT) % 100 < 5
+  ),
+  cnt AS (
+    SELECT source, t.tk AS token_id, count(*) AS c
+    FROM v, LATERAL unnest(v.tokens) AS t(tk)
+    GROUP BY source, t.tk
+  )
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(sum(c * c) AS BIGINT) AS sum_c2
+FROM cnt GROUP BY source"""
 
     sql["emb_neardup"] = """SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -137,3 +137,74 @@ def unigram_hist(ds):
     partials = ds.map_batches(unigram_partial, batch_format="pyarrow")
     local = partials.map_batches(combine, batch_format="pyarrow", batch_size=None)
     return co_shuffle(local, ["token_id"], combine)
+
+
+def simpson_partial(batch: pa.Table, key: str = "source") -> pa.Table:
+    """Per-batch (key, token_id, count) partial over the token payload."""
+    ok = pc.and_(
+        pc.greater(batch["n_tok"], pa.scalar(0)),
+        pc.equal(pc.list_value_length(batch["tokens"]), batch["n_tok"]),
+    )
+    b = batch.filter(ok)
+    toks = b["tokens"]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    empty = pa.table(
+        {
+            key: pa.array([], pa.string()),
+            "token_id": pa.array([], pa.int64()),
+            "c": pa.array([], pa.int64()),
+        }
+    )
+    if len(toks) == 0:
+        return empty
+    flat = pc.cast(pc.list_flatten(toks), pa.int64())
+    par = pc.list_parent_indices(toks)
+    keys = b[key]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    g = (
+        pa.table({key: keys.take(par), "token_id": flat})
+        .group_by([key, "token_id"], use_threads=False)
+        .aggregate([([], "count_all")])
+    )
+    return g.rename_columns([key, "token_id", "c"])
+
+
+def simpson_diversity(ds, key: str = "source"):
+    """Per-key token-diversity evidence: total token count and the Simpson
+    collision sum Σc² over per-(key, token) counts — the inverse-Simpson
+    diversity ``n²/Σc²`` is left to the consumer so the result hashes as
+    exact integers (the corpus-mix diagnostic: low diversity flags
+    template/boilerplate-heavy sources before they skew training).
+
+    Shape: vectorized per-batch (key, token, count) partials, ONE hash
+    co-shuffle on (key, token) — a token's count becomes global inside its
+    partition, so Σc² partials per (key, partition) are exact — then a
+    tiny per-key combine."""
+    from aisdb_ray.stages._dist import co_shuffle, funnel_combine
+
+    partials = ds.map_batches(
+        lambda b: simpson_partial(b, key), batch_format="pyarrow"
+    )
+
+    def per_part(part: pa.Table) -> pa.Table:
+        g = part.group_by([key, "token_id"], use_threads=False).aggregate(
+            [("c", "sum")]
+        )
+        cc = pc.multiply(g["c_sum"], g["c_sum"])
+        t = pa.table({key: g[key], "n": g["c_sum"], "c2": cc})
+        out = t.group_by([key], use_threads=False).aggregate(
+            [("n", "sum"), ("c2", "sum")]
+        )
+        return out.rename_columns([key, "n_tokens", "sum_c2"])
+
+    parts = co_shuffle(partials, [key, "token_id"], per_part)
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by([key], use_threads=False).aggregate(
+            [("n_tokens", "sum"), ("sum_c2", "sum")]
+        )
+        return g.rename_columns([key, "n_tokens", "sum_c2"])
+
+    return funnel_combine(parts, merge, key_col=key, hash_combine=True)

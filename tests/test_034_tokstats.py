@@ -72,3 +72,19 @@ def test_oov_stats_planted():
     assert got["doc_id"].tolist() == ["a", "b", "c"]
     assert got["n_words"].tolist() == [4, 4, 3]
     assert got["n_oov"].tolist() == [1, 1, 0]
+
+
+def test_simpson_diversity_exact():
+    t = pa.table(
+        {
+            "source": ["a", "a", "b"],
+            "tokens": pa.array([[1, 1, 2], [1], [5, 5, 5]], pa.list_(pa.int32())),
+            "n_tok": pa.array([3, 1, 3], pa.int32()),
+        }
+    )
+    got = (
+        tokstats.simpson_diversity(rd.from_arrow(t), key="source")
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    )
+    # a: counts {1:3, 2:1} -> n=4, sum_c2=10 ; b: {5:3} -> n=3, sum_c2=9
+    assert got.values.tolist() == [["a", 4, 10], ["b", 3, 9]]
