@@ -2245,6 +2245,16 @@ def q_ann_topk(sf_dir: str):
     return _ranked_ids(ann.topk_cosine(rd.read_parquet(_emb_path(sf_dir)), q0, k=10))
 
 
+def q_emb_cov(sf_dir: str):
+    """Exact second-moment Gram of the embedding lake (the PCA/whitening
+    primitive): int64 fixed-point F'F per batch, upper-triangle rows,
+    funnel combine — d(d+1)/2 rows shuffle regardless of corpus size."""
+    from aisdb_ray.stages import ann
+
+    _ctx()
+    return ann.embedding_gram(rd.read_parquet(_emb_path(sf_dir)))
+
+
 def q_ann_range_search(sf_dir: str):
     """Cosine range query around the vec_id=0 probe (threshold 0.3):
     map-side broadcast matmul + local filter, no shuffle; ids only
@@ -2683,6 +2693,7 @@ def build_queries() -> dict:
         "doc_oov_rate": q_doc_oov_rate,
         "doc_bm25_topk": q_doc_bm25_topk,
         "ann_range_search": q_ann_range_search,
+        "emb_cov": q_emb_cov,
         "doc_textstats": q_doc_textstats,
         "doc_langid": q_doc_langid,
         "doc_repetition": q_doc_repetition,
@@ -4360,6 +4371,16 @@ FROM documents"""
 FROM embeddings
 ORDER BY rank
 LIMIT 10"""
+
+    sql["emb_cov"] = """WITH ex AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                AS BIGINT) AS fx
+    FROM embeddings)
+SELECT CAST(a.dim AS BIGINT) AS i, CAST(b.dim AS BIGINT) AS j,
+       CAST(sum(a.fx * b.fx) AS BIGINT) AS g
+FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY a.dim, b.dim"""
 
     sql["ann_range_search"] = """SELECT vec_id
 FROM embeddings

@@ -769,3 +769,49 @@ def range_search(ds_emb, query: np.ndarray, threshold: float = 0.3):
         return pa.table({"vec_id": pa.array(ids[keep].astype(np.int64))})
 
     return ds_emb.map_batches(batch_range, batch_format="pyarrow")
+
+
+def embedding_gram(ds_emb, scale: int = 1_000_000):
+    """Exact second-moment Gram matrix of the embedding lake — the
+    distributed primitive under PCA / whitening / covariance estimation
+    (covariance = G/n − mean·meanᵀ is a consumer-side rank-1 update using
+    :func:`embedding_dim_stats`' means; the eigen-solve on the tiny d×d
+    result is a driver/consumer step, not a data pass).
+
+    Same fixed-point policy as :func:`embedding_dim_stats`: one int64
+    ``FᵀF`` matmul per batch (exact — |fx| ≤ scale·|v| keeps products far
+    inside int64), emitted as upper-triangle (i ≤ j) rows.  Only
+    d·(d+1)/2 rows per task ever shuffle regardless of corpus size."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "i": pa.array([], pa.int64()),
+                "j": pa.array([], pa.int64()),
+                "g": pa.array([], pa.int64()),
+            }
+        )
+        if len(b) == 0:
+            return empty
+        m = _emb_matrix(b).astype(np.float64)
+        fx = np.floor(m * scale).astype(np.int64)
+        gram = fx.T @ fx
+        d = gram.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64)),
+                "j": pa.array(ju.astype(np.int64)),
+                "g": pa.array(gram[iu, ju]),
+            }
+        )
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["i", "j"], use_threads=False).aggregate([("g", "sum")])
+        return g.rename_columns(["i", "j", "g"])
+
+    from aisdb_ray.stages._dist import funnel_combine
+
+    partials = ds_emb.map_batches(partial, batch_format="pyarrow")
+    # d(d+1)/2 rows total: the funnel block IS the result size
+    return funnel_combine(partials, combine)

@@ -315,3 +315,27 @@ def test_range_search_threshold_inclusive():
     ids = sorted(got.to_pandas()["vec_id"].tolist())
     # cos = [1.0, 0.8, 0.0, -1.0]: threshold is inclusive
     assert ids == [0, 1]
+
+
+def test_embedding_gram_matches_numpy():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aisdb_ray.stages import ann
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(10, 4)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(10), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    got = ann.embedding_gram(rd.from_arrow(t)).to_pandas()
+    fx = np.floor(vecs.astype(np.float64) * 1_000_000).astype(np.int64)
+    ref = fx.T @ fx
+    assert len(got) == 4 * 5 // 2
+    for _, r in got.iterrows():
+        assert ref[int(r.i), int(r.j)] == int(r.g)
