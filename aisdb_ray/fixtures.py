@@ -158,36 +158,50 @@ def build_token_table(params: FixtureParams | str) -> pa.Table:
             pa.array(offsets, type=pa.int64()), pa.array(flat)
         ).cast(pa.list_(pa.int32()))
 
+    # duplicates + global out-of-order shuffle.  The permutation applies to
+    # the NUMPY columns (fancy indexing, no 32-bit Arrow offsets involved)
+    # and to the single (non-chunked) tokens ListArray via Arrow take; the
+    # utf8 doc_id column is then built chunk-wise FROM the permuted numpy
+    # arrays.  Arrow take on a CHUNKED utf8 column concatenates the chunks
+    # first, which at ~100 M rows crosses the 2 GiB 32-bit-offset capacity
+    # ("offset overflow while concatenating arrays") — so doc_id is never
+    # taken, only built.
+    n_dup = int(n * p.p_dup)
+    dup = rng.choice(n, size=n_dup, replace=False) if n_dup else np.array([], np.int64)
+    sel = rng.permutation(np.r_[np.arange(n), dup])
+
+    tokens_shuf = tokens.take(pa.array(sel))
+    src_sel = src_idx[sel]
+    epochs_sel = epochs[sel]
+    seqs_sel = seqs[sel]
+    n_tok_sel = n_tok[sel]
+
     # doc_id = source:epoch10:seq4 — vectorized string build, chunked so no
     # intermediate utf8 array crosses the 2 GiB 32-bit-offset capacity
     width = len(str(p.n_sources - 1)) if p.n_sources > 1 else 1
     names = np.char.add("src-", np.char.zfill(np.arange(p.n_sources).astype(str), width))
-    source = pa.array(names[src_idx])
     CH = 8_000_000
+    total_rows = len(sel)
     doc_chunks = []
-    for i in range(0, n, CH):
-        sl = slice(i, min(n, i + CH))
-        ep_str = pc.utf8_lpad(pc.cast(pa.array(epochs[sl]), pa.string()), 10, "0")
-        seq_str = pc.utf8_lpad(pc.cast(pa.array(seqs[sl]), pa.string()), 4, "0")
+    src_chunks = []
+    for i in range(0, total_rows, CH):
+        sl = slice(i, min(total_rows, i + CH))
+        ep_str = pc.utf8_lpad(pc.cast(pa.array(epochs_sel[sl]), pa.string()), 10, "0")
+        seq_str = pc.utf8_lpad(pc.cast(pa.array(seqs_sel[sl]), pa.string()), 4, "0")
+        name_arr = pa.array(names[src_sel[sl]])
         doc_chunks.append(
-            pc.binary_join_element_wise(pa.array(names[src_idx[sl]]), ep_str, seq_str, ":")
+            pc.binary_join_element_wise(name_arr, ep_str, seq_str, ":")
         )
-    doc_id = pa.chunked_array(doc_chunks)
+        src_chunks.append(name_arr)
 
-    base = pa.table(
+    return pa.table(
         {
-            "doc_id": doc_id,
-            "tokens": tokens,
-            "n_tok": pa.array(n_tok),
-            "source": source,
+            "doc_id": pa.chunked_array(doc_chunks),
+            "tokens": tokens_shuf,
+            "n_tok": pa.array(n_tok_sel),
+            "source": pa.chunked_array(src_chunks),
         }
     )
-
-    # duplicates + global out-of-order shuffle (take() materializes the selection)
-    n_dup = int(n * p.p_dup)
-    dup = rng.choice(n, size=n_dup, replace=False) if n_dup else np.array([], np.int64)
-    sel = rng.permutation(np.r_[np.arange(n), dup])
-    return base.take(pa.array(sel))
 
 
 def write_token_dataset(

@@ -1943,6 +1943,20 @@ def q_ts_holt(sf_dir: str):
     return window.holt(daily, "source", "bucket", "sum_n_tok", 1, 4, 1, 8)
 
 
+def q_ts_top_movers(sf_dir: str):
+    """Largest day-over-day swing per source (monitoring's top-movers
+    board): daily tier -> one source-keyed co-shuffle -> vectorized diff +
+    segmented arg-max |delta| (ties -> earliest day); all-integer."""
+    from aisdb_ray.stages import rollup as rollup_mod
+    from aisdb_ray.stages import window
+
+    _ctx()
+    daily = rollup_mod.rollup(_clean_tokens(sf_dir), 86400).select_columns(
+        ["source", "bucket", "sum_n_tok"]
+    )
+    return window.top_movers(daily, "source", "bucket", "sum_n_tok")
+
+
 def q_ts_acf(sf_dir: str):
     """Per-source autocorrelation at lags 1-3 over the (time, seq)-ordered
     token-count series (burstiness / mean-reversion diagnostics, the
@@ -2707,6 +2721,7 @@ def build_queries() -> dict:
         "ts_locf": q_ts_locf,
         "ts_mad_outliers": q_ts_mad_outliers,
         "ts_holt": q_ts_holt,
+        "ts_top_movers": q_ts_top_movers,
         "doc_bpe_count": q_doc_bpe_count,
         "doc_clean_corpus": q_doc_clean_corpus,
         "doc_training_pipeline": q_doc_training_pipeline,
@@ -3139,6 +3154,29 @@ FROM tf GROUP BY doc_id"""
     FROM r JOIN o ON o.source = r.source AND o.rn = r.rn + 1
   )
 SELECT source, bucket, sum_n_tok, ewma FROM r"""
+
+    sql["ts_top_movers"] = f"""WITH {_sql_tokens_clean(tok)},
+  daily AS (
+    SELECT source, (time // 86400) * 86400 AS bucket,
+           CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
+    FROM clean GROUP BY source, bucket
+  ),
+  d AS (
+    SELECT source, bucket, sum_n_tok,
+           lag(bucket) OVER w AS prev_bucket,
+           lag(sum_n_tok) OVER w AS prev_sum_n_tok
+    FROM daily WINDOW w AS (PARTITION BY source ORDER BY bucket)
+  ),
+  x AS (
+    SELECT source, bucket, prev_bucket,
+           CAST(prev_sum_n_tok AS BIGINT) AS prev_sum_n_tok, sum_n_tok,
+           CAST(sum_n_tok - prev_sum_n_tok AS BIGINT) AS delta
+    FROM d WHERE prev_sum_n_tok IS NOT NULL
+  )
+SELECT source, bucket, prev_bucket, prev_sum_n_tok, sum_n_tok, delta
+FROM x
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY abs(delta) DESC, bucket ASC) = 1"""
 
     # Holt linear trend: the two-state recurrence spelled out with the
     # SAME IEEE expressions (and op order) as window.holt_block; trend

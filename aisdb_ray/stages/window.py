@@ -583,3 +583,74 @@ def holt(
         ),
         num_parts,
     )
+
+
+def top_movers(
+    ds,
+    group: str = "source",
+    time_col: str = "bucket",
+    value: str = "sum_n_tok",
+    num_parts: int | None = None,
+):
+    """Per-series largest step change: for each group, the (time, value)
+    row whose delta vs the previous row has the greatest |delta| (ties ->
+    earliest time) — the day-over-day anomaly surfaced by monitoring
+    dashboards, computed over an already-rolled-up tier so only tier rows
+    shuffle.  Groups with a single row emit nothing.
+
+    One group-keyed co-shuffle, then a vectorized diff + segmented argmax
+    per partition.  Output: (group, time, prev_time, prev_value, value,
+    delta), all exact integers."""
+    from aisdb_ray.stages._dist import co_shuffle
+
+    def block(part: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                group: pa.array([], pa.string()),
+                time_col: pa.array([], pa.int64()),
+                "prev_" + time_col: pa.array([], pa.int64()),
+                "prev_" + value: pa.array([], pa.int64()),
+                value: pa.array([], pa.int64()),
+                "delta": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        gcol = part[group]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        codes = pc.dictionary_encode(gcol)
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        gid = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        t = part[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = part[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((t, gid))
+        gs, ts, vs = gid[order], t[order], v[order]
+        same = np.r_[False, gs[1:] == gs[:-1]]  # row has an in-group predecessor
+        if not same.any():
+            return empty
+        idx = np.flatnonzero(same)
+        delta = vs[idx] - vs[idx - 1]
+        # argmax |delta| per group, ties -> earliest time: lexsort by
+        # (time asc) then stable-argsort on -|delta| keeps time order
+        g_of = gs[idx]
+        pick_order = np.lexsort((ts[idx], -np.abs(delta), g_of))
+        first = np.r_[True, g_of[pick_order][1:] != g_of[pick_order][:-1]]
+        win = pick_order[first]
+        rows = idx[win]
+        srcs = gcol.take(pa.array(order[rows]))
+        return pa.table(
+            {
+                group: srcs,
+                time_col: pa.array(ts[rows]),
+                "prev_" + time_col: pa.array(ts[rows - 1]),
+                "prev_" + value: pa.array(vs[rows - 1]),
+                value: pa.array(vs[rows]),
+                "delta": pa.array(delta[win]),
+            }
+        )
+
+    return co_shuffle(ds, [group], block, num_parts)

@@ -89,3 +89,24 @@ def test_holt_block_matches_scalar_recurrence():
     # single-row group: level = v, trend anchors at 0
     gb = out[out.source == "b"]
     assert gb["holt_level"].tolist() == [7.0] and gb["holt_trend"].tolist() == [0.0]
+
+
+def test_top_movers_picks_largest_swing_with_ties_earliest():
+    from aisdb_ray.stages.window import top_movers
+
+    tbl = pa.table({
+        "source": ["a"] * 4 + ["b"] * 2 + ["c"],
+        "bucket": np.asarray([0, 86400, 172800, 259200, 0, 86400, 0], np.int64),
+        # a: deltas +5, -9, +9 -> tie |9|: earliest (172800) wins
+        "sum_n_tok": np.asarray([10, 15, 6, 15, 7, 7, 3], np.int64),
+    })
+    got = (
+        top_movers(rd.from_arrow(tbl), num_parts=2)
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    )
+    # c has a single day: no row
+    assert got["source"].tolist() == ["a", "b"]
+    a = got[got.source == "a"].iloc[0]
+    assert (a.bucket, a.prev_bucket, a.delta) == (172800, 86400, -9)
+    b = got[got.source == "b"].iloc[0]
+    assert (b.delta, b.prev_sum_n_tok, b.sum_n_tok) == (0, 7, 7)
