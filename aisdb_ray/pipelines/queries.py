@@ -1501,6 +1501,18 @@ def q_doc_dup_ngrams(sf_dir: str):
     return cont.dup_ngram_stats(ds, n=8)
 
 
+def q_doc_lm_familiarity(sf_dir: str):
+    """Quantized bigram-LM familiarity (the integer perplexity proxy of
+    CCNet-style LM quality gating): per doc, Σ bit_length(corpus count of
+    each adjacent word pair), occurrence-weighted.  One pair-keyed
+    co-shuffle; counts are partition-local-exact."""
+    from aisdb_ray.stages import contamination as cont
+
+    _ctx()
+    ds = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return cont.bigram_familiarity(ds)
+
+
 def q_doc_incremental_dedup(sf_dir: str):
     """Incremental corpus ingestion: dedup a NEW shard against the
     already-ingested ledger (deterministic 50% split) by content hash.
@@ -2704,6 +2716,7 @@ def build_queries() -> dict:
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "doc_contamination": q_doc_contamination,
         "doc_dup_ngrams": q_doc_dup_ngrams,
+        "doc_lm_familiarity": q_doc_lm_familiarity,
         "doc_oov_rate": q_doc_oov_rate,
         "doc_bm25_topk": q_doc_bm25_topk,
         "ann_range_search": q_ann_range_search,
@@ -4003,6 +4016,22 @@ FROM hits GROUP BY doc_id"""
   )
 SELECT doc_id, score FROM scored WHERE score > 0
 ORDER BY score DESC, doc_id ASC LIMIT 20"""
+
+    sql["doc_lm_familiarity"] = r"""WITH toks AS (
+    SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+  ),
+  grams AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w)),
+                                 i -> array_to_string(w[i:i+1], ' '))) AS g
+    FROM toks WHERE len(w) >= 2
+  ),
+  cnt AS (SELECT g, count(*) AS c FROM grams GROUP BY g)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(length(bin(c.c))) AS BIGINT) AS familiarity
+FROM grams d JOIN cnt c ON d.g = c.g
+GROUP BY d.doc_id"""
 
     sql["doc_oov_rate"] = r"""WITH toks AS (
     SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents

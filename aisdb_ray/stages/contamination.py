@@ -177,3 +177,75 @@ def dup_ngram_stats(
 
     # one output row per document: combine on the doc key (scale path)
     return funnel_combine(partials, merge, key_col=id_col, hash_combine=True)
+
+
+def _bit_length(c: np.ndarray) -> np.ndarray:
+    """Vectorized int bit_length (== DuckDB length(bin(x)) for x >= 1)."""
+    out = np.zeros(len(c), dtype=np.int64)
+    tmp = c.astype(np.int64).copy()
+    while (tmp > 0).any():
+        out += tmp > 0
+        tmp >>= 1
+    return out
+
+
+def bigram_familiarity(
+    docs_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_parts: int | None = None,
+):
+    """Quantized bigram-LM familiarity score per document — the cheap
+    perplexity proxy of n-gram-LM quality filtering (CCNet's LM gate,
+    approximated in pure integers): for every adjacent word pair of the
+    doc, add ``bit_length(corpus count of that pair)``; frequent
+    constructions contribute ~log2(count), hapax pairs contribute 1.
+    Low familiarity per bigram flags gibberish / OCR damage; the integer
+    quantization (floor(log2)+1) makes Ray and SQL agree bit-for-bit
+    (DuckDB: ``length(bin(c))``).
+
+    Returns (doc_id, n_bigrams, familiarity) — occurrence-weighted, so
+    the mean familiarity is the consumer's one division.  Shape: (doc,
+    pair) rows co-shuffle once on the pair; the pair's corpus count is
+    partition-local-exact, and per-(doc, partition) integer partials
+    combine on doc_id."""
+    from aisdb_ray.stages._dist import co_shuffle, funnel_combine
+
+    def pairs_b(b: pa.Table) -> pa.Table:
+        return word_ngrams_block(b, text_col, id_col, n=2)
+
+    pairs = docs_ds.map_batches(pairs_b, batch_format="pyarrow")
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: part[id_col],
+                    "n_bigrams": pa.array([], pa.int64()),
+                    "familiarity": pa.array([], pa.int64()),
+                }
+            )
+        g = part[GRAM]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = pc.dictionary_encode(g)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        gid = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.bincount(gid)          # corpus count per pair (exact here)
+        fam = _bit_length(counts)[gid]     # per-occurrence contribution
+        t = pa.table({id_col: part[id_col], "_f": pa.array(fam)})
+        out = t.group_by([id_col], use_threads=False).aggregate(
+            [("_f", "count"), ("_f", "sum")]
+        )
+        return out.rename_columns([id_col, "n_bigrams", "familiarity"])
+
+    partials = co_shuffle(pairs, [GRAM], per_part, num_parts=num_parts)
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by([id_col], use_threads=False).aggregate(
+            [("n_bigrams", "sum"), ("familiarity", "sum")]
+        )
+        return g.rename_columns([id_col, "n_bigrams", "familiarity"])
+
+    return funnel_combine(partials, merge, key_col=id_col, hash_combine=True)

@@ -91,3 +91,33 @@ def test_dup_ngram_stats_within_doc_repeat_not_dup():
     # doc 0 has 9 distinct grams (window slides across the doubled text)
     assert int(got.loc[got.doc_id == 0, "n_dup"].iloc[0]) == 0
     assert int(got.loc[got.doc_id == 1, "n_dup"].iloc[0]) == 0
+
+
+def test_bigram_familiarity_counts_and_bits():
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "a b c",    # pairs: (a b), (b c)
+                "a b",      # pair:  (a b)
+                "a b d",    # pairs: (a b), (b d)
+                "solo",     # < 2 words: no row
+            ],
+        }
+    )
+    got = (
+        cont.bigram_familiarity(rd.from_pandas(docs), num_parts=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # corpus counts: "a b"=3 (bits 2), "b c"=1 (1), "b d"=1 (1)
+    assert got["doc_id"].tolist() == [0, 1, 2]
+    assert got["n_bigrams"].tolist() == [2, 1, 2]
+    assert got["familiarity"].tolist() == [3, 2, 3]
+
+
+def test_bit_length_matches_python():
+    import numpy as np
+
+    vals = np.array([1, 2, 3, 4, 7, 8, 1023, 1024, 5_000_000], dtype=np.int64)
+    got = cont._bit_length(vals)
+    assert got.tolist() == [int(v).bit_length() for v in vals]
