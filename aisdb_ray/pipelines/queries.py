@@ -969,6 +969,23 @@ def q_ev_sessions(sf_dir: str):
     )
 
 
+def q_ev_transitions(sf_dir: str):
+    """Global event-type transition counts over per-user ordered streams
+    (the Sankey / path-mining aggregate): one user-keyed co-shuffle,
+    vectorized adjacent-pair counting, |alphabet|^2-bounded combine.
+    Microsecond ordering with event_id tiebreak, mirrored in SQL."""
+    from aisdb_ray.stages import transits as transits_mod
+
+    ds = _events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def adapt(b: pa.Table) -> pa.Table:
+        return b.append_column("ts_us", pc.cast(b["ts"], pa.int64()))
+
+    return transits_mod.transition_counts(
+        ds.map_batches(adapt, batch_format="pyarrow")
+    )
+
+
 def q_ev_interval_join(sf_dir: str):
     """Range (interval) join: every raw event row paired with the containing
     multi-event session interval of its user (stages/join.interval_join) —
@@ -2717,6 +2734,7 @@ def build_queries() -> dict:
         "doc_contamination": q_doc_contamination,
         "doc_dup_ngrams": q_doc_dup_ngrams,
         "doc_lm_familiarity": q_doc_lm_familiarity,
+        "ev_transitions": q_ev_transitions,
         "doc_oov_rate": q_doc_oov_rate,
         "doc_bm25_topk": q_doc_bm25_topk,
         "ann_range_search": q_ann_range_search,
@@ -2872,6 +2890,17 @@ FROM events GROUP BY event_type"""
 
     # the same md5 → (top-10-bit register, leading-zero rank of the 54-bit
     # suffix) construction as stages/sketch.py, stated independently in SQL
+    sql["ev_transitions"] = """WITH s AS (
+    SELECT event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+    FROM events
+  )
+SELECT event_type AS from_label, nxt AS to_label,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE nxt IS NOT NULL
+GROUP BY event_type, nxt"""
+
     sql["ev_hll_users"] = """WITH h AS (
     SELECT event_type,
            CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))

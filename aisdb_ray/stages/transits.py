@@ -173,3 +173,71 @@ def transit_stats(
         ),
         batch_format="pyarrow",
     )
+
+
+def transition_counts(
+    ds,
+    key: str = "user_id",
+    label: str = "event_type",
+    time_col: str = "ts_us",
+    seq_col: str = "event_id",
+    num_parts: int | None = None,
+):
+    """Global (label -> next label) transition counts over per-key ordered
+    event sequences — the Sankey / user-path-mining aggregate (the event
+    analog of the reference's zone-to-zone transit edges,
+    /root/reference/aisdb/network_graph.py:84-96, counted corpus-wide).
+
+    One hash co-shuffle on the sequence key (each key's full history lands
+    in one partition), a vectorized lexsort + adjacent-pair count per
+    partition, then a funnel combine — the result is bounded by
+    |label alphabet|², small by construction.  Output: (from_label,
+    to_label, n), exact integers."""
+    import pyarrow.compute as pc
+
+    from aisdb_ray.stages._dist import co_shuffle, funnel_combine
+
+    def per_part(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "from_label": pa.array([], pa.string()),
+                "to_label": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows < 2:
+            return empty
+        kcol = part[key]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        enc = pc.dictionary_encode(kcol)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        kid = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        t = part[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = part[seq_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((s, t, kid))
+        same = kid[order][1:] == kid[order][:-1]
+        if not same.any():
+            return empty
+        lab = part[label]
+        if isinstance(lab, pa.ChunkedArray):
+            lab = lab.combine_chunks()
+        frm = lab.take(pa.array(order[:-1][same]))
+        to = lab.take(pa.array(order[1:][same]))
+        g = (
+            pa.table({"from_label": frm, "to_label": to})
+            .group_by(["from_label", "to_label"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["from_label", "to_label", "n"])
+
+    parts = co_shuffle(ds, [key], per_part, num_parts=num_parts)
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["from_label", "to_label"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns(["from_label", "to_label", "n"])
+
+    return funnel_combine(parts, merge)

@@ -117,3 +117,25 @@ def test_transit_stats_unsorted_input_resorted():
     out = transits.transit_stats_group(g, 0, 10_000).to_pandas()
     assert out["src_zone"][0] == "A" and out["rcv_zone"][0] == "C"
     assert out["total_delta"][0] == 10
+
+
+def test_transition_counts_ordering_and_boundaries():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aisdb_ray.stages.transits import transition_counts
+
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "ts_us": pa.array([10, 20, 20, 5, 1, 9], pa.int64()),
+        "event_id": pa.array([100, 101, 102, 201, 200, 300], pa.int64()),
+        "event_type": ["a", "b", "c", "x", "y", "z"],
+    })
+    got = (
+        transition_counts(rd.from_arrow(t), num_parts=2)
+        .to_pandas().sort_values(["from_label", "to_label"]).reset_index(drop=True)
+    )
+    # user 1 ordered by (ts, event_id): a->b->c; user 2: y(t=1)->x(t=5);
+    # user 3 single event: nothing; no cross-user pairs
+    assert got.values.tolist() == [["a", "b", 1], ["b", "c", 1], ["y", "x", 1]]
