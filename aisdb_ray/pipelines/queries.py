@@ -1518,6 +1518,17 @@ def q_doc_dup_ngrams(sf_dir: str):
     return cont.dup_ngram_stats(ds, n=8)
 
 
+def q_doc_winnow(sf_dir: str):
+    """Winnowing fingerprints (MOSS, Schleimer et al. 2003): word-4-gram
+    md5 hashes, 4-window minimum selection, distinct selected hashes per
+    doc as integer evidence (count + sum).  Fully map-side."""
+    from aisdb_ray.stages import textstats
+
+    _ctx()
+    ds = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return textstats.winnow_fingerprints(ds, k=4, w=4)
+
+
 def q_doc_lm_familiarity(sf_dir: str):
     """Quantized bigram-LM familiarity (the integer perplexity proxy of
     CCNet-style LM quality gating): per doc, Σ bit_length(corpus count of
@@ -2735,6 +2746,7 @@ def build_queries() -> dict:
         "doc_dup_ngrams": q_doc_dup_ngrams,
         "doc_lm_familiarity": q_doc_lm_familiarity,
         "ev_transitions": q_ev_transitions,
+        "doc_winnow": q_doc_winnow,
         "doc_oov_rate": q_doc_oov_rate,
         "doc_bm25_topk": q_doc_bm25_topk,
         "ann_range_search": q_ann_range_search,
@@ -4045,6 +4057,29 @@ FROM hits GROUP BY doc_id"""
   )
 SELECT doc_id, score FROM scored WHERE score > 0
 ORDER BY score DESC, doc_id ASC LIMIT 20"""
+
+    sql["doc_winnow"] = r"""WITH toks AS (
+    SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+  ),
+  grams AS (
+    SELECT doc_id, t.i AS pos, array_to_string(w[t.i:t.i+3], ' ') AS g
+    FROM toks, LATERAL unnest(generate_series(1, len(w) - 3)) AS t(i)
+    WHERE len(w) >= 4
+  ),
+  h AS (
+    SELECT doc_id, pos,
+           CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS hv
+    FROM grams
+  ),
+  wm AS (
+    SELECT doc_id, pos,
+           min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+    FROM h QUALIFY pos >= 4
+  ),
+  sel AS (SELECT DISTINCT doc_id, m FROM wm)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, CAST(sum(m) AS BIGINT) AS fp_sum
+FROM sel GROUP BY doc_id"""
 
     sql["doc_lm_familiarity"] = r"""WITH toks AS (
     SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents

@@ -438,3 +438,75 @@ def oov_stats(ds, min_df: int = 5, id_col: str = "doc_id"):
 
     # one corpus row per doc, so per-batch aggregation is already global
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def winnow_fingerprints(
+    ds,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003 —
+    the MOSS local fingerprinting scheme): hash every word k-gram, slide a
+    w-window over the hash sequence, select each window's minimum; the
+    DISTINCT selected hashes are the document's fingerprint set.  Emitted
+    as integer evidence (doc_id, n_fp, fp_sum) — count and sum of the
+    distinct selected hashes — so the result hashes exactly (which
+    position a duplicated minimum is picked at never matters to the set).
+
+    Fully map-side (one corpus row per doc): vectorized k-gram build
+    (contamination.word_ngrams_block), md5-prefix hashing (per-gram
+    Python md5, bounded per batch — the same portable-hash contract as
+    md5_batch/sketch.py), and the window minimum as w-1 shifted
+    np.minimum passes (w is a small constant).  Docs with fewer than
+    k+w-1 words emit no row, mirrored by the oracle."""
+    from aisdb_ray.stages.contamination import word_ngrams_block
+
+    def fp(b: pa.Table) -> pa.Table:
+        g = word_ngrams_block(b, text_col, id_col, n=k)
+        empty = pa.table(
+            {
+                id_col: g[id_col].slice(0, 0),
+                "n_fp": pa.array([], pa.int64()),
+                "fp_sum": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        ids = g[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        enc = pc.dictionary_encode(ids)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        par = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        grams = g["gram"].to_pylist()
+        hv = np.array(
+            [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in grams],
+            dtype=np.int64,
+        )
+        # window min over the last w hashes, valid only where the window
+        # stays inside one doc (grams are doc-contiguous and in order)
+        m = hv.copy()
+        for shift in range(1, w):
+            m[shift:] = np.minimum(m[shift:], hv[:-shift])
+        valid = np.zeros(len(hv), dtype=bool)
+        if len(hv) >= w:
+            valid[w - 1:] = par[w - 1:] == par[: len(par) - (w - 1)]
+        if not valid.any():
+            return empty
+        sel_doc, sel_m = par[valid], m[valid]
+        uniq = np.unique(np.stack([sel_doc, sel_m], axis=1), axis=0)
+        d, starts = np.unique(uniq[:, 0], return_index=True)
+        counts = np.diff(np.r_[starts, len(uniq)])
+        sums = np.add.reduceat(uniq[:, 1], starts)
+        return pa.table(
+            {
+                id_col: enc.dictionary.take(pa.array(d)),
+                "n_fp": pa.array(counts.astype(np.int64)),
+                "fp_sum": pa.array(sums.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")

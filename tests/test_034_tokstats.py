@@ -88,3 +88,29 @@ def test_simpson_diversity_exact():
     )
     # a: counts {1:3, 2:1} -> n=4, sum_c2=10 ; b: {5:3} -> n=3, sum_c2=9
     assert got.values.tolist() == [["a", 4, 10], ["b", 3, 9]]
+
+
+def test_winnow_fingerprints_window_and_dedup():
+    import hashlib
+
+    import numpy as np
+
+    from aisdb_ray.stages import textstats
+
+    words = ["w%d" % i for i in range(8)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": ["a", "b"],
+            "text": [" ".join(words), "too short here"],  # b: 3 words < k
+        }
+    )
+    got = textstats.winnow_fingerprints(rd.from_pandas(docs), k=4, w=4).to_pandas()
+    assert got["doc_id"].tolist() == ["a"]
+    # brute-force reference: 5 grams, windows at positions 3..4 (0-based)
+    grams = [" ".join(words[i:i + 4]) for i in range(5)]
+    hv = np.array(
+        [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    )
+    sel = {hv[max(0, i - 3):i + 1].min() for i in range(3, 5)}
+    assert int(got.n_fp.iloc[0]) == len(sel)
+    assert int(got.fp_sum.iloc[0]) == sum(int(x) for x in sel)
