@@ -694,6 +694,28 @@ def q_ts_locf(sf_dir: str):
     return series.locf_series(_prepared(sf_dir), TS_STEP, TS_MAX_GAP)
 
 
+def q_ts_rolling_median(sf_dir: str):
+    """Trailing 8-row median per source (robust smoother — the rolling
+    counterpart of ts_mad_outliers): exact integer evidence med2 =
+    2·median, one source-keyed co-shuffle, sliding-window sort kernel."""
+    from aisdb_ray.stages import window
+
+    return window.rolling_median(_clean_tokens(sf_dir), w=8).select_columns(
+        ["source", "doc_id", "time", "seq", "n_tok", "med2"]
+    )
+
+
+def q_ts_theil_sen(sf_dir: str):
+    """Per-(source, day) Theil–Sen robust trend slope: 2·median of the
+    fixed-point pairwise slopes (Sen 1968) + pair count — the
+    outlier-immune alternative to least-squares drift detection.  One
+    source-keyed co-shuffle, vectorized pair enumeration bounded by the
+    day bucket."""
+    from aisdb_ray.stages import window
+
+    return window.theil_sen(_clean_tokens(sf_dir))
+
+
 def q_ts_mad_outliers(sf_dir: str):
     """Per-source robust outliers: |v − median| > 3·MAD, decided entirely
     in integers (2·median and 2·MAD of an int series are integers), one
@@ -2725,6 +2747,8 @@ def build_queries() -> dict:
     # come FIRST so a budget-capped gate reaches them; the 50 queries already
     # driver-green in CORRECTNESS_r02.json follow.
     return {
+        "ts_rolling_median": q_ts_rolling_median,
+        "ts_theil_sen": q_ts_theil_sen,
         "emb_encode": q_emb_encode,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "doc_bpe_encode": q_doc_bpe_encode,
@@ -3725,6 +3749,33 @@ SELECT source, seg, time, n_tok, is_original FROM filled"""
     # robust outliers: the 2·median / 2·MAD integer construction mirrors
     # stages/window.mad_outliers exactly (2*median(BIGINT) is a sum of the
     # middle pair — exactly representable, cast back loss-free)
+    # 2*median of an int window is the middle pair's sum — an integer, so
+    # CAST is exact (same contract as ts_mad_outliers)
+    sql["ts_rolling_median"] = f"""WITH {_sql_tokens_clean(tok)}
+SELECT source, doc_id, time, seq, n_tok,
+       CAST(2 * median(n_tok) OVER (
+              PARTITION BY source ORDER BY time, seq
+              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS BIGINT) AS med2
+FROM clean"""
+
+    # pairwise fixed-point slopes truncate toward zero — DuckDB's integer
+    # `//`, mirrored by sign(num)*(|num| // dt) in the kernel
+    sql["ts_theil_sen"] = f"""WITH {_sql_tokens_clean(tok)},
+  pts AS (
+    SELECT source, time, n_tok, (time // 86400) * 86400 AS day FROM clean
+  ),
+  pr AS (
+    SELECT a.source, a.day,
+           ((CAST(b.n_tok AS BIGINT) - a.n_tok) * 1000000)
+             // (b.time - a.time) AS s
+    FROM pts a JOIN pts b
+      ON a.source = b.source AND a.day = b.day AND b.time > a.time
+  )
+SELECT source, day,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(2 * median(s) AS BIGINT) AS slope2_fx
+FROM pr GROUP BY source, day"""
+
     sql["ts_mad_outliers"] = f"""WITH {_sql_tokens_clean(tok)},
   med AS (
     SELECT source, CAST(2 * median(n_tok) AS BIGINT) AS med2

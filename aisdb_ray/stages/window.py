@@ -654,3 +654,160 @@ def top_movers(
         )
 
     return co_shuffle(ds, [group], block, num_parts)
+
+
+def rolling_median(
+    ds,
+    w: int = 8,
+    group: str = "source",
+    time_col: str = "time",
+    seq_col: str = "seq",
+    value: str = "n_tok",
+    num_parts: int | None = None,
+):
+    """Trailing ``w``-row median per series — the robust smoother used
+    where a mean window (:func:`rolling_time_aggregate`) would chase
+    spikes.  SQL semantics: ``median(v) OVER (PARTITION BY group ORDER BY
+    time, seq ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW)``.
+
+    Exact integer evidence: emits ``med2 = 2·median`` (the middle pair's
+    sum — an integer for any int series), so Ray and the SQL oracle
+    (``CAST(2*median(...) AS BIGINT)``) agree bit-for-bit with no float
+    median ever compared.
+
+    Shape: one hash co-shuffle on the series key (every row of a series
+    lands in one partition), then one vectorized task per partition:
+    full windows sort via ``sliding_window_view`` (O(n·w log w), no
+    per-row Python), the w-1 warm-up prefixes via a bounded loop."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from aisdb_ray.stages._dist import co_shuffle
+
+    def block(part: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if part.num_rows == 0:
+            return part.append_column("med2", pa.array([], pa.int64()))
+        gcol = part[group]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        codes = pc.dictionary_encode(gcol)
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        gid = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        t = part[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = part[seq_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = part[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((q, t, gid))
+        gs, vs = gid[order], v[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        bounds = np.r_[starts, len(gs)]
+        med2 = np.empty(len(gs), dtype=np.int64)
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            seg = vs[b0:b1]
+            n = len(seg)
+            head = min(w - 1, n)
+            for i in range(head):  # warm-up: w-1 growing prefixes
+                s = np.sort(seg[: i + 1])
+                med2[b0 + i] = s[i // 2] + s[(i + 1) // 2]
+            if n >= w:
+                win = np.sort(sliding_window_view(seg, w), axis=1)
+                med2[b0 + w - 1 : b1] = (
+                    win[:, (w - 1) // 2] + win[:, w // 2]
+                )
+        out = np.empty(len(gs), dtype=np.int64)
+        out[order] = med2
+        return part.append_column("med2", pa.array(out))
+
+    return co_shuffle(ds, [group], block, num_parts)
+
+
+def theil_sen(
+    ds,
+    group: str = "source",
+    time_col: str = "time",
+    value: str = "n_tok",
+    day: int = 86400,
+    scale: int = 1_000_000,
+    num_parts: int | None = None,
+):
+    """Per-(series, day) Theil–Sen robust trend: the median of all
+    pairwise slopes ``(v_j - v_i) / (t_j - t_i)`` over the bucket's
+    points (Sen 1968) — the regression-slope estimator immune to the
+    outliers that wreck least squares on telemetry channels.
+
+    Exact integer evidence: each pairwise slope is fixed-point
+    ``trunc((v_j - v_i) · scale / (t_j - t_i))`` (truncation toward zero
+    — DuckDB's ``//``), and the output carries ``slope2_fx = 2·median``
+    of those integers plus the pair count, so the oracle matches
+    bit-for-bit.  Equal-timestamp pairs are excluded (undefined slope);
+    buckets with no valid pair emit nothing.
+
+    Shape: one hash co-shuffle on the series key; per-bucket O(n²) pair
+    enumeration is vectorized (triu indices) and bounded by the bucket
+    width — a day of one series, the same bounded-group assumption as
+    the gap-fill halo contract.  At wider buckets, feed a rolled-up tier
+    instead of raw points."""
+    from aisdb_ray.stages._dist import co_shuffle
+
+    def block(part: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                group: pa.array([], pa.string()),
+                "day": pa.array([], pa.int64()),
+                "n_pairs": pa.array([], pa.int64()),
+                "slope2_fx": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        gcol = part[group]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        codes = pc.dictionary_encode(gcol)
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        gid = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        t = part[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = part[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = (t // day) * day
+        key = gid * (1 << 40) + (d // day)  # day fits far below 2^40
+        order = np.lexsort((t, key))
+        ks, ts, vs = key[order], t[order], v[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        bounds = np.r_[starts, len(ks)]
+        rows_g, rows_d, rows_n, rows_s = [], [], [], []
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            tt, vv = ts[b0:b1], vs[b0:b1]
+            n = len(tt)
+            if n < 2:
+                continue
+            i, j = np.triu_indices(n, k=1)
+            dt = tt[j] - tt[i]
+            ok = dt > 0
+            if not ok.any():
+                continue
+            dt = dt[ok]
+            num = (vv[j] - vv[i])[ok] * scale
+            # truncation toward zero, matching DuckDB's integer //
+            s = np.sign(num) * (np.abs(num) // dt)
+            s.sort()
+            m = len(s)
+            rows_g.append(order[b0])
+            rows_d.append((ts[b0] // day) * day)
+            rows_n.append(m)
+            rows_s.append(int(s[(m - 1) // 2] + s[m // 2]))
+        if not rows_g:
+            return empty
+        return pa.table(
+            {
+                group: gcol.take(pa.array(rows_g, pa.int64())),
+                "day": pa.array(rows_d, pa.int64()),
+                "n_pairs": pa.array(rows_n, pa.int64()),
+                "slope2_fx": pa.array(rows_s, pa.int64()),
+            }
+        )
+
+    return co_shuffle(ds, [group], block, num_parts)
