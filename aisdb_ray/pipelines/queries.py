@@ -1563,6 +1563,26 @@ def q_doc_lm_familiarity(sf_dir: str):
     return cont.bigram_familiarity(ds)
 
 
+def q_doc_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): per-doc target-vs-raw
+    log-likelihood ratio over 2048 md5-hashed word-bigram buckets, with
+    every log2 quantized to bit_length so the weight is an exact integer.
+    Target domain = lang 'en'.  Two streaming passes, zero shuffles: the
+    bucket-count table is B-bounded, the λ table broadcasts once."""
+    from aisdb_ray.stages import dsir
+
+    _ctx()
+    ds = rd.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "text", "lang"]
+    )
+
+    def target(b: pa.Table) -> pa.Array:
+        m = pc.equal(b["lang"], pa.scalar("en"))
+        return m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m
+
+    return dsir.dsir_weights(ds, target, n_buckets=2048)
+
+
 def q_doc_incremental_dedup(sf_dir: str):
     """Incremental corpus ingestion: dedup a NEW shard against the
     already-ingested ledger (deterministic 50% split) by content hash.
@@ -2749,6 +2769,7 @@ def build_queries() -> dict:
     return {
         "ts_rolling_median": q_ts_rolling_median,
         "ts_theil_sen": q_ts_theil_sen,
+        "doc_dsir_weights": q_doc_dsir_weights,
         "emb_encode": q_emb_encode,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "doc_bpe_encode": q_doc_bpe_encode,
@@ -4147,6 +4168,44 @@ SELECT d.doc_id,
        CAST(sum(length(bin(c.c))) AS BIGINT) AS familiarity
 FROM grams d JOIN cnt c ON d.g = c.g
 GROUP BY d.doc_id"""
+
+    # the same md5-bucket / bit_length quantization as stages/dsir.py,
+    # stated independently: bl(x) == length(bin(x)) for x >= 1
+    sql["doc_dsir_weights"] = r"""WITH toks AS (
+    SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS w FROM documents
+  ),
+  grams AS (
+    SELECT doc_id, lang,
+           unnest(list_transform(range(1, len(w)),
+                                 i -> array_to_string(w[i:i+1], ' '))) AS g
+    FROM toks WHERE len(w) >= 2
+  ),
+  feat AS (
+    SELECT doc_id, lang,
+           CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 2048 AS b
+    FROM grams
+  ),
+  cnt AS (
+    SELECT b,
+           CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ct,
+           CAST(count(*) AS BIGINT) AS cr
+    FROM feat GROUP BY b
+  ),
+  tot AS (
+    SELECT CAST(sum(ct) AS BIGINT) AS tct, CAST(sum(cr) AS BIGINT) AS tcr
+    FROM cnt
+  ),
+  lam AS (
+    SELECT b, CAST(length(bin(ct + 1)) - length(bin(cr + 1)) AS BIGINT) AS l
+    FROM cnt
+  )
+SELECT f.doc_id,
+       CAST(count(*) AS BIGINT) AS n_feats,
+       CAST(sum(l.l) + count(*) * (length(bin(t.tcr + 2048))
+                                   - length(bin(t.tct + 2048))) AS BIGINT)
+         AS dsir_fx
+FROM feat f JOIN lam l USING (b) CROSS JOIN tot t
+GROUP BY f.doc_id, t.tct, t.tcr"""
 
     sql["doc_oov_rate"] = r"""WITH toks AS (
     SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
