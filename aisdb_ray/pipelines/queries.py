@@ -1112,6 +1112,96 @@ def q_ev_funnel(sf_dir: str):
     )
 
 
+def q_ev_dau_wau(sf_dir: str):
+    """Daily/weekly active users per observed day (dau, trailing-7-day
+    wau) — the engagement ratio pair behind 'stickiness' dashboards,
+    exact (no sketch).  Shape: per-batch distinct (user, day) partials,
+    ONE user-keyed co-shuffle (all days of a user land together, so the
+    7-day window expansion dedups partition-locally and the per-day
+    partials are disjoint-exact), then a day-keyed hash combine."""
+    from aisdb_ray.stages._dist import co_shuffle, funnel_combine
+
+    _ctx()
+    D = 86400
+    ds = _events_ds(sf_dir, ["user_id", "ts"]).map_batches(
+        _events_adapter, batch_format="pyarrow"
+    )
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        day = pc.multiply(
+            pc.divide(pc.cast(b["time"], pa.int64()), pa.scalar(D, pa.int64())),
+            pa.scalar(D, pa.int64()),
+        )
+        t = pa.table({"user_id": b["user_id"], "day": day})
+        return t.group_by(["user_id", "day"], use_threads=False).aggregate([])
+
+    pairs = ds.map_batches(pair_partial, batch_format="pyarrow")
+
+    def per_part(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "day": pa.array([], pa.int64()),
+                "dau": pa.array([], pa.int64()),
+                "wau": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        dd = part.group_by(["user_id", "day"], use_threads=False).aggregate([])
+        d = dd["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = dd["user_id"]
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        dau = (
+            pa.table({"day": dd["day"]})
+            .group_by(["day"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["day", "dau"])
+        )
+        # a user active on day d is weekly-active on d .. d+6
+        wdays = np.repeat(d, 7) + np.tile(np.arange(7, dtype=np.int64) * D, len(d))
+        wusers = u.take(pa.array(np.repeat(np.arange(len(d), dtype=np.int64), 7)))
+        wdd = (
+            pa.table({"user_id": wusers, "day": pa.array(wdays)})
+            .group_by(["user_id", "day"], use_threads=False)
+            .aggregate([])
+        )
+        wau = (
+            pa.table({"day": wdd["day"]})
+            .group_by(["day"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["day", "wau"])
+        )
+        merged = wau.join(dau, keys=["day"], join_type="left outer")
+        dau_f = pc.fill_null(merged["dau"], pa.scalar(0, pa.int64()))
+        return pa.table(
+            {
+                "day": merged["day"],
+                "dau": pc.cast(dau_f, pa.int64()),
+                "wau": pc.cast(merged["wau"], pa.int64()),
+            }
+        )
+
+    partials = co_shuffle(pairs, ["user_id"], per_part)
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["day"], use_threads=False).aggregate(
+            [("dau", "sum"), ("wau", "sum")]
+        )
+        return g.rename_columns(["day", "dau", "wau"])
+
+    def observed_only(b: pa.Table) -> pa.Table:
+        # wau rows exist for day+k horizons past the last observed day;
+        # report observed days only (safe here: finalize runs after the
+        # global per-day sum, never on a partial)
+        return b.filter(pc.greater(b["dau"], pa.scalar(0)))
+
+    return funnel_combine(
+        partials, merge, key_col="day", hash_combine=True,
+        finalize_fn=observed_only,
+    )
+
+
 def q_ev_cohorts(sf_dir: str):
     """Cohort retention: users grouped by first-activity week; one row per
     (cohort_week, week_offset) with the distinct active users — the
@@ -2552,6 +2642,16 @@ def q_tok_simpson(sf_dir: str):
     return tokstats.simpson_diversity(_tok_sample(sf_dir, 5), key="source")
 
 
+def q_tok_zipf(sf_dir: str):
+    """Zipf-fit integer evidence over the token unigram distribution (5%
+    doc-hash sample): bit-quantized log-log regression sufficient stats,
+    one row; the slope sxy_n/sxx_n is the consumer's division.  The rank
+    pass runs on the vocabulary-bounded histogram, never corpus rows."""
+    from aisdb_ray.stages import tokstats
+
+    return tokstats.zipf_evidence(_tok_sample(sf_dir, 5))
+
+
 def q_ts_hist(sf_dir: str):
     """Corpus-wide n_tok distribution: 128-wide bins with exact counts —
     algebraic count partials, funnel combine."""
@@ -2770,6 +2870,8 @@ def build_queries() -> dict:
         "ts_rolling_median": q_ts_rolling_median,
         "ts_theil_sen": q_ts_theil_sen,
         "doc_dsir_weights": q_doc_dsir_weights,
+        "ev_dau_wau": q_ev_dau_wau,
+        "tok_zipf": q_tok_zipf,
         "emb_encode": q_emb_encode,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "doc_bpe_encode": q_doc_bpe_encode,
@@ -3904,6 +4006,21 @@ FROM ev e JOIN a ON a.user_id = e.user_id
 WHERE e.event_type = 'purchase' AND e.t > a.t_a AND e.t <= a.t_a + 86400
 GROUP BY e.user_id"""
 
+    sql["ev_dau_wau"] = """WITH ev AS (
+    SELECT user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t FROM events
+  ),
+  ud AS (SELECT DISTINCT user_id, (t // 86400) * 86400 AS day FROM ev),
+  dau AS (
+    SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day
+  ),
+  wau AS (
+    SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM (SELECT DISTINCT day FROM ud) d
+    JOIN ud u ON u.day BETWEEN d.day - 6 * 86400 AND d.day
+    GROUP BY d.day
+  )
+SELECT day, dau.dau, wau.wau FROM dau JOIN wau USING (day)"""
+
     sql["ev_cohorts"] = """WITH ev AS (
     SELECT user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t FROM events
   ),
@@ -4784,6 +4901,33 @@ LIMIT 100"""
 SELECT CAST(t.tk AS BIGINT) AS token_id, CAST(count(*) AS BIGINT) AS n
 FROM v, LATERAL unnest(v.tokens) AS t(tk)
 GROUP BY t.tk"""
+
+    # bit_length == length(bin(x)) for x >= 1; rank ties break by token id
+    sql["tok_zipf"] = f"""WITH v AS (
+    SELECT tokens FROM read_parquet('{tok}/*.parquet')
+    WHERE n_tok > 0 AND len(tokens) = n_tok
+      AND CAST('0x' || substr(md5(doc_id), 1, 8) AS BIGINT) % 100 < 5
+  ),
+  hist AS (
+    SELECT CAST(t.tk AS BIGINT) AS token_id, CAST(count(*) AS BIGINT) AS n
+    FROM v, LATERAL unnest(v.tokens) AS t(tk)
+    GROUP BY t.tk
+  ),
+  r AS (
+    SELECT n, row_number() OVER (ORDER BY n DESC, token_id ASC) AS rnk
+    FROM hist
+  ),
+  q AS (
+    SELECT CAST(length(bin(rnk)) AS BIGINT) AS x,
+           CAST(length(bin(n)) AS BIGINT) AS y
+    FROM r
+  )
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS sxy_n,
+       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS sxx_n
+FROM q"""
 
     sql["tok_simpson"] = f"""WITH v AS (
     SELECT source, tokens FROM read_parquet('{tok}/*.parquet')

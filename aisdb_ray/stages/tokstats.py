@@ -208,3 +208,56 @@ def simpson_diversity(ds, key: str = "source"):
         return g.rename_columns([key, "n_tokens", "sum_c2"])
 
     return funnel_combine(parts, merge, key_col=key, hash_combine=True)
+
+
+def zipf_evidence(ds):
+    """Zipf-law fit evidence over the corpus unigram distribution: rank
+    tokens by (count desc, id asc) and regress bit-quantized log-log
+    (x = bit_length(rank), y = bit_length(count)).  Returns ONE row of
+    integer sufficient statistics — (n_terms, sum_x, sum_y, sxy_n =
+    n·Σxy − Σx·Σy, sxx_n = n·Σx² − (Σx)²) — so the slope ŷ = sxy_n/sxx_n
+    (≈ −Zipf exponent in bits) is the consumer's one division and the
+    result hashes exactly.
+
+    The global rank needs a total order over the vocabulary, which is
+    bounded by construction (one row per distinct token id, NOT corpus
+    size): the histogram collapses to a single block — the documented
+    small-side funnel, same contract as rank.py's top-k finish."""
+    from aisdb_ray.stages.contamination import _bit_length
+
+    hist = unigram_hist(ds)
+
+    def fit(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "n_terms": pa.array([], pa.int64()),
+                "sum_x": pa.array([], pa.int64()),
+                "sum_y": pa.array([], pa.int64()),
+                "sxy_n": pa.array([], pa.int64()),
+                "sxx_n": pa.array([], pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tid = b["token_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tid, -n))
+        freq = n[order]
+        rank = np.arange(1, len(freq) + 1, dtype=np.int64)
+        x = _bit_length(rank)
+        y = _bit_length(freq)
+        m = np.int64(len(x))
+        sx, sy = x.sum(), y.sum()
+        return pa.table(
+            {
+                "n_terms": pa.array([int(m)], pa.int64()),
+                "sum_x": pa.array([int(sx)], pa.int64()),
+                "sum_y": pa.array([int(sy)], pa.int64()),
+                "sxy_n": pa.array([int(m * (x * y).sum() - sx * sy)], pa.int64()),
+                "sxx_n": pa.array([int(m * (x * x).sum() - sx * sx)], pa.int64()),
+            }
+        )
+
+    return hist.repartition(1).map_batches(
+        fit, batch_format="pyarrow", batch_size=None
+    )

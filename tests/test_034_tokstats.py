@@ -114,3 +114,22 @@ def test_winnow_fingerprints_window_and_dedup():
     sel = {hv[max(0, i - 3):i + 1].min() for i in range(3, 5)}
     assert int(got.n_fp.iloc[0]) == len(sel)
     assert int(got.fp_sum.iloc[0]) == sum(int(x) for x in sel)
+
+
+def test_zipf_evidence_hand_case():
+    # counts: token 7 -> 4, token 3 -> 2, token 9 -> 1
+    rows = [([7, 7, 7], 3), ([7, 3], 2), ([3, 9], 2)]
+    out = tokstats.zipf_evidence(_ds(rows)).to_pandas()
+    # ranks (n desc, id asc): 7@r1(n=4), 3@r2(n=2), 9@r3(n=1)
+    # x = bl(rank) = [1, 2, 2]; y = bl(n) = [3, 2, 1]
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_terms"] == 3 and r["sum_x"] == 5 and r["sum_y"] == 6
+    # sxy = 1*3+2*2+2*1 = 9 -> sxy_n = 3*9 - 5*6 = -3 (freq falls with rank)
+    # sxx = 1+4+4 = 9 -> sxx_n = 3*9 - 25 = 2
+    assert r["sxy_n"] == -3 and r["sxx_n"] == 2
+
+
+def test_zipf_evidence_empty_corpus():
+    out = tokstats.zipf_evidence(_ds([([9], 0)])).to_pandas()
+    assert len(out) == 0
