@@ -716,6 +716,25 @@ def q_ts_theil_sen(sf_dir: str):
     return window.theil_sen(_clean_tokens(sf_dir))
 
 
+def q_ts_flatline(sf_dir: str):
+    """Stuck-channel runs: maximal 2+-point spans of the same n_tok value
+    in time order per source (the wedged-producer signature).  One
+    source-keyed co-shuffle, vectorized run-length encode."""
+    from aisdb_ray.stages import window
+
+    return window.flatline_runs(_clean_tokens(sf_dir), min_len=2)
+
+
+def q_ts_benford(sf_dir: str):
+    """First-significant-digit histogram of n_tok per source (Benford
+    screening for fabricated/unit-shifted channels): algebraic count
+    partials, digit extracted by a bounded vectorized divide loop,
+    source-keyed hash combine."""
+    from aisdb_ray.stages import window
+
+    return window.benford_digits(_clean_tokens(sf_dir))
+
+
 def q_ts_mad_outliers(sf_dir: str):
     """Per-source robust outliers: |v − median| > 3·MAD, decided entirely
     in integers (2·median and 2·MAD of an int series are integers), one
@@ -2872,6 +2891,8 @@ def build_queries() -> dict:
         "doc_dsir_weights": q_doc_dsir_weights,
         "ev_dau_wau": q_ev_dau_wau,
         "tok_zipf": q_tok_zipf,
+        "ts_flatline": q_ts_flatline,
+        "ts_benford": q_ts_benford,
         "emb_encode": q_emb_encode,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "doc_bpe_encode": q_doc_bpe_encode,
@@ -3872,6 +3893,31 @@ SELECT source, seg, time, n_tok, is_original FROM filled"""
     # robust outliers: the 2·median / 2·MAD integer construction mirrors
     # stages/window.mad_outliers exactly (2*median(BIGINT) is a sum of the
     # middle pair — exactly representable, cast back loss-free)
+    # gaps-and-islands: rn - rv is constant exactly within a maximal
+    # consecutive same-value run
+    sql["ts_flatline"] = f"""WITH {_sql_tokens_clean(tok)},
+  o AS (
+    SELECT source, time, seq, n_tok,
+           row_number() OVER (PARTITION BY source ORDER BY time, seq) AS rn,
+           row_number() OVER (PARTITION BY source, n_tok
+                              ORDER BY time, seq) AS rv
+    FROM clean
+  ),
+  runs AS (
+    SELECT source, CAST(n_tok AS BIGINT) AS n_tok,
+           min(time) AS start_time, max(time) AS end_time,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM o GROUP BY source, n_tok, rn - rv
+  )
+SELECT source, n_tok, start_time, end_time, n_points
+FROM runs WHERE n_points >= 2"""
+
+    sql["ts_benford"] = f"""WITH {_sql_tokens_clean(tok)}
+SELECT source,
+       CAST(substr(CAST(n_tok AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       CAST(count(*) AS BIGINT) AS n
+FROM clean GROUP BY source, digit"""
+
     # 2*median of an int window is the middle pair's sum — an integer, so
     # CAST is exact (same contract as ts_mad_outliers)
     sql["ts_rolling_median"] = f"""WITH {_sql_tokens_clean(tok)}

@@ -811,3 +811,120 @@ def theil_sen(
         )
 
     return co_shuffle(ds, [group], block, num_parts)
+
+
+def flatline_runs(
+    ds,
+    min_len: int = 3,
+    group: str = "source",
+    time_col: str = "time",
+    seq_col: str = "seq",
+    value: str = "n_tok",
+    num_parts: int | None = None,
+):
+    """Stuck-channel detection: maximal runs of ``min_len``-or-more
+    consecutive points (time order) carrying the SAME value — the
+    flatline signature of a wedged sensor / stalled producer, the dual of
+    the reference's anchored-ping filter (T7: /root/reference/aisdb/
+    track_gen.py min-speed family flags points that move too little;
+    this flags the value channel not moving at all).
+
+    Output: one row per run — (group, value, start_time, end_time,
+    n_points), all exact integers.  One hash co-shuffle on the series
+    key, then a vectorized run-length encode per partition (no per-row
+    Python)."""
+    from aisdb_ray.stages._dist import co_shuffle
+
+    def block(part: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                group: pa.array([], pa.string()),
+                value: pa.array([], pa.int64()),
+                "start_time": pa.array([], pa.int64()),
+                "end_time": pa.array([], pa.int64()),
+                "n_points": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        gcol = part[group]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        codes = pc.dictionary_encode(gcol)
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        gid = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        t = part[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = part[seq_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = part[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((q, t, gid))
+        gs, ts, vs = gid[order], t[order], v[order]
+        # run boundary: new group OR value change
+        brk = np.r_[True, (gs[1:] != gs[:-1]) | (vs[1:] != vs[:-1])]
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(gs)]
+        lens = ends - starts
+        keep = lens >= min_len
+        s, e, L = starts[keep], ends[keep] - 1, lens[keep]
+        if len(s) == 0:
+            return empty
+        return pa.table(
+            {
+                group: gcol.take(pa.array(order[s])),
+                value: pa.array(vs[s]),
+                "start_time": pa.array(ts[s]),
+                "end_time": pa.array(ts[e]),
+                "n_points": pa.array(L.astype(np.int64)),
+            }
+        )
+
+    return co_shuffle(ds, [group], block, num_parts)
+
+
+def benford_digits(
+    ds,
+    group: str = "source",
+    value: str = "n_tok",
+):
+    """First-significant-digit histogram per series (Benford screening —
+    the cheap fabricated-data / unit-mix-up detector for positive
+    channels).  Counts are algebraic: per-batch (group, digit) partials,
+    one digit-bounded hash combine; the leading digit of a positive int
+    is extracted by a bounded divide-by-10 loop (vectorized, ≤ 19
+    iterations for int64 — no string conversion)."""
+    from aisdb_ray.stages._dist import funnel_combine
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                group: pa.array([], pa.string()),
+                "digit": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        v = b[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = v.copy()
+        big = d >= 10
+        while big.any():
+            d[big] //= 10
+            big = d >= 10
+        t = pa.table({group: b[group], "digit": pa.array(d)})
+        g = t.group_by([group, "digit"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns([group, "digit", "n"])
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by([group, "digit"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns([group, "digit", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return funnel_combine(partials, merge, key_col=group, hash_combine=True)

@@ -77,3 +77,43 @@ def test_theil_sen_equal_time_pairs_excluded_and_day_split():
     assert got["day"].tolist() == [day]
     assert got["n_pairs"].tolist() == [1]
     assert got["slope2_fx"].tolist() == [2 * 500000]
+
+
+def test_flatline_runs_and_min_len():
+    from aisdb_ray.stages.window import flatline_runs
+
+    # values: 5 5 5 2 7 7 -> runs: (5, len3), (2, len1), (7, len2)
+    tbl = _group([0, 60, 120, 180, 240, 300], [5, 5, 5, 2, 7, 7])
+    got = (
+        flatline_runs(rd.from_arrow(tbl), min_len=2, num_parts=2)
+        .to_pandas()
+        .sort_values("start_time")
+    )
+    assert got["n_tok"].tolist() == [5, 7]
+    assert got["n_points"].tolist() == [3, 2]
+    assert got["start_time"].tolist() == [0, 240]
+    assert got["end_time"].tolist() == [120, 300]
+
+
+def test_flatline_does_not_bridge_groups():
+    from aisdb_ray.stages.window import flatline_runs
+
+    a = _group([0], [9], source="sa")
+    b = _group([60], [9], source="sb")
+    got = flatline_runs(
+        rd.from_arrow(pa.concat_tables([a, b])), min_len=2, num_parts=2
+    ).to_pandas()
+    assert len(got) == 0  # same value across different sources is no run
+
+
+def test_benford_digits_counts():
+    from aisdb_ray.stages.window import benford_digits
+
+    tbl = _group([0, 60, 120, 180], [123, 19, 2, 987])
+    got = (
+        benford_digits(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("digit")
+    )
+    assert got["digit"].tolist() == [1, 2, 9]
+    assert got["n"].tolist() == [2, 1, 1]
