@@ -716,6 +716,17 @@ def q_ts_theil_sen(sf_dir: str):
     return window.theil_sen(_clean_tokens(sf_dir))
 
 
+def q_ts_sax(sf_dir: str):
+    """SAX symbolization: LOCF grid → 8-point PAA windows → 4 symbols by
+    exact global quartiles of the window sums (integer-parity SAX).
+    Algebraic PAA partials + one source-keyed combine; the breakpoint
+    pick runs on the value-bounded PAA histogram."""
+    from aisdb_ray.stages import trackops
+
+    locf = series.locf_series(_prepared(sf_dir), TS_STEP, TS_MAX_GAP)
+    return trackops.sax_symbols(locf, step=TS_STEP, p=8)
+
+
 def q_ts_flatline(sf_dir: str):
     """Stuck-channel runs: maximal 2+-point spans of the same n_tok value
     in time order per source (the wedged-producer signature).  One
@@ -2893,6 +2904,7 @@ def build_queries() -> dict:
         "tok_zipf": q_tok_zipf,
         "ts_flatline": q_ts_flatline,
         "ts_benford": q_ts_benford,
+        "ts_sax": q_ts_sax,
         "emb_encode": q_emb_encode,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "doc_bpe_encode": q_doc_bpe_encode,
@@ -3973,6 +3985,35 @@ SELECT sn.source, sn.seg, sn.g AS time,
        p0.time = sn.g AS is_original
 FROM snapped sn
 JOIN pts p0 ON p0.source = sn.source AND p0.seg = sn.seg AND p0.rn = sn.j"""
+
+    # SAX over the LOCF grid: PAA = integer window sums, breakpoints = the
+    # same (p*tot+99)//100 discrete-quantile rule as sql["ts_quantiles"],
+    # symbol = count of quartiles strictly below the window sum
+    sql["ts_sax"] = f"""WITH {gapfill_ctes},
+  locf AS (
+    SELECT sn.source, sn.seg, sn.g AS time, CAST(p0.n_tok AS BIGINT) AS n_tok
+    FROM snapped sn
+    JOIN pts p0 ON p0.source = sn.source AND p0.seg = sn.seg AND p0.rn = sn.j
+  ),
+  paa AS (
+    SELECT source, seg, (time // 480) * 480 AS wstart,
+           CAST(sum(n_tok) AS BIGINT) AS paa
+    FROM locf GROUP BY source, seg, wstart HAVING count(*) = 8
+  ),
+  hist AS (SELECT paa AS v, count(*) AS n FROM paa GROUP BY paa),
+  cw AS (
+    SELECT v, sum(n) OVER (ORDER BY v) AS cum, sum(n) OVER () AS tot FROM hist
+  ),
+  bp AS (
+    SELECT min(CASE WHEN cum >= (25 * tot + 99) // 100 THEN v END) AS b25,
+           min(CASE WHEN cum >= (50 * tot + 99) // 100 THEN v END) AS b50,
+           min(CASE WHEN cum >= (75 * tot + 99) // 100 THEN v END) AS b75
+    FROM cw
+  )
+SELECT p.source, p.seg, p.wstart, p.paa,
+       CAST(CAST(p.paa > bp.b25 AS INT) + CAST(p.paa > bp.b50 AS INT)
+            + CAST(p.paa > bp.b75 AS INT) AS BIGINT) AS symbol
+FROM paa p CROSS JOIN bp"""
 
     # T8c: derived rate recomputed from the FILLED grid; final grid point
     # carries the original series' last hop rate (interp.py:180-184)

@@ -347,3 +347,130 @@ def mask_value_window(ds, lo: float, hi: float):
         ),
         batch_format="pyarrow",
     )
+
+
+def sax_symbols(locf_ds, step: int = 60, p: int = 8):
+    """SAX symbolic representation (Lin et al. 2003) over the LOCF grid:
+    PAA windows of ``p`` consecutive grid points (absolute-epoch aligned,
+    partial edge windows dropped), discretized into 4 symbols by the
+    EXACT empirical quartiles of the window sums — the integer-parity
+    variant of SAX's Gaussian breakpoints (the input grid is already
+    integer-valued, window sums stay integers, and the discrete-quantile
+    pick mirrors the histogram rule of stages/rank.group_quantiles, so
+    the SQL oracle matches bit-for-bit).
+
+    Output: one row per full window — (source, seg, wstart, paa,
+    symbol ∈ 0..3) with symbol = Σ (paa > quartile).
+
+    Scale shape: PAA sums are algebraic (per-batch partials, one
+    source-keyed hash combine); the breakpoint pass runs on the PAA
+    VALUE histogram (bounded by the value range, never window count),
+    funneled to one block and returned as a single 3-int row — the
+    documented small-side pick; symbols are then a broadcast-compare
+    map.  The PAA tier is materialized once (grid/p rows — tier-sized,
+    same footprint class as the 1m rollup) because two consumers read
+    it."""
+    import pyarrow.compute as pc
+
+    from aisdb_ray.stages._dist import funnel_combine
+
+    W = step * p
+
+    def paa_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "seg": pa.array([], pa.int64()),
+                "wstart": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        w = pc.multiply(
+            pc.divide(pc.cast(b["time"], pa.int64()), pa.scalar(W, pa.int64())),
+            pa.scalar(W, pa.int64()),
+        )
+        t = pa.table(
+            {
+                "source": b["source"],
+                "seg": pc.cast(b["seg"], pa.int64()),
+                "wstart": w,
+                "v": pc.cast(b["n_tok"], pa.int64()),
+            }
+        )
+        g = t.group_by(["source", "seg", "wstart"], use_threads=False).aggregate(
+            [("v", "sum"), ("v", "count")]
+        )
+        return g.rename_columns(["source", "seg", "wstart", "s", "c"])
+
+    def paa_merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source", "seg", "wstart"], use_threads=False).aggregate(
+            [("s", "sum"), ("c", "sum")]
+        )
+        return g.rename_columns(["source", "seg", "wstart", "s", "c"])
+
+    partials = locf_ds.map_batches(paa_partial, batch_format="pyarrow")
+    combined = funnel_combine(
+        partials, paa_merge, key_col="source", hash_combine=True
+    )
+
+    def full_windows(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["c"], pa.scalar(p, pa.int64())))
+        return pa.table(
+            {
+                "source": b["source"],
+                "seg": b["seg"],
+                "wstart": b["wstart"],
+                "paa": b["s"],
+            }
+        )
+
+    paa = combined.map_batches(full_windows, batch_format="pyarrow").materialize()
+
+    def h_part(b: pa.Table) -> pa.Table:
+        g = pa.table({"v": b["paa"]}).group_by(["v"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["v", "n"])
+
+    def h_merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["v"], use_threads=False).aggregate([("n", "sum")])
+        return g.rename_columns(["v", "n"])
+
+    hist = funnel_combine(paa.map_batches(h_part, batch_format="pyarrow"), h_merge)
+
+    def pick(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"b25": pa.array([], pa.int64()),
+                             "b50": pa.array([], pa.int64()),
+                             "b75": pa.array([], pa.int64())})
+        v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(v)
+        v, n = v[o], n[o]
+        cum = np.cumsum(n)
+        tot = int(cum[-1])
+        out = []
+        for pct in (25, 50, 75):
+            rank = (pct * tot + 99) // 100
+            out.append(int(v[np.searchsorted(cum, rank)]))
+        return pa.table({"b25": [out[0]], "b50": [out[1]], "b75": [out[2]]})
+
+    rows = hist.repartition(1).map_batches(
+        pick, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    if not rows:
+        return paa.map_batches(
+            lambda b: b.append_column("symbol", pa.array([], pa.int64())),
+            batch_format="pyarrow",
+        )
+    b25, b50, b75 = rows[0]["b25"], rows[0]["b50"], rows[0]["b75"]
+
+    def sym(b: pa.Table) -> pa.Table:
+        v = b["paa"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = (v > b25).astype(np.int64) + (v > b50) + (v > b75)
+        return b.append_column("symbol", pa.array(s.astype(np.int64)))
+
+    return paa.map_batches(sym, batch_format="pyarrow")

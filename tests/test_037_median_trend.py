@@ -117,3 +117,38 @@ def test_benford_digits_counts():
     )
     assert got["digit"].tolist() == [1, 2, 9]
     assert got["n"].tolist() == [2, 1, 1]
+
+
+def test_sax_symbols_paa_and_quartiles():
+    from aisdb_ray.stages.trackops import sax_symbols
+
+    # step=1, p=2 -> W=2; grid rows t=0..7 for one segment, values chosen
+    # so the four window sums are 2, 6, 10, 14 (quartiles: 2, 6, 10)
+    t = pa.table({
+        "source": pa.array(["s"] * 8),
+        "seg": pa.array([0] * 8, pa.int64()),
+        "time": pa.array(list(range(8)), pa.int64()),
+        "n_tok": pa.array([1, 1, 3, 3, 5, 5, 7, 7], pa.int64()),
+    })
+    got = (
+        sax_symbols(rd.from_arrow(t), step=1, p=2)
+        .to_pandas()
+        .sort_values("wstart")
+    )
+    assert got["paa"].tolist() == [2, 6, 10, 14]
+    # symbol = #(quartiles strictly below paa): [0, 1, 2, 3]
+    assert got["symbol"].tolist() == [0, 1, 2, 3]
+
+
+def test_sax_drops_partial_windows():
+    from aisdb_ray.stages.trackops import sax_symbols
+
+    # 5 grid points with W=2: windows [0,1], [2,3], [4] -> last dropped
+    t = pa.table({
+        "source": pa.array(["s"] * 5),
+        "seg": pa.array([0] * 5, pa.int64()),
+        "time": pa.array(list(range(5)), pa.int64()),
+        "n_tok": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+    got = sax_symbols(rd.from_arrow(t), step=1, p=2).to_pandas()
+    assert sorted(got["paa"].tolist()) == [3, 7]
