@@ -716,6 +716,69 @@ def q_ts_theil_sen(sf_dir: str):
     return window.theil_sen(_clean_tokens(sf_dir))
 
 
+def q_ts_downtime(sf_dir: str):
+    """Outage intervals: spans of ≥30 min between consecutive points of a
+    source — the silence windows an on-call dashboard lists (the
+    complement of ts_segments' boundary flags, as first-class rows).
+    Reuses the M11 delta kernel (one co-shuffle), then a map-only
+    filter+project."""
+    from aisdb_ray.stages import window
+
+    d = window.group_deltas(_clean_tokens(sf_dir), "source", "time", "seq")
+
+    def gaps(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["dt"], pa.scalar(1800)))
+        return pa.table(
+            {
+                "source": b["source"],
+                "gap_start": pc.subtract(b["time"], b["dt"]),
+                "gap_end": b["time"],
+                "gap_s": b["dt"],
+            }
+        )
+
+    return d.map_batches(gaps, batch_format="pyarrow")
+
+
+def q_ev_rfm(sf_dir: str):
+    """RFM segmentation inputs per user: last-activity time (recency),
+    event count (frequency), total purchase value in cents (monetary) —
+    all algebraic partials, one user-keyed hash combine."""
+    from aisdb_ray.stages._dist import funnel_combine
+
+    _ctx()
+    ds = _events_ds(sf_dir, ["user_id", "ts", "value", "event_type"]).map_batches(
+        _events_adapter, batch_format="pyarrow"
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        is_buy = pc.equal(b["event_type"], pa.scalar("purchase"))
+        spend = pc.if_else(
+            is_buy, b["value_cents"], pa.scalar(0, pa.int64())
+        )
+        t = pa.table(
+            {
+                "user_id": b["user_id"],
+                "t": pc.cast(b["time"], pa.int64()),
+                "spend": spend,
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["user_id"], use_threads=False).aggregate(
+            [("t", "max"), ("one", "sum"), ("spend", "sum")]
+        )
+        return g.rename_columns(["user_id", "last_t", "n_events", "spend_cents"])
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id"], use_threads=False).aggregate(
+            [("last_t", "max"), ("n_events", "sum"), ("spend_cents", "sum")]
+        )
+        return g.rename_columns(["user_id", "last_t", "n_events", "spend_cents"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return funnel_combine(partials, merge, key_col="user_id", hash_combine=True)
+
+
 def q_ts_sax(sf_dir: str):
     """SAX symbolization: LOCF grid → 8-point PAA windows → 4 symbols by
     exact global quartiles of the window sums (integer-parity SAX).
@@ -2905,6 +2968,8 @@ def build_queries() -> dict:
         "ts_flatline": q_ts_flatline,
         "ts_benford": q_ts_benford,
         "ts_sax": q_ts_sax,
+        "ts_downtime": q_ts_downtime,
+        "ev_rfm": q_ev_rfm,
         "emb_encode": q_emb_encode,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "doc_bpe_encode": q_doc_bpe_encode,
@@ -3905,6 +3970,16 @@ SELECT source, seg, time, n_tok, is_original FROM filled"""
     # robust outliers: the 2·median / 2·MAD integer construction mirrors
     # stages/window.mad_outliers exactly (2*median(BIGINT) is a sum of the
     # middle pair — exactly representable, cast back loss-free)
+    sql["ts_downtime"] = f"""WITH {_sql_tokens_clean(tok)},
+  d AS (
+    SELECT source, time,
+           time - lag(time) OVER (PARTITION BY source ORDER BY time, seq)
+             AS dt
+    FROM clean
+  )
+SELECT source, time - dt AS gap_start, time AS gap_end, dt AS gap_s
+FROM d WHERE dt >= 1800"""
+
     # gaps-and-islands: rn - rv is constant exactly within a maximal
     # consecutive same-value run
     sql["ts_flatline"] = f"""WITH {_sql_tokens_clean(tok)},
@@ -4092,6 +4167,19 @@ SELECT e.user_id,
 FROM ev e JOIN a ON a.user_id = e.user_id
 WHERE e.event_type = 'purchase' AND e.t > a.t_a AND e.t <= a.t_a + 86400
 GROUP BY e.user_id"""
+
+    sql["ev_rfm"] = """WITH ev AS (
+    SELECT user_id, event_type,
+           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+  )
+SELECT user_id,
+       CAST(max(t) AS BIGINT) AS last_t,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+            AS BIGINT) AS spend_cents
+FROM ev GROUP BY user_id"""
 
     sql["ev_dau_wau"] = """WITH ev AS (
     SELECT user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t FROM events
