@@ -1577,6 +1577,99 @@ def q_seg_revenue(sf_dir: str):
     return grouped_sums(ds, ["c_mktsegment"], ["revenue_cents"], count_as="n_orders")
 
 
+def q_q3_shipping(sf_dir: str):
+    """TPC-H Q3 (shipping priority), adapted to the synthetic schema: the
+    three-table customer⟕orders⟕lineitem pipeline — top-10 unshipped
+    BUILDING-segment orders by fixed-point discounted revenue.
+
+    Shape: the customer dim filters to a key SET broadcast once
+    (``ray.put``; at a scale where even the filtered dim outgrows the
+    object store, swap for bloomjoin.bloom_semi_join); orders stream
+    through a map-side membership+date filter; lineitem pre-aggregates
+    revenue per orderkey (algebraic partials + one orderkey-keyed
+    co-shuffle) BEFORE the distributed hash join, so the join ships one
+    row per qualifying order, not one per line item; the final sort+limit
+    runs on the joined aggregate only."""
+    from aisdb_ray.stages import join as join_mod
+    from aisdb_ray.stages._dist import co_shuffle
+
+    _ctx()
+    import pyarrow.parquet as pq
+
+    CUT_US = 896659200 * 1_000_000  # 1998-06-01 00:00:00 UTC in microseconds
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    building = cust.filter(
+        pc.equal(cust["c_mktsegment"], pa.scalar("BUILDING"))
+    )["c_custkey"].to_numpy()
+    bref = ray.put(np.sort(building))
+
+    def ord_filter(b: pa.Table) -> pa.Table:
+        keys = ray.get(bref)
+        t_us = pc.cast(b["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(keys, ck), 0, max(len(keys) - 1, 0))
+        keep = (t_us < CUT_US) & (
+            keys[pos] == ck if len(keys) else np.zeros(len(ck), bool)
+        )
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].filter(pa.array(keep)),
+                "o_orderdate": pa.array(
+                    (t_us[keep] // 1_000_000).astype(np.int64)
+                ),
+            }
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ord_filter, batch_format="pyarrow")
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        t_us = pc.cast(b["l_shipdate"], pa.int64())
+        b = b.filter(pc.greater(t_us, pa.scalar(CUT_US)))
+        cents = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+        )
+        disc100 = pc.cast(
+            pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64()
+        )
+        rev = pc.multiply(
+            cents, pc.subtract(pa.scalar(100, pa.int64()), disc100)
+        )
+        t = pa.table({"l_orderkey": b["l_orderkey"], "revenue_e4": rev})
+        g = t.group_by(["l_orderkey"], use_threads=False).aggregate(
+            [("revenue_e4", "sum")]
+        )
+        return g.rename_columns(["l_orderkey", "revenue_e4"])
+
+    def li_combine(part: pa.Table) -> pa.Table:
+        g = part.group_by(["l_orderkey"], use_threads=False).aggregate(
+            [("revenue_e4", "sum")]
+        )
+        return g.rename_columns(["l_orderkey", "revenue_e4"])
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(li_partial, batch_format="pyarrow")
+    li_agg = co_shuffle(li, ["l_orderkey"], li_combine)
+
+    j = join_mod.hash_join(
+        li_agg, orders, on="l_orderkey", right_on="o_orderkey", how="inner"
+    )
+    return j.sort(
+        ["revenue_e4", "o_orderdate", "l_orderkey"],
+        descending=[True, False, False],
+    ).limit(10)
+
+
 # --------------------------------------------------------------------------
 # training-data ops: documents / embeddings (dedup, quality, ANN)
 # --------------------------------------------------------------------------
@@ -1744,6 +1837,26 @@ def q_doc_lm_familiarity(sf_dir: str):
     _ctx()
     ds = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
     return cont.bigram_familiarity(ds)
+
+
+def q_emb_centroids(sf_dir: str):
+    """Per-label class centroid sufficient statistics (label, dim, n,
+    sum_fx) — exact int64 fixed-point, labels×dims-bounded partials."""
+    from aisdb_ray.stages import ann
+
+    _ctx()
+    return ann.label_centroids(rd.read_parquet(_emb_path(sf_dir)))
+
+
+def q_ann_centroid_classify(sf_dir: str):
+    """Nearest-class-centroid assignment over the embedding lake: exact
+    int64 dot with each class-sum vector, ONE IEEE division by the class
+    count (bit-exact vs SQL), ties → smallest label; centroids broadcast,
+    map-only classify."""
+    from aisdb_ray.stages import ann
+
+    _ctx()
+    return ann.centroid_classify(rd.read_parquet(_emb_path(sf_dir)))
 
 
 def q_doc_dsir_weights(sf_dir: str):
@@ -2970,6 +3083,9 @@ def build_queries() -> dict:
         "ts_sax": q_ts_sax,
         "ts_downtime": q_ts_downtime,
         "ev_rfm": q_ev_rfm,
+        "q3_shipping": q_q3_shipping,
+        "emb_centroids": q_emb_centroids,
+        "ann_centroid_classify": q_ann_centroid_classify,
         "emb_encode": q_emb_encode,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "doc_bpe_encode": q_doc_bpe_encode,
@@ -4168,6 +4284,28 @@ FROM ev e JOIN a ON a.user_id = e.user_id
 WHERE e.event_type = 'purchase' AND e.t > a.t_a AND e.t <= a.t_a + 86400
 GROUP BY e.user_id"""
 
+    # fixed-point revenue identical to q1_pricing's e4 rule; the epoch
+    # date keeps the column integer so the LIMIT tie-break is total
+    sql["q3_shipping"] = """WITH o AS (
+    SELECT o_orderkey,
+           CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT) AS o_date
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+  ),
+  li AS (
+    SELECT l_orderkey,
+           CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+    FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01'
+  )
+SELECT l.l_orderkey, o.o_date AS o_orderdate,
+       CAST(sum(l.rev) AS BIGINT) AS revenue_e4
+FROM li l JOIN o ON o.o_orderkey = l.l_orderkey
+GROUP BY l.l_orderkey, o.o_date
+ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey
+LIMIT 10"""
+
     sql["ev_rfm"] = """WITH ev AS (
     SELECT user_id, event_type,
            CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t,
@@ -4930,6 +5068,49 @@ WHERE list_cosine_similarity(embedding,
                         e.vec_id) AS BIGINT) AS rank
     FROM embeddings e CROSS JOIN q)
 SELECT qid, rank, vec_id FROM scored WHERE rank <= 10"""
+
+    sql["emb_centroids"] = """WITH ex AS (
+    SELECT e.label,
+           generate_subscripts(e.embedding, 1) - 1 AS dim,
+           CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) * 1000000)
+                AS BIGINT) AS fx
+    FROM embeddings e)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(dim AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(fx) AS BIGINT) AS sum_fx
+FROM ex GROUP BY label, dim"""
+
+    # exact int64 dot (HUGEINT-safe in SQL, overflow-guarded in the
+    # kernel) divided ONCE by the class count — the odds-idf IEEE contract
+    sql["ann_centroid_classify"] = """WITH ex AS (
+    SELECT e.vec_id, e.label,
+           generate_subscripts(e.embedding, 1) - 1 AS dim,
+           CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) * 1000000)
+                AS BIGINT) AS fx
+    FROM embeddings e),
+  cent AS (
+    SELECT label AS c_label, dim, CAST(sum(fx) AS BIGINT) AS s
+    FROM ex GROUP BY label, dim
+  ),
+  ns AS (
+    SELECT label AS c_label, CAST(count(*) AS BIGINT) AS n
+    FROM embeddings GROUP BY label
+  ),
+  scores AS (
+    SELECT x.vec_id, c.c_label,
+           CAST(CAST(sum(x.fx * c.s) AS BIGINT) AS DOUBLE) / ns.n AS score
+    FROM ex x JOIN cent c USING (dim) JOIN ns ON ns.c_label = c.c_label
+    GROUP BY x.vec_id, c.c_label, ns.n
+  )
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(c_label AS BIGINT) AS pred_label, score
+FROM (
+  SELECT vec_id, c_label, score,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, c_label ASC) AS rn
+  FROM scores
+) WHERE rn = 1"""
 
     sql["emb_dim_stats"] = """WITH ex AS (
     SELECT generate_subscripts(e.embedding, 1) - 1 AS dim,

@@ -815,3 +815,122 @@ def embedding_gram(ds_emb, scale: int = 1_000_000):
     partials = ds_emb.map_batches(partial, batch_format="pyarrow")
     # d(d+1)/2 rows total: the funnel block IS the result size
     return funnel_combine(partials, combine)
+
+
+def label_centroids(ds_emb, scale: int = 1_000_000):
+    """Per-label centroid evidence: (label, dim, n, sum_fx) with the same
+    fixed-point convention as :func:`embedding_dim_stats` — the exact
+    integer sufficient statistics of each class centroid (mean = the
+    consumer's one division).  Algebraic partials bounded by
+    labels × dims per batch; one small funnel combine."""
+    from aisdb_ray.stages._dist import funnel_combine
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "label": pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sum_fx": pa.array([], pa.int64()),
+            }
+        )
+        if len(b) == 0:
+            return empty
+        m = _emb_matrix(b)
+        fx = np.floor(m * scale).astype(np.int64)
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        ls, fxs = lab[order], fx[order]
+        starts = np.flatnonzero(np.r_[True, ls[1:] != ls[:-1]])
+        bounds = np.r_[starts, len(ls)]
+        d = fx.shape[1]
+        out_l, out_n, out_s = [], [], []
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            out_l.append(ls[b0])
+            out_n.append(b1 - b0)
+            out_s.append(fxs[b0:b1].sum(axis=0, dtype=np.int64))
+        L = len(out_l)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(out_l, d).astype(np.int64)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), L)),
+                "n": pa.array(np.repeat(out_n, d).astype(np.int64)),
+                "sum_fx": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["label", "dim"], use_threads=False).aggregate(
+            [("n", "sum"), ("sum_fx", "sum")]
+        )
+        return g.rename_columns(["label", "dim", "n", "sum_fx"])
+
+    return funnel_combine(ds_emb.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+def centroid_classify(ds_emb, scale: int = 1_000_000):
+    """Nearest-class-centroid serving: assign every vector to the label
+    whose class MEAN it has the largest inner product with (ties → the
+    smallest label) — the cheapest supervised consumer of the embedding
+    lake, and the evaluation pass behind prototype/centroid classifiers.
+
+    Float determinism: scores are the exact int64 dot product
+    ``x_fx · S_label`` divided ONCE by the class count — both operands
+    exact integers, so the IEEE division matches DuckDB bit-for-bit (the
+    BM25/odds-idf contract).  The int64 dot is overflow-guarded.
+
+    Shape: the centroid table is labels × dims — tiny — computed by
+    :func:`label_centroids` and broadcast via ``ray.put``; classification
+    is a single map-only matmul pass, no shuffle."""
+    import ray
+
+    cent = label_centroids(ds_emb, scale).to_pandas()
+    labels = np.sort(cent["label"].unique()).astype(np.int64)
+    d = int(cent["dim"].max()) + 1 if len(cent) else 0
+    S = np.zeros((len(labels), d), dtype=np.int64)
+    n_of = np.zeros(len(labels), dtype=np.int64)
+    pos = {int(l): i for i, l in enumerate(labels)}
+    for lab, grp in cent.groupby("label"):
+        i = pos[int(lab)]
+        S[i, grp["dim"].to_numpy()] = grp["sum_fx"].to_numpy()
+        n_of[i] = int(grp["n"].iloc[0])
+    ref = ray.put((labels, S, n_of))
+
+    def classify(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "pred_label": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if len(b) == 0:
+            return empty
+        labs, Sm, nn = ray.get(ref)
+        m = _emb_matrix(b)
+        fx = np.floor(m * scale).astype(np.int64)
+        if len(labs) and fx.size:
+            bound = (
+                int(np.abs(fx).max() or 1)
+                * int(np.abs(Sm).max() or 1)
+                * fx.shape[1]
+            )
+            if bound >= (1 << 62):
+                raise OverflowError("centroid dot product would overflow int64")
+        dots = fx @ Sm.T  # exact int64
+        scores = dots.astype(np.float64) / nn.astype(np.float64)
+        # argmax with ties -> smallest label: labels are sorted ascending,
+        # argmax returns the first (= smallest-label) maximum
+        best = np.argmax(scores, axis=1)
+        rows = np.arange(len(best))
+        return pa.table(
+            {
+                "vec_id": pc.cast(b["vec_id"], pa.int64()),
+                "pred_label": pa.array(labs[best]),
+                "score": pa.array(scores[rows, best]),
+            }
+        )
+
+    return ds_emb.map_batches(classify, batch_format="pyarrow")

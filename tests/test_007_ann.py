@@ -339,3 +339,49 @@ def test_embedding_gram_matches_numpy():
     assert len(got) == 4 * 5 // 2
     for _, r in got.iterrows():
         assert ref[int(r.i), int(r.j)] == int(r.g)
+
+
+def test_centroid_classify_planted_clusters():
+    import pyarrow as pa
+
+    # two tight clusters along orthogonal axes; every member must be
+    # assigned to its own cluster's label
+    rng = np.random.default_rng(7)
+    a = np.zeros((20, 8)); a[:, 0] = 1.0; a += rng.normal(0, 0.01, a.shape)
+    b = np.zeros((20, 8)); b[:, 1] = 1.0; b += rng.normal(0, 0.01, b.shape)
+    m = np.vstack([a, b]).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+        "embedding": pa.array(list(m), pa.list_(pa.float32())),
+        "label": pa.array([0] * 20 + [1] * 20, pa.int64()),
+    })
+    got = ann.centroid_classify(rd.from_arrow(t)).to_pandas().sort_values("vec_id")
+    assert got["pred_label"].tolist() == [0] * 20 + [1] * 20
+
+
+def test_centroid_classify_tie_breaks_smallest_label():
+    import pyarrow as pa
+
+    # identical class sums -> identical scores -> smallest label wins
+    m = np.ones((4, 4), dtype=np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(4, dtype=np.int64)),
+        "embedding": pa.array(list(m), pa.list_(pa.float32())),
+        "label": pa.array([3, 3, 1, 1], pa.int64()),
+    })
+    got = ann.centroid_classify(rd.from_arrow(t)).to_pandas()
+    assert set(got["pred_label"]) == {1}
+
+
+def test_label_centroids_exact_sums():
+    import pyarrow as pa
+
+    m = np.array([[0.5, -0.25], [0.5, 0.75]], dtype=np.float32)
+    t = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array(list(m), pa.list_(pa.float32())),
+        "label": pa.array([4, 4], pa.int64()),
+    })
+    got = ann.label_centroids(rd.from_arrow(t)).to_pandas().sort_values("dim")
+    assert got["n"].tolist() == [2, 2]
+    assert got["sum_fx"].tolist() == [1000000, 500000]  # floor fixed-point
