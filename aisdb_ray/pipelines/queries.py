@@ -1295,6 +1295,92 @@ def q_ev_dau_wau(sf_dir: str):
     )
 
 
+def q_ev_attribution(sf_dir: str):
+    """Last-touch attribution: every purchase credits the user's latest
+    PRECEDING non-purchase event; report per-channel purchase count and
+    attributed spend.  One user-keyed co-shuffle, then a vectorized
+    running-argmax per partition (the sorted sequence's cumulative max of
+    candidate indices resolves each purchase's predecessor in one pass);
+    the final combine is alphabet-bounded."""
+    from aisdb_ray.stages._dist import co_shuffle, funnel_combine
+
+    _ctx()
+    ds = _events_ds(
+        sf_dir, ["event_id", "user_id", "ts", "event_type", "value"]
+    ).map_batches(_events_adapter, batch_format="pyarrow")
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "t": pc.cast(b["time"], pa.int64()),
+                "event_type": b["event_type"],
+                "cents": b["value_cents"],
+            }
+        )
+
+    rows = ds.map_batches(slim, batch_format="pyarrow")
+
+    def per_part(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_purchases": pa.array([], pa.int64()),
+                "spend_cents": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        u = part["user_id"]
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        uid = pc.dictionary_encode(u).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        t = part["t"].to_numpy(zero_copy_only=False)
+        eid = part["event_id"].to_numpy(zero_copy_only=False)
+        et = part["event_type"].to_numpy(zero_copy_only=False)
+        cents = part["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, uid))
+        us, ets, cs = uid[order], et[order], cents[order]
+        is_p = ets == "purchase"
+        n = len(us)
+        cand = np.where(~is_p, np.arange(n), -1)
+        last = np.maximum.accumulate(cand)
+        # the purchase's predecessor must be strictly earlier AND in the
+        # same user's run (sorted by user first, so a foreign index means
+        # "no candidate in this user before me")
+        prev = np.empty(n, dtype=np.int64)
+        prev[0] = -1
+        prev[1:] = last[:-1]
+        ok = is_p & (prev >= 0)
+        ok &= np.where(ok, us[np.clip(prev, 0, n - 1)] == us, False)
+        ch = ets[prev[ok]]
+        amt = cs[ok]
+        tbl = pa.table(
+            {
+                "event_type": pa.array(ch, pa.string()),
+                "one": pa.array(np.ones(len(amt), np.int64)),
+                "cents": pa.array(amt.astype(np.int64)),
+            }
+        )
+        g = tbl.group_by(["event_type"], use_threads=False).aggregate(
+            [("one", "sum"), ("cents", "sum")]
+        )
+        return g.rename_columns(["event_type", "n_purchases", "spend_cents"])
+
+    partials = co_shuffle(rows, ["user_id"], per_part)
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type"], use_threads=False).aggregate(
+            [("n_purchases", "sum"), ("spend_cents", "sum")]
+        )
+        return g.rename_columns(["event_type", "n_purchases", "spend_cents"])
+
+    return funnel_combine(partials, merge)
+
+
 def q_ev_cohorts(sf_dir: str):
     """Cohort retention: users grouped by first-activity week; one row per
     (cohort_week, week_offset) with the distinct active users — the
@@ -3086,6 +3172,7 @@ def build_queries() -> dict:
         "q3_shipping": q_q3_shipping,
         "emb_centroids": q_emb_centroids,
         "ann_centroid_classify": q_ann_centroid_classify,
+        "ev_attribution": q_ev_attribution,
         "emb_encode": q_emb_encode,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "doc_bpe_encode": q_doc_bpe_encode,
@@ -4305,6 +4392,26 @@ FROM li l JOIN o ON o.o_orderkey = l.l_orderkey
 GROUP BY l.l_orderkey, o.o_date
 ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey
 LIMIT 10"""
+
+    sql["ev_attribution"] = """WITH ev AS (
+    SELECT event_id, user_id, event_type,
+           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+  ),
+  attr AS (
+    SELECT event_type, cents,
+           last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ch
+    FROM ev
+  )
+SELECT ch AS event_type,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS spend_cents
+FROM attr WHERE event_type = 'purchase' AND ch IS NOT NULL
+GROUP BY ch"""
 
     sql["ev_rfm"] = """WITH ev AS (
     SELECT user_id, event_type,
