@@ -799,6 +799,15 @@ def q_ts_flatline(sf_dir: str):
     return window.flatline_runs(_clean_tokens(sf_dir), min_len=2)
 
 
+def q_ts_streaks(sf_dir: str):
+    """Longest strictly-increasing run per source (sustained-growth span;
+    ties → earliest start) — one co-shuffle, vectorized gaps-and-islands
+    with a per-group arg-max."""
+    from aisdb_ray.stages import window
+
+    return window.longest_rising_streak(_clean_tokens(sf_dir))
+
+
 def q_ts_benford(sf_dir: str):
     """First-significant-digit histogram of n_tok per source (Benford
     screening for fabricated/unit-shifted channels): algebraic count
@@ -2373,6 +2382,35 @@ def q_doc_langid(sf_dir: str):
     ).select_columns(["doc_id", "pred_lang"])
 
 
+def q_doc_lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix: heuristic predicted language vs the
+    labeled lang column, (lang, pred_lang, n) — the classifier-eval
+    aggregate over the corpus.  Per-batch prediction stays aligned with
+    the batch's label column (one doc == one row), counts are algebraic
+    partials with an alphabet²-bounded funnel combine."""
+    from aisdb_ray.stages import textstats
+    from aisdb_ray.stages._dist import funnel_combine
+
+    _ctx()
+    ds = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text", "lang"])
+
+    def part(b: pa.Table) -> pa.Table:
+        st = textstats.TextStats()(b)
+        t = pa.table({"lang": b["lang"], "pred_lang": st["pred_lang"]})
+        g = t.group_by(["lang", "pred_lang"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["lang", "pred_lang", "n"])
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang", "pred_lang"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns(["lang", "pred_lang", "n"])
+
+    return funnel_combine(ds.map_batches(part, batch_format="pyarrow"), merge)
+
+
 def q_ts_ewma(sf_dir: str):
     """Per-source exponential smoothing (alpha=1/4) of the daily token
     rate: shuffle-light 1d rollup -> one co-shuffle on source -> the
@@ -3173,6 +3211,8 @@ def build_queries() -> dict:
         "emb_centroids": q_emb_centroids,
         "ann_centroid_classify": q_ann_centroid_classify,
         "ev_attribution": q_ev_attribution,
+        "doc_lang_confusion": q_doc_lang_confusion,
+        "ts_streaks": q_ts_streaks,
         "emb_encode": q_emb_encode,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "doc_bpe_encode": q_doc_bpe_encode,
@@ -4202,6 +4242,30 @@ FROM d WHERE dt >= 1800"""
 SELECT source, n_tok, start_time, end_time, n_points
 FROM runs WHERE n_points >= 2"""
 
+    sql["ts_streaks"] = f"""WITH {_sql_tokens_clean(tok)},
+  o AS (
+    SELECT source, time, seq, n_tok,
+           CASE WHEN n_tok > lag(n_tok) OVER
+                  (PARTITION BY source ORDER BY time, seq)
+                THEN 0 ELSE 1 END AS brk
+    FROM clean
+  ),
+  g AS (
+    SELECT source, time,
+           sum(brk) OVER (PARTITION BY source ORDER BY time, seq
+                          ROWS UNBOUNDED PRECEDING) AS grp
+    FROM o
+  ),
+  runs AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_points,
+           min(time) AS start_time, max(time) AS end_time
+    FROM g GROUP BY source, grp
+  )
+SELECT source, n_points, start_time, end_time
+FROM runs
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY n_points DESC, start_time ASC) = 1"""
+
     sql["ts_benford"] = f"""WITH {_sql_tokens_clean(tok)}
 SELECT source,
        CAST(substr(CAST(n_tok AS VARCHAR), 1, 1) AS BIGINT) AS digit,
@@ -4565,6 +4629,12 @@ FROM documents"""
 FROM documents GROUP BY md5(text)"""
 
     sql["doc_langid"] = _langid_sql()
+
+    # the identical langid restatement, joined back to the labeled column
+    sql["doc_lang_confusion"] = f"""WITH pred AS ({_langid_sql()})
+SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY d.lang, p.pred_lang"""
 
     sql["doc_incremental_dedup"] = """WITH h AS (
     SELECT doc_id, md5(text) AS text_md5,

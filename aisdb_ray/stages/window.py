@@ -928,3 +928,70 @@ def benford_digits(
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return funnel_combine(partials, merge, key_col=group, hash_combine=True)
+
+
+def longest_rising_streak(
+    ds,
+    group: str = "source",
+    time_col: str = "time",
+    seq_col: str = "seq",
+    value: str = "n_tok",
+    num_parts: int | None = None,
+):
+    """Longest strictly-increasing run per series (monotone-streak
+    detection — sustained-growth spans on a counter-like channel; the
+    directional dual of :func:`flatline_runs`).  A run of k points spans
+    k-1 consecutive rising steps in (time, seq) order; ties on length
+    break to the earliest start.  Output: (group, n_points, start_time,
+    end_time).
+
+    One hash co-shuffle on the series key, then a vectorized
+    gaps-and-islands pass per partition (cumsum of break flags, segmented
+    reduce, per-group arg-max)."""
+    from aisdb_ray.stages._dist import co_shuffle
+
+    def block(part: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                group: pa.array([], pa.string()),
+                "n_points": pa.array([], pa.int64()),
+                "start_time": pa.array([], pa.int64()),
+                "end_time": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        gcol = part[group]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        codes = pc.dictionary_encode(gcol)
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        gid = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        t = part[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = part[seq_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = part[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((q, t, gid))
+        gs, ts, vs = gid[order], t[order], v[order]
+        brk = np.r_[True, (gs[1:] != gs[:-1]) | (vs[1:] <= vs[:-1])]
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(gs)]
+        lens = (ends - starts).astype(np.int64)
+        run_g = gs[starts]
+        # argmax per group: sort runs by (group, -len, start_time) and
+        # keep each group's first
+        pick = np.lexsort((ts[starts], -lens, run_g))
+        first = np.r_[True, run_g[pick][1:] != run_g[pick][:-1]]
+        win = pick[first]
+        return pa.table(
+            {
+                group: gcol.take(pa.array(order[starts[win]])),
+                "n_points": pa.array(lens[win]),
+                "start_time": pa.array(ts[starts[win]]),
+                "end_time": pa.array(ts[ends[win] - 1]),
+            }
+        )
+
+    return co_shuffle(ds, [group], block, num_parts)

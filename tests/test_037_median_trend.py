@@ -152,3 +152,25 @@ def test_sax_drops_partial_windows():
     })
     got = sax_symbols(rd.from_arrow(t), step=1, p=2).to_pandas()
     assert sorted(got["paa"].tolist()) == [3, 7]
+
+
+def test_longest_rising_streak_picks_earliest_on_tie():
+    from aisdb_ray.stages.window import longest_rising_streak
+
+    # v: 1 2 3 | 1 2 3 -> two length-3 rising runs; earliest wins
+    tbl = _group([0, 60, 120, 180, 240, 300], [1, 2, 3, 1, 2, 3])
+    got = longest_rising_streak(rd.from_arrow(tbl), num_parts=2).to_pandas()
+    assert len(got) == 1
+    assert got["n_points"].iloc[0] == 3
+    assert got["start_time"].iloc[0] == 0
+    assert got["end_time"].iloc[0] == 120
+
+
+def test_rising_streak_equal_values_break():
+    from aisdb_ray.stages.window import longest_rising_streak
+
+    # equal step breaks strictness: 1 2 2 3 -> best run is 2 points
+    tbl = _group([0, 60, 120, 180], [1, 2, 2, 3])
+    got = longest_rising_streak(rd.from_arrow(tbl), num_parts=1).to_pandas()
+    assert got["n_points"].iloc[0] == 2
+    assert got["start_time"].iloc[0] == 0  # tie with [2,3]: earliest wins
