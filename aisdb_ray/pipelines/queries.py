@@ -799,6 +799,92 @@ def q_ts_flatline(sf_dir: str):
     return window.flatline_runs(_clean_tokens(sf_dir), min_len=2)
 
 
+def q_tok_curriculum(sf_dir: str):
+    """Sequence-length curriculum assignment: every clean row gets a
+    training stage 0..3 by the EXACT global quartiles of n_tok (the
+    short-to-long curriculum schedule of length-based curriculum
+    learning).  Breakpoints come off the value-bounded n_tok histogram
+    (same discrete-quantile rule as ts_quantiles / ts_sax) and broadcast;
+    assignment is map-only."""
+    from aisdb_ray.stages._dist import funnel_combine
+
+    pts = _clean_tokens(sf_dir).select_columns(
+        ["source", "doc_id", "time", "n_tok"]
+    )
+
+    def h_part(b: pa.Table) -> pa.Table:
+        g = pa.table({"v": pc.cast(b["n_tok"], pa.int64())}).group_by(
+            ["v"], use_threads=False
+        ).aggregate([([], "count_all")])
+        return g.rename_columns(["v", "n"])
+
+    def h_merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["v"], use_threads=False).aggregate([("n", "sum")])
+        return g.rename_columns(["v", "n"])
+
+    hist = funnel_combine(
+        pts.map_batches(h_part, batch_format="pyarrow"), h_merge
+    ).to_pandas()
+    v = hist["v"].to_numpy()
+    n = hist["n"].to_numpy()
+    o = np.argsort(v)
+    v, n = v[o], n[o]
+    cum = np.cumsum(n)
+    tot = int(cum[-1]) if len(cum) else 0
+    bps = [
+        int(v[np.searchsorted(cum, (p * tot + 99) // 100)])
+        for p in (25, 50, 75)
+    ] if tot else [0, 0, 0]
+    b25, b50, b75 = bps
+
+    def assign(b: pa.Table) -> pa.Table:
+        x = b["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        stage = (x > b25).astype(np.int64) + (x > b50) + (x > b75)
+        return b.append_column("stage", pa.array(stage.astype(np.int64)))
+
+    return pts.map_batches(assign, batch_format="pyarrow")
+
+
+def q_ts_freshness(sf_dir: str):
+    """Per-source freshness: last point time and lag behind the corpus
+    watermark (max time over all sources) — the staleness panel of an
+    ingestion dashboard.  Algebraic max partials; the global watermark is
+    the one-row reduction of the per-source maxima, applied in a finalize
+    map (never a second scan of the data)."""
+    from aisdb_ray.stages._dist import funnel_combine
+
+    pts = _clean_tokens(sf_dir).select_columns(["source", "time"])
+
+    def part(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source"], use_threads=False).aggregate(
+            [("time", "max")]
+        )
+        return g.rename_columns(["source", "last_time"])
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source"], use_threads=False).aggregate(
+            [("last_time", "max")]
+        )
+        return g.rename_columns(["source", "last_time"])
+
+    def lag(b: pa.Table) -> pa.Table:
+        # the funnel's final block holds every source row: the column max
+        # IS the global watermark
+        t = b["last_time"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wm = int(t.max()) if len(t) else 0
+        return pa.table(
+            {
+                "source": b["source"],
+                "last_time": b["last_time"],
+                "lag_s": pa.array(wm - t),
+            }
+        )
+
+    return funnel_combine(
+        pts.map_batches(part, batch_format="pyarrow"), merge, finalize_fn=lag
+    )
+
+
 def q_ts_streaks(sf_dir: str):
     """Longest strictly-increasing run per source (sustained-growth span;
     ties → earliest start) — one co-shuffle, vectorized gaps-and-islands
@@ -3213,6 +3299,8 @@ def build_queries() -> dict:
         "ev_attribution": q_ev_attribution,
         "doc_lang_confusion": q_doc_lang_confusion,
         "ts_streaks": q_ts_streaks,
+        "tok_curriculum": q_tok_curriculum,
+        "ts_freshness": q_ts_freshness,
         "emb_encode": q_emb_encode,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "doc_bpe_encode": q_doc_bpe_encode,
@@ -4241,6 +4329,29 @@ FROM d WHERE dt >= 1800"""
   )
 SELECT source, n_tok, start_time, end_time, n_points
 FROM runs WHERE n_points >= 2"""
+
+    sql["tok_curriculum"] = f"""WITH {_sql_tokens_clean(tok)},
+  hist AS (SELECT n_tok AS v, count(*) AS n FROM clean GROUP BY n_tok),
+  cw AS (
+    SELECT v, sum(n) OVER (ORDER BY v) AS cum, sum(n) OVER () AS tot
+    FROM hist
+  ),
+  bp AS (
+    SELECT min(CASE WHEN cum >= (25 * tot + 99) // 100 THEN v END) AS b25,
+           min(CASE WHEN cum >= (50 * tot + 99) // 100 THEN v END) AS b50,
+           min(CASE WHEN cum >= (75 * tot + 99) // 100 THEN v END) AS b75
+    FROM cw
+  )
+SELECT c.source, c.doc_id, c.time, c.n_tok,
+       CAST(CAST(c.n_tok > bp.b25 AS INT) + CAST(c.n_tok > bp.b50 AS INT)
+            + CAST(c.n_tok > bp.b75 AS INT) AS BIGINT) AS stage
+FROM clean c CROSS JOIN bp"""
+
+    sql["ts_freshness"] = f"""WITH {_sql_tokens_clean(tok)},
+  last AS (SELECT source, max(time) AS last_time FROM clean GROUP BY source)
+SELECT source, last_time,
+       (SELECT max(last_time) FROM last) - last_time AS lag_s
+FROM last"""
 
     sql["ts_streaks"] = f"""WITH {_sql_tokens_clean(tok)},
   o AS (
