@@ -2020,6 +2020,16 @@ def q_doc_lm_familiarity(sf_dir: str):
     return cont.bigram_familiarity(ds)
 
 
+def q_emb_knn_graph(sf_dir: str):
+    """Exact 5-NN graph over the embedding lake: block-pair matmul tiles
+    with per-tile local top-k (candidate volume n·k·nblocks, never n²),
+    merged per vector by one vec_id-keyed co-shuffle."""
+    from aisdb_ray.stages import ann
+
+    _ctx()
+    return ann.knn_graph(_emb_path(sf_dir), k=5)
+
+
 def q_emb_centroids(sf_dir: str):
     """Per-label class centroid sufficient statistics (label, dim, n,
     sum_fx) — exact int64 fixed-point, labels×dims-bounded partials."""
@@ -3301,6 +3311,7 @@ def build_queries() -> dict:
         "ts_streaks": q_ts_streaks,
         "tok_curriculum": q_tok_curriculum,
         "ts_freshness": q_ts_freshness,
+        "emb_knn_graph": q_emb_knn_graph,
         "emb_encode": q_emb_encode,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "doc_bpe_encode": q_doc_bpe_encode,
@@ -5356,6 +5367,20 @@ WHERE list_cosine_similarity(embedding,
                         e.vec_id) AS BIGINT) AS rank
     FROM embeddings e CROSS JOIN q)
 SELECT qid, rank, vec_id FROM scored WHERE rank <= 10"""
+
+    # same ranks-only contract as ann_topk: the hash covers (vec, rank,
+    # nbr); orderings agree because both sides rank the float64 cosine
+    sql["emb_knn_graph"] = """WITH p AS (
+    SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+           list_cosine_similarity(a.embedding, b.embedding) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  )
+SELECT vec_id,
+       CAST(row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, nbr_id) AS BIGINT) AS rank,
+       nbr_id
+FROM p
+QUALIFY rank <= 5"""
 
     sql["emb_centroids"] = """WITH ex AS (
     SELECT e.label,

@@ -934,3 +934,118 @@ def centroid_classify(ds_emb, scale: int = 1_000_000):
         )
 
     return ds_emb.map_batches(classify, batch_format="pyarrow")
+
+
+def knn_graph(sf_emb_path: str, k: int = 5, target_block_rows: int = 65_536):
+    """Exact k-nearest-neighbor graph over the embedding lake: for EVERY
+    vector, its top-k cosine neighbors (self excluded, ties → smaller
+    neighbor id) — the similarity-graph primitive behind graph-based
+    dedup/clustering (and the all-queries generalization of
+    :func:`topk_cosine`).
+
+    Shape: the same block-pair matmul tiling as
+    dedup_text.embedding_neardup_pairs — every (block_i, block_j ≥ i)
+    tile is one task — but each tile emits only its LOCAL top-k rows per
+    vector (k rows per vector per tile, both directions of an off-diagonal
+    tile), so candidate volume is n·k·nblocks, never n².  One vec_id-keyed
+    co-shuffle then merges candidates into the global top-k per vector.
+    Output: (vec_id, rank, nbr_id)."""
+    import ray
+    import ray.data as rd
+
+    from aisdb_ray.stages._dist import co_shuffle
+
+    ds = rd.read_parquet(sf_emb_path, columns=["vec_id", "embedding"])
+    nrows = ds.count()
+    nblocks = max(1, min(64, nrows // max(1, target_block_rows)))
+    mat = ds.repartition(nblocks).materialize()
+    refs = mat.to_arrow_refs()
+    tiles = [(i, j) for i in range(len(refs)) for j in range(i, len(refs))]
+
+    def norm_block(tbl: pa.Table):
+        emb = tbl["embedding"].combine_chunks()
+        m = emb.values.to_numpy().reshape(tbl.num_rows, -1).astype(np.float64)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64), m / n
+
+    def local_topk(ids_q, ids_c, sims):
+        """Per-row local top-k of a sims matrix (queries × candidates)."""
+        kk = min(k, sims.shape[1])
+        if kk <= 0 or sims.shape[0] == 0:
+            return None
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(sims.shape[0]), kk)
+        cols = part.ravel()
+        return (
+            np.repeat(ids_q, kk),
+            ids_c[cols],
+            sims[rows, cols],
+        )
+
+    def tile_topk(batch: pa.Table) -> pa.Table:
+        va, nb, sm = [], [], []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ids_i, mi = norm_block(ray.get(refs[i]))
+            ids_j, mj = norm_block(ray.get(refs[j]))
+            if len(ids_i) == 0 or len(ids_j) == 0:
+                continue
+            sims = mi @ mj.T
+            if i == j:
+                np.fill_diagonal(sims, -np.inf)
+            r = local_topk(ids_i, ids_j, sims)
+            if r is not None:
+                va.append(r[0]); nb.append(r[1]); sm.append(r[2])
+            if i != j:
+                r = local_topk(ids_j, ids_i, sims.T)
+                if r is not None:
+                    va.append(r[0]); nb.append(r[1]); sm.append(r[2])
+        if not va:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "nbr_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(va)),
+                "nbr_id": pa.array(np.concatenate(nb)),
+                "sim": pa.array(np.concatenate(sm)),
+            }
+        )
+
+    items = rd.from_items(
+        [{"i": i, "j": j} for i, j in tiles], override_num_blocks=len(tiles)
+    )
+    cands = items.map_batches(tile_topk, batch_format="pyarrow", batch_size=None)
+
+    def merge(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "nbr_id": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        v = part["vec_id"].to_numpy(zero_copy_only=False)
+        b = part["nbr_id"].to_numpy(zero_copy_only=False)
+        s = part["sim"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, -s, v))
+        vs, bs = v[order], b[order]
+        first = np.r_[True, vs[1:] != vs[:-1]]
+        grp_start = np.maximum.accumulate(np.where(first, np.arange(len(vs)), 0))
+        rank = np.arange(len(vs)) - grp_start + 1
+        keep = rank <= k
+        return pa.table(
+            {
+                "vec_id": pa.array(vs[keep]),
+                "rank": pa.array(rank[keep].astype(np.int64)),
+                "nbr_id": pa.array(bs[keep]),
+            }
+        )
+
+    return co_shuffle(cands, ["vec_id"], merge)

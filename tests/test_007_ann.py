@@ -385,3 +385,32 @@ def test_label_centroids_exact_sums():
     got = ann.label_centroids(rd.from_arrow(t)).to_pandas().sort_values("dim")
     assert got["n"].tolist() == [2, 2]
     assert got["sum_fx"].tolist() == [1000000, 500000]  # floor fixed-point
+
+
+def test_knn_graph_matches_bruteforce_multiblock(tmp_path):
+    import pyarrow as pa
+
+    rng = np.random.default_rng(3)
+    n, d = 60, 8
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(m), pa.list_(pa.float32())),
+    })
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(t, path)
+    # tiny block target forces the multi-tile path
+    got = (
+        ann.knn_graph(path, k=3, target_block_rows=16)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"])
+    )
+    mm = m.astype(np.float64)
+    mm = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+    sims = mm @ mm.T
+    np.fill_diagonal(sims, -np.inf)
+    for v in range(n):
+        order = np.lexsort((np.arange(n), -sims[v]))[:3]
+        mine = got[got["vec_id"] == v]["nbr_id"].to_numpy()
+        np.testing.assert_array_equal(mine, order)
+    assert got.groupby("vec_id")["rank"].max().eq(3).all()
