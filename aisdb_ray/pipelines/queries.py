@@ -790,6 +790,114 @@ def q_ts_sax(sf_dir: str):
     return trackops.sax_symbols(locf, step=TS_STEP, p=8)
 
 
+def q_ts_drawdown(sf_dir: str):
+    """Maximum drawdown per source: the largest drop from a running peak
+    of the token channel in (time, seq) order, with the earliest trough
+    on ties — the worst-regression statistic of monitoring/quant
+    dashboards.  One co-shuffle, vectorized running-max + arg-max; all
+    integers."""
+    from aisdb_ray.stages._dist import co_shuffle
+
+    pts = _clean_tokens(sf_dir).select_columns(
+        ["source", "time", "seq", "n_tok"]
+    )
+
+    def block(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "max_drawdown": pa.array([], pa.int64()),
+                "trough_time": pa.array([], pa.int64()),
+                "peak_value": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        g = part["source"]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        gid = pc.dictionary_encode(g).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        t = part["time"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = part["seq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = part["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((q, t, gid))
+        gs, ts, vs = gid[order], t[order], v[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        bounds = np.r_[starts, len(gs)]
+        rows_i, rows_d, rows_t, rows_p = [], [], [], []
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            seg = vs[b0:b1]
+            peak = np.maximum.accumulate(seg)
+            dd = peak - seg
+            j = int(np.argmax(dd))  # first (= earliest) maximum
+            rows_i.append(order[b0])
+            rows_d.append(int(dd[j]))
+            rows_t.append(int(ts[b0 + j]))
+            rows_p.append(int(peak[j]))
+        return pa.table(
+            {
+                "source": g.take(pa.array(rows_i, pa.int64())),
+                "max_drawdown": pa.array(rows_d, pa.int64()),
+                "trough_time": pa.array(rows_t, pa.int64()),
+                "peak_value": pa.array(rows_p, pa.int64()),
+            }
+        )
+
+    return co_shuffle(pts, ["source"], block)
+
+
+def q_ev_pareto(sf_dir: str):
+    """Activity concentration: how much of the event volume the top-10%
+    most active users generate (the Pareto/whale diagnostic) — integer
+    evidence (n_users, top_users = ceil(n/10), top_events, total_events).
+    Per-user counts are algebraic partials; the ranked share runs on the
+    user-bounded count table in one final block."""
+    from aisdb_ray.stages._dist import funnel_combine
+
+    _ctx()
+    ds = _events_ds(sf_dir, ["user_id"])
+
+    def part(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["user_id", "n"])
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id"], use_threads=False).aggregate([("n", "sum")])
+        return g.rename_columns(["user_id", "n"])
+
+    def share(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "n_users": pa.array([], pa.int64()),
+                    "top_users": pa.array([], pa.int64()),
+                    "top_events": pa.array([], pa.int64()),
+                    "total_events": pa.array([], pa.int64()),
+                }
+            )
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((u, -n))  # count desc, user asc
+        k = -(-len(n) // 10)  # ceil(n/10)
+        top = int(n[order][:k].sum())
+        return pa.table(
+            {
+                "n_users": pa.array([len(n)], pa.int64()),
+                "top_users": pa.array([k], pa.int64()),
+                "top_events": pa.array([top], pa.int64()),
+                "total_events": pa.array([int(n.sum())], pa.int64()),
+            }
+        )
+
+    return funnel_combine(
+        ds.map_batches(part, batch_format="pyarrow"), merge, finalize_fn=share
+    )
+
+
 def q_ts_flatline(sf_dir: str):
     """Stuck-channel runs: maximal 2+-point spans of the same n_tok value
     in time order per source (the wedged-producer signature).  One
@@ -3312,6 +3420,8 @@ def build_queries() -> dict:
         "tok_curriculum": q_tok_curriculum,
         "ts_freshness": q_ts_freshness,
         "emb_knn_graph": q_emb_knn_graph,
+        "ts_drawdown": q_ts_drawdown,
+        "ev_pareto": q_ev_pareto,
         "emb_encode": q_emb_encode,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "doc_bpe_encode": q_doc_bpe_encode,
@@ -4357,6 +4467,37 @@ SELECT c.source, c.doc_id, c.time, c.n_tok,
        CAST(CAST(c.n_tok > bp.b25 AS INT) + CAST(c.n_tok > bp.b50 AS INT)
             + CAST(c.n_tok > bp.b75 AS INT) AS BIGINT) AS stage
 FROM clean c CROSS JOIN bp"""
+
+    # earliest trough on ties: argmax over (dd desc, time asc)
+    sql["ts_drawdown"] = f"""WITH {_sql_tokens_clean(tok)},
+  r AS (
+    SELECT source, time, seq, n_tok,
+           max(n_tok) OVER (PARTITION BY source ORDER BY time, seq
+                            ROWS UNBOUNDED PRECEDING) AS peak
+    FROM clean
+  )
+SELECT source,
+       CAST(peak - n_tok AS BIGINT) AS max_drawdown,
+       time AS trough_time,
+       CAST(peak AS BIGINT) AS peak_value
+FROM r
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY peak - n_tok DESC, time ASC, seq ASC) = 1"""
+
+    sql["ev_pareto"] = """WITH cnt AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
+  ),
+  ranked AS (
+    SELECT n, row_number() OVER (ORDER BY n DESC, user_id ASC) AS rk,
+           count(*) OVER () AS nu
+    FROM cnt
+  )
+SELECT CAST(max(nu) AS BIGINT) AS n_users,
+       CAST((max(nu) + 9) // 10 AS BIGINT) AS top_users,
+       CAST(sum(CASE WHEN rk <= (nu + 9) // 10 THEN n ELSE 0 END)
+            AS BIGINT) AS top_events,
+       CAST(sum(n) AS BIGINT) AS total_events
+FROM ranked"""
 
     sql["ts_freshness"] = f"""WITH {_sql_tokens_clean(tok)},
   last AS (SELECT source, max(time) AS last_time FROM clean GROUP BY source)
