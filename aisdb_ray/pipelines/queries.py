@@ -1012,6 +1012,13 @@ def q_ts_benford(sf_dir: str):
     return window.benford_digits(_clean_tokens(sf_dir))
 
 
+def q_ts_nearest(sf_dir: str):
+    """Grid sampling by NEAREST observation (method='nearest', backward
+    ties — the interpolation family's fourth member next to linear/LOCF/
+    cubic); values stay int64."""
+    return series.nearest_series(_prepared(sf_dir), TS_STEP, TS_MAX_GAP)
+
+
 def q_ts_mad_outliers(sf_dir: str):
     """Per-source robust outliers: |v − median| > 3·MAD, decided entirely
     in integers (2·median and 2·MAD of an int series are integers), one
@@ -3289,6 +3296,22 @@ def q_ann_lsh_topk(sf_dir: str):
     return _ranked_ids(ann.lsh_index_topk(idx, _emb_path(sf_dir), q0, k=10))
 
 
+def q_ann_lsh_recall(sf_dir: str):
+    """Index-quality evaluation: recall@10 of the persisted LSH index
+    against the exact brute-force top-10, as integer evidence
+    (k, n_overlap) — the measurement loop behind every ANN-index tuning
+    decision, run as a first-class distributed query (both sides stream;
+    the overlap join touches 2·k rows)."""
+    from aisdb_ray.stages import join as join_mod
+
+    exact = q_ann_topk(sf_dir).select_columns(["vec_id"])
+    approx = q_ann_lsh_topk(sf_dir).select_columns(["vec_id"])
+    n = join_mod.hash_join(exact, approx, on="vec_id", how="inner").count()
+    return pa.table(
+        {"k": pa.array([10], pa.int64()), "n_overlap": pa.array([n], pa.int64())}
+    )
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """IVF-bucketed ANN: spherical-kmeans coarse quantizer fit on a bounded
     sample, distributed assignment persisted as list-partitioned postings,
@@ -3422,6 +3445,8 @@ def build_queries() -> dict:
         "emb_knn_graph": q_emb_knn_graph,
         "ts_drawdown": q_ts_drawdown,
         "ev_pareto": q_ev_pareto,
+        "ann_lsh_recall": q_ann_lsh_recall,
+        "ts_nearest": q_ts_nearest,
         "emb_encode": q_emb_encode,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "doc_bpe_encode": q_doc_bpe_encode,
@@ -4620,6 +4645,17 @@ SELECT p.source, p.seg, p.wstart, p.paa,
             + CAST(p.paa > bp.b75 AS INT) AS BIGINT) AS symbol
 FROM paa p CROSS JOIN bp"""
 
+    # nearest sampling reuses the gapfill CTEs: the snapped backward/
+    # forward neighbor pair decides by strict forward distance (ties ->
+    # the earlier observation, the asof.py xarray-nearest rule)
+    sql["ts_nearest"] = f"""WITH {gapfill_ctes}
+SELECT source, seg, g AS time,
+       CAST(CASE WHEN tb IS NULL THEN va
+                 WHEN (tb - g) < (g - ta) THEN vb
+                 ELSE va END AS BIGINT) AS n_tok,
+       ta = g AS is_original
+FROM joined"""
+
     # T8c: derived rate recomputed from the FILLED grid; final grid point
     # carries the original series' last hop rate (interp.py:180-184)
     sql["ts_gapfill_rate"] = f"""WITH {gapfill_ctes},
@@ -5785,6 +5821,11 @@ FROM documents d,
     sql["doc_simhash_pairs"] = oracle_text.simhash_pairs_sql(max_hamming=8)
     sql["doc_textstats"] = oracle_text.textstats_sql(_langid_sql())
     sql["ann_lsh_topk"] = oracle_text.ann_lsh_topk_sql(k=10)
+    # index-eval: the two existing oracles nested verbatim, overlap-joined
+    sql["ann_lsh_recall"] = f"""WITH ex AS ({sql["ann_topk"]}),
+  ap AS ({oracle_text.ann_lsh_topk_sql(k=10)})
+SELECT CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_overlap
+FROM ex JOIN ap USING (vec_id)"""
     sql["emb_neardup_lsh"] = oracle_text.emb_neardup_lsh_sql(threshold=0.35)
 
     # IVF: the fitted coarse quantizer is a derived parameter constant —

@@ -431,3 +431,94 @@ def locf_series(
         lambda g: locf_group(g, step, max_gap, cleaned=cleaned),
         batch_format="pyarrow",
     )
+
+
+def nearest_group(
+    group: pa.Table,
+    step: int = DEFAULT_STEP,
+    max_gap: int = DEFAULT_MAX_GAP,
+    cleaned: bool = False,
+) -> pa.Table:
+    """Grid-aligned NEAREST-observation sampling — the method='nearest'
+    member of the interpolation family (linear: gapfill_group; step:
+    locf_group; spline: trackops.natural_cubic_spline), with the
+    reference's backward tie rule (equidistant neighbors -> the EARLIER
+    observation, the xarray-nearest convention of stages/asof.py).
+
+    Same grid/segment/dedup contract as gapfill; values stay int64 —
+    nearest never invents values.  Output: (source, seg, time, n_tok,
+    is_original)."""
+    if cleaned:
+        t0_ = group[TIME].to_numpy(zero_copy_only=False)
+        s0_ = group[SEQ].to_numpy(zero_copy_only=False)
+        s0_ = (
+            np.where(np.isnan(s0_.astype(np.float64)), -1, s0_)
+            if s0_.dtype.kind == "f"
+            else s0_
+        )
+        g = group.take(pa.array(np.lexsort((s0_, t0_))))
+    else:
+        g = clean_group(group, max_gap)
+    t = g[TIME].to_numpy(zero_copy_only=False)
+    seg = g[SEG].to_numpy(zero_copy_only=False)
+    n = len(t)
+    src = g[SOURCE][0].as_py() if n else ""
+    v = g[N_TOK].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    out_time: list[np.ndarray] = []
+    out_val: list[np.ndarray] = []
+    out_seg: list[np.ndarray] = []
+    out_orig: list[np.ndarray] = []
+    first = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]]) if n else np.array([], int)
+    bounds = np.r_[first, n]
+    for b0, b1 in zip(bounds[:-1], bounds[1:]):
+        ts = t[b0:b1]
+        uniq = np.r_[True, ts[1:] != ts[:-1]]
+        ui = np.flatnonzero(uniq) + b0
+        ts_u = t[ui]
+        if len(ts_u) < 2:
+            continue
+        grid = np.arange(ts_u[0], ts_u[-1] + step, step, dtype=np.int64)
+        lo = np.searchsorted(ts_u, grid, side="right") - 1
+        hi = np.minimum(lo + 1, len(ts_u) - 1)
+        # backward tie rule: strictly closer forward neighbor required
+        take_hi = (ts_u[hi] - grid) < (grid - ts_u[lo])
+        pick = np.where(take_hi, hi, lo)
+        out_time.append(grid)
+        out_val.append(v[ui[pick]])
+        out_seg.append(np.full(len(grid), seg[b0], dtype=np.int64))
+        out_orig.append(ts_u[pick] == grid)
+
+    if not out_time:
+        return pa.table(
+            {
+                SOURCE: pa.array([], pa.string()),
+                SEG: pa.array([], pa.int64()),
+                TIME: pa.array([], pa.int64()),
+                N_TOK: pa.array([], pa.int64()),
+                IS_ORIGINAL: pa.array([], pa.bool_()),
+            }
+        )
+    grid_t = np.concatenate(out_time)
+    return pa.table(
+        {
+            SOURCE: pa.array(np.full(len(grid_t), src, dtype=object), pa.string()),
+            SEG: pa.array(np.concatenate(out_seg)),
+            TIME: pa.array(grid_t),
+            N_TOK: pa.array(np.concatenate(out_val)),
+            IS_ORIGINAL: pa.array(np.concatenate(out_orig)),
+        }
+    )
+
+
+def nearest_series(
+    ds,
+    step: int = DEFAULT_STEP,
+    max_gap: int = DEFAULT_MAX_GAP,
+    cleaned: bool = False,
+):
+    """Nearest sampling onto the per-segment grid, one shuffle."""
+    return ds.groupby(SOURCE).map_groups(
+        lambda g: nearest_group(g, step, max_gap, cleaned=cleaned),
+        batch_format="pyarrow",
+    )

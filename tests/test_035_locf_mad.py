@@ -110,3 +110,32 @@ def test_top_movers_picks_largest_swing_with_ties_earliest():
     assert (a.bucket, a.prev_bucket, a.delta) == (172800, 86400, -9)
     b = got[got.source == "b"].iloc[0]
     assert (b.delta, b.prev_sum_n_tok, b.sum_n_tok) == (0, 7, 7)
+
+
+def test_nearest_picks_closer_neighbor_and_backward_ties():
+    from aisdb_ray.stages.series import nearest_group
+
+    # grid 0/60/120 over points (0,10) (100,20):
+    #   g=0 -> exact 10; g=60 -> forward point (40s) beats backward (60s);
+    #   g=120 -> past the end, backward 20
+    out = nearest_group(_group([0, 100], [10, 20]), step=60, max_gap=7200).to_pandas()
+    assert out["time"].tolist() == [0, 60, 120]
+    assert out["n_tok"].tolist() == [10, 20, 20]
+    assert out["is_original"].tolist() == [True, False, False]
+
+    # equidistant: points at 0 and 120, g=60 -> the EARLIER observation
+    tie = nearest_group(_group([0, 120], [1, 9]), step=60, max_gap=7200).to_pandas()
+    assert tie["n_tok"].tolist() == [1, 1, 9]
+
+
+def test_nearest_same_timestamp_keep_first_and_short_segment():
+    from aisdb_ray.stages.series import nearest_group
+
+    g = _group([0, 0, 60], [5, 99, 7])
+    out = nearest_group(g, step=60, max_gap=7200).to_pandas()
+    assert out["n_tok"].tolist() == [5, 7]  # seq-0 wins the dup timestamp
+    # single-point far segment skipped (same contract as gapfill/locf)
+    out2 = nearest_group(
+        _group([0, 60, 100_000], [1, 2, 9]), step=60, max_gap=7200
+    ).to_pandas()
+    assert out2["seg"].tolist() == [0, 0]
