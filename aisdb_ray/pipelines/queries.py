@@ -1294,6 +1294,76 @@ def q_ev_sessions(sf_dir: str):
     )
 
 
+def q_ev_session_quantiles(sf_dir: str):
+    """Session-duration distribution: exact p50/p95 of the per-(user,
+    session) duration in seconds — the sessionizer's summary panel.
+    Durations come off the already-segmented session table (one shuffle);
+    quantiles use the histogram decomposition under a constant scope key
+    (only (duration, count) partials shuffle)."""
+    from aisdb_ray.stages import rank
+
+    sess = q_ev_sessions(sf_dir)
+
+    def dur(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "scope": pa.array(["all"] * b.num_rows),
+                "dur": pc.subtract(b["t_end"], b["t_start"]),
+            }
+        )
+
+    return rank.group_quantiles(
+        sess.map_batches(dur, batch_format="pyarrow"), "scope", "dur", ps=(50, 95)
+    )
+
+
+def q_emb_sq8_codes(sf_dir: str):
+    """Scalar quantization (SQ8): per-dimension min/max ranges from the
+    exact fixed-point stats map every value to an 8-bit code — the
+    compressed-vector tier next to PQ (emb_pq_codes), all-integer so the
+    codes re-derive bit-for-bit in SQL.  The d-row range table broadcasts;
+    encoding is map-only."""
+    from aisdb_ray.stages import ann
+
+    _ctx()
+    ds = rd.read_parquet(_emb_path(sf_dir))
+    stats = ann.embedding_dim_stats(ds).to_pandas()
+    d = len(stats)
+    mn = np.zeros(d, np.int64)
+    mx = np.zeros(d, np.int64)
+    mn[stats["dim"].to_numpy()] = stats["min_fx"].to_numpy()
+    mx[stats["dim"].to_numpy()] = stats["max_fx"].to_numpy()
+    rng = mx - mn
+    rng[rng == 0] = 1  # constant dim -> code 0 (numerator is 0)
+    ref = ray.put((mn, rng))
+
+    def enc(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "code": pa.array([], pa.int64()),
+                }
+            )
+        mn_v, rng_v = ray.get(ref)
+        emb = b["embedding"].combine_chunks()
+        m = emb.values.to_numpy().reshape(b.num_rows, -1).astype(np.float64)
+        fx = np.floor(m * 1_000_000).astype(np.int64)
+        code = ((fx - mn_v) * 255) // rng_v  # nonneg operands: floor==trunc
+        n, dd = code.shape
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, dd)),
+                "dim": pa.array(np.tile(np.arange(dd, dtype=np.int64), n)),
+                "code": pa.array(code.ravel()),
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
 def q_ev_transitions(sf_dir: str):
     """Global event-type transition counts over per-user ordered streams
     (the Sankey / path-mining aggregate): one user-keyed co-shuffle,
@@ -3447,6 +3517,8 @@ def build_queries() -> dict:
         "ev_pareto": q_ev_pareto,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ts_nearest": q_ts_nearest,
+        "ev_session_quantiles": q_ev_session_quantiles,
+        "emb_sq8_codes": q_emb_sq8_codes,
         "emb_encode": q_emb_encode,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "doc_bpe_encode": q_doc_bpe_encode,
@@ -4717,6 +4789,40 @@ SELECT user_id, seg,
        CAST(max(time) AS BIGINT) AS t_end,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM ev_seg GROUP BY user_id, seg"""
+
+    # the same discrete-quantile rank rule as sql["ts_quantiles"], under a
+    # constant scope key over per-session durations
+    sql["ev_session_quantiles"] = f"""WITH {ev_prelude},
+  s AS (
+    SELECT user_id, seg, max(time) - min(time) AS dur
+    FROM ev_seg GROUP BY user_id, seg
+  ),
+  hist AS (SELECT 'all' AS scope, dur, count(*) AS n FROM s GROUP BY dur),
+  cw AS (
+    SELECT scope, dur,
+           sum(n) OVER (PARTITION BY scope ORDER BY dur) AS cum,
+           sum(n) OVER (PARTITION BY scope) AS tot
+    FROM hist
+  )
+SELECT scope,
+       CAST(max(tot) AS BIGINT) AS n_rows,
+       CAST(min(CASE WHEN cum >= (50 * tot + 99) // 100 THEN dur END)
+            AS BIGINT) AS q50_dur,
+       CAST(min(CASE WHEN cum >= (95 * tot + 99) // 100 THEN dur END)
+            AS BIGINT) AS q95_dur
+FROM cw GROUP BY scope"""
+
+    sql["emb_sq8_codes"] = """WITH ex AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                AS BIGINT) AS fx
+    FROM embeddings),
+  st AS (SELECT dim, min(fx) AS mn, max(fx) AS mx FROM ex GROUP BY dim)
+SELECT e.vec_id, CAST(e.dim AS BIGINT) AS dim,
+       CAST(CASE WHEN s.mx = s.mn THEN 0
+                 ELSE ((e.fx - s.mn) * 255) // (s.mx - s.mn)
+            END AS BIGINT) AS code
+FROM ex e JOIN st s USING (dim)"""
 
     sql["ev_funnel"] = """WITH ev AS (
     SELECT user_id, event_type,
