@@ -1364,6 +1364,18 @@ def q_emb_sq8_codes(sf_dir: str):
     return ds.map_batches(enc, batch_format="pyarrow")
 
 
+def q_ann_sq8_topk(sf_dir: str):
+    """Top-10 inner product served from the SQ8 tier: exact 255-scaled
+    integer scores against the quantized reconstruction, ties → smaller
+    id — the scalar-quantization counterpart of ann_pq_topk."""
+    from aisdb_ray.stages import ann
+
+    _ctx()
+    return ann.sq8_adc_topk(
+        rd.read_parquet(_emb_path(sf_dir)), _query_vector(sf_dir), k=10
+    )
+
+
 def q_ev_transitions(sf_dir: str):
     """Global event-type transition counts over per-user ordered streams
     (the Sankey / path-mining aggregate): one user-keyed co-shuffle,
@@ -3519,6 +3531,7 @@ def build_queries() -> dict:
         "ts_nearest": q_ts_nearest,
         "ev_session_quantiles": q_ev_session_quantiles,
         "emb_sq8_codes": q_emb_sq8_codes,
+        "ann_sq8_topk": q_ann_sq8_topk,
         "emb_encode": q_emb_encode,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "doc_bpe_encode": q_doc_bpe_encode,
@@ -4823,6 +4836,34 @@ SELECT e.vec_id, CAST(e.dim AS BIGINT) AS dim,
                  ELSE ((e.fx - s.mn) * 255) // (s.mx - s.mn)
             END AS BIGINT) AS code
 FROM ex e JOIN st s USING (dim)"""
+
+    # SQ8 serving: the codes CTE above extended with the 255-scaled exact
+    # integer reconstruction score against the vec_id=0 query
+    sql["ann_sq8_topk"] = """WITH ex AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                AS BIGINT) AS fx
+    FROM embeddings),
+  st AS (SELECT dim, min(fx) AS mn, max(fx) AS mx FROM ex GROUP BY dim),
+  codes AS (
+    SELECT e.vec_id, e.dim,
+           CASE WHEN s.mx = s.mn THEN 0
+                ELSE ((e.fx - s.mn) * 255) // (s.mx - s.mn) END AS code,
+           s.mn,
+           CASE WHEN s.mx = s.mn THEN 1 ELSE s.mx - s.mn END AS rng
+    FROM ex e JOIN st s USING (dim)
+  ),
+  q AS (SELECT dim, fx AS qfx FROM ex WHERE vec_id = 0),
+  sc AS (
+    SELECT c.vec_id,
+           CAST(sum(q.qfx * (255 * c.mn + c.code * c.rng)) AS BIGINT)
+             AS score255
+    FROM codes c JOIN q USING (dim) GROUP BY c.vec_id
+  )
+SELECT CAST(row_number() OVER (ORDER BY score255 DESC, vec_id) AS BIGINT)
+         AS rank,
+       vec_id, score255
+FROM sc ORDER BY rank LIMIT 10"""
 
     sql["ev_funnel"] = """WITH ev AS (
     SELECT user_id, event_type,

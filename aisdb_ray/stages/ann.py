@@ -1049,3 +1049,80 @@ def knn_graph(sf_emb_path: str, k: int = 5, target_block_rows: int = 65_536):
         )
 
     return co_shuffle(cands, ["vec_id"], merge)
+
+
+def sq8_adc_topk(ds_emb, query: np.ndarray, k: int = 10, scale: int = 1_000_000):
+    """Top-k by inner product served from the SQ8 scalar-quantized tier
+    (the SQ counterpart of :func:`pq_adc_topk`): every vector is scored
+    against its 8-bit reconstruction, kept EXACT by working in the
+    255-scaled integer domain —
+
+        score255(v) = Σ_d q_fx[d] · (255·mn[d] + code[v,d]·rng[d])
+
+    with q_fx the fixed-point query, mn/rng the per-dimension ranges and
+    code the SQ8 code; all operands int64 (overflow-guarded), so Ray and
+    the SQL oracle agree bit-for-bit.  Ties → smaller vec_id.
+
+    Shape: the d-row range table and the query broadcast once; per batch
+    one integer matmul and a local top-k — only k rows leave each task."""
+    import ray
+
+    stats = embedding_dim_stats(ds_emb, scale).to_pandas()
+    d = len(stats)
+    mn = np.zeros(d, np.int64)
+    mx = np.zeros(d, np.int64)
+    mn[stats["dim"].to_numpy()] = stats["min_fx"].to_numpy()
+    mx[stats["dim"].to_numpy()] = stats["max_fx"].to_numpy()
+    rng = mx - mn
+    rng[rng == 0] = 1
+    qfx = np.floor(np.asarray(query, dtype=np.float64) * scale).astype(np.int64)
+    bound = int(np.abs(qfx).max() or 1) * int(
+        (255 * np.abs(mn) + 255 * rng).max() or 1
+    ) * d
+    if bound >= (1 << 62):
+        raise OverflowError("sq8 score would overflow int64")
+    ref = ray.put((qfx, mn, rng))
+
+    def score(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "score255": pa.array([], pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        qv, mn_v, rng_v = ray.get(ref)
+        m = _emb_matrix(b)
+        fx = np.floor(m * scale).astype(np.int64)
+        code = ((fx - mn_v) * 255) // rng_v
+        recon255 = 255 * mn_v + code * rng_v
+        s = recon255 @ qv  # exact int64
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        take = min(k, len(ids))
+        idx = np.argpartition(-s, take - 1)[:take]
+        order = np.lexsort((ids[idx], -s[idx]))
+        idx = idx[order]
+        return pa.table(
+            {"vec_id": pa.array(ids[idx]), "score255": pa.array(s[idx])}
+        )
+
+    partial = ds_emb.map_batches(score, batch_format="pyarrow")
+
+    def merge(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        s = b["score255"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -s))[:k]
+        return pa.table(
+            {
+                "rank": pa.array(
+                    np.arange(1, len(order) + 1, dtype=np.int64)
+                ),
+                "vec_id": pa.array(ids[order].astype(np.int64)),
+                "score255": pa.array(s[order].astype(np.int64)),
+            }
+        )
+
+    return partial.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )

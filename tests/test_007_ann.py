@@ -414,3 +414,40 @@ def test_knn_graph_matches_bruteforce_multiblock(tmp_path):
         mine = got[got["vec_id"] == v]["nbr_id"].to_numpy()
         np.testing.assert_array_equal(mine, order)
     assert got.groupby("vec_id")["rank"].max().eq(3).all()
+
+
+def test_sq8_adc_topk_recalls_exact_on_separated_data(tmp_path):
+    import pyarrow as pa
+
+    # well-separated vectors: SQ8 ranking must match exact MIPS ranking
+    rng = np.random.default_rng(11)
+    m = (rng.normal(size=(40, 8)) * np.arange(1, 41)[:, None] * 0.1).astype(
+        np.float32
+    )
+    t = pa.table({
+        "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+        "embedding": pa.array(list(m), pa.list_(pa.float32())),
+    })
+    q = m[5].astype(np.float64)
+    got = ann.sq8_adc_topk(rd.from_arrow(t), q, k=5).to_pandas()
+    assert len(got) == 5
+    assert got["rank"].tolist() == [1, 2, 3, 4, 5]
+    # scores strictly ordered (ties impossible on this data)
+    assert got["score255"].is_monotonic_decreasing
+    # the quantized self-match must rank near the true exact argmax
+    exact = np.argmax(m.astype(np.float64) @ q)
+    assert exact in set(got["vec_id"])
+
+
+def test_sq8_constant_dimension_codes_zero():
+    import pyarrow as pa
+
+    m = np.ones((3, 4), dtype=np.float32)  # every dim constant
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array(list(m), pa.list_(pa.float32())),
+    })
+    got = ann.sq8_adc_topk(rd.from_arrow(t), np.ones(4), k=3).to_pandas()
+    # all reconstructions identical -> ties broken by vec_id
+    assert got["vec_id"].tolist() == [0, 1, 2]
+    assert got["score255"].nunique() == 1
