@@ -3394,6 +3394,78 @@ def q_ann_lsh_recall(sf_dir: str):
     )
 
 
+def q_ann_ivf_recall(sf_dir: str):
+    """Recall@10 of the IVF index vs exact brute force as integer
+    evidence (k, n_overlap) — the nprobe-tuning measurement, run
+    distributed like ann_lsh_recall."""
+    from aisdb_ray.stages import join as join_mod
+
+    exact = q_ann_topk(sf_dir).select_columns(["vec_id"])
+    approx = q_ann_ivf_topk(sf_dir).select_columns(["vec_id"])
+    n = join_mod.hash_join(exact, approx, on="vec_id", how="inner").count()
+    return pa.table(
+        {"k": pa.array([10], pa.int64()), "n_overlap": pa.array([n], pa.int64())}
+    )
+
+
+def q_doc_dup_rate(sf_dir: str):
+    """Per-source duplication pressure: document count vs distinct
+    content hashes — the shard-level dedup-yield estimate run before
+    committing to a full dedup pass.  Per-batch (source, md5) count
+    partials, ONE md5-keyed co-shuffle (pairs are hash-local so the
+    distinct count is exact), source-keyed combine."""
+    from aisdb_ray.stages import textstats
+    from aisdb_ray.stages._dist import co_shuffle, funnel_combine
+
+    _ctx()
+    ds = rd.read_parquet(_docs_path(sf_dir), columns=["source", "text"])
+
+    def part(b: pa.Table) -> pa.Table:
+        h = textstats.md5_batch(b)
+        t = pa.table({"source": h["source"], "text_md5": h["text_md5"]})
+        g = t.group_by(["source", "text_md5"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["source", "text_md5", "c"])
+
+    pairs = ds.map_batches(part, batch_format="pyarrow")
+
+    def per_part(p: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_unique": pa.array([], pa.int64()),
+            }
+        )
+        if p.num_rows == 0:
+            return empty
+        g = p.group_by(["source", "text_md5"], use_threads=False).aggregate(
+            [("c", "sum")]
+        )
+        t = pa.table(
+            {
+                "source": g["source"],
+                "c": g["c_sum"],
+                "one": pa.array(np.ones(g.num_rows, np.int64)),
+            }
+        )
+        out = t.group_by(["source"], use_threads=False).aggregate(
+            [("c", "sum"), ("one", "sum")]
+        )
+        return out.rename_columns(["source", "n_docs", "n_unique"])
+
+    partials = co_shuffle(pairs, ["text_md5"], per_part)
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source"], use_threads=False).aggregate(
+            [("n_docs", "sum"), ("n_unique", "sum")]
+        )
+        return g.rename_columns(["source", "n_docs", "n_unique"])
+
+    return funnel_combine(partials, merge, key_col="source", hash_combine=True)
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """IVF-bucketed ANN: spherical-kmeans coarse quantizer fit on a bounded
     sample, distributed assignment persisted as list-partitioned postings,
@@ -3532,6 +3604,8 @@ def build_queries() -> dict:
         "ev_session_quantiles": q_ev_session_quantiles,
         "emb_sq8_codes": q_emb_sq8_codes,
         "ann_sq8_topk": q_ann_sq8_topk,
+        "ann_ivf_recall": q_ann_ivf_recall,
+        "doc_dup_rate": q_doc_dup_rate,
         "emb_encode": q_emb_encode,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "doc_bpe_encode": q_doc_bpe_encode,
@@ -5994,6 +6068,16 @@ FROM ex JOIN ap USING (vec_id)"""
     _q0 = _q0 / (np.linalg.norm(_q0) or 1.0)
     _probes = sorted(int(x) for x in np.argsort(-(_cent @ _q0))[:4])
     sql["ann_ivf_topk"] = oracle_text.ann_ivf_topk_sql(_cent, _probes, k=10)
+    sql["ann_ivf_recall"] = f"""WITH ex AS ({sql["ann_topk"]}),
+  ap AS ({sql["ann_ivf_topk"]})
+SELECT CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_overlap
+FROM ex JOIN ap USING (vec_id)"""
+
+    sql["doc_dup_rate"] = """SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
+FROM documents GROUP BY source"""
+
     sql["ann_ivfpq_topk"] = oracle_text.ann_ivfpq_topk_sql(
         _cent, _probes, _cb_vals, _dsub, k=10
     )
