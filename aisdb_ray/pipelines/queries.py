@@ -716,6 +716,87 @@ def q_ts_theil_sen(sf_dir: str):
     return window.theil_sen(_clean_tokens(sf_dir))
 
 
+def q_ts_cadence(sf_dir: str):
+    """Dominant reporting interval per source: the MODE of consecutive
+    inter-arrival deltas (ties → the smallest interval) — how a
+    monitoring system learns each producer's intended cadence before
+    flagging gaps.  Composes the delta kernel with the mode aggregate:
+    (count partials per (source, dt), per-key arg-max)."""
+    from aisdb_ray.stages import modeagg, window
+
+    d = window.group_deltas(_clean_tokens(sf_dir), "source", "time", "seq")
+    return modeagg.mode_per_key(d, "source", "dt")
+
+
+def q_ev_new_vs_returning(sf_dir: str):
+    """Per-day split of active users into NEW (first-ever activity that
+    day) vs RETURNING — the growth-accounting panel.  One pass derives
+    per-user first days (algebraic min partials); the daily split is a
+    distinct-pair count partial joined against the broadcast-free
+    user-keyed co-shuffle (a user's first day and activity days co-locate,
+    so the new/returning flag is partition-local)."""
+    from aisdb_ray.stages._dist import co_shuffle, funnel_combine
+
+    _ctx()
+    D = 86400
+    ds = _events_ds(sf_dir, ["user_id", "ts"]).map_batches(
+        _events_adapter, batch_format="pyarrow"
+    )
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        day = pc.multiply(
+            pc.divide(pc.cast(b["time"], pa.int64()), pa.scalar(D, pa.int64())),
+            pa.scalar(D, pa.int64()),
+        )
+        t = pa.table({"user_id": b["user_id"], "day": day})
+        return t.group_by(["user_id", "day"], use_threads=False).aggregate([])
+
+    pairs = ds.map_batches(pair_partial, batch_format="pyarrow")
+
+    def per_part(p: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "day": pa.array([], pa.int64()),
+                "new_users": pa.array([], pa.int64()),
+                "returning_users": pa.array([], pa.int64()),
+            }
+        )
+        if p.num_rows == 0:
+            return empty
+        dd = p.group_by(["user_id", "day"], use_threads=False).aggregate([])
+        u = dd["user_id"]
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        uid = pc.dictionary_encode(u).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        day = dd["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        first = np.full(int(uid.max()) + 1, np.iinfo(np.int64).max)
+        np.minimum.at(first, uid, day)
+        is_new = (day == first[uid]).astype(np.int64)
+        t = pa.table(
+            {
+                "day": dd["day"],
+                "new": pa.array(is_new),
+                "ret": pa.array(1 - is_new),
+            }
+        )
+        g = t.group_by(["day"], use_threads=False).aggregate(
+            [("new", "sum"), ("ret", "sum")]
+        )
+        return g.rename_columns(["day", "new_users", "returning_users"])
+
+    partials = co_shuffle(pairs, ["user_id"], per_part)
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["day"], use_threads=False).aggregate(
+            [("new_users", "sum"), ("returning_users", "sum")]
+        )
+        return g.rename_columns(["day", "new_users", "returning_users"])
+
+    return funnel_combine(partials, merge, key_col="day", hash_combine=True)
+
+
 def q_ts_downtime(sf_dir: str):
     """Outage intervals: spans of ≥30 min between consecutive points of a
     source — the silence windows an on-call dashboard lists (the
@@ -3606,6 +3687,8 @@ def build_queries() -> dict:
         "ann_sq8_topk": q_ann_sq8_topk,
         "ann_ivf_recall": q_ann_ivf_recall,
         "doc_dup_rate": q_doc_dup_rate,
+        "ts_cadence": q_ts_cadence,
+        "ev_new_vs_returning": q_ev_new_vs_returning,
         "emb_encode": q_emb_encode,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "doc_bpe_encode": q_doc_bpe_encode,
@@ -4606,6 +4689,33 @@ SELECT source, seg, time, n_tok, is_original FROM filled"""
     # robust outliers: the 2·median / 2·MAD integer construction mirrors
     # stages/window.mad_outliers exactly (2*median(BIGINT) is a sum of the
     # middle pair — exactly representable, cast back loss-free)
+    sql["ts_cadence"] = f"""WITH {_sql_tokens_clean(tok)},
+  d AS (
+    SELECT source,
+           time - lag(time) OVER (PARTITION BY source ORDER BY time, seq)
+             AS mode_value
+    FROM clean
+  ),
+  cnt AS (SELECT source, mode_value, CAST(count(*) AS BIGINT) AS n
+          FROM d WHERE mode_value IS NOT NULL GROUP BY source, mode_value),
+  pick AS (SELECT *, row_number() OVER
+             (PARTITION BY source ORDER BY n DESC, mode_value ASC) AS rn
+           FROM cnt)
+SELECT source, mode_value, n AS mode_count FROM pick WHERE rn = 1"""
+
+    sql["ev_new_vs_returning"] = """WITH ev AS (
+    SELECT user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t FROM events
+  ),
+  ud AS (SELECT DISTINCT user_id, (t // 86400) * 86400 AS day FROM ev),
+  f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id)
+SELECT ud.day,
+       CAST(sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS new_users,
+       CAST(sum(CASE WHEN ud.day = f.first_day THEN 0 ELSE 1 END)
+            AS BIGINT) AS returning_users
+FROM ud JOIN f USING (user_id)
+GROUP BY ud.day"""
+
     sql["ts_downtime"] = f"""WITH {_sql_tokens_clean(tok)},
   d AS (
     SELECT source, time,
