@@ -3648,6 +3648,53 @@ def q_media_audio(sf_dir: str):
     )
 
 
+def q_ts_seasonal_naive(sf_dir: str):
+    """Seasonal-naive forecast backtest: score "this 5-min bucket = the
+    bucket one hour earlier" against the realized totals — the no-skill
+    baseline a deployed forecaster must beat.  Rollup partials shrink the
+    stream first (only tier rows shuffle), then window.lag_backtest pairs
+    each bucket with its t-3600 ancestor via one source-keyed co-shuffle.
+    Output per source: n_pairs / sae / sse, all exact int64."""
+    from aisdb_ray.stages import rollup as rollup_mod
+    from aisdb_ray.stages import window
+
+    _ctx()
+    five_min = rollup_mod.rollup(_clean_tokens(sf_dir), 300).select_columns(
+        ["source", "bucket", "sum_n_tok"]
+    )
+    return window.lag_backtest(five_min, "source", "bucket", "sum_n_tok", lag=3600)
+
+
+def q_ts_co_outage(sf_dir: str):
+    """Correlated-failure detection: pairs of DIFFERENT sources whose
+    >=30-min silence windows (ts_downtime's intervals) overlap in time —
+    co-occurring outages point at a shared upstream cause.  A range join
+    has no equi-key, so join.interval_overlap_pairs bins intervals into
+    day-wide windows (the zones.py coarse-bucket prune reshaped for time),
+    ONE bin-keyed co-shuffle, vectorized all-pair checks bin-locally, each
+    pair claimed exactly once by the bin owning its overlap start."""
+    from aisdb_ray.stages import join as join_mod
+    from aisdb_ray.stages import window
+
+    _ctx()
+    d = window.group_deltas(_clean_tokens(sf_dir), "source", "time", "seq")
+
+    def gaps(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["dt"], pa.scalar(1800)))
+        return pa.table(
+            {
+                "source": b["source"],
+                "gap_start": pc.subtract(b["time"], b["dt"]),
+                "gap_end": b["time"],
+            }
+        )
+
+    intervals = d.map_batches(gaps, batch_format="pyarrow")
+    return join_mod.interval_overlap_pairs(
+        intervals, key="source", start="gap_start", end="gap_end"
+    )
+
+
 # --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
@@ -3659,6 +3706,8 @@ def build_queries() -> dict:
     # come FIRST so a budget-capped gate reaches them; the 50 queries already
     # driver-green in CORRECTNESS_r02.json follow.
     return {
+        "ts_seasonal_naive": q_ts_seasonal_naive,
+        "ts_co_outage": q_ts_co_outage,
         "ts_rolling_median": q_ts_rolling_median,
         "ts_theil_sen": q_ts_theil_sen,
         "doc_dsir_weights": q_doc_dsir_weights,
@@ -4715,6 +4764,35 @@ SELECT ud.day,
             AS BIGINT) AS returning_users
 FROM ud JOIN f USING (user_id)
 GROUP BY ud.day"""
+
+    sql["ts_seasonal_naive"] = f"""WITH {_sql_tokens_clean(tok)},
+  h AS (
+    SELECT source, (time // 300) * 300 AS bucket,
+           CAST(sum(n_tok) AS BIGINT) AS y
+    FROM clean GROUP BY source, bucket
+  ),
+  p AS (
+    SELECT a.source, a.y - b.y AS err
+    FROM h a JOIN h b ON b.source = a.source AND b.bucket = a.bucket - 3600
+  )
+SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(abs(err)) AS BIGINT) AS sae,
+       CAST(sum(err * err) AS BIGINT) AS sse
+FROM p GROUP BY source"""
+
+    sql["ts_co_outage"] = f"""WITH {_sql_tokens_clean(tok)},
+  d AS (
+    SELECT source, time,
+           time - lag(time) OVER (PARTITION BY source ORDER BY time, seq)
+             AS dt
+    FROM clean
+  ),
+  g AS (SELECT source, time - dt AS s, time AS e FROM d WHERE dt >= 1800)
+SELECT a.source AS key_a, b.source AS key_b,
+       greatest(a.s, b.s) AS ov_start, least(a.e, b.e) AS ov_end,
+       least(a.e, b.e) - greatest(a.s, b.s) AS overlap_s
+FROM g a JOIN g b
+  ON a.source < b.source AND a.s < b.e AND b.s < a.e"""
 
     sql["ts_downtime"] = f"""WITH {_sql_tokens_clean(tok)},
   d AS (

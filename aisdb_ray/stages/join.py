@@ -408,3 +408,120 @@ def interval_join(
         .groupby(_PART)
         .map_groups(join_part, batch_format="pyarrow")
     )
+
+
+def interval_overlap_pairs(
+    intervals,
+    key: str = "source",
+    start: str = "gap_start",
+    end: str = "gap_end",
+    window_s: int = 86400,
+    num_parts: int | None = None,
+):
+    """Cross-key interval-overlap self-join: every pair of intervals from
+    DIFFERENT keys whose spans intersect (strictly — touching endpoints do
+    not overlap).  The correlated-failure query over outage intervals: two
+    sources silent at the same time point to a shared upstream cause.
+
+    Range joins have no equi-key, so the distributed shape is the classic
+    spatial-join bin trick (the same coarse-bucket prune as the zone join,
+    stages/zones.py): each interval replicates to the fixed ``window_s``
+    time bins it touches, ONE bin-keyed co-shuffle co-locates everything
+    that could overlap, and each bin runs a vectorized all-pair check over
+    its (few) residents.  A pair whose spans cross a bin boundary would
+    surface in every shared bin, so each pair is claimed exactly once by
+    the bin containing the overlap's start (max of the two starts) —
+    emitted iff that falls in the current bin.
+
+    Partitioning assumption (documented contract): bin population is
+    bounded — intervals per key are disjoint by construction (consecutive-
+    point gaps), so a bin holds at most ``ceil(window_s / min_gap) + 1``
+    intervals per key; the all-pair check is O(residents^2) per bin, never
+    O(corpus^2).
+
+    Output: (key_a, key_b, ov_start, ov_end, overlap_s), key_a < key_b."""
+    from aisdb_ray.stages._dist import co_shuffle
+
+    _BIN = "_ov_bin"
+
+    def replicate(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column(_BIN, pa.array([], pa.int64()))
+        s = b[start].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = b[end].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = s // window_s
+        hi = e // window_s  # end bin inclusive (strict overlap never
+        # extends past it: points AT e don't overlap)
+        reps = (hi - lo + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(s)), reps)
+        bins = lo.repeat(reps) + _ranges_within(reps)
+        out = b.take(pa.array(idx))
+        return out.append_column(_BIN, pa.array(bins * window_s))
+
+    def per_bin(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "key_a": pa.array([], pa.string()),
+                "key_b": pa.array([], pa.string()),
+                "ov_start": pa.array([], pa.int64()),
+                "ov_end": pa.array([], pa.int64()),
+                "overlap_s": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows < 2:
+            return empty
+        outs = []
+        # a partition may hold several bins: split by bin id first
+        bins = part[_BIN].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(bins, kind="stable")
+        bs = bins[order]
+        cuts = np.r_[0, np.flatnonzero(bs[1:] != bs[:-1]) + 1, len(bs)]
+        keys = part[key]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        s_all = part[start].to_numpy(zero_copy_only=False).astype(np.int64)
+        e_all = part[end].to_numpy(zero_copy_only=False).astype(np.int64)
+        for a0, a1 in zip(cuts[:-1], cuts[1:]):
+            rows = order[a0:a1]
+            bin_lo = bs[a0]
+            bin_hi = bin_lo + window_s
+            s, e = s_all[rows], e_all[rows]
+            i, j = np.triu_indices(len(rows), k=1)
+            ov_s = np.maximum(s[i], s[j])
+            ov_e = np.minimum(e[i], e[j])
+            ka = keys.take(pa.array(rows[i])).to_numpy(zero_copy_only=False)
+            kb = keys.take(pa.array(rows[j])).to_numpy(zero_copy_only=False)
+            keep = (
+                (ov_s < ov_e)                    # strict overlap
+                & (ka != kb)                     # cross-key only
+                & (ov_s >= bin_lo) & (ov_s < bin_hi)  # claimed once
+            )
+            if not keep.any():
+                continue
+            ka, kb = ka[keep], kb[keep]
+            swap = ka > kb
+            ka2 = np.where(swap, kb, ka)
+            kb2 = np.where(swap, ka, kb)
+            outs.append(pa.table({
+                "key_a": pa.array(ka2.astype(object), pa.string()),
+                "key_b": pa.array(kb2.astype(object), pa.string()),
+                "ov_start": pa.array(ov_s[keep]),
+                "ov_end": pa.array(ov_e[keep]),
+                "overlap_s": pa.array(ov_e[keep] - ov_s[keep]),
+            }))
+        if not outs:
+            return empty
+        return pa.concat_tables(outs)
+
+    binned = intervals.map_batches(replicate, batch_format="pyarrow")
+    return co_shuffle(binned, [_BIN], per_bin, num_parts)
+
+
+def _ranges_within(reps: np.ndarray) -> np.ndarray:
+    """[0..reps[0]-1, 0..reps[1]-1, ...] without a Python loop."""
+    total = int(reps.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = np.zeros(total, dtype=np.int64)
+    starts[np.cumsum(reps)[:-1]] = reps[:-1]
+    return np.arange(total, dtype=np.int64) - np.cumsum(starts)

@@ -995,3 +995,84 @@ def longest_rising_streak(
         )
 
     return co_shuffle(ds, [group], block, num_parts)
+
+
+def lag_backtest(
+    ds,
+    group: str = "source",
+    time_col: str = "bucket",
+    value: str = "sum_n_tok",
+    lag: int = 3600,
+    num_parts: int | None = None,
+):
+    """Seasonal-naive backtest: score the forecast "this bucket = the
+    bucket exactly ``lag`` seconds earlier" against the realized series —
+    the baseline every forecasting deployment must beat (Hyndman &
+    Athanasopoulos, *Forecasting: Principles and Practice*, §5.2), run
+    here over an already-rolled-up tier so only tier rows shuffle.
+
+    The reference's analogue is its per-track interp-vs-observed
+    comparisons (/root/reference/aisdb/track_interp.py semantics); this is
+    that evaluation reshaped as a distributed operator: one group-keyed
+    co-shuffle, then a composite-key searchsorted pairs each bucket with
+    its in-group ``t - lag`` predecessor (exact match only — missing
+    seasonal ancestors drop out, they are not imputed).
+
+    Output per group with >= 1 pair: (group, n_pairs, sae, sse) — all
+    exact int64 (|err| and err^2 summed over pairs)."""
+    from aisdb_ray.stages._dist import co_shuffle
+
+    def block(part: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                group: pa.array([], pa.string()),
+                "n_pairs": pa.array([], pa.int64()),
+                "sae": pa.array([], pa.int64()),
+                "sse": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        gcol = part[group]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        codes = pc.dictionary_encode(gcol)
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        gid = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        t = part[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = part[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((t, gid))
+        gs, ts, vs = gid[order], t[order], v[order]
+        # composite (group, time) key: group ids are partition-local and
+        # small, times are nonnegative epochs < 2^40 — no collision
+        comp = gs * (1 << 41) + ts
+        want = comp - lag
+        pos = np.searchsorted(comp, want)
+        pos_c = np.minimum(pos, len(comp) - 1)
+        hit = comp[pos_c] == want
+        if not hit.any():
+            return empty
+        err = vs[hit] - vs[pos_c[hit]]
+        g_of = gs[hit]
+        uniq, inv = np.unique(g_of, return_inverse=True)
+        n_pairs = np.bincount(inv).astype(np.int64)
+        sae = np.bincount(inv, weights=np.abs(err)).astype(np.int64)
+        sse = np.bincount(inv, weights=err.astype(np.float64) ** 2).astype(np.int64)
+        # bincount sums float64: exact while |err| sums stay < 2^53 —
+        # guard so a hotter fixture raises instead of rounding
+        if sae.max(initial=0) >= (1 << 52) or sse.max(initial=0) >= (1 << 52):
+            raise ValueError("lag_backtest sums exceed float53-exact range")
+        srcs = gcol.take(pa.array(order[np.searchsorted(gs, uniq)]))
+        return pa.table(
+            {
+                group: srcs,
+                "n_pairs": pa.array(n_pairs),
+                "sae": pa.array(sae),
+                "sse": pa.array(sse),
+            }
+        )
+
+    return co_shuffle(ds, [group], block, num_parts)
