@@ -3648,6 +3648,31 @@ def q_media_audio(sf_dir: str):
     )
 
 
+def q_doc_boilerplate(sf_dir: str):
+    """CCNet-style corpus-frequency boilerplate removal (Wenzek et al.
+    2020 §4.1): inventory the aligned word segments appearing in >= 20
+    distinct documents, broadcast that (threshold-bounded) set once, strip
+    every occurrence map-side and reassemble the cleaned text.  Two
+    streaming passes; the corpus never shuffles."""
+    from aisdb_ray.stages import dedup_text
+
+    _ctx()
+    ds = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return dedup_text.strip_boilerplate(
+        ds, id_col="doc_id", text_col="text", seg_words=2, min_df=20, min_len=4
+    )
+
+
+def q_tok_coverage(sf_dir: str):
+    """Vocabulary-coverage curve: smallest k token ids covering 90% / 99%
+    of token mass (5% doc-hash sample) — embedding-table sizing evidence.
+    Vocab-bounded histogram partials; the sort+cumsum finalize touches
+    vocab rows only."""
+    from aisdb_ray.stages import tokstats
+
+    return tokstats.vocab_coverage(_tok_sample(sf_dir, 5), ps=(90, 99))
+
+
 def q_ts_seasonal_naive(sf_dir: str):
     """Seasonal-naive forecast backtest: score "this 5-min bucket = the
     bucket one hour earlier" against the realized totals — the no-skill
@@ -3708,6 +3733,8 @@ def build_queries() -> dict:
     return {
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_co_outage": q_ts_co_outage,
+        "doc_boilerplate": q_doc_boilerplate,
+        "tok_coverage": q_tok_coverage,
         "ts_rolling_median": q_ts_rolling_median,
         "ts_theil_sen": q_ts_theil_sen,
         "doc_dsir_weights": q_doc_dsir_weights,
@@ -6147,6 +6174,58 @@ SELECT CAST(code // 4294967296 AS BIGINT) AS tok_a,
 FROM bg GROUP BY code
 ORDER BY n DESC, tok_a ASC, tok_b ASC
 LIMIT 100"""
+
+    sql["doc_boilerplate"] = r"""WITH w AS (
+    SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+  ),
+  seg AS (
+    SELECT doc_id, s.i AS pos,
+           array_to_string(ws[CAST(s.i AS BIGINT):CAST(s.i + 1 AS BIGINT)], ' ') AS g
+    FROM w, LATERAL unnest(generate_series(1, len(ws), 2)) AS s(i)
+  ),
+  df AS (
+    SELECT g, count(DISTINCT doc_id) AS n FROM seg
+    WHERE length(g) >= 4 GROUP BY g
+  ),
+  boiler AS (SELECT g FROM df WHERE n >= 20),
+  m AS (
+    SELECT s.doc_id, s.pos, s.g,
+           s.g IN (SELECT g FROM boiler) AS is_b
+    FROM seg s
+  )
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(count(*) FILTER (WHERE NOT is_b) AS BIGINT) AS n_kept,
+       coalesce(string_agg(g, ' ' ORDER BY pos) FILTER (WHERE NOT is_b), '')
+         AS text_clean
+FROM m GROUP BY doc_id"""
+
+    sql["tok_coverage"] = f"""WITH v AS (
+    SELECT tokens FROM read_parquet('{tok}/*.parquet')
+    WHERE n_tok > 0 AND len(tokens) = n_tok
+      AND CAST('0x' || substr(md5(doc_id), 1, 8) AS BIGINT) % 100 < 5
+  ),
+  hist AS (
+    SELECT CAST(t.tk AS BIGINT) AS token_id, CAST(count(*) AS BIGINT) AS n
+    FROM v, LATERAL unnest(v.tokens) AS t(tk)
+    GROUP BY t.tk
+  ),
+  tot AS (
+    SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct
+    FROM hist
+  ),
+  c AS (
+    SELECT CAST(sum(n) OVER (ORDER BY n DESC, token_id ASC) AS BIGINT) AS cum,
+           row_number() OVER (ORDER BY n DESC, token_id ASC) AS rk
+    FROM hist
+  )
+SELECT t.total_tokens, t.n_distinct,
+       CAST((SELECT min(rk) FROM c
+             WHERE cum >= (90 * t.total_tokens + 99) // 100) AS BIGINT) AS k90,
+       CAST((SELECT min(rk) FROM c
+             WHERE cum >= (99 * t.total_tokens + 99) // 100) AS BIGINT) AS k99
+FROM tot t"""
 
     sql["tok_unigram_hist"] = f"""WITH v AS (
     SELECT tokens FROM read_parquet('{tok}/*.parquet')

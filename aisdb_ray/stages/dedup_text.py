@@ -612,3 +612,144 @@ def semdedup_survivors(sf_emb_path: str, cent: np.ndarray,
         return assigned.groupby("cluster", num_partitions=_nparts()).map_groups(
             prune, batch_format="pyarrow"
         )
+
+
+# --------------------------------------------------------------------------
+# corpus-frequency boilerplate removal (CCNet §4.1 / C4 boilerplate pass)
+# --------------------------------------------------------------------------
+
+def _doc_segments(texts: pa.Array, seg_words: int):
+    """Aligned non-overlapping ``seg_words``-word segments per document.
+
+    Returns (doc_idx, pos, segments): ``pos`` is the 1-based word index of
+    the segment's first word (mirroring the oracle's
+    ``generate_series(1, len(ws), seg_words)``), segments are the words
+    joined by one space.  The trailing segment may be shorter.  Fully
+    vectorized: one regex split pass, run-length segment offsets, one
+    ``binary_join`` — no per-row Python."""
+    import pyarrow.compute as pc
+
+    from aisdb_ray.stages.textstats import _doc_words_flat
+
+    flat, parent = _doc_words_flat(texts)
+    if len(flat) == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                pa.array([], pa.string()))
+    starts = np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]])
+    pos_in_doc = np.arange(len(parent), dtype=np.int64) - np.repeat(
+        starts, np.diff(np.r_[starts, len(parent)])
+    )
+    seg_j = pos_in_doc // seg_words
+    brk = np.r_[True, (parent[1:] != parent[:-1]) | (seg_j[1:] != seg_j[:-1])]
+    seg_starts = np.flatnonzero(brk)
+    offsets = np.r_[seg_starts, len(parent)].astype(np.int32)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+    segs = pc.binary_join(lists, pa.scalar(" "))
+    return (
+        parent[seg_starts].astype(np.int64),
+        pos_in_doc[seg_starts] + 1,
+        segs,
+    )
+
+
+def boilerplate_segments(ds, text_col: str = "text", seg_words: int = 2,
+                         min_df: int = 20, min_len: int = 4):
+    """Corpus-wide boilerplate inventory: the aligned word segments that
+    appear in >= ``min_df`` DISTINCT documents (short segments under
+    ``min_len`` chars never qualify).  Per-batch distinct-(doc, segment)
+    partials (a doc never splits across batches), ONE segment-keyed
+    co-shuffle to sum document frequencies, then the threshold filter —
+    the result is bounded by the frequency cut, never corpus-sized.
+
+    This is the df pass of CCNet-style repeated-paragraph removal
+    (Wenzek et al. 2020 §4.1); the fixture's documents are single-line,
+    so the removable unit here is the aligned ``seg_words``-word segment
+    rather than the newline-delimited paragraph — same shape, same
+    distributed plan."""
+    import pyarrow.compute as pc
+
+    from aisdb_ray.stages._dist import co_shuffle
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        doc_idx, _, segs = _doc_segments(texts, seg_words)
+        keep = pc.greater_equal(
+            pc.utf8_length(segs), pa.scalar(min_len)
+        ).to_numpy(zero_copy_only=False)
+        t = pa.table({"d": pa.array(doc_idx[keep]), "g": segs.filter(pa.array(keep))})
+        distinct = t.group_by(["d", "g"], use_threads=False).aggregate([])
+        g = distinct.group_by(["g"], use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(["g", "n_docs"])
+
+    def combine(part: pa.Table) -> pa.Table:
+        g = part.group_by(["g"], use_threads=False).aggregate([("n_docs", "sum")])
+        g = g.rename_columns(["g", "n_docs"])
+        return g.filter(pc.greater_equal(g["n_docs"], pa.scalar(min_df)))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return co_shuffle(partials, ["g"], combine)
+
+
+def strip_boilerplate(ds, id_col: str = "doc_id", text_col: str = "text",
+                      seg_words: int = 2, min_df: int = 20, min_len: int = 4):
+    """Remove corpus-frequent segments from every document and reassemble.
+
+    Two streaming passes over the corpus: the df pass
+    (:func:`boilerplate_segments`, distributed), then a broadcast of the
+    (threshold-bounded) boilerplate set via ``ray.put`` and one map-only
+    filter+rejoin — the corpus itself never shuffles.  Output per document
+    with >= 1 segment: (id, n_segs, n_kept, text_clean); ``text_clean``
+    re-joins the surviving segments with single spaces."""
+    import pyarrow.compute as pc
+
+    boiler_tbl = boilerplate_segments(
+        ds, text_col, seg_words, min_df, min_len
+    ).take_all()  # bounded by the min_df cut (inventory rows, not corpus)
+    boiler = pa.array(sorted(r["g"] for r in boiler_tbl), pa.string())
+    boiler_ref = ray.put(boiler)
+
+    def strip(b: pa.Table) -> pa.Table:
+        bset = ray.get(boiler_ref)
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        doc_idx, _, segs = _doc_segments(texts, seg_words)
+        empty = pa.table({
+            id_col: pa.array([], b[id_col].type),
+            "n_segs": pa.array([], pa.int64()),
+            "n_kept": pa.array([], pa.int64()),
+            "text_clean": pa.array([], pa.string()),
+        })
+        if len(segs) == 0:
+            return empty
+        is_b = pc.is_in(segs, value_set=bset).to_numpy(zero_copy_only=False)
+        n_segs = np.bincount(doc_idx, minlength=b.num_rows).astype(np.int64)
+        kept_mask = ~is_b
+        n_kept = np.bincount(
+            doc_idx[kept_mask], minlength=b.num_rows
+        ).astype(np.int64)
+        kept_segs = segs.filter(pa.array(kept_mask))
+        kept_doc = doc_idx[kept_mask]
+        # per-doc offsets into the kept segments (kept_doc is sorted)
+        offs = np.zeros(b.num_rows + 1, dtype=np.int64)
+        np.cumsum(n_kept, out=offs[1:])
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()),
+            kept_segs.combine_chunks() if isinstance(kept_segs, pa.ChunkedArray)
+            else kept_segs,
+        )
+        text_clean = pc.binary_join(lists, pa.scalar(" "))
+        has_seg = n_segs > 0
+        out = pa.table({
+            id_col: b[id_col],
+            "n_segs": pa.array(n_segs),
+            "n_kept": pa.array(n_kept),
+            "text_clean": text_clean,
+        })
+        return out.filter(pa.array(has_seg))
+
+    return ds.map_batches(strip, batch_format="pyarrow")

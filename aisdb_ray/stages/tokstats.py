@@ -261,3 +261,38 @@ def zipf_evidence(ds):
     return hist.repartition(1).map_batches(
         fit, batch_format="pyarrow", batch_size=None
     )
+
+
+def vocab_coverage(ds, ps=(90, 99)):
+    """Vocabulary-coverage curve points: the smallest number of token ids
+    (most frequent first, ties -> smaller id) whose counts cover >= p% of
+    all token occurrences — the statistic behind vocab-truncation and
+    embedding-table sizing decisions.
+
+    Built on :func:`unigram_hist` (vocabulary-bounded), so the final
+    sort+cumsum runs in ONE task over vocab-sized rows regardless of
+    corpus size.  The rank rule is the engine's shared discrete-quantile
+    integer form: smallest k with cum >= (p * total + 99) // 100 — exact
+    on both sides, no float thresholds.  One output row:
+    (total_tokens, n_distinct, k<p>...)."""
+    hist = unigram_hist(ds)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        tid = b["token_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tid, -n))
+        cum = np.cumsum(n[order])
+        total = int(cum[-1]) if len(cum) else 0
+        row = {
+            "total_tokens": pa.array([total], pa.int64()),
+            "n_distinct": pa.array([len(n)], pa.int64()),
+        }
+        for p in ps:
+            need = (p * total + 99) // 100
+            k = int(np.searchsorted(cum, need)) + 1 if total else 0
+            row[f"k{p}"] = pa.array([k], pa.int64())
+        return pa.table(row)
+
+    return hist.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
