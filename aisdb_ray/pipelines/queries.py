@@ -3648,6 +3648,105 @@ def q_media_audio(sf_dir: str):
     )
 
 
+def q_ts_deseason(sf_dir: str):
+    """Seasonally-adjusted anomaly ranking: subtract each source's
+    hour-of-day baseline (the ts_seasonal_hod profile) and surface the 5
+    largest |residual| points per source — "unusual FOR THIS HOUR", the
+    alert rule a plain threshold can't express.  The profile is bounded
+    (sources x 24) so it broadcasts via ``ray.put``; residuals are a
+    map-only pass; top-k per source via rank.topk_per_group partials.
+    resid = v - s/c: one IEEE division + one subtraction on int64-exact
+    operands, bit-identical in SQL."""
+    from aisdb_ray.functions.agg import grouped_sums
+    from aisdb_ray.stages import rank
+
+    _ctx()
+
+    def add_hod(b: pa.Table) -> pa.Table:
+        hod = pc.subtract(
+            pc.divide(b["time"], 3600),
+            pc.multiply(pc.divide(pc.divide(b["time"], 3600), 24), 24),
+        )
+        return b.append_column("hod", pc.cast(hod, pa.int64()))
+
+    pts = _clean_tokens(sf_dir).map_batches(add_hod, batch_format="pyarrow")
+    prof = grouped_sums(pts, ["source", "hod"], ["n_tok"], count_as="c")
+    # bounded: sources x 24 rows — the broadcast-dict join shape (J2)
+    prof_tbl = pa.Table.from_pylist(prof.take_all())
+    import pandas as pd
+
+    prof_df = prof_tbl.to_pandas().rename(columns={"n_tok": "s"})
+    prof_ref = ray.put(prof_df)
+
+    def resid(b: pa.Table) -> pa.Table:
+        p = ray.get(prof_ref)
+        df = b.select(["source", "time", "seq", "n_tok", "hod"]).to_pandas()
+        m = df.merge(p, on=["source", "hod"], how="left")
+        r = m["n_tok"].to_numpy(np.float64) - (
+            m["s"].to_numpy(np.float64) / m["c"].to_numpy(np.float64)
+        )
+        out = pa.table({
+            "source": pa.array(m["source"]),
+            "time": pa.array(m["time"].to_numpy(np.int64)),
+            "seq": pa.array(m["seq"].to_numpy(np.int64)),
+            "n_tok": pa.array(m["n_tok"].to_numpy(np.int64)),
+            "hod": pa.array(m["hod"].to_numpy(np.int64)),
+            "resid": pa.array(r),
+            "abs_resid": pa.array(np.abs(r)),
+        })
+        return out
+
+    scored = pts.map_batches(resid, batch_format="pyarrow")
+    top = rank.topk_per_group(
+        scored, "source", ["abs_resid", "time", "seq"], 5,
+        descending=[True, False, False],
+    )
+    return top.map_batches(
+        lambda b: b.drop_columns(["abs_resid"]), batch_format="pyarrow"
+    )
+
+
+def q_ann_rrf_fusion(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of
+    the BM25 top-20 (terms 'hash join stream') with the dense cosine
+    top-10 around the vec_id=0 probe — score = 1/(60+r_bm25) + 1/(60+r_ann),
+    absent list contributes 0.  Both candidate lists are k-bounded, so the
+    fusion itself is a driver-side merge of <= 30 rows; the heavy work
+    (corpus BM25 scan, matmul top-k) stays distributed.  Output: top-10
+    fused (doc_id, rrf_score, bm25_rank, ann_rank), absent rank = 0."""
+    from aisdb_ray.stages import ann, bm25
+
+    _ctx()
+    docs = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    bm_rows = bm25.bm25_topk(docs, _BM25_TERMS, k=20).take_all()
+    q0 = _query_vector(sf_dir)
+    ann_rows = _ranked_ids(
+        ann.topk_cosine(rd.read_parquet(_emb_path(sf_dir)), q0, k=10)
+    ).take_all()
+
+    # k-bounded merge (<= 30 rows): rank each list, sum the RRF terms in
+    # a fixed order (bm25 first) so the float sum is bit-identical to the
+    # SQL coalesce(bm,0)+coalesce(ann,0)
+    bm_sorted = sorted(bm_rows, key=lambda r: (-r["score"], r["doc_id"]))
+    bm_rank = {r["doc_id"]: i + 1 for i, r in enumerate(bm_sorted)}
+    ann_rank = {int(r["vec_id"]): int(r["rank"]) for r in ann_rows}
+    fused = []
+    for d in sorted(set(bm_rank) | set(ann_rank)):
+        rb, ra = bm_rank.get(d, 0), ann_rank.get(d, 0)
+        score = (1.0 / (60.0 + rb) if rb else 0.0) + (
+            1.0 / (60.0 + ra) if ra else 0.0
+        )
+        fused.append((d, score, rb, ra))
+    fused.sort(key=lambda x: (-x[1], x[0]))
+    fused = fused[:10]
+    return pa.table({
+        "doc_id": pa.array([f[0] for f in fused], pa.int64()),
+        "rrf_score": pa.array([f[1] for f in fused], pa.float64()),
+        "bm25_rank": pa.array([f[2] for f in fused], pa.int64()),
+        "ann_rank": pa.array([f[3] for f in fused], pa.int64()),
+    })
+
+
 def q_doc_boilerplate(sf_dir: str):
     """CCNet-style corpus-frequency boilerplate removal (Wenzek et al.
     2020 §4.1): inventory the aligned word segments appearing in >= 20
@@ -3735,6 +3834,8 @@ def build_queries() -> dict:
         "ts_co_outage": q_ts_co_outage,
         "doc_boilerplate": q_doc_boilerplate,
         "tok_coverage": q_tok_coverage,
+        "ts_deseason": q_ts_deseason,
+        "ann_rrf_fusion": q_ann_rrf_fusion,
         "ts_rolling_median": q_ts_rolling_median,
         "ts_theil_sen": q_ts_theil_sen,
         "doc_dsir_weights": q_doc_dsir_weights,
@@ -4806,6 +4907,27 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
        CAST(sum(abs(err)) AS BIGINT) AS sae,
        CAST(sum(err * err) AS BIGINT) AS sse
 FROM p GROUP BY source"""
+
+    sql["ts_deseason"] = f"""WITH {_sql_tokens_clean(tok)},
+  hodded AS (
+    SELECT source, time, seq, n_tok,
+           CAST((time // 3600) % 24 AS BIGINT) AS hod
+    FROM clean
+  ),
+  prof AS (
+    SELECT source, hod, CAST(sum(n_tok) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS c
+    FROM hodded GROUP BY source, hod
+  ),
+  r AS (
+    SELECT h.source, h.time, h.seq, CAST(h.n_tok AS BIGINT) AS n_tok, h.hod,
+           CAST(h.n_tok AS DOUBLE) - CAST(p.s AS DOUBLE) / CAST(p.c AS DOUBLE)
+             AS resid
+    FROM hodded h JOIN prof p ON p.source = h.source AND p.hod = h.hod
+  )
+SELECT source, time, seq, n_tok, hod, resid FROM r
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY abs(resid) DESC, time ASC, seq ASC) <= 5"""
 
     sql["ts_co_outage"] = f"""WITH {_sql_tokens_clean(tok)},
   d AS (
@@ -5954,6 +6076,31 @@ FROM documents"""
 FROM embeddings
 ORDER BY rank
 LIMIT 10"""
+
+    # nested-WITH composition: the two verified component oracles embed
+    # verbatim; fusion terms summed in the engine's fixed (bm25, ann) order
+    sql["ann_rrf_fusion"] = f"""WITH bm_base AS ({sql["doc_bm25_topk"]}),
+  bm AS (
+    SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                        AS BIGINT) AS rank
+    FROM bm_base
+  ),
+  an AS ({sql["ann_topk"]}),
+  ids AS (SELECT doc_id FROM bm
+          UNION SELECT CAST(vec_id AS BIGINT) AS doc_id FROM an),
+  f AS (
+    SELECT i.doc_id,
+           coalesce(1.0 / (60.0 + b.rank), 0.0)
+             + coalesce(1.0 / (60.0 + a.rank), 0.0) AS rrf_score,
+           coalesce(b.rank, 0) AS bm25_rank,
+           coalesce(a.rank, 0) AS ann_rank
+    FROM ids i
+    LEFT JOIN bm b ON b.doc_id = i.doc_id
+    LEFT JOIN an a ON a.vec_id = i.doc_id
+  )
+SELECT doc_id, rrf_score, CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       CAST(ann_rank AS BIGINT) AS ann_rank
+FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 10"""
 
     sql["emb_cov"] = """WITH ex AS (
     SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
