@@ -3819,6 +3819,63 @@ def q_ts_co_outage(sf_dir: str):
     )
 
 
+# the ts_pattern_topk query shape: a burst ramp in the n_tok channel
+_PATTERN_Q = [512, 768, 1024, 1536, 2048, 1536, 1024, 768]
+
+
+def q_ts_pattern_topk(sf_dir: str):
+    """Subsequence similarity search (query-by-shape): the 10 length-8
+    windows of consecutive observations — within one (source, segment), in
+    (time, seq) order — whose squared Euclidean distance to the burst-ramp
+    pattern is smallest.  The UCR/MASS subsequence-search primitive as a
+    distributed operator: one co-shuffle on source, sliding int64
+    cumsum/correlate kernel per partition, only per-partition top-k rows
+    ever leave a task (stages/subseq.py)."""
+    from aisdb_ray.stages import subseq
+
+    _ctx()
+    return subseq.pattern_search(_clean_tokens(sf_dir), _PATTERN_Q, "n_tok", k=10)
+
+
+def q_ann_filtered_topk(sf_dir: str):
+    """Filtered vector search: exact cosine top-10 for the vec_id=0 probe
+    restricted to label=3 rows — the metadata-predicate + ANN composition
+    every retrieval stack needs (filter pushed into the parquet scan, so
+    non-matching rows never enter the object store)."""
+    import pyarrow.dataset as pads
+
+    from aisdb_ray.stages import ann
+
+    _ctx()
+    ds = rd.read_parquet(
+        _emb_path(sf_dir),
+        columns=["vec_id", "embedding"],
+        filter=pads.field("label") == 3,
+    )
+    return _ranked_ids(ann.topk_cosine(ds, _query_vector(sf_dir), k=10))
+
+
+def q_ts_changepoint(sf_dir: str):
+    """Retrospective mean-shift changepoint per source (binary segmentation,
+    one level) over the 5-minute bucket series: the split maximizing
+    Sl²/nl + Sr²/nr (== minimizing two-segment SSE).  Bucket rollup first
+    (bounded rows per key), one co-shuffle, vectorized prefix-sum argmax
+    across all groups at once (stages/changepoint.py); int64 evidence, the
+    gain float is two exact squares with one IEEE division each."""
+    from aisdb_ray.stages import changepoint
+
+    _ctx()
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bkt = pc.multiply(pc.divide(b["time"], 300), 300)
+        return b.append_column("bucket", pc.cast(bkt, pa.int64()))
+
+    pts = _clean_tokens(sf_dir).map_batches(add_bucket, batch_format="pyarrow")
+    h = grouped_sums(pts, ["source", "bucket"], ["n_tok"], count_as="c",
+                     hash_combine=True)
+    return changepoint.best_split(h, "source", "bucket", "n_tok")
+
+
 # --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
@@ -3830,6 +3887,9 @@ def build_queries() -> dict:
     # come FIRST so a budget-capped gate reaches them; the 50 queries already
     # driver-green in CORRECTNESS_r02.json follow.
     return {
+        "ts_pattern_topk": q_ts_pattern_topk,
+        "ann_filtered_topk": q_ann_filtered_topk,
+        "ts_changepoint": q_ts_changepoint,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_co_outage": q_ts_co_outage,
         "doc_boilerplate": q_doc_boilerplate,
@@ -6496,6 +6556,71 @@ FROM documents GROUP BY source"""
         _cent, _probes, _cb_vals, _dsub, k=10
     )
     sql["emb_semdedup"] = oracle_text.emb_semdedup_sql(_cent, threshold=0.35)
+
+    _pat_vals = ", ".join(
+        f"({off}, {qv})" for off, qv in enumerate(_PATTERN_Q)
+    )
+    _m = len(_PATTERN_Q)
+    sql["ts_pattern_topk"] = f"""WITH {_sql_tokens_clean(tok)},
+  o AS (
+    SELECT source, seg, time, seq, n_tok,
+           row_number() OVER (PARTITION BY source, seg
+                              ORDER BY time, seq) AS rn
+    FROM segmented
+  ),
+  q(off, qv) AS (VALUES {_pat_vals}),
+  d AS (
+    SELECT a.source, a.time AS start_time, CAST(a.seq AS BIGINT) AS start_seq,
+           CAST(sum((b.n_tok - q.qv) * (b.n_tok - q.qv)) AS BIGINT) AS dist
+    FROM o a
+    JOIN o b ON b.source = a.source AND b.seg = a.seg
+            AND b.rn - a.rn BETWEEN 0 AND {_m - 1}
+    JOIN q ON q.off = b.rn - a.rn
+    GROUP BY a.source, a.seg, a.rn, a.time, a.seq
+    HAVING count(*) = {_m}
+  )
+SELECT source, start_time, start_seq, dist FROM d
+ORDER BY dist ASC, source ASC, start_time ASC, start_seq ASC
+LIMIT 10"""
+
+    sql["ann_filtered_topk"] = """SELECT CAST(row_number() OVER (
+         ORDER BY list_cosine_similarity(embedding,
+                  (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+                  vec_id) AS BIGINT) AS rank,
+       vec_id
+FROM embeddings
+WHERE label = 3
+ORDER BY rank
+LIMIT 10"""
+
+    sql["ts_changepoint"] = f"""WITH {_sql_tokens_clean(tok)},
+  h AS (
+    SELECT source, (time // 300) * 300 AS bucket,
+           CAST(sum(n_tok) AS BIGINT) AS y
+    FROM clean GROUP BY source, bucket
+  ),
+  o AS (
+    SELECT source, bucket, y,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n,
+           CAST(sum(y) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sl,
+           CAST(sum(y) OVER (PARTITION BY source) AS BIGINT) AS tot,
+           lead(bucket) OVER w AS cp_time
+    FROM h
+    WINDOW w AS (PARTITION BY source ORDER BY bucket)
+  ),
+  cand AS (
+    SELECT source, cp_time, rn AS n_left, n - rn AS n_right,
+           sl AS sum_left, tot - sl AS sum_right,
+           CAST(sl * sl AS DOUBLE) / CAST(rn AS DOUBLE)
+             + CAST((tot - sl) * (tot - sl) AS DOUBLE)
+                 / CAST(n - rn AS DOUBLE) AS gain
+    FROM o WHERE rn < n
+  )
+SELECT source, cp_time, n_left, n_right, sum_left, sum_right, gain
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY gain DESC, cp_time ASC) <= 1"""
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
     #   media_features / media_audio (binary codecs: pure-numpy PPM/BMP/WAV
