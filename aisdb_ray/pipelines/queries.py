@@ -3876,6 +3876,41 @@ def q_ts_changepoint(sf_dir: str):
     return changepoint.best_split(h, "source", "bucket", "n_tok")
 
 
+def q_tok_pmi(sf_dir: str):
+    """Top-50 PMI collocations over adjacent token-id pairs (5% doc-hash
+    sample): the collocation-extraction pass behind tokenizer-merge and
+    phrase-mining decisions.  Ranking uses the exact rational
+    c_ab·T/(c_a·c_b) (log is monotone) — int64 products, one IEEE
+    division — so even the float column hash-matches SQL."""
+    from aisdb_ray.stages import tokstats
+
+    return tokstats.pmi_topk(_tok_sample(sf_dir, 5), k=50, min_count=3)
+
+
+def q_ts_burstiness(sf_dir: str):
+    """Per-source index of dispersion (Fano factor) of per-minute arrival
+    counts, zero minutes inside the observed span included — the
+    burstiness diagnostic behind batch-size / backpressure tuning.
+    Fano = (n·Σc² − S²)/(n·S), all-int64 evidence + one division
+    (stages/robust.fano_dispersion)."""
+    from aisdb_ray.stages import robust
+
+    _ctx()
+    return robust.fano_dispersion(_clean_tokens(sf_dir))
+
+
+def q_ts_winsorize(sf_dir: str):
+    """Per-source winsorized mean of n_tok clamped to the [p10, p90]
+    discrete quantiles (the engine's standard rank rule) — the robust
+    rollup that survives fat-tailed token counts.  Only (source, value,
+    count) histogram rows ever shuffle (stages/robust.winsorized_mean)."""
+    from aisdb_ray.stages import robust
+
+    _ctx()
+    return robust.winsorized_mean(_clean_tokens(sf_dir), "source", "n_tok",
+                                  p_lo=10, p_hi=90)
+
+
 # --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
@@ -3890,6 +3925,9 @@ def build_queries() -> dict:
         "ts_pattern_topk": q_ts_pattern_topk,
         "ann_filtered_topk": q_ann_filtered_topk,
         "ts_changepoint": q_ts_changepoint,
+        "tok_pmi": q_tok_pmi,
+        "ts_burstiness": q_ts_burstiness,
+        "ts_winsorize": q_ts_winsorize,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_co_outage": q_ts_co_outage,
         "doc_boilerplate": q_doc_boilerplate,
@@ -6621,6 +6659,76 @@ SELECT source, cp_time, n_left, n_right, sum_left, sum_right, gain
 FROM cand
 QUALIFY row_number() OVER (PARTITION BY source
                            ORDER BY gain DESC, cp_time ASC) <= 1"""
+
+    sql["tok_pmi"] = f"""WITH v AS (
+    SELECT tokens, n_tok FROM read_parquet('{tok}/*.parquet')
+    WHERE n_tok > 0 AND len(tokens) = n_tok
+      AND CAST('0x' || substr(md5(doc_id), 1, 8) AS BIGINT) % 100 < 5
+  ),
+  tt AS (SELECT CAST(sum(n_tok) - count(*) AS BIGINT) AS t FROM v),
+  bg AS (
+    SELECT unnest(list_transform(range(1, len(tokens)),
+                  i -> CAST(tokens[i] AS BIGINT) * 4294967296
+                       + CAST(tokens[i+1] AS BIGINT))) AS code
+    FROM v WHERE len(tokens) >= 2
+  ),
+  bc AS (SELECT code, CAST(count(*) AS BIGINT) AS n
+         FROM bg GROUP BY code HAVING count(*) >= 3),
+  ug AS (SELECT CAST(unnest(tokens) AS BIGINT) AS tid FROM v),
+  uc AS (SELECT tid, CAST(count(*) AS BIGINT) AS c FROM ug GROUP BY tid)
+SELECT CAST(bc.code // 4294967296 AS BIGINT) AS tok_a,
+       CAST(bc.code % 4294967296 AS BIGINT) AS tok_b,
+       bc.n, ua.c AS c_a, ub.c AS c_b,
+       CAST(bc.n * tt.t AS DOUBLE) / CAST(ua.c * ub.c AS DOUBLE) AS pmi_ratio
+FROM bc
+CROSS JOIN tt
+JOIN uc ua ON ua.tid = bc.code // 4294967296
+JOIN uc ub ON ub.tid = bc.code % 4294967296
+ORDER BY pmi_ratio DESC, tok_a ASC, tok_b ASC
+LIMIT 50"""
+
+    sql["ts_burstiness"] = f"""WITH {_sql_tokens_clean(tok)},
+  c AS (
+    SELECT source, time // 60 AS m, CAST(count(*) AS BIGINT) AS c
+    FROM clean GROUP BY source, m
+  ),
+  s AS (
+    SELECT source, CAST(max(m) - min(m) + 1 AS BIGINT) AS n_minutes,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(sum(c * c) AS BIGINT) AS sum_sq
+    FROM c GROUP BY source
+  )
+SELECT source, n_minutes, n_rows, sum_sq,
+       CAST(n_minutes * sum_sq - n_rows * n_rows AS DOUBLE)
+         / CAST(n_minutes * n_rows AS DOUBLE) AS fano
+FROM s"""
+
+    sql["ts_winsorize"] = f"""WITH {_sql_tokens_clean(tok)},
+  hist AS (
+    SELECT source, CAST(n_tok AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+    FROM clean GROUP BY source, v
+  ),
+  cw AS (
+    SELECT source, v, c,
+           sum(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+           sum(c) OVER (PARTITION BY source) AS tot
+    FROM hist
+  ),
+  q AS (
+    SELECT source,
+           min(CASE WHEN cum >= (10 * tot + 99) // 100 THEN v END) AS lo,
+           min(CASE WHEN cum >= (90 * tot + 99) // 100 THEN v END) AS hi,
+           CAST(max(tot) AS BIGINT) AS n
+    FROM cw GROUP BY source
+  ),
+  w AS (
+    SELECT h.source,
+           CAST(sum(h.c * least(greatest(h.v, q.lo), q.hi)) AS BIGINT) AS wsum
+    FROM hist h JOIN q ON q.source = h.source GROUP BY h.source
+  )
+SELECT q.source, q.n, q.lo, q.hi, w.wsum,
+       CAST(w.wsum AS DOUBLE) / CAST(q.n AS DOUBLE) AS wmean
+FROM q JOIN w ON w.source = q.source"""
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
     #   media_features / media_audio (binary codecs: pure-numpy PPM/BMP/WAV

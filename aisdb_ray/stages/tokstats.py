@@ -296,3 +296,71 @@ def vocab_coverage(ds, ps=(90, 99)):
     return hist.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None
     )
+
+
+def pmi_topk(ds, k: int = 50, min_count: int = 5):
+    """Top-k PMI collocations over adjacent token-id pairs.
+
+    PMI(a,b) = log(c_ab·T / (c_a·c_b)) is monotone in the exact rational
+    r = c_ab·T / (c_a·c_b), so ranking never takes a log: both products
+    stay exact int64 and r is ONE IEEE division, bit-identical in SQL.
+    T is the total adjacent-pair count  Σ(n_tok − 1)  over valid rows
+    (length-1 rows contribute 0, matching the extraction).  The unigram
+    table is vocabulary-bounded, so it broadcasts once via ``ray.put``;
+    bigram counts >= ``min_count`` are ranked per partition and only
+    partitions × k candidate rows reach the final merge.
+    """
+    import ray
+
+    from aisdb_ray.stages._dist import co_shuffle
+
+    uni = unigram_hist(ds).take_all()          # vocabulary-bounded
+    c_of = {int(r["token_id"]): int(r["n"]) for r in uni}
+    t_total = int(sum(c_of.values())) - _valid_row_count(ds)
+    uni_ref = ray.put(c_of)
+
+    partials = ds.map_batches(bigram_partial, batch_format="pyarrow")
+    local = partials.map_batches(
+        _combine_codes, batch_format="pyarrow", batch_size=None
+    )
+
+    def score(g: pa.Table) -> pa.Table:
+        code = g["code"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n >= min_count
+        code, n = code[keep], n[keep]
+        cm = ray.get(uni_ref)
+        ta = (code // _SHIFT).astype(np.int64)
+        tb = (code % _SHIFT).astype(np.int64)
+        ca = np.array([cm[int(t)] for t in ta], np.int64)
+        cb = np.array([cm[int(t)] for t in tb], np.int64)
+        r = (n * t_total).astype(np.float64) / (ca * cb).astype(np.float64)
+        return pa.table({
+            "tok_a": pa.array(ta), "tok_b": pa.array(tb),
+            "n": pa.array(n), "c_a": pa.array(ca), "c_b": pa.array(cb),
+            "pmi_ratio": pa.array(r),
+        })
+
+    def per_part(part: pa.Table) -> pa.Table:
+        g = score(_combine_codes(part))
+        order = pc.sort_indices(
+            g, sort_keys=[("pmi_ratio", "descending"), ("tok_a", "ascending"),
+                          ("tok_b", "ascending")]
+        )
+        return g.take(order.slice(0, k))
+
+    merged = co_shuffle(local, ["code"], per_part)
+    return merged.sort(
+        ["pmi_ratio", "tok_a", "tok_b"], descending=[True, False, False]
+    ).limit(k)
+
+
+def _valid_row_count(ds) -> int:
+    """Count of contract-valid rows (n_tok > 0, len == n_tok)."""
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c": pa.array([_valid_tokens(b).length()], pa.int64())}
+        )
+
+    got = ds.map_batches(partial, batch_format="pyarrow").sum("c")
+    return int(got or 0)
