@@ -3911,6 +3911,40 @@ def q_ts_winsorize(sf_dir: str):
                                   p_lo=10, p_hi=90)
 
 
+def q_emb_clusters(sf_dir: str):
+    """Semantic clusters over the embedding lake: connected components of
+    the cosine>=0.35 similarity graph (cluster id = min vec_id) — the
+    grouping step between near-dup PAIR detection and cluster-level
+    curation (pick-one-per-cluster, cluster-size caps).  Pairs come from
+    the tiled brute-force kernel; the closure is the engine's
+    pointer-jumping min-label fixpoint (stages/components.py)."""
+    from aisdb_ray.stages import components, dedup_text
+
+    _ctx()
+    pairs = dedup_text.embedding_neardup_pairs(_emb_path(sf_dir),
+                                               threshold=0.35)
+    comp = components.connected_components(
+        pairs.select_columns(["a", "b"]), "a", "b"
+    )
+    return comp.map_batches(
+        lambda b: b.rename_columns(["vec_id", "cluster"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_emb_mmr(sf_dir: str):
+    """Diversified retrieval: MMR re-rank of the top-30 inner-product
+    candidates for the vec_id=0 probe (λ=0.7, 10x-scaled integer scores
+    over exact fixed-point dots — the greedy selection never compares
+    floats, so a recursive-CTE SQL oracle replays the identical picks).
+    Relevance scan distributed, selection k-bounded on the driver
+    (stages/ann.mmr_rerank)."""
+    from aisdb_ray.stages import ann
+
+    _ctx()
+    return ann.mmr_rerank(_emb_path(sf_dir), k=10, pool=30, probe_id=0)
+
+
 # --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
@@ -3928,6 +3962,8 @@ def build_queries() -> dict:
         "tok_pmi": q_tok_pmi,
         "ts_burstiness": q_ts_burstiness,
         "ts_winsorize": q_ts_winsorize,
+        "emb_clusters": q_emb_clusters,
+        "emb_mmr": q_emb_mmr,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_co_outage": q_ts_co_outage,
         "doc_boilerplate": q_doc_boilerplate,
@@ -6729,6 +6765,69 @@ FROM s"""
 SELECT q.source, q.n, q.lo, q.hi, w.wsum,
        CAST(w.wsum AS DOUBLE) / CAST(q.n AS DOUBLE) AS wmean
 FROM q JOIN w ON w.source = q.source"""
+
+    sql["emb_clusters"] = """WITH RECURSIVE pairs AS (
+    SELECT a.vec_id AS a, b.vec_id AS b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+  ),
+  edges AS (
+    SELECT a AS u, b AS v FROM pairs
+    UNION
+    SELECT b AS u, a AS v FROM pairs
+  ),
+  nodes AS (SELECT DISTINCT u AS node FROM edges),
+  reach(node, m) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.m
+  ),
+  comp AS (SELECT node, min(m) AS component FROM reach GROUP BY node)
+SELECT node AS vec_id, component AS cluster FROM comp"""
+
+    # MMR: exact fixed-point dots make the greedy selection pure integer
+    # arithmetic, so a recursive CTE with list state replays it verbatim
+    sql["emb_mmr"] = """WITH RECURSIVE ex AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                AS BIGINT) AS fx
+    FROM embeddings
+  ),
+  qv AS (SELECT dim, fx FROM ex WHERE vec_id = 0),
+  dq AS (
+    SELECT e.vec_id, CAST(sum(e.fx * qv.fx) AS BIGINT) AS dq
+    FROM ex e JOIN qv USING (dim)
+    WHERE e.vec_id <> 0
+    GROUP BY e.vec_id
+  ),
+  cand AS (SELECT vec_id, dq FROM dq ORDER BY dq DESC, vec_id LIMIT 30),
+  cfx AS (SELECT ex.vec_id, ex.dim, ex.fx FROM ex JOIN cand USING (vec_id)),
+  pd AS (
+    SELECT a.vec_id AS a, b.vec_id AS b, CAST(sum(a.fx * b.fx) AS BIGINT) AS d
+    FROM cfx a JOIN cfx b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+    GROUP BY a.vec_id, b.vec_id
+  ),
+  sel(step, picked, mmr_score, sel_list) AS (
+    SELECT CAST(1 AS BIGINT), c.vec_id, 7 * c.dq, [c.vec_id]
+    FROM (SELECT vec_id, dq FROM cand ORDER BY dq DESC, vec_id LIMIT 1) c
+    UNION ALL
+    SELECT s.step + 1, nxt.vec_id, nxt.score,
+           list_append(s.sel_list, nxt.vec_id)
+    FROM sel s, LATERAL (
+      SELECT c.vec_id,
+             7 * c.dq - 3 * (SELECT max(pd.d) FROM pd
+                             WHERE pd.a = c.vec_id
+                               AND list_contains(s.sel_list, pd.b)) AS score
+      FROM cand c
+      WHERE NOT list_contains(s.sel_list, c.vec_id)
+      ORDER BY score DESC, c.vec_id
+      LIMIT 1
+    ) nxt
+    WHERE s.step < 10
+  )
+SELECT step AS rank, CAST(picked AS BIGINT) AS vec_id,
+       CAST(mmr_score AS BIGINT) AS mmr_score
+FROM sel"""
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
     #   media_features / media_audio (binary codecs: pure-numpy PPM/BMP/WAV

@@ -1126,3 +1126,99 @@ def sq8_adc_topk(ds_emb, query: np.ndarray, k: int = 10, scale: int = 1_000_000)
     return partial.repartition(1).map_batches(
         merge, batch_format="pyarrow", batch_size=None
     )
+
+
+def mmr_rerank(emb_path: str, k: int = 10, pool: int = 30, probe_id: int = 0,
+               lam_num: int = 7, lam_comp: int = 3):
+    """MMR diversified re-ranking (Carbonell & Goldstein 1998) with
+    float-free selection: 10x-scaled score
+
+        m(d) = lam_num * s(q, d)  -  lam_comp * max_{p in S} s(d, p)
+
+    over the exact int64 fixed-point inner product s (floor(x*1e6) per
+    dim, |dot| <= d * 1e12 — int64-safe for d << 9e6), so every argmax the
+    greedy selection takes compares integers and a SQL recursive-CTE
+    oracle reproduces the identical picks.  Ties break toward the smaller
+    vec_id; the first pick is pure relevance (empty diversity term).
+
+    Distribution shape: the relevance scan is the topk_cosine pattern
+    (per-batch int64 matvec, per-batch top-``pool``, one bounded merge);
+    only the ``pool`` candidate rows and their vectors (a filtered parquet
+    point-read) ever reach the driver, where the O(pool^2 * k) greedy loop
+    is negligible.
+    """
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    probe = pq.read_table(
+        emb_path, columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", probe_id)],
+    )
+    qfx = _fx_matrix(probe)[0]
+
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+
+    def batch_dots(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids != probe_id
+        if not keep.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "dq": pa.array([], pa.int64())})
+        fx = _fx_matrix(b)[keep]
+        ids = ids[keep]
+        d = fx @ qfx
+        take = min(pool, len(d))
+        idx = np.argpartition(-d, take - 1)[:take]
+        order = np.lexsort((ids[idx], -d[idx]))
+        idx = idx[order]
+        return pa.table({"vec_id": pa.array(ids[idx]),
+                         "dq": pa.array(d[idx].astype(np.int64))})
+
+    def merge(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        d = b["dq"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -d))[:pool]
+        return pa.table({"vec_id": pa.array(ids[order]),
+                         "dq": pa.array(d[order])})
+
+    cand = (
+        ds.map_batches(batch_dots, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )  # pool-bounded
+    ids = [int(r["vec_id"]) for r in cand]
+    dq = {int(r["vec_id"]): int(r["dq"]) for r in cand}
+    vecs = pq.read_table(
+        emb_path, columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", ids)],
+    )
+    vfx = _fx_matrix(vecs)
+    vids = vecs["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    row_of = {int(v): i for i, v in enumerate(vids)}
+    gram = vfx @ vfx.T  # exact int64 pairwise dots
+
+    picked: list[int] = []
+    scores: list[int] = []
+    remaining = sorted(ids)
+    for _ in range(min(k, len(ids))):
+        best_id, best_m = None, None
+        for d in remaining:
+            rel = lam_num * dq[d]
+            if picked:
+                div = max(int(gram[row_of[d], row_of[p]]) for p in picked)
+                m = rel - lam_comp * div
+            else:
+                m = rel
+            if best_m is None or m > best_m:
+                best_id, best_m = d, m
+        picked.append(best_id)
+        scores.append(int(best_m))
+        remaining.remove(best_id)
+
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(picked) + 1, dtype=np.int64)),
+        "vec_id": pa.array(picked, pa.int64()),
+        "mmr_score": pa.array(scores, pa.int64()),
+    })
