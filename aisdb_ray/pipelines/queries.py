@@ -3945,6 +3945,23 @@ def q_emb_mmr(sf_dir: str):
     return ann.mmr_rerank(_emb_path(sf_dir), k=10, pool=30, probe_id=0)
 
 
+def q_media_ahash(sf_dir: str):
+    """Perceptual near-duplicate image pairs: actor-pool decode -> 8x8
+    all-integer average hash -> the SimHash banding/verify machinery at
+    Hamming <= 3 (4 x 16-bit bands pigeonhole-guarantee recall).  Planted
+    re-encodes (PPM vs PNG/BMP of identical pixels) land at distance 0.
+    Rows-only (binary decode has no SQL analog); the hash kernel, the
+    planted-duplicate recall and the negative-pair rejection are pinned by
+    pytest (test_045)."""
+    from aisdb_ray.stages import multimodal as mm
+
+    _ctx()
+    return mm.ahash_pairs(
+        rd.from_arrow(mm.synth_near_dup_media(12)), max_hamming=3,
+        concurrency=2,
+    )
+
+
 # --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
@@ -3964,6 +3981,7 @@ def build_queries() -> dict:
         "ts_winsorize": q_ts_winsorize,
         "emb_clusters": q_emb_clusters,
         "emb_mmr": q_emb_mmr,
+        "media_ahash": q_media_ahash,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_co_outage": q_ts_co_outage,
         "doc_boilerplate": q_doc_boilerplate,

@@ -501,3 +501,141 @@ def decode_and_featurize(ds, concurrency: int = 4, batch_size: int = 16):
         batch_size=batch_size,
         concurrency=(1, concurrency),
     )
+
+
+# --------------------------------------------------- perceptual hashing
+
+def ahash64(px: np.ndarray) -> np.uint64:
+    """8x8 integer average-hash of an (h, w, 3) uint8 image.
+
+    All-integer construction (no float thresholds, no DCT): luminance =
+    299R + 587G + 114B (x1000 fixed point), 8x8 average-pool cells by
+    index mapping (y*8//h, x*8//w), bit_i set iff cell mean > global mean,
+    decided by the exact cross-multiplication  cell_sum*N > total*cell_n.
+    A shifted/re-encoded copy of an image keeps most bits; random images
+    agree on ~32/64 — the standard aHash separation.
+    """
+    h, w = px.shape[0], px.shape[1]
+    lum = px.astype(np.int64) @ np.array([299, 587, 114], np.int64)
+    yc = (np.arange(h, dtype=np.int64) * 8) // h
+    xc = (np.arange(w, dtype=np.int64) * 8) // w
+    cid = (yc[:, None] * 8 + xc[None, :]).ravel()
+    sums = np.zeros(64, np.int64)
+    np.add.at(sums, cid, lum.ravel())
+    cnts = np.bincount(cid, minlength=64).astype(np.int64)
+    tot = int(lum.sum())
+    n = h * w
+    bits = (sums * n) > (tot * cnts)
+    return np.packbits(bits.astype(np.uint8), bitorder="little").view(np.uint64)[0]
+
+
+class AHashImage:
+    """Actor-pool stage: decode image/video-first-frame payloads and emit
+    (media_id, ahash) — audio rows are skipped.  Decode state (the codec
+    table) lives in the actor; pixels never leave the task."""
+
+    def __init__(self, fake: bool = False):
+        self.dec = DecodeImage(fake=fake)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for i in range(batch.num_rows):
+            mime = batch["mime"][i].as_py()
+            if mime not in _IMAGE_DECODERS and mime != "video/x-ppm-stream":
+                continue
+            px = self.dec._decode(
+                batch["payload"][i].as_py(), mime,
+                batch["width"][i].as_py(), batch["height"][i].as_py(),
+            )
+            ids.append(batch["media_id"][i].as_py())
+            hashes.append(ahash64(px))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "ahash": pa.array(
+                np.array(hashes, np.uint64).astype(np.int64)
+                if hashes else np.array([], np.int64)
+            ),
+        })
+
+
+def ahash_pairs(media_ds, max_hamming: int = 3, concurrency: int = 4):
+    """Near-duplicate IMAGE pairs by perceptual hash: aHash in an actor
+    pool, then the engine's SimHash banding machinery verbatim (4 x 16-bit
+    bands pigeonhole-guarantee recall for Hamming <= 3), groupby(band,
+    bucket) -> distinct candidate pairs -> vectorized Hamming verify.
+    Output: (a, b, hamming) with a < b."""
+    from aisdb_ray.functions import text as T
+    from aisdb_ray.stages import dedup_text as dt
+
+    sigs = media_ds.map_batches(
+        AHashImage, batch_format="pyarrow", batch_size=16,
+        concurrency=(1, concurrency),
+    )
+    renamed = sigs.map_batches(
+        lambda b: b.rename_columns(["doc_id", "simhash"]),
+        batch_format="pyarrow",
+    )
+    with dt._hash_ctx(renamed):
+        bands = renamed.map_batches(
+            dt._explode_simhash_bands, batch_format="pyarrow"
+        )
+        pairs = bands.groupby(
+            ["band", "bucket"], num_partitions=dt._nparts()
+        ).map_groups(dt._bucket_pairs_sig, batch_format="pyarrow").materialize()
+        distinct = dt._distinct_pairs(pairs, extra=["ha", "hb"])
+
+    def verify(b: pa.Table) -> pa.Table:
+        ha = b["ha"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hb = b["hb"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = T.hamming64(ha, hb)
+        keep = d <= max_hamming
+        return pa.table({
+            "a": pa.array(b["a"].to_numpy(zero_copy_only=False)[keep]),
+            "b": pa.array(b["b"].to_numpy(zero_copy_only=False)[keep]),
+            "hamming": pa.array(d[keep].astype(np.int64)),
+        })
+
+    return distinct.map_batches(verify, batch_format="pyarrow")
+
+
+def synth_near_dup_media(n_base: int = 12, seed: int = 7) -> pa.Table:
+    """Image corpus with PLANTED near-duplicates: for each base image an
+    exact re-encode in another container (PPM vs BMP/PNG — byte-different,
+    pixel-identical) and a lightly perturbed copy (one cell brightened —
+    Hamming <= 3 by construction is NOT guaranteed analytically, but the
+    perturbation touches one pooling cell so at most a few bits move);
+    plus unrelated random images as negatives.  ids: base 3k, re-encode
+    3k+1, perturbed 3k+2, negatives follow."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    mid = 0
+    for k in range(n_base):
+        h = int(rng.integers(16, 40))
+        w = int(rng.integers(16, 40))
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        rows.append((mid, encode_ppm(px), "image/x-portable-pixmap", w, h)); mid += 1
+        alt = encode_png(px) if k % 2 == 0 else encode_bmp(px)
+        rows.append((mid, alt, "image/png" if k % 2 == 0 else "image/bmp",
+                     w, h)); mid += 1
+        pert = px.copy()
+        # whiten ONE full pooling cell: flips that cell's bit and (via the
+        # shifted global mean) at most a couple of borderline others
+        y0, x0 = (h * 3) // 8, (w * 3) // 8
+        pert[y0:y0 + max(1, h // 8), x0:x0 + max(1, w // 8)] = 255
+        rows.append((mid, encode_ppm(pert), "image/x-portable-pixmap",
+                     w, h)); mid += 1
+    for _ in range(n_base):
+        h = int(rng.integers(16, 40))
+        w = int(rng.integers(16, 40))
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        rows.append((mid, encode_ppm(px), "image/x-portable-pixmap", w, h))
+        mid += 1
+    ids, payloads, mimes, ws, hs = zip(*rows)
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+        "mime": pa.array(mimes, pa.string()),
+        "width": pa.array(np.array(ws, np.int32)),
+        "height": pa.array(np.array(hs, np.int32)),
+        "n_frames": pa.array(np.ones(len(ids), np.int32)),
+    }, schema=MEDIA_SCHEMA)
