@@ -3962,6 +3962,31 @@ def q_media_ahash(sf_dir: str):
     )
 
 
+def q_emb_outliers(sf_dir: str):
+    """Intra-class outlier sweep (label-noise detection): the 3 vectors
+    farthest from their class centroid per label, scored by the exact
+    integer n²·||x − c||² (centroid division cross-multiplied away).
+    Centroid evidence broadcast once, scoring map-only
+    (stages/ann.class_outliers)."""
+    from aisdb_ray.stages import ann
+
+    _ctx()
+    return ann.class_outliers(rd.read_parquet(_emb_path(sf_dir)), k=3)
+
+
+def q_tok_rle(sf_dir: str):
+    """Per-sequence run-length evidence over the tokens payload:
+    (doc_id, n_tok, n_runs, rle_ratio) — the degenerate-repetition gate
+    (rle_ratio → 0 flags looping generations).  Map-only, zero shuffles
+    (stages/tokstats.rle_runs)."""
+    from aisdb_ray.stages import tokstats
+
+    _ctx()
+    ds = rd.read_parquet(ensure_sf_tokens(sf_dir),
+                         columns=["doc_id", "tokens", "n_tok"])
+    return tokstats.rle_runs(ds)
+
+
 # --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
@@ -3982,6 +4007,8 @@ def build_queries() -> dict:
         "emb_clusters": q_emb_clusters,
         "emb_mmr": q_emb_mmr,
         "media_ahash": q_media_ahash,
+        "emb_outliers": q_emb_outliers,
+        "tok_rle": q_tok_rle,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_co_outage": q_ts_co_outage,
         "doc_boilerplate": q_doc_boilerplate,
@@ -6846,6 +6873,37 @@ SELECT node AS vec_id, component AS cluster FROM comp"""
 SELECT step AS rank, CAST(picked AS BIGINT) AS vec_id,
        CAST(mmr_score AS BIGINT) AS mmr_score
 FROM sel"""
+
+    sql["emb_outliers"] = """WITH ex AS (
+    SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                AS BIGINT) AS fx
+    FROM embeddings
+  ),
+  cent AS (
+    SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(fx) AS BIGINT) AS s
+    FROM ex GROUP BY label, dim
+  ),
+  sc AS (
+    SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+           CAST(sum((c.n * e.fx - c.s) * (c.n * e.fx - c.s)) AS BIGINT)
+             AS score
+    FROM ex e JOIN cent c ON c.label = e.label AND c.dim = e.dim
+    GROUP BY e.vec_id, e.label
+  )
+SELECT label, vec_id, score FROM sc
+QUALIFY row_number() OVER (PARTITION BY label
+                           ORDER BY score DESC, vec_id ASC) <= 3"""
+
+    sql["tok_rle"] = f"""SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(1 + len(list_filter(range(2, len(tokens) + 1),
+                    i -> tokens[i] <> tokens[i - 1])) AS BIGINT) AS n_runs,
+       CAST(1 + len(list_filter(range(2, len(tokens) + 1),
+                    i -> tokens[i] <> tokens[i - 1])) AS DOUBLE)
+         / CAST(n_tok AS DOUBLE) AS rle_ratio
+FROM read_parquet('{tok}/*.parquet')
+WHERE n_tok > 0 AND len(tokens) = n_tok"""
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
     #   media_features / media_audio (binary codecs: pure-numpy PPM/BMP/WAV

@@ -1222,3 +1222,61 @@ def mmr_rerank(emb_path: str, k: int = 10, pool: int = 30, probe_id: int = 0,
         "vec_id": pa.array(picked, pa.int64()),
         "mmr_score": pa.array(scores, pa.int64()),
     })
+
+
+def class_outliers(ds_emb, k: int = 3, scale: int = 1_000_000):
+    """Per-label intra-class outliers: the k vectors farthest from their
+    class centroid, scored by the EXACT integer
+
+        score = sum_d (n_l * fx_d  -  s_{l,d})**2   ==  n_l**2 * ||x - c_l||**2
+
+    (cross-multiplying the centroid division away keeps everything int64:
+    |n*fx| <= n*1e6, squared and summed over d — guard below).  The
+    mislabeled-point / label-noise sweep a curation pipeline runs before
+    training on labeled embeddings.  Centroid evidence is labels x dims
+    bounded and broadcasts once; scoring is map-only; only k rows per
+    label survive the top-k partials."""
+    import ray
+
+    from aisdb_ray.stages import rank
+
+    cent = label_centroids(ds_emb, scale=scale).take_all()
+    n_of: dict[int, int] = {}
+    s_of: dict[int, dict[int, int]] = {}
+    for r in cent:
+        lab = int(r["label"])
+        n_of[lab] = int(r["n"])
+        s_of.setdefault(lab, {})[int(r["dim"])] = int(r["sum_fx"])
+    dims = 1 + max(d for m in s_of.values() for d in m)
+    svec = {lab: np.array([m.get(d, 0) for d in range(dims)], np.int64)
+            for lab, m in s_of.items()}
+    n_max = max(n_of.values()) if n_of else 0
+    if n_max * scale >= (1 << 31) or dims * ((n_max * scale) ** 2) >= (1 << 63):
+        raise OverflowError("class_outliers: n*fx square-sum would overflow")
+    bcast = ray.put((n_of, svec))
+
+    def score(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({
+                "label": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.int64()),
+            })
+        nd, sd = ray.get(bcast)
+        fx = _fx_matrix(b)
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.array([nd[int(x)] for x in lab], np.int64)[:, None]
+        s = np.stack([sd[int(x)] for x in lab])
+        diff = n * fx - s
+        sc = np.einsum("ij,ij->i", diff, diff)
+        return pa.table({
+            "label": pa.array(lab),
+            "vec_id": pa.array(ids),
+            "score": pa.array(sc.astype(np.int64)),
+        })
+
+    scored = ds_emb.map_batches(score, batch_format="pyarrow")
+    return rank.topk_per_group(
+        scored, "label", ["score", "vec_id"], k, descending=[True, False]
+    )

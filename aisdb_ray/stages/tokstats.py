@@ -364,3 +364,48 @@ def _valid_row_count(ds) -> int:
 
     got = ds.map_batches(partial, batch_format="pyarrow").sum("c")
     return int(got or 0)
+
+
+def rle_runs(ds):
+    """Per-row token run-length evidence: (doc_id, n_tok, n_runs,
+    rle_ratio) with n_runs the count of maximal adjacent equal-token runs
+    — the degenerate-repetition signal (rle_ratio -> 0 means the sequence
+    is dominated by repeated tokens; a quality gate drops it before
+    training).  Map-only and zero-shuffle: a row's tokens never split
+    across batches, and the kernel is one flatten + one shifted compare +
+    one reduceat per batch.  rle_ratio = n_runs / n_tok, one IEEE
+    division on exact ints."""
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater(b["n_tok"], pa.scalar(0)),
+            pc.equal(pc.list_value_length(b["tokens"]), b["n_tok"]),
+        )
+        b = b.filter(keep)
+        empty = pa.table({
+            "doc_id": pa.array([], pa.string()),
+            "n_tok": pa.array([], pa.int64()),
+            "n_runs": pa.array([], pa.int64()),
+            "rle_ratio": pa.array([], pa.float64()),
+        })
+        if b.num_rows == 0:
+            return empty
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        n = b["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # a run boundary: same row, value differs from predecessor
+        brk = np.r_[False, (par[1:] == par[:-1]) & (flat[1:] != flat[:-1])]
+        starts = np.r_[0, np.cumsum(n)[:-1]]
+        runs = 1 + np.add.reduceat(brk.astype(np.int64), starts)
+        # reduceat with a repeated start (n_i == 0 impossible: n_tok > 0)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tok": pa.array(n),
+            "n_runs": pa.array(runs),
+            "rle_ratio": pa.array(runs.astype(np.float64) / n.astype(np.float64)),
+        })
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

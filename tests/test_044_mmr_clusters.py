@@ -59,3 +59,51 @@ def test_mmr_excludes_probe_and_bounds_pool(tmp_path):
     got = mmr_rerank(path, k=20, pool=3, probe_id=0).to_pandas()
     assert 0 not in got["vec_id"].tolist()
     assert len(got) == 3  # k capped by the candidate pool
+
+
+def test_class_outliers_flags_planted_point(tmp_path):
+    import pyarrow.parquet as pq_mod
+    import ray.data as rd
+
+    from aisdb_ray.stages.ann import class_outliers
+
+    rng = np.random.default_rng(2)
+    # label 0: tight cluster + one planted far point (id 99)
+    vecs, labels, ids = [], [], []
+    for i in range(20):
+        vecs.append((rng.normal(0, 0.01, 8) + 0.3).tolist())
+        labels.append(0)
+        ids.append(i)
+    vecs.append([0.9] * 8)
+    labels.append(0)
+    ids.append(99)
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([[float(x) for x in v] for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    p = str(tmp_path / "emb.parquet")
+    pq_mod.write_table(t, p)
+    got = class_outliers(rd.read_parquet(p), k=2).to_pandas()
+    assert int(got.sort_values("score", ascending=False)["vec_id"].iloc[0]) == 99
+
+
+def test_tok_rle_counts_runs_exactly():
+    import ray.data as rd
+
+    from aisdb_ray.stages.tokstats import rle_runs
+
+    t = pa.table({
+        "doc_id": pa.array(["a", "b", "c", "bad"], pa.string()),
+        "tokens": pa.array(
+            [[1, 1, 2, 2, 2, 3], [7], [4, 4, 4, 4], [1, 2]],
+            pa.list_(pa.int32())),
+        "n_tok": pa.array([6, 1, 4, 99], pa.int32()),  # 'bad' violates contract
+    })
+    got = rle_runs(rd.from_arrow(t)).to_pandas().set_index("doc_id")
+    assert "bad" not in got.index
+    assert int(got.loc["a", "n_runs"]) == 3
+    assert int(got.loc["b", "n_runs"]) == 1
+    assert int(got.loc["c", "n_runs"]) == 1
+    assert got.loc["c", "rle_ratio"] == 0.25
