@@ -3987,6 +3987,128 @@ def q_tok_rle(sf_dir: str):
     return tokstats.rle_runs(ds)
 
 
+def q_ann_pq_recall(sf_dir: str):
+    """Recall@10 of PQ/ADC serving vs exact brute force as integer
+    evidence (k, n_overlap) — completes the index-eval family
+    (LSH/IVF recalls already first-class)."""
+    from aisdb_ray.stages import join as join_mod
+
+    exact = q_ann_topk(sf_dir).select_columns(["vec_id"])
+    approx = q_ann_pq_topk(sf_dir).select_columns(["vec_id"])
+    n = join_mod.hash_join(exact, approx, on="vec_id", how="inner").count()
+    return pa.table(
+        {"k": pa.array([10], pa.int64()), "n_overlap": pa.array([n], pa.int64())}
+    )
+
+
+def q_ts_ols_trend(sf_dir: str):
+    """Per-source least-squares trend slope over the 5-minute bucket
+    series, x rebased to bucket index so every sufficient statistic stays
+    int64: slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), evidence columns
+    exact, slope one IEEE division — the parametric counterpart of
+    ts_theil_sen.  One co-shuffle over bounded bucket rows."""
+    from aisdb_ray.stages import changepoint as _  # noqa: F401 (same family)
+    from aisdb_ray.stages._dist import co_shuffle
+
+    _ctx()
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bkt = pc.multiply(pc.divide(b["time"], 300), 300)
+        return b.append_column("bucket", pc.cast(bkt, pa.int64()))
+
+    pts = _clean_tokens(sf_dir).map_batches(add_bucket, batch_format="pyarrow")
+    h = grouped_sums(pts, ["source", "bucket"], ["n_tok"], count_as="c",
+                     hash_combine=True)
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({
+                "source": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "slope_num": pa.array([], pa.int64()),
+                "slope_den": pa.array([], pa.int64()),
+                "slope": pa.array([], pa.float64()),
+            })
+        src = part["source"].to_numpy(zero_copy_only=False)
+        bkt = part["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = part["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((bkt, src))
+        src, bkt, y = src[order], bkt[order], y[order]
+        gstart = np.r_[0, np.flatnonzero(src[1:] != src[:-1]) + 1]
+        glen = np.diff(np.r_[gstart, len(src)])
+        xi = (bkt - np.repeat(bkt[gstart], glen)) // 300
+        n = glen.astype(np.int64)
+        sx = np.add.reduceat(xi, gstart)
+        sy = np.add.reduceat(y, gstart)
+        sxy = np.add.reduceat(xi * y, gstart)
+        sxx = np.add.reduceat(xi * xi, gstart)
+        for arr in (n * sxy, sx * sy, n * sxx, sx * sx):
+            if len(arr) and int(np.abs(arr).max()) >= (1 << 62):
+                raise OverflowError("ts_ols_trend: moment product overflow")
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        keep = n >= 2
+        return pa.table({
+            "source": pa.array(src[gstart][keep]),
+            "n": pa.array(n[keep]),
+            "slope_num": pa.array(num[keep]),
+            "slope_den": pa.array(den[keep]),
+            "slope": pa.array(
+                num[keep].astype(np.float64) / den[keep].astype(np.float64)),
+        })
+
+    return co_shuffle(h, ["source"], per_part)
+
+
+def q_tok_prefix_dup(sf_dir: str):
+    """Prefix-duplicate groups: rows whose first 16 token ids are
+    IDENTICAL to at least one other row's (truncation / continuation
+    duplicates that content-hash dedup misses because the tails differ).
+    The prefix serializes to a string key, one co-shuffle on it, groups
+    with >= 2 members emit (doc_id, prefix_group = min doc_id)."""
+    from aisdb_ray.stages._dist import co_shuffle
+
+    _ctx()
+    ds = rd.read_parquet(ensure_sf_tokens(sf_dir),
+                         columns=["doc_id", "tokens", "n_tok"])
+
+    def prefix_key(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(b["n_tok"], pa.scalar(16)),
+            pc.equal(pc.list_value_length(b["tokens"]), b["n_tok"]),
+        )
+        b = b.filter(keep)
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.string()),
+                             "pre": pa.array([], pa.string())})
+        pre = pc.binary_join(
+            pc.cast(pc.list_slice(b["tokens"], 0, 16), pa.list_(pa.string())),
+            ",",
+        )
+        return pa.table({"doc_id": b["doc_id"], "pre": pre})
+
+    keyed = ds.map_batches(prefix_key, batch_format="pyarrow")
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.string()),
+                             "prefix_group": pa.array([], pa.string())})
+        doc = part["doc_id"].to_numpy(zero_copy_only=False)
+        pre = part["pre"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, pre))
+        doc, pre = doc[order], pre[order]
+        gstart = np.r_[0, np.flatnonzero(pre[1:] != pre[:-1]) + 1]
+        glen = np.diff(np.r_[gstart, len(pre)])
+        keep = np.repeat(glen >= 2, glen)
+        grp = np.repeat(doc[gstart], glen)  # min doc_id: sorted within group
+        return pa.table({
+            "doc_id": pa.array(doc[keep]),
+            "prefix_group": pa.array(grp[keep]),
+        })
+
+    return co_shuffle(keyed, ["pre"], per_part)
+
+
 # --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
@@ -4009,6 +4131,9 @@ def build_queries() -> dict:
         "media_ahash": q_media_ahash,
         "emb_outliers": q_emb_outliers,
         "tok_rle": q_tok_rle,
+        "ann_pq_recall": q_ann_pq_recall,
+        "ts_ols_trend": q_ts_ols_trend,
+        "tok_prefix_dup": q_tok_prefix_dup,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_co_outage": q_ts_co_outage,
         "doc_boilerplate": q_doc_boilerplate,
@@ -6904,6 +7029,44 @@ QUALIFY row_number() OVER (PARTITION BY label
          / CAST(n_tok AS DOUBLE) AS rle_ratio
 FROM read_parquet('{tok}/*.parquet')
 WHERE n_tok > 0 AND len(tokens) = n_tok"""
+
+    sql["ann_pq_recall"] = f"""WITH ex AS ({sql["ann_topk"]}),
+  ap AS ({sql["ann_pq_topk"]})
+SELECT CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_overlap
+FROM ex JOIN ap USING (vec_id)"""
+
+    sql["ts_ols_trend"] = f"""WITH {_sql_tokens_clean(tok)},
+  h AS (
+    SELECT source, (time // 300) * 300 AS bucket,
+           CAST(sum(n_tok) AS BIGINT) AS y
+    FROM clean GROUP BY source, bucket
+  ),
+  x AS (
+    SELECT source,
+           (bucket - min(bucket) OVER (PARTITION BY source)) // 300 AS xi, y
+    FROM h
+  ),
+  s AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(xi) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(xi * y) AS BIGINT) AS sxy,
+           CAST(sum(xi * xi) AS BIGINT) AS sxx
+    FROM x GROUP BY source
+  )
+SELECT source, n, n * sxy - sx * sy AS slope_num,
+       n * sxx - sx * sx AS slope_den,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+FROM s WHERE n >= 2"""
+
+    sql["tok_prefix_dup"] = f"""WITH v AS (
+    SELECT doc_id, tokens FROM read_parquet('{tok}/*.parquet')
+    WHERE n_tok >= 16 AND len(tokens) = n_tok
+  ),
+  p AS (SELECT doc_id, array_to_string(tokens[1:16], ',') AS pre FROM v),
+  g AS (SELECT pre, min(doc_id) AS grp, count(*) AS c FROM p GROUP BY pre)
+SELECT p.doc_id, g.grp AS prefix_group
+FROM p JOIN g USING (pre) WHERE g.c >= 2"""
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
     #   media_features / media_audio (binary codecs: pure-numpy PPM/BMP/WAV
