@@ -4109,6 +4109,69 @@ def q_tok_prefix_dup(sf_dir: str):
     return co_shuffle(keyed, ["pre"], per_part)
 
 
+def q_ts_drift_tv(sf_dir: str):
+    """Distribution-drift screening: per source, the total-variation
+    distance between the n_tok value-bucket histogram of the FIRST half
+    of its span and the SECOND half — TV = Σ|c_a·T_b − c_b·T_a| /
+    (2·T_a·T_b), all-integer numerator (cross-multiplied, no per-bucket
+    divisions), one IEEE division at the end.  The drift monitor a
+    training-data pipeline runs before mixing an updated crawl in.
+    One co-shuffle on source; buckets are v//256 (bounded)."""
+    from aisdb_ray.stages._dist import co_shuffle
+
+    _ctx()
+    NB = 64  # value buckets cap (n_tok <= 16384 at width 256)
+
+    def per_part(part: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "source": pa.array([], pa.string()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "s_abs": pa.array([], pa.int64()),
+            "tv": pa.array([], pa.float64()),
+        })
+        if part.num_rows == 0:
+            return empty
+        src = part["source"].to_numpy(zero_copy_only=False)
+        t = part["time"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = part["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((t, src))
+        src, t, v = src[order], t[order], v[order]
+        gstart = np.r_[0, np.flatnonzero(src[1:] != src[:-1]) + 1]
+        glen = np.diff(np.r_[gstart, len(src)])
+        gid = np.repeat(np.arange(len(gstart)), glen)
+        mid = np.repeat(
+            (t[gstart] + t[gstart + glen - 1]) // 2, glen
+        )  # sorted by time within group: first/last are min/max
+        half_b = t > mid
+        vb = np.minimum(v // 256, NB - 1)
+        key = gid * NB + vb
+        size = len(gstart) * NB
+        ca = np.bincount(key[~half_b], minlength=size).astype(np.int64)
+        cb = np.bincount(key[half_b], minlength=size).astype(np.int64)
+        ca = ca.reshape(-1, NB)
+        cb = cb.reshape(-1, NB)
+        ta = ca.sum(1)
+        tb = cb.sum(1)
+        if len(ta) and int(ta.max()) * int(tb.max()) >= (1 << 60):
+            raise OverflowError("ts_drift_tv: T_a*T_b overflow")
+        d = ca * tb[:, None] - cb * ta[:, None]
+        s_abs = np.abs(d).sum(1)
+        keep = (ta > 0) & (tb > 0)
+        return pa.table({
+            "source": pa.array(src[gstart][keep]),
+            "n_a": pa.array(ta[keep]),
+            "n_b": pa.array(tb[keep]),
+            "s_abs": pa.array(s_abs[keep]),
+            "tv": pa.array(
+                s_abs[keep].astype(np.float64)
+                / (2 * ta[keep] * tb[keep]).astype(np.float64)
+            ),
+        })
+
+    return co_shuffle(_clean_tokens(sf_dir), ["source"], per_part)
+
+
 # --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
@@ -4134,6 +4197,7 @@ def build_queries() -> dict:
         "ann_pq_recall": q_ann_pq_recall,
         "ts_ols_trend": q_ts_ols_trend,
         "tok_prefix_dup": q_tok_prefix_dup,
+        "ts_drift_tv": q_ts_drift_tv,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_co_outage": q_ts_co_outage,
         "doc_boilerplate": q_doc_boilerplate,
@@ -7067,6 +7131,37 @@ FROM s WHERE n >= 2"""
   g AS (SELECT pre, min(doc_id) AS grp, count(*) AS c FROM p GROUP BY pre)
 SELECT p.doc_id, g.grp AS prefix_group
 FROM p JOIN g USING (pre) WHERE g.c >= 2"""
+
+    sql["ts_drift_tv"] = f"""WITH {_sql_tokens_clean(tok)},
+  m AS (
+    SELECT source, (min(time) + max(time)) // 2 AS mid
+    FROM clean GROUP BY source
+  ),
+  h AS (
+    SELECT c.source, least(c.n_tok // 256, 63) AS vb,
+           CASE WHEN c.time <= m.mid THEN 0 ELSE 1 END AS half
+    FROM clean c JOIN m USING (source)
+  ),
+  cnt AS (
+    SELECT source, vb,
+           CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+    FROM h GROUP BY source, vb
+  ),
+  t AS (
+    SELECT source, CAST(sum(ca) AS BIGINT) AS ta,
+           CAST(sum(cb) AS BIGINT) AS tb
+    FROM cnt GROUP BY source
+  ),
+  s AS (
+    SELECT c.source, t.ta AS n_a, t.tb AS n_b,
+           CAST(sum(abs(c.ca * t.tb - c.cb * t.ta)) AS BIGINT) AS s_abs
+    FROM cnt c JOIN t USING (source)
+    GROUP BY c.source, t.ta, t.tb
+  )
+SELECT source, n_a, n_b, s_abs,
+       CAST(s_abs AS DOUBLE) / CAST(2 * n_a * n_b AS DOUBLE) AS tv
+FROM s WHERE n_a > 0 AND n_b > 0"""
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
     #   media_features / media_audio (binary codecs: pure-numpy PPM/BMP/WAV

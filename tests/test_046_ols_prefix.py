@@ -60,3 +60,33 @@ def test_prefix_dup_query_pins_truncation_pairs():
     assert (g >= 2).all()
     assert (got.groupby("prefix_group")["doc_id"].min()
             == got.groupby("prefix_group").apply(lambda d: d.name)).all()
+
+
+def test_drift_tv_identical_halves_zero_and_disjoint_one():
+    """TV numerator contract: 0 when both halves share one distribution,
+    1 when the halves' value buckets are disjoint (matches the engine's
+    bucketing v//256 capped at 63 and the cross-multiplied formula)."""
+
+    def tv_of(vals_a, vals_b, nb=64):
+        ca = np.bincount(np.minimum(np.array(vals_a) // 256, nb - 1),
+                         minlength=nb)
+        cb = np.bincount(np.minimum(np.array(vals_b) // 256, nb - 1),
+                         minlength=nb)
+        ta, tb = ca.sum(), cb.sum()
+        return np.abs(ca * tb - cb * ta).sum() / (2 * ta * tb)
+
+    assert tv_of([100] * 5, [100] * 5) == 0.0
+    assert tv_of([100] * 5, [1000] * 5) == 1.0
+    # uneven halves with overlap land strictly between
+    assert 0.0 < tv_of([100, 100, 600], [100, 600, 600]) < 1.0
+
+
+def test_drift_tv_query_end_to_end():
+    """The registered query produces one row per source with tv in [0,1]
+    and exact integer evidence columns."""
+    from aisdb_ray.pipelines.queries import q_ts_drift_tv
+
+    got = q_ts_drift_tv("/root/testdata/sf0.001").to_pandas()
+    assert len(got) > 0
+    assert ((got["tv"] >= 0) & (got["tv"] <= 1)).all()
+    assert (got["n_a"] > 0).all() and (got["n_b"] > 0).all()
