@@ -4172,6 +4172,84 @@ def q_ts_drift_tv(sf_dir: str):
     return co_shuffle(_clean_tokens(sf_dir), ["source"], per_part)
 
 
+def q_ts_grouping_sets(sf_dir: str):
+    """OLAP grouping-sets aggregate in ONE input pass: (source, day),
+    (source), (day) and grand-total token sums+counts derived from the
+    finest-level partials (never re-reading the input — the coarser levels
+    are algebraic merges of the (source, day) rows, which are bounded).
+    Grouped-out keys carry sentinels ('*' / -1) and a GROUPING()-style
+    bitmask gid, mirroring SQL GROUPING SETS exactly."""
+    from aisdb_ray.stages._dist import funnel_combine
+
+    _ctx()
+
+    def add_day(b: pa.Table) -> pa.Table:
+        day = pc.multiply(pc.divide(b["time"], 86400), 86400)
+        return b.append_column("day", pc.cast(day, pa.int64()))
+
+    pts = _clean_tokens(sf_dir).map_batches(add_day, batch_format="pyarrow")
+    fine = grouped_sums(pts, ["source", "day"], ["n_tok"], count_as="n",
+                        hash_combine=True).materialize()
+
+    def level(keys: list[str], gid: int):
+        def merge(b: pa.Table) -> pa.Table:
+            cols = keys + ["n_tok", "n"]
+            t = pa.table({k: b[k] for k in cols})
+            if keys:
+                g = t.group_by(keys, use_threads=False).aggregate(
+                    [("n_tok", "sum"), ("n", "sum")]
+                )
+                g = g.rename_columns(keys + ["n_tok", "n"])
+            else:
+                g = pa.table({
+                    "n_tok": pa.array(
+                        [pc.sum(t["n_tok"]).as_py() or 0], pa.int64()),
+                    "n": pa.array([pc.sum(t["n"]).as_py() or 0], pa.int64()),
+                })
+            return g
+
+        def finalize(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            src = (b["source"] if "source" in keys
+                   else pa.array(["*"] * n, pa.string()))
+            day = (b["day"] if "day" in keys
+                   else pa.array([-1] * n, pa.int64()))
+            return pa.table({
+                "source": src,
+                "day": day,
+                "gid": pa.array([gid] * n, pa.int64()),
+                "sum_tok": b["n_tok"],
+                "n": b["n"],
+            })
+
+        return funnel_combine(fine, merge, finalize_fn=finalize)
+
+    out = level(["source", "day"], 0)
+    for keys, gid in ((["source"], 1), (["day"], 2), ([], 3)):
+        out = out.union(level(keys, gid))
+    return out
+
+
+def q_ev_value_hist(sf_dir: str):
+    """HDR-style latency histogram: per event_type, counts by power-of-2
+    bucket of the value in cents (bucket = bit_length(floor(value·100)) —
+    exact integers, log-scaled resolution; the percentile-serving layout
+    monitoring systems store instead of raw samples)."""
+    _ctx()
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0).astype(np.int64)
+        # frexp exponent == bit_length for 1 <= x < 2^53
+        bl = np.frexp(cents.astype(np.float64))[1].astype(np.int64)
+        return pa.table({"event_type": b["event_type"],
+                         "bucket": pa.array(bl)})
+
+    ds = _events_ds(sf_dir, ["event_type", "value"])
+    return grouped_sums(ds.map_batches(bucketize, batch_format="pyarrow"),
+                        ["event_type", "bucket"], [], count_as="n")
+
+
 # --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
@@ -4198,6 +4276,8 @@ def build_queries() -> dict:
         "ts_ols_trend": q_ts_ols_trend,
         "tok_prefix_dup": q_tok_prefix_dup,
         "ts_drift_tv": q_ts_drift_tv,
+        "ts_grouping_sets": q_ts_grouping_sets,
+        "ev_value_hist": q_ev_value_hist,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_co_outage": q_ts_co_outage,
         "doc_boilerplate": q_doc_boilerplate,
@@ -7162,6 +7242,21 @@ FROM p JOIN g USING (pre) WHERE g.c >= 2"""
 SELECT source, n_a, n_b, s_abs,
        CAST(s_abs AS DOUBLE) / CAST(2 * n_a * n_b AS DOUBLE) AS tv
 FROM s WHERE n_a > 0 AND n_b > 0"""
+
+    sql["ts_grouping_sets"] = f"""WITH {_sql_tokens_clean(tok)},
+  p AS (SELECT source, (time // 86400) * 86400 AS day, n_tok FROM clean)
+SELECT CASE WHEN GROUPING(source) = 1 THEN '*' ELSE source END AS source,
+       CASE WHEN GROUPING(day) = 1 THEN -1 ELSE day END AS day,
+       CAST(GROUPING(source, day) AS BIGINT) AS gid,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+       CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY GROUPING SETS ((source, day), (source), (day), ())"""
+
+    sql["ev_value_hist"] = """SELECT event_type,
+       CAST(length(bin(CAST(floor(value * 100) AS BIGINT))) AS BIGINT)
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type, bucket"""
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
     #   media_features / media_audio (binary codecs: pure-numpy PPM/BMP/WAV

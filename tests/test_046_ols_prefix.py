@@ -90,3 +90,28 @@ def test_drift_tv_query_end_to_end():
     assert len(got) > 0
     assert ((got["tv"] >= 0) & (got["tv"] <= 1)).all()
     assert (got["n_a"] > 0).all() and (got["n_b"] > 0).all()
+
+
+def test_grouping_sets_levels_consistent():
+    """The four levels agree: total == Σ per-source == Σ per-day."""
+    from aisdb_ray.pipelines.queries import q_ts_grouping_sets
+
+    got = q_ts_grouping_sets("/root/testdata/sf0.001").to_pandas()
+    fine = got[got.gid == 0]
+    by_src = got[got.gid == 1]
+    by_day = got[got.gid == 2]
+    total = got[got.gid == 3]
+    assert len(total) == 1
+    t = int(total["sum_tok"].iloc[0])
+    assert int(fine["sum_tok"].sum()) == t
+    assert int(by_src["sum_tok"].sum()) == t
+    assert int(by_day["sum_tok"].sum()) == t
+    assert (by_src["day"] == -1).all() and (by_day["source"] == "*").all()
+
+
+def test_value_hist_bucket_rule():
+    """bucket == bit_length(cents): boundary values land exactly."""
+    assert np.frexp(np.array([1.0]))[1][0] == 1
+    assert np.frexp(np.array([2.0]))[1][0] == 2
+    assert np.frexp(np.array([255.0]))[1][0] == 8
+    assert np.frexp(np.array([256.0]))[1][0] == 9
