@@ -4271,6 +4271,20 @@ def q_ev_value_hist(sf_dir: str):
                         ["event_type", "bucket"], [], count_as="n")
 
 
+def q_ev_heavy_hitters(sf_dir: str):
+    """Exact frequent users (count·128 > total events) WITHOUT shuffling
+    the key universe: per-batch Misra–Gries summaries (≤128 counters),
+    bounded merge, candidate-verify pass — the superset guarantee makes
+    the strictly-filtered output exact and deterministic even though the
+    sketch intermediates depend on batch boundaries
+    (stages/heavyhitters.py)."""
+    from aisdb_ray.stages import heavyhitters
+
+    _ctx()
+    ds = _events_ds(sf_dir, ["user_id"])
+    return heavyhitters.frequent_keys(ds, "user_id", k=128)
+
+
 # --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
@@ -4299,6 +4313,7 @@ def build_queries() -> dict:
         "ts_drift_tv": q_ts_drift_tv,
         "ts_grouping_sets": q_ts_grouping_sets,
         "ev_value_hist": q_ev_value_hist,
+        "ev_heavy_hitters": q_ev_heavy_hitters,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_co_outage": q_ts_co_outage,
         "doc_boilerplate": q_doc_boilerplate,
@@ -7278,6 +7293,13 @@ FROM p GROUP BY GROUPING SETS ((source, day), (source), (day), ())"""
          AS bucket,
        CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY event_type, bucket"""
+
+    sql["ev_heavy_hitters"] = """WITH c AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id
+  ),
+  t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events)
+SELECT c.user_id, c.n FROM c, t WHERE c.n * 128 > t.total"""
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
     #   media_features / media_audio (binary codecs: pure-numpy PPM/BMP/WAV
