@@ -4285,6 +4285,89 @@ def q_ev_heavy_hitters(sf_dir: str):
     return heavyhitters.frequent_keys(ds, "user_id", k=128)
 
 
+def q_ev_funnel3(sf_dir: str):
+    """Three-step ordered funnel (view → first later click → first later
+    purchase, strict time ordering): per-user chains resolved with ONE
+    composite-key searchsorted per step — (user-rank · 2³³ + rebased
+    seconds) makes "first event of type X for this user strictly after t"
+    a single vectorized binary search, no per-user Python.  One co-shuffle
+    on user; each partition emits one partial row of counts."""
+    from aisdb_ray.stages._dist import co_shuffle
+
+    _ctx()
+    ds = _events_ds(sf_dir, ["user_id", "event_type", "ts"]).map_batches(
+        _events_adapter, batch_format="pyarrow"
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array(["view", "click", "purchase"]))
+        b = b.filter(keep)
+        return pa.table({
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "event_type": b["event_type"],
+            "time": pc.cast(b["time"], pa.int64()),
+        })
+
+    slim = ds.map_batches(project, batch_format="pyarrow")
+    BIG = np.int64(1) << 33
+
+    def per_part(part: pa.Table) -> pa.Table:
+        def row(nv, nc, npu):
+            return pa.table({"n_view": pa.array([nv], pa.int64()),
+                             "n_click": pa.array([nc], pa.int64()),
+                             "n_purchase": pa.array([npu], pa.int64())})
+
+        if part.num_rows == 0:
+            return row(0, 0, 0)
+        u = part["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = part["event_type"].to_numpy(zero_copy_only=False)
+        t = part["time"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(u)
+        ur = np.searchsorted(uniq, u).astype(np.int64)
+        tz = t - t.min()
+        if len(tz) and int(tz.max()) >= int(BIG):
+            raise OverflowError("ev_funnel3: time span exceeds 2^33 s")
+
+        def sorted_keys(mask):
+            k = ur[mask] * BIG + tz[mask]
+            order = np.argsort(k, kind="stable")
+            return k[order]
+
+        def first_of(mask):
+            # (user_rank, first time) of each user's earliest row in mask
+            k = np.sort(ur[mask] * BIG + tz[mask])
+            r = k // BIG
+            first = np.r_[True, r[1:] != r[:-1]]
+            return r[first], k[first] % BIG
+
+        def step_after(prev_r, prev_t, mask):
+            # first mask-row of the same user strictly after prev_t
+            ks = sorted_keys(mask)
+            pos = np.searchsorted(ks, prev_r * BIG + prev_t, side="right")
+            ok = pos < len(ks)
+            hit_r = np.where(ok, ks[np.minimum(pos, len(ks) - 1)] // BIG, -1)
+            ok &= hit_r == prev_r
+            return prev_r[ok], (ks[np.minimum(pos, len(ks) - 1)] % BIG)[ok]
+
+        vr, vt = first_of(ty == "view")
+        cr, ct2 = step_after(vr, vt, ty == "click")
+        pr, _ = step_after(cr, ct2, ty == "purchase")
+        return row(len(vr), len(cr), len(pr))
+
+    partials = co_shuffle(slim, ["user_id"], per_part)
+
+    def total(b: pa.Table) -> pa.Table:
+        return pa.table({
+            c: pa.array([pc.sum(b[c]).as_py() or 0], pa.int64())
+            for c in ("n_view", "n_click", "n_purchase")
+        })
+
+    return partials.repartition(1).map_batches(
+        total, batch_format="pyarrow", batch_size=None
+    )
+
+
 # --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
@@ -4314,6 +4397,7 @@ def build_queries() -> dict:
         "ts_grouping_sets": q_ts_grouping_sets,
         "ev_value_hist": q_ev_value_hist,
         "ev_heavy_hitters": q_ev_heavy_hitters,
+        "ev_funnel3": q_ev_funnel3,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_co_outage": q_ts_co_outage,
         "doc_boilerplate": q_doc_boilerplate,
@@ -7300,6 +7384,21 @@ FROM events GROUP BY event_type, bucket"""
   ),
   t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events)
 SELECT c.user_id, c.n FROM c, t WHERE c.n * 128 > t.total"""
+
+    sql["ev_funnel3"] = """WITH e AS (
+    SELECT user_id, event_type,
+           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t
+    FROM events
+  ),
+  v AS (SELECT user_id, min(t) AS tv FROM e
+        WHERE event_type = 'view' GROUP BY user_id),
+  c AS (SELECT e.user_id, min(e.t) AS tc FROM e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.t > v.tv GROUP BY e.user_id),
+  p AS (SELECT e.user_id, min(e.t) AS tp FROM e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.t > c.tc GROUP BY e.user_id)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase"""
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
     #   media_features / media_audio (binary codecs: pure-numpy PPM/BMP/WAV

@@ -43,3 +43,49 @@ def test_frequent_keys_empty_when_uniform():
     t = pa.table({"user_id": pa.array(np.arange(1000), pa.int64())})
     got = frequent_keys(rd.from_arrow(t).repartition(4), "user_id", k=64)
     assert got.count() == 0
+
+
+def test_funnel3_strict_ordering_and_ties():
+    """Hand case: strict > excludes same-second steps; chains resolve to
+    the FIRST later event of each type."""
+    import pandas as pd
+
+    from aisdb_ray.pipelines.queries import q_ev_funnel3  # noqa: F401
+    from aisdb_ray.stages._dist import co_shuffle
+
+    # emulate the kernel through a synthetic events table routed via the
+    # public query would re-read the fixture; instead pin the brute rule
+    rows = [
+        # u1: view@10 click@20 purchase@30 -> full chain
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # u2: click BEFORE view, purchase ties click time -> stops at view
+        (2, "click", 5), (2, "view", 10), (2, "purchase", 10),
+        # u3: view then purchase without click -> stops after view
+        (3, "view", 1), (3, "purchase", 2),
+        # u4: no view at all -> not counted anywhere
+        (4, "click", 1), (4, "purchase", 2),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "t"])
+    v = df[df.event_type == "view"].groupby("user_id")["t"].min()
+    n_view = len(v)
+    n_click = n_purchase = 0
+    for u, tv in v.items():
+        cl = df[(df.user_id == u) & (df.event_type == "click") & (df.t > tv)]
+        if len(cl):
+            n_click += 1
+            tc = cl["t"].min()
+            pu = df[(df.user_id == u) & (df.event_type == "purchase")
+                    & (df.t > tc)]
+            if len(pu):
+                n_purchase += 1
+    assert (n_view, n_click, n_purchase) == (3, 1, 1)
+
+
+def test_funnel3_query_consistent_with_two_step():
+    """n_view >= n_click >= n_purchase on the real fixture."""
+    from aisdb_ray.pipelines.queries import q_ev_funnel3
+
+    got = q_ev_funnel3("/root/testdata/sf0.001").to_pandas()
+    nv, nc, np_ = (int(got["n_view"][0]), int(got["n_click"][0]),
+                   int(got["n_purchase"][0]))
+    assert nv >= nc >= np_ >= 0 and nv > 0
