@@ -4368,6 +4368,52 @@ def q_ev_funnel3(sf_dir: str):
     )
 
 
+def _ensure_zordered(sf_dir: str):
+    """Build (once per sf dir) the Z-ordered copy of the clean series,
+    keyed by (time, n_tok); returns (dir, (t_min, t_max))."""
+    import json
+    import shutil
+
+    from aisdb_ray.stages import zorder
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(SF_CACHE_ROOT, name, "zorder")
+    out = os.path.join(base, "data")
+    done = os.path.join(base, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        _, bounds = zorder.write_zordered(
+            _clean_cached(sf_dir), "time", "n_tok", out, rows_per_group=2048
+        )
+        with open(done, "w") as fh:
+            json.dump({"bounds": bounds}, fh)
+    with open(done) as fh:
+        bounds = json.load(fh)["bounds"]
+    return out, bounds
+
+
+def q_ts_zorder_scan(sf_dir: str):
+    """Conjunctive 2-D range scan off the Z-ORDERED layout (Morton
+    interleave of quantized time × n_tok — the OPTIMIZE ZORDER BY storage
+    op): the middle-third time window AND n_tok in [1024, 2048], answered
+    with row groups pruned on BOTH dimensions from plain parquet footer
+    stats.  Results are layout-invariant (the SQL oracle filters the raw
+    clean table); the pruning factor itself is pinned by pytest
+    (stages/zorder.scan_stats)."""
+    from aisdb_ray.stages import zorder
+
+    _ctx()
+    zdir, (t0, t1, _, _) = _ensure_zordered(sf_dir)
+    span = t1 - t0
+    lo = t0 + span // 3
+    hi = t0 + (2 * span) // 3
+    return zorder.box_scan(
+        zdir, "time", "n_tok", lo, hi, 1024, 2048,
+        columns=["source", "doc_id", "time", "seq", "n_tok", "seg"],
+    )
+
+
 # --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
@@ -4398,6 +4444,7 @@ def build_queries() -> dict:
         "ev_value_hist": q_ev_value_hist,
         "ev_heavy_hitters": q_ev_heavy_hitters,
         "ev_funnel3": q_ev_funnel3,
+        "ts_zorder_scan": q_ts_zorder_scan,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_co_outage": q_ts_co_outage,
         "doc_boilerplate": q_doc_boilerplate,
@@ -7399,6 +7446,14 @@ SELECT c.user_id, c.n FROM c, t WHERE c.n * 128 > t.total"""
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
        (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
        (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase"""
+
+    sql["ts_zorder_scan"] = f"""WITH {_sql_tokens_clean(tok)},
+  m AS (SELECT min(time) AS t0, max(time) AS t1 FROM segmented)
+SELECT c.source, c.doc_id, c.time, c.seq, c.n_tok, c.seg
+FROM segmented c, m
+WHERE c.time >= m.t0 + (m.t1 - m.t0) // 3
+  AND c.time <= m.t0 + (2 * (m.t1 - m.t0)) // 3
+  AND c.n_tok BETWEEN 1024 AND 2048"""
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
     #   media_features / media_audio (binary codecs: pure-numpy PPM/BMP/WAV
