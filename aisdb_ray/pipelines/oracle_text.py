@@ -242,9 +242,12 @@ def _lsh_cte(dim: int = 64, n_bits: int = 8, n_tables: int = 4,
   )"""
 
 
-def ann_lsh_topk_sql(k: int = 10, n_bits: int = 8) -> str:
+def ann_lsh_topk_sql(k: int = 10, n_bits: int = 8,
+                     cand_where: str = "") -> str:
     """LSH ANN oracle: the query vector's bucket (+ all Hamming-1 probes)
-    per table defines the candidate set; exact cosine ranks candidates."""
+    per table defines the candidate set; exact cosine ranks candidates.
+    ``cand_where`` injects an extra candidate predicate (e.g. a tombstone
+    exclusion) BEFORE ranking — the delete-without-rebuild serving rule."""
     return f"""WITH {_lsh_cte(n_bits=n_bits)},
   qb AS (SELECT tbl, bucket FROM vb WHERE vec_id = 0),
   probes AS (
@@ -253,7 +256,8 @@ def ann_lsh_topk_sql(k: int = 10, n_bits: int = 8) -> str:
     SELECT qb.tbl, xor(qb.bucket, 1::BIGINT << t.i) AS bucket
     FROM qb, LATERAL (SELECT unnest(generate_series(0, {n_bits - 1})) AS i) t
   ),
-  cand AS (SELECT DISTINCT vb.vec_id FROM vb JOIN probes USING (tbl, bucket))
+  cand AS (SELECT DISTINCT vb.vec_id FROM vb JOIN probes USING (tbl, bucket)
+          {cand_where})
 SELECT CAST(row_number() OVER (
          ORDER BY list_cosine_similarity(e.embedding,
                   (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,

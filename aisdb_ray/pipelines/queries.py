@@ -4414,6 +4414,78 @@ def q_ts_zorder_scan(sf_dir: str):
     )
 
 
+def q_ann_lsh_delete(sf_dir: str):
+    """Delete-without-rebuild serving: top-10 from the SAME persisted LSH
+    index with a tombstone predicate (vec_id % 7 == 0 deleted) applied to
+    the candidate set at serve time — the index is immutable; deletes
+    never force a rebuild (the serving-side analog of the cascade's
+    tombstoned refresh)."""
+    from aisdb_ray.stages import ann
+
+    _ctx()
+    q0 = _query_vector(sf_dir)
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(SF_CACHE_ROOT, name, "lsh_index")
+    ann.build_lsh_index(
+        rd.read_parquet(_emb_path(sf_dir)), idx, ann.LshIndexParams(len(q0))
+    )
+    return _ranked_ids(ann.lsh_index_topk(
+        idx, _emb_path(sf_dir), q0, k=10, keep_fn=lambda v: v % 7 != 0
+    ))
+
+
+def q_ts_quantile_norm(sf_dir: str):
+    """Per-source quantile normalization (rank transform): percent_rank of
+    n_tok within its source — the scale-free feature encoding robust to
+    per-source value ranges.  Min-rank ties and (rank−1)/(n−1) with the
+    n=1 → 0.0 guard mirror SQL percent_rank exactly (one IEEE division on
+    exact ints).  One co-shuffle; ranks via one searchsorted per
+    partition."""
+    from aisdb_ray.stages._dist import co_shuffle
+
+    _ctx()
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({
+                "source": pa.array([], pa.string()),
+                "time": pa.array([], pa.int64()),
+                "seq": pa.array([], pa.int64()),
+                "n_tok": pa.array([], pa.int64()),
+                "pr": pa.array([], pa.float64()),
+            })
+        src = part["source"].to_numpy(zero_copy_only=False)
+        t = part["time"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sq = part["seq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = part["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, src))
+        src, t, sq, v = src[order], t[order], sq[order], v[order]
+        gstart = np.r_[0, np.flatnonzero(src[1:] != src[:-1]) + 1]
+        glen = np.diff(np.r_[gstart, len(src)])
+        g0 = np.repeat(gstart, glen)
+        n = np.repeat(glen, glen).astype(np.int64)
+        # min-rank of each value within its (sorted) group: first index of
+        # its equal-run, relative to the group start
+        first_of_run = np.r_[0, np.flatnonzero(
+            (v[1:] != v[:-1]) | (src[1:] != src[:-1])) + 1]
+        is_first = np.zeros(len(v), bool)
+        is_first[first_of_run] = True
+        run_id = np.cumsum(is_first) - 1
+        rank = first_of_run[run_id] - g0 + 1
+        pr = np.where(
+            n > 1,
+            (rank - 1).astype(np.float64) / np.maximum(n - 1, 1)
+            .astype(np.float64),
+            0.0,
+        )
+        return pa.table({
+            "source": pa.array(src), "time": pa.array(t),
+            "seq": pa.array(sq), "n_tok": pa.array(v), "pr": pa.array(pr),
+        })
+
+    return co_shuffle(_clean_cached(sf_dir), ["source"], per_part)
+
+
 # --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
@@ -4445,6 +4517,8 @@ def build_queries() -> dict:
         "ev_heavy_hitters": q_ev_heavy_hitters,
         "ev_funnel3": q_ev_funnel3,
         "ts_zorder_scan": q_ts_zorder_scan,
+        "ann_lsh_delete": q_ann_lsh_delete,
+        "ts_quantile_norm": q_ts_quantile_norm,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_co_outage": q_ts_co_outage,
         "doc_boilerplate": q_doc_boilerplate,
@@ -7454,6 +7528,17 @@ FROM segmented c, m
 WHERE c.time >= m.t0 + (m.t1 - m.t0) // 3
   AND c.time <= m.t0 + (2 * (m.t1 - m.t0)) // 3
   AND c.n_tok BETWEEN 1024 AND 2048"""
+
+    sql["ann_lsh_delete"] = oracle_text.ann_lsh_topk_sql(
+        k=10, cand_where="WHERE vb.vec_id % 7 <> 0"
+    )
+
+    sql["ts_quantile_norm"] = f"""WITH {_sql_tokens_clean(tok)}
+SELECT source, time, CAST(seq AS BIGINT) AS seq, CAST(n_tok AS BIGINT) AS n_tok,
+       CASE WHEN count(*) OVER (PARTITION BY source) = 1 THEN 0.0
+            ELSE percent_rank() OVER (PARTITION BY source ORDER BY n_tok)
+       END AS pr
+FROM segmented"""
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
     #   media_features / media_audio (binary codecs: pure-numpy PPM/BMP/WAV

@@ -330,6 +330,7 @@ def lsh_index_topk(
     query: np.ndarray,
     k: int = 10,
     probe_hamming1: bool = True,
+    keep_fn=None,
 ):
     """ANN top-k against the PERSISTED index: prune-read the probed
     (tbl, bucket) partitions, semi-join candidates back to the embedding
@@ -358,6 +359,10 @@ def lsh_index_topk(
         partition_cols=["tbl", "bucket"],
     )
     cand = sorted(set(postings.unique("vec_id")))
+    if keep_fn is not None:
+        # tombstone / predicate delete applied at serve time — the index
+        # is immutable; deletes never force a rebuild
+        cand = [c for c in cand if keep_fn(int(c))]
     return _candidates_topk(emb_path, cand, query, k)
 
 
@@ -449,6 +454,10 @@ def ivf_topk(
         partition_cols=["list"],
     )
     cand = sorted(set(postings.unique("vec_id")))
+    if keep_fn is not None:
+        # tombstone / predicate delete applied at serve time — the index
+        # is immutable; deletes never force a rebuild
+        cand = [c for c in cand if keep_fn(int(c))]
     return _candidates_topk(emb_path, cand, query, k)
 
 

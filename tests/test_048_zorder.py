@@ -76,3 +76,42 @@ def test_zorder_handles_constant_dimension(tmp_path):
     assert bounds == (0, 99, 7, 7)
     got = box_scan(zdir, "time", "n_tok", 10, 20, 0, 100).to_pandas()
     assert sorted(got["time"].tolist()) == list(range(10, 21))
+
+
+def test_lsh_delete_excludes_tombstones_and_keeps_rank_order(tmp_path):
+    """Serve-time tombstoning: excluded ids vanish, survivors keep their
+    relative order vs the undeleted serving path."""
+    import os
+
+    from aisdb_ray.pipelines.queries import (
+        q_ann_lsh_delete,
+        q_ann_lsh_topk,
+    )
+
+    base = q_ann_lsh_topk("/root/testdata/sf0.001").to_pandas()
+    dele = q_ann_lsh_delete("/root/testdata/sf0.001").to_pandas()
+    assert (dele["vec_id"] % 7 != 0).all()
+    kept = [v for v in base["vec_id"] if v % 7 != 0]
+    # the surviving prefix must appear in the same relative order
+    pos = {v: i for i, v in enumerate(dele["vec_id"])}
+    filtered = [v for v in kept if v in pos]
+    assert filtered == sorted(filtered, key=lambda v: pos[v])
+
+
+def test_quantile_norm_percent_rank_rule():
+    """Min-rank ties and the n=1 -> 0 guard."""
+    from aisdb_ray.pipelines.queries import q_ts_quantile_norm
+
+    got = q_ts_quantile_norm("/root/testdata/sf0.001").to_pandas()
+    assert ((got["pr"] >= 0) & (got["pr"] <= 1)).all()
+    # per source: min value has pr 0; ties share one rank
+    g = got.groupby("source")
+    for s, d in g:
+        if len(d) == 1:
+            assert d["pr"].iloc[0] == 0.0
+            continue
+        d = d.sort_values(["n_tok"])
+        assert d["pr"].iloc[0] == 0.0
+        # equal values -> equal pr
+        eq = d.groupby("n_tok")["pr"].nunique()
+        assert (eq == 1).all()
