@@ -4486,6 +4486,45 @@ def q_ts_quantile_norm(sf_dir: str):
     return co_shuffle(_clean_cached(sf_dir), ["source"], per_part)
 
 
+def q_ts_upsert(sf_dir: str):
+    """MERGE INTO / CDC upsert: a deterministic corrections stream (the
+    md5(doc_id)%20==0 slice re-arrives with n_tok+1000) merged into the
+    clean table — updates win on doc_id collision, everything else passes
+    through.  One co-shuffle keyed on doc_id; neither side materializes
+    (stages/merge.upsert)."""
+    from aisdb_ray.stages import merge as merge_mod
+    from aisdb_ray.stages.sample import md5_u32
+
+    _ctx()
+    cols = ["source", "doc_id", "time", "seq", "n_tok"]
+    base = _clean_cached(sf_dir).map_batches(
+        lambda b: b.select(cols), batch_format="pyarrow"
+    )
+
+    def corrections(b: pa.Table) -> pa.Table:
+        b = b.filter(pa.array(md5_u32(b["doc_id"]) % 20 == 0))
+        out = {c: b[c] for c in cols}
+        out["n_tok"] = pc.add(pc.cast(b["n_tok"], pa.int64()),
+                              pa.scalar(1000, pa.int64()))
+        return pa.table(out)
+
+    upd = _clean_cached(sf_dir).map_batches(corrections, batch_format="pyarrow")
+
+    def norm(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": b["source"], "doc_id": b["doc_id"],
+            "time": pc.cast(b["time"], pa.int64()),
+            "seq": pc.cast(b["seq"], pa.int64()),
+            "n_tok": pc.cast(b["n_tok"], pa.int64()),
+        })
+
+    return merge_mod.upsert(
+        base.map_batches(norm, batch_format="pyarrow"),
+        upd.map_batches(norm, batch_format="pyarrow"),
+        ["doc_id"],
+    )
+
+
 # --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
@@ -4519,6 +4558,7 @@ def build_queries() -> dict:
         "ts_zorder_scan": q_ts_zorder_scan,
         "ann_lsh_delete": q_ann_lsh_delete,
         "ts_quantile_norm": q_ts_quantile_norm,
+        "ts_upsert": q_ts_upsert,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_co_outage": q_ts_co_outage,
         "doc_boilerplate": q_doc_boilerplate,
@@ -7538,6 +7578,13 @@ SELECT source, time, CAST(seq AS BIGINT) AS seq, CAST(n_tok AS BIGINT) AS n_tok,
        CASE WHEN count(*) OVER (PARTITION BY source) = 1 THEN 0.0
             ELSE percent_rank() OVER (PARTITION BY source ORDER BY n_tok)
        END AS pr
+FROM segmented"""
+
+    sql["ts_upsert"] = f"""WITH {_sql_tokens_clean(tok)}
+SELECT source, doc_id, time, CAST(seq AS BIGINT) AS seq,
+       CASE WHEN CAST('0x' || substr(md5(doc_id), 1, 8) AS BIGINT) % 20 = 0
+            THEN CAST(n_tok + 1000 AS BIGINT)
+            ELSE CAST(n_tok AS BIGINT) END AS n_tok
 FROM segmented"""
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):

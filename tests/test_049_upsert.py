@@ -1,0 +1,66 @@
+"""merge.upsert MERGE INTO semantics: update-wins, insert pass-through."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from aisdb_ray.stages.merge import upsert
+
+
+def _t(rows):
+    k, v = zip(*rows)
+    return pa.table({"k": pa.array(k, pa.string()),
+                     "v": pa.array(v, pa.int64())})
+
+
+def test_upsert_update_wins_insert_passes_delete_nothing():
+    base = _t([("a", 1), ("b", 2), ("c", 3)])
+    upd = _t([("b", 20), ("d", 40)])  # b updated, d inserted
+    got = (
+        upsert(rd.from_arrow(base), rd.from_arrow(upd), ["k"])
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert got["k"].tolist() == ["a", "b", "c", "d"]
+    assert got["v"].tolist() == [1, 20, 3, 40]
+
+
+def test_upsert_composite_key_and_empty_updates():
+    base = pa.table({
+        "k1": pa.array(["x", "x", "y"]), "k2": pa.array([1, 2, 1], pa.int64()),
+        "v": pa.array([10, 20, 30], pa.int64()),
+    })
+    upd = base.slice(0, 0)
+    got = (
+        upsert(rd.from_arrow(base), rd.from_arrow(upd), ["k1", "k2"])
+        .to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True)
+    )
+    assert got["v"].tolist() == [10, 20, 30]
+
+    upd2 = pa.table({
+        "k1": pa.array(["x"]), "k2": pa.array([2], pa.int64()),
+        "v": pa.array([99], pa.int64()),
+    })
+    got2 = (
+        upsert(rd.from_arrow(base), rd.from_arrow(upd2), ["k1", "k2"])
+        .to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True)
+    )
+    assert got2["v"].tolist() == [10, 99, 30]
+
+
+def test_upsert_many_keys_matches_dict_semantics():
+    rng = np.random.default_rng(17)
+    base_keys = [f"k{i}" for i in range(500)]
+    base = _t([(k, i) for i, k in enumerate(base_keys)])
+    upd_rows = [(f"k{int(i)}", 10_000 + int(i))
+                for i in rng.choice(500, 120, replace=False)]
+    upd_rows += [(f"new{i}", -i) for i in range(30)]
+    upd = _t(upd_rows)
+    got = upsert(
+        rd.from_arrow(base).repartition(8), rd.from_arrow(upd).repartition(4),
+        ["k"],
+    ).to_pandas()
+    exp = {k: v for k, v in [(f"k{i}", i) for i in range(500)]}
+    exp.update(dict(upd_rows))
+    assert dict(zip(got["k"], got["v"])) == exp
