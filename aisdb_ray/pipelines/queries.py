@@ -4525,6 +4525,52 @@ def q_ts_upsert(sf_dir: str):
     )
 
 
+def q_tok_epoch_shuffle(sf_dir: str):
+    """Deterministic training-epoch shuffle WITHOUT materializing a
+    permutation: shard = md5(doc_id‖':e1') % 8 routes each row, and the
+    within-shard position is its rank by (hash, doc_id) — reproducible
+    across runs and engines (the data-loader reshuffle-per-epoch rule as
+    a distributed operator).  One co-shuffle on shard; ranks via one
+    lexsort per partition."""
+    from aisdb_ray.stages._dist import co_shuffle
+    from aisdb_ray.stages.sample import md5_u32
+
+    _ctx()
+    ds = _clean_cached(sf_dir)
+
+    def assign(b: pa.Table) -> pa.Table:
+        salted = pc.binary_join_element_wise(
+            b["doc_id"], pa.scalar(":e1"), ""
+        )
+        h = md5_u32(pc.cast(salted, pa.string()))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "shard": pa.array(h % 8),
+            "h": pa.array(h),
+        })
+
+    keyed = ds.map_batches(assign, batch_format="pyarrow")
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.string()),
+                             "shard": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        doc = part["doc_id"].to_numpy(zero_copy_only=False)
+        shard = part["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = part["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((doc, h, shard))
+        doc, shard = doc[order], shard[order]
+        gstart = np.r_[0, np.flatnonzero(shard[1:] != shard[:-1]) + 1]
+        glen = np.diff(np.r_[gstart, len(shard)])
+        pos = np.arange(len(shard), dtype=np.int64) - np.repeat(gstart, glen) + 1
+        return pa.table({"doc_id": pa.array(doc),
+                         "shard": pa.array(shard),
+                         "pos": pa.array(pos)})
+
+    return co_shuffle(keyed, ["shard"], per_part)
+
+
 # --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
@@ -4559,6 +4605,7 @@ def build_queries() -> dict:
         "ann_lsh_delete": q_ann_lsh_delete,
         "ts_quantile_norm": q_ts_quantile_norm,
         "ts_upsert": q_ts_upsert,
+        "tok_epoch_shuffle": q_tok_epoch_shuffle,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_co_outage": q_ts_co_outage,
         "doc_boilerplate": q_doc_boilerplate,
@@ -7586,6 +7633,17 @@ SELECT source, doc_id, time, CAST(seq AS BIGINT) AS seq,
             THEN CAST(n_tok + 1000 AS BIGINT)
             ELSE CAST(n_tok AS BIGINT) END AS n_tok
 FROM segmented"""
+
+    sql["tok_epoch_shuffle"] = f"""WITH {_sql_tokens_clean(tok)},
+  h AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(doc_id || ':e1'), 1, 8) AS BIGINT) AS hv
+    FROM segmented
+  )
+SELECT doc_id, hv % 8 AS shard,
+       CAST(row_number() OVER (PARTITION BY hv % 8
+                               ORDER BY hv, doc_id) AS BIGINT) AS pos
+FROM h"""
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
     #   media_features / media_audio (binary codecs: pure-numpy PPM/BMP/WAV

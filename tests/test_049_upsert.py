@@ -64,3 +64,24 @@ def test_upsert_many_keys_matches_dict_semantics():
     exp = {k: v for k, v in [(f"k{i}", i) for i in range(500)]}
     exp.update(dict(upd_rows))
     assert dict(zip(got["k"], got["v"])) == exp
+
+
+def test_epoch_shuffle_is_deterministic_and_dense():
+    """Same input -> identical assignment; positions are dense 1..n per
+    shard; changing the salt would change the order (not re-run here —
+    determinism of the hash rule is the contract)."""
+    from aisdb_ray.pipelines.queries import q_tok_epoch_shuffle
+
+    a = q_tok_epoch_shuffle("/root/testdata/sf0.001").to_pandas()
+    b = q_tok_epoch_shuffle("/root/testdata/sf0.001").to_pandas()
+    key = ["shard", "pos"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True))
+    for s, d in a.groupby("shard"):
+        assert sorted(d["pos"].tolist()) == list(range(1, len(d) + 1))
+    # the shuffle must not be doc_id order: at least one shard deviates
+    dev = any(
+        list(d.sort_values("pos")["doc_id"]) != sorted(d["doc_id"])
+        for _, d in a.groupby("shard")
+    )
+    assert dev
