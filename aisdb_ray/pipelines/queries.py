@@ -4571,6 +4571,55 @@ def q_tok_epoch_shuffle(sf_dir: str):
     return co_shuffle(keyed, ["shard"], per_part)
 
 
+def _skyline_block(b: pa.Table) -> pa.Table:
+    """2-D Pareto skyline (minimize time, maximize n_tok) of one block:
+    sort by (time asc, n_tok desc) and keep rows strictly above the
+    running max of every earlier-time row (equal-time rows dominated only
+    by strictly larger n_tok).  Duplicates of a skyline point all stay."""
+    if b.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.string()),
+                         "time": pa.array([], pa.int64()),
+                         "n_tok": pa.array([], pa.int64())})
+    doc = b["doc_id"].to_numpy(zero_copy_only=False)
+    t = b["time"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = b["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((-v, t))
+    doc, t, v = doc[order], t[order], v[order]
+    run_max = np.maximum.accumulate(v)
+    tstart = np.r_[True, t[1:] != t[:-1]]
+    # max v among STRICTLY earlier times: running max at the previous
+    # time-group's end
+    prev_end = np.flatnonzero(tstart) - 1
+    mv_prev = np.repeat(
+        np.r_[np.iinfo(np.int64).min, run_max[prev_end[1:]]],
+        np.diff(np.r_[np.flatnonzero(tstart), len(t)]),
+    )
+    # max v among same-time rows: the group's first row (sorted v desc)
+    gmax = np.repeat(
+        v[np.flatnonzero(tstart)],
+        np.diff(np.r_[np.flatnonzero(tstart), len(t)]),
+    )
+    keep = (v > mv_prev) & (v >= gmax)
+    return pa.table({"doc_id": pa.array(doc[keep]),
+                     "time": pa.array(t[keep]),
+                     "n_tok": pa.array(v[keep])})
+
+
+def q_ts_skyline(sf_dir: str):
+    """Pareto skyline (earliest-and-largest frontier: minimize time,
+    maximize n_tok) over the clean lake — the multi-objective selection
+    operator.  Skylines are ALGEBRAIC: skyline(A∪B) ⊆ skyline(A)∪skyline(B),
+    so each block emits its tiny local frontier and one bounded funnel
+    recomputes the global one; the lake never re-shuffles."""
+    _ctx()
+    partials = _clean_cached(sf_dir).map_batches(
+        _skyline_block, batch_format="pyarrow"
+    )
+    return partials.repartition(1).map_batches(
+        _skyline_block, batch_format="pyarrow", batch_size=None
+    )
+
+
 # --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
@@ -4606,6 +4655,7 @@ def build_queries() -> dict:
         "ts_quantile_norm": q_ts_quantile_norm,
         "ts_upsert": q_ts_upsert,
         "tok_epoch_shuffle": q_tok_epoch_shuffle,
+        "ts_skyline": q_ts_skyline,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_co_outage": q_ts_co_outage,
         "doc_boilerplate": q_doc_boilerplate,
@@ -7644,6 +7694,18 @@ SELECT doc_id, hv % 8 AS shard,
        CAST(row_number() OVER (PARTITION BY hv % 8
                                ORDER BY hv, doc_id) AS BIGINT) AS pos
 FROM h"""
+
+    sql["ts_skyline"] = f"""WITH {_sql_tokens_clean(tok)},
+  w AS (
+    SELECT doc_id, time, CAST(n_tok AS BIGINT) AS n_tok,
+           max(n_tok) OVER (ORDER BY time
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS mv_prev,
+           max(n_tok) OVER (PARTITION BY time) AS gmax
+    FROM segmented
+  )
+SELECT doc_id, time, n_tok FROM w
+WHERE (mv_prev IS NULL OR n_tok > mv_prev) AND n_tok >= gmax"""
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
     #   media_features / media_audio (binary codecs: pure-numpy PPM/BMP/WAV

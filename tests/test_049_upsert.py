@@ -85,3 +85,51 @@ def test_epoch_shuffle_is_deterministic_and_dense():
         for _, d in a.groupby("shard")
     )
     assert dev
+
+
+def test_skyline_block_bruteforce_parity():
+    """_skyline_block == the O(n²) dominance definition, including ties
+    and duplicate points."""
+    from aisdb_ray.pipelines.queries import _skyline_block
+
+    rng = np.random.default_rng(23)
+    n = 300
+    t = rng.integers(0, 40, n).astype(np.int64)
+    v = rng.integers(0, 40, n).astype(np.int64)
+    tbl = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(n)]),
+        "time": pa.array(t), "n_tok": pa.array(v),
+    })
+    got = set(_skyline_block(tbl).to_pandas()["doc_id"])
+    exp = set()
+    for i in range(n):
+        dominated = any(
+            (t[j] <= t[i] and v[j] >= v[i]) and (t[j] < t[i] or v[j] > v[i])
+            for j in range(n)
+        )
+        if not dominated:
+            exp.add(f"d{i}")
+    assert got == exp
+
+
+def test_skyline_merge_is_algebraic():
+    """skyline(skyline(A) ∪ skyline(B)) == skyline(A ∪ B)."""
+    from aisdb_ray.pipelines.queries import _skyline_block
+
+    rng = np.random.default_rng(29)
+
+    def tblof(seed_rows, tag):
+        t = rng.integers(0, 60, seed_rows).astype(np.int64)
+        v = rng.integers(0, 60, seed_rows).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array([f"{tag}{i}" for i in range(seed_rows)]),
+            "time": pa.array(t), "n_tok": pa.array(v),
+        })
+
+    A, B = tblof(200, "a"), tblof(200, "b")
+    union = pa.concat_tables([A, B])
+    direct = set(_skyline_block(union).to_pandas()["doc_id"])
+    merged = set(_skyline_block(pa.concat_tables(
+        [_skyline_block(A), _skyline_block(B)]
+    )).to_pandas()["doc_id"])
+    assert merged == direct
