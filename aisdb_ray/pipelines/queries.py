@@ -4620,6 +4620,88 @@ def q_ts_skyline(sf_dir: str):
     )
 
 
+def q_ann_topk_per_label(sf_dir: str):
+    """Grouped vector search: the 3 nearest neighbours of the vec_id=0
+    probe WITHIN EACH label (per-tenant / per-class retrieval) in one
+    corpus pass — per-batch top-k-per-label partials, label-keyed merge
+    (rank.topk_per_group), ids+ranks compared (float32-vs-float64 cosine,
+    q_ann_topk note)."""
+    from aisdb_ray.stages import rank
+
+    _ctx()
+    q0 = _query_vector(sf_dir)
+    q0 = q0 / (np.linalg.norm(q0) or 1.0)
+
+    def score(b: pa.Table) -> pa.Table:
+        from aisdb_ray.stages.ann import _emb_matrix, _norm_rows
+
+        m = _norm_rows(_emb_matrix(b))
+        return pa.table({
+            "label": pc.cast(b["label"], pa.int64()),
+            "vec_id": pc.cast(b["vec_id"], pa.int64()),
+            "cosine": pa.array(m @ q0),
+        })
+
+    scored = rd.read_parquet(_emb_path(sf_dir)).map_batches(
+        score, batch_format="pyarrow"
+    )
+    top = rank.topk_per_group(scored, "label", ["cosine", "vec_id"], 3,
+                              descending=[True, False])
+
+    def ranked(b: pa.Table) -> pa.Table:
+        lab = b["label"].to_numpy(zero_copy_only=False)
+        vid = b["vec_id"].to_numpy(zero_copy_only=False)
+        cos = b["cosine"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, -cos, lab))
+        lab, vid = lab[order], vid[order]
+        gstart = np.r_[0, np.flatnonzero(lab[1:] != lab[:-1]) + 1]
+        glen = np.diff(np.r_[gstart, len(lab)])
+        rk = np.arange(len(lab), dtype=np.int64) - np.repeat(gstart, glen) + 1
+        return pa.table({"label": pa.array(lab), "rank": pa.array(rk),
+                         "vec_id": pa.array(vid)})
+
+    return top.repartition(1).map_batches(
+        ranked, batch_format="pyarrow", batch_size=None
+    )
+
+
+def q_ev_pivot(sf_dir: str):
+    """PIVOT: one row per user with one count column per event type (the
+    wide feature layout a model join consumes).  Long-form counts are an
+    algebraic aggregate; the pivot itself is a map-only reshape of the
+    (user, type, n) rows after a user-keyed combine — the alphabet is the
+    column set, so width is bounded."""
+    from aisdb_ray.stages._dist import co_shuffle
+
+    _ctx()
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+    ds = _events_ds(sf_dir, ["user_id", "event_type"])
+    long = grouped_sums(ds, ["user_id", "event_type"], [], count_as="n",
+                        hash_combine=True)
+
+    def pivot(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                **{f"n_{t}": pa.array([], pa.int64()) for t in TYPES},
+            })
+        u = part["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = part["event_type"].to_numpy(zero_copy_only=False)
+        n = part["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(u)
+        ur = np.searchsorted(uniq, u)
+        out = {t: np.zeros(len(uniq), np.int64) for t in TYPES}
+        for t in TYPES:
+            m = ty == t
+            np.add.at(out[t], ur[m], n[m])
+        return pa.table({
+            "user_id": pa.array(uniq),
+            **{f"n_{t}": pa.array(out[t]) for t in TYPES},
+        })
+
+    return co_shuffle(long, ["user_id"], pivot)
+
+
 # --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
@@ -4656,6 +4738,8 @@ def build_queries() -> dict:
         "ts_upsert": q_ts_upsert,
         "tok_epoch_shuffle": q_tok_epoch_shuffle,
         "ts_skyline": q_ts_skyline,
+        "ann_topk_per_label": q_ann_topk_per_label,
+        "ev_pivot": q_ev_pivot,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_co_outage": q_ts_co_outage,
         "doc_boilerplate": q_doc_boilerplate,
@@ -7706,6 +7790,28 @@ FROM h"""
   )
 SELECT doc_id, time, n_tok FROM w
 WHERE (mv_prev IS NULL OR n_tok > mv_prev) AND n_tok >= gmax"""
+
+    sql["ann_topk_per_label"] = """SELECT CAST(label AS BIGINT) AS label,
+       CAST(row_number() OVER (PARTITION BY label
+         ORDER BY list_cosine_similarity(embedding,
+                  (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+                  vec_id) AS BIGINT) AS rank,
+       vec_id
+FROM embeddings
+QUALIFY rank <= 3"""
+
+    sql["ev_pivot"] = """SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_view
+FROM events GROUP BY user_id"""
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
     #   media_features / media_audio (binary codecs: pure-numpy PPM/BMP/WAV

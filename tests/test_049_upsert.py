@@ -133,3 +133,28 @@ def test_skyline_merge_is_algebraic():
         [_skyline_block(A), _skyline_block(B)]
     )).to_pandas()["doc_id"])
     assert merged == direct
+
+
+def test_pivot_row_sums_match_totals():
+    from aisdb_ray.pipelines.queries import q_ev_pivot
+
+    got = q_ev_pivot("/root/testdata/sf0.001").to_pandas()
+    cols = [c for c in got.columns if c.startswith("n_")]
+    assert len(cols) == 5
+    assert got[cols].to_numpy().sum() == 1000  # sf0.001 has 1000 events
+    assert got["user_id"].is_unique
+
+
+def test_ann_topk_per_label_contains_global_winner():
+    from aisdb_ray.pipelines.queries import (
+        q_ann_topk,
+        q_ann_topk_per_label,
+    )
+
+    per = q_ann_topk_per_label("/root/testdata/sf0.001").to_pandas()
+    glob = q_ann_topk("/root/testdata/sf0.001").to_pandas()
+    assert (per.groupby("label").size() <= 3).all()
+    # the global #1 must be rank 1 within its own label
+    top = int(glob["vec_id"].iloc[0])
+    row = per[per.vec_id == top]
+    assert len(row) == 1 and int(row["rank"].iloc[0]) == 1
