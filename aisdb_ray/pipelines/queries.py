@@ -4702,6 +4702,21 @@ def q_ev_pivot(sf_dir: str):
     return co_shuffle(long, ["user_id"], pivot)
 
 
+def q_src_fuzzy_pairs(sf_dir: str):
+    """Fuzzy entity linkage: source-label pairs within Levenshtein 1 via
+    FastSS deletion-neighborhood blocking (keys are O(Σ len) — never the
+    n² cross join), exact distance verify per bucket
+    (stages/fuzzy.fuzzy_pairs_le1)."""
+    from aisdb_ray.stages import fuzzy
+
+    _ctx()
+    distinct = grouped_sums(_clean_cached(sf_dir), ["source"], [],
+                            count_as="c").map_batches(
+        lambda b: b.select(["source"]), batch_format="pyarrow"
+    )
+    return fuzzy.fuzzy_pairs_le1(distinct, "source")
+
+
 # --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
@@ -4740,6 +4755,7 @@ def build_queries() -> dict:
         "ts_skyline": q_ts_skyline,
         "ann_topk_per_label": q_ann_topk_per_label,
         "ev_pivot": q_ev_pivot,
+        "src_fuzzy_pairs": q_src_fuzzy_pairs,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_co_outage": q_ts_co_outage,
         "doc_boilerplate": q_doc_boilerplate,
@@ -7812,6 +7828,13 @@ QUALIFY rank <= 3"""
        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
             AS BIGINT) AS n_view
 FROM events GROUP BY user_id"""
+
+    sql["src_fuzzy_pairs"] = f"""WITH {_sql_tokens_clean(tok)},
+  s AS (SELECT DISTINCT source FROM segmented)
+SELECT a.source AS a, b.source AS b,
+       CAST(levenshtein(a.source, b.source) AS BIGINT) AS dist
+FROM s a JOIN s b ON a.source < b.source
+WHERE levenshtein(a.source, b.source) <= 1"""
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
     #   media_features / media_audio (binary codecs: pure-numpy PPM/BMP/WAV
