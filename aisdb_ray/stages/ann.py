@@ -438,9 +438,11 @@ def ivf_topk(
     query: np.ndarray,
     k: int = 10,
     nprobe: int = 4,
+    keep_fn=None,
 ):
     """IVF query: nearest ``nprobe`` centroid lists prune-read via the
-    predicate layer; candidates brute-force exactly."""
+    predicate layer; candidates brute-force exactly.  ``keep_fn`` applies
+    a serve-time tombstone predicate (see lsh_index_topk)."""
     from aisdb_ray.predicates import field, scan_parquet
 
     cent = np.load(os.path.join(index_dir, "centroids.npy"))
