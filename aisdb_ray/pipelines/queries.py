@@ -4717,6 +4717,99 @@ def q_src_fuzzy_pairs(sf_dir: str):
     return fuzzy.fuzzy_pairs_le1(distinct, "source")
 
 
+def q_ev_except(sf_dir: str):
+    """Relational set difference (EXCEPT): users with a big (>150)
+    purchase but no big error — distinct-key partials per side, then the
+    Bloom ANTI join (negatives bypass the shuffle; positives
+    exact-verified), the same machinery as incremental-ingest dedup
+    applied as a set operator."""
+    from aisdb_ray.stages import bloomjoin
+
+    _ctx()
+    ds = _events_ds(sf_dir, ["user_id", "event_type", "value"])
+
+    def side(t: str):
+        def f(b: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.equal(b["event_type"], pa.scalar(t)),
+                pc.greater(b["value"], pa.scalar(150.0)),
+            )
+            b = b.filter(keep)
+            g = pa.table({"user_id": b["user_id"]}).group_by(
+                ["user_id"], use_threads=False).aggregate([])
+            return g
+        d = ds.map_batches(f, batch_format="pyarrow")
+        return d.map_batches(
+            lambda b: b.group_by(["user_id"], use_threads=False).aggregate([]),
+            batch_format="pyarrow", batch_size=None,
+        )
+
+    buyers = side("purchase")
+    erroring = side("error")
+    out = bloomjoin.bloom_anti_join(buyers, erroring, on="user_id")
+    # distinct across partial blocks (each side was per-block distinct
+    # only) — co_shuffle, never per-group map_groups (livelock at scale)
+    from aisdb_ray.stages._dist import co_shuffle
+
+    return co_shuffle(
+        out,
+        ["user_id"],
+        lambda p: p.group_by(["user_id"], use_threads=False).aggregate([]),
+    )
+
+
+def q_ts_ar1(sf_dir: str):
+    """AR(1) fit per source: least squares of v_t on v_{t−1} over
+    consecutive in-segment observations — the mean-reversion /
+    persistence coefficient.  Lagged pairs never cross a segment
+    boundary; all sufficient statistics stay int64 (x,y ≤ 4096-ish);
+    phi is one IEEE division on exact operands."""
+    from aisdb_ray.stages._dist import co_shuffle
+
+    _ctx()
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({
+                "source": pa.array([], pa.string()),
+                "n_pairs": pa.array([], pa.int64()),
+                "phi_num": pa.array([], pa.int64()),
+                "phi_den": pa.array([], pa.int64()),
+                "phi": pa.array([], pa.float64()),
+            })
+        src = part["source"].to_numpy(zero_copy_only=False)
+        seg = part["seg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = part["time"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sq = part["seq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = part["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((sq, t, seg, src))
+        src, seg, v = src[order], seg[order], v[order]
+        same = (src[1:] == src[:-1]) & (seg[1:] == seg[:-1])
+        x, y = v[:-1][same], v[1:][same]
+        psrc = src[1:][same]
+        gstart = np.r_[0, np.flatnonzero(psrc[1:] != psrc[:-1]) + 1]
+        if len(psrc) == 0:
+            return per_part(part.slice(0, 0))
+        n = np.diff(np.r_[gstart, len(psrc)]).astype(np.int64)
+        sx = np.add.reduceat(x, gstart)
+        sy = np.add.reduceat(y, gstart)
+        sxy = np.add.reduceat(x * y, gstart)
+        sxx = np.add.reduceat(x * x, gstart)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        keep = den > 0
+        return pa.table({
+            "source": pa.array(psrc[gstart][keep]),
+            "n_pairs": pa.array(n[keep]),
+            "phi_num": pa.array(num[keep]),
+            "phi_den": pa.array(den[keep]),
+            "phi": pa.array(num[keep].astype(np.float64)
+                            / den[keep].astype(np.float64)),
+        })
+
+    return co_shuffle(_clean_cached(sf_dir), ["source"], per_part)
+
+
 # --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
@@ -4756,6 +4849,8 @@ def build_queries() -> dict:
         "ann_topk_per_label": q_ann_topk_per_label,
         "ev_pivot": q_ev_pivot,
         "src_fuzzy_pairs": q_src_fuzzy_pairs,
+        "ev_except": q_ev_except,
+        "ts_ar1": q_ts_ar1,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_co_outage": q_ts_co_outage,
         "doc_boilerplate": q_doc_boilerplate,
@@ -7835,6 +7930,34 @@ SELECT a.source AS a, b.source AS b,
        CAST(levenshtein(a.source, b.source) AS BIGINT) AS dist
 FROM s a JOIN s b ON a.source < b.source
 WHERE levenshtein(a.source, b.source) <= 1"""
+
+    sql["ev_except"] = """SELECT user_id FROM events
+WHERE event_type = 'purchase' AND value > 150
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error' AND value > 150"""
+
+    sql["ts_ar1"] = f"""WITH {_sql_tokens_clean(tok)},
+  p AS (
+    SELECT source, seg,
+           CAST(lag(n_tok) OVER w AS BIGINT) AS x,
+           CAST(n_tok AS BIGINT) AS y,
+           lag(seg) OVER (PARTITION BY source ORDER BY time, seq) AS pseg
+    FROM segmented
+    WINDOW w AS (PARTITION BY source ORDER BY time, seq)
+  ),
+  q AS (SELECT source, x, y FROM p WHERE x IS NOT NULL AND pseg = seg),
+  s AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM q GROUP BY source
+  )
+SELECT source, n AS n_pairs, n * sxy - sx * sy AS phi_num,
+       n * sxx - sx * sx AS phi_den,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS phi
+FROM s WHERE n * sxx - sx * sx > 0"""
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
     #   media_features / media_audio (binary codecs: pure-numpy PPM/BMP/WAV

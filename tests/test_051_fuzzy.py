@@ -42,3 +42,16 @@ def test_fuzzy_pairs_match_bruteforce():
     assert got_pairs == exp
     assert ("ab", "ba") not in got_pairs  # shared-deletion false candidate
     assert (got["dist"] == 1).all()
+
+
+def test_ev_except_and_ar1_end_to_end():
+    from aisdb_ray.pipelines.queries import q_ev_except, q_ts_ar1
+
+    ex = q_ev_except("/root/testdata/sf0.001").to_pandas()
+    assert ex["user_id"].is_unique and len(ex) > 0
+
+    ar = q_ts_ar1("/root/testdata/sf0.001").to_pandas()
+    assert (ar["phi_den"] > 0).all()
+    assert (ar["n_pairs"] >= 2).all()
+    # phi is the exact ratio of its own evidence columns
+    assert (ar["phi"] == ar["phi_num"] / ar["phi_den"]).all()
