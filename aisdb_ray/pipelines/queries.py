@@ -4810,6 +4810,58 @@ def q_ts_ar1(sf_dir: str):
     return co_shuffle(_clean_cached(sf_dir), ["source"], per_part)
 
 
+def _dtw_sources(sf_dir: str) -> list[str]:
+    """The 6 lexicographically-smallest sources — scale-independent
+    bounded key set (source naming differs across sf fixtures)."""
+    rows = grouped_sums(_clean_cached(sf_dir), ["source"], [],
+                        count_as="c").take_all()
+    return sorted(r["source"] for r in rows)[:6]
+
+
+def q_ts_dtw(sf_dir: str):
+    """Elastic similarity: exact integer DTW distance between every pair
+    of a bounded source set's 5-minute bucket series (first 32 buckets) —
+    the alignment-tolerant distance lock-step measures (ts_pattern_topk,
+    ts_source_corr) can't express.  Bucket vectors are bounded rows; each
+    pair's DP is one vectorized anti-diagonal task (stages/dtw.py); the
+    oracle replays the DP bit-for-bit with a two-diagonal list-state
+    recursive CTE."""
+    from aisdb_ray.stages import dtw
+    from aisdb_ray.stages._dist import co_shuffle
+
+    _ctx()
+
+    srcs = _dtw_sources(sf_dir)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["source"], value_set=pa.array(srcs)))
+        bkt = pc.multiply(pc.divide(b["time"], 300), 300)
+        return b.append_column("bucket", pc.cast(bkt, pa.int64()))
+
+    pts = _clean_cached(sf_dir).map_batches(add_bucket, batch_format="pyarrow")
+    h = grouped_sums(pts, ["source", "bucket"], ["n_tok"], count_as="c",
+                     hash_combine=True)
+
+    def to_vec(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "vec": pa.array([], pa.list_(pa.int64()))})
+        src = part["source"].to_numpy(zero_copy_only=False)
+        bkt = part["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = part["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((bkt, src))
+        src, y = src[order], y[order]
+        gstart = np.r_[0, np.flatnonzero(src[1:] != src[:-1]) + 1]
+        glen = np.diff(np.r_[gstart, len(src)])
+        vecs = [y[s:s + min(ln, 32)].tolist()
+                for s, ln in zip(gstart, glen)]
+        return pa.table({"source": pa.array(src[gstart]),
+                         "vec": pa.array(vecs, pa.list_(pa.int64()))})
+
+    vectors = co_shuffle(h, ["source"], to_vec)
+    return dtw.pairwise_dtw(vectors, "source", "vec", max_len=32)
+
+
 # --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
@@ -4851,6 +4903,7 @@ def build_queries() -> dict:
         "src_fuzzy_pairs": q_src_fuzzy_pairs,
         "ev_except": q_ev_except,
         "ts_ar1": q_ts_ar1,
+        "ts_dtw": q_ts_dtw,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_co_outage": q_ts_co_outage,
         "doc_boilerplate": q_doc_boilerplate,
@@ -7958,6 +8011,58 @@ SELECT source, n AS n_pairs, n * sxy - sx * sy AS phi_num,
        CAST(n * sxy - sx * sy AS DOUBLE)
          / CAST(n * sxx - sx * sx AS DOUBLE) AS phi
 FROM s WHERE n * sxx - sx * sx > 0"""
+
+    sql["ts_dtw"] = f"""WITH RECURSIVE {_sql_tokens_clean(tok)},
+  srcs AS (
+    SELECT DISTINCT source FROM clean ORDER BY source LIMIT 6
+  ),
+  h AS (
+    SELECT c.source, (c.time // 300) * 300 AS bucket,
+           CAST(sum(c.n_tok) AS BIGINT) AS y
+    FROM clean c JOIN srcs USING (source)
+    GROUP BY c.source, bucket
+  ),
+  vw AS (
+    SELECT source, y,
+           row_number() OVER (PARTITION BY source ORDER BY bucket) AS rn
+    FROM h QUALIFY rn <= 32
+  ),
+  vecs AS (
+    SELECT source, list(y ORDER BY rn) AS v, CAST(count(*) AS BIGINT) AS n
+    FROM vw GROUP BY source
+  ),
+  pr AS (
+    SELECT a.source AS a, b.source AS b, a.v AS va, b.v AS vb,
+           a.n AS na, b.n AS nb
+    FROM vecs a JOIN vecs b ON a.source < b.source
+  ),
+  dp(a, b, k, cur, prev, na, nb, va, vb) AS (
+    SELECT a, b, CAST(0 AS BIGINT),
+           [CAST(abs(va[1] - vb[1]) AS BIGINT)],
+           CAST(NULL AS BIGINT[]), na, nb, va, vb
+    FROM pr
+    UNION ALL
+    SELECT a, b, k + 1,
+      list_transform(
+        generate_series(greatest(0, k + 1 - (nb - 1)), least(na - 1, k + 1)),
+        ii -> CAST(abs(va[ii + 1] - vb[k + 1 - ii + 1]) AS BIGINT) + least(
+          CASE WHEN ii - 1 BETWEEN greatest(0, k - (nb - 1))
+                               AND least(na - 1, k)
+               THEN cur[ii - 1 - greatest(0, k - (nb - 1)) + 1]
+               ELSE CAST(1 AS BIGINT) << 62 END,
+          CASE WHEN ii BETWEEN greatest(0, k - (nb - 1))
+                           AND least(na - 1, k)
+               THEN cur[ii - greatest(0, k - (nb - 1)) + 1]
+               ELSE CAST(1 AS BIGINT) << 62 END,
+          CASE WHEN prev IS NOT NULL
+                AND ii - 1 BETWEEN greatest(0, k - 1 - (nb - 1))
+                               AND least(na - 1, k - 1)
+               THEN prev[ii - 1 - greatest(0, k - 1 - (nb - 1)) + 1]
+               ELSE CAST(1 AS BIGINT) << 62 END)),
+      cur, na, nb, va, vb
+    FROM dp WHERE k + 1 <= na + nb - 2
+  )
+SELECT a, b, cur[1] AS dtw FROM dp WHERE k = na + nb - 2"""
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
     #   media_features / media_audio (binary codecs: pure-numpy PPM/BMP/WAV

@@ -1,0 +1,77 @@
+"""dtw_distance DP parity, elasticity, band, and the pairwise fan-out."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from aisdb_ray.stages.dtw import dtw_distance, pairwise_dtw
+
+
+def _brute(a, b):
+    n, m = len(a), len(b)
+    INF = 1 << 62
+    d = [[INF] * m for _ in range(n)]
+    for i in range(n):
+        for j in range(m):
+            c = abs(int(a[i]) - int(b[j]))
+            if i == 0 and j == 0:
+                d[i][j] = c
+                continue
+            best = INF
+            if i > 0:
+                best = min(best, d[i - 1][j])
+            if j > 0:
+                best = min(best, d[i][j - 1])
+            if i > 0 and j > 0:
+                best = min(best, d[i - 1][j - 1])
+            d[i][j] = c + best
+    return d[n - 1][m - 1]
+
+
+def test_dtw_matches_bruteforce_random():
+    rng = np.random.default_rng(1)
+    for _ in range(100):
+        n, m = rng.integers(1, 14, 2)
+        a = rng.integers(0, 60, n)
+        b = rng.integers(0, 60, m)
+        assert dtw_distance(a, b) == _brute(a, b)
+
+
+def test_dtw_elasticity_and_identity():
+    assert dtw_distance([1, 2, 3], [1, 2, 3]) == 0
+    # time-stretched copy still aligns at zero cost — the point of DTW
+    assert dtw_distance([1, 1, 2, 3, 3], [1, 2, 3]) == 0
+    # lock-step distance would be 3 here; DTW collapses it
+    assert dtw_distance([5], [5, 5, 5]) == 0
+
+
+def test_dtw_band_restricts_warping():
+    a = [0, 0, 0, 9]
+    b = [9, 0, 0, 0]
+    free = dtw_distance(a, b)
+    banded = dtw_distance(a, b, band=0)  # diagonal only: lock-step
+    assert banded == sum(abs(x - y) for x, y in zip(a, b))
+    assert free <= banded
+
+
+def test_pairwise_dtw_fanout():
+    t = pa.table({
+        "source": pa.array(["a", "b", "c"]),
+        "vec": pa.array([[1, 2, 3], [1, 1, 2, 3, 3], [9, 9]],
+                        pa.list_(pa.int64())),
+    })
+    got = (
+        pairwise_dtw(rd.from_arrow(t), "source", "vec")
+        .to_pandas().set_index(["a", "b"])["dtw"]
+    )
+    assert got.loc[("a", "b")] == 0
+    assert got.loc[("a", "c")] == dtw_distance([1, 2, 3], [9, 9])
+    assert len(got) == 3
+
+
+def test_dtw_rejects_empty():
+    with pytest.raises(ValueError):
+        dtw_distance([], [1])
