@@ -85,6 +85,50 @@ def _sym_edges(edges, a_col: str, b_col: str):
     )
 
 
+def _local_components(sym) -> "object":
+    """Driver-local union-find over a SMALL edge set (the size-adaptive
+    fast path: every pointer-jumping round costs a fixed ~1-2 s of Ray
+    stage latency, which dominates when the whole graph fits one block;
+    <= LOCAL_EDGE_LIMIT rows is a bounded driver pull by construction).
+    Same (node, min-id component) contract as the distributed rounds —
+    the root of each set is kept at the set's minimum node id."""
+    import ray.data as rd
+
+    tbl = pa.concat_tables(
+        [pa.table({NODE: b[NODE], "_nbr": b["_nbr"]})
+         for b in sym.iter_batches(batch_format="pyarrow")]
+    )
+    import numpy as np
+
+    u = tbl[NODE].to_numpy(zero_copy_only=False)
+    v = tbl["_nbr"].to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    parent = np.arange(len(nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    iu, iv = inv[: len(u)], inv[len(u):]
+    for a, b in zip(iu, iv):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # union by smaller NODE VALUE so the root is the min id
+            if nodes[ra] <= nodes[rb]:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    comp = nodes[[find(int(i)) for i in range(len(nodes))]]
+    return rd.from_arrow(pa.table({NODE: pa.array(nodes),
+                                   COMPONENT: pa.array(comp)}))
+
+
+# graphs at or under this many (symmetric) edges run the one-task path
+LOCAL_EDGE_LIMIT = 200_000
+
+
 def connected_components(edges, a_col: str = "a", b_col: str = "b",
                          max_rounds: int = 64, num_parts: int | None = None):
     """Dataset of undirected edges -> Dataset (node, component).
@@ -92,9 +136,18 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b",
     ``component`` is the minimum node id of each connected component; every
     node that appears in at least one edge gets a row (isolated documents
     never enter the graph — they are trivially their own component).
+
+    Size-adaptive: graphs whose symmetric edge list fits comfortably in
+    one block (<= LOCAL_EDGE_LIMIT) run a single union-find task — the
+    pointer-jumping rounds below are the scale path, and their per-round
+    Ray stage latency dominates tiny inputs.  Both paths produce the
+    identical min-label contract (pytest-pinned equivalence).
     """
     sym = _sym_edges(_with_global_shuffle_ctx(edges), a_col, b_col).materialize()
-    if sym.count() == 0:
+    n_sym = sym.count()
+    if 0 < n_sym <= LOCAL_EDGE_LIMIT:
+        return _local_components(sym)
+    if n_sym == 0:
         import ray.data as rd
 
         try:

@@ -75,3 +75,27 @@ def test_pairwise_dtw_fanout():
 def test_dtw_rejects_empty():
     with pytest.raises(ValueError):
         dtw_distance([], [1])
+
+
+def test_components_local_fast_path_equals_distributed(monkeypatch):
+    """The size-adaptive union-find produces byte-identical labels to the
+    pointer-jumping rounds on a random graph."""
+    import pandas as pd
+
+    from aisdb_ray.stages import components as C
+
+    rng = np.random.default_rng(31)
+    a = rng.integers(0, 200, 400).astype(np.int64)
+    b = rng.integers(0, 200, 400).astype(np.int64)
+    edges = pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    fast = (
+        C.connected_components(rd.from_arrow(edges))
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    monkeypatch.setattr(C, "LOCAL_EDGE_LIMIT", 0)  # force distributed
+    dist = (
+        C.connected_components(rd.from_arrow(edges))
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, dist)
