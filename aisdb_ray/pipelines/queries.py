@@ -4862,6 +4862,98 @@ def q_ts_dtw(sf_dir: str):
     return dtw.pairwise_dtw(vectors, "source", "vec", max_len=32)
 
 
+def q_tok_source_drift(sf_dir: str):
+    """Corpus-mix diagnostic: each source's token unigram distribution vs
+    the REST of the corpus as a total-variation distance (5% doc-hash
+    sample) — the "which source is off-mixture" screen before re-weighting.
+    TV numerator stays exact int64 via cross-multiplication
+    (|c_st·(T−T_s) − (C_t−c_st)·T_s|); one (source, token) co-shuffle,
+    corpus totals broadcast once (vocab-bounded)."""
+    import ray
+
+    from aisdb_ray.stages import tokstats
+    from aisdb_ray.stages._dist import co_shuffle
+
+    _ctx()
+    sample = _tok_sample(sf_dir, 5)
+    uni = tokstats.unigram_hist(sample).take_all()     # vocab-bounded
+    c_of = {int(r["token_id"]): int(r["n"]) for r in uni}
+    total = sum(c_of.values())
+    c_ref = ray.put(c_of)
+
+    def st_partial(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        if len(toks) == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "token_id": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        src = b["source"].to_numpy(zero_copy_only=False)[par]
+        t = pa.table({"source": pa.array(src),
+                      "token_id": pa.array(flat.astype(np.int64))})
+        g = t.group_by(["source", "token_id"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["source", "token_id", "c"])
+
+    def keep_valid(b: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.greater(b["n_tok"], pa.scalar(0)),
+            pc.equal(pc.list_value_length(b["tokens"]), b["n_tok"]),
+        )
+        return b.filter(ok)
+
+    st = sample.map_batches(keep_valid, batch_format="pyarrow").map_batches(
+        st_partial, batch_format="pyarrow"
+    )
+
+    def per_part(part: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "source": pa.array([], pa.string()),
+            "t_s": pa.array([], pa.int64()),
+            "s_abs": pa.array([], pa.int64()),
+            "tv": pa.array([], pa.float64()),
+        })
+        if part.num_rows == 0:
+            return empty
+        g = part.group_by(["source", "token_id"], use_threads=False
+                          ).aggregate([("c", "sum")])
+        g = g.rename_columns(["source", "token_id", "c"])
+        src = g["source"].to_numpy(zero_copy_only=False)
+        tid = g["token_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cm = ray.get(c_ref)
+        Ct = np.array([cm[int(t)] for t in tid], np.int64)
+        order = np.argsort(src, kind="stable")
+        src, tid, c, Ct = src[order], tid[order], c[order], Ct[order]
+        gstart = np.r_[0, np.flatnonzero(src[1:] != src[:-1]) + 1]
+        glen = np.diff(np.r_[gstart, len(src)])
+        ts_ = np.repeat(np.add.reduceat(c, gstart), glen)
+        rest = total - ts_
+        # per-token |c_st·rest − (C_t−c_st)·T_s|; tokens the source never
+        # uses contribute C_t·T_s — add them via the complement identity:
+        # Σ_{t∉S} C_t·T_s = (total − Σ_{t∈S} C_t)·T_s
+        d = np.abs(c * rest - (Ct - c) * ts_)
+        s_here = np.add.reduceat(d, gstart)
+        ct_here = np.add.reduceat(Ct, gstart)
+        t_s = np.add.reduceat(c, gstart)
+        s_abs = s_here + (total - ct_here) * t_s
+        den = 2 * t_s * (total - t_s)
+        keep = (t_s > 0) & (t_s < total)
+        return pa.table({
+            "source": pa.array(src[gstart][keep]),
+            "t_s": pa.array(t_s[keep]),
+            "s_abs": pa.array(s_abs[keep]),
+            "tv": pa.array(s_abs[keep].astype(np.float64)
+                           / den[keep].astype(np.float64)),
+        })
+
+    return co_shuffle(st, ["source"], per_part)
+
+
 # --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
@@ -4904,6 +4996,7 @@ def build_queries() -> dict:
         "ev_except": q_ev_except,
         "ts_ar1": q_ts_ar1,
         "ts_dtw": q_ts_dtw,
+        "tok_source_drift": q_tok_source_drift,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_co_outage": q_ts_co_outage,
         "doc_boilerplate": q_doc_boilerplate,
@@ -8063,6 +8156,36 @@ FROM s WHERE n * sxx - sx * sx > 0"""
     FROM dp WHERE k + 1 <= na + nb - 2
   )
 SELECT a, b, cur[1] AS dtw FROM dp WHERE k = na + nb - 2"""
+
+    sql["tok_source_drift"] = f"""WITH v AS (
+    SELECT source, tokens FROM read_parquet('{tok}/*.parquet')
+    WHERE n_tok > 0 AND len(tokens) = n_tok
+      AND CAST('0x' || substr(md5(doc_id), 1, 8) AS BIGINT) % 100 < 5
+  ),
+  ug AS (SELECT source, CAST(unnest(tokens) AS BIGINT) AS tid FROM v),
+  st AS (SELECT source, tid, CAST(count(*) AS BIGINT) AS c
+         FROM ug GROUP BY source, tid),
+  ct AS (SELECT tid, CAST(sum(c) AS BIGINT) AS ctot FROM st GROUP BY tid),
+  tt AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM st),
+  tsrc AS (SELECT source, CAST(sum(c) AS BIGINT) AS t_s
+           FROM st GROUP BY source),
+  d AS (
+    SELECT st.source,
+           CAST(sum(abs(st.c * (tt.total - tsrc.t_s)
+                        - (ct.ctot - st.c) * tsrc.t_s)) AS BIGINT) AS s_here,
+           CAST(sum(ct.ctot) AS BIGINT) AS ct_here
+    FROM st
+    JOIN ct USING (tid)
+    JOIN tsrc USING (source)
+    CROSS JOIN tt
+    GROUP BY st.source
+  )
+SELECT d.source, tsrc.t_s,
+       d.s_here + (tt.total - d.ct_here) * tsrc.t_s AS s_abs,
+       CAST(d.s_here + (tt.total - d.ct_here) * tsrc.t_s AS DOUBLE)
+         / CAST(2 * tsrc.t_s * (tt.total - tsrc.t_s) AS DOUBLE) AS tv
+FROM d JOIN tsrc USING (source) CROSS JOIN tt
+WHERE tsrc.t_s > 0 AND tsrc.t_s < tt.total"""
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
     #   media_features / media_audio (binary codecs: pure-numpy PPM/BMP/WAV

@@ -99,3 +99,17 @@ def test_components_local_fast_path_equals_distributed(monkeypatch):
         .to_pandas().sort_values("node").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_tok_source_drift_bounds_and_identity():
+    """TV in [0,1]; a source whose tokens mirror the corpus mix sits near
+    0, a disjoint-vocabulary source sits at 1 (checked on the formula)."""
+    from aisdb_ray.pipelines.queries import q_tok_source_drift
+
+    got = q_tok_source_drift("/root/testdata/sf0.001").to_pandas()
+    assert len(got) > 0
+    assert ((got["tv"] >= 0) & (got["tv"] <= 1)).all()
+    # formula identity: tv == s_abs / (2 * t_s * (total - t_s))
+    total = int(got["t_s"].sum())
+    den = 2 * got["t_s"] * (total - got["t_s"])
+    assert (got["tv"] == got["s_abs"] / den).all()
