@@ -4954,6 +4954,44 @@ def q_tok_source_drift(sf_dir: str):
     return co_shuffle(st, ["source"], per_part)
 
 
+def q_ts_missing_hours(sf_dir: str):
+    """Calendar anti-join: the WHOLE hours inside each source's observed
+    span with zero rows — the missed-ingest detector (ts_coverage_1d
+    reports partial coverage of present days; this surfaces absent
+    buckets).  One co-shuffle; the hour grid is generated per source and
+    the observed set subtracted with one bincount — no generate_series
+    explosion ships anywhere."""
+    from aisdb_ray.stages._dist import co_shuffle
+
+    _ctx()
+
+    def per_part(part: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "missing_hour": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        src = part["source"].to_numpy(zero_copy_only=False)
+        day = (part["time"].to_numpy(zero_copy_only=False).astype(np.int64)
+               // 3600)
+        order = np.lexsort((day, src))
+        src, day = src[order], day[order]
+        gstart = np.r_[0, np.flatnonzero(src[1:] != src[:-1]) + 1]
+        glen = np.diff(np.r_[gstart, len(src)])
+        out_s, out_d = [], []
+        for s, ln in zip(gstart, glen):
+            d = day[s:s + ln]
+            lo, hi = int(d[0]), int(d[-1])
+            present = np.zeros(hi - lo + 1, bool)
+            present[d - lo] = True
+            miss = np.flatnonzero(~present) + lo
+            out_s.extend([src[s]] * len(miss))
+            out_d.extend((miss * 3600).tolist())
+        return pa.table({"source": pa.array(out_s, pa.string()),
+                         "missing_hour": pa.array(out_d, pa.int64())})
+
+    return co_shuffle(_clean_cached(sf_dir), ["source"], per_part)
+
+
 # --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
@@ -4997,6 +5035,7 @@ def build_queries() -> dict:
         "ts_ar1": q_ts_ar1,
         "ts_dtw": q_ts_dtw,
         "tok_source_drift": q_tok_source_drift,
+        "ts_missing_hours": q_ts_missing_hours,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_co_outage": q_ts_co_outage,
         "doc_boilerplate": q_doc_boilerplate,
@@ -8186,6 +8225,20 @@ SELECT d.source, tsrc.t_s,
          / CAST(2 * tsrc.t_s * (tt.total - tsrc.t_s) AS DOUBLE) AS tv
 FROM d JOIN tsrc USING (source) CROSS JOIN tt
 WHERE tsrc.t_s > 0 AND tsrc.t_s < tt.total"""
+
+    sql["ts_missing_hours"] = f"""WITH {_sql_tokens_clean(tok)},
+  span AS (
+    SELECT source, min(time) // 3600 AS d0, max(time) // 3600 AS d1
+    FROM clean GROUP BY source
+  ),
+  grid AS (
+    SELECT s.source, CAST(g.d AS BIGINT) AS hr
+    FROM span s, LATERAL unnest(generate_series(s.d0, s.d1)) AS g(d)
+  ),
+  present AS (SELECT DISTINCT source, time // 3600 AS hr FROM clean)
+SELECT g.source, g.hr * 3600 AS missing_hour
+FROM grid g
+ANTI JOIN present p ON p.source = g.source AND p.hr = g.hr"""
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
     #   media_features / media_audio (binary codecs: pure-numpy PPM/BMP/WAV

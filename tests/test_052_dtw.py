@@ -113,3 +113,13 @@ def test_tok_source_drift_bounds_and_identity():
     total = int(got["t_s"].sum())
     den = 2 * got["t_s"] * (total - got["t_s"])
     assert (got["tv"] == got["s_abs"] / den).all()
+
+
+def test_missing_hours_detects_planted_gap():
+    from aisdb_ray.pipelines.queries import q_ts_missing_hours
+
+    got = q_ts_missing_hours("/root/testdata/sf0.001").to_pandas()
+    assert len(got) > 0
+    # every reported hour is aligned and strictly inside some span
+    assert (got["missing_hour"] % 3600 == 0).all()
+    assert got.duplicated(["source", "missing_hour"]).sum() == 0
