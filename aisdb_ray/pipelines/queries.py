@@ -4992,6 +4992,41 @@ def q_ts_missing_hours(sf_dir: str):
     return co_shuffle(_clean_cached(sf_dir), ["source"], per_part)
 
 
+def q_doc_dsir_resample(sf_dir: str):
+    """DSIR step 2 — importance RESAMPLING: keep each document with
+    probability proportional to its (shifted) integer DSIR weight, decided
+    by a deterministic hash threshold
+    ``md5(doc_id‖':rs') % 1024 < (w − wmin + 1)·1024 // (wmax − wmin + 1)``
+    — reproducible, shuffle-free, and exactly restatable in SQL.  Weight
+    bounds come from one distributed min/max; the gate itself is
+    map-only."""
+    import ray
+
+    from aisdb_ray.stages.sample import md5_u32
+
+    _ctx()
+    w = q_doc_dsir_weights(sf_dir).materialize()
+    wmin = int(w.min("dsir_fx"))
+    wmax = int(w.max("dsir_fx"))
+    span = wmax - wmin + 1
+
+    def gate(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"]
+        salted = pc.binary_join_element_wise(
+            pc.cast(doc, pa.string()), pa.scalar(":rs"), ""
+        )
+        h = md5_u32(salted) % 1024
+        wv = b["dsir_fx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        th = (wv - wmin + 1) * 1024 // span
+        keep = h < th
+        return pa.table({
+            "doc_id": pc.cast(doc, pa.int64()).filter(pa.array(keep)),
+            "dsir_fx": pa.array(wv[keep]),
+        })
+
+    return w.map_batches(gate, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
@@ -5036,6 +5071,7 @@ def build_queries() -> dict:
         "ts_dtw": q_ts_dtw,
         "tok_source_drift": q_tok_source_drift,
         "ts_missing_hours": q_ts_missing_hours,
+        "doc_dsir_resample": q_doc_dsir_resample,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_co_outage": q_ts_co_outage,
         "doc_boilerplate": q_doc_boilerplate,
@@ -8239,6 +8275,16 @@ WHERE tsrc.t_s > 0 AND tsrc.t_s < tt.total"""
 SELECT g.source, g.hr * 3600 AS missing_hour
 FROM grid g
 ANTI JOIN present p ON p.source = g.source AND p.hr = g.hr"""
+
+    sql["doc_dsir_resample"] = f"""WITH wts AS ({sql["doc_dsir_weights"]}),
+  bounds AS (
+    SELECT min(dsir_fx) AS wmin, max(dsir_fx) AS wmax FROM wts
+  )
+SELECT w.doc_id, w.dsir_fx
+FROM wts w, bounds b
+WHERE CAST('0x' || substr(md5(CAST(w.doc_id AS VARCHAR) || ':rs'), 1, 8)
+           AS BIGINT) % 1024
+      < (w.dsir_fx - b.wmin + 1) * 1024 // (b.wmax - b.wmin + 1)"""
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
     #   media_features / media_audio (binary codecs: pure-numpy PPM/BMP/WAV

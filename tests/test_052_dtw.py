@@ -123,3 +123,24 @@ def test_missing_hours_detects_planted_gap():
     # every reported hour is aligned and strictly inside some span
     assert (got["missing_hour"] % 3600 == 0).all()
     assert got.duplicated(["source", "missing_hour"]).sum() == 0
+
+
+def test_dsir_resample_prefers_high_weight_docs():
+    """Resampling keeps high-weight docs at a higher rate and is
+    deterministic across runs."""
+    from aisdb_ray.pipelines.queries import (
+        q_doc_dsir_resample,
+        q_doc_dsir_weights,
+    )
+
+    w = q_doc_dsir_weights("/root/testdata/sf0.001").to_pandas()
+    kept = q_doc_dsir_resample("/root/testdata/sf0.001").to_pandas()
+    kept2 = q_doc_dsir_resample("/root/testdata/sf0.001").to_pandas()
+    assert sorted(kept["doc_id"]) == sorted(kept2["doc_id"])
+    assert 0 < len(kept) < len(w)
+    med = w["dsir_fx"].median()
+    hi = w[w.dsir_fx > med]["doc_id"]
+    lo = w[w.dsir_fx < med]["doc_id"]
+    rate_hi = kept["doc_id"].isin(hi).sum() / max(len(hi), 1)
+    rate_lo = kept["doc_id"].isin(lo).sum() / max(len(lo), 1)
+    assert rate_hi > rate_lo
