@@ -5027,6 +5027,33 @@ def q_doc_dsir_resample(sf_dir: str):
     return w.map_batches(gate, batch_format="pyarrow")
 
 
+def q_doc_pii_report(sf_dir: str):
+    """PII exposure report (the governance sweep BEFORE scrubbing): per
+    source, non-overlapping match counts for each PII pattern class
+    (email/url/ipv4/phone) plus the doc count — vectorized RE2
+    ``count_substring_regex`` per batch, algebraic per-source sums.  Both
+    Arrow and DuckDB wrap RE2, so counts hash-match the
+    regexp_extract_all restatement."""
+    from aisdb_ray.stages.scrub import PII_PATTERNS
+
+    _ctx()
+    ds = rd.read_parquet(_docs_path(sf_dir), columns=["source", "text"])
+
+    def add_counts(b: pa.Table) -> pa.Table:
+        out = {"source": b["source"]}
+        for name, pat, _sub in PII_PATTERNS:
+            out[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(b["text"], pattern=pat), pa.int64()
+            )
+        return pa.table(out)
+
+    return grouped_sums(
+        ds.map_batches(add_counts, batch_format="pyarrow"),
+        ["source"], [f"n_{n}" for n, _p, _s in PII_PATTERNS],
+        count_as="n_docs",
+    )
+
+
 # --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
@@ -5072,6 +5099,7 @@ def build_queries() -> dict:
         "tok_source_drift": q_tok_source_drift,
         "ts_missing_hours": q_ts_missing_hours,
         "doc_dsir_resample": q_doc_dsir_resample,
+        "doc_pii_report": q_doc_pii_report,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_co_outage": q_ts_co_outage,
         "doc_boilerplate": q_doc_boilerplate,
@@ -8285,6 +8313,18 @@ FROM wts w, bounds b
 WHERE CAST('0x' || substr(md5(CAST(w.doc_id AS VARCHAR) || ':rs'), 1, 8)
            AS BIGINT) % 1024
       < (w.dsir_fx - b.wmin + 1) * 1024 // (b.wmax - b.wmin + 1)"""
+
+    from aisdb_ray.stages.scrub import PII_PATTERNS as _PII
+
+    _pii_cols = ",\n       ".join(
+        f"CAST(sum(length(regexp_extract_all(text, '{pat}'))) AS BIGINT)"
+        f" AS n_{name}"
+        for name, pat, _sub in _PII
+    )
+    sql["doc_pii_report"] = f"""SELECT source,
+       {_pii_cols},
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source"""
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
     #   media_features / media_audio (binary codecs: pure-numpy PPM/BMP/WAV

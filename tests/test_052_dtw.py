@@ -144,3 +144,25 @@ def test_dsir_resample_prefers_high_weight_docs():
     rate_hi = kept["doc_id"].isin(hi).sum() / max(len(hi), 1)
     rate_lo = kept["doc_id"].isin(lo).sum() / max(len(lo), 1)
     assert rate_hi > rate_lo
+
+
+def test_pii_report_counts_planted_matches(tmp_path):
+    import pyarrow.parquet as pq_mod
+
+    from aisdb_ray.stages.scrub import PII_PATTERNS
+
+    # route a tiny synthetic documents table through the same kernel
+    import pyarrow.compute as pc
+
+    texts = pa.array([
+        "mail me at a@b.co or c@d.org via https://x.io",
+        "no pii here",
+        "call +1 (555) 123-4567 from 10.0.0.1",
+    ])
+    got = {}
+    for name, pat, _ in PII_PATTERNS:
+        got[name] = pc.count_substring_regex(texts, pattern=pat).to_pylist()
+    assert got["email"] == [2, 0, 0]
+    assert got["url"] == [1, 0, 0]
+    assert got["ipv4"] == [0, 0, 1]
+    assert got["phone"][2] >= 1
