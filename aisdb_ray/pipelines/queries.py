@@ -5054,6 +5054,51 @@ def q_doc_pii_report(sf_dir: str):
     )
 
 
+def q_ev_hll_rollup(sf_dir: str):
+    """Sketch REAGGREGATION (the rollup-able-sketch property TimescaleDB
+    continuous aggregates rely on): per-(event_type, day) HLL register
+    tables are built first, then merged UP to 30-day windows purely by
+    register-wise max — never re-reading the raw stream.  The oracle
+    builds the 30-day sketches directly from raw rows, so a hash match
+    PROVES merge(daily) == direct(monthly) bit-for-bit."""
+    from aisdb_ray.stages import sketch
+    from aisdb_ray.stages._dist import funnel_combine
+
+    _ctx()
+    ds = _events_ds(sf_dir, ["event_type", "user_id", "ts"]).map_batches(
+        _events_adapter, batch_format="pyarrow"
+    )
+
+    def add_day_key(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.divide(b["time"], 86400), pa.string())
+        return pa.table({
+            "hll_key": pc.binary_join_element_wise(b["event_type"], day, "|"),
+            "user_id": b["user_id"],
+        })
+
+    daily = sketch.hll_registers(
+        ds.map_batches(add_day_key, batch_format="pyarrow"),
+        "hll_key", "user_id", b=10,
+    )
+
+    def rekey_to_window(b: pa.Table) -> pa.Table:
+        ks = b["hll_key"].to_pylist()
+        out = []
+        for k in ks:
+            typ, day = k.rsplit("|", 1)
+            out.append(f"{typ}|{int(day) // 30}")
+        return pa.table({
+            "hll_key": pa.array(out, pa.string()),
+            "register": b["register"],
+            "max_rank": b["max_rank"],
+        })
+
+    from aisdb_ray.stages.sketch import _merge_b
+
+    rekeyed = daily.map_batches(rekey_to_window, batch_format="pyarrow")
+    return funnel_combine(rekeyed, lambda t: _merge_b(t, "hll_key"))
+
+
 # --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
@@ -5100,6 +5145,7 @@ def build_queries() -> dict:
         "ts_missing_hours": q_ts_missing_hours,
         "doc_dsir_resample": q_doc_dsir_resample,
         "doc_pii_report": q_doc_pii_report,
+        "ev_hll_rollup": q_ev_hll_rollup,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_co_outage": q_ts_co_outage,
         "doc_boilerplate": q_doc_boilerplate,
@@ -8325,6 +8371,27 @@ WHERE CAST('0x' || substr(md5(CAST(w.doc_id AS VARCHAR) || ':rs'), 1, 8)
        {_pii_cols},
        CAST(count(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY source"""
+
+    # the oracle builds the 30-day sketches DIRECTLY from raw rows; the
+    # engine merges daily sketches up — a hash match proves mergeability
+    sql["ev_hll_rollup"] = """WITH h AS (
+    SELECT event_type || '|' ||
+           CAST((epoch_us(ts) // 1000000 // 86400) // 30 AS VARCHAR)
+             AS hll_key,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                AS UBIGINT) AS hv
+    FROM events
+  ),
+  r AS (
+    SELECT hll_key,
+           CAST(hv >> 54 AS BIGINT) AS register,
+           CAST(hv & ((1::UBIGINT << 54) - 1) AS BIGINT) AS suffix
+    FROM h
+  )
+SELECT hll_key, register,
+       CAST(max(CASE WHEN suffix = 0 THEN 55
+                     ELSE 55 - length(bin(suffix)) END) AS BIGINT) AS max_rank
+FROM r GROUP BY hll_key, register"""
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
     #   media_features / media_audio (binary codecs: pure-numpy PPM/BMP/WAV

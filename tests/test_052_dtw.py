@@ -166,3 +166,24 @@ def test_pii_report_counts_planted_matches(tmp_path):
     assert got["url"] == [1, 0, 0]
     assert got["ipv4"] == [0, 0, 1]
     assert got["phone"][2] >= 1
+
+
+def test_hll_merge_equals_direct_construction():
+    """Register-wise max of per-part sketches == sketch of the union —
+    the mergeability property ev_hll_rollup's oracle proves at scale."""
+    from aisdb_ray.stages.sketch import hll_partial_batch, merge_registers
+
+    rng = np.random.default_rng(41)
+    vals = rng.integers(0, 10_000, 5_000).astype(np.int64)
+    t_all = pa.table({"k": pa.array(["x"] * len(vals)),
+                      "v": pa.array(vals)})
+    half = len(vals) // 2
+    s_all = merge_registers(hll_partial_batch(t_all, "k", "v", 10),
+                            key_col="k")
+    s_merged = merge_registers(
+        hll_partial_batch(t_all.slice(0, half), "k", "v", 10),
+        hll_partial_batch(t_all.slice(half), "k", "v", 10),
+        key_col="k",
+    )
+    assert s_all.sort_by([("register", "ascending")]).equals(
+        s_merged.sort_by([("register", "ascending")]))
