@@ -5099,6 +5099,80 @@ def q_ev_hll_rollup(sf_dir: str):
     return funnel_combine(rekeyed, lambda t: _merge_b(t, "hll_key"))
 
 
+def q_ev_late_data(sf_dir: str):
+    """Streaming late-arrival side output (the watermark rule every
+    event-time engine applies before window assignment): rows arrive per
+    event_type stream in a deterministic hash-jittered ingest order (the
+    fixture's events are perfectly time-ordered, so arrival = event time
+    + md5-derived network delay ≤ 2 h, mirrored exactly in SQL); a row
+    whose event time falls more than 1 h below the stream's
+    prior-arrivals watermark is LATE and is emitted with the watermark as
+    evidence.  One co-shuffle by stream, vectorized running-max per
+    partition."""
+    from aisdb_ray.stages import window
+    from aisdb_ray.stages.sample import md5_u32
+
+    _ctx()
+    ds = _events_ds(sf_dir, ["event_id", "ts", "event_type"]).map_batches(
+        _events_adapter, batch_format="pyarrow"
+    )
+
+    def add_arrival(b: pa.Table) -> pa.Table:
+        eid = b["event_id"]
+        salted = pc.binary_join_element_wise(
+            pc.cast(eid, pa.string()), pa.scalar(":arr"), ""
+        )
+        delay = md5_u32(salted) % 7200
+        t = b["time"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ev = eid.to_numpy(zero_copy_only=False).astype(np.int64)
+        arrival = (t + delay) * 1_000_000 + ev  # unique: event_id < 1e6
+        return pa.table({
+            "event_id": eid, "event_type": b["event_type"],
+            "time": b["time"], "arrival": pa.array(arrival, pa.int64()),
+        })
+
+    flagged = window.late_data(
+        ds.map_batches(add_arrival, batch_format="pyarrow"),
+        "event_type", "time", "arrival", allowed_lateness=3600,
+    )
+    return flagged.select_columns(
+        ["event_id", "event_type", "time", "watermark"]
+    )
+
+
+def q_ev_debounce(sf_dir: str):
+    """Streaming TTL dedup (debounce): drop an event when the SAME
+    (user, event_type) fired less than 30 min earlier — duplicate-click /
+    retry suppression.  Pure lag comparison per key chain: one co-shuffle
+    on the key pair, vectorized multi-group filter per partition."""
+    from aisdb_ray.stages import window
+
+    _ctx()
+    ds = _events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type"]).map_batches(
+        _events_adapter, batch_format="pyarrow"
+    )
+    kept = window.debounce(
+        ds, ["user_id", "event_type"], "time", "event_id", ttl=1800
+    )
+    return kept.select_columns(["event_id", "user_id", "event_type", "time"])
+
+
+def q_ts_rate_limit(sf_dir: str):
+    """Kept-chain rate limiter (token-bucket throttle) over each source's
+    DISTINCT point times: the first time is kept; each next kept time is
+    the first ``>= last_kept + 600 s`` — compared against the last KEPT
+    row, not the previous row (contrast q_ev_debounce), so a long
+    sub-TTL burst still emits one row per TTL.  The chain advance is a
+    per-partition searchsorted loop over ALL groups at once (O(kept·log
+    n), no per-row Python); the oracle replays the same chain with a
+    list-state recursive CTE."""
+    from aisdb_ray.stages import window
+
+    _ctx()
+    pts = _clean_cached(sf_dir).select_columns(["source", "time"])
+    return window.rate_limit(pts, "source", "time", ttl=600)
+
+
 # --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
@@ -5110,6 +5184,9 @@ def build_queries() -> dict:
     # come FIRST so a budget-capped gate reaches them; the 50 queries already
     # driver-green in CORRECTNESS_r02.json follow.
     return {
+        "ev_late_data": q_ev_late_data,
+        "ev_debounce": q_ev_debounce,
+        "ts_rate_limit": q_ts_rate_limit,
         "ts_pattern_topk": q_ts_pattern_topk,
         "ann_filtered_topk": q_ann_filtered_topk,
         "ts_changepoint": q_ts_changepoint,
@@ -8392,6 +8469,53 @@ SELECT hll_key, register,
        CAST(max(CASE WHEN suffix = 0 THEN 55
                      ELSE 55 - length(bin(suffix)) END) AS BIGINT) AS max_rank
 FROM r GROUP BY hll_key, register"""
+
+    sql["ev_late_data"] = """WITH e AS (
+    SELECT event_id, event_type,
+           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS time,
+           (CAST(epoch_us(ts) // 1000000 AS BIGINT)
+            + CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':arr'),
+                                  1, 8) AS BIGINT) % 7200
+           ) * 1000000 + event_id AS arrival
+    FROM events
+  ),
+  x AS (
+    SELECT event_id, event_type, time,
+           max(time) OVER (PARTITION BY event_type ORDER BY arrival
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS watermark
+    FROM e
+  )
+SELECT event_id, event_type, time, CAST(watermark AS BIGINT) AS watermark
+FROM x WHERE time < watermark - 3600"""
+
+    sql["ev_debounce"] = """WITH e AS (
+    SELECT event_id, user_id, event_type,
+           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS time
+    FROM events
+  ),
+  x AS (
+    SELECT *, lag(time) OVER (PARTITION BY user_id, event_type
+                              ORDER BY time, event_id) AS t_prev
+    FROM e
+  )
+SELECT event_id, user_id, event_type, time
+FROM x WHERE t_prev IS NULL OR time - t_prev >= 1800"""
+
+    sql["ts_rate_limit"] = f"""WITH RECURSIVE {_sql_tokens_clean(tok)},
+  arr AS (
+    SELECT source, list_sort(list(DISTINCT time)) AS ts
+    FROM clean GROUP BY source
+  ),
+  chain AS (
+    SELECT source, ts, CAST(ts[1] AS BIGINT) AS kept FROM arr
+    UNION ALL
+    SELECT source, ts,
+           CAST(list_min(list_filter(ts, x -> x >= kept + 600)) AS BIGINT)
+    FROM chain
+    WHERE len(list_filter(ts, x -> x >= kept + 600)) > 0
+  )
+SELECT source, kept AS time FROM chain"""
 
     # no SQL oracle (rows-only driver check; semantics pinned by pytest):
     #   media_features / media_audio (binary codecs: pure-numpy PPM/BMP/WAV

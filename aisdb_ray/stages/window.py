@@ -1076,3 +1076,200 @@ def lag_backtest(
         )
 
     return co_shuffle(ds, [group], block, num_parts)
+
+
+def late_data_block(
+    tbl: pa.Table,
+    group: str,
+    time_col: str,
+    arrival_col: str,
+    allowed_lateness: int,
+) -> pa.Table:
+    """One partition's late-arrival flags, exact in int64.
+
+    Streaming semantics (the watermark rule every event-time engine
+    applies before window assignment): rows arrive in ``arrival_col``
+    order; the stream's watermark at a row is ``max(time) over all
+    PREVIOUSLY-arrived rows of the group minus allowed_lateness``; a row
+    whose event time falls below that watermark is LATE — a real engine
+    would route it to a side output instead of its (already closed)
+    window.  This is that side output, with the watermark as evidence.
+
+    Vectorized multi-group: sort by (group, arrival), group-offset
+    composite values make one ``np.maximum.accumulate`` reset per group,
+    shift-by-one excludes the current row (the first arrival of a group
+    is never late)."""
+    n = len(tbl)
+    if n == 0:
+        return tbl.append_column("watermark", pa.array([], pa.int64()))
+    import pyarrow.compute as pc
+
+    gcol = tbl[group]
+    if isinstance(gcol, pa.ChunkedArray):
+        gcol = gcol.combine_chunks()
+    ginv = pc.dictionary_encode(gcol).indices.to_numpy().astype(np.int64)
+    arr = tbl[arrival_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((arr, ginv))
+    tbl = tbl.take(pa.array(order))
+    g = ginv[order]
+    t = tbl[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    starts = np.r_[True, g[1:] != g[:-1]]
+    big = (t.max() - t.min()) + 2 if n else 2
+    seg_id = np.cumsum(starts) - 1
+    q = (t - t.min()) + seg_id * big  # group k strictly above group k-1
+    runmax = np.maximum.accumulate(q) - seg_id * big + t.min()
+    # shift by one within the group: watermark sees only PRIOR arrivals
+    wm = np.empty(n, dtype=np.int64)
+    wm[1:] = runmax[:-1]
+    wm[starts] = np.iinfo(np.int64).min  # first arrival: no watermark yet
+    late = ~starts & (t < wm - allowed_lateness)
+    out = tbl.append_column(
+        "watermark", pa.array(np.where(starts, 0, wm), pa.int64())
+    )
+    return out.filter(pa.array(late))
+
+
+def late_data(ds, group: str, time_col: str, arrival_col: str,
+              allowed_lateness: int, num_parts: int | None = None):
+    """Distributed late-arrival detection per group (one co-shuffle, then
+    a fully-vectorized multi-group task per partition)."""
+    from aisdb_ray.stages._dist import co_shuffle
+
+    return co_shuffle(
+        ds, [group],
+        lambda part: late_data_block(
+            part, group, time_col, arrival_col, allowed_lateness
+        ),
+        num_parts,
+    )
+
+
+def debounce_block(
+    tbl: pa.Table,
+    keys: list[str],
+    time_col: str,
+    seq_col: str,
+    ttl: int,
+) -> pa.Table:
+    """One partition's debounce pass: drop a row if the group's
+    IMMEDIATELY preceding row (by (time, seq)) is less than ``ttl``
+    seconds older — collapse each rapid-fire burst to the rows that break
+    the cadence.  Pure lag comparison (SQL: lag(time) OVER w), so exact
+    and stateless; contrast with the kept-chain rate limiter
+    (:func:`rate_limit`), which compares against the last KEPT row."""
+    n = len(tbl)
+    if n == 0:
+        return tbl
+    import pyarrow.compute as pc
+
+    ginv = np.zeros(n, dtype=np.int64)
+    for kcol in keys:
+        c = tbl[kcol]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        enc = pc.dictionary_encode(c).indices.to_numpy().astype(np.int64)
+        ginv = ginv * (int(enc.max()) + 1) + enc
+    t = tbl[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    sq = tbl[seq_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((sq, t, ginv))
+    tbl = tbl.take(pa.array(order))
+    g = ginv[order]
+    ts = t[order]
+    starts = np.r_[True, g[1:] != g[:-1]]
+    dt = np.empty(n, dtype=np.int64)
+    dt[1:] = ts[1:] - ts[:-1]
+    keep = starts | (dt >= ttl)
+    return tbl.filter(pa.array(keep))
+
+
+def debounce(ds, keys: list[str], time_col: str, seq_col: str, ttl: int,
+             num_parts: int | None = None):
+    """Distributed debounce dedup (streaming TTL dedup vs the previous
+    row) — one co-shuffle on the key set, vectorized lag filter per
+    partition."""
+    from aisdb_ray.stages._dist import co_shuffle
+
+    return co_shuffle(
+        ds, keys,
+        lambda part: debounce_block(part, keys, time_col, seq_col, ttl),
+        num_parts,
+    )
+
+
+def rate_limit_block(
+    tbl: pa.Table,
+    group: str,
+    time_col: str,
+    ttl: int,
+) -> pa.Table:
+    """One partition's kept-chain rate limit over DISTINCT group times:
+    the first time of each group is kept; every subsequent kept time is
+    the group's first time ``>= last_kept + ttl`` (the token-bucket /
+    throttle rule — compared against the last KEPT row, not the previous
+    row, so a long burst under the TTL collapses to its opening edge
+    while :func:`debounce` would drop it entirely only if every
+    consecutive gap is short).
+
+    Vectorized multi-group: one searchsorted over the group-offset
+    composite time axis advances EVERY active group's chain per loop
+    turn — the loop runs max-kept-per-group times, each turn O(#groups
+    log n), never a per-row Python walk.  Output: (group, time) kept
+    markers."""
+    import pyarrow.compute as pc
+
+    if ttl <= 0:
+        raise ValueError("rate_limit ttl must be >= 1")
+    if len(tbl) == 0:
+        return pa.table({
+            group: pa.array([], tbl[group].type),
+            time_col: pa.array([], pa.int64()),
+        })
+    gcol = tbl[group]
+    if isinstance(gcol, pa.ChunkedArray):
+        gcol = gcol.combine_chunks()
+    enc = pc.dictionary_encode(gcol)
+    ginv = enc.indices.to_numpy().astype(np.int64)
+    gdict = enc.dictionary
+    t = tbl[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    # distinct (group, time), sorted
+    comp = np.unique(ginv * ((t.max() - t.min()) + 2) + (t - t.min()))
+    big = (t.max() - t.min()) + 2
+    gids = comp // big
+    ts = comp % big + t.min()
+    n = len(comp)
+    starts = np.flatnonzero(np.r_[True, gids[1:] != gids[:-1]])
+    ends = np.r_[starts[1:], n]
+
+    kept_idx = []
+    pos = starts.copy()          # each group's current kept position
+    active = np.ones(len(starts), dtype=bool)
+    while active.any():
+        kept_idx.append(pos[active])
+        target = ts[pos[active]] + ttl
+        # searchsorted on the composite axis stays inside each group:
+        # targets are offset by the SAME group id as the kept row
+        nxt = np.searchsorted(comp, gids[pos[active]] * big
+                              + np.minimum(target - t.min(), big - 1))
+        done = nxt >= ends[active]
+        pos[active] = np.where(done, pos[active], nxt)
+        upd = active.copy()
+        active[upd] = ~done
+    kept = np.sort(np.concatenate(kept_idx))
+    return pa.table({
+        group: gdict.take(pa.array(gids[kept], pa.int64())),
+        time_col: pa.array(ts[kept], pa.int64()),
+    })
+
+
+def rate_limit(ds, group: str, time_col: str, ttl: int,
+               num_parts: int | None = None):
+    """Distributed kept-chain throttle: one co-shuffle by group, then the
+    vectorized multi-group chain advance per partition."""
+    from aisdb_ray.stages._dist import co_shuffle
+
+    return co_shuffle(
+        ds, [group],
+        lambda part: rate_limit_block(part, group, time_col, ttl),
+        num_parts,
+    )
