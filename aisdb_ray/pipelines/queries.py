@@ -5173,6 +5173,81 @@ def q_ts_rate_limit(sf_dir: str):
     return window.rate_limit(pts, "source", "time", ttl=600)
 
 
+def q_doc_source_cap(sf_dir: str):
+    """Per-source volume capping (the C4/CCNet domain-balance rule): each
+    source keeps at most ~cap documents in expectation, selected by a
+    deterministic hash threshold ``md5(doc_id‖':cap') · n_source <
+    cap · 2³²`` — exact integer comparison (no float rates), reproducible
+    under resume/repartition, shuffle-free for the corpus (only the tiny
+    per-source counts aggregate moves).  Sources under the cap pass
+    through whole."""
+    import ray
+
+    _ctx()
+    cap = 15
+    docs = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "source"])
+    counts = {
+        r["source"]: int(r["count()"])
+        for r in docs.groupby("source").count().take_all()
+    }
+    counts_ref = ray.put(counts)
+    from aisdb_ray.stages.sample import md5_u32
+
+    def gate(b: pa.Table) -> pa.Table:
+        ns_map = ray.get(counts_ref)
+        doc = b["doc_id"]
+        salted = pc.binary_join_element_wise(
+            pc.cast(doc, pa.string()), pa.scalar(":cap"), ""
+        )
+        h = md5_u32(salted)
+        ns = np.array(
+            [ns_map[s] for s in b["source"].to_pylist()], dtype=np.int64
+        )
+        keep = h * ns < cap * (1 << 32)
+        return b.filter(pa.array(keep))
+
+    return docs.map_batches(gate, batch_format="pyarrow")
+
+
+def q_doc_split_leakage(sf_dir: str):
+    """Leakage-safe train/val/test split: near-duplicate documents (the
+    MinHash component graph) are assigned as a UNIT — the split key is
+    the component representative, so no near-dup pair ever straddles
+    train and eval (the contamination mode a per-doc hash split cannot
+    prevent).  80/10/10 by ``md5(group‖':split') mod 100``; unpaired
+    documents key on themselves.  One distributed left join against the
+    component map, then a map-only gate."""
+    from aisdb_ray.stages import join
+    from aisdb_ray.stages.sample import md5_u32
+
+    _ctx()
+    comp = rd.read_parquet(_dup_components_path(sf_dir))
+    docs = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id"])
+
+    def as_node(b: pa.Table) -> pa.Table:
+        return pa.table({"node": pc.cast(b["doc_id"], pa.int64())})
+
+    joined = join.hash_join(
+        docs.map_batches(as_node, batch_format="pyarrow"), comp,
+        on="node", how="left outer",
+    )
+
+    def assign(b: pa.Table) -> pa.Table:
+        grp = pc.cast(pc.coalesce(b["component"], b["node"]), pa.string())
+        salted = pc.binary_join_element_wise(grp, pa.scalar(":split"), "")
+        bucket = md5_u32(salted) % 100
+        split = np.where(
+            bucket < 80, "train", np.where(bucket < 90, "val", "test")
+        )
+        return pa.table({
+            "doc_id": b["node"],
+            "grp": grp,
+            "split": pa.array(split, pa.string()),
+        })
+
+    return joined.map_batches(assign, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
@@ -5184,6 +5259,8 @@ def build_queries() -> dict:
     # come FIRST so a budget-capped gate reaches them; the 50 queries already
     # driver-green in CORRECTNESS_r02.json follow.
     return {
+        "doc_source_cap": q_doc_source_cap,
+        "doc_split_leakage": q_doc_split_leakage,
         "ev_late_data": q_ev_late_data,
         "ev_debounce": q_ev_debounce,
         "ts_rate_limit": q_ts_rate_limit,
@@ -8469,6 +8546,35 @@ SELECT hll_key, register,
        CAST(max(CASE WHEN suffix = 0 THEN 55
                      ELSE 55 - length(bin(suffix)) END) AS BIGINT) AS max_rank
 FROM r GROUP BY hll_key, register"""
+
+    sql["doc_source_cap"] = """WITH n AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS ns
+    FROM documents GROUP BY source
+  )
+SELECT d.doc_id, d.source
+FROM documents d JOIN n USING (source)
+WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':cap'), 1, 8)
+           AS BIGINT) * n.ns < 15 * 4294967296"""
+
+    from aisdb_ray.pipelines import oracle_text as _ot
+    sql["doc_split_leakage"] = (
+        _ot._components_cte(16, 4, 7, 10)
+        + """,
+  j AS (
+    SELECT d.doc_id,
+           CAST(coalesce(c.component, d.doc_id) AS VARCHAR) AS grp
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+  )
+SELECT doc_id, grp,
+       CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, grp,
+         CAST('0x' || substr(md5(grp || ':split'), 1, 8) AS BIGINT) % 100
+           AS b
+  FROM j
+)"""
+    )
 
     sql["ev_late_data"] = """WITH e AS (
     SELECT event_id, event_type,
