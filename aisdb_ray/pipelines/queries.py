@@ -5248,6 +5248,49 @@ def q_doc_split_leakage(sf_dir: str):
     return joined.map_batches(assign, batch_format="pyarrow")
 
 
+def q_ann_lsh_append(sf_dir: str):
+    """Incremental ANN index maintenance: the LSH postings index is built
+    over HALF the lake (vec_id below the median), then the other half is
+    APPENDED — no rebuild; the stored seed makes appended vectors land in
+    exactly the buckets a from-scratch build would assign.  Serving the
+    standard probe afterwards must equal the full-corpus index bit-for-bit
+    (the oracle is the same full-corpus SQL as ann_lsh_topk), which is
+    the correctness property of streaming index refresh."""
+    import shutil
+
+    from aisdb_ray.stages import ann
+
+    _ctx()
+    q0 = _query_vector(sf_dir)
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(SF_CACHE_ROOT, name, "lsh_index_append")
+    emb = rd.read_parquet(_emb_path(sf_dir))
+    # split point: integer median of vec_id (deterministic, not sampled)
+    half = int(emb.min("vec_id") + (emb.max("vec_id") - emb.min("vec_id")) // 2)
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        shutil.rmtree(idx, ignore_errors=True)
+        ann.build_lsh_index(
+            emb.filter(expr=f"vec_id <= {half}"), idx,
+            ann.LshIndexParams(len(q0)),
+        )
+    ann.append_lsh_index(emb.filter(expr=f"vec_id > {half}"), idx)
+    return _ranked_ids(ann.lsh_index_topk(idx, _emb_path(sf_dir), q0, k=10))
+
+
+def q_src_overlap(sf_dir: str):
+    """Cross-source vocabulary-overlap matrix at sketch cost: per-source
+    MinHash signatures over distinct words (P=16 md5 perms, algebraic
+    min-merge partials — only sources×P rows ever move), then one pair
+    pass on the collapsed table.  n_agree/P estimates the vocabulary
+    Jaccard between crawls — the "which sources duplicate each other"
+    mix diagnostic."""
+    from aisdb_ray.stages import textstats
+
+    _ctx()
+    docs = rd.read_parquet(_docs_path(sf_dir), columns=["source", "text"])
+    return textstats.source_minhash_overlap(docs, n_perms=16)
+
+
 # --------------------------------------------------------------------------
 # catalog + oracle SQL
 # --------------------------------------------------------------------------
@@ -5259,6 +5302,8 @@ def build_queries() -> dict:
     # come FIRST so a budget-capped gate reaches them; the 50 queries already
     # driver-green in CORRECTNESS_r02.json follow.
     return {
+        "ann_lsh_append": q_ann_lsh_append,
+        "src_overlap": q_src_overlap,
         "doc_source_cap": q_doc_source_cap,
         "doc_split_leakage": q_doc_split_leakage,
         "ev_late_data": q_ev_late_data,
@@ -7926,6 +7971,9 @@ FROM documents d,
     sql["doc_simhash_pairs"] = oracle_text.simhash_pairs_sql(max_hamming=8)
     sql["doc_textstats"] = oracle_text.textstats_sql(_langid_sql())
     sql["ann_lsh_topk"] = oracle_text.ann_lsh_topk_sql(k=10)
+    # append-refresh must serve exactly what a full rebuild serves: the
+    # oracle IS the full-corpus index restatement
+    sql["ann_lsh_append"] = oracle_text.ann_lsh_topk_sql(k=10)
     # index-eval: the two existing oracles nested verbatim, overlap-joined
     sql["ann_lsh_recall"] = f"""WITH ex AS ({sql["ann_topk"]}),
   ap AS ({oracle_text.ann_lsh_topk_sql(k=10)})
@@ -8546,6 +8594,22 @@ SELECT hll_key, register,
        CAST(max(CASE WHEN suffix = 0 THEN 55
                      ELSE 55 - length(bin(suffix)) END) AS BIGINT) AS max_rank
 FROM r GROUP BY hll_key, register"""
+
+    sql["src_overlap"] = r"""WITH w AS (
+    SELECT DISTINCT d.source, t.w AS word
+    FROM documents d, LATERAL unnest(regexp_extract_all(d.text, '\S+')) AS t(w)
+  ),
+  h AS (
+    SELECT source, r.p,
+           min(CAST('0x' || substr(md5(word || ':mh' || CAST(r.p AS VARCHAR)),
+                                   1, 8) AS BIGINT)) AS minh
+    FROM w CROSS JOIN range(16) AS r(p)
+    GROUP BY source, r.p
+  )
+SELECT a.source AS a, b.source AS b,
+       CAST(count(*) FILTER (WHERE a.minh = b.minh) AS BIGINT) AS n_agree
+FROM h a JOIN h b ON a.p = b.p AND a.source < b.source
+GROUP BY a.source, b.source"""
 
     sql["doc_source_cap"] = """WITH n AS (
     SELECT source, CAST(count(*) AS BIGINT) AS ns

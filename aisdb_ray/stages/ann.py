@@ -278,6 +278,25 @@ def build_lsh_index(
     if os.path.exists(marker):
         return index_dir
 
+    _write_lsh_postings(ds_emb, index_dir, params, min_rows_per_file)
+    dim = params.planes.shape[2]
+    with open(os.path.join(index_dir, "params.json"), "w") as fh:
+        json.dump(
+            {"dim": dim, "n_bits": params.n_bits,
+             "n_tables": params.n_tables, "seed": params.seed},
+            fh,
+        )
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return index_dir
+
+
+def _write_lsh_postings(ds_emb, index_dir: str, params: LshIndexParams,
+                        min_rows_per_file: int = 100_000) -> None:
+    """Assign + explode + write skinny (tbl, bucket) → vec_id postings
+    into the index's hive layout.  Shared by the initial build and the
+    append refresh — both produce identical rows for identical vectors
+    because the hyperplanes are fully determined by the stored seed."""
     assigned = lsh_bucket_assign(ds_emb, params)
     n_tables = params.n_tables
 
@@ -302,13 +321,30 @@ def build_lsh_index(
         partition_cols=["tbl", "bucket"],
         min_rows_per_file=min_rows_per_file,
     )
-    dim = params.planes.shape[2]
-    with open(os.path.join(index_dir, "params.json"), "w") as fh:
-        json.dump(
-            {"dim": dim, "n_bits": params.n_bits,
-             "n_tables": params.n_tables, "seed": params.seed},
-            fh,
-        )
+
+
+def append_lsh_index(
+    ds_emb_new,
+    index_dir: str,
+    generation: str = "g1",
+    min_rows_per_file: int = 100_000,
+) -> str:
+    """Incremental index refresh: add NEW vectors to an existing LSH
+    postings index WITHOUT a rebuild (the streaming-ingest maintenance
+    path; deletes are already rebuild-free via ``lsh_index_topk(keep_fn)``
+    tombstones).
+
+    The stored seed fully determines the hyperplanes, so appended vectors
+    land in exactly the buckets a from-scratch build would assign them —
+    serving after append is bit-identical to serving a full rebuild.  The
+    append just writes more postings files into the same hive layout
+    (queries list the directory, so they see old ∪ new); a per-generation
+    marker makes re-runs idempotent, mirroring build's _SUCCESS."""
+    marker = os.path.join(index_dir, f"_SUCCESS_APPEND_{generation}")
+    if os.path.exists(marker):
+        return index_dir
+    params = load_lsh_params(index_dir)
+    _write_lsh_postings(ds_emb_new, index_dir, params, min_rows_per_file)
     with open(marker, "w") as fh:
         fh.write("ok\n")
     return index_dir

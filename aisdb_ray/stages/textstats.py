@@ -510,3 +510,81 @@ def winnow_fingerprints(
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def source_minhash_overlap(ds, n_perms: int = 16):
+    """Cross-source vocabulary-overlap matrix via per-source MinHash
+    signatures — the corpus-mix diagnostic ("which crawls duplicate each
+    other?") at sketch cost.
+
+    Per source, signature[p] = min over the source's DISTINCT words of
+    ``md5(word‖':mh'‖p)``; the per-pair agreement count estimates the
+    vocabulary Jaccard (E[n_agree/P] = J).  Shape: per-batch (source, p,
+    min) partials — algebraic min-merge like the HLL registers
+    (stages/sketch.py), so only sources×P rows ever move; the pair matrix
+    is computed once on the collapsed table.  Never a word-keyed shuffle,
+    never source×source documents.
+
+    Output: (a, b, n_agree) for every source pair a < b.
+    """
+    from aisdb_ray.stages._dist import funnel_combine
+    from aisdb_ray.stages.sample import md5_u32
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(b["text"], pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, pa.scalar(""))
+        srcs = b["source"].take(parents.filter(keep))
+        words = flat.filter(keep)
+        pair = pa.table({"source": srcs, "word": words}).group_by(
+            ["source", "word"], use_threads=False
+        ).aggregate([])
+        s_out, p_out, m_out = [], [], []
+        for p in range(n_perms):
+            salted = pc.binary_join_element_wise(
+                pair["word"].combine_chunks(), pa.scalar(f":mh{p}"), ""
+            )
+            h = md5_u32(salted)
+            t = pa.table({
+                "source": pair["source"], "h": pa.array(h, pa.int64())
+            }).group_by(["source"], use_threads=False).aggregate([("h", "min")])
+            s_out.append(t["source"].combine_chunks())
+            p_out.append(np.full(t.num_rows, p, dtype=np.int64))
+            m_out.append(t["h_min"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "source": pa.concat_arrays([c for chunk in s_out for c in
+                                        (chunk.chunks if isinstance(chunk, pa.ChunkedArray) else [chunk])]),
+            "p": pa.array(np.concatenate(p_out), pa.int64()),
+            "minh": pa.array(np.concatenate(m_out), pa.int64()),
+        })
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source", "p"], use_threads=False).aggregate(
+            [("minh", "min")]
+        )
+        return g.rename_columns(["source", "p", "minh"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        src = np.asarray(b["source"].to_pylist())
+        p = b["p"].to_numpy(zero_copy_only=False)
+        mh = b["minh"].to_numpy(zero_copy_only=False)
+        names = np.unique(src)
+        sig = np.full((len(names), n_perms), -1, dtype=np.int64)
+        sidx = {s: i for i, s in enumerate(names)}
+        for s, pp, m in zip(src, p, mh):
+            sig[sidx[s], pp] = m
+        a_out, b_out, n_out = [], [], []
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                a_out.append(names[i])
+                b_out.append(names[j])
+                n_out.append(int((sig[i] == sig[j]).sum()))
+        return pa.table({
+            "a": pa.array(a_out, pa.string()),
+            "b": pa.array(b_out, pa.string()),
+            "n_agree": pa.array(n_out, pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return funnel_combine(partials, merge, finalize_fn=pairs)

@@ -451,3 +451,36 @@ def test_sq8_constant_dimension_codes_zero():
     # all reconstructions identical -> ties broken by vec_id
     assert got["vec_id"].tolist() == [0, 1, 2]
     assert got["score255"].nunique() == 1
+
+
+def test_lsh_append_refresh_equals_full_rebuild(tmp_path):
+    """Appending new vectors to a persisted LSH index must serve exactly
+    what a from-scratch full-corpus build serves (same seed -> same
+    hyperplanes -> same buckets), and the append marker is idempotent."""
+    import os
+
+    ids, m = _matrix()
+    q = m[1]
+    params = ann.LshIndexParams(m.shape[1])
+
+    full_idx = str(tmp_path / "lsh_full")
+    ann.build_lsh_index(rd.read_parquet(EMB), full_idx, params)
+
+    half = int(np.median(ids))
+    inc_idx = str(tmp_path / "lsh_inc")
+    emb = rd.read_parquet(EMB)
+    ann.build_lsh_index(emb.filter(expr=f"vec_id <= {half}"), inc_idx, params)
+    ann.append_lsh_index(emb.filter(expr=f"vec_id > {half}"), inc_idx)
+    # idempotent: re-running the same generation is a no-op
+    n_files = sum(len(fs) for _, _, fs in os.walk(inc_idx))
+    ann.append_lsh_index(emb.filter(expr=f"vec_id > {half}"), inc_idx)
+    assert sum(len(fs) for _, _, fs in os.walk(inc_idx)) == n_files
+
+    got_full = ann.lsh_index_topk(full_idx, EMB, q, k=10).to_pandas()
+    got_inc = ann.lsh_index_topk(inc_idx, EMB, q, k=10).to_pandas()
+    np.testing.assert_array_equal(
+        got_full["vec_id"].to_numpy(), got_inc["vec_id"].to_numpy()
+    )
+    # a second generation appends under its own marker
+    ann.append_lsh_index(emb.filter(expr="vec_id < 0"), inc_idx, generation="g2")
+    assert os.path.exists(os.path.join(inc_idx, "_SUCCESS_APPEND_g2"))
