@@ -5277,6 +5277,22 @@ def q_ann_lsh_append(sf_dir: str):
     return _ranked_ids(ann.lsh_index_topk(idx, _emb_path(sf_dir), q0, k=10))
 
 
+def q_doc_tf_cosine(sf_dir: str):
+    """Exact sparse TF-cosine near-dup pairs (cos ≥ 0.8 = √(16/25), within
+    source blocks): the lexical ground truth the MinHash/SimHash sketches
+    approximate, decided entirely in integers (dot²·25 ≥ 16·‖a‖²·‖b‖²).
+    Postings carry their doc's norm, so the whole operator is one
+    (block, token) co-shuffle + one pair-keyed combine — never
+    documents×documents."""
+    from aisdb_ray.stages import tfsim
+
+    _ctx()
+    docs = rd.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "source", "text"]
+    )
+    return tfsim.tf_cosine_pairs(docs, thr_num=16, thr_den=25)
+
+
 def q_src_overlap(sf_dir: str):
     """Cross-source vocabulary-overlap matrix at sketch cost: per-source
     MinHash signatures over distinct words (P=16 md5 perms, algebraic
@@ -5302,6 +5318,7 @@ def build_queries() -> dict:
     # come FIRST so a budget-capped gate reaches them; the 50 queries already
     # driver-green in CORRECTNESS_r02.json follow.
     return {
+        "doc_tf_cosine": q_doc_tf_cosine,
         "ann_lsh_append": q_ann_lsh_append,
         "src_overlap": q_src_overlap,
         "doc_source_cap": q_doc_source_cap,
@@ -8594,6 +8611,28 @@ SELECT hll_key, register,
        CAST(max(CASE WHEN suffix = 0 THEN 55
                      ELSE 55 - length(bin(suffix)) END) AS BIGINT) AS max_rank
 FROM r GROUP BY hll_key, register"""
+
+    sql["doc_tf_cosine"] = r"""WITH tf AS (
+    SELECT d.doc_id, d.source, t.w AS token, CAST(count(*) AS BIGINT) AS tf
+    FROM documents d,
+         LATERAL unnest(regexp_extract_all(d.text, '\S+')) AS t(w)
+    GROUP BY 1, 2, 3
+  ),
+  n2 AS (
+    SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM tf GROUP BY doc_id
+  ),
+  dots AS (
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+    FROM tf a JOIN tf b
+      ON a.source = b.source AND a.token = b.token AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+SELECT d.a, d.b, d.dot, na.n2 AS na2, nb.n2 AS nb2
+FROM dots d
+JOIN n2 na ON na.doc_id = d.a
+JOIN n2 nb ON nb.doc_id = d.b
+WHERE d.dot * d.dot * 25 >= 16 * na.n2 * nb.n2"""
 
     sql["src_overlap"] = r"""WITH w AS (
     SELECT DISTINCT d.source, t.w AS word
