@@ -5277,6 +5277,40 @@ def q_ann_lsh_append(sf_dir: str):
     return _ranked_ids(ann.lsh_index_topk(idx, _emb_path(sf_dir), q0, k=10))
 
 
+def _knn_edges_path(sf_dir: str) -> str:
+    """Cached 5-NN edge list (src, dst) over the embedding lake."""
+    from aisdb_ray.stages import ann
+
+    return _ensure_cached_ds(
+        sf_dir, "knn_edges_k5",
+        lambda: ann.knn_graph(_emb_path(sf_dir), k=5).map_batches(
+            lambda b: pa.table({"src": b["vec_id"], "dst": b["nbr_id"]}),
+            batch_format="pyarrow",
+        ),
+        empty_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+    )
+
+
+def q_emb_pagerank(sf_dir: str):
+    """PageRank centrality over the exact 5-NN similarity graph — the
+    representativeness signal for similarity-aware data selection, as 4
+    rounds of integer-exact iterative Dataset joins (stages/pagerank.py);
+    the oracle unrolls the same 4 rounds as chained CTEs with identical
+    floor arithmetic, so the match is bit-exact."""
+    from aisdb_ray.stages import pagerank as pr_mod
+
+    _ctx()
+    edges = rd.read_parquet(_knn_edges_path(sf_dir))
+    nodes = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id"]).map_batches(
+        lambda b: pa.table({"node": b["vec_id"]}), batch_format="pyarrow"
+    )
+    out = pr_mod.pagerank(edges, nodes, iters=4)
+    return out.map_batches(
+        lambda b: pa.table({"vec_id": b["node"], "pr": b["pr"]}),
+        batch_format="pyarrow",
+    )
+
+
 def q_doc_tf_cosine(sf_dir: str):
     """Exact sparse TF-cosine near-dup pairs (cos ≥ 0.8 = √(16/25), within
     source blocks): the lexical ground truth the MinHash/SimHash sketches
@@ -5318,6 +5352,7 @@ def build_queries() -> dict:
     # come FIRST so a budget-capped gate reaches them; the 50 queries already
     # driver-green in CORRECTNESS_r02.json follow.
     return {
+        "emb_pagerank": q_emb_pagerank,
         "doc_tf_cosine": q_doc_tf_cosine,
         "ann_lsh_append": q_ann_lsh_append,
         "src_overlap": q_src_overlap,
@@ -8611,6 +8646,37 @@ SELECT hll_key, register,
        CAST(max(CASE WHEN suffix = 0 THEN 55
                      ELSE 55 - length(bin(suffix)) END) AS BIGINT) AS max_rank
 FROM r GROUP BY hll_key, register"""
+
+    _pr_round = """
+  r{t} AS (
+    SELECT n.vec_id,
+           CAST(150000 + coalesce(sum((85 * rp.r) // (100 * dg.d)), 0)
+                AS BIGINT) AS r
+    FROM nodes n
+    LEFT JOIN knn e ON e.dst = n.vec_id
+    LEFT JOIN r{p} rp ON rp.vec_id = e.src
+    LEFT JOIN deg dg ON dg.src = e.src
+    GROUP BY n.vec_id
+  )"""
+    sql["emb_pagerank"] = ("""WITH p AS (
+    SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+           list_cosine_similarity(a.embedding, b.embedding) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  ),
+  knn AS (
+    SELECT vec_id AS src, nbr_id AS dst FROM (
+      SELECT vec_id, nbr_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, nbr_id) AS rank
+      FROM p
+    ) WHERE rank <= 5
+  ),
+  deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM knn GROUP BY src),
+  nodes AS (SELECT vec_id FROM embeddings),
+  r0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS r FROM nodes),"""
+        + ",".join(_pr_round.format(t=t, p=t - 1) for t in range(1, 5))
+        + """
+SELECT vec_id, r AS pr FROM r4""")
 
     sql["doc_tf_cosine"] = r"""WITH tf AS (
     SELECT d.doc_id, d.source, t.w AS token, CAST(count(*) AS BIGINT) AS tf
