@@ -3339,6 +3339,19 @@ def _tok_sample(sf_dir: str, pct: int):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def q_tok_vocab_growth(sf_dir: str):
+    """Vocabulary growth curve (Heaps-law evidence, 5% doc-hash sample):
+    token ids appearing for the FIRST time each day — per-batch (token,
+    min-day) partials, one vocab-bounded hash-min combine, a day count.
+    The 'is the crawl still contributing new vocabulary' signal."""
+    from aisdb_ray.stages import tokstats
+
+    sampled = _tok_sample(sf_dir, 5).map_batches(
+        prepare.prepare, batch_format="pyarrow"
+    )
+    return tokstats.vocab_growth(sampled)
+
+
 def q_tok_bigram_topk(sf_dir: str):
     """Top-100 adjacent token-id bigrams over the tokens payload (5%
     doc-hash sample): zero-copy list_flatten partials, int64-packed codes,
@@ -5311,6 +5324,43 @@ def q_emb_pagerank(sf_dir: str):
     )
 
 
+def q_emb_labelprop(sf_dir: str):
+    """Semi-supervised label propagation over the 5-NN similarity graph:
+    a 20% deterministic-hash seed set keeps its labels; each of 3 rounds,
+    unlabeled vectors take the majority label of their labeled
+    in-neighbors (integer counts, ties → smallest label) — sparse human
+    labels spread to the whole corpus.  Iterative Dataset rounds with the
+    PageRank skeleton (stages/labelprop.py); the oracle unrolls the same
+    3 rounds as window-argmax CTEs."""
+    from aisdb_ray.stages import labelprop
+    from aisdb_ray.stages.sample import md5_u32
+
+    _ctx()
+    edges = rd.read_parquet(_knn_edges_path(sf_dir))
+
+    def seed(b: pa.Table) -> pa.Table:
+        vid = b["vec_id"]
+        salted = pc.binary_join_element_wise(
+            pc.cast(vid, pa.string()), pa.scalar(":seed"), ""
+        )
+        vis = md5_u32(salted) % 100 < 20
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "node": pc.cast(vid, pa.int64()),
+            "label": pa.array(np.where(vis, lab, labelprop.UNLABELED),
+                              pa.int64()),
+        })
+
+    seeds = rd.read_parquet(
+        _emb_path(sf_dir), columns=["vec_id", "label"]
+    ).map_batches(seed, batch_format="pyarrow")
+    out = labelprop.label_propagation(edges, seeds, iters=3)
+    return out.map_batches(
+        lambda b: pa.table({"vec_id": b["node"], "label": b["label"]}),
+        batch_format="pyarrow",
+    )
+
+
 def q_doc_tf_cosine(sf_dir: str):
     """Exact sparse TF-cosine near-dup pairs (cos ≥ 0.8 = √(16/25), within
     source blocks): the lexical ground truth the MinHash/SimHash sketches
@@ -5352,6 +5402,8 @@ def build_queries() -> dict:
     # come FIRST so a budget-capped gate reaches them; the 50 queries already
     # driver-green in CORRECTNESS_r02.json follow.
     return {
+        "emb_labelprop": q_emb_labelprop,
+        "tok_vocab_growth": q_tok_vocab_growth,
         "emb_pagerank": q_emb_pagerank,
         "doc_tf_cosine": q_doc_tf_cosine,
         "ann_lsh_append": q_ann_lsh_append,
@@ -7871,6 +7923,20 @@ SELECT (CAST(n_tok AS BIGINT) // 128) * 128 AS bin,
        CAST(count(*) AS BIGINT) AS n
 FROM clean GROUP BY bin"""
 
+    sql["tok_vocab_growth"] = f"""WITH v AS (
+    SELECT tokens,
+           CAST(regexp_extract(doc_id,
+                '^(.*):([0-9]{{1,18}}):([0-9]{{1,18}})$', 2) AS BIGINT)
+             AS time
+    FROM read_parquet('{tok}/*.parquet')
+    WHERE n_tok > 0 AND len(tokens) = n_tok
+      AND regexp_matches(doc_id, '^.*:[0-9]{{1,18}}:[0-9]{{1,18}}$')
+      AND CAST('0x' || substr(md5(doc_id), 1, 8) AS BIGINT) % 100 < 5
+  ),
+  ex AS (SELECT time // 86400 AS day, unnest(tokens) AS tokid FROM v),
+  fs AS (SELECT tokid, CAST(min(day) AS BIGINT) AS day FROM ex GROUP BY tokid)
+SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM fs GROUP BY day"""
+
     sql["tok_bigram_topk"] = f"""WITH v AS (
     SELECT tokens FROM read_parquet('{tok}/*.parquet')
     WHERE n_tok > 0 AND len(tokens) = n_tok
@@ -8646,6 +8712,50 @@ SELECT hll_key, register,
        CAST(max(CASE WHEN suffix = 0 THEN 55
                      ELSE 55 - length(bin(suffix)) END) AS BIGINT) AS max_rank
 FROM r GROUP BY hll_key, register"""
+
+    _lp_round = """
+  v{t} AS (
+    SELECT e.dst AS vec_id, l.lab, CAST(count(*) AS BIGINT) AS c
+    FROM knn e JOIN l{p} l ON l.vec_id = e.src
+    WHERE l.lab <> -1
+    GROUP BY e.dst, l.lab
+  ),
+  w{t} AS (
+    SELECT vec_id, lab,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY c DESC, lab ASC) AS rn
+    FROM v{t}
+  ),
+  l{t} AS (
+    SELECT n.vec_id,
+           CASE WHEN n.lab <> -1 THEN n.lab
+                ELSE coalesce(w.lab, -1) END AS lab
+    FROM l{p} n LEFT JOIN w{t} w ON w.vec_id = n.vec_id AND w.rn = 1
+  )"""
+    sql["emb_labelprop"] = ("""WITH p AS (
+    SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+           list_cosine_similarity(a.embedding, b.embedding) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  ),
+  knn AS (
+    SELECT vec_id AS src, nbr_id AS dst FROM (
+      SELECT vec_id, nbr_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, nbr_id) AS rank
+      FROM p
+    ) WHERE rank <= 5
+  ),
+  l0 AS (
+    SELECT vec_id,
+           CASE WHEN CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)
+                                             || ':seed'), 1, 8) AS BIGINT)
+                     % 100 < 20
+                THEN CAST(label AS BIGINT) ELSE -1 END AS lab
+    FROM embeddings
+  ),"""
+        + ",".join(_lp_round.format(t=t, p=t - 1) for t in range(1, 4))
+        + """
+SELECT vec_id, lab AS label FROM l3""")
 
     _pr_round = """
   r{t} AS (

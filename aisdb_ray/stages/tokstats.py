@@ -409,3 +409,64 @@ def rle_runs(ds):
         })
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def vocab_growth(ds_prepared_tokens, day_seconds: int = 86400):
+    """Vocabulary growth curve (Heaps-law evidence): for each day, how
+    many token ids appear in the corpus for the FIRST time that day —
+    the statistic behind "has the crawl stopped contributing new
+    vocabulary" re-fit decisions.
+
+    Input rows must carry ``time`` (epoch s) and ``tokens``.  Shape:
+    per-batch (token, min-day) partials off zero-copy list_flatten, ONE
+    token-keyed hash-min combine (vocab-bounded rows, never token
+    arrays), then a day-keyed count — the same algebraic-min skeleton as
+    the HLL registers."""
+    from aisdb_ray.stages._dist import funnel_combine
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = batch["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        empty = pa.table({
+            "tokid": pa.array([], pa.int64()),
+            "day": pa.array([], pa.int64()),
+        })
+        if batch.num_rows == 0:
+            return empty
+        flat = pc.list_flatten(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        if len(flat) == 0:
+            return empty
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        day = (
+            batch["time"].to_numpy(zero_copy_only=False).astype(np.int64)
+            // day_seconds
+        )[par]
+        # per-batch min day per token: lexsort + first-of-run
+        order = np.lexsort((day, flat))
+        f, d = flat[order], day[order]
+        first = np.r_[True, f[1:] != f[:-1]]
+        return pa.table({
+            "tokid": pa.array(f[first], pa.int64()),
+            "day": pa.array(d[first], pa.int64()),
+        })
+
+    def min_merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["tokid"], use_threads=False).aggregate(
+            [("day", "min")]
+        )
+        return g.rename_columns(["tokid", "day"])
+
+    partials = ds_prepared_tokens.map_batches(partial, batch_format="pyarrow")
+    return funnel_combine(
+        partials, min_merge, key_col="tokid", hash_combine=True,
+    ).map_batches(
+        lambda b: pa.table({"day": b["day"]}), batch_format="pyarrow"
+    ).groupby("day").count().map_batches(
+        lambda b: pa.table({
+            "day": b["day"], "n_new": pc.cast(b["count()"], pa.int64())
+        }),
+        batch_format="pyarrow",
+    )
