@@ -1495,6 +1495,251 @@ def q_ev_transitions(sf_dir: str):
     )
 
 
+def q_ev_trigrams(sf_dir: str):
+    """Global 3-step user-journey counts (l1→l2→l3 over consecutive
+    events per user) — transition_counts extended to length-3 paths;
+    |alphabet|³-bounded combine, microsecond + event_id ordering mirrored
+    in two lead() windows."""
+    from aisdb_ray.stages import transits as transits_mod
+
+    ds = _events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def adapt(b: pa.Table) -> pa.Table:
+        return b.append_column("ts_us", pc.cast(b["ts"], pa.int64()))
+
+    return transits_mod.path_trigram_counts(
+        ds.map_batches(adapt, batch_format="pyarrow")
+    )
+
+
+def q_ev_type_overlap(sf_dir: str):
+    """Audience-overlap matrix between event types: users active in BOTH
+    types, for every type pair — the cross-sell / cannibalization panel.
+    Distinct (user, type) partials dedup map-side, one user-keyed
+    co-shuffle emits per-user type pairs (alphabet²-bounded), a funnel
+    combine finishes."""
+    from aisdb_ray.stages._dist import co_shuffle, funnel_combine
+
+    _ctx()
+    ds = _events_ds(sf_dir, ["user_id", "event_type"])
+
+    def dedup(b: pa.Table) -> pa.Table:
+        return b.group_by(
+            ["user_id", "event_type"], use_threads=False
+        ).aggregate([])
+
+    def pairs(part: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+            "n_both": pa.array([], pa.int64()),
+        })
+        if part.num_rows == 0:
+            return empty
+        part = part.group_by(
+            ["user_id", "event_type"], use_threads=False
+        ).aggregate([])
+        et = part["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = pc.dictionary_encode(et)
+        tinv = enc.indices.to_numpy().astype(np.int64)
+        tdict = enc.dictionary
+        uid = part["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tinv, uid))
+        u, tv = uid[order], tinv[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        a_o, b_o = [], []
+        from aisdb_ray.stages.tfsim import _triu
+
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            i, j = _triu(m)
+            # types within a user are dict-sorted? lexsort is by code, not
+            # string order — emit both and normalize below by STRING order
+            a_o.append(tv[s + i]); b_o.append(tv[s + j])
+        if not a_o:
+            return empty
+        ai = np.concatenate(a_o)
+        bi = np.concatenate(b_o)
+        astr = np.asarray(tdict.to_pylist(), dtype=object)
+        aa, bb = astr[ai], astr[bi]
+        lo = np.where(aa < bb, aa, bb)
+        hi = np.where(aa < bb, bb, aa)
+        g = pa.table({
+            "a": pa.array(lo.tolist(), pa.string()),
+            "b": pa.array(hi.tolist(), pa.string()),
+        }).group_by(["a", "b"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["a", "b", "n_both"])
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["a", "b"], use_threads=False).aggregate(
+            [("n_both", "sum")]
+        )
+        return g.rename_columns(["a", "b", "n_both"])
+
+    dd = ds.map_batches(dedup, batch_format="pyarrow")
+    parts = co_shuffle(dd, ["user_id"], pairs)
+    return funnel_combine(parts, merge)
+
+
+def q_ts_gap_hist(sf_dir: str):
+    """Per-source inter-arrival-gap histogram in power-of-2 buckets
+    (bucket = bit_length of Δt seconds; 0 for same-second) — the cadence
+    fingerprint that distinguishes steady producers from bursty ones at a
+    glance.  Composes the Δt kernel with the HDR-style log2 layout of
+    ev_value_hist; algebraic count partials."""
+    from aisdb_ray.stages import window
+    from aisdb_ray.stages._dist import funnel_combine
+
+    _ctx()
+    pts = _clean_cached(sf_dir).select_columns(["source", "time", "seq"])
+    deltas = window.group_deltas(pts, "source", "time", "seq")
+
+    def partial(b: pa.Table) -> pa.Table:
+        dt = b["dt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # bit_length, vectorized: frexp exponent is exact for ints < 2^53
+        bucket = np.frexp(dt.astype(np.float64))[1].astype(np.int64)
+        g = pa.table({
+            "source": b["source"], "bucket": pa.array(bucket, pa.int64()),
+        }).group_by(["source", "bucket"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["source", "bucket", "n"])
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source", "bucket"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns(["source", "bucket", "n"])
+
+    return funnel_combine(
+        deltas.map_batches(partial, batch_format="pyarrow"), merge
+    )
+
+
+def q_ev_window_finalize(sf_dir: str):
+    """Window-finalization delay (the streaming-ops SLA metric): for each
+    (event_type, hour) window, how many seconds after the window closed
+    did its LAST row arrive — the watermark lag that decides when a
+    streaming engine may emit the window.  Arrival uses the same
+    deterministic hash-jittered ingest axis as ev_late_data; the
+    aggregate is an algebraic max partial + hash combine."""
+    from aisdb_ray.stages._dist import funnel_combine
+    from aisdb_ray.stages.sample import md5_u32
+
+    _ctx()
+    ds = _events_ds(sf_dir, ["event_id", "ts", "event_type"]).map_batches(
+        _events_adapter, batch_format="pyarrow"
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        eid = b["event_id"]
+        salted = pc.binary_join_element_wise(
+            pc.cast(eid, pa.string()), pa.scalar(":arr"), ""
+        )
+        t = b["time"].to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = t + md5_u32(salted) % 7200
+        hour = (t // 3600) * 3600
+        g = pa.table({
+            "event_type": b["event_type"],
+            "hour": pa.array(hour, pa.int64()),
+            "arr": pa.array(arr, pa.int64()),
+        }).group_by(["event_type", "hour"], use_threads=False).aggregate(
+            [("arr", "max")]
+        )
+        return g.rename_columns(["event_type", "hour", "arr"])
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type", "hour"], use_threads=False).aggregate(
+            [("arr", "max")]
+        )
+        return g.rename_columns(["event_type", "hour", "arr"])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        delay = pc.subtract(
+            b["arr"], pc.add(b["hour"], pa.scalar(3600, pa.int64()))
+        )
+        return pa.table({
+            "event_type": b["event_type"], "hour": b["hour"],
+            "finalize_delay": delay,
+        })
+
+    return funnel_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        merge, finalize_fn=finalize,
+    )
+
+
+def q_doc_snapshot_diff(sf_dir: str):
+    """Corpus snapshot diff (the read side of CDC: stages/merge.py is the
+    write side): two deterministic snapshots are derived from the lake —
+    v0 = 90% of docs by md5 gate, with every 7th-hash doc's text edited
+    (upper-cased); v1 = 95% by an independent gate — and diffed by one
+    full-outer hash join into added / removed / changed rows (unchanged
+    rows drop out).  The corpus-versioning audit between two crawls."""
+    from aisdb_ray.stages import join
+    from aisdb_ray.stages.sample import md5_u32
+
+    _ctx()
+    docs = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def snap(b: pa.Table, salt: str, mod: int, keep_lt: int,
+             edit: bool) -> pa.Table:
+        did = pc.cast(b["doc_id"], pa.string())
+        gate = md5_u32(pc.binary_join_element_wise(
+            did, pa.scalar(salt), "")) % mod < keep_lt
+        t = b.filter(pa.array(gate))
+        txt = t["text"]
+        if edit:
+            did2 = pc.cast(t["doc_id"], pa.string())
+            edited = md5_u32(pc.binary_join_element_wise(
+                did2, pa.scalar(":edit"), "")) % 7 == 0
+            txt = pc.if_else(pa.array(edited), pc.utf8_upper(txt), txt)
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "text": txt})
+
+    v0 = docs.map_batches(
+        lambda b: snap(b, ":v0", 10, 9, True).rename_columns(
+            ["doc_id", "text_old"]
+        ),
+        batch_format="pyarrow",
+    )
+    v1 = docs.map_batches(
+        lambda b: snap(b, ":v1", 20, 19, False).rename_columns(
+            ["doc_id", "text_new"]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = join.hash_join(v0, v1, on="doc_id", how="full outer")
+
+    def classify(b: pa.Table) -> pa.Table:
+        old = b["text_old"]
+        new = b["text_new"]
+        added = pc.is_null(old)
+        removed = pc.is_null(new)
+        changed = pc.and_kleene(
+            pc.and_(pc.is_valid(old), pc.is_valid(new)),
+            pc.not_equal(old, new),
+        )
+        status = np.full(b.num_rows, "", dtype=object)
+        status[added.to_numpy(zero_copy_only=False)] = "added"
+        status[removed.to_numpy(zero_copy_only=False)] = "removed"
+        ch = changed.to_numpy(zero_copy_only=False)
+        status[ch] = "changed"
+        keep = status != ""
+        return pa.table({
+            "doc_id": b["doc_id"].filter(pa.array(keep)),
+            "status": pa.array(status[keep].tolist(), pa.string()),
+        })
+
+    return joined.map_batches(classify, batch_format="pyarrow")
+
+
 def q_ev_interval_join(sf_dir: str):
     """Range (interval) join: every raw event row paired with the containing
     multi-event session interval of its user (stages/join.interval_join) —
@@ -3350,6 +3595,16 @@ def q_tok_vocab_growth(sf_dir: str):
         prepare.prepare, batch_format="pyarrow"
     )
     return tokstats.vocab_growth(sampled)
+
+
+def q_tok_skipgram(sf_dir: str):
+    """Top-100 context-window token-id co-occurrences (ordered pairs at
+    offsets 1–3 inside a sequence; 5% doc-hash sample) — the
+    word2vec-style context statistic; same code-keyed combine + exact
+    per-partition top-k prefilter as tok_bigram_topk."""
+    from aisdb_ray.stages import tokstats
+
+    return tokstats.skipgram_topk(_tok_sample(sf_dir, 5), k=100, window=3)
 
 
 def q_tok_bigram_topk(sf_dir: str):
@@ -5402,6 +5657,12 @@ def build_queries() -> dict:
     # come FIRST so a budget-capped gate reaches them; the 50 queries already
     # driver-green in CORRECTNESS_r02.json follow.
     return {
+        "ev_type_overlap": q_ev_type_overlap,
+        "ts_gap_hist": q_ts_gap_hist,
+        "tok_skipgram": q_tok_skipgram,
+        "ev_window_finalize": q_ev_window_finalize,
+        "doc_snapshot_diff": q_doc_snapshot_diff,
+        "ev_trigrams": q_ev_trigrams,
         "emb_labelprop": q_emb_labelprop,
         "tok_vocab_growth": q_tok_vocab_growth,
         "emb_pagerank": q_emb_pagerank,
@@ -5672,6 +5933,75 @@ SELECT event_type AS from_label, nxt AS to_label,
        CAST(count(*) AS BIGINT) AS n
 FROM s WHERE nxt IS NOT NULL
 GROUP BY event_type, nxt"""
+
+    sql["ev_type_overlap"] = """WITH ut AS (
+    SELECT DISTINCT user_id, event_type FROM events
+  )
+SELECT a.event_type AS a, b.event_type AS b,
+       CAST(count(*) AS BIGINT) AS n_both
+FROM ut a JOIN ut b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type"""
+
+    sql["ts_gap_hist"] = f"""WITH {_sql_tokens_clean(tok)},
+  d AS (
+    SELECT source,
+           time - lag(time) OVER (PARTITION BY source
+                                  ORDER BY time, seq) AS dt
+    FROM clean
+  )
+SELECT source,
+       CAST(CASE WHEN dt = 0 THEN 0 ELSE length(bin(dt)) END AS BIGINT)
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM d WHERE dt IS NOT NULL
+GROUP BY source, CASE WHEN dt = 0 THEN 0 ELSE length(bin(dt)) END"""
+
+    sql["ev_window_finalize"] = """WITH e AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t,
+           CAST(epoch_us(ts) // 1000000 AS BIGINT)
+             + CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':arr'),
+                                   1, 8) AS BIGINT) % 7200 AS arr
+    FROM events
+  )
+SELECT event_type, (t // 3600) * 3600 AS hour,
+       CAST(max(arr) - ((t // 3600) * 3600 + 3600) AS BIGINT)
+         AS finalize_delay
+FROM e GROUP BY event_type, (t // 3600) * 3600"""
+
+    sql["doc_snapshot_diff"] = """WITH v0 AS (
+    SELECT doc_id,
+           CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                             || ':edit'), 1, 8) AS BIGINT)
+                     % 7 = 0
+                THEN upper(text) ELSE text END AS text_old
+    FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v0'), 1, 8)
+               AS BIGINT) % 10 < 9
+  ),
+  v1 AS (
+    SELECT doc_id, text AS text_new FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 8)
+               AS BIGINT) % 20 < 19
+  )
+SELECT coalesce(v0.doc_id, v1.doc_id) AS doc_id,
+       CASE WHEN v0.doc_id IS NULL THEN 'added'
+            WHEN v1.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM v0 FULL OUTER JOIN v1 ON v0.doc_id = v1.doc_id
+WHERE v0.doc_id IS NULL OR v1.doc_id IS NULL OR v0.text_old <> v1.text_new"""
+
+    sql["ev_trigrams"] = """WITH s AS (
+    SELECT event_type AS l1,
+           lead(event_type, 1) OVER w AS l2,
+           lead(event_type, 2) OVER w AS l3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  )
+SELECT l1, l2, l3, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE l2 IS NOT NULL AND l3 IS NOT NULL
+GROUP BY l1, l2, l3"""
 
     sql["ev_hll_users"] = """WITH h AS (
     SELECT event_type,
@@ -7922,6 +8252,27 @@ FROM embeddings"""
 SELECT (CAST(n_tok AS BIGINT) // 128) * 128 AS bin,
        CAST(count(*) AS BIGINT) AS n
 FROM clean GROUP BY bin"""
+
+    _sg_arm = """
+    SELECT unnest(list_transform(range(1, len(tokens) - {o} + 1),
+                  i -> CAST(tokens[i] AS BIGINT) * 4294967296
+                       + CAST(tokens[i + {o}] AS BIGINT))) AS code
+    FROM v WHERE len(tokens) >= {o} + 1"""
+    sql["tok_skipgram"] = (f"""WITH v AS (
+    SELECT tokens FROM read_parquet('{tok}/*.parquet')
+    WHERE n_tok > 0 AND len(tokens) = n_tok
+      AND CAST('0x' || substr(md5(doc_id), 1, 8) AS BIGINT) % 100 < 5
+  ),
+  ex AS ("""
+        + " UNION ALL ".join(_sg_arm.format(o=o) for o in (1, 2, 3))
+        + """
+  )
+SELECT CAST(code // 4294967296 AS BIGINT) AS tok_a,
+       CAST(code % 4294967296 AS BIGINT) AS tok_b,
+       CAST(count(*) AS BIGINT) AS n
+FROM ex GROUP BY code
+ORDER BY n DESC, tok_a ASC, tok_b ASC
+LIMIT 100""")
 
     sql["tok_vocab_growth"] = f"""WITH v AS (
     SELECT tokens,

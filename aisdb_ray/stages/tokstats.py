@@ -470,3 +470,73 @@ def vocab_growth(ds_prepared_tokens, day_seconds: int = 86400):
         }),
         batch_format="pyarrow",
     )
+
+
+def skipgram_partial(batch: pa.Table, window: int = 3) -> pa.Table:
+    """Per-batch (packed ordered skip-gram code, count) partial: pairs
+    (tokens[i], tokens[j]) with 1 <= j - i <= window inside one
+    sequence — the word2vec context-window co-occurrence counts, kept
+    ORDERED (left token first) so the SQL restatement is a plain
+    subscript self-join."""
+    toks = _valid_tokens(batch)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    empty = pa.table(
+        {"code": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+    )
+    if len(toks) == 0:
+        return empty
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(flat) < 2:
+        return empty
+    par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    codes = []
+    for off in range(1, window + 1):
+        if len(flat) <= off:
+            break
+        same = par[:-off] == par[off:]
+        codes.append(flat[:-off][same] * _SHIFT + flat[off:][same])
+    if not codes:
+        return empty
+    code = np.concatenate(codes)
+    if len(code) == 0:
+        return empty
+    uniq, cnt = np.unique(code, return_counts=True)
+    return pa.table({"code": uniq, "n": cnt.astype(np.int64)})
+
+
+def skipgram_topk(ds, k: int = 100, window: int = 3):
+    """Top-k context-window (±window, ordered) token-id co-occurrences —
+    the word2vec/PMI-context statistic; same code-keyed hash-combine +
+    per-partition exact top-k prefilter shape as :func:`bigram_topk`."""
+    from aisdb_ray.stages._dist import co_shuffle
+
+    partials = ds.map_batches(
+        lambda b: skipgram_partial(b, window), batch_format="pyarrow"
+    )
+    local = partials.map_batches(
+        _combine_codes, batch_format="pyarrow", batch_size=None
+    )
+
+    def per_part(part: pa.Table) -> pa.Table:
+        g = _combine_codes(part)
+        order = pc.sort_indices(
+            g, sort_keys=[("n", "descending"), ("code", "ascending")]
+        )
+        return g.take(order.slice(0, k))
+
+    merged = co_shuffle(local, ["code"], per_part)
+    top = merged.sort(["n", "code"], descending=[True, False]).limit(k)
+
+    def unpack(b: pa.Table) -> pa.Table:
+        code = b["code"]
+        a = pc.divide(code, pa.scalar(_SHIFT, pa.int64()))
+        return pa.table({
+            "tok_a": a,
+            "tok_b": pc.subtract(
+                code, pc.multiply(a, pa.scalar(_SHIFT, pa.int64()))
+            ),
+            "n": b["n"],
+        })
+
+    return top.map_batches(unpack, batch_format="pyarrow")

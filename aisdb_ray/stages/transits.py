@@ -241,3 +241,69 @@ def transition_counts(
         return g.rename_columns(["from_label", "to_label", "n"])
 
     return funnel_combine(parts, merge)
+
+
+def path_trigram_counts(
+    ds,
+    key: str = "user_id",
+    label: str = "event_type",
+    time_col: str = "ts_us",
+    seq_col: str = "event_id",
+    num_parts: int | None = None,
+):
+    """Global 3-step path counts (l1 → l2 → l3 over consecutive events of
+    the same key) — the journey-mining extension of
+    :func:`transition_counts` from edges to length-3 paths, same one
+    co-shuffle + vectorized shift + |alphabet|³-bounded combine.
+    Output: (l1, l2, l3, n)."""
+    import pyarrow.compute as pc
+
+    from aisdb_ray.stages._dist import co_shuffle, funnel_combine
+
+    def per_part(part: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "l1": pa.array([], pa.string()),
+            "l2": pa.array([], pa.string()),
+            "l3": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        })
+        if part.num_rows < 3:
+            return empty
+        kcol = part[key]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        enc = pc.dictionary_encode(kcol)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        kid = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        t = part[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = part[seq_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((s, t, kid))
+        k = kid[order]
+        same3 = (k[2:] == k[1:-1]) & (k[1:-1] == k[:-2])
+        if not same3.any():
+            return empty
+        lab = part[label]
+        if isinstance(lab, pa.ChunkedArray):
+            lab = lab.combine_chunks()
+        i0 = order[:-2][same3]
+        g = (
+            pa.table({
+                "l1": lab.take(pa.array(i0)),
+                "l2": lab.take(pa.array(order[1:-1][same3])),
+                "l3": lab.take(pa.array(order[2:][same3])),
+            })
+            .group_by(["l1", "l2", "l3"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["l1", "l2", "l3", "n"])
+
+    parts = co_shuffle(ds, [key], per_part, num_parts=num_parts)
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l1", "l2", "l3"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns(["l1", "l2", "l3", "n"])
+
+    return funnel_combine(parts, merge)

@@ -130,3 +130,33 @@ def test_rate_limit_rejects_nonpositive_ttl():
     tbl = pa.table({"g": ["a"], "time": pa.array([1], pa.int64())})
     with pytest.raises(ValueError):
         window.rate_limit_block(tbl, "g", "time", ttl=0)
+
+
+def test_path_trigrams_match_brute_force():
+    from collections import Counter
+
+    from aisdb_ray.stages import transits
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    u = rng.integers(0, 30, n)
+    t = np.sort(rng.integers(0, 100_000, n))
+    lab = rng.choice(["a", "b", "c"], n)
+    tbl = pa.table({
+        "user_id": pa.array(u, pa.int64()),
+        "ts_us": pa.array(t, pa.int64()),
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "event_type": pa.array(lab),
+    })
+    got = transits.path_trigram_counts(
+        rd.from_arrow(tbl), num_parts=4
+    ).to_pandas()
+    rows = sorted(zip(u.tolist(), t.tolist(), range(n), lab.tolist()))
+    want = Counter()
+    for i in range(len(rows) - 2):
+        if rows[i][0] == rows[i + 1][0] == rows[i + 2][0]:
+            want[(rows[i][3], rows[i + 1][3], rows[i + 2][3])] += 1
+    got_map = {
+        (r.l1, r.l2, r.l3): int(r.n) for r in got.itertuples()
+    }
+    assert got_map == dict(want)
