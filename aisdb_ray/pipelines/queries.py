@@ -2793,6 +2793,31 @@ def q_doc_training_pipeline(sf_dir: str):
     )
 
 
+def q_doc_corpus_build(sf_dir: str):
+    """The resumable, lineage-tracked MATERIALIZATION of the training-prep
+    composition (pipelines/corpus.py): scrub → gate → content-hash routed
+    exchange → per-partition exact dedup → langid → chunk, written as
+    partitioned parquet with per-partition manifest records — the corpus
+    twin of the token cascade's resume contract.  Hash-verified against
+    the SAME one-statement SQL restatement as the live composition
+    (doc_training_pipeline): materialized == live, and a killed build
+    resumes without recomputing finished partitions (pytest)."""
+    from aisdb_ray.pipelines import corpus
+
+    _ctx()
+    name = os.path.basename(os.path.normpath(sf_dir))
+    cfg = corpus.CorpusConfig(
+        input_path=_docs_path(sf_dir),
+        out_root=os.path.join(SF_CACHE_ROOT, name, "corpus_build"),
+        num_parts=8,
+        patterns=_scrub_patterns(),
+    )
+    corpus.run_corpus(cfg)
+    return corpus.read_chunks(cfg).select_columns(
+        ["doc_id", "chunk_idx", "chunk_text", "chunk_chars_n", "pred_lang"]
+    )
+
+
 def q_doc_embed_join(sf_dir: str):
     """Large×large co-partitioned hash equi-join (stages/join.py): enrich
     documents with their embedding's cluster label on doc_id = vec_id.
@@ -5657,6 +5682,7 @@ def build_queries() -> dict:
     # come FIRST so a budget-capped gate reaches them; the 50 queries already
     # driver-green in CORRECTNESS_r02.json follow.
     return {
+        "doc_corpus_build": q_doc_corpus_build,
         "ev_type_overlap": q_ev_type_overlap,
         "ts_gap_hist": q_ts_gap_hist,
         "tok_skipgram": q_tok_skipgram,
@@ -8013,6 +8039,8 @@ JOIN lang l ON l.doc_id = sv.doc_id,
     from aisdb_ray.stages.textstats import BPE_PATTERN
 
     _bpe_sql = BPE_PATTERN.replace("'", "''")
+    sql["doc_corpus_build"] = sql["doc_training_pipeline"]  # materialized == live
+
     sql["doc_bpe_count"] = f"""SELECT doc_id,
        CAST(length(regexp_extract_all(text, '{_bpe_sql}')) AS BIGINT) AS n_bpe
 FROM documents"""

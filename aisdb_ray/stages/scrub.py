@@ -108,17 +108,12 @@ def normalize_text(ds, col: str, out_col: str | None = None):
     )
 
 
-def chunk_documents(ds, id_col: str = "doc_id", text_col: str = "text",
-                    chunk_chars: int = 100, overlap: int = 20,
-                    carry_cols: tuple = ()):
-    """Each document -> overlapping fixed-width codepoint chunks.
-
-    Chunk k covers codepoints [k*stride, k*stride + chunk_chars) with
-    stride = chunk_chars - overlap; chunks exist for every start < length
-    (empty documents produce no chunks).  Output: (id, chunk_idx,
-    chunk_text, chunk_chars_n [, carry_cols...]) — ``carry_cols`` are
-    per-document columns replicated onto every chunk (e.g. a language tag).
-    """
+def chunk_table(b: pa.Table, id_col: str = "doc_id",
+                text_col: str = "text", chunk_chars: int = 100,
+                overlap: int = 20, carry_cols: tuple = ()) -> pa.Table:
+    """Table-level chunking kernel (see :func:`chunk_documents`) — exposed
+    so per-partition pipelines (pipelines/corpus.py) can chunk inside a
+    partition task without a Dataset wrapper."""
     if not 0 <= overlap < chunk_chars:
         raise ValueError("need 0 <= overlap < chunk_chars")
     stride = chunk_chars - overlap
@@ -162,7 +157,25 @@ def chunk_documents(ds, id_col: str = "doc_id", text_col: str = "text",
             )
         return pa.concat_tables(outs)
 
-    return ds.map_batches(expand, batch_format="pyarrow")
+    return expand(b)
+
+
+def chunk_documents(ds, id_col: str = "doc_id", text_col: str = "text",
+                    chunk_chars: int = 100, overlap: int = 20,
+                    carry_cols: tuple = ()):
+    """Each document -> overlapping fixed-width codepoint chunks.
+
+    Chunk k covers codepoints [k*stride, k*stride + chunk_chars) with
+    stride = chunk_chars - overlap; chunks exist for every start < length
+    (empty documents produce no chunks).  Output: (id, chunk_idx,
+    chunk_text, chunk_chars_n [, carry_cols...]) — ``carry_cols`` are
+    per-document columns replicated onto every chunk (e.g. a language tag).
+    """
+    return ds.map_batches(
+        lambda b: chunk_table(b, id_col, text_col, chunk_chars, overlap,
+                              carry_cols),
+        batch_format="pyarrow",
+    )
 
 
 def chunk_token_sequences(ds, id_col: str = "doc_id",
