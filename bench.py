@@ -124,7 +124,8 @@ def run_bench() -> dict:
     # standalone query timings (no materialized tiers); skipped during
     # scaling trials (GRAFT_BENCH_QUERIES=0) — they are informational and
     # would triple each trial's wall time
-    rollup_s = gapfill_s = rolling_s = None
+    rollup_s = gapfill_s = rolling_s = corpus_s = None
+    corpus_rows = 0
     if os.environ.get("GRAFT_BENCH_QUERIES", "1") != "0":
         def prepared():
             return rd.read_parquet(tokens).map_batches(
@@ -156,6 +157,24 @@ def run_bench() -> dict:
         ).count()
         rolling_s = time.time() - t0
 
+        # the documents-side flagship: resumable corpus build (scrub ->
+        # gate -> content-hash route -> dedup -> langid -> chunk) over
+        # the sf dir's documents table, fresh (no resume credit)
+        docs = os.path.join(SF_DIR, "documents.parquet")
+        if os.path.exists(docs):
+            from aisdb_ray.pipelines import corpus as corpus_mod
+
+            croot = f"/tmp/aisdb_ray_bench/corpus-cpus{CPUS}"
+            shutil.rmtree(croot, ignore_errors=True)
+            t0 = time.time()
+            cm = corpus_mod.run_corpus(corpus_mod.CorpusConfig(
+                input_path=docs, out_root=croot,
+                num_parts=max(4, CPUS // 2),
+                max_concurrent_parts=max(2, CPUS // 4),
+            ))
+            corpus_s = time.time() - t0
+            corpus_rows = cm["rows"]
+
     # per-stage wall decomposition from the lineage manifest
     stage_walls: dict[str, float] = {}
     with open(os.path.join(out_root, "manifest.jsonl")) as f:
@@ -177,6 +196,7 @@ def run_bench() -> dict:
             **({"rollup_1h": round(rollup_s, 3)} if rollup_s is not None else {}),
             **({"gapfill": round(gapfill_s, 3)} if gapfill_s is not None else {}),
             **({"rolling": round(rolling_s, 3)} if rolling_s is not None else {}),
+            **({"corpus_build": round(corpus_s, 3)} if corpus_s is not None else {}),
             **{f"stage:{k}": v for k, v in sorted(stage_walls.items())
                if not k.startswith("_")},  # bookkeeping records aren't stages
         },
@@ -186,6 +206,7 @@ def run_bench() -> dict:
         "tokens": tokens_total,
         "tokens_per_s": round(tokens_total / cascade_s, 1),
         "sequences_per_s": round(rows_total / cascade_s, 1),
+        **({"corpus_chunks": corpus_rows} if corpus_s is not None else {}),
     }
     ray.shutdown()
     return result
