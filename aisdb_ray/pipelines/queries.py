@@ -2793,6 +2793,38 @@ def q_doc_training_pipeline(sf_dir: str):
     )
 
 
+def q_doc_components_refresh(sf_dir: str):
+    """Incremental near-dup cluster maintenance: the MinHash pair graph is
+    split in half by a deterministic pair hash; components are built on
+    the first half, then the second half is FOLDED IN via
+    components.refresh_components — the old labeling re-enters as its own
+    compressed spanning forest, so the original pair mining is never
+    re-run.  The oracle is the full-graph closure (same as
+    doc_dup_components): refreshed == from-scratch, the correctness
+    property of streaming cluster maintenance."""
+    from aisdb_ray.stages import components
+    from aisdb_ray.stages.sample import md5_u32
+
+    _ctx()
+    pairs = rd.read_parquet(_minhash_pairs_path(sf_dir)).select_columns(
+        ["a", "b"]
+    )
+
+    def half(b: pa.Table, want: int) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(b["a"], pa.string()), pc.cast(b["b"], pa.string()), ":"
+        )
+        return b.filter(pa.array(md5_u32(key) % 2 == want))
+
+    first = pairs.map_batches(lambda b: half(b, 0), batch_format="pyarrow")
+    second = pairs.map_batches(lambda b: half(b, 1), batch_format="pyarrow")
+    comp0 = components.connected_components(first)
+    return components.refresh_components(comp0, second).map_batches(
+        lambda b: b.rename_columns(["doc_id", "component"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_doc_corpus_build(sf_dir: str):
     """The resumable, lineage-tracked MATERIALIZATION of the training-prep
     composition (pipelines/corpus.py): scrub → gate → content-hash routed
@@ -5682,6 +5714,7 @@ def build_queries() -> dict:
     # come FIRST so a budget-capped gate reaches them; the 50 queries already
     # driver-green in CORRECTNESS_r02.json follow.
     return {
+        "doc_components_refresh": q_doc_components_refresh,
         "doc_corpus_build": q_doc_corpus_build,
         "ev_type_overlap": q_ev_type_overlap,
         "ts_gap_hist": q_ts_gap_hist,
@@ -8463,6 +8496,8 @@ FROM documents d,
      LATERAL unnest(generate_series(0,
          CAST(length(d.text) AS BIGINT) - 1, 96)) AS g(s)"""
     sql["doc_dup_components"] = oracle_text.dup_components_sql(16, 4, 7, 10)
+    # incremental refresh must reproduce the from-scratch closure exactly
+    sql["doc_components_refresh"] = oracle_text.dup_components_sql(16, 4, 7, 10)
     sql["doc_dedup_survivors"] = oracle_text.dedup_survivors_sql(16, 4, 7, 10)
     sql["doc_jaccard_pairs"] = oracle_text.minhash_pairs_sql(32, 2, 1, 2)
     sql["doc_simhash_pairs"] = oracle_text.simhash_pairs_sql(max_hamming=8)

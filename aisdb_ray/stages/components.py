@@ -266,3 +266,34 @@ def dedup_survivors(ids, components, id_col: str = "doc_id"):
     )
     return hash_join(ids.select_columns([id_col]), losers, on=id_col,
                      how="left anti")
+
+
+def refresh_components(components, new_edges, a_col: str = "a",
+                       b_col: str = "b", num_parts: int | None = None):
+    """Incremental connected components: merge NEW edges into an existing
+    (node, component) labeling WITHOUT re-reading the original edge list.
+
+    The existing labeling is itself a compressed spanning forest — each
+    (node, component) row is an edge to the component's root — so the
+    refreshed result is exactly ``connected_components(labeling-as-edges ∪
+    new_edges)``: the expensive original graph (banding, candidate
+    verification, n·k similarity tiles) is never touched again, and the
+    recompute input is O(nodes + new edges).  Min-label contract
+    preserved (the old component ids are node ids, so the global minimum
+    of a merged component still wins).  This is the maintenance path when
+    a corpus shard lands: pair-mine ONLY the new shard (plus cross
+    pairs), then fold the pairs in here."""
+    import ray.data as rd
+
+    def as_edges(b: pa.Table) -> pa.Table:
+        return pa.table({a_col: b[NODE], b_col: b[COMPONENT]})
+
+    old_edges = components.map_batches(as_edges, batch_format="pyarrow")
+    new_proj = new_edges.map_batches(
+        lambda b: pa.table({a_col: b[a_col], b_col: b[b_col]}),
+        batch_format="pyarrow",
+    )
+    return connected_components(
+        old_edges.union(new_proj), a_col=a_col, b_col=b_col,
+        num_parts=num_parts,
+    )

@@ -71,3 +71,25 @@ def test_source_cap_expectation_and_determinism():
     # determinism: same inputs, same decisions
     h2 = md5_u32(salted)
     assert (h == h2).all()
+
+
+def test_refresh_components_equals_full_recompute():
+    """Folding new edges into an existing labeling (compressed spanning
+    forest) must reproduce the from-scratch components exactly."""
+    rng = np.random.default_rng(17)
+    n, m = 300, 500
+    a = rng.integers(0, n, m).astype(np.int64)
+    b = ((a + rng.integers(1, 50, m)) % n).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    half = rng.integers(0, 2, len(a)).astype(bool)
+    mk = lambda aa, bb: rd.from_arrow(pa.table({
+        "a": pa.array(aa, pa.int64()), "b": pa.array(bb, pa.int64())
+    }))
+    full = components.connected_components(mk(a, b)).to_pandas()
+    c0 = components.connected_components(mk(a[~half], b[~half]))
+    inc = components.refresh_components(c0, mk(a[half], b[half])).to_pandas()
+    assert (
+        dict(zip(full["node"], full["component"]))
+        == dict(zip(inc["node"], inc["component"]))
+    )
