@@ -2825,6 +2825,71 @@ def q_doc_components_refresh(sf_dir: str):
     )
 
 
+def q_doc_gate_report(sf_dir: str):
+    """Gate-attrition waterfall for the training-prep composition: how
+    many documents each gate (empty / min-words / quality / duplicate)
+    removes, in pipeline order, plus the kept count — the observability
+    panel a corpus team reads before touching thresholds.  Map-side
+    vectorized classification partials + one tiny funnel; the dedup split
+    is one md5-keyed count."""
+    from aisdb_ray.stages import scrub as scrub_mod
+    from aisdb_ray.stages import textstats
+    from aisdb_ray.stages._dist import funnel_combine
+
+    _ctx()
+    ds = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ds = scrub_mod.scrub(ds, "text", _scrub_patterns())
+
+    def classify(b: pa.Table) -> pa.Table:
+        q = textstats.quality_batch(b)
+        b2 = textstats.md5_batch(b)
+        nc = q["n_chars"].to_numpy(zero_copy_only=False)
+        nw = q["n_words"].to_numpy(zero_copy_only=False)
+        qs = q["quality_score"].to_numpy(zero_copy_only=False)
+        empty = nc == 0
+        words = ~empty & (nw < 20)
+        qual = ~empty & ~words & ~(qs >= 0.75)
+        gate = np.full(b.num_rows, "pass", dtype=object)
+        gate[empty] = "empty"
+        gate[words] = "min_words"
+        gate[qual] = "quality"
+        return pa.table({
+            "gate": pa.array(gate.tolist(), pa.string()),
+            "doc_id": b2["doc_id"],
+            "text_md5": b2["text_md5"],
+        })
+
+    cls = ds.map_batches(classify, batch_format="pyarrow").materialize()
+
+    def fail_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.not_equal(b["gate"], pa.scalar("pass")))
+        g = t.group_by(["gate"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["gate", "n"])
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["gate"], use_threads=False).aggregate([("n", "sum")])
+        return g.rename_columns(["gate", "n"])
+
+    fails = funnel_combine(
+        cls.map_batches(fail_partial, batch_format="pyarrow"), merge
+    )
+    surv = cls.filter(expr="gate == 'pass'")
+    n_surv = surv.count()
+    n_distinct = surv.map_batches(
+        lambda b: b.select(["text_md5"]).group_by(
+            ["text_md5"], use_threads=False
+        ).aggregate([]),
+        batch_format="pyarrow",
+    ).groupby("text_md5").count().count()
+    tail = rd.from_arrow(pa.table({
+        "gate": pa.array(["duplicate", "kept"], pa.string()),
+        "n": pa.array([n_surv - n_distinct, n_distinct], pa.int64()),
+    }))
+    return fails.union(tail)
+
+
 def q_doc_corpus_build(sf_dir: str):
     """The resumable, lineage-tracked MATERIALIZATION of the training-prep
     composition (pipelines/corpus.py): scrub → gate → content-hash routed
@@ -5673,6 +5738,25 @@ def q_emb_labelprop(sf_dir: str):
     )
 
 
+def q_emb_ppr(sf_dir: str):
+    """Personalized PageRank from a 2-vector seed set over the 5-NN graph:
+    restart mass paid only at the seeds, so the score ranks the corpus by
+    graph proximity to them — related-item discovery as 4 integer-exact
+    iterative rounds (same stage as emb_pagerank, seeded base)."""
+    from aisdb_ray.stages import pagerank as pr_mod
+
+    _ctx()
+    edges = rd.read_parquet(_knn_edges_path(sf_dir))
+    nodes = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id"]).map_batches(
+        lambda b: pa.table({"node": b["vec_id"]}), batch_format="pyarrow"
+    )
+    out = pr_mod.pagerank(edges, nodes, iters=4, seeds=(0, 1))
+    return out.map_batches(
+        lambda b: pa.table({"vec_id": b["node"], "pr": b["pr"]}),
+        batch_format="pyarrow",
+    )
+
+
 def q_doc_tf_cosine(sf_dir: str):
     """Exact sparse TF-cosine near-dup pairs (cos ≥ 0.8 = √(16/25), within
     source blocks): the lexical ground truth the MinHash/SimHash sketches
@@ -5714,6 +5798,8 @@ def build_queries() -> dict:
     # come FIRST so a budget-capped gate reaches them; the 50 queries already
     # driver-green in CORRECTNESS_r02.json follow.
     return {
+        "doc_gate_report": q_doc_gate_report,
+        "emb_ppr": q_emb_ppr,
         "doc_components_refresh": q_doc_components_refresh,
         "doc_corpus_build": q_doc_corpus_build,
         "ev_type_overlap": q_ev_type_overlap,
@@ -7979,6 +8065,40 @@ WINDOW w AS (
   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
 )"""
 
+    from aisdb_ray.stages.scrub import scrub_sql as _scrub_sql_g
+    sql["doc_gate_report"] = rf"""WITH s AS (
+    SELECT doc_id, {_scrub_sql_g('text', _scrub_patterns())} AS text
+    FROM documents
+  ),
+  q AS (
+    SELECT doc_id, text, md5(text) AS text_md5,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+           (CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE))
+           * (1 - CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE)) AS quality_score
+    FROM s
+  ),
+  cls AS (
+    SELECT doc_id, text_md5,
+           CASE WHEN n_chars = 0 THEN 'empty'
+                WHEN n_words < 20 THEN 'min_words'
+                WHEN NOT (quality_score >= 0.75) THEN 'quality'
+                ELSE 'pass' END AS gate
+    FROM q
+  ),
+  dedup AS (
+    SELECT row_number() OVER (PARTITION BY text_md5 ORDER BY doc_id) AS rn
+    FROM cls WHERE gate = 'pass'
+  )
+SELECT gate, CAST(count(*) AS BIGINT) AS n
+FROM cls WHERE gate <> 'pass' GROUP BY gate
+UNION ALL
+SELECT 'duplicate', CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) FROM dedup
+UNION ALL
+SELECT 'kept', CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) FROM dedup"""
+
     sql["doc_clean_corpus"] = r"""WITH q AS (
     SELECT doc_id, text, md5(text) AS text_md5,
            CAST(length(text) AS BIGINT) AS n_chars,
@@ -9170,6 +9290,41 @@ FROM r GROUP BY hll_key, register"""
         + ",".join(_lp_round.format(t=t, p=t - 1) for t in range(1, 4))
         + """
 SELECT vec_id, lab AS label FROM l3""")
+
+    _ppr_round = """
+  p{t} AS (
+    SELECT n.vec_id,
+           CAST(CASE WHEN n.vec_id IN (0, 1) THEN 150000 ELSE 0 END
+                + coalesce(sum((85 * rp.r) // (100 * dg.d)), 0)
+                AS BIGINT) AS r
+    FROM nodes n
+    LEFT JOIN knn e ON e.dst = n.vec_id
+    LEFT JOIN p{p} rp ON rp.vec_id = e.src
+    LEFT JOIN deg dg ON dg.src = e.src
+    GROUP BY n.vec_id
+  )"""
+    sql["emb_ppr"] = ("""WITH p AS (
+    SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+           list_cosine_similarity(a.embedding, b.embedding) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  ),
+  knn AS (
+    SELECT vec_id AS src, nbr_id AS dst FROM (
+      SELECT vec_id, nbr_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, nbr_id) AS rank
+      FROM p
+    ) WHERE rank <= 5
+  ),
+  deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM knn GROUP BY src),
+  nodes AS (SELECT vec_id FROM embeddings),
+  p0 AS (SELECT vec_id,
+                CAST(CASE WHEN vec_id IN (0, 1) THEN 1000000 ELSE 0 END
+                     AS BIGINT) AS r
+         FROM nodes),"""
+        + ",".join(_ppr_round.format(t=t, p=t - 1) for t in range(1, 5))
+        + """
+SELECT vec_id, r AS pr FROM p4""")
 
     _pr_round = """
   r{t} AS (

@@ -35,7 +35,7 @@ LOCAL_EDGE_LIMIT = 200_000
 
 
 def _pagerank_local(edges, nodes, iters, damp_num, damp_den, scale,
-                    src_col, dst_col, node_col):
+                    src_col, dst_col, node_col, seeds=None):
     """Size-adaptive fast path (the components.py LOCAL_EDGE_LIMIT
     policy): a graph whose edge list fits one block runs the K rounds as
     driver-local np.bincount passes — bit-identical to the distributed
@@ -60,12 +60,18 @@ def _pagerank_local(edges, nodes, iters, damp_num, damp_den, scale,
     n = len(node_ids)
     deg = np.bincount(si, minlength=n).astype(np.int64)
     base = (scale * (damp_den - damp_num)) // damp_den
-    r = np.full(n, scale, np.int64)
+    if seeds is None:
+        base_v = np.full(n, base, np.int64)
+        r = np.full(n, scale, np.int64)
+    else:
+        is_seed = np.isin(sorted_ids, np.asarray(sorted(seeds), np.int64))
+        base_v = np.where(is_seed, base, 0).astype(np.int64)
+        r = np.where(is_seed, scale, 0).astype(np.int64)
     for _ in range(iters):
         give = (damp_num * r[si]) // (damp_den * deg[si])
         got = np.zeros(n, np.int64)
         np.add.at(got, di, give)
-        r = base + got
+        r = base_v + got
     import ray.data as rd
 
     return rd.from_arrow(pa.table({
@@ -86,8 +92,15 @@ def pagerank(
     node_col: str = "node",
     num_parts: int | None = None,
     local_edge_limit: int | None = None,
+    seeds=None,
 ):
     """K rounds of integer PageRank.  Returns (node, pr) — int64 exact.
+
+    ``seeds``: optional small collection of node ids for PERSONALIZED
+    PageRank — the restart mass (both r⁰ and the per-round base) is paid
+    only at seed nodes, so ``pr`` ranks the graph by proximity to the
+    seed set (related-item discovery).  The seed set is driver-small by
+    definition and rides into tasks as a broadcast constant.
 
     ``edges``: Dataset of (src, dst) int64 rows (a directed edge per row).
     ``nodes``: Dataset holding every node id once (isolated nodes score
@@ -104,7 +117,9 @@ def pagerank(
     limit = LOCAL_EDGE_LIMIT if local_edge_limit is None else local_edge_limit
     if limit > 0 and edges.count() <= limit:
         return _pagerank_local(edges, nodes, iters, damp_num, damp_den,
-                               scale, src_col, dst_col, node_col)
+                               scale, src_col, dst_col, node_col, seeds)
+    seed_arr = (None if seeds is None
+                else pa.array(sorted(int(x) for x in seeds), pa.int64()))
 
     base = (scale * (damp_den - damp_num)) // damp_den
 
@@ -121,16 +136,22 @@ def pagerank(
             batch_format="pyarrow",
         )
     )
+    def init_r(b: pa.Table) -> pa.Table:
+        if seed_arr is None:
+            r0 = pa.array(np.full(b.num_rows, scale, np.int64))
+        else:
+            m = pc.is_in(b[node_col], value_set=seed_arr)
+            r0 = pc.if_else(m, pa.scalar(scale, pa.int64()),
+                            pa.scalar(0, pa.int64()))
+        return pa.table({
+            node_col: b[node_col],
+            "r": r0,
+            "outdeg": pc.coalesce(b["outdeg"], pa.scalar(0, pa.int64())),
+        })
+
     ranks = join.hash_join(
         nodes, deg, on=node_col, how="left outer", num_parts=num_parts
-    ).map_batches(
-        lambda b: pa.table({
-            node_col: b[node_col],
-            "r": pa.array(np.full(b.num_rows, scale, np.int64)),
-            "outdeg": pc.coalesce(b["outdeg"], pa.scalar(0, pa.int64())),
-        }),
-        batch_format="pyarrow",
-    ).materialize()
+    ).map_batches(init_r, batch_format="pyarrow").materialize()
 
     def contrib(b: pa.Table) -> pa.Table:
         r = b["r"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -165,7 +186,11 @@ def pagerank(
             lambda b: pa.table({
                 node_col: b[node_col],
                 "r": pc.add(
-                    pa.scalar(base, pa.int64()),
+                    (pa.scalar(base, pa.int64()) if seed_arr is None
+                     else pc.if_else(
+                         pc.is_in(b[node_col], value_set=seed_arr),
+                         pa.scalar(base, pa.int64()),
+                         pa.scalar(0, pa.int64()))),
                     pc.coalesce(b["got"], pa.scalar(0, pa.int64())),
                 ),
                 "outdeg": b["outdeg"],

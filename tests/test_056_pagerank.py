@@ -76,3 +76,41 @@ def test_isolated_nodes_score_base_only():
     assert r[3] == base                       # isolated: bare base
     assert r[1] == base                       # no in-edges
     assert r[2] == base + (85 * 1_000_000) // 100  # full mass of node 1
+
+
+def test_personalized_seeds_localize_mass():
+    # chain 0 -> 1 -> 2 -> 3; seed at 0: mass decays along the chain,
+    # nodes far from the seed (and the seed-less tail) score 0 base
+    e = rd.from_arrow(pa.table({
+        "src": pa.array([0, 1, 2], pa.int64()),
+        "dst": pa.array([1, 2, 3], pa.int64()),
+    }))
+    nds = rd.from_arrow(pa.table({"node": pa.array([0, 1, 2, 3, 9], pa.int64())}))
+    got = pr_mod.pagerank(e, nds, iters=3, seeds=(0,)).to_pandas()
+    r = dict(zip(got["node"], got["pr"]))
+    base = (1_000_000 * 15) // 100
+    assert r[0] == base           # seed keeps only its restart mass
+    assert r[9] == 0              # disconnected non-seed: nothing
+    # hand-traced recurrence: the initial 1e6 pulse travels the chain
+    # (t1: 850000@1 -> t2: 722500@2 -> t3: 614125@3) while the steady
+    # restart mass trails behind it
+    assert r == {0: 150_000, 1: 127_500, 2: 108_375, 3: 614_125, 9: 0}
+
+
+def test_personalized_distributed_matches_local():
+    rng = np.random.default_rng(12)
+    edges, nodes = _rand_graph(rng, n=30, m=140)
+    e = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in edges], pa.int64()),
+        "dst": pa.array([b for _, b in edges], pa.int64()),
+    }))
+    nds = rd.from_arrow(pa.table({"node": pa.array(nodes, pa.int64())}))
+    seeds = (0, 5, 11)
+    local = pr_mod.pagerank(e, nds, iters=2, seeds=seeds).to_pandas()
+    dist = pr_mod.pagerank(
+        e, nds, iters=2, seeds=seeds, local_edge_limit=0, num_parts=4
+    ).to_pandas()
+    assert (
+        dict(zip(local["node"], local["pr"]))
+        == dict(zip(dist["node"], dist["pr"]))
+    )
