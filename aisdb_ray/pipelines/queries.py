@@ -2395,6 +2395,133 @@ def q_q3_shipping(sf_dir: str):
     ).limit(10)
 
 
+def q_q5_local_supplier(sf_dir: str):
+    """TPC-H Q5 (local-supplier revenue), adapted: per ASIA nation, the
+    fixed-point revenue of 1996-dated orders whose line items were
+    supplied FROM the customer's own nation.
+
+    Shape — the multi-join plan a warehouse engine would pick: the three
+    dims (region→nation set, customer→nation, supplier→nation) broadcast
+    once; lineitem PRE-AGGREGATES revenue per (orderkey, supplier-nation)
+    map-side (attaching s_nation from the broadcast), so the ONE
+    large×large hash join (lineitem partials ⋈ filtered orders) ships one
+    row per (order, supplier-nation) — the local-supplier equality then
+    filters map-side and a nation-keyed funnel finishes."""
+    from aisdb_ray.stages import join as join_mod
+    from aisdb_ray.stages._dist import funnel_combine
+
+    _ctx()
+    import pyarrow.parquet as pq
+
+    Y0 = 820454400 * 1_000_000   # 1996-01-01 UTC in us
+    Y1 = 852076800 * 1_000_000   # 1997-01-01 UTC in us
+
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rk = region.filter(pc.equal(region["r_name"], pa.scalar("ASIA")))[
+        "r_regionkey"
+    ].to_numpy()
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    asia = nation.filter(
+        pc.is_in(nation["n_regionkey"], value_set=pa.array(rk))
+    )
+    nset = set(asia["n_nationkey"].to_numpy().tolist())
+    nname = dict(zip(asia["n_nationkey"].to_numpy().tolist(),
+                     asia["n_name"].to_pylist()))
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    c2n = dict(zip(cust["c_custkey"].to_numpy().tolist(),
+                   cust["c_nationkey"].to_numpy().tolist()))
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    s2n = dict(zip(supp["s_suppkey"].to_numpy().tolist(),
+                   supp["s_nationkey"].to_numpy().tolist()))
+    c2n_ref, s2n_ref = ray.put(c2n), ray.put(s2n)
+
+    def ord_map(b: pa.Table) -> pa.Table:
+        cmap = ray.get(c2n_ref)
+        t_us = pc.cast(b["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = (t_us >= Y0) & (t_us < Y1)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)[keep]
+        cn = np.array([cmap.get(int(k), -1) for k in ck], dtype=np.int64)
+        ok = np.isin(cn, np.array(sorted(nset), dtype=np.int64))
+        okeys = b["o_orderkey"].to_numpy(zero_copy_only=False)[keep][ok]
+        return pa.table({
+            "o_orderkey": pa.array(okeys, pa.int64()),
+            "c_nation": pa.array(cn[ok], pa.int64()),
+        })
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ord_map, batch_format="pyarrow")
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        smap = ray.get(s2n_ref)
+        sn = np.array(
+            [smap.get(int(k), -1)
+             for k in b["l_suppkey"].to_numpy(zero_copy_only=False)],
+            dtype=np.int64,
+        )
+        ok = np.isin(sn, np.array(sorted(nset), dtype=np.int64))
+        b = b.filter(pa.array(ok))
+        cents = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+        )
+        disc100 = pc.cast(
+            pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64()
+        )
+        rev = pc.multiply(
+            cents, pc.subtract(pa.scalar(100, pa.int64()), disc100)
+        )
+        t = pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "s_nation": pa.array(sn[ok], pa.int64()),
+            "revenue_e4": rev,
+        })
+        g = t.group_by(["l_orderkey", "s_nation"], use_threads=False).aggregate(
+            [("revenue_e4", "sum")]
+        )
+        return g.rename_columns(["l_orderkey", "s_nation", "revenue_e4"])
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    j = join_mod.hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey", how="inner"
+    )
+
+    def local_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["s_nation"], b["c_nation"]))
+        names = dict(nname)
+        nm = [names[int(k)]
+              for k in b["s_nation"].to_numpy(zero_copy_only=False)]
+        g = pa.table({
+            "n_name": pa.array(nm, pa.string()),
+            "revenue_e4": b["revenue_e4"],
+        }).group_by(["n_name"], use_threads=False).aggregate(
+            [("revenue_e4", "sum")]
+        )
+        return g.rename_columns(["n_name", "revenue_e4"])
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["n_name"], use_threads=False).aggregate(
+            [("revenue_e4", "sum")]
+        )
+        return g.rename_columns(["n_name", "revenue_e4"])
+
+    return funnel_combine(
+        j.map_batches(local_partial, batch_format="pyarrow"), merge
+    )
+
+
 # --------------------------------------------------------------------------
 # training-data ops: documents / embeddings (dedup, quality, ANN)
 # --------------------------------------------------------------------------
@@ -5798,6 +5925,7 @@ def build_queries() -> dict:
     # come FIRST so a budget-capped gate reaches them; the 50 queries already
     # driver-green in CORRECTNESS_r02.json follow.
     return {
+        "q5_local_supplier": q_q5_local_supplier,
         "doc_gate_report": q_doc_gate_report,
         "emb_ppr": q_emb_ppr,
         "doc_components_refresh": q_doc_components_refresh,
@@ -7388,6 +7516,22 @@ GROUP BY e.user_id"""
 
     # fixed-point revenue identical to q1_pricing's e4 rule; the epoch
     # date keeps the column integer so the LIMIT tie-break is total
+    sql["q5_local_supplier"] = """SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name"""
+
     sql["q3_shipping"] = """WITH o AS (
     SELECT o_orderkey,
            CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT) AS o_date
