@@ -2395,6 +2395,36 @@ def q_q3_shipping(sf_dir: str):
     ).limit(10)
 
 
+def q_ev_peak_concurrency(sf_dir: str):
+    """Peak concurrent sessions per hour — sweep-line over the
+    sessionized intervals.  Each session ships exactly two boundary
+    events (+1/-1); within-hour sweeps co-locate by bucket; the
+    cross-hour carry is a prefix over the O(#hours) summary (see
+    stages/sweep.py).  Closed intervals: a session ending at t and one
+    starting at t DO overlap (tie rule pinned by the oracle)."""
+    from aisdb_ray.stages import sweep
+
+    sess = q_ev_sessions(sf_dir)
+    return sweep.peak_concurrency(
+        sess, start_col="t_start", end_col="t_end", bucket_s=3600
+    )
+
+
+def q_doc_sample_weighted(sf_dir: str):
+    """Size-weighted corpus sample: 40 docs chosen with probability
+    ~ n_chars via sequential Poisson sampling (rank = md5-hash / weight,
+    k smallest) — deterministic, resumable, and bit-identical to the
+    SQL oracle because the rank is one IEEE division of exact
+    integers (stages/sample.weighted_sample)."""
+    from aisdb_ray.stages import sample
+
+    _ctx()
+    docs = rd.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "source", "n_chars"]
+    )
+    return sample.weighted_sample(docs, "doc_id", "n_chars", 40)
+
+
 def q_q5_local_supplier(sf_dir: str):
     """TPC-H Q5 (local-supplier revenue), adapted: per ASIA nation, the
     fixed-point revenue of 1996-dated orders whose line items were
@@ -5925,6 +5955,8 @@ def build_queries() -> dict:
     # come FIRST so a budget-capped gate reaches them; the 50 queries already
     # driver-green in CORRECTNESS_r02.json follow.
     return {
+        "ev_peak_concurrency": q_ev_peak_concurrency,
+        "doc_sample_weighted": q_doc_sample_weighted,
         "q5_local_supplier": q_q5_local_supplier,
         "doc_gate_report": q_doc_gate_report,
         "emb_ppr": q_emb_ppr,
@@ -7428,6 +7460,36 @@ SELECT source, mode_value, n AS mode_count FROM pick WHERE rn = 1"""
                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
     FROM ev_flagged
   )"""
+
+    # sweep-line tie rule: at equal t, starts (kind 0) before ends (kind 1);
+    # per-row running values inside a tie group are order-dependent but the
+    # per-hour MAX is not (m starts at equal t always reach base+m; ends
+    # never exceed base), so the grouped max is deterministic on both sides.
+    sql["ev_peak_concurrency"] = f"""WITH {ev_prelude},
+  sess AS (
+    SELECT user_id, seg, min(time) AS t_start, max(time) AS t_end
+    FROM ev_seg GROUP BY user_id, seg
+  ),
+  b AS (
+    SELECT t_start AS t, 0 AS kind, 1 AS d FROM sess
+    UNION ALL
+    SELECT t_end AS t, 1 AS kind, -1 AS d FROM sess
+  ),
+  c AS (
+    SELECT t, SUM(d) OVER (ORDER BY t, kind ROWS UNBOUNDED PRECEDING) AS run
+    FROM b
+  )
+SELECT CAST((t // 3600) * 3600 AS BIGINT) AS bucket,
+       CAST(max(run) AS BIGINT) AS peak
+FROM c GROUP BY 1"""
+
+    # rank = one IEEE division of exact integers: bit-identical to
+    # sample.weighted_sample's numpy u/w (no pow/log boundary risk)
+    sql["doc_sample_weighted"] = """SELECT doc_id, source, n_chars,
+       CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+         / CAST(n_chars AS DOUBLE) AS w_rank
+FROM documents WHERE n_chars > 0
+QUALIFY row_number() OVER (ORDER BY w_rank, doc_id) <= 40"""
 
     sql["ev_sessions"] = f"""WITH {ev_prelude}
 SELECT user_id, seg,

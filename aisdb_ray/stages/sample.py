@@ -79,3 +79,40 @@ def stratified_sample(ds, group: str, key: str, k: int):
     return picked.map_batches(
         lambda b: b.drop_columns([_HCOL]), batch_format="pyarrow"
     )
+
+
+def weighted_sample(ds, key: str, weight: str, k: int):
+    """Sequential Poisson sampling (Ohlsson 1998): k rows chosen with
+    inclusion probability ~ ``weight``, deterministically.  Rank
+    ``r = u / w`` with ``u = md5_u32(key)`` ascending, keep the k
+    smallest.  ``u / w`` is ONE IEEE division of exactly-representable
+    integers, so numpy and the SQL oracle produce bit-identical doubles
+    — unlike the Efraimidis-Spirakis ``u^(1/w)`` key whose pow/log
+    last-ulp could reorder rows at the k-th boundary.  Rows with
+    ``weight <= 0`` are excluded.  Per-batch top-k partials, one small
+    shuffle (same path as stratified_sample) — no global sort."""
+    from aisdb_ray.stages import rank
+
+    _RCOL = "w_rank"
+    _GCOL = "_scope"
+
+    def add_rank(b: pa.Table) -> pa.Table:
+        w = b[weight].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = b.filter(pa.array(w > 0))
+        if b.num_rows == 0:
+            b = b.append_column(_RCOL, pa.array([], pa.float64()))
+        else:
+            u = md5_u32(b[key]).astype(np.float64)
+            w = b[weight].to_numpy(zero_copy_only=False).astype(np.float64)
+            b = b.append_column(_RCOL, pa.array(u / w))
+        return b.append_column(
+            _GCOL, pa.array(np.zeros(b.num_rows, dtype=np.int8))
+        )
+
+    ranked = ds.map_batches(add_rank, batch_format="pyarrow")
+    picked = rank.topk_per_group(
+        ranked, _GCOL, [_RCOL, key], k, descending=[False, False]
+    )
+    return picked.map_batches(
+        lambda b: b.drop_columns([_GCOL]), batch_format="pyarrow"
+    )
