@@ -1238,6 +1238,67 @@ def q_ts_asof_nearest(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def q_ts_interp_join(sf_dir: str):
+    """Linear-interpolated as-of join (T8a interp semantics applied at
+    join time): each cleaned point is bracketed between the two nearest
+    hourly-tier CENTERS of its source and gets the hourly token volume
+    linearly interpolated to its own epoch — tier-reconstruction of an
+    instantaneous trend at raw-point resolution.  Right side (the 1h
+    tier) broadcast once; probe stream never shuffles."""
+    import pyarrow.compute as pc2
+
+    from aisdb_ray.stages import asof
+
+    cleaned = _clean_cached(sf_dir).select_columns(
+        ["source", "doc_id", "time", "n_tok"]
+    )
+    roll = rollup.rollup(_clean_cached(sf_dir), 3600)
+
+    def center(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "rt": pc2.add(b["bucket"], pa.scalar(1800, pa.int64())),
+                "sv": b["sum_n_tok"],
+            }
+        )
+
+    right = pa.concat_tables(
+        ray.get(roll.map_batches(center, batch_format="pyarrow").to_arrow_refs()),
+        promote_options="default",
+    )
+    joined = asof.interp_join(
+        cleaned, right, by="source", on="time", right_on="rt",
+        value_col="sv", out_col="v_interp",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "doc_id": b["doc_id"],
+                "time": b["time"],
+                "n_tok": pc2.cast(b["n_tok"], pa.int64()),
+                "t0": b["t0"],
+                "t1": b["t1"],
+                "v0": b["v0"],
+                "v1": b["v1"],
+                "v_interp": b["v_interp"],
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def q_ts_hopping_1h(sf_dir: str):
+    """Hopping (sliding) window rollup: 1-hour windows advancing every
+    15 minutes — the streaming-SQL HOP operator the fixed tiers can't
+    express.  Points collapse to hop-grid algebraic partials per batch;
+    only partials are replicated 4× (one copy per overlapping window),
+    then the standard hash combine."""
+    return rollup.hopping_rollup(_clean_cached(sf_dir), 3600, 900)
+
+
 def q_ts_grid_snap(sf_dir: str):
     """Nearest-grid snap (raster-lookup semantics, ceiling-clamp rule of
     the reference's binarysearch_vector): snap each point's epoch to a
@@ -5955,6 +6016,8 @@ def build_queries() -> dict:
     # come FIRST so a budget-capped gate reaches them; the 50 queries already
     # driver-green in CORRECTNESS_r02.json follow.
     return {
+        "ts_interp_join": q_ts_interp_join,
+        "ts_hopping_1h": q_ts_hopping_1h,
         "ev_peak_concurrency": q_ev_peak_concurrency,
         "doc_sample_weighted": q_doc_sample_weighted,
         "q5_local_supplier": q_q5_local_supplier,
@@ -6426,6 +6489,48 @@ FROM clean c ASOF JOIN avail r
   )
 SELECT source, doc_id, time, n_tok, near_bucket, near_mean
 FROM pick WHERE rn = 1"""
+
+    sql["ts_interp_join"] = f"""WITH {_sql_tokens_clean(tok)},
+  roll AS (
+    SELECT source, (time // 3600) * 3600 AS bucket,
+           CAST(sum(n_tok) AS BIGINT) AS sv
+    FROM clean GROUP BY source, bucket
+  ),
+  pts AS (SELECT source, bucket + 1800 AS rt, sv FROM roll),
+  bwd AS (
+    SELECT c.source, c.doc_id, c.time, CAST(c.n_tok AS BIGINT) AS n_tok,
+           r.rt AS t0, r.sv AS v0
+    FROM clean c ASOF JOIN pts r
+      ON c.source = r.source AND c.time >= r.rt
+  ),
+  fwd AS (
+    SELECT c.source, c.doc_id, r.rt AS t1, r.sv AS v1
+    FROM clean c ASOF JOIN pts r
+      ON c.source = r.source AND c.time <= r.rt
+  )
+SELECT b.source, b.doc_id, b.time, b.n_tok, b.t0, f.t1, b.v0, f.v1,
+       CASE WHEN f.t1 = b.t0 THEN CAST(b.v0 AS DOUBLE)
+            ELSE CAST(b.v0 AS DOUBLE)
+                 + CAST((f.v1 - b.v0) * (b.time - b.t0) AS DOUBLE)
+                   / CAST(f.t1 - b.t0 AS DOUBLE) END AS v_interp
+FROM bwd b JOIN fwd f ON b.source = f.source AND b.doc_id = f.doc_id"""
+
+    sql["ts_hopping_1h"] = f"""WITH {_sql_tokens_clean(tok)},
+  pre AS (
+    SELECT c.source,
+           (c.time // 900) * 900 - i.i * 900 AS bucket,
+           CAST(c.n_tok AS BIGINT) AS v
+    FROM clean c
+    CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
+  )
+SELECT source, bucket,
+       CAST(min(v) AS BIGINT) AS min_n_tok,
+       CAST(max(v) AS BIGINT) AS max_n_tok,
+       CAST(sum(v) AS BIGINT) AS sum_n_tok,
+       CAST(count(*) AS BIGINT) AS count_n_tok,
+       CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_n_tok,
+       bucket + 3600 AS wend
+FROM pre GROUP BY source, bucket"""
 
     sql["ts_grid_snap"] = f"""WITH {_sql_tokens_clean(tok)},
   bounds AS (

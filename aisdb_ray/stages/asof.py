@@ -209,3 +209,97 @@ def asof_join(
 def asof_backward_join(left_ds, right: pa.Table, **kw):
     """Backward-direction alias (DuckDB ``ASOF JOIN`` semantics)."""
     return asof_join(left_ds, right, direction="backward", **kw)
+
+
+def interp_join(
+    left_ds,
+    right: pa.Table,
+    *,
+    by: str = SOURCE,
+    on: str = TIME,
+    right_on: str | None = None,
+    value_col: str,
+    out_col: str = "v_interp",
+):
+    """Linear-interpolated as-of join: for each left row, find its BRACKET
+    in the right series (greatest rt <= t and least rt >= t per key) and
+    attach the value linearly interpolated between them — the reference's
+    ``interp_time`` gap-fill semantics (aisdb/track_interp.py) applied at
+    JOIN time against an arbitrary probe stream, instead of at grid-fill
+    time against a fixed epoch grid.
+
+    Inner semantics: only rows with BOTH neighbors survive (t inside the
+    key's [first rt, last rt] span).  An exact hit (t0 == t1 == t) yields
+    the right value itself.  Evidence columns (t0, t1, and the int64
+    endpoint values) ride along so the float result is auditable; the
+    interpolation itself is the single IEEE expression
+    ``v0 + ((v1 - v0)*(t - t0)) / (t1 - t0)`` with one int64 product, one
+    divide, one add — reproducible bit-for-bit by a SQL oracle.
+
+    Same scale shape as :func:`asof_join`: the right side (a rollup tier)
+    is broadcast once via ``ray.put``; the big probe side streams through
+    ``map_batches`` with one vectorized searchsorted per key — no shuffle.
+    """
+    right_on = right_on or on
+    rv = right[value_col].to_numpy(zero_copy_only=False)
+    if not np.issubdtype(rv.dtype, np.integer):
+        raise TypeError("interp_join expects an integer value_col "
+                        "(exact endpoints; the interpolation is the only "
+                        "float step)")
+    idx_ref = ray.put(_right_index(right, by, right_on, [value_col]))
+
+    def join(batch: pa.Table) -> pa.Table:
+        rindex = ray.get(idx_ref)
+        key = batch[by].to_numpy(zero_copy_only=False)
+        t = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(key)
+        t0 = np.zeros(n, dtype=np.int64)
+        t1 = np.zeros(n, dtype=np.int64)
+        v0 = np.zeros(n, dtype=np.int64)
+        v1 = np.zeros(n, dtype=np.int64)
+        matched = np.zeros(n, dtype=bool)
+        uniq, inv = factorize_sorted(key)
+        for ui, k in enumerate(uniq):
+            rows = np.flatnonzero(inv == ui)
+            entry = rindex.get(k)
+            if entry is None:
+                continue
+            rt, (vals,) = entry
+            tr = t[rows]
+            pos_b = np.searchsorted(rt, tr, side="right") - 1
+            pos_f = np.searchsorted(rt, tr, side="left")
+            ok = (pos_b >= 0) & (pos_f < len(rt))
+            rsel = rows[ok]
+            pb, pf = pos_b[ok], pos_f[ok]
+            matched[rsel] = True
+            t0[rsel] = rt[pb]
+            t1[rsel] = rt[pf]
+            v0[rsel] = vals[pb].astype(np.int64)
+            v1[rsel] = vals[pf].astype(np.int64)
+        # v0 + ((v1-v0)*(t-t0))/(t1-t0): int64 product, then ONE float
+        # divide and ONE float add — the SQL oracle writes the identical
+        # expression, so results match bit-for-bit.  Guard the product.
+        dt = t - t0
+        dv = v1 - v0
+        if matched.any():
+            mx = np.abs(dv[matched]).max() * max(np.abs(dt[matched]).max(), 1)
+            if int(mx) >= (1 << 62):
+                raise OverflowError("interp_join: (Δv·Δt) overflows int64")
+        den = t1 - t0
+        exact = den == 0
+        interp = np.where(
+            exact,
+            v0.astype(np.float64),
+            v0.astype(np.float64)
+            + (dv * dt).astype(np.float64)
+            / np.where(exact, 1, den).astype(np.float64),
+        )
+        cols = dict(zip(batch.column_names, batch.columns))
+        cols["t0"] = pa.array(t0)
+        cols["t1"] = pa.array(t1)
+        cols["v0"] = pa.array(v0)
+        cols["v1"] = pa.array(v1)
+        cols[out_col] = pa.array(interp)
+        return pa.table(cols).filter(pa.array(matched))
+
+    return left_ds.map_batches(join, batch_format="pyarrow")

@@ -179,6 +179,59 @@ def rollup(
     )
 
 
+def hopping_rollup(
+    ds,
+    width_s: int,
+    hop_s: int,
+    value: str = N_TOK,
+    time_col: str = TIME,
+    key_col: str = SOURCE,
+):
+    """Hopping (sliding) window aggregate: min/max/sum/count/mean of the
+    value channel per (key, window) for overlapping windows of length
+    ``width_s`` advancing every ``hop_s`` (``width_s % hop_s == 0``) — the
+    streaming-SQL HOP/sliding window the reference's fixed tiers can't
+    express.
+
+    Scale shape: points are first collapsed to hop-grid partials inside
+    each ``map_batches`` task (the algebraic pre-aggregation of
+    :func:`partial_rollup_batch`), and only those partial rows are
+    REPLICATED ``width_s // hop_s`` times — one copy per overlapping
+    window, a vectorized concat of shifted tables.  The shuffle therefore
+    moves O(key × hop-bucket × overlap) partial rows, never raw points;
+    the combine is the same hash-partitioned merge as any tier.  Window
+    start is aligned to the hop grid; windows with zero points don't
+    exist (no dense window grid is materialized).
+    """
+    if width_s % hop_s != 0:
+        raise ValueError("width_s must be a multiple of hop_s")
+    k = width_s // hop_s
+
+    def replicate(b: pa.Table) -> pa.Table:
+        part = partial_rollup_batch(b, hop_s, value, time_col, key_col)
+        shifted = []
+        for i in range(k):
+            off = pa.scalar(i * hop_s, pa.int64())
+            shifted.append(
+                part.set_column(
+                    part.schema.get_field_index(BUCKET),
+                    BUCKET,
+                    pc.subtract(part[BUCKET], off),
+                )
+            )
+        return pa.concat_tables(shifted)
+
+    partials = ds.map_batches(replicate, batch_format="pyarrow")
+    tier = _combine(partials, key_col, hash_combine=True)
+
+    def add_end(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "wend", pc.add(b[BUCKET], pa.scalar(width_s, pa.int64()))
+        )
+
+    return tier.map_batches(add_end, batch_format="pyarrow")
+
+
 def rollup_grouped(
     ds,
     width_s: int,
