@@ -1299,6 +1299,35 @@ def q_ts_hopping_1h(sf_dir: str):
     return rollup.hopping_rollup(_clean_cached(sf_dir), 3600, 900)
 
 
+def q_ts_global_rank(sf_dir: str):
+    """Distributed total order (TeraSort shape): exact global row_number
+    over the cleaned points under ORDER BY (time, source, doc_id) —
+    sampled range boundaries → one map-only range exchange → local sort
+    + manifest prefix-sum offsets.  No single-node sort anywhere."""
+    import os
+
+    import pyarrow.compute as pc2
+
+    from aisdb_ray.stages import ranksort
+
+    cleaned = _clean_cached(sf_dir).select_columns(
+        ["source", "doc_id", "time", "n_tok"]
+    )
+    staged = os.path.join(
+        "/tmp/aisdb_ray_ranksort", os.path.basename(sf_dir.rstrip("/"))
+    )
+    ranked = ranksort.global_rank(
+        cleaned, ["time", "source", "doc_id"], staging_dir=staged
+    )
+    return ranked.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("n_tok"), "n_tok",
+            pc2.cast(b["n_tok"], pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_ts_grid_snap(sf_dir: str):
     """Nearest-grid snap (raster-lookup semantics, ceiling-clamp rule of
     the reference's binarysearch_vector): snap each point's epoch to a
@@ -6018,6 +6047,7 @@ def build_queries() -> dict:
     return {
         "ts_interp_join": q_ts_interp_join,
         "ts_hopping_1h": q_ts_hopping_1h,
+        "ts_global_rank": q_ts_global_rank,
         "ev_peak_concurrency": q_ev_peak_concurrency,
         "doc_sample_weighted": q_doc_sample_weighted,
         "q5_local_supplier": q_q5_local_supplier,
@@ -6489,6 +6519,12 @@ FROM clean c ASOF JOIN avail r
   )
 SELECT source, doc_id, time, n_tok, near_bucket, near_mean
 FROM pick WHERE rn = 1"""
+
+    sql["ts_global_rank"] = f"""WITH {_sql_tokens_clean(tok)}
+SELECT source, doc_id, time, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(row_number() OVER (ORDER BY time, source, doc_id) AS BIGINT)
+         AS rownum
+FROM clean"""
 
     sql["ts_interp_join"] = f"""WITH {_sql_tokens_clean(tok)},
   roll AS (

@@ -49,11 +49,19 @@ def co_shuffle(ds, keys: list[str], block_fn, num_parts: int | None = None):
 
 
 def co_shuffle_staged(ds, keys: list[str], block_fn, staging_dir: str,
-                      num_parts: int | None = None):
+                      num_parts: int | None = None, part_fn=None,
+                      part_aware: bool = False):
     """Disk-staged variant of :func:`co_shuffle` for big inputs: a map-only
     compressed-parquet exchange replaces the object-store sort — the
     cascade's scaling-proven hash exchange
     (stages/salted.clean_chunks_staged) generalized to any block kernel.
+
+    ``part_fn(batch) -> int array`` overrides the hash partitioner (range
+    exchanges pass searchsorted boundary ids).  ``part_aware=True`` calls
+    ``block_fn(table, part_id, part_counts)`` where ``part_counts`` is the
+    exact per-partition row-count vector from the exchange manifest — the
+    global-offset input rank/sort kernels need (length ``num_parts``,
+    tiny, captured by value in the phase-B closure).
 
     Phase A (map-only, scales linearly): each map task writes ONE shuffle
     file with one row group per destination partition, so file-creation
@@ -97,7 +105,9 @@ def co_shuffle_staged(ds, keys: list[str], block_fn, staging_dir: str,
                              "part": pa.array([], pa.int64()),
                              "rg": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
-        sp = np.asarray(_key_hash(b, keys, num_parts))
+        sp = np.asarray(
+            part_fn(b) if part_fn is not None else _key_hash(b, keys, num_parts)
+        )
         order = np.argsort(sp, kind="stable")
         b2 = b.take(pa.array(order))
         sps = sp[order]
@@ -126,9 +136,11 @@ def co_shuffle_staged(ds, keys: list[str], block_fn, staging_dir: str,
     manifest = ds.map_batches(write_stage, batch_format="pyarrow").take_all()
     per_file: dict[str, int] = {}
     assign: dict[int, list] = {k: [] for k in range(num_parts)}
+    part_counts = np.zeros(num_parts, dtype=np.int64)
     for r in manifest:
         per_file[r["file"]] = per_file.get(r["file"], 0) + int(r["n"])
         assign[int(r["part"])].append((r["file"], int(r["rg"])))
+        part_counts[int(r["part"])] += int(r["n"])
     for f, n_expect in per_file.items():
         got = pq.read_metadata(os.path.join(staging_dir, f)).num_rows
         if got != n_expect:
@@ -140,8 +152,14 @@ def co_shuffle_staged(ds, keys: list[str], block_fn, staging_dir: str,
         # entirely empty input: run the kernel once over an empty table with
         # the input schema instead of handing pyarrow an empty file list.
         base = ds.schema().base_schema
+        if not isinstance(base, pa.Schema):
+            # pandas-backed dataset: round-trip one (empty) block through
+            # Arrow to recover a pa.Schema
+            base = (ds.map_batches(lambda b: b, batch_format="pyarrow")
+                    .schema().base_schema)
         empty = base.empty_table()
-        out = block_fn(empty)
+        out = (block_fn(empty, 0, part_counts) if part_aware
+               else block_fn(empty))
         return rd.from_arrow(out)
 
     # schema for empty partitions: read it off any stage file footer once
@@ -151,8 +169,9 @@ def co_shuffle_staged(ds, keys: list[str], block_fn, staging_dir: str,
 
     def run_part(batch: pa.Table) -> pa.Table:
         out = []
-        for fs, rgs in zip(batch["files"].to_pylist(),
-                           batch["rgs"].to_pylist()):
+        for part, fs, rgs in zip(batch["part"].to_pylist(),
+                                 batch["files"].to_pylist(),
+                                 batch["rgs"].to_pylist()):
             open_files: dict = {}
             pieces = []
             for f, rg in zip(fs, rgs):
@@ -168,7 +187,8 @@ def co_shuffle_staged(ds, keys: list[str], block_fn, staging_dir: str,
                 tbl = pa.concat_tables(pieces, promote_options="default")
             else:
                 tbl = empty_schema.empty_table()
-            out.append(block_fn(tbl))
+            out.append(block_fn(tbl, int(part), part_counts) if part_aware
+                       else block_fn(tbl))
         return pa.concat_tables(out, promote_options="default")
 
     items = rd.from_items(

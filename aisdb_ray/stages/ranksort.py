@@ -1,0 +1,134 @@
+"""Distributed total ordering: TeraSort-style range exchange + exact
+global ranks.
+
+The reference materializes time-ordered output per query through its SQL
+backend's ORDER BY (/root/reference/aisdb/database/dbqry.py — every
+track query ends ``ORDER BY mmsi, time``); at 10^12 rows a single ORDER
+BY is the canonical all-to-all sort.  This module expresses it the
+classic shared-nothing way (O'Malley's TeraSort, public):
+
+1. **Sample** a bounded subset of order keys (at most ``keys_per_batch``
+   evenly spaced rows per batch — boundary choice affects only load
+   balance, never the output, so no hash mirroring is needed).
+2. **Cut** ``num_parts - 1`` range boundaries from the sorted sample.
+3. **Range exchange**: one map-only disk-staged shuffle
+   (:func:`aisdb_ray.stages._dist.co_shuffle_staged` with
+   ``part_fn=searchsorted(boundaries)``), so partition ``p`` holds
+   exactly the rows in its key range.
+4. **Per-partition sort + global offset**: each partition sorts locally
+   (Arrow multi-column sort) and adds the exact prefix-sum of earlier
+   partitions' row counts (free from the exchange manifest) — every row
+   gets its exact 1-based global ``rownum`` with no single-node sort and
+   no second pass over the data.
+
+Composite (int, string, ...) order keys are compared via an
+order-preserving byte encoding: non-negative int64 → 19-digit
+zero-padded decimal, strings raw, components joined with ``\\x00``
+(strictly below any payload byte), padded S-dtype memcmp == tuple
+order == DuckDB's default binary collation for ORDER BY.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from aisdb_ray.stages._dist import _default_parts, co_shuffle_staged
+
+ROWNUM = "rownum"
+
+
+def _encode_order_keys(b: pa.Table, order_cols: list[str]) -> np.ndarray:
+    """Order-preserving byte encoding of the composite key, vectorized.
+
+    Returns an S-dtype array (numpy memcmp compare).  int-typed columns
+    must be non-negative (epochs, ids) — decimal zero-pad only preserves
+    order above zero; raise rather than mis-sort.
+    """
+    parts = []
+    for c in order_cols:
+        col = b[c]
+        if pa.types.is_integer(col.type):
+            lo = pc.min(col).as_py() if b.num_rows else 0
+            if lo is not None and lo < 0:
+                raise ValueError(
+                    f"global_rank: order column {c!r} has negative values; "
+                    "the decimal byte encoding requires non-negative ints"
+                )
+            parts.append(pc.utf8_lpad(pc.cast(col, pa.string()), 19, "0"))
+        elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            parts.append(pc.cast(col, pa.string()))
+        else:
+            raise TypeError(f"global_rank: unsupported order column type "
+                            f"{col.type} for {c!r}")
+    if len(parts) == 1:
+        joined = parts[0]
+    else:
+        joined = pc.binary_join_element_wise(*parts, "\x00")
+    # cast to binary first: UTF-8 bytes exactly (numpy would ASCII-encode
+    # str).  object(bytes) -> S: numpy pads with \x00 (< every byte),
+    # preserving strict order under memcmp.
+    raw = pc.cast(joined, pa.binary()).to_numpy(zero_copy_only=False)
+    return np.asarray(raw, dtype=bytes)
+
+
+def _sample_boundaries(ds, order_cols: list[str], num_parts: int,
+                       keys_per_batch: int) -> np.ndarray:
+    """Bounded boundary sample: at most ``keys_per_batch`` evenly spaced
+    keys PER BATCH, so the driver-side sample is O(blocks × keys_per_batch)
+    regardless of row count (boundary quality degrades gracefully; output
+    correctness never depends on it)."""
+
+    def sample(b: pa.Table) -> pa.Table:
+        keys = _encode_order_keys(b, order_cols)
+        if len(keys) > keys_per_batch:
+            idx = np.linspace(0, len(keys) - 1, keys_per_batch).astype(np.int64)
+            keys = keys[idx]
+        return pa.table({"k": pa.array(list(keys), pa.binary())})
+
+    sampled = ds.map_batches(sample, batch_format="pyarrow").take_all()
+    keys = np.sort(np.asarray([r["k"] for r in sampled], dtype=bytes))
+    if len(keys) == 0 or num_parts <= 1:
+        return np.asarray([], dtype=bytes)
+    # num_parts-1 evenly spaced cut points from the sorted sample
+    cuts = (np.arange(1, num_parts) * len(keys)) // num_parts
+    return keys[np.minimum(cuts, len(keys) - 1)]
+
+
+def global_rank(
+    ds,
+    order_cols: list[str],
+    num_parts: int | None = None,
+    keys_per_batch: int = 16,
+    staging_dir: str = "/tmp/aisdb_ray_ranksort",
+    out_col: str = ROWNUM,
+):
+    """Append each row's exact 1-based global rank under
+    ``ORDER BY order_cols`` (``row_number() OVER (ORDER BY ...)`` for a
+    key set that totally orders the rows; ties share a partition and are
+    broken by local sort order, so pass a unique composite for
+    deterministic output).  Output rows are range-partitioned AND sorted
+    within each partition — a global total order across partitions."""
+    if num_parts is None:
+        num_parts = _default_parts()
+    bounds = _sample_boundaries(ds, order_cols, num_parts, keys_per_batch)
+
+    def part_fn(b: pa.Table) -> np.ndarray:
+        if len(bounds) == 0:
+            return np.zeros(b.num_rows, dtype=np.int64)
+        return np.searchsorted(bounds, _encode_order_keys(b, order_cols),
+                               side="right").astype(np.int64)
+
+    def rank_part(tbl: pa.Table, part: int, counts: np.ndarray) -> pa.Table:
+        offset = int(counts[:part].sum())
+        s = tbl.sort_by([(c, "ascending") for c in order_cols])
+        return s.append_column(
+            out_col,
+            pa.array(offset + 1 + np.arange(s.num_rows, dtype=np.int64)),
+        )
+
+    return co_shuffle_staged(
+        ds, order_cols, rank_part, staging_dir,
+        num_parts=num_parts, part_fn=part_fn, part_aware=True,
+    )

@@ -1,0 +1,96 @@
+"""Distributed total order / exact global row ranks (TeraSort shape):
+parity vs a single-node sort, skew, encoding guards, empty input."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from aisdb_ray.stages import ranksort
+
+
+def _check(df: pd.DataFrame, order_cols, staging):
+    got = ranksort.global_rank(
+        rd.from_pandas(df).repartition(7), order_cols, staging_dir=staging
+    ).to_pandas().sort_values("rownum").reset_index(drop=True)
+    want = df.sort_values(order_cols, kind="stable").reset_index(drop=True)
+    assert len(got) == len(df)
+    assert got["rownum"].tolist() == list(range(1, len(df) + 1))
+    for c in order_cols:
+        np.testing.assert_array_equal(
+            got[c].to_numpy(), want[c].to_numpy(), err_msg=c
+        )
+
+
+def test_global_rank_matches_single_node_sort(tmp_path):
+    rng = np.random.default_rng(7)
+    n = 30_000
+    df = pd.DataFrame({
+        "time": rng.integers(0, 5_000, n).astype(np.int64),  # heavy ties
+        "source": rng.choice([f"s{i}" for i in range(10)], n),
+        "doc_id": [f"d{i:06d}" for i in rng.permutation(n)],
+    })
+    _check(df, ["time", "source", "doc_id"], str(tmp_path / "a"))
+
+
+def test_global_rank_skewed_keys(tmp_path):
+    # 90% of rows share one time value: many equal keys must still land in
+    # ONE partition (searchsorted is deterministic per key) and rank
+    # correctly via the doc_id tiebreak
+    rng = np.random.default_rng(9)
+    n = 20_000
+    t = np.where(rng.random(n) < 0.9, 42, rng.integers(0, 1000, n)).astype(np.int64)
+    df = pd.DataFrame({
+        "time": t,
+        "doc_id": [f"d{i:05d}" for i in rng.permutation(n)],
+    })
+    _check(df, ["time", "doc_id"], str(tmp_path / "b"))
+
+
+def test_global_rank_string_leading_key(tmp_path):
+    rng = np.random.default_rng(11)
+    n = 5_000
+    df = pd.DataFrame({
+        "source": rng.choice(["alpha", "beta", "b", "gamma", ""], n),
+        "time": rng.integers(0, 100, n).astype(np.int64),
+        "doc_id": [f"x{i:05d}" for i in range(n)],
+    })
+    _check(df, ["source", "time", "doc_id"], str(tmp_path / "c"))
+
+
+def test_global_rank_rejects_negative_ints(tmp_path):
+    df = pd.DataFrame({"time": np.array([-5, 3], np.int64),
+                       "doc_id": ["a", "b"]})
+    with pytest.raises(Exception) as ei:
+        ranksort.global_rank(
+            rd.from_pandas(df), ["time", "doc_id"],
+            staging_dir=str(tmp_path / "d"),
+        ).to_pandas()
+    assert "negative" in str(ei.value)
+
+
+def test_global_rank_empty_input(tmp_path):
+    empty = rd.from_arrow(pa.table({
+        "time": pa.array([], pa.int64()),
+        "doc_id": pa.array([], pa.string()),
+    }))
+    out = ranksort.global_rank(
+        empty, ["time", "doc_id"], staging_dir=str(tmp_path / "e")
+    )
+    schema = out.schema()
+    assert "rownum" in schema.names
+    assert out.count() == 0
+
+
+def test_encode_preserves_tuple_order():
+    b = pa.table({
+        "t": pa.array([0, 0, 1, 10, 2], pa.int64()),
+        "s": pa.array(["b", "a", "z", "a", "a"]),
+    })
+    keys = ranksort._encode_order_keys(b, ["t", "s"])
+    order = np.argsort(keys, kind="stable")
+    want = sorted(range(5), key=lambda i: (b["t"][i].as_py(), b["s"][i].as_py()))
+    assert order.tolist() == want
