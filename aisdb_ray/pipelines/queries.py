@@ -1475,6 +1475,47 @@ def _events_adapter(b: pa.Table) -> pa.Table:
     return pa.table(out)
 
 
+def q_ev_skew_join(sf_dir: str):
+    """Skew-aware large×large join: every event enriched with its user's
+    profile (first-seen epoch + lifetime event count).  Hot users (≥ 70
+    events — the probe-side frequency split of stages/join.skew_join)
+    join MAP-SIDE against a broadcast build slice and never enter the
+    all-to-all; cold users take the co-partitioned hash join.  Output is
+    identical for any hot/cold split — the SQL oracle is one plain JOIN."""
+    from aisdb_ray.stages import join as join_mod
+    from aisdb_ray.stages._dist import funnel_combine
+
+    ev = _events_ds(
+        sf_dir, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).map_batches(_events_adapter, batch_format="pyarrow")
+    left = ev.map_batches(
+        lambda b: b.select(
+            ["event_id", "user_id", "event_type", "time", "value_cents"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def part(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b["user_id"], "time": b["time"]})
+        g = t.group_by(["user_id"], use_threads=False).aggregate(
+            [("time", "min"), ("time", "count", pc.CountOptions(mode="all"))]
+        )
+        return g.rename_columns(["user_id", "first_seen", "n_events"])
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id"], use_threads=False).aggregate(
+            [("first_seen", "min"), ("n_events", "sum")]
+        )
+        return g.rename_columns(["user_id", "first_seen", "n_events"])
+
+    profile = funnel_combine(
+        ev.map_batches(part, batch_format="pyarrow"), merge,
+        key_col="user_id", hash_combine=True,
+    )
+    return join_mod.skew_join(left, profile, on="user_id",
+                              hot_count_threshold=70)
+
+
 def q_ev_sessions(sf_dir: str):
     """Sessionization: split user event streams at >= 30 min gaps — the
     split_timedelta operator on a non-token stream."""
@@ -6048,6 +6089,7 @@ def build_queries() -> dict:
         "ts_interp_join": q_ts_interp_join,
         "ts_hopping_1h": q_ts_hopping_1h,
         "ts_global_rank": q_ts_global_rank,
+        "ev_skew_join": q_ev_skew_join,
         "ev_peak_concurrency": q_ev_peak_concurrency,
         "doc_sample_weighted": q_doc_sample_weighted,
         "q5_local_supplier": q_q5_local_supplier,
@@ -7631,6 +7673,16 @@ FROM c GROUP BY 1"""
          / CAST(n_chars AS DOUBLE) AS w_rank
 FROM documents WHERE n_chars > 0
 QUALIFY row_number() OVER (ORDER BY w_rank, doc_id) <= 40"""
+
+    sql["ev_skew_join"] = f"""WITH {ev_prelude}
+SELECT e.event_id, e.user_id, e.event_type, e.time, e.value_cents,
+       p.first_seen, p.n_events
+FROM ev e JOIN (
+  SELECT user_id,
+         CAST(min(time) AS BIGINT) AS first_seen,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM ev GROUP BY user_id
+) p USING (user_id)"""
 
     sql["ev_sessions"] = f"""WITH {ev_prelude}
 SELECT user_id, seg,
