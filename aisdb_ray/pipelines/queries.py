@@ -1328,6 +1328,31 @@ def q_ts_global_rank(sf_dir: str):
     )
 
 
+def q_doc_curriculum(sf_dir: str):
+    """Curriculum sharding: order the corpus globally by a difficulty
+    proxy (whitespace token count, doc_id tiebreak) and cut it into 10
+    exact NTILE shards — the ordered-shard emission a curriculum-training
+    reader consumes.  Same TeraSort range exchange as ts_global_rank; the
+    shard boundary math is exact because the exchange manifest carries
+    the global row count."""
+    import os
+
+    from aisdb_ray.stages import ranksort, textstats
+
+    _ctx()
+    counted = rd.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "text"]
+    ).map_batches(textstats.token_count_batch, batch_format="pyarrow")
+    staged = os.path.join(
+        "/tmp/aisdb_ray_ranksort",
+        "curriculum-" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    return ranksort.global_rank(
+        counted, ["n_tokens", "doc_id"], staging_dir=staged,
+        ntile=10, ntile_col="shard",
+    )
+
+
 def q_ts_grid_snap(sf_dir: str):
     """Nearest-grid snap (raster-lookup semantics, ceiling-clamp rule of
     the reference's binarysearch_vector): snap each point's epoch to a
@@ -6090,6 +6115,7 @@ def build_queries() -> dict:
         "ts_hopping_1h": q_ts_hopping_1h,
         "ts_global_rank": q_ts_global_rank,
         "ev_skew_join": q_ev_skew_join,
+        "doc_curriculum": q_doc_curriculum,
         "ev_peak_concurrency": q_ev_peak_concurrency,
         "doc_sample_weighted": q_doc_sample_weighted,
         "q5_local_supplier": q_q5_local_supplier,
@@ -6567,6 +6593,16 @@ SELECT source, doc_id, time, CAST(n_tok AS BIGINT) AS n_tok,
        CAST(row_number() OVER (ORDER BY time, source, doc_id) AS BIGINT)
          AS rownum
 FROM clean"""
+
+    sql["doc_curriculum"] = r"""WITH c AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS rownum,
+       CAST(ntile(10) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS shard
+FROM c"""
 
     sql["ts_interp_join"] = f"""WITH {_sql_tokens_clean(tok)},
   roll AS (

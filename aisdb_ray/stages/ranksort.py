@@ -96,6 +96,17 @@ def _sample_boundaries(ds, order_cols: list[str], num_parts: int,
     return keys[np.minimum(cuts, len(keys) - 1)]
 
 
+def _ntile(rn: np.ndarray, total: int, k: int) -> np.ndarray:
+    """SQL NTILE(k) bucket for 1-based ranks ``rn`` out of ``total`` rows:
+    the first ``total % k`` buckets hold ``total // k + 1`` rows each."""
+    q, r = divmod(total, k)
+    if q == 0:
+        return rn.astype(np.int64)  # fewer rows than tiles: tile == rank
+    cut = r * (q + 1)
+    i = rn - 1
+    return np.where(i < cut, i // (q + 1), r + (i - cut) // q).astype(np.int64) + 1
+
+
 def global_rank(
     ds,
     order_cols: list[str],
@@ -103,13 +114,19 @@ def global_rank(
     keys_per_batch: int = 16,
     staging_dir: str = "/tmp/aisdb_ray_ranksort",
     out_col: str = ROWNUM,
+    ntile: int | None = None,
+    ntile_col: str = "tile",
 ):
     """Append each row's exact 1-based global rank under
     ``ORDER BY order_cols`` (``row_number() OVER (ORDER BY ...)`` for a
     key set that totally orders the rows; ties share a partition and are
     broken by local sort order, so pass a unique composite for
     deterministic output).  Output rows are range-partitioned AND sorted
-    within each partition — a global total order across partitions."""
+    within each partition — a global total order across partitions.
+
+    ``ntile=k`` also appends the SQL ``NTILE(k)`` bucket (first
+    ``total % k`` tiles get the extra row) — free, because the exchange
+    manifest already knows the exact global row count."""
     if num_parts is None:
         num_parts = _default_parts()
     bounds = _sample_boundaries(ds, order_cols, num_parts, keys_per_batch)
@@ -123,10 +140,13 @@ def global_rank(
     def rank_part(tbl: pa.Table, part: int, counts: np.ndarray) -> pa.Table:
         offset = int(counts[:part].sum())
         s = tbl.sort_by([(c, "ascending") for c in order_cols])
-        return s.append_column(
-            out_col,
-            pa.array(offset + 1 + np.arange(s.num_rows, dtype=np.int64)),
-        )
+        rn = offset + 1 + np.arange(s.num_rows, dtype=np.int64)
+        s = s.append_column(out_col, pa.array(rn))
+        if ntile:
+            s = s.append_column(
+                ntile_col, pa.array(_ntile(rn, int(counts.sum()), ntile))
+            )
+        return s
 
     return co_shuffle_staged(
         ds, order_cols, rank_part, staging_dir,

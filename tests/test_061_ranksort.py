@@ -85,6 +85,34 @@ def test_global_rank_empty_input(tmp_path):
     assert out.count() == 0
 
 
+def test_ntile_matches_sql_semantics(tmp_path):
+    import duckdb
+
+    rng = np.random.default_rng(21)
+    n = 10_007  # deliberately not divisible by k
+    df = pd.DataFrame({
+        "v": rng.integers(0, 500, n).astype(np.int64),
+        "doc_id": [f"d{i:05d}" for i in rng.permutation(n)],
+    })
+    got = ranksort.global_rank(
+        rd.from_pandas(df).repartition(5), ["v", "doc_id"],
+        staging_dir=str(tmp_path / "n"), ntile=7,
+    ).to_pandas().sort_values("rownum").reset_index(drop=True)
+    want = duckdb.sql(
+        "SELECT ntile(7) OVER (ORDER BY v, doc_id) AS t FROM df"
+    ).df()
+    np.testing.assert_array_equal(
+        got["tile"].to_numpy(np.int64), want["t"].to_numpy(np.int64)
+    )
+    # fewer rows than tiles: tile == rank
+    tiny = pd.DataFrame({"v": np.array([3, 1], np.int64), "doc_id": ["a", "b"]})
+    got2 = ranksort.global_rank(
+        rd.from_pandas(tiny), ["v", "doc_id"],
+        staging_dir=str(tmp_path / "n2"), ntile=5,
+    ).to_pandas().sort_values("rownum")
+    assert got2["tile"].tolist() == [1, 2]
+
+
 def test_encode_preserves_tuple_order():
     b = pa.table({
         "t": pa.array([0, 0, 1, 10, 2], pa.int64()),
