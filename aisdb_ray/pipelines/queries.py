@@ -4042,6 +4042,16 @@ def q_tok_skipgram(sf_dir: str):
     return tokstats.skipgram_topk(_tok_sample(sf_dir, 5), k=100, window=3)
 
 
+def q_tok_kn_continuation(sf_dir: str):
+    """Kneser–Ney continuation counts N1+(·w) per token id (5% doc-hash
+    sample): distinct left contexts of each token — the KN-smoothing
+    numerator; per-batch distinct packed bigrams, one cur-keyed hash
+    co-shuffle, per-partition dedup + count."""
+    from aisdb_ray.stages import tokstats
+
+    return tokstats.kn_continuation(_tok_sample(sf_dir, 5))
+
+
 def q_tok_bigram_topk(sf_dir: str):
     """Top-100 adjacent token-id bigrams over the tokens payload (5%
     doc-hash sample): zero-copy list_flatten partials, int64-packed codes,
@@ -6014,6 +6024,23 @@ def q_emb_pagerank(sf_dir: str):
     )
 
 
+def q_emb_triangles(sf_dir: str):
+    """Per-node triangle counts over the 5-NN similarity graph (local
+    clustering-coefficient numerator — tight-semantic-cluster signal the
+    walk-based scores don't see).  Degree-oriented wedge generation +
+    left-semi closing join (stages/triangles.py) — the classic
+    shared-nothing triangle count."""
+    from aisdb_ray.stages import triangles
+
+    _ctx()
+    edges = rd.read_parquet(_knn_edges_path(sf_dir))
+    out = triangles.triangle_counts(edges)
+    return out.map_batches(
+        lambda b: pa.table({"vec_id": b["node"], "n_tri": b["n_tri"]}),
+        batch_format="pyarrow",
+    )
+
+
 def q_emb_labelprop(sf_dir: str):
     """Semi-supervised label propagation over the 5-NN similarity graph:
     a 20% deterministic-hash seed set keeps its labels; each of 3 rounds,
@@ -6116,6 +6143,8 @@ def build_queries() -> dict:
         "ts_global_rank": q_ts_global_rank,
         "ev_skew_join": q_ev_skew_join,
         "doc_curriculum": q_doc_curriculum,
+        "tok_kn_continuation": q_tok_kn_continuation,
+        "emb_triangles": q_emb_triangles,
         "ev_peak_concurrency": q_ev_peak_concurrency,
         "doc_sample_weighted": q_doc_sample_weighted,
         "q5_local_supplier": q_q5_local_supplier,
@@ -8869,6 +8898,22 @@ SELECT (CAST(n_tok AS BIGINT) // 128) * 128 AS bin,
        CAST(count(*) AS BIGINT) AS n
 FROM clean GROUP BY bin"""
 
+    sql["tok_kn_continuation"] = f"""WITH v AS (
+    SELECT tokens FROM read_parquet('{tok}/*.parquet')
+    WHERE n_tok > 0 AND len(tokens) = n_tok
+      AND CAST('0x' || substr(md5(doc_id), 1, 8) AS BIGINT) % 100 < 5
+  ),
+  b AS (
+    SELECT DISTINCT
+           unnest(list_transform(range(1, len(tokens)),
+                  i -> CAST(tokens[i] AS BIGINT) * 4294967296
+                       + CAST(tokens[i + 1] AS BIGINT))) AS code
+    FROM v WHERE len(tokens) >= 2
+  )
+SELECT CAST(code % 4294967296 AS BIGINT) AS token,
+       CAST(count(*) AS BIGINT) AS n_prev
+FROM b GROUP BY token"""
+
     _sg_arm = """
     SELECT unnest(list_transform(range(1, len(tokens) - {o} + 1),
                   i -> CAST(tokens[i] AS BIGINT) * 4294967296
@@ -9772,6 +9817,51 @@ SELECT vec_id, r AS pr FROM p4""")
     LEFT JOIN deg dg ON dg.src = e.src
     GROUP BY n.vec_id
   )"""
+    sql["emb_triangles"] = """WITH p AS (
+    SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+           list_cosine_similarity(a.embedding, b.embedding) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  ),
+  knn AS (
+    SELECT vec_id AS src, nbr_id AS dst FROM (
+      SELECT vec_id, nbr_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, nbr_id) AS rank
+      FROM p
+    ) WHERE rank <= 5
+  ),
+  e0 AS (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM knn WHERE src <> dst
+  ),
+  deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+      SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+    GROUP BY node
+  ),
+  o AS (
+    SELECT CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.u ELSE e0.v END AS lo,
+           CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.v ELSE e0.u END AS hi,
+           CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN dv.d ELSE du.d END AS dhi
+    FROM e0 JOIN deg du ON du.node = e0.u JOIN deg dv ON dv.node = e0.v
+  ),
+  w AS (
+    SELECT o1.lo AS a, o1.hi AS b, o2.hi AS c
+    FROM o o1 JOIN o o2 ON o1.lo = o2.lo
+    WHERE (o1.dhi, o1.hi) < (o2.dhi, o2.hi)
+  ),
+  t AS (
+    SELECT a, b, c FROM w
+    WHERE EXISTS (SELECT 1 FROM o WHERE o.lo = w.b AND o.hi = w.c)
+  ),
+  n AS (
+    SELECT a AS node FROM t
+    UNION ALL SELECT b FROM t
+    UNION ALL SELECT c FROM t
+  )
+SELECT node AS vec_id, CAST(count(*) AS BIGINT) AS n_tri
+FROM n GROUP BY node"""
+
     sql["emb_pagerank"] = ("""WITH p AS (
     SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
            list_cosine_similarity(a.embedding, b.embedding) AS sim

@@ -540,3 +540,42 @@ def skipgram_topk(ds, k: int = 100, window: int = 3):
         })
 
     return top.map_batches(unpack, batch_format="pyarrow")
+
+
+def kn_continuation(ds):
+    """Kneser–Ney continuation counts: for each token ``w``, the number of
+    DISTINCT tokens that precede it anywhere in the corpus — N1+(·w), the
+    numerator of the KN lower-order distribution (Kneser & Ney 1995,
+    public).  The statistic that separates "frequent but predictable"
+    tokens (high count, few contexts) from genuinely productive ones.
+
+    Shape: per-batch DISTINCT packed bigram codes (np.unique — dedup
+    before anything moves), ONE hash co-shuffle keyed by the SECOND token
+    so each partition owns every context of its tokens, per-partition
+    global dedup + count.  Only (code, cur) distinct-pair rows shuffle,
+    never token arrays."""
+    from aisdb_ray.stages._dist import co_shuffle
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        toks = _valid_tokens(batch)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        empty = pa.table({"code": pa.array([], pa.int64()),
+                          "cur": pa.array([], pa.int64())})
+        if len(toks) == 0:
+            return empty
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat) < 2:
+            return empty
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        same = par[:-1] == par[1:]
+        code = np.unique((flat[:-1] * _SHIFT + flat[1:])[same])
+        return pa.table({"code": code, "cur": code % _SHIFT})
+
+    def per_part(part: pa.Table) -> pa.Table:
+        code = np.unique(part["code"].to_numpy(zero_copy_only=False))
+        cur, n = np.unique(code % _SHIFT, return_counts=True)
+        return pa.table({"token": cur, "n_prev": n.astype(np.int64)})
+
+    partials = ds.map_batches(distinct_pairs, batch_format="pyarrow")
+    return co_shuffle(partials, ["cur"], per_part)
