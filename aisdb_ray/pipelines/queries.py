@@ -2304,6 +2304,20 @@ def q_ev_hll_users(sf_dir: str):
     return sketch.hll_registers(ds, "event_type", "user_id", b=10)
 
 
+def q_ev_hll_overlap(sf_dir: str):
+    """Sketch set algebra: the pairwise-UNION HLL rank histogram for every
+    unordered event-type pair — the mergeability that answers
+    distinct-users-in-(A ∪ B) (and, by inclusion–exclusion, A ∩ B)
+    without re-touching raw events.  Integer-exact registers, so the
+    histogram hash-verifies; the float overlap estimate's accuracy is
+    pinned by pytest (sketch.hll_overlap_estimate)."""
+    from aisdb_ray.stages import sketch
+
+    ds = _events_ds(sf_dir, ["event_type", "user_id"])
+    regs = sketch.hll_registers(ds, "event_type", "user_id", b=10)
+    return sketch.hll_pair_union_hist(regs, "event_type", b=10)
+
+
 def q_ev_distinct_users(sf_dir: str):
     """Exact distinct-key count (A5): per-batch (event_type, user_id)
     dedup partials, then a per-event_type unique count — the distinct set
@@ -6145,6 +6159,7 @@ def build_queries() -> dict:
         "doc_curriculum": q_doc_curriculum,
         "tok_kn_continuation": q_tok_kn_continuation,
         "emb_triangles": q_emb_triangles,
+        "ev_hll_overlap": q_ev_hll_overlap,
         "ev_peak_concurrency": q_ev_peak_concurrency,
         "doc_sample_weighted": q_doc_sample_weighted,
         "q5_local_supplier": q_q5_local_supplier,
@@ -6514,6 +6529,47 @@ SELECT event_type, register,
        CAST(max(CASE WHEN suffix = 0 THEN 55
                      ELSE 55 - length(bin(suffix)) END) AS BIGINT) AS max_rank
 FROM r GROUP BY event_type, register"""
+
+    sql["ev_hll_overlap"] = """WITH h AS (
+    SELECT event_type,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                AS UBIGINT) AS hv
+    FROM events
+  ),
+  r AS (
+    SELECT event_type,
+           CAST(hv >> 54 AS BIGINT) AS register,
+           CAST(hv & ((1::UBIGINT << 54) - 1) AS BIGINT) AS suffix
+    FROM h
+  ),
+  regs AS (
+    SELECT event_type, register,
+           CAST(max(CASE WHEN suffix = 0 THEN 55
+                         ELSE 55 - length(bin(suffix)) END) AS BIGINT)
+             AS max_rank
+    FROM r GROUP BY event_type, register
+  ),
+  types AS (SELECT DISTINCT event_type FROM regs),
+  pairs AS (
+    SELECT a.event_type AS ta, b.event_type AS tb
+    FROM types a JOIN types b ON a.event_type < b.event_type
+  ),
+  u AS (
+    SELECT p.ta, p.tb, g.register, CAST(max(g.max_rank) AS BIGINT) AS mr
+    FROM pairs p JOIN regs g ON g.event_type IN (p.ta, p.tb)
+    GROUP BY p.ta, p.tb, g.register
+  ),
+  nz AS (
+    SELECT ta AS type_a, tb AS type_b, mr AS max_rank,
+           CAST(count(*) AS BIGINT) AS n_regs
+    FROM u GROUP BY ta, tb, mr
+  ),
+  z AS (
+    SELECT ta AS type_a, tb AS type_b, CAST(0 AS BIGINT) AS max_rank,
+           1024 - CAST(count(*) AS BIGINT) AS n_regs
+    FROM u GROUP BY ta, tb HAVING 1024 - count(*) > 0
+  )
+SELECT * FROM nz UNION ALL SELECT * FROM z"""
 
     sql["ts_zones"] = f"""WITH {_sql_zones(tok)}
 SELECT source, doc_id, zone FROM zoned"""

@@ -248,3 +248,82 @@ def hll_distinct(ds, key_col: str, value_col: str, b: int = 10) -> pa.Table:
         [t for t in ray.get(regs.to_arrow_refs()) if t.num_rows]
     )
     return hll_estimate(tbl, key_col, b)
+
+
+def hll_pair_union_hist(registers, key_col: str, b: int = 10):
+    """Sketch set algebra: for every unordered key pair (a < b), the rank
+    HISTOGRAM of the pairwise UNION sketch (register-wise max) — the
+    mergeability property that lets distinct-count questions about ANY
+    union of partitions be answered without touching raw data.  The
+    histogram (max_rank, n_regs) is integer-exact (the hash/rank pipeline
+    is integer end-to-end), so it hash-verifies against the same
+    construction in SQL; rank 0 rows count the untouched registers
+    (m − |touched|) and are emitted only when non-zero.  Intersection
+    estimates (inclusion–exclusion) fold off the histogram —
+    :func:`hll_overlap_estimate`.
+
+    The register table is small by construction (≤ keys × m rows), so the
+    pairing runs as one funneled vectorized task — the standard
+    small-result policy (stages/_dist.funnel_combine docstring)."""
+    m = 1 << b
+
+    def pairs(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        regs = t[REGISTER].to_numpy(zero_copy_only=False).astype(np.int64)
+        ranks = t[MAX_RANK].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(keys)
+        vecs = {}
+        for k in uniq:
+            v = np.zeros(m, dtype=np.int64)
+            sel = keys == k
+            v[regs[sel]] = ranks[sel]
+            vecs[k] = v
+        ta, tb, mr, nr = [], [], [], []
+        for i in range(len(uniq)):
+            for j in range(i + 1, len(uniq)):
+                u = np.maximum(vecs[uniq[i]], vecs[uniq[j]])
+                hist = np.bincount(u, minlength=1)
+                # flatnonzero walks ranks with a non-zero register count —
+                # including rank 0 (the m − |touched| untouched registers)
+                for rank in np.flatnonzero(hist):
+                    ta.append(uniq[i])
+                    tb.append(uniq[j])
+                    mr.append(int(rank))
+                    nr.append(int(hist[rank]))
+        return pa.table({
+            "type_a": pa.array(ta), "type_b": pa.array(tb),
+            "max_rank": pa.array(mr, pa.int64()),
+            "n_regs": pa.array(nr, pa.int64()),
+        })
+
+    return registers.repartition(1).map_batches(
+        pairs, batch_format="pyarrow", batch_size=None
+    )
+
+
+def hll_overlap_estimate(hist: pa.Table, singles: pa.Table, key_col: str,
+                         b: int = 10) -> dict:
+    """|A ∩ B| estimates by inclusion–exclusion: est(A) + est(B) −
+    est(A ∪ B), where est(A ∪ B) folds off the pair-union histogram.
+    Float output — accuracy pinned by tests, not by a hash oracle."""
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est_single = {
+        r[key_col]: r["estimate"]
+        for r in hll_estimate(singles, key_col, b).to_pylist()
+    }
+
+    def fold(ranks: np.ndarray, counts: np.ndarray) -> float:
+        denom = float(np.sum(counts * np.exp2(-ranks.astype(np.float64))))
+        zeros = int(counts[ranks == 0].sum())
+        est = alpha * m * m / denom
+        if est <= 2.5 * m and zeros > 0:
+            est = m * np.log(m / zeros)
+        return float(est)
+
+    out = {}
+    t = hist.to_pandas()
+    for (a, bb), g in t.groupby(["type_a", "type_b"]):
+        union = fold(g["max_rank"].to_numpy(), g["n_regs"].to_numpy())
+        out[(a, bb)] = est_single[a] + est_single[bb] - union
+    return out

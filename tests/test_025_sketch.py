@@ -116,3 +116,39 @@ def test_cms_merge_law():
     )
     pd.testing.assert_frame_equal(merged[full.columns.tolist()], full,
                                   check_dtype=False)
+
+
+def test_hll_pair_union_and_overlap_estimate():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from aisdb_ray.stages import sketch
+
+    rng = np.random.default_rng(31)
+    # two keys with a planted 2000-user overlap
+    a_users = np.arange(0, 6000)
+    b_users = np.arange(4000, 10000)
+    t = pa.table({
+        "event_type": ["a"] * len(a_users) + ["b"] * len(b_users),
+        "user_id": np.r_[a_users, b_users].astype(np.int64),
+    })
+    ds = rd.from_arrow(t)
+    regs = sketch.hll_registers(ds, "event_type", "user_id", b=10)
+    hist_ds = sketch.hll_pair_union_hist(regs, "event_type", b=10)
+    hist = pa.concat_tables(
+        __import__("ray").get(hist_ds.to_arrow_refs()),
+        promote_options="default",
+    )
+    # histogram covers all 1024 registers for the single pair
+    hp = hist.to_pandas()
+    assert set(zip(hp["type_a"], hp["type_b"])) == {("a", "b")}
+    assert hp["n_regs"].sum() == 1024
+
+    singles = pa.concat_tables(
+        __import__("ray").get(regs.to_arrow_refs()), promote_options="default"
+    )
+    est = sketch.hll_overlap_estimate(hist, singles, "event_type", b=10)
+    got = est[("a", "b")]
+    # HLL with m=1024: ±1.04/sqrt(m) ≈ 3.3% per sketch; allow a loose
+    # union-of-errors band on the 2000-user truth
+    assert 1300 < got < 2700, got
