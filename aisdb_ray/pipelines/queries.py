@@ -1353,6 +1353,17 @@ def q_doc_curriculum(sf_dir: str):
     )
 
 
+def q_ts_tier_quantiles(sf_dir: str):
+    """Exact daily p50/p95 of n_tok per source SERVED FROM TIERS: raw →
+    sparse 1h value-histogram tier → 1d reaggregation → quantile finalize
+    (rollup.hist_tier / hist_retier / tier_quantiles).  The oracle scans
+    raw with the same discrete rank rule — tier-served == raw-scan
+    bit-for-bit, the percentile analog of min/max/sum tier exactness."""
+    h1 = rollup.hist_tier(_clean_cached(sf_dir), 3600)
+    d1 = rollup.hist_retier(h1, 86400)
+    return rollup.tier_quantiles(d1, ps=(50, 95))
+
+
 def q_ts_grid_snap(sf_dir: str):
     """Nearest-grid snap (raster-lookup semantics, ceiling-clamp rule of
     the reference's binarysearch_vector): snap each point's epoch to a
@@ -6160,6 +6171,7 @@ def build_queries() -> dict:
         "tok_kn_continuation": q_tok_kn_continuation,
         "emb_triangles": q_emb_triangles,
         "ev_hll_overlap": q_ev_hll_overlap,
+        "ts_tier_quantiles": q_ts_tier_quantiles,
         "ev_peak_concurrency": q_ev_peak_concurrency,
         "doc_sample_weighted": q_doc_sample_weighted,
         "q5_local_supplier": q_q5_local_supplier,
@@ -8948,6 +8960,25 @@ FROM adc ORDER BY rank LIMIT 10"""
                  * CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
             AS BIGINT) AS norm2_fx
 FROM embeddings"""
+
+    sql["ts_tier_quantiles"] = f"""WITH {_sql_tokens_clean(tok)},
+  h AS (
+    SELECT source, (time // 86400) * 86400 AS bucket,
+           CAST(n_tok AS BIGINT) AS v, count(*) AS c
+    FROM clean GROUP BY source, bucket, v
+  ),
+  cw AS (
+    SELECT source, bucket, v,
+           sum(c) OVER (PARTITION BY source, bucket ORDER BY v) AS cum,
+           sum(c) OVER (PARTITION BY source, bucket) AS tot
+    FROM h
+  )
+SELECT source, bucket,
+       CAST(min(CASE WHEN cum >= (50 * tot + 99) // 100 THEN v END)
+            AS BIGINT) AS p50,
+       CAST(min(CASE WHEN cum >= (95 * tot + 99) // 100 THEN v END)
+            AS BIGINT) AS p95
+FROM cw GROUP BY source, bucket"""
 
     sql["ts_hist"] = f"""WITH {_sql_tokens_clean(tok)}
 SELECT (CAST(n_tok AS BIGINT) // 128) * 128 AS bin,

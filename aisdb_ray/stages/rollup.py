@@ -616,3 +616,108 @@ def realtime_rollup(
         width_s, value, time_col, key_col, hash_combine,
     )
     return frozen.union(fresh)
+
+
+# --------------------------------------------------------------------------
+# Sparse value-histogram tiers: exact quantiles served from the cascade
+# --------------------------------------------------------------------------
+
+HVAL = "v"
+HCNT = "c"
+
+
+def _hist_merge(b: pa.Table, key_col: str = SOURCE) -> pa.Table:
+    g = b.group_by([key_col, BUCKET, HVAL], use_threads=False).aggregate(
+        [(HCNT, "sum")]
+    )
+    return g.rename_columns([key_col, BUCKET, HVAL, HCNT])
+
+
+def hist_tier(ds, width_s: int, value: str = N_TOK, time_col: str = TIME,
+              key_col: str = SOURCE):
+    """Sparse value-histogram tier: one (key, bucket, value, count) row per
+    distinct value per window — the mergeable aggregate that makes EXACT
+    quantiles (and modes, and value masks) answerable from the retention
+    cascade instead of raw points, for bounded-domain integer channels
+    like sequence length (TimescaleDB's percentile-agg continuous
+    aggregate, but exact).  Tier width = (key × bucket × distinct values
+    in bucket), independent of row count — the whole point at 10^12 rows.
+    Same algebraic-partial + key-hash-combine shape as :func:`rollup`."""
+    from aisdb_ray.stages._dist import funnel_combine
+
+    def part(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            key_col: b[key_col],
+            BUCKET: _bucket(b[time_col], width_s),
+            HVAL: pc.cast(b[value], pa.int64()),
+        })
+        g = t.group_by([key_col, BUCKET, HVAL], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns([key_col, BUCKET, HVAL, HCNT])
+
+    partials = ds.map_batches(part, batch_format="pyarrow")
+    return funnel_combine(partials, lambda b: _hist_merge(b, key_col),
+                          key_col=key_col, hash_combine=True)
+
+
+def hist_retier(tier, width_s: int, key_col: str = SOURCE):
+    """Reaggregate a histogram tier into wider buckets — exact, because
+    count-per-value is algebraic (1d-from-1h == 1d-from-raw bit-for-bit)."""
+    from aisdb_ray.stages._dist import funnel_combine
+
+    def rebucket(b: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: b[key_col],
+            BUCKET: _bucket(b[BUCKET], width_s),
+            HVAL: b[HVAL],
+            HCNT: b[HCNT],
+        })
+
+    return funnel_combine(tier.map_batches(rebucket, batch_format="pyarrow"),
+                          lambda b: _hist_merge(b, key_col),
+                          key_col=key_col, hash_combine=True)
+
+
+def tier_quantiles(tier, ps=(50, 95), key_col: str = SOURCE):
+    """Exact per-(key, bucket) discrete quantiles off a histogram tier —
+    the (p·tot + 99) // 100 rank rule of the raw-path quantile operators,
+    so tier-served answers equal raw-scan answers bit-for-bit.  One hash
+    co-shuffle on the key; per-partition fully vectorized (global-cumsum
+    searchsorted per group, no Python per group)."""
+    import numpy as np
+
+    from aisdb_ray.stages._dist import co_shuffle
+
+    def per_part(part: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(part, sort_keys=[
+            (key_col, "ascending"), (BUCKET, "ascending"),
+            (HVAL, "ascending"),
+        ])
+        s = part.take(idx)
+        key = s[key_col].to_numpy(zero_copy_only=False)
+        bkt = s[BUCKET].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = s[HVAL].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = s[HCNT].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(v)
+        cols = {key_col: pa.array([], pa.string()),
+                BUCKET: pa.array([], pa.int64())}
+        if n == 0:
+            for p in ps:
+                cols[f"p{p}"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        new = np.r_[True, (key[1:] != key[:-1]) | (bkt[1:] != bkt[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], n]
+        cum = np.cumsum(c)
+        base = np.where(starts > 0, cum[starts - 1], 0)
+        tot = cum[ends - 1] - base
+        cols = {key_col: pa.array(key[starts]),
+                BUCKET: pa.array(bkt[starts])}
+        for p in ps:
+            rank = (p * tot + 99) // 100
+            pos = np.searchsorted(cum, base + rank, side="left")
+            cols[f"p{p}"] = pa.array(v[pos])
+        return pa.table(cols)
+
+    return co_shuffle(tier, [key_col], per_part)

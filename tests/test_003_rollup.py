@@ -239,3 +239,47 @@ def test_first_per_bucket_reconstruction(micro_dir, micro_df):
     assert len(got) == len(want)
     for c in ["source", "bucket", "time", "seq", "n_tok"]:
         np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy(), err_msg=c)
+
+
+def test_hist_tier_quantiles_match_raw():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from aisdb_ray.stages import rollup
+
+    rng = np.random.default_rng(41)
+    n = 30_000
+    df = pd.DataFrame({
+        "source": rng.choice([f"s{i}" for i in range(6)], n),
+        "time": rng.integers(0, 5 * 86400, n).astype(np.int64),
+        "n_tok": rng.integers(1, 400, n).astype(np.int32),
+    })
+    ds = rd.from_pandas(df).repartition(8)
+    h1 = rollup.hist_tier(ds, 3600)
+    d1 = rollup.hist_retier(h1, 86400)
+    got = rollup.tier_quantiles(d1, ps=(50, 95)).to_pandas()
+    got = got.sort_values(["source", "bucket"]).reset_index(drop=True)
+
+    def q(vals, p):
+        v = np.sort(vals)
+        tot = len(v)
+        rank = (p * tot + 99) // 100
+        return int(v[rank - 1])
+
+    df["bucket"] = (df["time"] // 86400) * 86400
+    want = (df.groupby(["source", "bucket"])
+            .agg(p50=("n_tok", lambda s: q(s.to_numpy(), 50)),
+                 p95=("n_tok", lambda s: q(s.to_numpy(), 95)))
+            .reset_index().sort_values(["source", "bucket"])
+            .reset_index(drop=True))
+    assert len(got) == len(want)
+    for c in ["p50", "p95"]:
+        np.testing.assert_array_equal(
+            got[c].to_numpy(np.int64), want[c].to_numpy(np.int64), err_msg=c
+        )
+    # tier-from-tier == tier-from-raw (associativity of count-per-value)
+    direct = rollup.tier_quantiles(
+        rollup.hist_tier(ds, 86400), ps=(50, 95)
+    ).to_pandas().sort_values(["source", "bucket"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, direct)
