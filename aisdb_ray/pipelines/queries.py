@@ -1364,6 +1364,15 @@ def q_ts_tier_quantiles(sf_dir: str):
     return rollup.tier_quantiles(d1, ps=(50, 95))
 
 
+def q_ts_tier_mode(sf_dir: str):
+    """Exact daily mode of n_tok per source served from the SAME sparse
+    1h→1d histogram tier as ts_tier_quantiles (ties → smallest value) —
+    one tier, many analytics."""
+    h1 = rollup.hist_tier(_clean_cached(sf_dir), 3600)
+    d1 = rollup.hist_retier(h1, 86400)
+    return rollup.tier_mode(d1)
+
+
 def q_ts_grid_snap(sf_dir: str):
     """Nearest-grid snap (raster-lookup semantics, ceiling-clamp rule of
     the reference's binarysearch_vector): snap each point's epoch to a
@@ -6172,6 +6181,7 @@ def build_queries() -> dict:
         "emb_triangles": q_emb_triangles,
         "ev_hll_overlap": q_ev_hll_overlap,
         "ts_tier_quantiles": q_ts_tier_quantiles,
+        "ts_tier_mode": q_ts_tier_mode,
         "ev_peak_concurrency": q_ev_peak_concurrency,
         "doc_sample_weighted": q_doc_sample_weighted,
         "q5_local_supplier": q_q5_local_supplier,
@@ -8979,6 +8989,20 @@ SELECT source, bucket,
        CAST(min(CASE WHEN cum >= (95 * tot + 99) // 100 THEN v END)
             AS BIGINT) AS p95
 FROM cw GROUP BY source, bucket"""
+
+    sql["ts_tier_mode"] = f"""WITH {_sql_tokens_clean(tok)},
+  h AS (
+    SELECT source, (time // 86400) * 86400 AS bucket,
+           CAST(n_tok AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+    FROM clean GROUP BY source, bucket, v
+  ),
+  r AS (
+    SELECT source, bucket, v, c,
+           row_number() OVER (PARTITION BY source, bucket
+                              ORDER BY c DESC, v ASC) AS rn
+    FROM h
+  )
+SELECT source, bucket, v AS mode, c AS mode_n FROM r WHERE rn = 1"""
 
     sql["ts_hist"] = f"""WITH {_sql_tokens_clean(tok)}
 SELECT (CAST(n_tok AS BIGINT) // 128) * 128 AS bin,

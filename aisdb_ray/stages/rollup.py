@@ -721,3 +721,33 @@ def tier_quantiles(tier, ps=(50, 95), key_col: str = SOURCE):
         return pa.table(cols)
 
     return co_shuffle(tier, [key_col], per_part)
+
+
+def tier_mode(tier, key_col: str = SOURCE):
+    """Exact per-(key, bucket) MODE off a histogram tier (ties → smallest
+    value, the modeagg.py rule) — a second tier-served analytic on the
+    same sparse count-per-value aggregate.  Vectorized per partition:
+    sort by (key, bucket, count desc, v asc) and take group heads."""
+    import numpy as np
+
+    from aisdb_ray.stages._dist import co_shuffle
+
+    def per_part(part: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(part, sort_keys=[
+            (key_col, "ascending"), (BUCKET, "ascending"),
+            (HCNT, "descending"), (HVAL, "ascending"),
+        ])
+        s = part.take(idx)
+        key = s[key_col].to_numpy(zero_copy_only=False)
+        bkt = s[BUCKET].to_numpy(zero_copy_only=False)
+        if len(key) == 0:
+            return pa.table({key_col: pa.array([], pa.string()),
+                             BUCKET: pa.array([], pa.int64()),
+                             "mode": pa.array([], pa.int64()),
+                             "mode_n": pa.array([], pa.int64())})
+        head = np.r_[True, (key[1:] != key[:-1]) | (bkt[1:] != bkt[:-1])]
+        h = s.filter(pa.array(head))
+        return pa.table({key_col: h[key_col], BUCKET: h[BUCKET],
+                         "mode": h[HVAL], "mode_n": h[HCNT]})
+
+    return co_shuffle(tier, [key_col], per_part)
