@@ -124,7 +124,7 @@ def run_bench() -> dict:
     # standalone query timings (no materialized tiers); skipped during
     # scaling trials (GRAFT_BENCH_QUERIES=0) — they are informational and
     # would triple each trial's wall time
-    rollup_s = gapfill_s = rolling_s = corpus_s = None
+    rollup_s = gapfill_s = rolling_s = corpus_s = sort_s = None
     corpus_rows = 0
     if os.environ.get("GRAFT_BENCH_QUERIES", "1") != "0":
         def prepared():
@@ -156,6 +156,25 @@ def run_bench() -> dict:
             skinny, "source", "time", "n_tok", 300
         ).count()
         rolling_s = time.time() - t0
+
+        # global total order (TeraSort shape): exact row ranks under
+        # ORDER BY (time, source, doc_id) — the all-to-all sort benchmark
+        from aisdb_ray.stages import ranksort
+
+        t0 = time.time()
+        ranksort.global_rank(
+            skinny.map_batches(
+                lambda b: b.select(["source", "doc_id", "time", "n_tok"]),
+                batch_format="pyarrow",
+            ),
+            ["time", "source", "doc_id"],
+            staging_dir=(
+                f"/dev/shm/aisdb_ray_bench/ranksort-cpus{CPUS}"
+                if os.path.isdir("/dev/shm")
+                else f"/tmp/aisdb_ray_bench/ranksort-cpus{CPUS}"
+            ),
+        ).count()
+        sort_s = time.time() - t0
 
         # the documents-side flagship: resumable corpus build (scrub ->
         # gate -> content-hash route -> dedup -> langid -> chunk) over
@@ -196,6 +215,7 @@ def run_bench() -> dict:
             **({"rollup_1h": round(rollup_s, 3)} if rollup_s is not None else {}),
             **({"gapfill": round(gapfill_s, 3)} if gapfill_s is not None else {}),
             **({"rolling": round(rolling_s, 3)} if rolling_s is not None else {}),
+            **({"global_sort": round(sort_s, 3)} if sort_s is not None else {}),
             **({"corpus_build": round(corpus_s, 3)} if corpus_s is not None else {}),
             **{f"stage:{k}": v for k, v in sorted(stage_walls.items())
                if not k.startswith("_")},  # bookkeeping records aren't stages
