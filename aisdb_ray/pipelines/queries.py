@@ -4587,6 +4587,33 @@ def q_ts_co_outage(sf_dir: str):
     )
 
 
+def q_ts_outage_blankets(sf_dir: str):
+    """Interval coalesce (gaps-and-islands UNION): pad every ≥30-min
+    silence window ±15 min (the alert-blanket rule) and merge
+    overlapping-or-touching blankets per source into maximal disjoint
+    maintenance windows — join.coalesce_intervals, one key co-shuffle,
+    segmented-cummax island detection."""
+    from aisdb_ray.stages import join as join_mod
+    from aisdb_ray.stages import window
+
+    _ctx()
+    d = window.group_deltas(_clean_cached(sf_dir), "source", "time", "seq")
+
+    def blankets(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["dt"], pa.scalar(1800)))
+        pad = pa.scalar(900, pa.int64())
+        return pa.table(
+            {
+                "source": b["source"],
+                "bs": pc.subtract(pc.subtract(b["time"], b["dt"]), pad),
+                "be": pc.add(b["time"], pad),
+            }
+        )
+
+    iv = d.map_batches(blankets, batch_format="pyarrow")
+    return join_mod.coalesce_intervals(iv, key="source", start="bs", end="be")
+
+
 # the ts_pattern_topk query shape: a burst ramp in the n_tok channel
 _PATTERN_Q = [512, 768, 1024, 1536, 2048, 1536, 1024, 768]
 
@@ -6182,6 +6209,7 @@ def build_queries() -> dict:
         "ev_hll_overlap": q_ev_hll_overlap,
         "ts_tier_quantiles": q_ts_tier_quantiles,
         "ts_tier_mode": q_ts_tier_mode,
+        "ts_outage_blankets": q_ts_outage_blankets,
         "ev_peak_concurrency": q_ev_peak_concurrency,
         "doc_sample_weighted": q_doc_sample_weighted,
         "q5_local_supplier": q_q5_local_supplier,
@@ -7508,6 +7536,39 @@ FROM p GROUP BY source"""
 SELECT source, time, seq, n_tok, hod, resid FROM r
 QUALIFY row_number() OVER (PARTITION BY source
                            ORDER BY abs(resid) DESC, time ASC, seq ASC) <= 5"""
+
+    sql["ts_outage_blankets"] = f"""WITH {_sql_tokens_clean(tok)},
+  d AS (
+    SELECT source, time,
+           time - lag(time) OVER (PARTITION BY source ORDER BY time, seq)
+             AS dt
+    FROM clean
+  ),
+  g AS (SELECT source, time - dt - 900 AS bs, time + 900 AS be
+        FROM d WHERE dt >= 1800),
+  s AS (
+    SELECT source, bs, be,
+           max(be) OVER (PARTITION BY source ORDER BY bs, be
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_max
+    FROM g
+  ),
+  i AS (
+    SELECT source, bs, be,
+           CASE WHEN prev_max IS NULL OR bs > prev_max THEN 1 ELSE 0 END
+             AS brk
+    FROM s
+  ),
+  isl AS (
+    SELECT source, bs, be,
+           sum(brk) OVER (PARTITION BY source ORDER BY bs, be) AS island
+    FROM i
+  )
+SELECT source,
+       CAST(min(bs) AS BIGINT) AS w_start,
+       CAST(max(be) AS BIGINT) AS w_end,
+       CAST(count(*) AS BIGINT) AS n_merged
+FROM isl GROUP BY source, island"""
 
     sql["ts_co_outage"] = f"""WITH {_sql_tokens_clean(tok)},
   d AS (

@@ -649,3 +649,63 @@ def _ranges_within(reps: np.ndarray) -> np.ndarray:
     starts = np.zeros(total, dtype=np.int64)
     starts[np.cumsum(reps)[:-1]] = reps[:-1]
     return np.arange(total, dtype=np.int64) - np.cumsum(starts)
+
+
+def coalesce_intervals(intervals, key: str, start: str, end: str,
+                       num_parts: int | None = None):
+    """Merge transitively overlapping-or-touching intervals per key into
+    maximal disjoint windows (the gaps-and-islands UNION — alert blanket
+    windows, maintenance windows, validity-range compaction).  Output:
+    (key, w_start, w_end, n_merged).
+
+    One key-keyed co-shuffle; per partition fully vectorized: sort by
+    (key, start, end), running max of end with per-key reset, a new
+    island exactly where start exceeds the running max (touching merges),
+    then one grouped min/max/count over island ids."""
+    import pyarrow.compute as pc
+
+    from aisdb_ray.stages._dist import co_shuffle
+
+    def per_part(part: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(part, sort_keys=[
+            (key, "ascending"), (start, "ascending"), (end, "ascending"),
+        ])
+        t = part.take(idx)
+        k = t[key].to_numpy(zero_copy_only=False)
+        s = t[start].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t[end].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(k)
+        if n == 0:
+            return pa.table({key: t[key],
+                             "w_start": pa.array([], pa.int64()),
+                             "w_end": pa.array([], pa.int64()),
+                             "n_merged": pa.array([], pa.int64())})
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        # segmented cummax of end (reset per key), fully vectorized: add a
+        # per-group base so np.maximum.accumulate can't leak across groups
+        neg = np.iinfo(np.int64).min
+        grp = np.cumsum(new_key) - 1
+        if np.abs(e).max() >= (1 << 41):
+            raise OverflowError("coalesce_intervals: end values too large "
+                                "for the segmented-cummax base trick")
+        base = grp * (1 << 42)
+        cmax = np.maximum.accumulate(e + base) - base
+        prev_max = np.r_[neg, cmax[:-1]]
+        prev_max[new_key] = neg  # a key's first interval always opens an island
+        island = np.cumsum((s > prev_max) | new_key)
+        out = pa.table({
+            key: t[key], "_isl": pa.array(island),
+            "w_start": pa.array(s), "w_end": pa.array(e),
+        })
+        g = out.group_by([key, "_isl"], use_threads=False).aggregate([
+            ("w_start", "min"), ("w_end", "max"), ([], "count_all"),
+        ])
+        g = g.rename_columns([key, "_isl", "w_start", "w_end", "n_merged"])
+        return pa.table({
+            key: g[key],
+            "w_start": g["w_start"],
+            "w_end": g["w_end"],
+            "n_merged": pc.cast(g["n_merged"], pa.int64()),
+        })
+
+    return co_shuffle(intervals, [key], per_part, num_parts)

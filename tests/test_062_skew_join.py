@@ -109,3 +109,59 @@ def test_skew_join_multi_key():
     np.testing.assert_array_equal(
         got["rv"].to_numpy(np.int64), want["rv"].to_numpy(np.int64)
     )
+
+
+def test_coalesce_intervals_bruteforce():
+    rng = np.random.default_rng(29)
+    n = 3_000
+    s = rng.integers(0, 10_000, n).astype(np.int64)
+    length = rng.integers(0, 300, n).astype(np.int64)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], n),
+        "s": s,
+        "e": s + length,  # includes zero-length and nested intervals
+    })
+    got = join_mod.coalesce_intervals(
+        rd.from_pandas(df).repartition(6), key="k", start="s", end="e"
+    ).to_pandas().sort_values(["k", "w_start"]).reset_index(drop=True)
+
+    want_rows = []
+    for k, g in df.groupby("k"):
+        ivs = sorted(zip(g["s"], g["e"]))
+        cur_s, cur_e, cnt = None, None, 0
+        for a, b in ivs:
+            if cur_s is None:
+                cur_s, cur_e, cnt = a, b, 1
+            elif a <= cur_e:  # overlapping or touching merges
+                cur_e = max(cur_e, b)
+                cnt += 1
+            else:
+                want_rows.append((k, cur_s, cur_e, cnt))
+                cur_s, cur_e, cnt = a, b, 1
+        if cur_s is not None:
+            want_rows.append((k, cur_s, cur_e, cnt))
+    want = pd.DataFrame(want_rows, columns=["k", "w_start", "w_end", "n_merged"])
+    want = want.sort_values(["k", "w_start"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in ["w_start", "w_end", "n_merged"]:
+        np.testing.assert_array_equal(
+            got[c].to_numpy(np.int64), want[c].to_numpy(np.int64), err_msg=c
+        )
+    # disjointness: within a key, next start strictly exceeds previous end
+    for _, g in got.groupby("k"):
+        g = g.sort_values("w_start")
+        assert (g["w_start"].to_numpy()[1:] > g["w_end"].to_numpy()[:-1]).all()
+
+
+def test_coalesce_intervals_touching_merge():
+    df = pd.DataFrame({
+        "k": ["x", "x", "x"],
+        "s": np.array([0, 10, 25], np.int64),
+        "e": np.array([10, 20, 30], np.int64),
+    })
+    got = join_mod.coalesce_intervals(
+        rd.from_pandas(df), key="k", start="s", end="e"
+    ).to_pandas().sort_values("w_start").reset_index(drop=True)
+    assert got[["w_start", "w_end", "n_merged"]].values.tolist() == [
+        [0, 20, 2], [25, 30, 1]
+    ]
