@@ -1328,6 +1328,20 @@ def q_ts_global_rank(sf_dir: str):
     )
 
 
+def q_doc_dup_spans(sf_dir: str):
+    """Exact duplicated-substring spans (Lee et al. 2022 suffix-array
+    dedup criterion as a shared-nothing n-gram pipeline): every 40-byte
+    window occurring ≥ 2 times anywhere in the corpus marks its
+    position; marked positions coalesce into maximal spans per doc —
+    stages/dupspans.py (stride-tricks windows → one gram-routed
+    exchange → np.unique mark → interval coalesce)."""
+    from aisdb_ray.stages import dupspans
+
+    _ctx()
+    docs = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return dupspans.duplicated_spans(docs, L=40)
+
+
 def q_doc_curriculum(sf_dir: str):
     """Curriculum sharding: order the corpus globally by a difficulty
     proxy (whitespace token count, doc_id tiebreak) and cut it into 10
@@ -6210,6 +6224,7 @@ def build_queries() -> dict:
         "ts_tier_quantiles": q_ts_tier_quantiles,
         "ts_tier_mode": q_ts_tier_mode,
         "ts_outage_blankets": q_ts_outage_blankets,
+        "doc_dup_spans": q_doc_dup_spans,
         "ev_peak_concurrency": q_ev_peak_concurrency,
         "doc_sample_weighted": q_doc_sample_weighted,
         "q5_local_supplier": q_q5_local_supplier,
@@ -6728,6 +6743,40 @@ SELECT source, doc_id, time, CAST(n_tok AS BIGINT) AS n_tok,
        CAST(row_number() OVER (ORDER BY time, source, doc_id) AS BIGINT)
          AS rownum
 FROM clean"""
+
+    sql["doc_dup_spans"] = """WITH g AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS i,
+           substr(text, CAST(i AS BIGINT), 40) AS gram
+    FROM documents, UNNEST(range(1, length(text) - 40 + 2)) AS r(i)
+    WHERE length(text) >= 40
+  ),
+  d AS (
+    SELECT doc_id, i AS ps, i + 40 AS pe FROM g
+    QUALIFY count(*) OVER (PARTITION BY gram) >= 2
+  ),
+  s AS (
+    SELECT doc_id, ps, pe,
+           max(pe) OVER (PARTITION BY doc_id ORDER BY ps, pe
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_max
+    FROM d
+  ),
+  i2 AS (
+    SELECT doc_id, ps, pe,
+           CASE WHEN prev_max IS NULL OR ps > prev_max THEN 1 ELSE 0 END
+             AS brk
+    FROM s
+  ),
+  isl AS (
+    SELECT doc_id, ps, pe,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY ps, pe) AS island
+    FROM i2
+  )
+SELECT doc_id,
+       CAST(min(ps) AS BIGINT) AS w_start,
+       CAST(max(pe) AS BIGINT) AS w_end,
+       CAST(count(*) AS BIGINT) AS n_merged
+FROM isl GROUP BY doc_id, island"""
 
     sql["doc_curriculum"] = r"""WITH c AS (
   SELECT doc_id,

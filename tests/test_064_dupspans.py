@@ -1,0 +1,87 @@
+"""Exact duplicated-substring spans vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from aisdb_ray.stages import dupspans
+
+
+def _brute(texts: dict, L: int):
+    from collections import Counter
+
+    grams = Counter()
+    for t in texts.values():
+        for i in range(len(t) - L + 1):
+            grams[t[i:i + L]] += 1
+    spans = {}
+    for d, t in texts.items():
+        # 1-based window starts, exclusive-ish end = start + L (the
+        # engine/SQL convention)
+        marked = [i + 1 for i in range(len(t) - L + 1)
+                  if grams[t[i:i + L]] >= 2]
+        out = []
+        for p in marked:
+            if out and p <= out[-1][1]:
+                out[-1] = (out[-1][0], max(out[-1][1], p + L), out[-1][2] + 1)
+            else:
+                out.append((p, p + L, 1))
+        if out:
+            spans[d] = out
+    return spans
+
+
+def _run(texts: dict, L: int):
+    t = pa.table({"doc_id": list(texts), "text": list(texts.values())})
+    got = dupspans.duplicated_spans(
+        rd.from_arrow(t).repartition(3), L=L
+    ).to_pandas()
+    if got.empty:
+        return {}
+    got = got.sort_values(["doc_id", "w_start"])
+    out = {}
+    for d, g in got.groupby("doc_id"):
+        out[d] = list(zip(g["w_start"].astype(int), g["w_end"].astype(int),
+                          g["n_merged"].astype(int)))
+    return out
+
+
+def test_dup_spans_planted():
+    boiler = "SUBSCRIBE TO OUR NEWSLETTER FOR MORE DAILY UPDATES NOW"
+    texts = {
+        "a": "unique text one " + boiler + " tail a",
+        "b": "other content " + boiler + " and more here",
+        "c": "totally unrelated document with its own words only",
+        "d": boiler + boiler,  # self-repeat inside one doc
+    }
+    L = 20
+    assert _run(texts, L) == _brute(texts, L)
+
+
+def test_dup_spans_random_bruteforce():
+    rng = np.random.default_rng(17)
+    alpha = "ab"  # tiny alphabet forces plenty of natural repeats
+    texts = {
+        f"d{i}": "".join(rng.choice(list(alpha), rng.integers(10, 120)))
+        for i in range(30)
+    }
+    for L in (5, 12):
+        assert _run(texts, L) == _brute(texts, L), L
+
+
+def test_dup_spans_short_L_routing():
+    # L < 8 exercises the padded route-key branch
+    texts = {"a": "xyzxyzxyz", "b": "qqxyzqq"}
+    assert _run(texts, 3) == _brute(texts, 3)
+
+
+def test_dup_spans_no_cross_doc_windows():
+    # identical halves placed so a window could only match if it crossed
+    # the doc boundary in the concatenated batch buffer
+    texts = {"a": "AAAABBBB", "b": "BBBBCCCC", "c": "zz"}
+    L = 8
+    got = _run(texts, L)
+    assert got == _brute(texts, L) == {}
