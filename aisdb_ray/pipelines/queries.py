@@ -1342,6 +1342,27 @@ def q_doc_dup_spans(sf_dir: str):
     return dupspans.duplicated_spans(docs, L=40)
 
 
+def q_doc_dedup_substrings(sf_dir: str):
+    """The Lee et al. action step: CUT every duplicated 40-byte-window
+    span out of every document (spans from doc_dup_spans, broadcast once;
+    the corpus streams map-side, no shuffle) — output the deduplicated
+    text + bytes removed per doc."""
+    from aisdb_ray.stages import dupspans
+
+    _ctx()
+    docs = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    spans_ds = dupspans.duplicated_spans(docs, L=40)
+    refs = ray.get(spans_ds.to_arrow_refs())
+    if refs:
+        spans = pa.concat_tables(refs, promote_options="default")
+    else:
+        spans = pa.table({"doc_id": pa.array([], pa.string()),
+                          "w_start": pa.array([], pa.int64()),
+                          "w_end": pa.array([], pa.int64())})
+    docs2 = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return dupspans.remove_spans(docs2, spans)
+
+
 def q_doc_curriculum(sf_dir: str):
     """Curriculum sharding: order the corpus globally by a difficulty
     proxy (whitespace token count, doc_id tiebreak) and cut it into 10
@@ -6225,6 +6246,7 @@ def build_queries() -> dict:
         "ts_tier_mode": q_ts_tier_mode,
         "ts_outage_blankets": q_ts_outage_blankets,
         "doc_dup_spans": q_doc_dup_spans,
+        "doc_dedup_substrings": q_doc_dedup_substrings,
         "ev_peak_concurrency": q_ev_peak_concurrency,
         "doc_sample_weighted": q_doc_sample_weighted,
         "q5_local_supplier": q_q5_local_supplier,
@@ -6777,6 +6799,70 @@ SELECT doc_id,
        CAST(max(pe) AS BIGINT) AS w_end,
        CAST(count(*) AS BIGINT) AS n_merged
 FROM isl GROUP BY doc_id, island"""
+
+    sql["doc_dedup_substrings"] = """WITH g AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS i,
+           substr(text, CAST(i AS BIGINT), 40) AS gram
+    FROM documents, UNNEST(range(1, length(text) - 40 + 2)) AS r(i)
+    WHERE length(text) >= 40
+  ),
+  d AS (
+    SELECT doc_id, i AS ps, i + 40 AS pe FROM g
+    QUALIFY count(*) OVER (PARTITION BY gram) >= 2
+  ),
+  s AS (
+    SELECT doc_id, ps, pe,
+           max(pe) OVER (PARTITION BY doc_id ORDER BY ps, pe
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_max
+    FROM d
+  ),
+  i2 AS (
+    SELECT doc_id, ps, pe,
+           CASE WHEN prev_max IS NULL OR ps > prev_max THEN 1 ELSE 0 END
+             AS brk
+    FROM s
+  ),
+  isl AS (
+    SELECT doc_id, ps, pe,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY ps, pe) AS island
+    FROM i2
+  ),
+  spans AS (
+    SELECT doc_id, CAST(min(ps) AS BIGINT) AS ws, CAST(max(pe) AS BIGINT) AS we
+    FROM isl GROUP BY doc_id, island
+  ),
+  segb AS (
+    SELECT doc_id, ws, we,
+           lag(we, 1, 1) OVER (PARTITION BY doc_id ORDER BY ws) AS seg_start
+    FROM spans
+  ),
+  pieces AS (
+    SELECT sb.doc_id,
+           substr(dd.text, CAST(sb.seg_start AS BIGINT),
+                  CAST(sb.ws - sb.seg_start AS BIGINT)) AS piece,
+           sb.seg_start AS ord
+    FROM segb sb JOIN documents dd USING (doc_id)
+    UNION ALL
+    SELECT t.doc_id, substr(dd.text, CAST(t.mx AS BIGINT)) AS piece,
+           t.mx AS ord
+    FROM (SELECT doc_id, max(we) AS mx FROM spans GROUP BY doc_id) t
+    JOIN documents dd USING (doc_id)
+  ),
+  agg AS (
+    SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS clean_text
+    FROM pieces GROUP BY doc_id
+  ),
+  rem AS (
+    SELECT doc_id, CAST(sum(we - ws) AS BIGINT) AS removed_bytes
+    FROM spans GROUP BY doc_id
+  )
+SELECT dd.doc_id,
+       COALESCE(a.clean_text, dd.text) AS clean_text,
+       COALESCE(r.removed_bytes, 0) AS removed_bytes
+FROM documents dd
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN rem r USING (doc_id)"""
 
     sql["doc_curriculum"] = r"""WITH c AS (
   SELECT doc_id,

@@ -110,3 +110,49 @@ def duplicated_spans(ds, L: int = 40, text_col: str = "text",
     dups = co_shuffle(wins, ["gh"], mark_dups, num_parts)
     return coalesce_intervals(dups, key=id_col, start="ps", end="pe",
                               num_parts=num_parts)
+
+
+def remove_spans(ds, spans: pa.Table, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """Apply duplicated-span removal (the Lee et al. action step): cut
+    every byte in [w_start, w_end) — 1-based, end-exclusive — from each
+    document, keeping everything else in order.  ``spans`` is the (small
+    by construction — one row per maximal duplicated region) output of
+    :func:`duplicated_spans`, broadcast once via ``ray.put``; the corpus
+    streams through ``map_batches`` and never shuffles.  Output:
+    (doc_id, clean_text, removed_bytes)."""
+    import ray
+
+    by_doc: dict = {}
+    for r in spans.select([id_col, "w_start", "w_end"]).to_pylist():
+        by_doc.setdefault(r[id_col], []).append(
+            (int(r["w_start"]), int(r["w_end"]))
+        )
+    spans_ref = ray.put(by_doc)
+
+    def cut(batch: pa.Table) -> pa.Table:
+        sp = ray.get(spans_ref)
+        texts = pc.cast(batch[text_col], pa.binary()).to_pylist()
+        ids = batch[id_col].to_pylist()
+        out_text, removed = [], []
+        for d, t in zip(ids, texts):
+            ivs = sp.get(d)
+            if not ivs:
+                out_text.append(t)
+                removed.append(0)
+                continue
+            mask = np.ones(len(t), dtype=bool)
+            for ws, we in ivs:
+                mask[ws - 1:we - 1] = False
+            arr = np.frombuffer(t, dtype=np.uint8)
+            kept = arr[mask].tobytes()
+            out_text.append(kept)
+            removed.append(len(t) - len(kept))
+        return pa.table({
+            id_col: batch[id_col],
+            "clean_text": pc.cast(pa.array(out_text, pa.binary()),
+                                  pa.string()),
+            "removed_bytes": pa.array(removed, pa.int64()),
+        })
+
+    return ds.map_batches(cut, batch_format="pyarrow")

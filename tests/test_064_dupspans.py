@@ -85,3 +85,37 @@ def test_dup_spans_no_cross_doc_windows():
     L = 8
     got = _run(texts, L)
     assert got == _brute(texts, L) == {}
+
+
+def test_remove_spans_matches_bruteforce():
+    import ray
+
+    boiler = "REPEATED BLOCK OF TEXT THAT APPEARS EVERYWHERE"
+    texts = {
+        "a": "start " + boiler + " middle " + boiler + " done",
+        "b": "prefix " + boiler + " suffix",
+        "c": "clean document with nothing repeated in it",
+    }
+    L = 20
+    t = pa.table({"doc_id": list(texts), "text": list(texts.values())})
+    ds = rd.from_arrow(t)
+    spans_ds = dupspans.duplicated_spans(ds, L=L)
+    spans = pa.concat_tables(ray.get(spans_ds.to_arrow_refs()),
+                             promote_options="default")
+    got = dupspans.remove_spans(rd.from_arrow(t), spans).to_pandas()
+    got = got.set_index("doc_id")
+
+    bf = _brute(texts, L)
+    for d, txt in texts.items():
+        mask = [True] * len(txt)
+        removed = 0
+        for ws, we, _ in bf.get(d, []):
+            for p in range(ws - 1, we - 1):
+                if mask[p]:
+                    mask[p] = False
+                    removed += 1
+        want = "".join(ch for ch, m in zip(txt, mask) if m)
+        assert got.loc[d, "clean_text"] == want, d
+        assert got.loc[d, "removed_bytes"] == removed, d
+    assert got.loc["c", "removed_bytes"] == 0
+    assert (got["removed_bytes"] > 0).sum() >= 2
