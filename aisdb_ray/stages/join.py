@@ -307,11 +307,16 @@ def skew_join(
         promote_options="default",
     )
     rh_ref = ray.put(right_hot)
+    # capture only the (empty) schema in the closure — capturing right_hot
+    # itself would ship the whole build slice inside the serialized
+    # function, defeating the ray.put broadcast
+    rh_empty = right_hot.schema.empty_table()
+    del right_hot
 
     def join_hot(b: pa.Table) -> pa.Table:
         lt = split(b, True)
         if len(lt) == 0:
-            return lt.join(right_hot.slice(0, 0), keys=keys,
+            return lt.join(rh_empty, keys=keys,
                            join_type="inner").select(out_cols)
         return lt.join(ray.get(rh_ref), keys=keys,
                        join_type="inner").select(out_cols)

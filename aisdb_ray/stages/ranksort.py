@@ -49,6 +49,11 @@ def _encode_order_keys(b: pa.Table, order_cols: list[str]) -> np.ndarray:
     parts = []
     for c in order_cols:
         col = b[c]
+        if b.num_rows and col.null_count:
+            raise ValueError(
+                f"global_rank: order column {c!r} contains nulls — SQL "
+                "NULL ordering is dialect-dependent; filter or fill first"
+            )
         if pa.types.is_integer(col.type):
             lo = pc.min(col).as_py() if b.num_rows else 0
             if lo is not None and lo < 0:
