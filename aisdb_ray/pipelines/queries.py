@@ -2527,6 +2527,53 @@ def q_seg_revenue(sf_dir: str):
     return grouped_sums(ds, ["c_mktsegment"], ["revenue_cents"], count_as="n_orders")
 
 
+def q_q6_forecast(sf_dir: str):
+    """TPC-H Q6 (forecasting revenue change): Σ extendedprice·discount
+    over 1996-shipped lines with discount in [5%, 7%] and quantity < 24
+    — ONE exact int64 (cents·pct) scalar off a filtered scan; the
+    predicate prunes map-side, only one partial row per batch moves."""
+    from aisdb_ray.stages._dist import funnel_combine
+
+    _ctx()
+    Y0 = 820454400 * 1_000_000   # 1996-01-01 UTC in us
+    Y1 = 852076800 * 1_000_000   # 1997-01-01 UTC in us
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    )
+
+    def part(b: pa.Table) -> pa.Table:
+        sd = pc.cast(b["l_shipdate"], pa.int64())
+        dis = pc.cast(pc.round(pc.multiply(b["l_discount"],
+                                           pa.scalar(100.0))), pa.int64())
+        qty = pc.cast(pc.round(b["l_quantity"]), pa.int64())
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(sd, pa.scalar(Y0, pa.int64())),
+                    pc.less(sd, pa.scalar(Y1, pa.int64()))),
+            pc.and_(
+                pc.and_(pc.greater_equal(dis, pa.scalar(5, pa.int64())),
+                        pc.less_equal(dis, pa.scalar(7, pa.int64()))),
+                pc.less(qty, pa.scalar(24, pa.int64())),
+            ),
+        )
+        b2 = b.filter(keep)
+        ep = pc.cast(pc.round(pc.multiply(b2["l_extendedprice"],
+                                          pa.scalar(100.0))), pa.int64())
+        d2 = pc.cast(pc.round(pc.multiply(b2["l_discount"],
+                                          pa.scalar(100.0))), pa.int64())
+        rev = pc.sum(pc.multiply(ep, d2))
+        v = rev.as_py() or 0
+        return pa.table({"revenue_e4": pa.array([v], pa.int64())})
+
+    def merge(b: pa.Table) -> pa.Table:
+        return pa.table({"revenue_e4": pa.array(
+            [pc.sum(b["revenue_e4"]).as_py() or 0], pa.int64())})
+
+    return funnel_combine(li.map_batches(part, batch_format="pyarrow"),
+                          merge)
+
+
 def q_q3_shipping(sf_dir: str):
     """TPC-H Q3 (shipping priority), adapted to the synthetic schema: the
     three-table customer⟕orders⟕lineitem pipeline — top-10 unshipped
@@ -6247,6 +6294,7 @@ def build_queries() -> dict:
         "ts_outage_blankets": q_ts_outage_blankets,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_dedup_substrings": q_doc_dedup_substrings,
+        "q6_forecast": q_q6_forecast,
         "ev_peak_concurrency": q_ev_peak_concurrency,
         "doc_sample_weighted": q_doc_sample_weighted,
         "q5_local_supplier": q_q5_local_supplier,
@@ -8125,6 +8173,16 @@ WHERE c_custkey = o_custkey
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name"""
+
+    sql["q6_forecast"] = """SELECT
+  CAST(COALESCE(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)), 0)
+       AS BIGINT) AS revenue_e4
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND CAST(round(l_quantity) AS BIGINT) < 24"""
 
     sql["q3_shipping"] = """WITH o AS (
     SELECT o_orderkey,
