@@ -282,8 +282,11 @@ def interp_join(
         dt = t - t0
         dv = v1 - v0
         if matched.any():
-            mx = np.abs(dv[matched]).max() * max(np.abs(dt[matched]).max(), 1)
-            if int(mx) >= (1 << 62):
+            # python-int product: an np.int64 product could itself wrap
+            # and silently pass the guard
+            mx = int(np.abs(dv[matched]).max()) * max(
+                int(np.abs(dt[matched]).max()), 1)
+            if mx >= (1 << 62):
                 raise OverflowError("interp_join: (Δv·Δt) overflows int64")
         den = t1 - t0
         exact = den == 0

@@ -690,9 +690,11 @@ def coalesce_intervals(intervals, key: str, start: str, end: str,
         # per-group base so np.maximum.accumulate can't leak across groups
         neg = np.iinfo(np.int64).min
         grp = np.cumsum(new_key) - 1
-        if np.abs(e).max() >= (1 << 41):
-            raise OverflowError("coalesce_intervals: end values too large "
-                                "for the segmented-cummax base trick")
+        if np.abs(e).max() >= (1 << 41) or grp[-1] >= (1 << 20):
+            raise OverflowError(
+                "coalesce_intervals: end magnitude (< 2^41) x distinct "
+                "keys per partition (< 2^20) exceeds the segmented-cummax "
+                "base budget — raise num_parts or rescale the axis")
         base = grp * (1 << 42)
         cmax = np.maximum.accumulate(e + base) - base
         prev_max = np.r_[neg, cmax[:-1]]

@@ -291,7 +291,8 @@ def hll_pair_union_hist(registers, key_col: str, b: int = 10):
                     mr.append(int(rank))
                     nr.append(int(hist[rank]))
         return pa.table({
-            "type_a": pa.array(ta), "type_b": pa.array(tb),
+            "type_a": pa.array(ta, pa.string()),
+            "type_b": pa.array(tb, pa.string()),
             "max_rank": pa.array(mr, pa.int64()),
             "n_regs": pa.array(nr, pa.int64()),
         })
