@@ -1313,12 +1313,9 @@ def q_ts_global_rank(sf_dir: str):
     cleaned = _clean_cached(sf_dir).select_columns(
         ["source", "doc_id", "time", "n_tok"]
     )
-    staged = os.path.join(
-        "/tmp/aisdb_ray_ranksort", os.path.basename(sf_dir.rstrip("/"))
-    )
-    ranked = ranksort.global_rank(
-        cleaned, ["time", "source", "doc_id"], staging_dir=staged
-    )
+    # default staging_dir: unique per call + stale-GC (concurrent calls
+    # must not rmtree each other's lazily-read exchange files)
+    ranked = ranksort.global_rank(cleaned, ["time", "source", "doc_id"])
     return ranked.map_batches(
         lambda b: b.set_column(
             b.schema.get_field_index("n_tok"), "n_tok",
@@ -1370,21 +1367,14 @@ def q_doc_curriculum(sf_dir: str):
     reader consumes.  Same TeraSort range exchange as ts_global_rank; the
     shard boundary math is exact because the exchange manifest carries
     the global row count."""
-    import os
-
     from aisdb_ray.stages import ranksort, textstats
 
     _ctx()
     counted = rd.read_parquet(
         _docs_path(sf_dir), columns=["doc_id", "text"]
     ).map_batches(textstats.token_count_batch, batch_format="pyarrow")
-    staged = os.path.join(
-        "/tmp/aisdb_ray_ranksort",
-        "curriculum-" + os.path.basename(sf_dir.rstrip("/")),
-    )
     return ranksort.global_rank(
-        counted, ["n_tokens", "doc_id"], staging_dir=staged,
-        ntile=10, ntile_col="shard",
+        counted, ["n_tokens", "doc_id"], ntile=10, ntile_col="shard",
     )
 
 

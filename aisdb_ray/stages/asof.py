@@ -282,12 +282,18 @@ def interp_join(
         dt = t - t0
         dv = v1 - v0
         if matched.any():
-            # python-int product: an np.int64 product could itself wrap
-            # and silently pass the guard
-            mx = int(np.abs(dv[matched]).max()) * max(
-                int(np.abs(dt[matched]).max()), 1)
-            if mx >= (1 << 62):
-                raise OverflowError("interp_join: (Δv·Δt) overflows int64")
+            # guard the PER-ROW product (a max|Δv|·max|Δt| cross-row bound
+            # would falsely abort when the extremes sit on different
+            # rows): float screen with margin, exact python-int check on
+            # the few candidates the screen flags
+            prod = np.abs(dv[matched].astype(np.float64)
+                          * dt[matched].astype(np.float64))
+            if (prod > float(1 << 61)).any():
+                dvm, dtm = dv[matched], dt[matched]
+                for i in np.flatnonzero(prod > float(1 << 61)):
+                    if abs(int(dvm[i]) * int(dtm[i])) >= (1 << 62):
+                        raise OverflowError(
+                            "interp_join: (Δv·Δt) overflows int64")
         den = t1 - t0
         exact = den == 0
         interp = np.where(

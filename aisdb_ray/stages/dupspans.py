@@ -43,7 +43,8 @@ def window_positions(batch: pa.Table, L: int, text_col: str = "text",
     })
     if batch.num_rows == 0:
         return empty
-    texts = pc.cast(batch[text_col], pa.binary()).to_pylist()
+    texts = [t if t is not None else b""
+             for t in pc.cast(batch[text_col], pa.binary()).to_pylist()]
     ids = batch[id_col].to_numpy(zero_copy_only=False)
     buf = b"".join(texts)
     if len(buf) < L:
@@ -132,13 +133,14 @@ def remove_spans(ds, spans: pa.Table, text_col: str = "text",
 
     def cut(batch: pa.Table) -> pa.Table:
         sp = ray.get(spans_ref)
-        texts = pc.cast(batch[text_col], pa.binary()).to_pylist()
+        texts = [t if t is not None else b""
+                 for t in pc.cast(batch[text_col], pa.binary()).to_pylist()]
         ids = batch[id_col].to_pylist()
         out_text, removed = [], []
         for d, t in zip(ids, texts):
             ivs = sp.get(d)
             if not ivs:
-                out_text.append(t)
+                out_text.append(t.decode("utf-8", "ignore"))
                 removed.append(0)
                 continue
             mask = np.ones(len(t), dtype=bool)
@@ -146,12 +148,14 @@ def remove_spans(ds, spans: pa.Table, text_col: str = "text",
                 mask[ws - 1:we - 1] = False
             arr = np.frombuffer(t, dtype=np.uint8)
             kept = arr[mask].tobytes()
-            out_text.append(kept)
+            # byte-span removal can split a multi-byte UTF-8 sequence;
+            # decode with 'ignore' drops any orphaned continuation bytes
+            # (a no-op on ASCII, where the SQL oracle is byte==char exact)
+            out_text.append(kept.decode("utf-8", "ignore"))
             removed.append(len(t) - len(kept))
         return pa.table({
             id_col: batch[id_col],
-            "clean_text": pc.cast(pa.array(out_text, pa.binary()),
-                                  pa.string()),
+            "clean_text": pa.array(out_text, pa.string()),
             "removed_bytes": pa.array(removed, pa.int64()),
         })
 

@@ -117,7 +117,7 @@ def global_rank(
     order_cols: list[str],
     num_parts: int | None = None,
     keys_per_batch: int = 16,
-    staging_dir: str = "/tmp/aisdb_ray_ranksort",
+    staging_dir: str | None = None,
     out_col: str = ROWNUM,
     ntile: int | None = None,
     ntile_col: str = "tile",
@@ -131,7 +131,30 @@ def global_rank(
 
     ``ntile=k`` also appends the SQL ``NTILE(k)`` bucket (first
     ``total % k`` tiles get the extra row) — free, because the exchange
-    manifest already knows the exact global row count."""
+    manifest already knows the exact global row count.
+
+    ``staging_dir`` defaults to a fresh unique directory per call (the
+    returned Dataset reads its stage files LAZILY, so a shared fixed
+    path would let a second call's cleanup delete a first call's
+    unconsumed exchange); stale defaults older than an hour are
+    garbage-collected opportunistically."""
+    if staging_dir is None:
+        import os
+        import shutil
+        import time
+        import uuid
+
+        root = "/tmp/aisdb_ray_ranksort"
+        os.makedirs(root, exist_ok=True)
+        cutoff = time.time() - 3600
+        for d in os.listdir(root):
+            p = os.path.join(root, d)
+            try:
+                if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+        staging_dir = os.path.join(root, uuid.uuid4().hex)
     if num_parts is None:
         num_parts = _default_parts()
     bounds = _sample_boundaries(ds, order_cols, num_parts, keys_per_batch)

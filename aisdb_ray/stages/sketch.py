@@ -268,6 +268,10 @@ def hll_pair_union_hist(registers, key_col: str, b: int = 10):
     m = 1 << b
 
     def pairs(t: pa.Table) -> pa.Table:
+        # max-merge first: callers may pass concatenated register tables
+        # (multiple periods) where (key, register) repeats — a raw scatter
+        # would be last-write-wins instead of the sketch-union max
+        t = _merge_b(t, key_col)
         keys = t[key_col].to_numpy(zero_copy_only=False)
         regs = t[REGISTER].to_numpy(zero_copy_only=False).astype(np.int64)
         ranks = t[MAX_RANK].to_numpy(zero_copy_only=False).astype(np.int64)

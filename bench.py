@@ -175,6 +175,11 @@ def run_bench() -> dict:
             ),
         ).count()
         sort_s = time.time() - t0
+        # exchange consumed by count(): free the (tmpfs-resident) staging
+        shutil.rmtree(f"/dev/shm/aisdb_ray_bench/ranksort-cpus{CPUS}",
+                      ignore_errors=True)
+        shutil.rmtree(f"/tmp/aisdb_ray_bench/ranksort-cpus{CPUS}",
+                      ignore_errors=True)
 
         # the documents-side flagship: resumable corpus build (scrub ->
         # gate -> content-hash route -> dedup -> langid -> chunk) over

@@ -119,3 +119,29 @@ def test_remove_spans_matches_bruteforce():
         assert got.loc[d, "removed_bytes"] == removed, d
     assert got.loc["c", "removed_bytes"] == 0
     assert (got["removed_bytes"] > 0).sum() >= 2
+
+
+def test_dup_spans_null_and_multibyte_robust():
+    import ray
+
+    # null text rows contribute nothing; a span boundary splitting a
+    # multi-byte UTF-8 char must not crash removal (orphan bytes drop)
+    boiler = "x" * 30
+    t = pa.table({
+        "doc_id": ["a", "b", "n", "u"],
+        "text": pa.array(
+            [boiler + "tail one", boiler + "tail two", None,
+             "é" + boiler + "é"],  # 2-byte chars hug the dup region
+            pa.string()),
+    })
+    ds = rd.from_arrow(t)
+    spans_ds = dupspans.duplicated_spans(ds, L=10)
+    spans = pa.concat_tables(ray.get(spans_ds.to_arrow_refs()),
+                             promote_options="default")
+    out = dupspans.remove_spans(rd.from_arrow(t), spans).to_pandas()
+    out = out.set_index("doc_id")
+    assert out.loc["n", "clean_text"] == ""  # null -> empty, no crash
+    assert out.loc["a", "removed_bytes"] > 0
+    # every clean_text is valid unicode (decode never raised)
+    for s in out["clean_text"]:
+        assert isinstance(s, str)
