@@ -4659,6 +4659,23 @@ def q_ts_co_outage(sf_dir: str):
     )
 
 
+def q_ts_sdt(sf_dir: str):
+    """Swinging-door trending compression (Bristol's SDT, the PI-
+    historian archiver): per (source, seg), keep only door-closing
+    points (±64-token deviation contract) plus segment endpoints —
+    deviation-bounded archival downsampling next to the lossless Gorilla
+    tier.  Oracle: a recursive CTE carrying (anchor, door) state with
+    the identical IEEE slope expressions — kept sets match bit-for-bit."""
+    from aisdb_ray.stages import sdt
+
+    return sdt.swing_door(
+        _clean_cached(sf_dir).select_columns(
+            ["source", "seg", "time", "seq", "n_tok"]
+        ),
+        E=64,
+    )
+
+
 def q_ts_outage_blankets(sf_dir: str):
     """Interval coalesce (gaps-and-islands UNION): pad every ≥30-min
     silence window ±15 min (the alert-blanket rule) and merge
@@ -6285,6 +6302,7 @@ def build_queries() -> dict:
         "doc_dup_spans": q_doc_dup_spans,
         "doc_dedup_substrings": q_doc_dedup_substrings,
         "q6_forecast": q_q6_forecast,
+        "ts_sdt": q_ts_sdt,
         "ev_peak_concurrency": q_ev_peak_concurrency,
         "doc_sample_weighted": q_doc_sample_weighted,
         "q5_local_supplier": q_q5_local_supplier,
@@ -7709,6 +7727,71 @@ FROM p GROUP BY source"""
 SELECT source, time, seq, n_tok, hod, resid FROM r
 QUALIFY row_number() OVER (PARTITION BY source
                            ORDER BY abs(resid) DESC, time ASC, seq ASC) <= 5"""
+
+    # SDT door slopes: identical IEEE expressions to stages/sdt.py —
+    # (v - va ∓ E) / CAST(t - ta AS DOUBLE), running greatest/least,
+    # strict > crossing; anchors collected as DISTINCT ta over the state
+    sql["ts_sdt"] = f"""WITH RECURSIVE {_sql_tokens_clean(tok)},
+  upts AS MATERIALIZED (
+    SELECT source, seg, time, n_tok
+    FROM segmented
+    QUALIFY row_number() OVER (PARTITION BY source, seg, time
+                               ORDER BY seq) = 1
+  ),
+  pts AS MATERIALIZED (
+    SELECT source, seg, time, CAST(n_tok AS BIGINT) AS v,
+           row_number() OVER (PARTITION BY source, seg ORDER BY time) AS rn,
+           count(*) OVER (PARTITION BY source, seg) AS cnt
+    FROM upts
+  ),
+  rec AS (
+    SELECT source, seg, rn, time AS ta, v AS va,
+           CAST('-infinity' AS DOUBLE) AS dh,
+           CAST('infinity' AS DOUBLE) AS dl
+    FROM pts WHERE rn = 1
+    UNION ALL
+    SELECT r.source, r.seg, p.rn,
+           CASE WHEN greatest(r.dh,
+                  (p.v - r.va - 64) / CAST(p.time - r.ta AS DOUBLE))
+                > least(r.dl,
+                  (p.v - r.va + 64) / CAST(p.time - r.ta AS DOUBLE))
+                THEN q.time ELSE r.ta END,
+           CASE WHEN greatest(r.dh,
+                  (p.v - r.va - 64) / CAST(p.time - r.ta AS DOUBLE))
+                > least(r.dl,
+                  (p.v - r.va + 64) / CAST(p.time - r.ta AS DOUBLE))
+                THEN q.v ELSE r.va END,
+           CASE WHEN greatest(r.dh,
+                  (p.v - r.va - 64) / CAST(p.time - r.ta AS DOUBLE))
+                > least(r.dl,
+                  (p.v - r.va + 64) / CAST(p.time - r.ta AS DOUBLE))
+                THEN (p.v - q.v - 64) / CAST(p.time - q.time AS DOUBLE)
+                ELSE greatest(r.dh,
+                  (p.v - r.va - 64) / CAST(p.time - r.ta AS DOUBLE)) END,
+           CASE WHEN greatest(r.dh,
+                  (p.v - r.va - 64) / CAST(p.time - r.ta AS DOUBLE))
+                > least(r.dl,
+                  (p.v - r.va + 64) / CAST(p.time - r.ta AS DOUBLE))
+                THEN (p.v - q.v + 64) / CAST(p.time - q.time AS DOUBLE)
+                ELSE least(r.dl,
+                  (p.v - r.va + 64) / CAST(p.time - r.ta AS DOUBLE)) END
+    FROM rec r
+    JOIN pts p ON p.source = r.source AND p.seg = r.seg AND p.rn = r.rn + 1
+    JOIN pts q ON q.source = r.source AND q.seg = r.seg AND q.rn = r.rn
+  ),
+  kept AS (
+    -- NOTE: under WITH RECURSIVE, DuckDB gives a top-level UNION inside
+    -- a CTE recursive (seed/step) semantics and does NOT dedup across
+    -- arms — hence UNION ALL + an outer DISTINCT
+    SELECT DISTINCT source, seg, time FROM (
+      SELECT source, seg, ta AS time FROM rec
+      UNION ALL
+      SELECT source, seg, time FROM pts WHERE rn = cnt
+    )
+  )
+SELECT k.source, CAST(k.seg AS BIGINT) AS seg, k.time, p.v AS n_tok
+FROM kept k
+JOIN pts p ON p.source = k.source AND p.seg = k.seg AND p.time = k.time"""
 
     sql["ts_outage_blankets"] = f"""WITH {_sql_tokens_clean(tok)},
   d AS (
