@@ -7425,11 +7425,16 @@ FROM joined"""
     ) WHERE rn = 1
   ),
   keep AS (
-    SELECT source, a AS j FROM sel
-    UNION
-    SELECT source, 0 FROM big
-    UNION
-    SELECT source, n - 1 FROM big
+    -- UNION ALL + outer DISTINCT: under WITH RECURSIVE, DuckDB gives a
+    -- top-level UNION recursive semantics and skips cross-arm dedup
+    -- (single-point sources would duplicate the 0 == n-1 row)
+    SELECT DISTINCT source, j FROM (
+      SELECT source, a AS j FROM sel
+      UNION ALL
+      SELECT source, 0 AS j FROM big
+      UNION ALL
+      SELECT source, n - 1 AS j FROM big
+    )
   )
 SELECT p.source, p.time, p.n_tok
 FROM pts p JOIN keep k ON k.source = p.source AND k.j = p.j
