@@ -4158,6 +4158,18 @@ def q_tok_kn_continuation(sf_dir: str):
     return tokstats.kn_continuation(_tok_sample(sf_dir, 5))
 
 
+def q_tok_lm_score(sf_dir: str):
+    """Integer-exact bigram LM fluency score per sequence (5% doc-hash
+    sample, self-trained counts): Σ over bigram occurrences of
+    (C(prev,cur)·10⁶) // C(prev·) — the LM-likelihood data-quality
+    signal without cross-platform log hazards.  Counts and occurrences
+    co-partition by the LEFT token in one co-shuffle; no vocab² table is
+    ever broadcast."""
+    from aisdb_ray.stages import tokstats
+
+    return tokstats.lm_score(_tok_sample(sf_dir, 5))
+
+
 def q_tok_bigram_topk(sf_dir: str):
     """Top-100 adjacent token-id bigrams over the tokens payload (5%
     doc-hash sample): zero-copy list_flatten partials, int64-packed codes,
@@ -6303,6 +6315,7 @@ def build_queries() -> dict:
         "doc_dedup_substrings": q_doc_dedup_substrings,
         "q6_forecast": q_q6_forecast,
         "ts_sdt": q_ts_sdt,
+        "tok_lm_score": q_tok_lm_score,
         "ev_peak_concurrency": q_ev_peak_concurrency,
         "doc_sample_weighted": q_doc_sample_weighted,
         "q5_local_supplier": q_q5_local_supplier,
@@ -9340,6 +9353,35 @@ SELECT source, bucket, v AS mode, c AS mode_n FROM r WHERE rn = 1"""
 SELECT (CAST(n_tok AS BIGINT) // 128) * 128 AS bin,
        CAST(count(*) AS BIGINT) AS n
 FROM clean GROUP BY bin"""
+
+    sql["tok_lm_score"] = f"""WITH v AS (
+    SELECT doc_id, tokens FROM read_parquet('{tok}/*.parquet')
+    WHERE n_tok > 0 AND len(tokens) = n_tok
+      AND CAST('0x' || substr(md5(doc_id), 1, 8) AS BIGINT) % 100 < 5
+  ),
+  b AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tokens)),
+                  i -> CAST(tokens[i] AS BIGINT) * 4294967296
+                       + CAST(tokens[i + 1] AS BIGINT))) AS code
+    FROM v WHERE len(tokens) >= 2
+  ),
+  occ AS (
+    SELECT doc_id, code, CAST(count(*) AS BIGINT) AS k
+    FROM b GROUP BY doc_id, code
+  ),
+  cnt AS (SELECT code, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY code),
+  pcnt AS (
+    SELECT code // 4294967296 AS prev, CAST(count(*) AS BIGINT) AS pn
+    FROM b GROUP BY prev
+  )
+SELECT o.doc_id,
+       CAST(sum((c.n * 1000000) // p.pn * o.k) AS BIGINT) AS lm_score,
+       CAST(sum(o.k) AS BIGINT) AS n_bigrams
+FROM occ o
+JOIN cnt c USING (code)
+JOIN pcnt p ON p.prev = o.code // 4294967296
+GROUP BY o.doc_id"""
 
     sql["tok_kn_continuation"] = f"""WITH v AS (
     SELECT tokens FROM read_parquet('{tok}/*.parquet')

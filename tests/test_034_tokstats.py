@@ -133,3 +133,44 @@ def test_zipf_evidence_hand_case():
 def test_zipf_evidence_empty_corpus():
     out = tokstats.zipf_evidence(_ds([([9], 0)])).to_pandas()
     assert len(out) == 0
+
+
+def test_lm_score_bruteforce():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from collections import Counter
+    from aisdb_ray.stages import tokstats
+
+    rng = np.random.default_rng(43)
+    seqs = [rng.integers(0, 12, rng.integers(2, 20)).tolist()
+            for _ in range(120)]
+    t = pa.table({
+        "doc_id": [f"d{i:03d}" for i in range(len(seqs))],
+        "tokens": pa.array(seqs, pa.list_(pa.int32())),
+        "n_tok": pa.array([len(s) for s in seqs], pa.int32()),
+        "source": ["s"] * len(seqs),
+    })
+    got = tokstats.lm_score(
+        rd.from_arrow(t).repartition(4)
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    big = Counter()
+    prev = Counter()
+    for s in seqs:
+        for a, b in zip(s[:-1], s[1:]):
+            big[(a, b)] += 1
+            prev[a] += 1
+    rows = []
+    for i, s in enumerate(seqs):
+        sc = sum((big[(a, b)] * 1_000_000) // prev[a]
+                 for a, b in zip(s[:-1], s[1:]))
+        rows.append((f"d{i:03d}", sc, len(s) - 1))
+    want = pd.DataFrame(rows, columns=["doc_id", "lm_score", "n_bigrams"])
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    np.testing.assert_array_equal(got["lm_score"].to_numpy(np.int64),
+                                  want["lm_score"].to_numpy(np.int64))
+    np.testing.assert_array_equal(got["n_bigrams"].to_numpy(np.int64),
+                                  want["n_bigrams"].to_numpy(np.int64))
