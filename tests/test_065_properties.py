@@ -85,3 +85,28 @@ def test_ntile_partitions_exactly(total, k):
         )
         # big tiles come first (SQL NTILE)
         assert (np.diff(sizes) <= 0).all() or r == 0
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(1, 50), st.integers(-40, 40)),
+             min_size=1, max_size=120),
+    st.sampled_from([4, 32, 128]),
+)
+def test_sdt_kernel_properties(steps, E):
+    from aisdb_ray.stages import sdt
+
+    t = np.cumsum(np.asarray([s for s, _ in steps], np.int64))
+    v = np.cumsum(np.asarray([d for _, d in steps], np.int64)) + 500
+    m = sdt.sdt_keep_mask(t, v, E)
+    # endpoints always kept
+    assert m[0] and m[-1]
+    # reconstruction error bounded by the door guarantee (±E pivots)
+    if len(t) > 2:
+        kt, kv = t[m], v[m]
+        pos = np.clip(np.searchsorted(kt, t, side="right") - 1,
+                      0, max(len(kt) - 2, 0))
+        if len(kt) >= 2:
+            recon = kv[pos] + (kv[pos + 1] - kv[pos]) * (t - kt[pos]) / (
+                kt[pos + 1] - kt[pos])
+            assert np.abs(recon - v).max() <= 2 * E
