@@ -1586,6 +1586,62 @@ def q_ev_skew_join(sf_dir: str):
                               hot_count_threshold=70)
 
 
+def q_ev_asof_stream(sf_dir: str):
+    """Stream-stream backward as-of join, BOTH sides big (no broadcast
+    of the right stream): every purchase event joined to the same
+    user's latest prior-or-same-time click.  One (user, 6h-chunk)
+    co-partition of both streams; chunk-local searchsorted plus a
+    bounded (keys × chunks) carry table for cross-chunk lookback —
+    stages/asof.asof_join_streams."""
+    from aisdb_ray.stages import asof
+    from aisdb_ray.stages._dist import funnel_combine
+
+    ev = _events_ds(
+        sf_dir, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).map_batches(_events_adapter, batch_format="pyarrow")
+
+    left = ev.map_batches(
+        lambda b: b.filter(
+            pc.equal(b["event_type"], pa.scalar("purchase"))
+        ).select(["event_id", "user_id", "time", "value_cents"]),
+        batch_format="pyarrow",
+    )
+
+    # right stream deduped per (user, time): max cents wins (ASOF tie
+    # rule must be deterministic on both sides)
+    def click_part(b: pa.Table) -> pa.Table:
+        c = b.filter(pc.equal(b["event_type"], pa.scalar("click")))
+        t = pa.table({"user_id": c["user_id"], "time": c["time"],
+                      "click_cents": c["value_cents"]})
+        g = t.group_by(["user_id", "time"], use_threads=False).aggregate(
+            [("click_cents", "max")])
+        return g.rename_columns(["user_id", "time", "click_cents"])
+
+    def click_merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id", "time"], use_threads=False).aggregate(
+            [("click_cents", "max")])
+        return g.rename_columns(["user_id", "time", "click_cents"])
+
+    clicks = funnel_combine(
+        ev.map_batches(click_part, batch_format="pyarrow"), click_merge
+    )
+    joined = asof.asof_join_streams(
+        left, clicks, by="user_id", on="time",
+        value_cols=["click_cents"], chunk_s=21600, how="inner",
+    )
+    return joined.map_batches(
+        lambda b: pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "time": b["time"],
+            "value_cents": b["value_cents"],
+            "click_time": b["r_t"],
+            "click_cents": b["click_cents"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_ev_sessions(sf_dir: str):
     """Sessionization: split user event streams at >= 30 min gaps — the
     split_timedelta operator on a non-token stream."""
@@ -6316,6 +6372,7 @@ def build_queries() -> dict:
         "q6_forecast": q_q6_forecast,
         "ts_sdt": q_ts_sdt,
         "tok_lm_score": q_tok_lm_score,
+        "ev_asof_stream": q_ev_asof_stream,
         "ev_peak_concurrency": q_ev_peak_concurrency,
         "doc_sample_weighted": q_doc_sample_weighted,
         "q5_local_supplier": q_q5_local_supplier,
@@ -8161,6 +8218,20 @@ FROM ev e JOIN (
          CAST(count(*) AS BIGINT) AS n_events
   FROM ev GROUP BY user_id
 ) p USING (user_id)"""
+
+    sql["ev_asof_stream"] = f"""WITH {ev_prelude},
+  purch AS (
+    SELECT event_id, user_id, time, value_cents
+    FROM ev WHERE event_type = 'purchase'
+  ),
+  clicks AS (
+    SELECT user_id, time, CAST(max(value_cents) AS BIGINT) AS click_cents
+    FROM ev WHERE event_type = 'click' GROUP BY user_id, time
+  )
+SELECT p.event_id, p.user_id, p.time, p.value_cents,
+       c.time AS click_time, c.click_cents
+FROM purch p ASOF JOIN clicks c
+  ON p.user_id = c.user_id AND p.time >= c.time"""
 
     sql["ev_sessions"] = f"""WITH {ev_prelude}
 SELECT user_id, seg,

@@ -312,3 +312,240 @@ def interp_join(
         return pa.table(cols).filter(pa.array(matched))
 
     return left_ds.map_batches(join, batch_format="pyarrow")
+
+
+def asof_join_streams(
+    left,
+    right,
+    *,
+    by: str = SOURCE,
+    on: str = TIME,
+    right_on: str | None = None,
+    value_cols: list[str],
+    chunk_s: int = 86400,
+    tolerance: int | None = None,
+    how: str = "inner",
+    num_parts: int | None = None,
+):
+    """Backward as-of join where BOTH sides are big Datasets — the
+    stream-stream enrichment :func:`asof_join`'s broadcast right side
+    can't do (e.g. every purchase event joined to the user's latest
+    click across billions of each).
+
+    Shape: both streams co-partition ONCE by (key, time-chunk); each
+    partition answers its lefts from its local rights PLUS a carry-in —
+    the latest right row strictly before each chunk — looked up in a
+    per-(key, chunk) carry table that is bounded by keys × touched
+    chunks (argmax-time partials, one funnel, forward-filled per key,
+    ``ray.put`` broadcast; the same bounded-summary trade as the salted
+    reconcile).  Right rows must be unique per (key, t) — pre-aggregate
+    duplicates (the oracle does the same).
+    """
+    import pyarrow.compute as pc
+
+    from aisdb_ray.stages._dist import co_shuffle
+
+    right_on = right_on or on
+    rschema0 = right.schema().base_schema
+    if not isinstance(rschema0, pa.Schema):
+        rschema0 = (right.map_batches(lambda b: b, batch_format="pyarrow")
+                    .schema().base_schema)
+
+    def r_norm(b: pa.Table) -> pa.Table:
+        cols = {by: b[by], "_rt": pc.cast(b[right_on], pa.int64())}
+        for c in value_cols:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+    rightn = right.map_batches(r_norm, batch_format="pyarrow")
+
+    # ---- carry table: per (key, chunk) the argmax-time right row ----
+    def carry_partial(b: pa.Table) -> pa.Table:
+        key = b[by].to_numpy(zero_copy_only=False)
+        t = b["_rt"].to_numpy(zero_copy_only=False)
+        ch = t // chunk_s
+        order = np.lexsort((t, ch, key))
+        k2, c2, t2 = key[order], ch[order], t[order]
+        last = np.r_[(k2[1:] != k2[:-1]) | (c2[1:] != c2[:-1]), True]
+        sel = np.flatnonzero(last)
+        picked = b.take(pa.array(np.asarray(order)[sel]))
+        return picked.append_column("_chunk", pa.array(c2[sel]))
+
+    def carry_merge(b: pa.Table) -> pa.Table:
+        # keep the max-_rt row per (key, chunk) — idempotent
+        key = b[by].to_numpy(zero_copy_only=False)
+        ch = b["_chunk"].to_numpy(zero_copy_only=False)
+        t = b["_rt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, ch, key))
+        k2, c2 = key[order], ch[order]
+        last = np.r_[(k2[1:] != k2[:-1]) | (c2[1:] != c2[:-1]), True]
+        return b.take(pa.array(np.asarray(order)[np.flatnonzero(last)]))
+
+    from aisdb_ray.stages._dist import funnel_combine
+
+    carry_tbl = pa.concat_tables(
+        ray.get(
+            funnel_combine(
+                rightn.map_batches(carry_partial, batch_format="pyarrow"),
+                carry_merge,
+            ).to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    if by not in carry_tbl.column_names:
+        # entirely empty right side: Ray's empty blocks carry no schema —
+        # rebuild the carry table's shape from the right's own schema
+        cols = {by: pa.array([], rschema0.field(by).type),
+                "_rt": pa.array([], pa.int64())}
+        for c in value_cols:
+            cols[c] = pa.array([], rschema0.field(c).type)
+        cols["_chunk"] = pa.array([], pa.int64())
+        carry_tbl = pa.table(cols)
+    # per-key sorted chunk lists for the carry lookup
+    ckey = carry_tbl[by].to_numpy(zero_copy_only=False)
+    cch = carry_tbl["_chunk"].to_numpy(zero_copy_only=False).astype(np.int64)
+    crt = carry_tbl["_rt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cvals = [carry_tbl[c].to_numpy(zero_copy_only=False) for c in value_cols]
+    order = np.lexsort((cch, ckey))
+    ckey, cch, crt = ckey[order], cch[order], crt[order]
+    cvals = [v[order] for v in cvals]
+    if len(ckey):
+        starts = np.flatnonzero(np.r_[True, ckey[1:] != ckey[:-1]])
+        bounds = np.r_[starts, len(ckey)]
+        carry_map = {
+            ckey[a]: (cch[a:b], crt[a:b], tuple(v[a:b] for v in cvals))
+            for a, b in zip(bounds[:-1], bounds[1:])
+        }
+    else:
+        carry_map = {}
+    carry_ref = ray.put(carry_map)
+
+    # ---- one co-shuffle of both streams by (key, chunk) ----
+    # resolve schemas ONCE: closures must capture plain pa.Schema /
+    # type dicts, never the Dataset or the carry table itself
+    lschema = left.schema().base_schema
+    if not isinstance(lschema, pa.Schema):
+        lschema = (left.map_batches(lambda b: b, batch_format="pyarrow")
+                   .schema().base_schema)
+    lcols = list(lschema.names)
+    ltypes = {c: lschema.field(c).type for c in lcols}
+    vtypes = {c: carry_tbl.schema.field(c).type for c in value_cols}
+    vdtypes = {c: v.dtype for c, v in zip(value_cols, cvals)}
+    del carry_tbl, cvals  # broadcast via carry_ref only — never closures
+
+    def l_tag(b: pa.Table) -> pa.Table:
+        t = pc.cast(b[on], pa.int64())
+        cols = {c: b[c] for c in lcols}
+        cols["_t"] = t
+        cols["_chunk"] = pc.divide(t, pa.scalar(chunk_s, pa.int64()))
+        cols["_side"] = pa.array(np.zeros(b.num_rows, np.int8))
+        cols["_rt"] = pa.nulls(b.num_rows, pa.int64())
+        for c in value_cols:
+            cols[f"_rv_{c}"] = pa.nulls(b.num_rows, vtypes[c])
+        return pa.table(cols)
+
+    def r_tag(b: pa.Table) -> pa.Table:
+        cols = {c: pa.nulls(b.num_rows, ltypes[c]) for c in lcols}
+        cols["_t"] = b["_rt"]
+        cols["_chunk"] = pc.divide(b["_rt"], pa.scalar(chunk_s, pa.int64()))
+        cols["_side"] = pa.array(np.ones(b.num_rows, np.int8))
+        cols["_rt"] = b["_rt"]
+        for c in value_cols:
+            cols[f"_rv_{c}"] = b[c]
+        cols[by] = b[by]
+        return pa.table(cols)
+
+    unioned = (
+        left.map_batches(l_tag, batch_format="pyarrow")
+        .union(rightn.map_batches(r_tag, batch_format="pyarrow"))
+    )
+
+    def join_part(part: pa.Table) -> pa.Table:
+        cmap = ray.get(carry_ref)
+        side = part["_side"].to_numpy(zero_copy_only=False)
+        lt = part.filter(pa.array(side == 0))
+        rt = part.filter(pa.array(side == 1))
+        n = lt.num_rows
+        if n == 0:
+            out = {c: lt[c] for c in lcols}
+            out["r_t"] = pa.array([], pa.int64())
+            for c in value_cols:
+                out[c] = pa.array([], vtypes[c])
+            return pa.table(out)
+        key_l = lt[by].to_numpy(zero_copy_only=False)
+        ch_l = lt["_chunk"].to_numpy(zero_copy_only=False)
+        t_l = lt["_t"].to_numpy(zero_copy_only=False)
+        key_r = rt[by].to_numpy(zero_copy_only=False)
+        ch_r = rt["_chunk"].to_numpy(zero_copy_only=False)
+        t_r = rt["_rt"].to_numpy(zero_copy_only=False)
+        rvals = [rt[f"_rv_{c}"].to_numpy(zero_copy_only=False)
+                 for c in value_cols]
+        ro = np.lexsort((t_r, ch_r, key_r))
+        key_r, ch_r, t_r = key_r[ro], ch_r[ro], t_r[ro]
+        rvals = [v[ro] for v in rvals]
+
+        match_t = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+        out_idx = np.full(n, -1, dtype=np.int64)      # into local rights
+        carry_pick = np.full(n, -1, dtype=np.int64)   # into carry arrays
+        carry_key = np.empty(n, dtype=object)
+
+        lo = np.lexsort((t_l, ch_l, key_l))
+        kl, cl, tl = key_l[lo], ch_l[lo], t_l[lo]
+        gstart = np.flatnonzero(
+            np.r_[True, (kl[1:] != kl[:-1]) | (cl[1:] != cl[:-1])])
+        gbound = np.r_[gstart, n]
+        # right group offsets: searchsorted over the (key, chunk) pairs
+        for a, b2 in zip(gbound[:-1], gbound[1:]):
+            k, c = kl[a], cl[a]
+            # local rights of this (key, chunk)
+            rlo = np.searchsorted(key_r, k, side="left")
+            rhi = np.searchsorted(key_r, k, side="right")
+            cslice = ch_r[rlo:rhi]
+            r0 = rlo + np.searchsorted(cslice, c, side="left")
+            r1 = rlo + np.searchsorted(cslice, c, side="right")
+            ts = tl[a:b2]
+            pos = r0 + np.searchsorted(t_r[r0:r1], ts, side="right") - 1
+            okl = pos >= r0
+            rows = lo[a:b2]
+            out_idx[rows[okl]] = pos[okl]
+            match_t[rows[okl]] = t_r[pos[okl]]
+            # carry: latest right strictly before this chunk
+            entry = cmap.get(k)
+            if entry is not None:
+                cchs, crts, _ = entry
+                cp = np.searchsorted(cchs, c, side="left") - 1
+                if cp >= 0:
+                    need = rows[~okl]
+                    carry_pick[need] = cp
+                    carry_key[need] = k
+                    match_t[need] = crts[cp]
+        matched = (out_idx >= 0) | (carry_pick >= 0)
+        if tolerance is not None:
+            d = t_l - match_t
+            matched &= d <= tolerance
+        outs = {}
+        for c in lcols:
+            outs[c] = lt[c]
+        mt = np.where(matched, match_t, 0)
+        outs["r_t"] = pc.if_else(pa.array(matched), pa.array(mt),
+                                 pa.scalar(None, pa.int64()))
+        for i, c in enumerate(value_cols):
+            v = np.zeros(n, dtype=vdtypes[c])
+            lm = out_idx >= 0
+            if lm.any():
+                v[lm] = rvals[i][out_idx[lm]]
+            cm = carry_pick >= 0
+            if cm.any():
+                cvi = np.empty(int(cm.sum()), dtype=v.dtype)
+                for j, row in enumerate(np.flatnonzero(cm)):
+                    _, _, cvs = cmap[carry_key[row]]
+                    cvi[j] = cvs[i][carry_pick[row]]
+                v[cm] = cvi
+            outs[c] = pc.if_else(
+                pa.array(matched), pa.array(v), pa.scalar(None, vtypes[c]))
+        out = pa.table(outs)
+        if how == "inner":
+            out = out.filter(pa.array(matched))
+        return out
+
+    return co_shuffle(unioned, [by, "_chunk"], join_part, num_parts)

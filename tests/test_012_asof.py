@@ -135,3 +135,63 @@ def test_asof_tolerance_and_left():
     ).to_pandas().sort_values("time")
     assert out["val"].tolist()[:2] == [7, 7]
     assert pd.isna(out["val"].tolist()[2])  # beyond tolerance -> null
+
+
+def test_asof_join_streams_matches_merge_asof():
+    rng = np.random.default_rng(41)
+    n_l, n_r = 2_000, 700
+    left = pd.DataFrame({
+        "source": rng.choice(["a", "b", "c", "d"], n_l),
+        "time": rng.integers(0, 100_000, n_l).astype(np.int64),
+        "lv": np.arange(n_l, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "source": rng.choice(["a", "b", "c", "e"], n_r),
+        "rt": rng.integers(0, 100_000, n_r).astype(np.int64),
+    }).drop_duplicates(subset=["source", "rt"])
+    right["val"] = np.arange(len(right), dtype=np.int64) * 3
+
+    # tiny chunks: most lookbacks cross chunk boundaries (carry path)
+    got = asof.asof_join_streams(
+        rd.from_pandas(left).repartition(5),
+        rd.from_pandas(right).repartition(3),
+        by="source", on="time", right_on="rt",
+        value_cols=["val"], chunk_s=1_000, how="inner",
+    ).to_pandas()
+
+    want = pd.merge_asof(
+        left.sort_values("time", kind="stable"),
+        right.rename(columns={"rt": "time"}).sort_values("time", kind="stable"),
+        on="time", by="source", direction="backward",
+    ).dropna(subset=["val"])
+    assert len(got) == len(want)
+    g = got.sort_values(["source", "time", "lv"]).reset_index(drop=True)
+    w = want.sort_values(["source", "time", "lv"]).reset_index(drop=True)
+    np.testing.assert_array_equal(g["val"].to_numpy(np.int64),
+                                  w["val"].to_numpy(np.int64))
+    # r_t really is the matched right timestamp
+    assert (g["r_t"] <= g["time"]).all()
+
+
+def test_asof_join_streams_tolerance_and_empty_right():
+    left = pd.DataFrame({"source": ["a", "a"], "time": [100, 5000],
+                         "lv": np.array([1, 2], np.int64)})
+    right = pd.DataFrame({"source": ["a"], "rt": np.array([90], np.int64),
+                          "val": np.array([7], np.int64)})
+    got = asof.asof_join_streams(
+        rd.from_pandas(left), rd.from_pandas(right),
+        by="source", on="time", right_on="rt", value_cols=["val"],
+        chunk_s=1_000, tolerance=60, how="inner",
+    ).to_pandas()
+    assert got["lv"].tolist() == [1]  # 5000 is beyond tolerance
+
+    empty_r = rd.from_arrow(pa.table({
+        "source": pa.array([], pa.string()),
+        "rt": pa.array([], pa.int64()),
+        "val": pa.array([], pa.int64()),
+    }))
+    got2 = asof.asof_join_streams(
+        rd.from_pandas(left), empty_r, by="source", on="time",
+        right_on="rt", value_cols=["val"], chunk_s=1_000, how="inner",
+    )
+    assert got2.count() == 0
