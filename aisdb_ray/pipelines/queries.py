@@ -216,6 +216,32 @@ def q_csv_ingest(sf_dir: str):
     )
 
 
+def q_ipc_ingest(sf_dir: str):
+    """Arrow IPC source path (the third lake wire format — the binary
+    stream a native producer emits): file-granular zero-parse decode
+    with whole-file quarantine of injected undecodable files, then the
+    SAME clean pipeline as ts_clean — hash-matches the parquet path's
+    oracle, proving the reader drops exactly the garbage files and
+    nothing else."""
+    from aisdb_ray.sources.ipc import read_token_ipc, write_token_ipc
+
+    _ctx()
+    tok = ensure_sf_tokens(sf_dir)
+    name = os.path.basename(os.path.normpath(sf_dir))
+    ipc_dir = write_token_ipc(
+        tok, os.path.join(SF_CACHE_ROOT, name, "tokens_ipc"),
+        inject_garbage=True,
+    )
+    ds = read_token_ipc(ipc_dir).map_batches(
+        prepare.prepare, batch_format="pyarrow"
+    )
+    ds = ds.map_batches(lambda b: b.drop_columns(["tokens"]),
+                        batch_format="pyarrow")
+    return series.clean_series(ds, TS_MAX_GAP).select_columns(
+        ["source", "doc_id", "time", "seq", "n_tok", "seg"]
+    )
+
+
 def q_jsonl_ingest(sf_dir: str):
     """JSONL source path (the second lake text format): parallel
     jsonl/gz read with vectorized C parsing and per-line quarantine of
@@ -6373,6 +6399,7 @@ def build_queries() -> dict:
         "ts_sdt": q_ts_sdt,
         "tok_lm_score": q_tok_lm_score,
         "ev_asof_stream": q_ev_asof_stream,
+        "ipc_ingest": q_ipc_ingest,
         "ev_peak_concurrency": q_ev_peak_concurrency,
         "doc_sample_weighted": q_doc_sample_weighted,
         "q5_local_supplier": q_q5_local_supplier,
@@ -6621,6 +6648,7 @@ FROM segmented GROUP BY source, seg"""
     sql["ts_clean_salted"] = sql["ts_clean"]  # identical contract, salted path
     sql["csv_ingest"] = sql["ts_clean"]  # CSV reader must drop exactly the garbage
     sql["jsonl_ingest"] = sql["ts_clean"]  # same contract for the JSONL reader
+    sql["ipc_ingest"] = sql["ts_clean"]  # same contract for the Arrow IPC reader
 
     sql["ts_value_mask"] = f"""WITH {_sql_tokens_clean(tok)}
 SELECT source, doc_id, time, n_tok, seg FROM segmented
