@@ -2445,6 +2445,23 @@ def q_ev_hll_overlap(sf_dir: str):
     return sketch.hll_pair_union_hist(regs, "event_type", b=10)
 
 
+def q_ev_hll_window(sf_dir: str):
+    """Windowed distinct-count sketches: HLL register tables (b=6, 64
+    registers) per (event_type, 1-day window hopping 6h) — the sliding
+    distinct-users panel exact distinct can't afford at scale; register
+    partials collapse at hop granularity BEFORE the 4× window
+    replication (sketch.hll_window_registers)."""
+    from aisdb_ray.stages import sketch
+
+    ds = _events_ds(sf_dir, ["event_type", "user_id", "ts"]).map_batches(
+        _events_adapter, batch_format="pyarrow"
+    )
+    return sketch.hll_window_registers(
+        ds, "event_type", "user_id", "time", width_s=86400, hop_s=21600,
+        b=6,
+    )
+
+
 def q_ev_distinct_users(sf_dir: str):
     """Exact distinct-key count (A5): per-batch (event_type, user_id)
     dedup partials, then a per-event_type unique count — the distinct set
@@ -6400,6 +6417,7 @@ def build_queries() -> dict:
         "tok_lm_score": q_tok_lm_score,
         "ev_asof_stream": q_ev_asof_stream,
         "ipc_ingest": q_ipc_ingest,
+        "ev_hll_window": q_ev_hll_window,
         "ev_peak_concurrency": q_ev_peak_concurrency,
         "doc_sample_weighted": q_doc_sample_weighted,
         "q5_local_supplier": q_q5_local_supplier,
@@ -6811,6 +6829,31 @@ FROM r GROUP BY event_type, register"""
     FROM u GROUP BY ta, tb HAVING 1024 - count(*) > 0
   )
 SELECT * FROM nz UNION ALL SELECT * FROM z"""
+
+    sql["ev_hll_window"] = """WITH h AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS time,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                AS UBIGINT) AS hv
+    FROM events
+  ),
+  r AS (
+    SELECT event_type, time,
+           CAST(hv >> 58 AS BIGINT) AS register,
+           CAST(hv & ((1::UBIGINT << 58) - 1) AS BIGINT) AS suffix
+    FROM h
+  ),
+  w AS (
+    SELECT r.event_type,
+           (r.time // 21600) * 21600 - i.i * 21600 AS wstart,
+           r.register,
+           CASE WHEN r.suffix = 0 THEN 59
+                ELSE 59 - length(bin(r.suffix)) END AS rank
+    FROM r CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
+  )
+SELECT event_type, wstart, register,
+       CAST(max(rank) AS BIGINT) AS max_rank
+FROM w GROUP BY event_type, wstart, register"""
 
     sql["ts_zones"] = f"""WITH {_sql_zones(tok)}
 SELECT source, doc_id, zone FROM zoned"""

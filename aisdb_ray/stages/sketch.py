@@ -332,3 +332,68 @@ def hll_overlap_estimate(hist: pa.Table, singles: pa.Table, key_col: str,
         union = fold(g["max_rank"].to_numpy(), g["n_regs"].to_numpy())
         out[(a, bb)] = est_single[a] + est_single[bb] - union
     return out
+
+
+def hll_window_registers(ds, key_col: str, value_col: str, time_col: str,
+                         width_s: int, hop_s: int, b: int = 6):
+    """Windowed distinct-count sketches: HLL register tables per
+    (key, hopping window) — the streaming-analytics composition
+    (distinct users per type per sliding day) the fixed rollup tiers
+    can't answer and exact distinct can't afford at scale.  Same
+    replicate-partials trick as rollup.hopping_rollup: per-batch
+    register partials collapse FIRST (hop-grid granularity), then only
+    partial rows replicate width//hop times; the combine is a
+    register-wise max keyed by (key, window).  ``b`` defaults small
+    (64 registers) because the output is keys × windows × registers."""
+    import pyarrow.compute as pc
+
+    from aisdb_ray.stages._dist import co_shuffle
+
+    if width_s % hop_s != 0:
+        raise ValueError("width_s must be a multiple of hop_s")
+    k = width_s // hop_s
+
+    def part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key_col: pa.array([], pa.string()),
+                             "wstart": pa.array([], pa.int64()),
+                             REGISTER: pa.array([], pa.int64()),
+                             MAX_RANK: pa.array([], pa.int64())})
+        h = _hash64(batch[value_col].to_pylist())
+        suffix_bits = 64 - b
+        reg = (h >> np.uint64(suffix_bits)).astype(np.int64)
+        suffix = h & np.uint64((1 << suffix_bits) - 1)
+        rank = np.where(
+            suffix == 0, suffix_bits + 1,
+            suffix_bits + 1 - _bit_length_u64(suffix)).astype(np.int64)
+        t = pc.cast(batch[time_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        hb = (t // hop_s) * hop_s
+        base = pa.table({
+            key_col: batch[key_col],
+            "hb": pa.array(hb),
+            REGISTER: pa.array(reg),
+            MAX_RANK: pa.array(rank),
+        })
+        g = base.group_by([key_col, "hb", REGISTER],
+                          use_threads=False).aggregate([(MAX_RANK, "max")])
+        g = g.rename_columns([key_col, "hb", REGISTER, MAX_RANK])
+        shifted = []
+        for i in range(k):
+            off = pa.scalar(i * hop_s, pa.int64())
+            shifted.append(pa.table({
+                key_col: g[key_col],
+                "wstart": pc.subtract(g["hb"], off),
+                REGISTER: g[REGISTER],
+                MAX_RANK: g[MAX_RANK],
+            }))
+        return pa.concat_tables(shifted)
+
+    def per_part(part_tbl: pa.Table) -> pa.Table:
+        g = part_tbl.group_by([key_col, "wstart", REGISTER],
+                              use_threads=False).aggregate(
+            [(MAX_RANK, "max")])
+        return g.rename_columns([key_col, "wstart", REGISTER, MAX_RANK])
+
+    partials = ds.map_batches(part, batch_format="pyarrow")
+    return co_shuffle(partials, [key_col, "wstart"], per_part)

@@ -152,3 +152,42 @@ def test_hll_pair_union_and_overlap_estimate():
     # HLL with m=1024: ±1.04/sqrt(m) ≈ 3.3% per sketch; allow a loose
     # union-of-errors band on the 2000-user truth
     assert 1300 < got < 2700, got
+
+
+def test_hll_window_registers_union_law():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from aisdb_ray.stages import sketch
+
+    rng = np.random.default_rng(53)
+    n = 5_000
+    t = pa.table({
+        "k": rng.choice(["x", "y"], n),
+        "u": rng.integers(0, 800, n).astype(np.int64),
+        "time": rng.integers(0, 40_000, n).astype(np.int64),
+    })
+    width, hop = 4_000, 1_000
+    got = sketch.hll_window_registers(
+        rd.from_arrow(t).repartition(6), "k", "u", "time", width, hop, b=6
+    ).to_pandas()
+
+    # brute force: per (k, window) the register-wise max over member rows
+    import hashlib
+    df = t.to_pandas()
+    regs = {}
+    for _, r in df.iterrows():
+        h = int(hashlib.md5(str(r["u"]).encode()).hexdigest()[:16], 16)
+        reg = h >> 58
+        suf = h & ((1 << 58) - 1)
+        rank = 59 if suf == 0 else 59 - suf.bit_length()
+        hb = (r["time"] // hop) * hop
+        for i in range(width // hop):
+            key = (r["k"], hb - i * hop, reg)
+            regs[key] = max(regs.get(key, 0), rank)
+    want = sorted(regs.items())
+    gset = {(r["k"], r["wstart"], r["register"]): r["max_rank"]
+            for _, r in got.iterrows()}
+    assert len(gset) == len(want)
+    for (key, rank) in want:
+        assert gset[key] == rank, key
