@@ -1156,6 +1156,26 @@ def q_ts_mad_outliers(sf_dir: str):
     return window.mad_outliers(_clean_cached(sf_dir), k=3)
 
 
+def q_ts_percent_rank(sf_dir: str):
+    """percent_rank() per source over n_tok (rank() tie semantics):
+    each point's relative distributional position — the per-key
+    normalization that survives heterogeneous sources.  One source
+    co-shuffle, vectorized sort+searchsorted per group."""
+    from aisdb_ray.stages import window
+
+    cleaned = _clean_cached(sf_dir).select_columns(
+        ["source", "doc_id", "time", "n_tok"]
+    )
+    out = window.percent_rank(cleaned, "source", "n_tok")
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("n_tok"), "n_tok",
+            pc.cast(b["n_tok"], pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_ts_gapfill_rate(sf_dir: str):
     """T8c (geo_interp_time analog): gap-fill, then RECOMPUTE the derived
     rate channel from the filled grid; each segment's final point carries
@@ -6418,6 +6438,7 @@ def build_queries() -> dict:
         "ev_asof_stream": q_ev_asof_stream,
         "ipc_ingest": q_ipc_ingest,
         "ev_hll_window": q_ev_hll_window,
+        "ts_percent_rank": q_ts_percent_rank,
         "ev_peak_concurrency": q_ev_peak_concurrency,
         "doc_sample_weighted": q_doc_sample_weighted,
         "q5_local_supplier": q_q5_local_supplier,
@@ -7070,6 +7091,11 @@ SELECT doc_id, n_tokens,
        CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS rownum,
        CAST(ntile(10) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS shard
 FROM c"""
+
+    sql["ts_percent_rank"] = f"""WITH {_sql_tokens_clean(tok)}
+SELECT source, doc_id, time, CAST(n_tok AS BIGINT) AS n_tok,
+       percent_rank() OVER (PARTITION BY source ORDER BY n_tok) AS pct
+FROM clean"""
 
     sql["ts_interp_join"] = f"""WITH {_sql_tokens_clean(tok)},
   roll AS (

@@ -1273,3 +1273,44 @@ def rate_limit(ds, group: str, time_col: str, ttl: int,
         lambda part: rate_limit_block(part, group, time_col, ttl),
         num_parts,
     )
+
+
+def percent_rank(ds, group: str, value: str, num_parts: int | None = None):
+    """SQL ``percent_rank() OVER (PARTITION BY group ORDER BY value)``:
+    (rank − 1) / (n − 1) with ``rank()`` tie semantics (equal values
+    share the min rank), appended as a float64 ``pct`` column — the
+    per-key distributional position feature (data-selection by relative
+    position beats absolute thresholds across heterogeneous sources).
+    One group co-shuffle; per partition a vectorized sort + searchsorted
+    per group — the single IEEE divide mirrors the SQL expression."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from aisdb_ray.stages._dist import co_shuffle
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part.append_column("pct", pa.array([], pa.float64()))
+        idx = pc.sort_indices(part, sort_keys=[(group, "ascending"),
+                                               (value, "ascending")])
+        s = part.take(idx)
+        k = s[group].to_numpy(zero_copy_only=False)
+        v = s[value].to_numpy(zero_copy_only=False)
+        n = len(k)
+        new = np.r_[True, k[1:] != k[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], n]
+        pct = np.zeros(n, dtype=np.float64)
+        for a, b in zip(starts, ends):
+            m = b - a
+            if m == 1:
+                pct[a] = 0.0
+                continue
+            vv = v[a:b]
+            # min rank among ties, 1-based
+            r = np.searchsorted(vv, vv, side="left") + 1
+            pct[a:b] = (r - 1) / float(m - 1)
+        return s.append_column("pct", pa.array(pct))
+
+    return co_shuffle(ds, [group], per_part, num_parts)

@@ -290,3 +290,33 @@ def test_ewma_distributed_equals_block():
     )
     pd.testing.assert_frame_equal(a[["g", "time", "v", "ewma"]],
                                   b[["g", "time", "v", "ewma"]])
+
+
+def test_percent_rank_matches_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from aisdb_ray.stages import window
+
+    rng = np.random.default_rng(59)
+    n = 8_000
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], n),
+        "v": rng.integers(0, 50, n).astype(np.int64),  # heavy ties
+        "i": np.arange(n, dtype=np.int64),
+    })
+    got = window.percent_rank(
+        rd.from_pandas(df).repartition(5), "g", "v"
+    ).to_pandas().sort_values("i").reset_index(drop=True)
+    want = duckdb.sql(
+        "SELECT i, percent_rank() OVER (PARTITION BY g ORDER BY v) AS pct "
+        "FROM df ORDER BY i"
+    ).df()
+    np.testing.assert_array_equal(got["pct"].to_numpy(),
+                                  want["pct"].to_numpy())
+    # single-row group -> 0.0
+    one = pd.DataFrame({"g": ["z"], "v": np.array([5], np.int64),
+                        "i": np.array([0], np.int64)})
+    g1 = window.percent_rank(rd.from_pandas(one), "g", "v").to_pandas()
+    assert g1["pct"].tolist() == [0.0]
