@@ -1156,6 +1156,58 @@ def q_ts_mad_outliers(sf_dir: str):
     return window.mad_outliers(_clean_cached(sf_dir), k=3)
 
 
+def q_ts_twm_1d(sf_dir: str):
+    """Time-weighted MEDIAN per (source, day): each value weighted by
+    how long it held (LOCF forward-dt within its segment) — the robust
+    sibling of ts_twa_1h, served through the weighted histogram tier
+    (rollup.hist_tier weight channel + the same discrete rank rule)."""
+    from aisdb_ray.stages._dist import co_shuffle
+
+    cleaned = _clean_cached(sf_dir).select_columns(
+        ["source", "seg", "time", "seq", "n_tok"]
+    )
+
+    def fw(part: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        idx = pc2.sort_indices(part, sort_keys=[
+            ("source", "ascending"), ("seg", "ascending"),
+            ("time", "ascending"), ("seq", "ascending"),
+        ])
+        s = part.take(idx)
+        src = s["source"].to_numpy(zero_copy_only=False)
+        seg = s["seg"].to_numpy(zero_copy_only=False)
+        t = s["time"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = s["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(t)
+        if n == 0:
+            return pa.table({"source": s["source"],
+                             "bucket": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        same = np.r_[(src[1:] == src[:-1]) & (seg[1:] == seg[:-1]), False]
+        w = np.zeros(n, dtype=np.int64)
+        w[:-1] = t[1:] - t[:-1]
+        keep = same & (w > 0)
+        out = pa.table({
+            "source": s["source"].filter(pa.array(keep)),
+            "bucket": pa.array((t[keep] // 86400) * 86400),
+            "v": pa.array(v[keep]),
+            "c": pa.array(w[keep]),
+        })
+        g = out.group_by(["source", "bucket", "v"],
+                         use_threads=False).aggregate([("c", "sum")])
+        return g.rename_columns(["source", "bucket", "v", "c"])
+
+    wh = co_shuffle(cleaned, ["source"], fw)
+    q = rollup.tier_quantiles(wh, ps=(50,))
+    return q.map_batches(
+        lambda b: pa.table({"source": b["source"], "bucket": b["bucket"],
+                            "twm": b["p50"]}),
+        batch_format="pyarrow",
+    )
+
+
 def q_ts_percent_rank(sf_dir: str):
     """percent_rank() per source over n_tok (rank() tie semantics):
     each point's relative distributional position — the per-key
@@ -6439,6 +6491,7 @@ def build_queries() -> dict:
         "ipc_ingest": q_ipc_ingest,
         "ev_hll_window": q_ev_hll_window,
         "ts_percent_rank": q_ts_percent_rank,
+        "ts_twm_1d": q_ts_twm_1d,
         "ev_peak_concurrency": q_ev_peak_concurrency,
         "doc_sample_weighted": q_doc_sample_weighted,
         "q5_local_supplier": q_q5_local_supplier,
@@ -7091,6 +7144,31 @@ SELECT doc_id, n_tokens,
        CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS rownum,
        CAST(ntile(10) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS shard
 FROM c"""
+
+    sql["ts_twm_1d"] = f"""WITH {_sql_tokens_clean(tok)},
+  fw AS (
+    SELECT source, seg, time, n_tok,
+           lead(time) OVER (PARTITION BY source, seg
+                            ORDER BY time, seq) AS nt
+    FROM segmented
+  ),
+  wh AS (
+    SELECT source, (time // 86400) * 86400 AS bucket,
+           CAST(n_tok AS BIGINT) AS v,
+           CAST(sum(nt - time) AS BIGINT) AS c
+    FROM fw WHERE nt IS NOT NULL AND nt > time
+    GROUP BY source, bucket, v
+  ),
+  cw AS (
+    SELECT source, bucket, v,
+           sum(c) OVER (PARTITION BY source, bucket ORDER BY v) AS cum,
+           sum(c) OVER (PARTITION BY source, bucket) AS tot
+    FROM wh
+  )
+SELECT source, bucket,
+       CAST(min(CASE WHEN cum >= (50 * tot + 99) // 100 THEN v END)
+            AS BIGINT) AS twm
+FROM cw GROUP BY source, bucket"""
 
     sql["ts_percent_rank"] = f"""WITH {_sql_tokens_clean(tok)}
 SELECT source, doc_id, time, CAST(n_tok AS BIGINT) AS n_tok,

@@ -634,7 +634,7 @@ def _hist_merge(b: pa.Table, key_col: str = SOURCE) -> pa.Table:
 
 
 def hist_tier(ds, width_s: int, value: str = N_TOK, time_col: str = TIME,
-              key_col: str = SOURCE):
+              key_col: str = SOURCE, weight: str | None = None):
     """Sparse value-histogram tier: one (key, bucket, value, count) row per
     distinct value per window — the mergeable aggregate that makes EXACT
     quantiles (and modes, and value masks) answerable from the retention
@@ -646,14 +646,23 @@ def hist_tier(ds, width_s: int, value: str = N_TOK, time_col: str = TIME,
     from aisdb_ray.stages._dist import funnel_combine
 
     def part(b: pa.Table) -> pa.Table:
-        t = pa.table({
+        cols = {
             key_col: b[key_col],
             BUCKET: _bucket(b[time_col], width_s),
             HVAL: pc.cast(b[value], pa.int64()),
-        })
-        g = t.group_by([key_col, BUCKET, HVAL], use_threads=False).aggregate(
-            [([], "count_all")]
-        )
+        }
+        if weight is not None:
+            # weighted histogram: c sums the weight channel instead of
+            # counting rows — quantiles off it become WEIGHTED quantiles
+            # (e.g. dt-weighted -> time-weighted median)
+            cols["_w"] = pc.cast(b[weight], pa.int64())
+        t = pa.table(cols)
+        if weight is None:
+            g = t.group_by([key_col, BUCKET, HVAL],
+                           use_threads=False).aggregate([([], "count_all")])
+        else:
+            g = t.group_by([key_col, BUCKET, HVAL],
+                           use_threads=False).aggregate([("_w", "sum")])
         return g.rename_columns([key_col, BUCKET, HVAL, HCNT])
 
     partials = ds.map_batches(part, batch_format="pyarrow")

@@ -283,3 +283,38 @@ def test_hist_tier_quantiles_match_raw():
         rollup.hist_tier(ds, 86400), ps=(50, 95)
     ).to_pandas().sort_values(["source", "bucket"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, direct)
+
+
+def test_weighted_hist_tier_quantiles():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from aisdb_ray.stages import rollup
+
+    rng = np.random.default_rng(61)
+    n = 5_000
+    df = pd.DataFrame({
+        "source": rng.choice(["a", "b"], n),
+        "time": rng.integers(0, 2 * 86400, n).astype(np.int64),
+        "n_tok": rng.integers(1, 60, n).astype(np.int32),
+        "w": rng.integers(1, 100, n).astype(np.int64),
+    })
+    h = rollup.hist_tier(rd.from_pandas(df).repartition(4), 86400,
+                         weight="w")
+    got = rollup.tier_quantiles(h, ps=(50,)).to_pandas()
+    got = got.sort_values(["source", "bucket"]).reset_index(drop=True)
+
+    def wq(g, p):
+        g = g.sort_values("n_tok")
+        cum = g["w"].cumsum().to_numpy()
+        tot = int(cum[-1])
+        rank = (p * tot + 99) // 100
+        return int(g["n_tok"].to_numpy()[np.searchsorted(cum, rank)])
+
+    df["bucket"] = (df["time"] // 86400) * 86400
+    want = (df.groupby(["source", "bucket"])
+            .apply(lambda g: wq(g, 50), include_groups=False)
+            .reset_index(name="p50")
+            .sort_values(["source", "bucket"]).reset_index(drop=True))
+    np.testing.assert_array_equal(got["p50"].to_numpy(np.int64),
+                                  want["p50"].to_numpy(np.int64))
