@@ -2534,6 +2534,24 @@ def q_ev_hll_window(sf_dir: str):
     )
 
 
+def q_ev_table_stats(sf_dir: str):
+    """Distributed ANALYZE over the events stream: per column the row
+    count, null count, and typed min/max (stringified only after the
+    typed merge) — the planner-stats primitive the engine's own file
+    pruning consumes, produced as a first-class pass."""
+    from aisdb_ray.stages import stats
+
+    ds = _events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type"]) \
+        .map_batches(_events_adapter, batch_format="pyarrow") \
+        .map_batches(
+            lambda b: b.select(["event_id", "user_id", "event_type", "time"]),
+            batch_format="pyarrow",
+        )
+    return stats.column_stats(
+        ds, ["event_id", "user_id", "event_type", "time"]
+    )
+
+
 def q_ev_distinct_users(sf_dir: str):
     """Exact distinct-key count (A5): per-batch (event_type, user_id)
     dedup partials, then a per-event_type unique count — the distinct set
@@ -6492,6 +6510,7 @@ def build_queries() -> dict:
         "ev_hll_window": q_ev_hll_window,
         "ts_percent_rank": q_ts_percent_rank,
         "ts_twm_1d": q_ts_twm_1d,
+        "ev_table_stats": q_ev_table_stats,
         "ev_peak_concurrency": q_ev_peak_concurrency,
         "doc_sample_weighted": q_doc_sample_weighted,
         "q5_local_supplier": q_q5_local_supplier,
@@ -6903,6 +6922,32 @@ FROM r GROUP BY event_type, register"""
     FROM u GROUP BY ta, tb HAVING 1024 - count(*) > 0
   )
 SELECT * FROM nz UNION ALL SELECT * FROM z"""
+
+    sql["ev_table_stats"] = """WITH ev0 AS (
+    SELECT event_id, user_id, event_type,
+           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS time
+    FROM events
+  )
+SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+       CAST(min(event_id) AS VARCHAR) AS min_v,
+       CAST(max(event_id) AS VARCHAR) AS max_v
+FROM ev0
+UNION ALL
+SELECT 'user_id', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(user_id) AS BIGINT),
+       CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+FROM ev0
+UNION ALL
+SELECT 'event_type', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(event_type) AS BIGINT),
+       min(event_type), max(event_type)
+FROM ev0
+UNION ALL
+SELECT 'time', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(time) AS BIGINT),
+       CAST(min(time) AS VARCHAR), CAST(max(time) AS VARCHAR)
+FROM ev0"""
 
     sql["ev_hll_window"] = """WITH h AS (
     SELECT event_type,
