@@ -1159,8 +1159,11 @@ def q_ts_mad_outliers(sf_dir: str):
 def q_ts_twm_1d(sf_dir: str):
     """Time-weighted MEDIAN per (source, day): each value weighted by
     how long it held (LOCF forward-dt within its segment) — the robust
-    sibling of ts_twa_1h, served through the weighted histogram tier
-    (rollup.hist_tier weight channel + the same discrete rank rule)."""
+    sibling of ts_twa_1h.  The LOCF pass collapses to a weighted
+    value-histogram INSIDE the source partition (one co-shuffle; the
+    same weighted-histogram shape rollup.hist_tier(weight=...) builds
+    from flat rows), then rollup.tier_quantiles applies the shared
+    discrete rank rule over the weights."""
     from aisdb_ray.stages._dist import co_shuffle
 
     cleaned = _clean_cached(sf_dir).select_columns(
@@ -1692,7 +1695,6 @@ def q_ev_asof_stream(sf_dir: str):
     bounded (keys × chunks) carry table for cross-chunk lookback —
     stages/asof.asof_join_streams."""
     from aisdb_ray.stages import asof
-    from aisdb_ray.stages._dist import funnel_combine
 
     ev = _events_ds(
         sf_dir, ["event_id", "ts", "user_id", "event_type", "value"]
@@ -1720,8 +1722,13 @@ def q_ev_asof_stream(sf_dir: str):
             [("click_cents", "max")])
         return g.rename_columns(["user_id", "time", "click_cents"])
 
-    clicks = funnel_combine(
-        ev.map_batches(click_part, batch_format="pyarrow"), click_merge
+    # hash-partitioned dedup (distinct (user, time) is nearly the whole
+    # click stream — a single-block funnel would rebroadcast the big side)
+    from aisdb_ray.stages._dist import co_shuffle
+
+    clicks = co_shuffle(
+        ev.map_batches(click_part, batch_format="pyarrow"),
+        ["user_id"], click_merge,
     )
     joined = asof.asof_join_streams(
         left, clicks, by="user_id", on="time",

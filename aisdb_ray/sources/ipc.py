@@ -43,9 +43,15 @@ def write_token_ipc(parquet_dir: str, out_dir: str,
     import pyarrow.ipc as ipc
     import pyarrow.parquet as pq
 
+    import shutil
+
     done = os.path.join(out_dir, "_DONE")
+    marker = f"ok garbage={bool(inject_garbage)}"
     if os.path.exists(done):
-        return out_dir
+        if open(done).read() == marker:
+            return out_dir
+        # cached dir was built under the OTHER garbage contract — rebuild
+        shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     files = sorted(
         os.path.join(parquet_dir, f) for f in os.listdir(parquet_dir)
@@ -69,7 +75,7 @@ def write_token_ipc(parquet_dir: str, out_dir: str,
         with open(os.path.join(out_dir, "junk-b.arrow"), "wb") as o:
             o.write(last_data[: max(16, len(last_data) // 3)])
     with open(done, "w") as o:
-        o.write("ok")
+        o.write(marker)
     return out_dir
 
 
@@ -114,7 +120,9 @@ def read_token_ipc(paths):
                     with opener(pa.BufferReader(blob)) as r:
                         tbl = r.read_all()
                     break
-                except pa.ArrowInvalid:
+                except (pa.ArrowInvalid, OSError):
+                    # a truncated STREAM body surfaces as OSError from
+                    # read_all (schema header opened fine) — quarantine
                     continue
             if tbl is None:
                 continue  # quarantined whole file

@@ -437,7 +437,10 @@ def asof_join_streams(
         t = pc.cast(b[on], pa.int64())
         cols = {c: b[c] for c in lcols}
         cols["_t"] = t
-        cols["_chunk"] = pc.divide(t, pa.scalar(chunk_s, pa.int64()))
+        # numpy FLOOR division, matching the carry table's chunk ids —
+        # Arrow pc.divide truncates, which diverges on negative epochs
+        cols["_chunk"] = pa.array(
+            t.to_numpy(zero_copy_only=False) // chunk_s)
         cols["_side"] = pa.array(np.zeros(b.num_rows, np.int8))
         cols["_rt"] = pa.nulls(b.num_rows, pa.int64())
         for c in value_cols:
@@ -447,7 +450,8 @@ def asof_join_streams(
     def r_tag(b: pa.Table) -> pa.Table:
         cols = {c: pa.nulls(b.num_rows, ltypes[c]) for c in lcols}
         cols["_t"] = b["_rt"]
-        cols["_chunk"] = pc.divide(b["_rt"], pa.scalar(chunk_s, pa.int64()))
+        cols["_chunk"] = pa.array(
+            b["_rt"].to_numpy(zero_copy_only=False) // chunk_s)
         cols["_side"] = pa.array(np.ones(b.num_rows, np.int8))
         cols["_rt"] = b["_rt"]
         for c in value_cols:

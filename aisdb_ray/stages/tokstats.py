@@ -591,16 +591,17 @@ def lm_score(ds, scale: int = 1_000_000):
     boilerplate already deduped away).  Everything is int64; the SQL
     oracle reproduces it with the same floor divisions.
 
-    Shape: corpus bigram/left-unigram counts are the same algebraic
-    partials as :func:`bigram_topk`; scoring routes each doc's bigram
-    occurrences through ONE code-keyed hash co-shuffle against the count
-    partition (counts and occurrences co-partitioned by code — no
-    broadcast of the vocab²-bounded count table), then a doc-keyed
-    combine sums the per-occurrence scores."""
-    from aisdb_ray.stages._dist import co_shuffle, funnel_combine
+    Shape: ONE corpus pass emits per-(doc, bigram) occurrence counts;
+    ONE hash co-shuffle keyed by the LEFT token co-locates every
+    occurrence of a prev — and since the corpus counts are themselves
+    sums of those occurrence counts, C(code) and C(prev·) are derived
+    LOCALLY inside each partition (no second scan, no count-table
+    broadcast or union routing); a doc-keyed co-shuffle then sums the
+    per-occurrence scores."""
+    from aisdb_ray.stages._dist import co_shuffle
 
     def occ_partial(batch: pa.Table) -> pa.Table:
-        """(code, doc_id, k) bigram occurrence counts per doc."""
+        """(prev, code, doc_id, k) bigram occurrence counts per doc."""
         b2 = batch.filter(pc.and_(
             pc.greater(batch["n_tok"], pa.scalar(0)),
             pc.equal(pc.list_value_length(batch["tokens"]), batch["n_tok"]),
@@ -608,7 +609,8 @@ def lm_score(ds, scale: int = 1_000_000):
         toks = b2["tokens"]
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
-        empty = pa.table({"code": pa.array([], pa.int64()),
+        empty = pa.table({"prev": pa.array([], pa.int64()),
+                          "code": pa.array([], pa.int64()),
                           "doc_id": pa.array([], pa.string()),
                           "k": pa.array([], pa.int64())})
         if len(toks) == 0:
@@ -627,127 +629,41 @@ def lm_score(ds, scale: int = 1_000_000):
         starts = np.flatnonzero(head)
         cnt = np.diff(np.r_[starts, len(cs_)])
         return pa.table({
+            "prev": pa.array(cs_[starts] // _SHIFT, pa.int64()),
             "code": pa.array(cs_[starts], pa.int64()),
             "doc_id": pa.array(ids[ds_[starts]].tolist(), pa.string()),
             "k": pa.array(cnt.astype(np.int64)),
         })
 
-    # corpus counts keyed by code; left-unigram counts derive inside the
-    # code partition (prev = code // SHIFT lives with every code sharing
-    # its prev?  NO — different codes with one prev spread across
-    # partitions, so C(prev) must be computed separately and co-routed)
     occ = ds.map_batches(occ_partial, batch_format="pyarrow")
 
-    def big_partial(b: pa.Table) -> pa.Table:
-        return bigram_partial(b)
-
-    bcounts = ds.map_batches(big_partial, batch_format="pyarrow")
-    bcounts = bcounts.map_batches(_combine_codes, batch_format="pyarrow",
-                                  batch_size=None)
-    # two consumers (count stream + left-unigram derivation): materialize
-    # once — bounded by distinct-bigram count, never raw rows
-    bcounts = bcounts.materialize()
-
-    def prev_partial(b: pa.Table) -> pa.Table:
-        g = _combine_codes(b)
-        code = g["code"].to_numpy(zero_copy_only=False)
-        n = g["n"].to_numpy(zero_copy_only=False)
-        t = pa.table({"prev": code // _SHIFT, "n": n})
-        gg = t.group_by(["prev"], use_threads=False).aggregate([("n", "sum")])
-        return gg.rename_columns(["prev", "pn"])
-
-    # vocab-bounded (one row per distinct left token): the single-block
-    # funnel is the right combine — the hash path's per-group map_groups
-    # would pay 50k tiny-group invocations (the stages/_dist anti-pattern)
-    pcounts = funnel_combine(
-        bcounts.map_batches(prev_partial, batch_format="pyarrow"),
-        lambda b: b.group_by(["prev"], use_threads=False)
-                   .aggregate([("pn", "sum")])
-                   .rename_columns(["prev", "pn"]),
-    )
-
-    # route occurrences + bigram counts by code, prev counts by every
-    # code sharing the prev: tag each stream, one co-shuffle on "prev"
-    # (code's left token) so a partition holds all three pieces
-    def occ_tag(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "prev": pc.divide(b["code"], pa.scalar(_SHIFT, pa.int64())),
-            "code": b["code"], "doc_id": b["doc_id"], "k": b["k"],
-            "n": pa.nulls(b.num_rows, pa.int64()),
-            "pn": pa.nulls(b.num_rows, pa.int64()),
-            "kind": pa.array(["o"] * b.num_rows, pa.string()),
-        })
-
-    def cnt_tag(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "prev": pc.divide(b["code"], pa.scalar(_SHIFT, pa.int64())),
-            "code": b["code"],
-            "doc_id": pa.nulls(b.num_rows, pa.string()),
-            "k": pa.nulls(b.num_rows, pa.int64()),
-            "n": b["n"],
-            "pn": pa.nulls(b.num_rows, pa.int64()),
-            "kind": pa.array(["c"] * b.num_rows, pa.string()),
-        })
-
-    def prev_tag(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "prev": b["prev"],
-            "code": pa.nulls(b.num_rows, pa.int64()),
-            "doc_id": pa.nulls(b.num_rows, pa.string()),
-            "k": pa.nulls(b.num_rows, pa.int64()),
-            "n": pa.nulls(b.num_rows, pa.int64()),
-            "pn": b["pn"],
-            "kind": pa.array(["p"] * b.num_rows, pa.string()),
-        })
-
-    unioned = (
-        occ.map_batches(occ_tag, batch_format="pyarrow")
-        .union(bcounts.map_batches(cnt_tag, batch_format="pyarrow"))
-        .union(pcounts.map_batches(prev_tag, batch_format="pyarrow"))
-    )
-
     def score_part(part: pa.Table) -> pa.Table:
-        kind = part["kind"].to_numpy(zero_copy_only=False)
         empty = pa.table({"doc_id": pa.array([], pa.string()),
                           "score": pa.array([], pa.int64()),
                           "nb": pa.array([], pa.int64())})
-        om = kind == "o"
-        if not om.any():
+        if part.num_rows == 0:
             return empty
-        occs = part.filter(pa.array(om))
-        cnts = part.filter(pa.array(kind == "c"))
-        prevs = part.filter(pa.array(kind == "p"))
-        # merge duplicate count partials (counts arrive pre-combined per
-        # block but multiple blocks may land here)
-        ct = cnts.group_by(["code"], use_threads=False).aggregate(
-            [("n", "sum")]).rename_columns(["code", "n"])
-        pt = prevs.group_by(["prev"], use_threads=False).aggregate(
-            [("pn", "sum")]).rename_columns(["prev", "pn"])
-        code_c = ct["code"].to_numpy(zero_copy_only=False)
-        n_c = ct["n"].to_numpy(zero_copy_only=False)
-        o_code = occs["code"].to_numpy(zero_copy_only=False)
-        o_prev = occs["prev"].to_numpy(zero_copy_only=False)
-        o_k = occs["k"].to_numpy(zero_copy_only=False)
-        order = np.argsort(code_c, kind="stable")
-        pos = np.searchsorted(code_c[order], o_code)
-        cn = n_c[order][pos]
-        prev_p = pt["prev"].to_numpy(zero_copy_only=False)
-        pn_p = pt["pn"].to_numpy(zero_copy_only=False)
-        order2 = np.argsort(prev_p, kind="stable")
-        pos2 = np.searchsorted(prev_p[order2], o_prev)
-        pn = pn_p[order2][pos2]
-        per = (cn * scale) // pn * o_k
-        t = pa.table({"doc_id": occs["doc_id"], "score": pa.array(per),
-                      "nb": pa.array(o_k)})
+        code = part["code"].to_numpy(zero_copy_only=False)
+        prev = part["prev"].to_numpy(zero_copy_only=False)
+        k = part["k"].to_numpy(zero_copy_only=False)
+        # corpus counts ARE the partition-local sums of k: the partition
+        # holds every occurrence of its prevs by construction
+        ucode, inv_c = np.unique(code, return_inverse=True)
+        cn_tbl = np.zeros(len(ucode), dtype=np.int64)
+        np.add.at(cn_tbl, inv_c, k)
+        uprev, inv_p = np.unique(prev, return_inverse=True)
+        pn_tbl = np.zeros(len(uprev), dtype=np.int64)
+        np.add.at(pn_tbl, inv_p, k)
+        per = (cn_tbl[inv_c] * scale) // pn_tbl[inv_p] * k
+        t = pa.table({"doc_id": part["doc_id"], "score": pa.array(per),
+                      "nb": pa.array(k)})
         g = t.group_by(["doc_id"], use_threads=False).aggregate(
             [("score", "sum"), ("nb", "sum")])
         return g.rename_columns(["doc_id", "score", "nb"])
 
-    scored = co_shuffle(unioned, ["prev"], score_part)
+    scored = co_shuffle(occ, ["prev"], score_part)
 
     def doc_part(part: pa.Table) -> pa.Table:
-        # one vectorized multi-group task per partition — never a
-        # per-doc map_groups invocation
         g = part.group_by(["doc_id"], use_threads=False).aggregate(
             [("score", "sum"), ("nb", "sum")])
         return g.rename_columns(["doc_id", "lm_score", "n_bigrams"])
