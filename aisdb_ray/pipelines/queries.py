@@ -1211,6 +1211,53 @@ def q_ts_twm_1d(sf_dir: str):
     )
 
 
+def q_ts_state_durations(sf_dir: str):
+    """State-duration accounting (TimescaleDB state_agg analog): seconds
+    spent in each volume band (state = n_tok // 1024, LOCF within
+    segment) per (source, day) — the state-timeline panel; same LOCF
+    forward-dt kernel as ts_twm_1d, grouped by band inside the source
+    partition (no second shuffle)."""
+    from aisdb_ray.stages._dist import co_shuffle
+
+    cleaned = _clean_cached(sf_dir).select_columns(
+        ["source", "seg", "time", "seq", "n_tok"]
+    )
+
+    def fw(part: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        idx = pc2.sort_indices(part, sort_keys=[
+            ("source", "ascending"), ("seg", "ascending"),
+            ("time", "ascending"), ("seq", "ascending"),
+        ])
+        s = part.take(idx)
+        src = s["source"].to_numpy(zero_copy_only=False)
+        seg = s["seg"].to_numpy(zero_copy_only=False)
+        t = s["time"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = s["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(t)
+        if n == 0:
+            return pa.table({"source": s["source"],
+                             "bucket": pa.array([], pa.int64()),
+                             "state": pa.array([], pa.int64()),
+                             "seconds": pa.array([], pa.int64())})
+        same = np.r_[(src[1:] == src[:-1]) & (seg[1:] == seg[:-1]), False]
+        w = np.zeros(n, dtype=np.int64)
+        w[:-1] = t[1:] - t[:-1]
+        keep = same & (w > 0)
+        out = pa.table({
+            "source": s["source"].filter(pa.array(keep)),
+            "bucket": pa.array((t[keep] // 86400) * 86400),
+            "state": pa.array(v[keep] // 1024),
+            "seconds": pa.array(w[keep]),
+        })
+        g = out.group_by(["source", "bucket", "state"],
+                         use_threads=False).aggregate([("seconds", "sum")])
+        return g.rename_columns(["source", "bucket", "state", "seconds"])
+
+    return co_shuffle(cleaned, ["source"], fw)
+
+
 def q_ts_percent_rank(sf_dir: str):
     """percent_rank() per source over n_tok (rank() tie semantics):
     each point's relative distributional position — the per-key
@@ -6518,6 +6565,7 @@ def build_queries() -> dict:
         "ts_percent_rank": q_ts_percent_rank,
         "ts_twm_1d": q_ts_twm_1d,
         "ev_table_stats": q_ev_table_stats,
+        "ts_state_durations": q_ts_state_durations,
         "ev_peak_concurrency": q_ev_peak_concurrency,
         "doc_sample_weighted": q_doc_sample_weighted,
         "q5_local_supplier": q_q5_local_supplier,
@@ -7196,6 +7244,19 @@ SELECT doc_id, n_tokens,
        CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS rownum,
        CAST(ntile(10) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS shard
 FROM c"""
+
+    sql["ts_state_durations"] = f"""WITH {_sql_tokens_clean(tok)},
+  fw AS (
+    SELECT source, seg, time, n_tok,
+           lead(time) OVER (PARTITION BY source, seg
+                            ORDER BY time, seq) AS nt
+    FROM segmented
+  )
+SELECT source, (time // 86400) * 86400 AS bucket,
+       CAST(n_tok AS BIGINT) // 1024 AS state,
+       CAST(sum(nt - time) AS BIGINT) AS seconds
+FROM fw WHERE nt IS NOT NULL AND nt > time
+GROUP BY source, bucket, state"""
 
     sql["ts_twm_1d"] = f"""WITH {_sql_tokens_clean(tok)},
   fw AS (
