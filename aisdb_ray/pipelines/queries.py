@@ -2760,6 +2760,41 @@ def q_seg_revenue(sf_dir: str):
     return grouped_sums(ds, ["c_mktsegment"], ["revenue_cents"], count_as="n_orders")
 
 
+def q_fk_integrity(sf_dir: str):
+    """Referential-integrity audit (the warehouse data-quality gate):
+    orphan counts for three FK edges (lineitem→orders, orders→customer,
+    customer→nation) via distributed LEFT ANTI hash joins — each edge is
+    one co-partitioned exchange of key columns only, never payloads."""
+    from aisdb_ray.stages import join as join_mod
+
+    _ctx()
+
+    def edge(child, child_key, parent, parent_key):
+        c = rd.read_parquet(os.path.join(sf_dir, f"{child}.parquet"),
+                            columns=[child_key])
+        p = rd.read_parquet(os.path.join(sf_dir, f"{parent}.parquet"),
+                            columns=[parent_key])
+        n_total = c.count()
+        orphans = join_mod.hash_join(
+            c, p, on=child_key, right_on=parent_key, how="left anti"
+        ).count()
+        return n_total, orphans
+
+    rows = []
+    for child, ck, parent, pk in [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ]:
+        n, o = edge(child, ck, parent, pk)
+        rows.append((f"{child}->{parent}", n, o))
+    return pa.table({
+        "fk_edge": pa.array([r[0] for r in rows], pa.string()),
+        "n_child": pa.array([r[1] for r in rows], pa.int64()),
+        "n_orphans": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
 def q_q6_forecast(sf_dir: str):
     """TPC-H Q6 (forecasting revenue change): Σ extendedprice·discount
     over 1996-shipped lines with discount in [5%, 7%] and quantity < 24
@@ -6566,6 +6601,7 @@ def build_queries() -> dict:
         "ts_twm_1d": q_ts_twm_1d,
         "ev_table_stats": q_ev_table_stats,
         "ts_state_durations": q_ts_state_durations,
+        "fk_integrity": q_fk_integrity,
         "ev_peak_concurrency": q_ev_peak_concurrency,
         "doc_sample_weighted": q_doc_sample_weighted,
         "q5_local_supplier": q_q5_local_supplier,
@@ -8623,6 +8659,27 @@ WHERE c_custkey = o_custkey
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name"""
+
+    sql["fk_integrity"] = """SELECT 'lineitem->orders' AS fk_edge,
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'orders->customer',
+       CAST((SELECT count(*) FROM orders) AS BIGINT),
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'customer->nation',
+       CAST((SELECT count(*) FROM customer) AS BIGINT),
+       CAST((SELECT count(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey))
+            AS BIGINT)"""
 
     sql["q6_forecast"] = """SELECT
   CAST(COALESCE(sum(CAST(round(l_extendedprice * 100) AS BIGINT)

@@ -431,3 +431,19 @@ def test_group_quantiles_multi_matches_numpy():
         for p in (50, 95):
             rank_ = (p * len(vals) + 99) // 100
             assert r[f"q{p}_v"] == vals[rank_ - 1], (r["g1"], r["g2"], p)
+
+
+def test_fk_integrity_detects_planted_orphans():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from aisdb_ray.stages import join as join_mod
+
+    child = pd.DataFrame({"k": np.array([1, 2, 3, 99, 98], np.int64)})
+    parent = pd.DataFrame({"pk": np.array([1, 2, 3, 4], np.int64)})
+    orphans = join_mod.hash_join(
+        rd.from_pandas(child), rd.from_pandas(parent),
+        on="k", right_on="pk", how="left anti",
+    ).to_pandas()
+    assert sorted(orphans["k"].tolist()) == [98, 99]
