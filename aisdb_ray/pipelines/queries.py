@@ -5818,6 +5818,31 @@ def q_ann_topk_per_label(sf_dir: str):
     )
 
 
+def q_ev_unpivot(sf_dir: str):
+    """UNPIVOT (wide → long, the PIVOT inverse): the per-user wide count
+    matrix melts back to (user_id, event_type, n) rows — a pure map-side
+    reshape (each wide row emits one long row per non-zero column, no
+    shuffle at all); composed with ev_pivot it round-trips the long
+    form."""
+    wide = q_ev_pivot(sf_dir)
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+
+    def melt(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        outs = []
+        for t in TYPES:
+            n = b[f"n_{t}"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = n > 0
+            outs.append(pa.table({
+                "user_id": pa.array(u[keep]),
+                "event_type": pa.array([t] * int(keep.sum()), pa.string()),
+                "n": pa.array(n[keep]),
+            }))
+        return pa.concat_tables(outs)
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
 def q_ev_pivot(sf_dir: str):
     """PIVOT: one row per user with one count column per event type (the
     wide feature layout a model join consumes).  Long-form counts are an
@@ -6602,6 +6627,7 @@ def build_queries() -> dict:
         "ev_table_stats": q_ev_table_stats,
         "ts_state_durations": q_ts_state_durations,
         "fk_integrity": q_fk_integrity,
+        "ev_unpivot": q_ev_unpivot,
         "ev_peak_concurrency": q_ev_peak_concurrency,
         "doc_sample_weighted": q_doc_sample_weighted,
         "q5_local_supplier": q_q5_local_supplier,
@@ -10440,6 +10466,10 @@ WHERE (mv_prev IS NULL OR n_tok > mv_prev) AND n_tok >= gmax"""
        vec_id
 FROM embeddings
 QUALIFY rank <= 3"""
+
+    sql["ev_unpivot"] = """SELECT user_id, event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY user_id, event_type"""
 
     sql["ev_pivot"] = """SELECT user_id,
        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
