@@ -1278,6 +1278,24 @@ def q_ts_percent_rank(sf_dir: str):
     )
 
 
+def q_ts_cume_dist(sf_dir: str):
+    """cume_dist() per source over n_tok — the ≤-counting sibling of
+    ts_percent_rank (same co-shuffle kernel, side='right' count)."""
+    from aisdb_ray.stages import window
+
+    cleaned = _clean_cached(sf_dir).select_columns(
+        ["source", "doc_id", "time", "n_tok"]
+    )
+    out = window.cume_dist(cleaned, "source", "n_tok")
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("n_tok"), "n_tok",
+            pc.cast(b["n_tok"], pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_ts_gapfill_rate(sf_dir: str):
     """T8c (geo_interp_time analog): gap-fill, then RECOMPUTE the derived
     rate channel from the filled grid; each segment's final point carries
@@ -6628,6 +6646,7 @@ def build_queries() -> dict:
         "ts_state_durations": q_ts_state_durations,
         "fk_integrity": q_fk_integrity,
         "ev_unpivot": q_ev_unpivot,
+        "ts_cume_dist": q_ts_cume_dist,
         "ev_peak_concurrency": q_ev_peak_concurrency,
         "doc_sample_weighted": q_doc_sample_weighted,
         "q5_local_supplier": q_q5_local_supplier,
@@ -7344,6 +7363,11 @@ SELECT source, bucket,
        CAST(min(CASE WHEN cum >= (50 * tot + 99) // 100 THEN v END)
             AS BIGINT) AS twm
 FROM cw GROUP BY source, bucket"""
+
+    sql["ts_cume_dist"] = f"""WITH {_sql_tokens_clean(tok)}
+SELECT source, doc_id, time, CAST(n_tok AS BIGINT) AS n_tok,
+       cume_dist() OVER (PARTITION BY source ORDER BY n_tok) AS cd
+FROM clean"""
 
     sql["ts_percent_rank"] = f"""WITH {_sql_tokens_clean(tok)}
 SELECT source, doc_id, time, CAST(n_tok AS BIGINT) AS n_tok,

@@ -1314,3 +1314,36 @@ def percent_rank(ds, group: str, value: str, num_parts: int | None = None):
         return s.append_column("pct", pa.array(pct))
 
     return co_shuffle(ds, [group], per_part, num_parts)
+
+
+def cume_dist(ds, group: str, value: str, num_parts: int | None = None):
+    """SQL ``cume_dist() OVER (PARTITION BY group ORDER BY value)``:
+    count(v' <= v) / n — percent_rank's ≤-counting sibling (completes
+    the analytic rank family next to rownum/ntile/percent_rank).  Same
+    one-co-shuffle sort+searchsorted shape; single IEEE divide."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from aisdb_ray.stages._dist import co_shuffle
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part.append_column("cd", pa.array([], pa.float64()))
+        idx = pc.sort_indices(part, sort_keys=[(group, "ascending"),
+                                               (value, "ascending")])
+        s = part.take(idx)
+        k = s[group].to_numpy(zero_copy_only=False)
+        v = s[value].to_numpy(zero_copy_only=False)
+        n = len(k)
+        new = np.r_[True, k[1:] != k[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], n]
+        cd = np.zeros(n, dtype=np.float64)
+        for a, b in zip(starts, ends):
+            vv = v[a:b]
+            c = np.searchsorted(vv, vv, side="right")
+            cd[a:b] = c / float(b - a)
+        return s.append_column("cd", pa.array(cd))
+
+    return co_shuffle(ds, [group], per_part, num_parts)

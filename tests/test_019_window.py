@@ -320,3 +320,27 @@ def test_percent_rank_matches_duckdb():
                         "i": np.array([0], np.int64)})
     g1 = window.percent_rank(rd.from_pandas(one), "g", "v").to_pandas()
     assert g1["pct"].tolist() == [0.0]
+
+
+def test_cume_dist_matches_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from aisdb_ray.stages import window
+
+    rng = np.random.default_rng(67)
+    n = 6_000
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], n),
+        "v": rng.integers(0, 40, n).astype(np.int64),
+        "i": np.arange(n, dtype=np.int64),
+    })
+    got = window.cume_dist(
+        rd.from_pandas(df).repartition(4), "g", "v"
+    ).to_pandas().sort_values("i").reset_index(drop=True)
+    want = duckdb.sql(
+        "SELECT i, cume_dist() OVER (PARTITION BY g ORDER BY v) AS cd "
+        "FROM df ORDER BY i"
+    ).df()
+    np.testing.assert_array_equal(got["cd"].to_numpy(), want["cd"].to_numpy())
