@@ -1278,6 +1278,38 @@ def q_ts_percent_rank(sf_dir: str):
     )
 
 
+def q_ts_tier_range_p95(sf_dir: str):
+    """Quantile RANGE query served from tiers: exact per-source p50/p95
+    of n_tok over a deterministic minute-aligned [lo, hi) — answered by
+    pruning the 1m value-histogram tier to the range and merging
+    count-per-value rows (algebraic, so the ts_tier_range multi-width
+    exact-cover plan applies to quantiles exactly as to min/max/sum);
+    the oracle scans raw with the shared rank rule."""
+    lo, hi = _tier_range_bounds(ensure_sf_tokens(sf_dir))
+    lo = ((lo + 59) // 60) * 60   # minute-align inward
+    hi = (hi // 60) * 60
+    h1m = rollup.hist_tier(_clean_cached(sf_dir), 60)
+    pruned = h1m.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b["bucket"], pa.scalar(lo, pa.int64())),
+            pc.less(b["bucket"], pa.scalar(hi, pa.int64())),
+        )),
+        batch_format="pyarrow",
+    )
+    # collapse every surviving minute bucket into the single range bucket
+    one = rollup.hist_retier(
+        pruned.map_batches(
+            lambda b: b.set_column(
+                b.schema.get_field_index("bucket"), "bucket",
+                pa.array(np.full(b.num_rows, lo, np.int64)),
+            ),
+            batch_format="pyarrow",
+        ),
+        60,
+    )
+    return rollup.tier_quantiles(one, ps=(50, 95))
+
+
 def q_ts_cume_dist(sf_dir: str):
     """cume_dist() per source over n_tok — the ≤-counting sibling of
     ts_percent_rank (same co-shuffle kernel, side='right' count)."""
@@ -6647,6 +6679,7 @@ def build_queries() -> dict:
         "fk_integrity": q_fk_integrity,
         "ev_unpivot": q_ev_unpivot,
         "ts_cume_dist": q_ts_cume_dist,
+        "ts_tier_range_p95": q_ts_tier_range_p95,
         "ev_peak_concurrency": q_ev_peak_concurrency,
         "doc_sample_weighted": q_doc_sample_weighted,
         "q5_local_supplier": q_q5_local_supplier,
@@ -7363,6 +7396,28 @@ SELECT source, bucket,
        CAST(min(CASE WHEN cum >= (50 * tot + 99) // 100 THEN v END)
             AS BIGINT) AS twm
 FROM cw GROUP BY source, bucket"""
+
+    _p95_lo, _p95_hi = _tier_range_bounds(tok)
+    _p95_lo = ((_p95_lo + 59) // 60) * 60
+    _p95_hi = (_p95_hi // 60) * 60
+    sql["ts_tier_range_p95"] = f"""WITH {_sql_tokens_clean(tok)},
+  h AS (
+    SELECT source, CAST(n_tok AS BIGINT) AS v, count(*) AS c
+    FROM clean WHERE time >= {_p95_lo} AND time < {_p95_hi}
+    GROUP BY source, v
+  ),
+  cw AS (
+    SELECT source, v,
+           sum(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+           sum(c) OVER (PARTITION BY source) AS tot
+    FROM h
+  )
+SELECT source, CAST({_p95_lo} AS BIGINT) AS bucket,
+       CAST(min(CASE WHEN cum >= (50 * tot + 99) // 100 THEN v END)
+            AS BIGINT) AS p50,
+       CAST(min(CASE WHEN cum >= (95 * tot + 99) // 100 THEN v END)
+            AS BIGINT) AS p95
+FROM cw GROUP BY source"""
 
     sql["ts_cume_dist"] = f"""WITH {_sql_tokens_clean(tok)}
 SELECT source, doc_id, time, CAST(n_tok AS BIGINT) AS n_tok,
