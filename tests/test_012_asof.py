@@ -195,3 +195,24 @@ def test_asof_join_streams_tolerance_and_empty_right():
         right_on="rt", value_cols=["val"], chunk_s=1_000, how="inner",
     )
     assert got2.count() == 0
+
+
+def test_asof_join_streams_negative_timestamps():
+    # floor-vs-truncate chunking regression: with negative times, a
+    # truncating chunk id would let the carry table return a FORWARD
+    # match (r_t > t). All chunk math must floor.
+    left = pd.DataFrame({"source": ["a", "a", "a"],
+                         "time": np.array([-600, -1500, 300], np.int64),
+                         "lv": np.array([1, 2, 3], np.int64)})
+    right = pd.DataFrame({"source": ["a", "a"],
+                          "rt": np.array([-500, -2000], np.int64),
+                          "val": np.array([7, 9], np.int64)})
+    got = asof.asof_join_streams(
+        rd.from_pandas(left), rd.from_pandas(right),
+        by="source", on="time", right_on="rt", value_cols=["val"],
+        chunk_s=1_000, how="inner",
+    ).to_pandas().sort_values("time").reset_index(drop=True)
+    # -1500 -> -2000(9); -600 -> -2000(9) (NOT the future -500); 300 -> -500(7)
+    assert got["time"].tolist() == [-1500, -600, 300]
+    assert got["val"].tolist() == [9, 9, 7]
+    assert (got["r_t"] <= got["time"]).all()
