@@ -50,7 +50,7 @@ def co_shuffle(ds, keys: list[str], block_fn, num_parts: int | None = None):
 
 def co_shuffle_staged(ds, keys: list[str], block_fn, staging_dir: str,
                       num_parts: int | None = None, part_fn=None,
-                      part_aware: bool = False):
+                      part_aware: bool = False, resume: bool = False):
     """Disk-staged variant of :func:`co_shuffle` for big inputs: a map-only
     compressed-parquet exchange replaces the object-store sort — the
     cascade's scaling-proven hash exchange
@@ -83,7 +83,16 @@ def co_shuffle_staged(ds, keys: list[str], block_fn, staging_dir: str,
     manifest before phase B starts.
 
     The returned Dataset READS the stage files lazily: consume (or
-    materialize) it before deleting ``staging_dir``."""
+    materialize) it before deleting ``staging_dir``.
+
+    ``resume=True`` persists the phase-A manifest (as
+    ``_MANIFEST.json``, written atomically AFTER every stage file is
+    durable and footer-validated) and, on a rerun against the same
+    ``staging_dir``, SKIPS phase A entirely when a manifest for the same
+    ``num_parts`` is present — the all-to-all is the expensive half of
+    the job, so a killed run restarts at phase B (the checkpointed-
+    watermark posture of the cascade, extended to ad-hoc exchanges)."""
+    import json
     import os
     import shutil
     import uuid
@@ -96,8 +105,19 @@ def co_shuffle_staged(ds, keys: list[str], block_fn, staging_dir: str,
 
     if num_parts is None:
         num_parts = _default_parts()
-    shutil.rmtree(staging_dir, ignore_errors=True)
-    os.makedirs(staging_dir, exist_ok=True)
+    mpath = os.path.join(staging_dir, "_MANIFEST.json")
+    manifest = None
+    if resume and os.path.exists(mpath):
+        try:
+            saved = json.load(open(mpath))
+        except (OSError, ValueError):
+            saved = None
+        if saved and saved.get("num_parts") == num_parts:
+            manifest = saved["rows"]
+    resumed_from_disk = manifest is not None
+    if manifest is None:
+        shutil.rmtree(staging_dir, ignore_errors=True)
+        os.makedirs(staging_dir, exist_ok=True)
 
     def write_stage(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -133,7 +153,19 @@ def co_shuffle_staged(ds, keys: list[str], block_fn, staging_dir: str,
     # the data.  Phase B reads EXACT (file, row group) pairs, so killed or
     # re-executed attempts can neither duplicate nor truncate a partition,
     # and no filter evaluation runs at read time.
-    manifest = ds.map_batches(write_stage, batch_format="pyarrow").take_all()
+    if manifest is None:
+        manifest = ds.map_batches(write_stage,
+                                  batch_format="pyarrow").take_all()
+        if resume:
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as o:
+                json.dump({"num_parts": num_parts,
+                           "rows": [{"file": r["file"],
+                                     "part": int(r["part"]),
+                                     "rg": int(r["rg"]),
+                                     "n": int(r["n"])} for r in manifest]},
+                          o)
+            os.replace(tmp, mpath)
     per_file: dict[str, int] = {}
     assign: dict[int, list] = {k: [] for k in range(num_parts)}
     part_counts = np.zeros(num_parts, dtype=np.int64)
@@ -141,12 +173,25 @@ def co_shuffle_staged(ds, keys: list[str], block_fn, staging_dir: str,
         per_file[r["file"]] = per_file.get(r["file"], 0) + int(r["n"])
         assign[int(r["part"])].append((r["file"], int(r["rg"])))
         part_counts[int(r["part"])] += int(r["n"])
-    for f, n_expect in per_file.items():
-        got = pq.read_metadata(os.path.join(staging_dir, f)).num_rows
-        if got != n_expect:
-            raise RuntimeError(
-                f"staged exchange file {f}: footer rows {got} != manifest "
-                f"{n_expect} (corrupt stage write)")
+    try:
+        for f, n_expect in per_file.items():
+            got = pq.read_metadata(os.path.join(staging_dir, f)).num_rows
+            if got != n_expect:
+                raise RuntimeError(
+                    f"staged exchange file {f}: footer rows {got} != "
+                    f"manifest {n_expect} (corrupt stage write)")
+    except (OSError, RuntimeError, pa.ArrowInvalid):
+        if not resumed_from_disk:
+            raise  # a freshly built exchange failing validation is fatal
+        # a RESUMED manifest pointing at missing/corrupt files: discard
+        # the stale checkpoint and rebuild the exchange from scratch
+        try:
+            os.remove(mpath)
+        except OSError:
+            pass
+        return co_shuffle_staged(ds, keys, block_fn, staging_dir,
+                                 num_parts=num_parts, part_fn=part_fn,
+                                 part_aware=part_aware, resume=resume)
 
     if not per_file:
         # entirely empty input: run the kernel once over an empty table with

@@ -121,6 +121,7 @@ def global_rank(
     out_col: str = ROWNUM,
     ntile: int | None = None,
     ntile_col: str = "tile",
+    resume: bool = False,
 ):
     """Append each row's exact 1-based global rank under
     ``ORDER BY order_cols`` (``row_number() OVER (ORDER BY ...)`` for a
@@ -132,6 +133,12 @@ def global_rank(
     ``ntile=k`` also appends the SQL ``NTILE(k)`` bucket (first
     ``total % k`` tiles get the extra row) — free, because the exchange
     manifest already knows the exact global row count.
+
+    ``resume=True`` (with an explicit ``staging_dir``) checkpoints the
+    range exchange: a rerun skips the all-to-all and restarts at the
+    per-partition sort (stale/corrupt checkpoints rebuild
+    automatically).  The checkpoint is keyed to the staging dir — reuse
+    one only for reruns over the SAME input.
 
     ``staging_dir`` defaults to a fresh unique directory per call (the
     returned Dataset reads its stage files LAZILY, so a shared fixed
@@ -179,4 +186,5 @@ def global_rank(
     return co_shuffle_staged(
         ds, order_cols, rank_part, staging_dir,
         num_parts=num_parts, part_fn=part_fn, part_aware=True,
+        resume=resume,
     )

@@ -122,3 +122,38 @@ def test_encode_preserves_tuple_order():
     order = np.argsort(keys, kind="stable")
     want = sorted(range(5), key=lambda i: (b["t"][i].as_py(), b["s"][i].as_py()))
     assert order.tolist() == want
+
+
+def test_global_rank_resume_skips_exchange(tmp_path):
+    import os
+
+    rng = np.random.default_rng(71)
+    n = 8_000
+    df = pd.DataFrame({
+        "time": rng.integers(0, 3_000, n).astype(np.int64),
+        "doc_id": [f"d{i:05d}" for i in rng.permutation(n)],
+    })
+    d = str(tmp_path / "ckpt")
+    r1 = ranksort.global_rank(
+        rd.from_pandas(df), ["time", "doc_id"], staging_dir=d, resume=True
+    ).to_pandas().sort_values("rownum").reset_index(drop=True)
+    assert os.path.exists(os.path.join(d, "_MANIFEST.json"))
+    stage_files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    mtimes = {f: os.path.getmtime(os.path.join(d, f)) for f in stage_files}
+
+    # rerun: phase A skipped — stage files untouched, output identical
+    r2 = ranksort.global_rank(
+        rd.from_pandas(df), ["time", "doc_id"], staging_dir=d, resume=True
+    ).to_pandas().sort_values("rownum").reset_index(drop=True)
+    assert sorted(os.listdir(d)) == sorted(stage_files + ["_MANIFEST.json"])
+    for f in stage_files:
+        assert os.path.getmtime(os.path.join(d, f)) == mtimes[f]
+    pd.testing.assert_frame_equal(r1, r2)
+
+    # corrupt checkpoint: rebuild from scratch, still correct
+    with open(os.path.join(d, stage_files[0]), "wb") as o:
+        o.write(b"ruined")
+    r3 = ranksort.global_rank(
+        rd.from_pandas(df), ["time", "doc_id"], staging_dir=d, resume=True
+    ).to_pandas().sort_values("rownum").reset_index(drop=True)
+    pd.testing.assert_frame_equal(r1, r3)
