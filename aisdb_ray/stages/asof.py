@@ -326,25 +326,30 @@ def asof_join_streams(
     tolerance: int | None = None,
     how: str = "inner",
     num_parts: int | None = None,
+    direction: str = "backward",
 ):
-    """Backward as-of join where BOTH sides are big Datasets — the
-    stream-stream enrichment :func:`asof_join`'s broadcast right side
-    can't do (e.g. every purchase event joined to the user's latest
-    click across billions of each).
+    """As-of join where BOTH sides are big Datasets — the stream-stream
+    enrichment :func:`asof_join`'s broadcast right side can't do (e.g.
+    every purchase event joined to the user's latest click across
+    billions of each).  ``direction='backward'`` picks the greatest
+    rt <= t, ``'forward'`` the least rt >= t.
 
     Shape: both streams co-partition ONCE by (key, time-chunk); each
-    partition answers its lefts from its local rights PLUS a carry-in —
-    the latest right row strictly before each chunk — looked up in a
-    per-(key, chunk) carry table that is bounded by keys × touched
-    chunks (argmax-time partials, one funnel, forward-filled per key,
-    ``ray.put`` broadcast; the same bounded-summary trade as the salted
-    reconcile).  Right rows must be unique per (key, t) — pre-aggregate
-    duplicates (the oracle does the same).
+    partition answers its lefts from its local rights PLUS a carry —
+    the extreme right row strictly before (backward) / after (forward)
+    each chunk — looked up in a per-(key, chunk) carry table that is
+    bounded by keys × touched chunks (arg-extreme-time partials, one
+    funnel, ``ray.put`` broadcast; the same bounded-summary trade as
+    the salted reconcile).  Right rows must be unique per (key, t) —
+    pre-aggregate duplicates (the oracle does the same).
     """
     import pyarrow.compute as pc
 
     from aisdb_ray.stages._dist import co_shuffle
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction={direction!r}")
+    bwd = direction == "backward"
     right_on = right_on or on
     rschema0 = right.schema().base_schema
     if not isinstance(rschema0, pa.Schema):
@@ -359,27 +364,33 @@ def asof_join_streams(
 
     rightn = right.map_batches(r_norm, batch_format="pyarrow")
 
-    # ---- carry table: per (key, chunk) the argmax-time right row ----
+    # ---- carry table: per (key, chunk) the arg-extreme-time right row
+    # (max for backward, min for forward) ----
+    def _extreme_sel(key, ch, t):
+        order = np.lexsort((t, ch, key))
+        k2, c2 = key[order], ch[order]
+        if bwd:
+            mask = np.r_[(k2[1:] != k2[:-1]) | (c2[1:] != c2[:-1]), True]
+        else:
+            mask = np.r_[True, (k2[1:] != k2[:-1]) | (c2[1:] != c2[:-1])]
+        sel = np.asarray(order)[np.flatnonzero(mask)]
+        return sel, ch[sel]
+
     def carry_partial(b: pa.Table) -> pa.Table:
         key = b[by].to_numpy(zero_copy_only=False)
         t = b["_rt"].to_numpy(zero_copy_only=False)
         ch = t // chunk_s
-        order = np.lexsort((t, ch, key))
-        k2, c2, t2 = key[order], ch[order], t[order]
-        last = np.r_[(k2[1:] != k2[:-1]) | (c2[1:] != c2[:-1]), True]
-        sel = np.flatnonzero(last)
-        picked = b.take(pa.array(np.asarray(order)[sel]))
-        return picked.append_column("_chunk", pa.array(c2[sel]))
+        sel, csel = _extreme_sel(key, ch, t)
+        picked = b.take(pa.array(sel))
+        return picked.append_column("_chunk", pa.array(csel))
 
     def carry_merge(b: pa.Table) -> pa.Table:
-        # keep the max-_rt row per (key, chunk) — idempotent
+        # keep the extreme-_rt row per (key, chunk) — idempotent
         key = b[by].to_numpy(zero_copy_only=False)
         ch = b["_chunk"].to_numpy(zero_copy_only=False)
         t = b["_rt"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((t, ch, key))
-        k2, c2 = key[order], ch[order]
-        last = np.r_[(k2[1:] != k2[:-1]) | (c2[1:] != c2[:-1]), True]
-        return b.take(pa.array(np.asarray(order)[np.flatnonzero(last)]))
+        sel, _ = _extreme_sel(key, ch, t)
+        return b.take(pa.array(sel))
 
     from aisdb_ray.stages._dist import funnel_combine
 
@@ -508,24 +519,34 @@ def asof_join_streams(
             r0 = rlo + np.searchsorted(cslice, c, side="left")
             r1 = rlo + np.searchsorted(cslice, c, side="right")
             ts = tl[a:b2]
-            pos = r0 + np.searchsorted(t_r[r0:r1], ts, side="right") - 1
-            okl = pos >= r0
+            if bwd:
+                pos = r0 + np.searchsorted(t_r[r0:r1], ts, side="right") - 1
+                okl = pos >= r0
+            else:
+                pos = r0 + np.searchsorted(t_r[r0:r1], ts, side="left")
+                okl = pos < r1
             rows = lo[a:b2]
             out_idx[rows[okl]] = pos[okl]
             match_t[rows[okl]] = t_r[pos[okl]]
-            # carry: latest right strictly before this chunk
+            # carry: extreme right strictly before (bwd) / after (fwd)
+            # this chunk
             entry = cmap.get(k)
             if entry is not None:
                 cchs, crts, _ = entry
-                cp = np.searchsorted(cchs, c, side="left") - 1
-                if cp >= 0:
+                if bwd:
+                    cp = int(np.searchsorted(cchs, c, side="left")) - 1
+                    ok_cp = cp >= 0
+                else:
+                    cp = int(np.searchsorted(cchs, c, side="right"))
+                    ok_cp = cp < len(cchs)
+                if ok_cp:
                     need = rows[~okl]
                     carry_pick[need] = cp
                     carry_key[need] = k
                     match_t[need] = crts[cp]
         matched = (out_idx >= 0) | (carry_pick >= 0)
         if tolerance is not None:
-            d = t_l - match_t
+            d = (t_l - match_t) if bwd else (match_t - t_l)
             matched &= d <= tolerance
         outs = {}
         for c in lcols:

@@ -216,3 +216,37 @@ def test_asof_join_streams_negative_timestamps():
     assert got["time"].tolist() == [-1500, -600, 300]
     assert got["val"].tolist() == [9, 9, 7]
     assert (got["r_t"] <= got["time"]).all()
+
+
+def test_asof_join_streams_forward_matches_merge_asof():
+    rng = np.random.default_rng(73)
+    n_l, n_r = 1_500, 500
+    left = pd.DataFrame({
+        "source": rng.choice(["a", "b", "c"], n_l),
+        "time": rng.integers(0, 80_000, n_l).astype(np.int64),
+        "lv": np.arange(n_l, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "source": rng.choice(["a", "b"], n_r),
+        "rt": rng.integers(0, 80_000, n_r).astype(np.int64),
+    }).drop_duplicates(subset=["source", "rt"])
+    right["val"] = np.arange(len(right), dtype=np.int64) * 5
+
+    got = asof.asof_join_streams(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(3),
+        by="source", on="time", right_on="rt", value_cols=["val"],
+        chunk_s=1_000, how="inner", direction="forward",
+    ).to_pandas()
+
+    want = pd.merge_asof(
+        left.sort_values("time", kind="stable"),
+        right.rename(columns={"rt": "time"}).sort_values("time", kind="stable"),
+        on="time", by="source", direction="forward",
+    ).dropna(subset=["val"])
+    assert len(got) == len(want)
+    g = got.sort_values(["source", "time", "lv"]).reset_index(drop=True)
+    w = want.sort_values(["source", "time", "lv"]).reset_index(drop=True)
+    np.testing.assert_array_equal(g["val"].to_numpy(np.int64),
+                                  w["val"].to_numpy(np.int64))
+    assert (g["r_t"] >= g["time"]).all()
