@@ -3754,6 +3754,20 @@ def q_ts_source_corr(sf_dir: str):
     return corr.pairwise_corr(tier, value_col="sum_n_tok")
 
 
+def q_ts_corr_weekly(sf_dir: str):
+    """Weekly pairwise source correlation — the relationship-drift panel
+    (per (pair, 7-day window) Pearson r over hourly volumes; a pair that
+    decorrelates week over week signals an upstream change the static
+    matrix can't see).  corr.windowed_pairwise_corr: per-window Gram
+    partials in the same bucket co-shuffle."""
+    from aisdb_ray.stages import corr
+
+    _ctx()
+    tier = rollup.rollup(_clean_cached(sf_dir), 3600)
+    return corr.windowed_pairwise_corr(tier, 7 * 86400,
+                                       value_col="sum_n_tok")
+
+
 def q_ts_pack_bins(sf_dir: str):
     """Sequence packing for training: greedy next-fit assignment of docs
     into 16384-token bins per (source, day chunk), in (time, seq) order —
@@ -6680,6 +6694,7 @@ def build_queries() -> dict:
         "ev_unpivot": q_ev_unpivot,
         "ts_cume_dist": q_ts_cume_dist,
         "ts_tier_range_p95": q_ts_tier_range_p95,
+        "ts_corr_weekly": q_ts_corr_weekly,
         "ev_peak_concurrency": q_ev_peak_concurrency,
         "doc_sample_weighted": q_doc_sample_weighted,
         "q5_local_supplier": q_q5_local_supplier,
@@ -9349,6 +9364,37 @@ WINDOW w AS (
   PARTITION BY source ORDER BY time
   RANGE BETWEEN 300 PRECEDING AND CURRENT ROW
 )"""
+
+    sql["ts_corr_weekly"] = f"""WITH {_sql_tokens_clean(tok)},
+  t AS (
+    SELECT source, (time // 3600) * 3600 AS bucket,
+           CAST(sum(n_tok) AS BIGINT) AS v
+    FROM clean GROUP BY source, bucket
+  ),
+  tw AS (
+    SELECT source, bucket, (bucket // {7 * 86400}) * {7 * 86400} AS wstart, v
+    FROM t
+  ),
+  pair AS (
+    SELECT a.source AS src_a, b.source AS src_b, a.wstart,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(a.v) AS BIGINT) AS sx,
+           CAST(sum(b.v) AS BIGINT) AS sy,
+           CAST(sum(a.v * b.v) AS BIGINT) AS sxy,
+           CAST(sum(a.v * a.v) AS BIGINT) AS sx2,
+           CAST(sum(b.v * b.v) AS BIGINT) AS sy2
+    FROM tw a JOIN tw b
+      ON a.bucket = b.bucket AND a.wstart = b.wstart
+     AND a.source < b.source
+    GROUP BY a.source, b.source, a.wstart
+  )
+SELECT src_a, src_b, wstart, n, sx, sy, sxy, sx2, sy2,
+       CASE WHEN (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
+                        * CAST(n * sy2 - sy * sy AS DOUBLE))
+       END AS r
+FROM pair"""
 
     sql["ts_source_corr"] = f"""WITH {_sql_tokens_clean(tok)},
   t AS (

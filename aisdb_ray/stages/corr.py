@@ -230,3 +230,59 @@ def group_acf(
         num_parts,
     )
     return out.map_batches(_finalize, batch_format="pyarrow")
+
+
+def windowed_pairwise_corr(
+    tier_ds,
+    window_s: int,
+    key_col: str = SOURCE,
+    bucket_col: str = BUCKET,
+    value_col: str = SUM_V,
+    num_parts: int | None = None,
+):
+    """Per-window Pearson correlation for every co-occurring source pair:
+    the relationship-DRIFT panel (a pair that decorrelates week over week
+    signals a topology or upstream change the static matrix can't see).
+    Gram partials are algebraic over buckets and each bucket belongs to
+    exactly ONE tumbling window, so the same bucket-keyed co-shuffle
+    works — each partition emits per-window pair partials (the gram_block
+    matmul per window slice), tagged with ``wstart``; the combine sums
+    per (pair, window)."""
+    import pyarrow.compute as pc
+
+    from aisdb_ray.stages._dist import co_shuffle, funnel_combine
+
+    def block(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"src_a": pa.array([], pa.string()),
+             "src_b": pa.array([], pa.string()),
+             "wstart": pa.array([], pa.int64()),
+             **{s: pa.array([], pa.int64()) for s in _STATS}}
+        )
+        if part.num_rows == 0:
+            return empty
+        w = pc.multiply(
+            pc.divide(pc.cast(part[bucket_col], pa.int64()),
+                      pa.scalar(window_s, pa.int64())),
+            pa.scalar(window_s, pa.int64()),
+        ).to_numpy(zero_copy_only=False)
+        outs = []
+        for ws in np.unique(w):
+            sub = part.filter(pa.array(w == ws))
+            g = gram_block(sub, key_col, bucket_col, value_col)
+            if g.num_rows:
+                outs.append(g.append_column(
+                    "wstart", pa.array(np.full(g.num_rows, ws, np.int64))))
+        if not outs:
+            return empty
+        return pa.concat_tables(outs)
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["src_a", "src_b", "wstart"],
+                       use_threads=False).aggregate(
+            [(s, "sum") for s in _STATS]
+        )
+        return g.rename_columns(["src_a", "src_b", "wstart", *_STATS])
+
+    partials = co_shuffle(tier_ds, [bucket_col], block, num_parts)
+    return funnel_combine(partials, merge, finalize_fn=_finalize)

@@ -145,3 +145,40 @@ def test_group_acf_degenerate():
     assert set(got["source"]) == {"flat"}
     assert got["r"].isna().all()
     assert got.set_index("lag")["n"].to_dict() == {1: 3, 2: 2}
+
+
+def test_windowed_pairwise_corr_matches_per_window_static():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from aisdb_ray.stages import corr
+
+    rng = np.random.default_rng(79)
+    n = 4_000
+    tier = pd.DataFrame({
+        "source": rng.choice(["a", "b", "c"], n),
+        "bucket": (rng.integers(0, 20_000, n) // 100 * 100).astype(np.int64),
+        "sum_n_tok": rng.integers(0, 500, n).astype(np.int64),
+    }).drop_duplicates(subset=["source", "bucket"])
+    W = 5_000
+    got = corr.windowed_pairwise_corr(
+        rd.from_pandas(tier).repartition(5), W, value_col="sum_n_tok"
+    ).to_pandas().sort_values(["src_a", "src_b", "wstart"]).reset_index(drop=True)
+
+    # reference: run the STATIC pairwise_corr window by window
+    outs = []
+    for ws, g in tier.groupby((tier["bucket"] // W) * W):
+        r = corr.pairwise_corr(
+            rd.from_pandas(g), value_col="sum_n_tok"
+        ).to_pandas()
+        r["wstart"] = np.int64(ws)
+        outs.append(r)
+    want = (pd.concat(outs)
+            .sort_values(["src_a", "src_b", "wstart"]).reset_index(drop=True))
+    assert len(got) == len(want)
+    for c in ["n", "sx", "sy", "sxy", "sx2", "sy2"]:
+        np.testing.assert_array_equal(got[c].to_numpy(np.int64),
+                                      want[c].to_numpy(np.int64), err_msg=c)
+    np.testing.assert_allclose(got["r"].to_numpy(), want["r"].to_numpy(),
+                               rtol=0, atol=0)
