@@ -1539,23 +1539,17 @@ def q_doc_dup_spans(sf_dir: str):
 
 def q_doc_dedup_substrings(sf_dir: str):
     """The Lee et al. action step: CUT every duplicated 40-byte-window
-    span out of every document (spans from doc_dup_spans, broadcast once;
-    the corpus streams map-side, no shuffle) — output the deduplicated
-    text + bytes removed per doc."""
+    span out of every document (spans from doc_dup_spans, broadcast once
+    below remove_spans' size threshold, doc_id-co-shuffled above it;
+    the corpus streams map-side) — output the deduplicated text + bytes
+    removed per doc."""
     from aisdb_ray.stages import dupspans
 
     _ctx()
     docs = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
     spans_ds = dupspans.duplicated_spans(docs, L=40)
-    refs = ray.get(spans_ds.to_arrow_refs())
-    if refs:
-        spans = pa.concat_tables(refs, promote_options="default")
-    else:
-        spans = pa.table({"doc_id": pa.array([], pa.string()),
-                          "w_start": pa.array([], pa.int64()),
-                          "w_end": pa.array([], pa.int64())})
     docs2 = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
-    return dupspans.remove_spans(docs2, spans)
+    return dupspans.remove_spans(docs2, spans_ds)
 
 
 def q_doc_curriculum(sf_dir: str):

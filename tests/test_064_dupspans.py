@@ -121,6 +121,73 @@ def test_remove_spans_matches_bruteforce():
     assert (got["removed_bytes"] > 0).sum() >= 2
 
 
+def test_forced_fingerprint_collision_rescued_by_confirm_pass(monkeypatch):
+    """The fingerprint only PRUNES; exactness must come from the byte
+    confirm pass.  Monkeypatch the fingerprint with a pathological
+    constant (every window collides into one candidate bucket) and
+    assert the spans still match brute force exactly."""
+    monkeypatch.setattr(
+        dupspans, "_fingerprint64",
+        lambda win: np.zeros(len(win), dtype=np.uint64),
+    )
+    rng = np.random.default_rng(41)
+    texts = {
+        f"d{i}": "".join(rng.choice(list("abc"), rng.integers(8, 60)))
+        for i in range(12)
+    }
+    texts["p1"] = "zz COMMON PLANTED BLOCK zz"
+    texts["p2"] = "qq COMMON PLANTED BLOCK qq"
+    L = 7
+    assert _run(texts, L) == _brute(texts, L)
+
+
+def test_dup_spans_nul_bytes_significant(monkeypatch):
+    """Windows differing only in trailing NUL bytes must NOT be marked
+    duplicated (the S-dtype compare bug: NUL padding stripped).  Force
+    total fp collision so the byte compare alone decides."""
+    monkeypatch.setattr(
+        dupspans, "_fingerprint64",
+        lambda win: np.zeros(len(win), dtype=np.uint64),
+    )
+    # 4-byte docs -> exactly one window each at L=4; "ab\x00\x00" vs
+    # "ab\x00c" share an S-dtype prefix but differ bytewise
+    t = pa.table({
+        "doc_id": ["a", "b", "c", "d"],
+        "text": ["ab\x00\x00", "ab\x00c", "ab\x00\x00", "xyzw"],
+    })
+    got = dupspans.duplicated_spans(
+        rd.from_arrow(t).repartition(2), L=4
+    ).to_pandas()
+    assert sorted(got["doc_id"]) == ["a", "c"]  # b must NOT match a/c
+
+
+def test_remove_spans_shuffled_path_matches_broadcast():
+    """broadcast_limit=0 forces the co-shuffle path; output must equal
+    the broadcast path bit for bit (including docs with no spans)."""
+    boiler = "THE SAME BOILERPLATE SENTENCE AGAIN AND AGAIN"
+    texts = {
+        "a": "one " + boiler + " tail",
+        "b": "two " + boiler + " more " + boiler,
+        "c": "no duplication in this one at all",
+        "n": None,
+    }
+    t = pa.table({"doc_id": list(texts),
+                  "text": pa.array(list(texts.values()), pa.string())})
+    ds = rd.from_arrow(t)
+    spans_ds = dupspans.duplicated_spans(ds, L=16)
+    want = (
+        dupspans.remove_spans(rd.from_arrow(t), spans_ds)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    got = (
+        dupspans.remove_spans(rd.from_arrow(t), spans_ds,
+                              broadcast_limit=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert (want["removed_bytes"] > 0).sum() >= 2
+
+
 def test_dup_spans_null_and_multibyte_robust():
     import ray
 
