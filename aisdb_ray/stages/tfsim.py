@@ -32,15 +32,25 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+def _seg_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... — a per-segment arange without a Python loop."""
+    total = int(counts.sum())
+    offs = np.r_[0, np.cumsum(counts)[:-1]]
+    return np.arange(total, dtype=np.int64) - np.repeat(offs, counts)
 
 
-def _triu(m: int) -> tuple[np.ndarray, np.ndarray]:
-    got = _TRIU_CACHE.get(m)
-    if got is None:
-        got = np.triu_indices(m, k=1)
-        _TRIU_CACHE[m] = got
-    return got
+def _pair_indices(sizes: np.ndarray, starts: np.ndarray):
+    """Row indices (ii, jj) of every intra-group (i < j) pair, for groups
+    of the given sizes beginning at the given row offsets — fully
+    vectorized via two nested segmented expansions (one (g, i) level with
+    sizes-1 rows per group, then sizes-1-i trailing j's per (g, i))."""
+    n_i = sizes - 1                       # i in [0, m-1) per group
+    gi_grp = np.repeat(np.arange(len(sizes), dtype=np.int64), n_i)
+    i_loc = _seg_arange(n_i)
+    cnt_j = sizes[gi_grp] - 1 - i_loc     # j's per (g, i)
+    j_loc = _seg_arange(cnt_j) + np.repeat(i_loc, cnt_j) + 1
+    base = starts[np.repeat(gi_grp, cnt_j)]
+    return base + np.repeat(i_loc, cnt_j), base + j_loc
 
 
 def _tf_postings(batch: pa.Table, block_key: str) -> pa.Table:
@@ -96,23 +106,22 @@ def _pairs_block(part: pa.Table, max_df: int | None) -> pa.Table:
     key, doc, tf, n2 = key[order], doc[order], tf[order], n2[order]
     starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
     ends = np.r_[starts[1:], n]
-    a_o, b_o, d_o, na_o, nb_o = [], [], [], [], []
-    for s, e in zip(starts, ends):
-        m = e - s
-        if m < 2 or (max_df is not None and m > max_df):
-            continue
-        i, j = _triu(m)
-        a_o.append(doc[s + i]); b_o.append(doc[s + j])
-        d_o.append(tf[s + i] * tf[s + j])
-        na_o.append(n2[s + i]); nb_o.append(n2[s + j])
-    if not a_o:
+    sizes = ends - starts
+    keepg = sizes >= 2
+    if max_df is not None:
+        keepg &= sizes <= max_df
+    sizes, starts = sizes[keepg], starts[keepg]
+    if len(sizes) == 0:
+        return empty
+    ii, jj = _pair_indices(sizes, starts)
+    if len(ii) == 0:
         return empty
     return pa.table({
-        "a": pa.array(np.concatenate(a_o), pa.int64()),
-        "b": pa.array(np.concatenate(b_o), pa.int64()),
-        "dot": pa.array(np.concatenate(d_o), pa.int64()),
-        "na2": pa.array(np.concatenate(na_o), pa.int64()),
-        "nb2": pa.array(np.concatenate(nb_o), pa.int64()),
+        "a": pa.array(doc[ii], pa.int64()),
+        "b": pa.array(doc[jj], pa.int64()),
+        "dot": pa.array(tf[ii] * tf[jj], pa.int64()),
+        "na2": pa.array(n2[ii], pa.int64()),
+        "nb2": pa.array(n2[jj], pa.int64()),
     })
 
 
