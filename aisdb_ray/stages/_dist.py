@@ -48,9 +48,34 @@ def co_shuffle(ds, keys: list[str], block_fn, num_parts: int | None = None):
     )
 
 
+def staged_manifest_meta(staging_dir: str, num_parts: int,
+                         fingerprint: str | None) -> dict | None:
+    """Peek a persisted staged-exchange manifest: returns its ``extra``
+    payload when one exists AND matches (num_parts, fingerprint), else
+    None.  Callers use this to skip work whose result the checkpoint
+    already pins (e.g. ranksort's boundary sample)."""
+    import json
+    import os
+
+    mpath = os.path.join(staging_dir, "_MANIFEST.json")
+    if not os.path.exists(mpath):
+        return None
+    try:
+        saved = json.load(open(mpath))
+    except (OSError, ValueError):
+        return None
+    if not saved or saved.get("num_parts") != num_parts:
+        return None
+    if saved.get("fingerprint") != fingerprint:
+        return None
+    return saved.get("extra") or {}
+
+
 def co_shuffle_staged(ds, keys: list[str], block_fn, staging_dir: str,
                       num_parts: int | None = None, part_fn=None,
-                      part_aware: bool = False, resume: bool = False):
+                      part_aware: bool = False, resume: bool = False,
+                      fingerprint: str | None = None,
+                      extra: dict | None = None):
     """Disk-staged variant of :func:`co_shuffle` for big inputs: a map-only
     compressed-parquet exchange replaces the object-store sort — the
     cascade's scaling-proven hash exchange
@@ -89,9 +114,18 @@ def co_shuffle_staged(ds, keys: list[str], block_fn, staging_dir: str,
     ``_MANIFEST.json``, written atomically AFTER every stage file is
     durable and footer-validated) and, on a rerun against the same
     ``staging_dir``, SKIPS phase A entirely when a manifest for the same
-    ``num_parts`` is present — the all-to-all is the expensive half of
-    the job, so a killed run restarts at phase B (the checkpointed-
-    watermark posture of the cascade, extended to ad-hoc exchanges)."""
+    (``num_parts``, ``keys``/part-fn marker, ``fingerprint``) is present
+    — the all-to-all is the expensive half of the job, so a killed run
+    restarts at phase B (the checkpointed-watermark posture of the
+    cascade, extended to ad-hoc exchanges).
+
+    ``fingerprint`` guards the checkpoint against silent input drift:
+    pass a cheap identity of the input (source file list + row count, a
+    config hash, ...) and a rerun whose fingerprint differs REBUILDS the
+    exchange instead of serving the stale one.  ``extra`` is an opaque
+    JSON-able payload stored alongside the manifest and retrievable via
+    :func:`staged_manifest_meta` before calling (so callers can also
+    skip work that only feeds phase A, e.g. boundary sampling)."""
     import json
     import os
     import shutil
@@ -106,13 +140,18 @@ def co_shuffle_staged(ds, keys: list[str], block_fn, staging_dir: str,
     if num_parts is None:
         num_parts = _default_parts()
     mpath = os.path.join(staging_dir, "_MANIFEST.json")
+    # route identity: which columns / partitioner shaped the exchange.
+    # part_fn closures can't be hashed — callers pin them via fingerprint.
+    route_id = {"keys": list(keys), "custom_part_fn": part_fn is not None}
     manifest = None
     if resume and os.path.exists(mpath):
         try:
             saved = json.load(open(mpath))
         except (OSError, ValueError):
             saved = None
-        if saved and saved.get("num_parts") == num_parts:
+        if (saved and saved.get("num_parts") == num_parts
+                and saved.get("fingerprint") == fingerprint
+                and saved.get("route", route_id) == route_id):
             manifest = saved["rows"]
     resumed_from_disk = manifest is not None
     if manifest is None:
@@ -160,6 +199,9 @@ def co_shuffle_staged(ds, keys: list[str], block_fn, staging_dir: str,
             tmp = mpath + ".tmp"
             with open(tmp, "w") as o:
                 json.dump({"num_parts": num_parts,
+                           "fingerprint": fingerprint,
+                           "route": route_id,
+                           "extra": extra,
                            "rows": [{"file": r["file"],
                                      "part": int(r["part"]),
                                      "rg": int(r["rg"]),
@@ -191,7 +233,8 @@ def co_shuffle_staged(ds, keys: list[str], block_fn, staging_dir: str,
             pass
         return co_shuffle_staged(ds, keys, block_fn, staging_dir,
                                  num_parts=num_parts, part_fn=part_fn,
-                                 part_aware=part_aware, resume=resume)
+                                 part_aware=part_aware, resume=resume,
+                                 fingerprint=fingerprint, extra=extra)
 
     if not per_file:
         # entirely empty input: run the kernel once over an empty table with
@@ -213,6 +256,13 @@ def co_shuffle_staged(ds, keys: list[str], block_fn, staging_dir: str,
     )
 
     def run_part(batch: pa.Table) -> pa.Table:
+        # lease refresh: the returned Dataset reads lazily, possibly long
+        # after phase A — touching the staging dir at read time keeps an
+        # in-use exchange out of any mtime-based GC's reach
+        try:
+            os.utime(staging_dir, None)
+        except OSError:
+            pass
         out = []
         for part, fs, rgs in zip(batch["part"].to_pylist(),
                                  batch["files"].to_pylist(),

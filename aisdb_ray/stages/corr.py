@@ -261,11 +261,12 @@ def windowed_pairwise_corr(
         )
         if part.num_rows == 0:
             return empty
-        w = pc.multiply(
-            pc.divide(pc.cast(part[bucket_col], pa.int64()),
-                      pa.scalar(window_s, pa.int64())),
-            pa.scalar(window_s, pa.int64()),
-        ).to_numpy(zero_copy_only=False)
+        # numpy floor division, NOT pc.divide: Arrow integer divide
+        # truncates toward zero, so negative-epoch buckets would land in
+        # the wrong tumbling window vs SQL's flooring // (same guard as
+        # asof.asof_join_streams' l_tag)
+        buck = part[bucket_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = (buck // window_s) * window_s
         outs = []
         for ws in np.unique(w):
             sub = part.filter(pa.array(w == ws))

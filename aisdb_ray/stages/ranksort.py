@@ -135,10 +135,13 @@ def global_rank(
     manifest already knows the exact global row count.
 
     ``resume=True`` (with an explicit ``staging_dir``) checkpoints the
-    range exchange: a rerun skips the all-to-all and restarts at the
-    per-partition sort (stale/corrupt checkpoints rebuild
-    automatically).  The checkpoint is keyed to the staging dir — reuse
-    one only for reruns over the SAME input.
+    range exchange: a rerun skips the all-to-all AND the boundary
+    sampling pass (the sampled range boundaries are persisted in the
+    exchange manifest, so the resumed run never re-scans the input) and
+    restarts at the per-partition sort (stale/corrupt checkpoints
+    rebuild automatically).  The checkpoint is keyed to the staging dir
+    plus (order_cols, num_parts) — reuse one only for reruns over the
+    SAME input.
 
     ``staging_dir`` defaults to a fresh unique directory per call (the
     returned Dataset reads its stage files LAZILY, so a shared fixed
@@ -153,7 +156,10 @@ def global_rank(
 
         root = "/tmp/aisdb_ray_ranksort"
         os.makedirs(root, exist_ok=True)
-        cutoff = time.time() - 3600
+        # phase-B reads touch their staging dir (a lease — _dist.run_part),
+        # so an 8h mtime cutoff only collects exchanges nothing has read
+        # for 8 hours: truly abandoned, not merely slowly consumed
+        cutoff = time.time() - 8 * 3600
         for d in os.listdir(root):
             p = os.path.join(root, d)
             try:
@@ -164,7 +170,24 @@ def global_rank(
         staging_dir = os.path.join(root, uuid.uuid4().hex)
     if num_parts is None:
         num_parts = _default_parts()
-    bounds = _sample_boundaries(ds, order_cols, num_parts, keys_per_batch)
+    import base64
+    import json as _json
+
+    from aisdb_ray.stages._dist import staged_manifest_meta
+
+    fp = _json.dumps({"order_cols": list(order_cols)})
+    bounds = None
+    if resume:
+        # a valid checkpoint pins the boundaries — skip the sampling scan
+        # (the resume feature exists to skip passes over the input)
+        meta = staged_manifest_meta(staging_dir, num_parts, fp)
+        if meta is not None and "bounds_b64" in meta:
+            bounds = np.asarray(
+                [base64.b64decode(s) for s in meta["bounds_b64"]],
+                dtype=bytes,
+            )
+    if bounds is None:
+        bounds = _sample_boundaries(ds, order_cols, num_parts, keys_per_batch)
 
     def part_fn(b: pa.Table) -> np.ndarray:
         if len(bounds) == 0:
@@ -186,5 +209,8 @@ def global_rank(
     return co_shuffle_staged(
         ds, order_cols, rank_part, staging_dir,
         num_parts=num_parts, part_fn=part_fn, part_aware=True,
-        resume=resume,
+        resume=resume, fingerprint=fp,
+        extra={"bounds_b64": [
+            base64.b64encode(bytes(b)).decode() for b in bounds
+        ]},
     )

@@ -182,3 +182,38 @@ def test_windowed_pairwise_corr_matches_per_window_static():
                                       want[c].to_numpy(np.int64), err_msg=c)
     np.testing.assert_allclose(got["r"].to_numpy(), want["r"].to_numpy(),
                                rtol=0, atol=0)
+
+
+def test_windowed_pairwise_corr_negative_buckets_floor():
+    """Negative-epoch buckets must floor into their window like SQL's //
+    (Arrow integer divide truncates toward zero — the ADVICE defect)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from aisdb_ray.stages import corr
+
+    rng = np.random.default_rng(83)
+    n = 600
+    tier = pd.DataFrame({
+        "source": rng.choice(["a", "b"], n),
+        "bucket": (rng.integers(-50, 50, n) * 100).astype(np.int64),
+        "sum_n_tok": rng.integers(0, 500, n).astype(np.int64),
+    }).drop_duplicates(subset=["source", "bucket"])
+    W = 3_000
+    got = corr.windowed_pairwise_corr(
+        rd.from_pandas(tier).repartition(3), W, value_col="sum_n_tok"
+    ).to_pandas().sort_values(["src_a", "src_b", "wstart"]).reset_index(drop=True)
+    outs = []
+    for ws, g in tier.groupby((tier["bucket"] // W) * W):
+        r = corr.pairwise_corr(
+            rd.from_pandas(g), value_col="sum_n_tok"
+        ).to_pandas()
+        r["wstart"] = np.int64(ws)
+        outs.append(r)
+    want = (pd.concat(outs)
+            .sort_values(["src_a", "src_b", "wstart"]).reset_index(drop=True))
+    assert (got["wstart"] < 0).any()  # the truncation-vs-floor regime
+    assert len(got) == len(want)
+    for c in ["n", "sx", "sy", "sxy", "sx2", "sy2"]:
+        np.testing.assert_array_equal(got[c].to_numpy(np.int64),
+                                      want[c].to_numpy(np.int64), err_msg=c)

@@ -157,3 +157,41 @@ def test_global_rank_resume_skips_exchange(tmp_path):
         rd.from_pandas(df), ["time", "doc_id"], staging_dir=d, resume=True
     ).to_pandas().sort_values("rownum").reset_index(drop=True)
     pd.testing.assert_frame_equal(r1, r3)
+
+
+def test_global_rank_resume_skips_boundary_sampling(tmp_path, monkeypatch):
+    """A valid checkpoint pins the sampled range boundaries, so a resumed
+    run must not re-scan the input (ADVICE: _sample_boundaries ran — a
+    full pass — even when the manifest made its result unused)."""
+    import os
+
+    rng = np.random.default_rng(73)
+    n = 4_000
+    df = pd.DataFrame({
+        "time": rng.integers(0, 1_000, n).astype(np.int64),
+        "doc_id": [f"d{i:05d}" for i in rng.permutation(n)],
+    })
+    d = str(tmp_path / "ckpt")
+    r1 = ranksort.global_rank(
+        rd.from_pandas(df), ["time", "doc_id"], staging_dir=d, resume=True
+    ).to_pandas().sort_values("rownum").reset_index(drop=True)
+
+    def boom(*a, **k):
+        raise AssertionError("resumed run re-sampled boundaries")
+
+    monkeypatch.setattr(ranksort, "_sample_boundaries", boom)
+    r2 = ranksort.global_rank(
+        rd.from_pandas(df), ["time", "doc_id"], staging_dir=d, resume=True
+    ).to_pandas().sort_values("rownum").reset_index(drop=True)
+    pd.testing.assert_frame_equal(r1, r2)
+    monkeypatch.undo()
+
+    # DIFFERENT order columns against the same staging dir: the manifest
+    # fingerprint must force a rebuild, not serve the stale exchange
+    r3 = ranksort.global_rank(
+        rd.from_pandas(df), ["doc_id"], staging_dir=d, resume=True
+    ).to_pandas()
+    want_docs = sorted(df["doc_id"])
+    got_docs = r3.sort_values("rownum")["doc_id"].tolist()
+    assert got_docs == want_docs
+    assert os.path.exists(os.path.join(d, "_MANIFEST.json"))
