@@ -56,6 +56,40 @@ def warm_cache(path: str) -> None:
         list(ex.map(pq.read_table, list_parquet_files(path)))
 
 
+def _tree_cpu_seconds() -> float:
+    """Total utime+stime (seconds) of this process and every LIVE
+    descendant (ray daemons + workers are descendants of the driver in
+    local mode), via one /proc pass.  Sampled before/after the cascade,
+    the delta is the leg's cpu·s — the structured evidence behind the
+    wide-pair scaling analysis (a leg that burns more cpu·s on identical
+    input at higher parallelism is memory-bandwidth-bound, not
+    task-graph-bound)."""
+    hz = os.sysconf("SC_CLK_TCK")
+    ppid: dict[int, int] = {}
+    ticks: dict[int, int] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue
+        rest = s[s.rindex(")") + 2:].split()  # comm may contain spaces
+        pid = int(d)
+        ppid[pid] = int(rest[1])                      # field 4
+        ticks[pid] = int(rest[11]) + int(rest[12])    # utime+stime (14,15)
+    desc = {os.getpid()}
+    changed = True
+    while changed:
+        changed = False
+        for pid, pp in ppid.items():
+            if pp in desc and pid not in desc:
+                desc.add(pid)
+                changed = True
+    return sum(ticks.get(p, 0) for p in desc) / hz
+
+
 def run_bench() -> dict:
     import ray
 
@@ -101,6 +135,7 @@ def run_bench() -> dict:
     # count only multiplies directory entries, so keep it modest
     num_parts = min(16, max(4, n_rows // 500_000))
 
+    cpu0 = _tree_cpu_seconds()
     t0 = time.time()
     cfg = CascadeConfig(
         input_path=tokens,
@@ -120,6 +155,7 @@ def run_bench() -> dict:
     )
     summary = run_cascade(cfg)
     cascade_s = time.time() - t0
+    cascade_cpu_s = _tree_cpu_seconds() - cpu0
 
     # standalone query timings (no materialized tiers); skipped during
     # scaling trials (GRAFT_BENCH_QUERIES=0) — they are informational and
@@ -227,6 +263,7 @@ def run_bench() -> dict:
         },
         "sf": os.path.basename(os.path.normpath(SF_DIR)),
         "num_cpus": CPUS,
+        "cpu_s": round(cascade_cpu_s, 1),
         "rows": rows_total,
         "tokens": tokens_total,
         "tokens_per_s": round(tokens_total / cascade_s, 1),
@@ -296,6 +333,18 @@ def run_scaling() -> None:
                 f"all_sec_{n_lo}": [r["value"] for r in lo_runs],
                 f"all_sec_{n_hi}": [r["value"] for r in hi_runs],
                 "scaling_efficiency": round(eff, 3),
+                # per-leg cpu·s (process-tree utime+stime across the
+                # cascade) + per-stage walls: the wide-pair analysis —
+                # cpu_s inflation at higher parallelism on identical
+                # input = memory-bandwidth ceiling, not task-graph loss
+                f"cpu_s_{n_lo}": lo.get("cpu_s"),
+                f"cpu_s_{n_hi}": hi.get("cpu_s"),
+                f"all_cpu_s_{n_lo}": [r.get("cpu_s") for r in lo_runs],
+                f"all_cpu_s_{n_hi}": [r.get("cpu_s") for r in hi_runs],
+                f"stages_{n_lo}": {k: v for k, v in lo["queries"].items()
+                                   if k.startswith("stage:")},
+                f"stages_{n_hi}": {k: v for k, v in hi["queries"].items()
+                                   if k.startswith("stage:")},
                 "sf": lo["sf"],
             }
         )
