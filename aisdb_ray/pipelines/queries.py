@@ -4446,19 +4446,33 @@ def _tok_sample(sf_dir: str, pct: int):
     standard estimator for corpus-level token statistics (bigram/unigram
     distributions are estimated on a fixed hash slice, never the full
     10^12-sequence corpus; the slice is reproducible so the oracle filters
-    identically)."""
+    identically).  The filtered slice is materialized ONCE per (sf, pct)
+    under the sf cache — ~a dozen tok_* catalog queries consume the same
+    sample, and the per-row md5 filter was dominating each one's wall
+    (the 100 TB posture is identical: sample once, reuse the slice)."""
     from aisdb_ray.stages.sample import md5_u32
 
     _ctx()
-    ds = rd.read_parquet(
-        ensure_sf_tokens(sf_dir),
-        columns=["doc_id", "tokens", "n_tok", "source"],
+
+    def build():
+        ds = rd.read_parquet(
+            ensure_sf_tokens(sf_dir),
+            columns=["doc_id", "tokens", "n_tok", "source"],
+        )
+
+        def keep(b: pa.Table) -> pa.Table:
+            return b.filter(pa.array(md5_u32(b["doc_id"]) % 100 < pct))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+
+    path = _ensure_cached_ds(
+        sf_dir, f"tok_sample_{pct}", build,
+        empty_schema=pa.schema([
+            ("doc_id", pa.string()), ("tokens", pa.list_(pa.int32())),
+            ("n_tok", pa.int32()), ("source", pa.string()),
+        ]),
     )
-
-    def keep(b: pa.Table) -> pa.Table:
-        return b.filter(pa.array(md5_u32(b["doc_id"]) % 100 < pct))
-
-    return ds.map_batches(keep, batch_format="pyarrow")
+    return rd.read_parquet(path)
 
 
 def q_tok_vocab_growth(sf_dir: str):
@@ -6655,12 +6669,227 @@ def q_src_overlap(sf_dir: str):
 # --------------------------------------------------------------------------
 
 def build_queries() -> dict:
-    # Ordering matters: the driver's correctness gate walks this dict in
-    # insertion order under a time budget.  Entries that have never received
-    # a driver-side CORRECTNESS row (rounds 1-2 stopped after the first 50)
-    # come FIRST so a budget-capped gate reaches them; the 50 queries already
-    # driver-green in CORRECTNESS_r02.json follow.
+    # Ordering contract (the driver's correctness gate walks this dict in
+    # insertion order under a ~50-query budget):
+    #   1. NEVER-driver-checked entries first (89 remain after round 4's
+    #      batch), each slot a DISTINCT operator; near-duplicate variants
+    #      of operators already driver-certified, plus the two rows-only
+    #      media codecs, sit at the end of this section.
+    #   2. Driver-green entries follow, OLDEST verification first (r1,
+    #      then r2-new, then r3-new): once every entry has a CORRECTNESS
+    #      row, the budget naturally rotates through stalest-first
+    #      regression re-checks.
+    # Every entry below, checked or not, is hash-green under
+    # tools/check_oracle.py (the identical gate) as of round 4.
     return {
+        # --- never driver-checked: round-4 batch (distinct operators) ---
+        "ev_debounce": q_ev_debounce,
+        "ts_pattern_topk": q_ts_pattern_topk,
+        "ann_filtered_topk": q_ann_filtered_topk,
+        "ts_changepoint": q_ts_changepoint,
+        "tok_pmi": q_tok_pmi,
+        "ts_burstiness": q_ts_burstiness,
+        "ts_winsorize": q_ts_winsorize,
+        "emb_clusters": q_emb_clusters,
+        "emb_mmr": q_emb_mmr,
+        "emb_outliers": q_emb_outliers,
+        "tok_rle": q_tok_rle,
+        "ann_pq_recall": q_ann_pq_recall,
+        "ts_ols_trend": q_ts_ols_trend,
+        "tok_prefix_dup": q_tok_prefix_dup,
+        "ts_drift_tv": q_ts_drift_tv,
+        "ts_grouping_sets": q_ts_grouping_sets,
+        "ev_value_hist": q_ev_value_hist,
+        "ev_heavy_hitters": q_ev_heavy_hitters,
+        "ev_funnel3": q_ev_funnel3,
+        "ts_zorder_scan": q_ts_zorder_scan,
+        "ann_lsh_delete": q_ann_lsh_delete,
+        "ts_quantile_norm": q_ts_quantile_norm,
+        "ts_upsert": q_ts_upsert,
+        "tok_epoch_shuffle": q_tok_epoch_shuffle,
+        "ts_skyline": q_ts_skyline,
+        "ann_topk_per_label": q_ann_topk_per_label,
+        "ev_pivot": q_ev_pivot,
+        "src_fuzzy_pairs": q_src_fuzzy_pairs,
+        "ev_except": q_ev_except,
+        "ts_ar1": q_ts_ar1,
+        "ts_dtw": q_ts_dtw,
+        "tok_source_drift": q_tok_source_drift,
+        "ts_missing_hours": q_ts_missing_hours,
+        "doc_dsir_resample": q_doc_dsir_resample,
+        "doc_pii_report": q_doc_pii_report,
+        "doc_boilerplate": q_doc_boilerplate,
+        "tok_coverage": q_tok_coverage,
+        "ts_deseason": q_ts_deseason,
+        "ann_rrf_fusion": q_ann_rrf_fusion,
+        "ts_theil_sen": q_ts_theil_sen,
+        "doc_dsir_weights": q_doc_dsir_weights,
+        "ev_dau_wau": q_ev_dau_wau,
+        "tok_zipf": q_tok_zipf,
+        "ts_flatline": q_ts_flatline,
+        "doc_dup_components": q_doc_dup_components,
+        "doc_dedup_survivors": q_doc_dedup_survivors,
+        "doc_jaccard_pairs": q_doc_jaccard_pairs,
+        "emb_neardup_lsh": q_emb_neardup_lsh,
+        "doc_scrub": q_doc_scrub,
+        "emb_pq_codes": q_emb_pq_codes,
+        # --- never driver-checked: round-5 batch ---
+        "ts_benford": q_ts_benford,
+        "ts_sax": q_ts_sax,
+        "ts_downtime": q_ts_downtime,
+        "ev_rfm": q_ev_rfm,
+        "q3_shipping": q_q3_shipping,
+        "emb_centroids": q_emb_centroids,
+        "ann_centroid_classify": q_ann_centroid_classify,
+        "ev_attribution": q_ev_attribution,
+        "doc_lang_confusion": q_doc_lang_confusion,
+        "ts_streaks": q_ts_streaks,
+        "tok_curriculum": q_tok_curriculum,
+        "ts_freshness": q_ts_freshness,
+        "emb_knn_graph": q_emb_knn_graph,
+        "ts_drawdown": q_ts_drawdown,
+        "ev_pareto": q_ev_pareto,
+        "ann_lsh_recall": q_ann_lsh_recall,
+        "ts_nearest": q_ts_nearest,
+        "ev_session_quantiles": q_ev_session_quantiles,
+        "emb_sq8_codes": q_emb_sq8_codes,
+        "ann_sq8_topk": q_ann_sq8_topk,
+        "ann_ivf_recall": q_ann_ivf_recall,
+        "ts_cadence": q_ts_cadence,
+        "ev_new_vs_returning": q_ev_new_vs_returning,
+        "emb_encode": q_emb_encode,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "doc_bpe_encode": q_doc_bpe_encode,
+        "doc_tokens": q_doc_tokens,
+        "ann_encoded_topk": q_ann_encoded_topk,
+        "ev_pruned_scan": q_ev_pruned_scan,
+        "ev_distinct_users": q_ev_distinct_users,
+        "doc_df_topk": q_doc_df_topk,
+        "doc_keywords": q_doc_keywords,
+        "doc_cms_words": q_doc_cms_words,
+        "doc_incremental_dedup": q_doc_incremental_dedup,
+        "doc_contamination": q_doc_contamination,
+        "doc_dup_ngrams": q_doc_dup_ngrams,
+        "doc_lm_familiarity": q_doc_lm_familiarity,
+        "ev_transitions": q_ev_transitions,
+        "doc_winnow": q_doc_winnow,
+        "doc_oov_rate": q_doc_oov_rate,
+        "doc_bm25_topk": q_doc_bm25_topk,
+        "ann_range_search": q_ann_range_search,
+        "emb_cov": q_emb_cov,
+        "doc_langid": q_doc_langid,
+        "doc_repetition": q_doc_repetition,
+        "ts_ewma": q_ts_ewma,
+        "ts_acf": q_ts_acf,
+        "ts_seasonal_hod": q_ts_seasonal_hod,
+        "emb_semdedup": q_emb_semdedup,
+        "tok_bigram_topk": q_tok_bigram_topk,
+        "tok_unigram_hist": q_tok_unigram_hist,
+        "tok_simpson": q_tok_simpson,
+        "ts_locf": q_ts_locf,
+        "ts_mad_outliers": q_ts_mad_outliers,
+        "ts_holt": q_ts_holt,
+        "ts_top_movers": q_ts_top_movers,
+        "doc_bpe_count": q_doc_bpe_count,
+        "doc_embed_join": q_doc_embed_join,
+        "doc_sample_stratified": q_doc_sample_stratified,
+        "ts_topk": q_ts_topk,
+        "ts_anomaly": q_ts_anomaly,
+        "ts_pack_bins": q_ts_pack_bins,
+        "ts_source_corr": q_ts_source_corr,
+        "doc_chunks": q_doc_chunks,
+        "emb_dim_stats": q_emb_dim_stats,
+        # --- never driver-checked: variants of driver-certified operators
+        #     and rows-only media codecs (lowest certification value) ---
+        "ts_rate_limit": q_ts_rate_limit,
+        "ts_seasonal_naive": q_ts_seasonal_naive,
+        "ts_rolling_median": q_ts_rolling_median,
+        "ts_co_outage": q_ts_co_outage,
+        "ts_cusum": q_ts_cusum,
+        "ts_quantiles": q_ts_quantiles,
+        "ts_quantiles_cont": q_ts_quantiles_cont,
+        "ts_iat_quantiles": q_ts_iat_quantiles,
+        "ts_rolling": q_ts_rolling,
+        "ts_running": q_ts_running,
+        "ts_increase_1h": q_ts_increase_1h,
+        "ts_hist": q_ts_hist,
+        "ann_topk_multi": q_ann_topk_multi,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "emb_norms": q_emb_norms,
+        "doc_clean_corpus": q_doc_clean_corpus,
+        "doc_training_pipeline": q_doc_training_pipeline,
+        "doc_sample_hash": q_doc_sample_hash,
+        "doc_dup_rate": q_doc_dup_rate,
+        "ev_hll_users": q_ev_hll_users,
+        "ev_hll_rollup": q_ev_hll_rollup,
+        "media_ahash": q_media_ahash,
+        "media_audio": q_media_audio,
+        # --- driver-green in CORRECTNESS_r01 (stalest: re-check first) ---
+        "q1_pricing": q_q1_pricing,
+        "seg_revenue": q_seg_revenue,
+        "doc_token_count": q_doc_token_count,
+        "doc_quality": q_doc_quality,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_textstats": q_doc_textstats,
+        "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "emb_neardup": q_emb_neardup,
+        "media_features": q_media_features,
+        "ts_clean": q_ts_clean,
+        "ts_segments": q_ts_segments,
+        "ts_rollup_1m": lambda sf: _q_ts_rollup(sf, 60),
+        "ts_rollup_1h": lambda sf: _q_ts_rollup(sf, 3600),
+        "ts_rollup_1d": lambda sf: _q_ts_rollup(sf, 86400),
+        "ts_cascade_1h": q_ts_cascade_1h,
+        "ts_gorilla_roundtrip": q_ts_gorilla_roundtrip,
+        "ts_mode": q_ts_mode,
+        "ts_gapfill": q_ts_gapfill,
+        "ts_clean_salted": q_ts_clean_salted,
+        "ts_split_multi": q_ts_split_multi,
+        "ts_relink": q_ts_relink,
+        "ts_decimate": q_ts_decimate,
+        "ts_resample_tokens": q_ts_resample_tokens,
+        "ts_cubic_resample": q_ts_cubic_resample,
+        "ev_sessions": q_ev_sessions,
+        "ev_rollup_1h": q_ev_rollup_1h,
+        "ev_mode": q_ev_mode,
+        "ev_dedup": q_ev_dedup,
+        # --- driver-green first in CORRECTNESS_r02 ---
+        "csv_ingest": q_csv_ingest,
+        "jsonl_ingest": q_jsonl_ingest,
+        "ts_top_sources": q_ts_top_sources,
+        "ts_calendar": q_ts_calendar,
+        "ts_rollup_var": q_ts_rollup_var,
+        "ts_refresh_1h": q_ts_refresh_1h,
+        "ts_token_windows": q_ts_token_windows,
+        "ts_rollup_month": q_ts_rollup_month,
+        "ts_throttle_5m": q_ts_throttle_5m,
+        "ts_twa_1h": q_ts_twa_1h,
+        "ts_bucket_quantiles": q_ts_bucket_quantiles,
+        "ts_latest": q_ts_latest,
+        "ts_coverage_1d": q_ts_coverage_1d,
+        "doc_normalize": q_doc_normalize,
+        "doc_ttr": q_doc_ttr,
+        "ts_ohlc_1h": q_ts_ohlc_1h,
+        "ts_realtime_1h": q_ts_realtime_1h,
+        "ts_tier_range": q_ts_tier_range,
+        "ts_ohlc_cascade_1h": q_ts_ohlc_cascade_1h,
+        "ts_compressed_rollup_1h": q_ts_compressed_rollup_1h,
+        "ts_gapfill_rate": q_ts_gapfill_rate,
+        "ts_asof_join": q_ts_asof_join,
+        "ts_asof_nearest": q_ts_asof_nearest,
+        "ts_grid_snap": q_ts_grid_snap,
+        "ts_value_mask": q_ts_value_mask,
+        "ts_zones": q_ts_zones,
+        "ts_transits": q_ts_transits,
+        "ev_interval_join": q_ev_interval_join,
+        "ev_bloom_semijoin": q_ev_bloom_semijoin,
+        "ev_funnel": q_ev_funnel,
+        "ev_cohorts": q_ev_cohorts,
+        # --- driver-green first in CORRECTNESS_r03 (freshest) ---
         "ts_interp_join": q_ts_interp_join,
         "ts_hopping_1h": q_ts_hopping_1h,
         "ts_global_rank": q_ts_global_rank,
@@ -6711,208 +6940,6 @@ def build_queries() -> dict:
         "doc_source_cap": q_doc_source_cap,
         "doc_split_leakage": q_doc_split_leakage,
         "ev_late_data": q_ev_late_data,
-        "ev_debounce": q_ev_debounce,
-        "ts_rate_limit": q_ts_rate_limit,
-        "ts_pattern_topk": q_ts_pattern_topk,
-        "ann_filtered_topk": q_ann_filtered_topk,
-        "ts_changepoint": q_ts_changepoint,
-        "tok_pmi": q_tok_pmi,
-        "ts_burstiness": q_ts_burstiness,
-        "ts_winsorize": q_ts_winsorize,
-        "emb_clusters": q_emb_clusters,
-        "emb_mmr": q_emb_mmr,
-        "media_ahash": q_media_ahash,
-        "emb_outliers": q_emb_outliers,
-        "tok_rle": q_tok_rle,
-        "ann_pq_recall": q_ann_pq_recall,
-        "ts_ols_trend": q_ts_ols_trend,
-        "tok_prefix_dup": q_tok_prefix_dup,
-        "ts_drift_tv": q_ts_drift_tv,
-        "ts_grouping_sets": q_ts_grouping_sets,
-        "ev_value_hist": q_ev_value_hist,
-        "ev_heavy_hitters": q_ev_heavy_hitters,
-        "ev_funnel3": q_ev_funnel3,
-        "ts_zorder_scan": q_ts_zorder_scan,
-        "ann_lsh_delete": q_ann_lsh_delete,
-        "ts_quantile_norm": q_ts_quantile_norm,
-        "ts_upsert": q_ts_upsert,
-        "tok_epoch_shuffle": q_tok_epoch_shuffle,
-        "ts_skyline": q_ts_skyline,
-        "ann_topk_per_label": q_ann_topk_per_label,
-        "ev_pivot": q_ev_pivot,
-        "src_fuzzy_pairs": q_src_fuzzy_pairs,
-        "ev_except": q_ev_except,
-        "ts_ar1": q_ts_ar1,
-        "ts_dtw": q_ts_dtw,
-        "tok_source_drift": q_tok_source_drift,
-        "ts_missing_hours": q_ts_missing_hours,
-        "doc_dsir_resample": q_doc_dsir_resample,
-        "doc_pii_report": q_doc_pii_report,
-        "ev_hll_rollup": q_ev_hll_rollup,
-        "ts_seasonal_naive": q_ts_seasonal_naive,
-        "ts_co_outage": q_ts_co_outage,
-        "doc_boilerplate": q_doc_boilerplate,
-        "tok_coverage": q_tok_coverage,
-        "ts_deseason": q_ts_deseason,
-        "ann_rrf_fusion": q_ann_rrf_fusion,
-        "ts_rolling_median": q_ts_rolling_median,
-        "ts_theil_sen": q_ts_theil_sen,
-        "doc_dsir_weights": q_doc_dsir_weights,
-        "ev_dau_wau": q_ev_dau_wau,
-        "tok_zipf": q_tok_zipf,
-        "ts_flatline": q_ts_flatline,
-        "ts_benford": q_ts_benford,
-        "ts_sax": q_ts_sax,
-        "ts_downtime": q_ts_downtime,
-        "ev_rfm": q_ev_rfm,
-        "q3_shipping": q_q3_shipping,
-        "emb_centroids": q_emb_centroids,
-        "ann_centroid_classify": q_ann_centroid_classify,
-        "ev_attribution": q_ev_attribution,
-        "doc_lang_confusion": q_doc_lang_confusion,
-        "ts_streaks": q_ts_streaks,
-        "tok_curriculum": q_tok_curriculum,
-        "ts_freshness": q_ts_freshness,
-        "emb_knn_graph": q_emb_knn_graph,
-        "ts_drawdown": q_ts_drawdown,
-        "ev_pareto": q_ev_pareto,
-        "ann_lsh_recall": q_ann_lsh_recall,
-        "ts_nearest": q_ts_nearest,
-        "ev_session_quantiles": q_ev_session_quantiles,
-        "emb_sq8_codes": q_emb_sq8_codes,
-        "ann_sq8_topk": q_ann_sq8_topk,
-        "ann_ivf_recall": q_ann_ivf_recall,
-        "doc_dup_rate": q_doc_dup_rate,
-        "ts_cadence": q_ts_cadence,
-        "ev_new_vs_returning": q_ev_new_vs_returning,
-        "emb_encode": q_emb_encode,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "doc_bpe_encode": q_doc_bpe_encode,
-        "doc_tokens": q_doc_tokens,
-        "ann_encoded_topk": q_ann_encoded_topk,
-        "ev_pruned_scan": q_ev_pruned_scan,
-        "ev_distinct_users": q_ev_distinct_users,
-        "ev_hll_users": q_ev_hll_users,
-        "q1_pricing": q_q1_pricing,
-        "seg_revenue": q_seg_revenue,
-        "doc_token_count": q_doc_token_count,
-        "doc_quality": q_doc_quality,
-        "doc_df_topk": q_doc_df_topk,
-        "doc_keywords": q_doc_keywords,
-        "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_cms_words": q_doc_cms_words,
-        "doc_incremental_dedup": q_doc_incremental_dedup,
-        "doc_contamination": q_doc_contamination,
-        "doc_dup_ngrams": q_doc_dup_ngrams,
-        "doc_lm_familiarity": q_doc_lm_familiarity,
-        "ev_transitions": q_ev_transitions,
-        "doc_winnow": q_doc_winnow,
-        "doc_oov_rate": q_doc_oov_rate,
-        "doc_bm25_topk": q_doc_bm25_topk,
-        "ann_range_search": q_ann_range_search,
-        "emb_cov": q_emb_cov,
-        "doc_textstats": q_doc_textstats,
-        "doc_langid": q_doc_langid,
-        "doc_repetition": q_doc_repetition,
-        "ts_ewma": q_ts_ewma,
-        "ts_acf": q_ts_acf,
-        "ts_seasonal_hod": q_ts_seasonal_hod,
-        "emb_semdedup": q_emb_semdedup,
-        "tok_bigram_topk": q_tok_bigram_topk,
-        "tok_unigram_hist": q_tok_unigram_hist,
-        "tok_simpson": q_tok_simpson,
-        "ts_locf": q_ts_locf,
-        "ts_mad_outliers": q_ts_mad_outliers,
-        "ts_holt": q_ts_holt,
-        "ts_top_movers": q_ts_top_movers,
-        "doc_bpe_count": q_doc_bpe_count,
-        "doc_clean_corpus": q_doc_clean_corpus,
-        "doc_training_pipeline": q_doc_training_pipeline,
-        "doc_embed_join": q_doc_embed_join,
-        "doc_sample_hash": q_doc_sample_hash,
-        "doc_sample_stratified": q_doc_sample_stratified,
-        "ts_quantiles": q_ts_quantiles,
-        "ts_quantiles_cont": q_ts_quantiles_cont,
-        "ts_topk": q_ts_topk,
-        "ts_rolling": q_ts_rolling,
-        "ts_running": q_ts_running,
-        "ts_anomaly": q_ts_anomaly,
-        "ts_iat_quantiles": q_ts_iat_quantiles,
-        "ts_cusum": q_ts_cusum,
-        "ts_increase_1h": q_ts_increase_1h,
-        "ts_pack_bins": q_ts_pack_bins,
-        "ts_source_corr": q_ts_source_corr,
-        "doc_minhash_pairs": q_doc_minhash_pairs,
-        "doc_dup_components": q_doc_dup_components,
-        "doc_scrub": q_doc_scrub,
-        "doc_chunks": q_doc_chunks,
-        "doc_dedup_survivors": q_doc_dedup_survivors,
-        "doc_jaccard_pairs": q_doc_jaccard_pairs,
-        "doc_simhash_pairs": q_doc_simhash_pairs,
-        "emb_neardup_lsh": q_emb_neardup_lsh,
-        "ann_topk": q_ann_topk,
-        "ann_topk_multi": q_ann_topk_multi,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "emb_neardup": q_emb_neardup,
-        "emb_dim_stats": q_emb_dim_stats,
-        "emb_norms": q_emb_norms,
-        "emb_pq_codes": q_emb_pq_codes,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ts_hist": q_ts_hist,
-        "media_features": q_media_features,
-        "media_audio": q_media_audio,
-        # --- driver-green in CORRECTNESS_r02.json ---
-        "ts_clean": q_ts_clean,
-        "csv_ingest": q_csv_ingest,
-        "jsonl_ingest": q_jsonl_ingest,
-        "ts_top_sources": q_ts_top_sources,
-        "ts_calendar": q_ts_calendar,
-        "ts_segments": q_ts_segments,
-        "ts_rollup_1m": lambda sf: _q_ts_rollup(sf, 60),
-        "ts_rollup_var": q_ts_rollup_var,
-        "ts_refresh_1h": q_ts_refresh_1h,
-        "ts_token_windows": q_ts_token_windows,
-        "ts_rollup_1h": lambda sf: _q_ts_rollup(sf, 3600),
-        "ts_rollup_1d": lambda sf: _q_ts_rollup(sf, 86400),
-        "ts_rollup_month": q_ts_rollup_month,
-        "ts_throttle_5m": q_ts_throttle_5m,
-        "ts_twa_1h": q_ts_twa_1h,
-        "ts_bucket_quantiles": q_ts_bucket_quantiles,
-        "ts_latest": q_ts_latest,
-        "ts_coverage_1d": q_ts_coverage_1d,
-        "doc_normalize": q_doc_normalize,
-        "doc_ttr": q_doc_ttr,
-        "ts_cascade_1h": q_ts_cascade_1h,
-        "ts_ohlc_1h": q_ts_ohlc_1h,
-        "ts_realtime_1h": q_ts_realtime_1h,
-        "ts_tier_range": q_ts_tier_range,
-        "ts_ohlc_cascade_1h": q_ts_ohlc_cascade_1h,
-        "ts_compressed_rollup_1h": q_ts_compressed_rollup_1h,
-        "ts_gorilla_roundtrip": q_ts_gorilla_roundtrip,
-        "ts_mode": q_ts_mode,
-        "ts_gapfill": q_ts_gapfill,
-        "ts_gapfill_rate": q_ts_gapfill_rate,
-        "ts_asof_join": q_ts_asof_join,
-        "ts_asof_nearest": q_ts_asof_nearest,
-        "ts_grid_snap": q_ts_grid_snap,
-        "ts_clean_salted": q_ts_clean_salted,
-        "ts_value_mask": q_ts_value_mask,
-        "ts_zones": q_ts_zones,
-        "ts_transits": q_ts_transits,
-        "ts_split_multi": q_ts_split_multi,
-        "ts_relink": q_ts_relink,
-        "ts_decimate": q_ts_decimate,
-        "ts_resample_tokens": q_ts_resample_tokens,
-        "ts_cubic_resample": q_ts_cubic_resample,
-        "ev_sessions": q_ev_sessions,
-        "ev_interval_join": q_ev_interval_join,
-        "ev_bloom_semijoin": q_ev_bloom_semijoin,
-        "ev_rollup_1h": q_ev_rollup_1h,
-        "ev_funnel": q_ev_funnel,
-        "ev_cohorts": q_ev_cohorts,
-        "ev_mode": q_ev_mode,
-        "ev_dedup": q_ev_dedup,
     }
 
 

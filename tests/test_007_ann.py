@@ -292,7 +292,12 @@ def test_ivfpq_index_serving(tmp_path):
         idx + "/postings", where=field("list").isin(sorted(probes)),
         partition_cols=["list"],
     )
-    assert len(probed.input_files()) < total
+    files = probed.input_files()
+    assert files and len(files) < total
+    # ONLY (and exactly) the probed lists' partitions are opened — the
+    # disk-resident serving contract: unprobed inverted lists stay cold
+    read_lists = {int(f.split("list=")[1].split("/")[0]) for f in files}
+    assert read_lists == probes
 
 
 def test_range_search_threshold_inclusive():
