@@ -85,3 +85,28 @@ def test_tf_cosine_max_df_prunes_hot_terms():
         rd.from_arrow(tbl), 16, 25, max_df=1, num_parts=2
     )
     assert pruned.count() == 0
+
+
+def test_pair_indices_matches_triu_property():
+    """Property: the segmented pair expansion equals np.triu_indices per
+    group, for random group layouts (incl. size-2 and large groups)."""
+    from hypothesis import given, settings, strategies as st
+
+    from aisdb_ray.stages.tfsim import _pair_indices
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.integers(min_value=2, max_value=23),
+                    min_size=1, max_size=12))
+    def check(sizes_list):
+        sizes = np.asarray(sizes_list, dtype=np.int64)
+        starts = np.r_[0, np.cumsum(sizes)[:-1]]
+        ii, jj = _pair_indices(sizes, starts)
+        want_i, want_j = [], []
+        for s, m in zip(starts, sizes):
+            a, b = np.triu_indices(m, k=1)
+            want_i.append(s + a)
+            want_j.append(s + b)
+        np.testing.assert_array_equal(ii, np.concatenate(want_i))
+        np.testing.assert_array_equal(jj, np.concatenate(want_j))
+
+    check()
