@@ -2002,21 +2002,18 @@ def q_ev_type_overlap(sf_dir: str):
         u, tv = uid[order], tinv[order]
         starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
         ends = np.r_[starts[1:], len(u)]
-        a_o, b_o = [], []
-        from aisdb_ray.stages.tfsim import _triu
-
-        for s, e in zip(starts, ends):
-            m = e - s
-            if m < 2:
-                continue
-            i, j = _triu(m)
-            # types within a user are dict-sorted? lexsort is by code, not
-            # string order — emit both and normalize below by STRING order
-            a_o.append(tv[s + i]); b_o.append(tv[s + j])
-        if not a_o:
+        sizes = ends - starts
+        keep = sizes >= 2
+        sizes, starts = sizes[keep], starts[keep]
+        if len(sizes) == 0:
             return empty
-        ai = np.concatenate(a_o)
-        bi = np.concatenate(b_o)
+        # vectorized intra-user pair enumeration (same segmented kernel
+        # as the TF-cosine join); lexsort is by dict code, not string
+        # order — emit both sides and normalize below by STRING order
+        from aisdb_ray.stages.tfsim import _pair_indices
+
+        ii, jj = _pair_indices(sizes, starts)
+        ai, bi = tv[ii], tv[jj]
         astr = np.asarray(tdict.to_pylist(), dtype=object)
         aa, bb = astr[ai], astr[bi]
         lo = np.where(aa < bb, aa, bb)

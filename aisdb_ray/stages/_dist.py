@@ -49,11 +49,18 @@ def co_shuffle(ds, keys: list[str], block_fn, num_parts: int | None = None):
 
 
 def staged_manifest_meta(staging_dir: str, num_parts: int,
-                         fingerprint: str | None) -> dict | None:
+                         fingerprint: str | None,
+                         keys: list[str] | None = None,
+                         custom_part_fn: bool | None = None) -> dict | None:
     """Peek a persisted staged-exchange manifest: returns its ``extra``
-    payload when one exists AND matches (num_parts, fingerprint), else
-    None.  Callers use this to skip work whose result the checkpoint
-    already pins (e.g. ranksort's boundary sample)."""
+    payload when one exists AND matches (num_parts, fingerprint) — and,
+    when ``keys``/``custom_part_fn`` are given, the same route identity
+    ``co_shuffle_staged``'s own resume check enforces (pass them unless
+    your fingerprint already pins the route; serving ``extra`` from a
+    checkpoint the exchange itself would reject would bake stale caller
+    state into a rebuilt exchange).  Callers use this to skip work whose
+    result the checkpoint already pins (e.g. ranksort's boundary
+    sample)."""
     import json
     import os
 
@@ -68,6 +75,13 @@ def staged_manifest_meta(staging_dir: str, num_parts: int,
         return None
     if saved.get("fingerprint") != fingerprint:
         return None
+    if keys is not None or custom_part_fn is not None:
+        route = saved.get("route") or {}
+        if keys is not None and route.get("keys") != list(keys):
+            return None
+        if (custom_part_fn is not None
+                and route.get("custom_part_fn") != custom_part_fn):
+            return None
     return saved.get("extra") or {}
 
 

@@ -47,28 +47,21 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _FNV_PRIME = np.uint64(0x100000001B3)
-_POW_CACHE: dict[int, np.ndarray] = {}
-
-
-def _poly_powers(L: int) -> np.ndarray:
-    got = _POW_CACHE.get(L)
-    if got is None:
-        got = np.empty(L, dtype=np.uint64)
-        p = np.uint64(1)
-        for j in range(L - 1, -1, -1):
-            got[j] = p
-            p = p * _FNV_PRIME
-        _POW_CACHE[L] = got
-    return got
 
 
 def _fingerprint64(win: np.ndarray) -> np.ndarray:
     """64-bit polynomial fingerprint of each row of the (n, L) uint8
-    window matrix, wrapping uint64 arithmetic, fully vectorized.
-    Collisions are possible and HARMLESS — the confirm pass compares the
-    actual bytes; a weaker fingerprint only means more pass-B traffic."""
-    L = win.shape[1]
-    fp = (win.astype(np.uint64) * _poly_powers(L)).sum(axis=1, dtype=np.uint64)
+    window matrix, wrapping uint64 arithmetic.  Horner accumulation over
+    the L columns: peak transient memory is one n×8 accumulator (a full
+    (n, L) uint64 product matrix would be 8× the window matrix — the
+    window matrix itself already amplifies the text ~L×).  Collisions
+    are possible and HARMLESS — the confirm pass compares the actual
+    bytes; a weaker fingerprint only means more pass-B traffic."""
+    fp = np.zeros(len(win), dtype=np.uint64)
+    with np.errstate(over="ignore"):  # mod-2^64 wrap is the design
+        for j in range(win.shape[1]):
+            fp *= _FNV_PRIME
+            fp += win[:, j]
     # one xor-shift mix so short/low-entropy windows spread across the
     # fp-keyed exchange (route quality only; exactness never depends on it)
     return fp ^ (fp >> np.uint64(29))
@@ -151,6 +144,29 @@ def candidate_windows(batch: pa.Table, L: int, cand_sorted: np.ndarray,
     })
 
 
+def _gram_matrix(grams) -> np.ndarray:
+    """(n, L) uint8 matrix of a fixed-width binary column.  Every gram is
+    exactly L bytes and non-null, so each CHUNK's value buffer between
+    its first and last offset is a dense byte matrix — reshaped
+    zero-copy per chunk (no combine_chunks: a >2 GiB partition would
+    overflow binary's int32 offsets), then stacked."""
+    chunks = grams.chunks if isinstance(grams, pa.ChunkedArray) else [grams]
+    mats = []
+    for ch in chunks:
+        if len(ch) == 0:
+            continue
+        odt = (np.int64 if pa.types.is_large_binary(ch.type)
+               else np.int32)
+        offs = np.frombuffer(ch.buffers()[1], dtype=odt)[
+            ch.offset:ch.offset + len(ch) + 1
+        ]
+        data = np.frombuffer(ch.buffers()[2], dtype=np.uint8)
+        mats.append(data[offs[0]:offs[-1]].reshape(len(ch), -1))
+    if len(mats) == 1:
+        return mats[0]
+    return np.vstack(mats)
+
+
 def _unique_rows(win: np.ndarray):
     """np.unique over rows of a uint8 matrix via a void-dtype view —
     bytewise-exact (trailing NUL bytes stay significant, unlike S-dtype)."""
@@ -221,17 +237,7 @@ def duplicated_spans(ds, L: int = 40, text_col: str = "text",
                           "pe": pa.array([], pa.int64())})
         if part.num_rows == 0:
             return empty
-        grams = part["gram"]
-        if isinstance(grams, pa.ChunkedArray):
-            grams = grams.combine_chunks()
-        # every gram is exactly L bytes and non-null, so the value buffer
-        # between the first and last offset is a dense (n, L) byte matrix
-        # — reshape it zero-copy instead of materializing Python bytes
-        offs = np.frombuffer(grams.buffers()[1], dtype=np.int32)[
-            grams.offset:grams.offset + len(grams) + 1
-        ]
-        data = np.frombuffer(grams.buffers()[2], dtype=np.uint8)
-        win = data[offs[0]:offs[-1]].reshape(len(grams), -1)
+        win = _gram_matrix(part["gram"])
         inv, cnt = _unique_rows(win)
         dup = cnt[inv] >= 2
         kept = part.filter(pa.array(dup))
@@ -330,9 +336,12 @@ def remove_spans(ds, spans, text_col: str = "text", id_col: str = "doc_id",
     if spans_ds is None:
         spans_ds = rd.from_arrow(spans_tbl)
 
+    # id_col keeps its INPUT type on both sides (the broadcast path never
+    # casts it, and the two paths must emit identical schemas); spans come
+    # from duplicated_spans over the same corpus, so the types agree.
     def tag_doc(b: pa.Table) -> pa.Table:
         return pa.table({
-            id_col: pc.cast(b[id_col], pa.string()),
+            id_col: b[id_col],
             "_doc": pa.array(np.ones(b.num_rows, dtype=bool)),
             "_text": pc.cast(b[text_col], pa.binary()),
             "w_start": pa.nulls(b.num_rows, pa.int64()),
@@ -341,7 +350,7 @@ def remove_spans(ds, spans, text_col: str = "text", id_col: str = "doc_id",
 
     def tag_span(b: pa.Table) -> pa.Table:
         return pa.table({
-            id_col: pc.cast(b[id_col], pa.string()),
+            id_col: b[id_col],
             "_doc": pa.array(np.zeros(b.num_rows, dtype=bool)),
             "_text": pa.nulls(b.num_rows, pa.binary()),
             "w_start": pc.cast(b["w_start"], pa.int64()),
@@ -353,9 +362,11 @@ def remove_spans(ds, spans, text_col: str = "text", id_col: str = "doc_id",
     )
 
     def cut_part(part: pa.Table) -> pa.Table:
-        empty = pa.table({id_col: pa.array([], pa.string()),
-                          "clean_text": pa.array([], pa.string()),
-                          "removed_bytes": pa.array([], pa.int64())})
+        empty = pa.table({
+            id_col: pa.array([], part.schema.field(id_col).type),
+            "clean_text": pa.array([], pa.string()),
+            "removed_bytes": pa.array([], pa.int64()),
+        })
         if part.num_rows == 0:
             return empty
         is_doc = part["_doc"].to_numpy(zero_copy_only=False)

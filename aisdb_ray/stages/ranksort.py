@@ -146,8 +146,9 @@ def global_rank(
     ``staging_dir`` defaults to a fresh unique directory per call (the
     returned Dataset reads its stage files LAZILY, so a shared fixed
     path would let a second call's cleanup delete a first call's
-    unconsumed exchange); stale defaults older than an hour are
-    garbage-collected opportunistically."""
+    unconsumed exchange); stale defaults are garbage-collected
+    opportunistically after 8 h without a read (phase-B reads touch the
+    dir as a lease)."""
     if staging_dir is None:
         import os
         import shutil
@@ -180,7 +181,9 @@ def global_rank(
     if resume:
         # a valid checkpoint pins the boundaries — skip the sampling scan
         # (the resume feature exists to skip passes over the input)
-        meta = staged_manifest_meta(staging_dir, num_parts, fp)
+        meta = staged_manifest_meta(staging_dir, num_parts, fp,
+                                    keys=list(order_cols),
+                                    custom_part_fn=True)
         if meta is not None and "bounds_b64" in meta:
             bounds = np.asarray(
                 [base64.b64decode(s) for s in meta["bounds_b64"]],

@@ -212,3 +212,24 @@ def test_dup_spans_null_and_multibyte_robust():
     # every clean_text is valid unicode (decode never raised)
     for s in out["clean_text"]:
         assert isinstance(s, str)
+
+
+def test_remove_spans_non_string_ids_both_paths():
+    """doc_id type must survive BOTH execution paths unchanged (the
+    shuffled path used to force-cast ids to string)."""
+    boiler = "y" * 24
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [f"a {boiler} a", f"b {boiler} b", "nothing repeated here"],
+    })
+    ds = rd.from_arrow(t)
+    spans_ds = dupspans.duplicated_spans(ds, L=12)
+    bcast = (dupspans.remove_spans(rd.from_arrow(t), spans_ds)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    shuf = (dupspans.remove_spans(rd.from_arrow(t), spans_ds,
+                                  broadcast_limit=0)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(shuf, bcast)
+    assert bcast["doc_id"].dtype.kind == "i"
+    assert bcast.loc[2, "removed_bytes"] == 0
+    assert (bcast["removed_bytes"] > 0).sum() == 2
