@@ -189,7 +189,7 @@ def duplicated_spans(ds, L: int = 40, text_col: str = "text",
     arbitrary fp collisions (see module docstring)."""
     import ray
 
-    from aisdb_ray.stages._dist import co_shuffle, funnel_combine
+    from aisdb_ray.stages._dist import co_shuffle
     from aisdb_ray.stages.join import coalesce_intervals
 
     # ---- pass A: fingerprint counts -> candidate set (count >= 2) ----
@@ -198,16 +198,19 @@ def duplicated_spans(ds, L: int = 40, text_col: str = "text",
         batch_format="pyarrow",
     )
 
-    def sum_fp(b: pa.Table) -> pa.Table:
-        g = b.group_by(["fp"], use_threads=False).aggregate([("n", "sum")])
-        return g.rename_columns(["fp", "n"])
+    # ONE fp-keyed hash exchange, then one vectorized group_by per
+    # PARTITION (co_shuffle) — never groupby(fp).map_groups: nearly every
+    # window is unique, so per-group UDF invocation over millions of
+    # 1-row groups dominates (the _dist module-docstring anti-pattern;
+    # measured 6x slower on the bench corpus)
+    def count_part(part: pa.Table) -> pa.Table:
+        g = part.group_by(["fp"], use_threads=False).aggregate([("n", "sum")])
+        g = g.rename_columns(["fp", "n"])
+        return g.filter(
+            pc.greater_equal(g["n"], pa.scalar(2, pa.int64()))
+        ).select(["fp"])
 
-    cands_ds = funnel_combine(
-        partials, sum_fp, key_col="fp", hash_combine=True,
-        finalize_fn=lambda b: b.filter(
-            pc.greater_equal(b["n"], pa.scalar(2, pa.int64()))
-        ).select(["fp"]),
-    )
+    cands_ds = co_shuffle(partials, ["fp"], count_part, num_parts)
     # candidate set: 8 bytes per DISTINCT duplicated window — broadcast
     # once via ray.put.  (If even this outgrows driver memory the design
     # degrades gracefully: feed candidates through a second co-shuffle

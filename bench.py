@@ -160,7 +160,7 @@ def run_bench() -> dict:
     # standalone query timings (no materialized tiers); skipped during
     # scaling trials (GRAFT_BENCH_QUERIES=0) — they are informational and
     # would triple each trial's wall time
-    rollup_s = gapfill_s = rolling_s = corpus_s = sort_s = None
+    rollup_s = gapfill_s = rolling_s = corpus_s = sort_s = dupspans_s = None
     corpus_rows = 0
     if os.environ.get("GRAFT_BENCH_QUERIES", "1") != "0":
         def prepared():
@@ -235,6 +235,17 @@ def run_bench() -> dict:
             corpus_s = time.time() - t0
             corpus_rows = cm["rows"]
 
+            # fingerprint-first duplicated-span dedup (Lee et al.
+            # criterion) over the same documents table: two streaming
+            # corpus passes + the byte-confirm exchange
+            from aisdb_ray.stages import dupspans as dupspans_mod
+
+            t0 = time.time()
+            dupspans_mod.duplicated_spans(
+                rd.read_parquet(docs, columns=["doc_id", "text"]), L=40
+            ).count()
+            dupspans_s = time.time() - t0
+
     # per-stage wall decomposition from the lineage manifest
     stage_walls: dict[str, float] = {}
     with open(os.path.join(out_root, "manifest.jsonl")) as f:
@@ -258,6 +269,7 @@ def run_bench() -> dict:
             **({"rolling": round(rolling_s, 3)} if rolling_s is not None else {}),
             **({"global_sort": round(sort_s, 3)} if sort_s is not None else {}),
             **({"corpus_build": round(corpus_s, 3)} if corpus_s is not None else {}),
+            **({"dup_spans": round(dupspans_s, 3)} if dupspans_s is not None else {}),
             **{f"stage:{k}": v for k, v in sorted(stage_walls.items())
                if not k.startswith("_")},  # bookkeeping records aren't stages
         },

@@ -233,3 +233,23 @@ def test_remove_spans_non_string_ids_both_paths():
     assert bcast["doc_id"].dtype.kind == "i"
     assert bcast.loc[2, "removed_bytes"] == 0
     assert (bcast["removed_bytes"] > 0).sum() == 2
+
+
+def test_gram_matrix_multi_chunk_and_large_binary():
+    """_gram_matrix must reshape per chunk (never combine_chunks — int32
+    offset overflow on >2GiB partitions) and accept large_binary."""
+    L = 6
+    g1 = pa.array([b"abcdef", b"ghijkl"], pa.binary())
+    g2 = pa.array([b"mnopqr"], pa.binary())
+    chunked = pa.chunked_array([g1, g2])
+    got = dupspans._gram_matrix(chunked)
+    want = np.frombuffer(b"abcdefghijklmnopqr", dtype=np.uint8).reshape(3, L)
+    np.testing.assert_array_equal(got, want)
+    # sliced chunk (nonzero offset) and large_binary offsets
+    got2 = dupspans._gram_matrix(g1.slice(1, 1))
+    np.testing.assert_array_equal(
+        got2, np.frombuffer(b"ghijkl", dtype=np.uint8).reshape(1, L))
+    lg = pa.array([b"stuvwx", b"yz0123"], pa.large_binary())
+    got3 = dupspans._gram_matrix(lg)
+    np.testing.assert_array_equal(
+        got3, np.frombuffer(b"stuvwxyz0123", dtype=np.uint8).reshape(2, L))
