@@ -96,8 +96,11 @@ class CascadeConfig:
     # where the disk-backed hash exchange stages its partitions.  Default:
     # <out_root>/_shuffle.  On a multi-node cluster exchange bandwidth
     # scales with nodes; on one box a shared disk does not — pointing this
-    # at tmpfs (/dev/shm) reproduces the cluster's scaling behavior.  Not
-    # part of the fingerprint: staging is transient, never an output.
+    # at tmpfs (/dev/shm) reproduces the cluster's scaling behavior.  The
+    # exchange only ever creates/wipes its own namespaced SUBDIRECTORY of
+    # this path (salted.exchange_dir), so sharing a root like /dev/shm is
+    # safe.  Not part of the fingerprint: staging is transient, never an
+    # output.
     staging_dir: str | None = None
 
     def fingerprint(self) -> str:
@@ -187,8 +190,6 @@ def _clean_pinned(cfg: CascadeConfig):
     (series write, tiers, gap-fill, packing) consumes the pinned chunk
     blocks plus the O(#chunks) broadcast reconciliation map.
     """
-    import shutil
-
     ds = rd.read_parquet(cfg.input_path)
     ds = ds.map_batches(prepare.prepare, batch_format="pyarrow")
     ds = ds.map_batches(_drop_payload, batch_format="pyarrow")
@@ -197,15 +198,24 @@ def _clean_pinned(cfg: CascadeConfig):
         ds, cfg.max_gap, cfg.chunk_s, staging,
         num_staging_parts=max(16, cfg.num_parts * 4),
     )
-    # mat is pinned, so the exchange's DATA files can go — but the `_recon`
-    # stage files must outlive this call: downstream consumers (relabel /
-    # gap-fill / pack) resolve their partition's reconciliation rows from
-    # them lazily (salted.ReconStore).
-    for f in os.listdir(staging):
-        if f != "_recon":
-            p = os.path.join(staging, f)
-            shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.remove(p)
+    # The exchange's stage files must outlive every consumer of `mat`:
+    # although mat is pinned, on a multi-node cluster a lost node makes
+    # Ray reconstruct the missing blocks by RE-RUNNING the phase-B tasks,
+    # which re-read the stage files — deleting them here would turn a
+    # recoverable object loss into a fatal FileNotFoundError inside
+    # lineage reconstruction.  Cleanup happens in _cleanup_exchange once
+    # no consumer can reference the pinned blocks.
     return mat, recon_ref
+
+
+def _cleanup_exchange(cfg: CascadeConfig) -> None:
+    """Delete the exchange's namespaced staging subdirectory (stage data,
+    summaries, recon files).  Only safe after every consumer of the
+    pinned exchange blocks has completed — see _clean_pinned."""
+    import shutil
+
+    root = cfg.staging_dir or os.path.join(cfg.out_root, "_shuffle")
+    shutil.rmtree(salted.exchange_dir(root), ignore_errors=True)
 
 
 def _write_series(cfg: CascadeConfig, manifest: lineage.Manifest, mat, recon_ref) -> None:
@@ -599,13 +609,9 @@ def _run_fused_stage_mode(cfg: CascadeConfig, manifest: lineage.Manifest) -> Non
         futs = [ex.submit(j) for j in jobs]
         for f in futs:
             f.result()  # propagate the first failure
-    # all consumers done: the `_recon` stage files are no longer needed
-    import shutil as _shutil
-
-    _shutil.rmtree(
-        cfg.staging_dir or os.path.join(cfg.out_root, "_shuffle"),
-        ignore_errors=True,
-    )
+    # all consumers done: stage data, summaries and recon files can go
+    del mat, recon_ref
+    _cleanup_exchange(cfg)
 
 
 def _tier_part_dirs(root: str, stage: str) -> list[tuple[str, str]]:
@@ -805,6 +811,21 @@ def run_cascade(cfg: CascadeConfig) -> dict:
     t0 = time.time()
     if cfg.ohlc and cfg.heavy_mode != "part":
         raise ValueError("ohlc tiers require heavy_mode='part'")
+    if cfg.heavy_mode == "stage":
+        # fused stage mode's tiers are shuffle-free ONLY because every
+        # (source, tier-bucket) lives inside one (source, chunk) group —
+        # which requires chunk_s to be a multiple of every enabled tier
+        # width.  A violation would silently emit duplicate bucket rows
+        # with partial stats, so reject it up front (part mode is
+        # bucket-correct regardless: partitions are hash(source)).
+        for t in cfg.tiers:
+            w = TIER_WIDTHS[t]
+            if cfg.chunk_s % w != 0:
+                raise ValueError(
+                    f"heavy_mode='stage' requires chunk_s ({cfg.chunk_s}) "
+                    f"to be a multiple of every enabled tier width; tier "
+                    f"{t!r} has width {w}"
+                )
     manifest = lineage.Manifest.open(cfg.out_root, cfg.fingerprint())
 
     cur_sigs = _input_sigs(cfg.input_path)
@@ -837,6 +858,7 @@ def run_cascade(cfg: CascadeConfig) -> dict:
             manifest.record("exchange", "all", wall_s=round(time.time() - t0x, 3))
             _write_series(cfg, manifest, mat, recon_ref)
             del mat, recon_ref  # release pinned blocks before per-part jobs
+            _cleanup_exchange(cfg)  # per-part stages re-read series from disk
         pending = [p for p in parts if not _part_done(cfg, manifest, p)]
         if pending:
             with ThreadPoolExecutor(max_workers=cfg.max_concurrent_parts) as ex:

@@ -451,10 +451,17 @@ SPART_COL = "_spart"
 def _spart_of(src: np.ndarray, ch: np.ndarray, num_parts: int) -> np.ndarray:
     """Staging partition id = hash(source, chunk) — spreads a hot source's
     chunks across partitions (hash(source) alone would re-concentrate it)."""
+    import zlib
+
     uniq, inv = factorize_sorted(src)
-    src_h = np.array(
-        [__import__("zlib").crc32(s.encode()) for s in uniq], dtype=np.int64
-    )[inv]
+    # pd.factorize codes nulls as -1; raw fancy-indexing would wrap -1 to
+    # the LAST unique's hash, which varies per batch — a (null, chunk)
+    # group would split across partitions nondeterministically.  Appending
+    # a fixed null hash makes -1 resolve to it in every batch.
+    src_h = np.r_[
+        np.array([zlib.crc32(s.encode()) for s in uniq], dtype=np.int64),
+        np.int64(zlib.crc32(b"")),
+    ][inv]
     part = ((src_h ^ (ch * np.int64(2654435761))) % num_parts).astype(np.int32)
     return np.abs(part)
 
@@ -497,6 +504,72 @@ def _clean_part_table(tbl: pa.Table, max_gap: int) -> pa.Table:
     return g.append_column(SEG, pa.array(seg))
 
 
+EXCHANGE_LEAF = "_aisdb_exchange"
+
+
+def exchange_dir(staging_root: str) -> str:
+    """The directory the staged exchange actually owns (and is allowed to
+    wipe): a namespaced subdirectory of the caller's staging root.  The
+    root itself is NEVER deleted — pointing staging at a shared location
+    like /dev/shm must not destroy other tenants' files (Ray's plasma
+    segments live there)."""
+    import os
+
+    return os.path.join(staging_root, EXCHANGE_LEAF)
+
+
+def _group_aligned_slices(tbl: pa.Table, max_bytes: int):
+    """Yield ``tbl`` in slices cut ONLY at (source, chunk) group
+    boundaries, each at most ``max_bytes``.
+
+    Why: downstream consumers of the pinned exchange (gapfill_blocks,
+    pack_blocks, _chunk_summary, the fused tier rollups) rely on every
+    block holding WHOLE (source, chunk) groups.  Ray's output buffer
+    slices any built block ≥ 1.5× ``target_max_block_size`` with no
+    regard for content, so a task that emits one huge table would have
+    groups silently split across blocks at exactly the scale this module
+    targets.  Emitting group-aligned tables each < 0.5× the target keeps
+    every buffer flush below the 1.5× slice threshold, so block
+    boundaries always coincide with yield boundaries (coalescing whole
+    groups into one block is fine; splitting is what breaks consumers).
+    A single group larger than the budget cannot be cut safely — raise
+    rather than corrupt, with the actionable knobs."""
+    n = tbl.num_rows
+    if n == 0:
+        yield tbl
+        return
+    per_row = max(1, tbl.nbytes // n)
+    max_rows = max(1, max_bytes // per_row)
+    src = tbl[SOURCE].to_numpy(zero_copy_only=False)
+    ch = tbl[CHUNK_COL].to_numpy(zero_copy_only=False)
+    newg = np.r_[True, (src[1:] != src[:-1]) | (ch[1:] != ch[:-1])]
+    gstarts = np.flatnonzero(newg)
+    gends = np.r_[gstarts[1:], n]
+    cur = 0
+    for s, e in zip(gstarts, gends):
+        if e - s > max_rows:
+            raise RuntimeError(
+                f"salted exchange: one (source, chunk) group has {e - s} "
+                f"rows (~{((e - s) * per_row) >> 20} MiB), above the "
+                "group-aligned output-block budget — Ray would split it "
+                "mid-group and break the whole-group-per-block contract. "
+                "Reduce chunk_s (finer salt granularity) or raise "
+                "DataContext.target_max_block_size."
+            )
+        if e - cur > max_rows and s > cur:
+            yield tbl.slice(cur, s - cur)
+            cur = s
+    if cur < n:
+        yield tbl.slice(cur, n - cur)
+
+
+def _block_budget_bytes() -> int:
+    from ray.data.context import DataContext
+
+    target = DataContext.get_current().target_max_block_size or (128 << 20)
+    return max(1 << 20, int(target * 0.45))
+
+
 def clean_chunks_staged(
     ds,
     max_gap: int,
@@ -521,6 +594,14 @@ def clean_chunks_staged(
 
     Returns the same ``(mat, recon_ref)`` contract as
     :func:`clean_chunks_materialized`; outputs are bit-identical.
+
+    Block contract: the pinned output's blocks hold WHOLE (source, chunk)
+    groups — phase B emits group-aligned tables sized under the output
+    buffer's slice threshold (:func:`_group_aligned_slices`), which is
+    what makes the downstream shuffle-free consumers correct.  (The
+    materialized variant inherits the same property from groupby
+    semantics only while single groups stay under ~half the target block
+    size; at scale use THIS variant.)
     """
     import os
     import shutil
@@ -533,10 +614,16 @@ def clean_chunks_staged(
 
     # partition count from config (not cluster size) keeps the exchange's
     # work layout identical across cluster sizes — cluster-size-invariant
-    # partitioning is also what makes resume plans stable
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    num_parts = num_staging_parts or max(16, ncpu * 2)
+    # partitioning is also what makes resume plans stable.  The fallback is
+    # therefore a FIXED constant, not a cluster-CPU readout (which would
+    # make the same input produce different layouts on different — or
+    # autoscaling — clusters, exactly the instability this note forbids).
+    num_parts = num_staging_parts or 64
 
+    # wipe ONLY the namespaced subdirectory this exchange owns — never the
+    # caller's staging root (which may be a shared tmpfs like /dev/shm)
+    staging_dir = exchange_dir(staging_dir)
+    assert os.path.basename(staging_dir) == EXCHANGE_LEAF
     shutil.rmtree(staging_dir, ignore_errors=True)
     os.makedirs(staging_dir, exist_ok=True)
 
@@ -597,8 +684,23 @@ def clean_chunks_staged(
     sum_dir = os.path.join(staging_dir, "_summary")
     os.makedirs(sum_dir, exist_ok=True)
 
-    def clean_part(batch: pa.Table) -> pa.Table:
-        out = []
+    # schema for empty staging partitions: a stage-file footer when any
+    # exist, else derived ONCE here on the driver.  Never capture the
+    # upstream Dataset in the phase-B closure — that serializes the whole
+    # read+prepare plan into every task and runs a nested execution (a
+    # re-read of the input lake) inside a worker per empty partition.
+    if manifest:
+        empty_schema = pq.read_schema(
+            os.path.join(staging_dir, manifest[0]["file"])
+        )
+    else:
+        base = chunked.schema().base_schema
+        empty_schema = pa.schema(
+            [f for f in base if f.name not in (SPART_COL, CHUNK_COL)]
+        )
+
+    def clean_part(batch: pa.Table):
+        budget = _block_budget_bytes()
         for k, fs, rgs in zip(batch["part"].to_pylist(),
                               batch["files"].to_pylist(),
                               batch["rgs"].to_pylist()):
@@ -616,18 +718,22 @@ def clean_chunks_staged(
             if pieces:
                 tbl = pa.concat_tables(pieces, promote_options="default")
             else:
-                tbl = chunked.schema().base_schema.empty_table().drop_columns(
-                    [SPART_COL, CHUNK_COL]
-                )
+                tbl = empty_schema.empty_table()
             tbl = _add_chunk(tbl, chunk_s)  # derivable: recomputed, not shipped
             cleaned = _doc_id_dense(_clean_part_table(tbl, max_gap))
             # per-part chunk summary written alongside — saves a full extra
-            # pass (and executor run) over the materialized dataset
+            # pass (and executor run) over the materialized dataset.  Temp
+            # name is unique per ATTEMPT: a zombie attempt and its retry
+            # writing the same deterministic temp path on a shared
+            # filesystem could interleave bytes and atomically install a
+            # corrupt file; distinct temps make whichever os.replace runs
+            # last install a complete file.
             sum_path = os.path.join(sum_dir, f"sum-{int(k)}.parquet")
-            pq.write_table(_chunk_summary(cleaned), sum_path + ".tmp")
-            os.replace(sum_path + ".tmp", sum_path)  # idempotent under retry
-            out.append(cleaned)
-        return pa.concat_tables(out, promote_options="default")
+            tmp = f"{sum_path}.{uuid.uuid4().hex[:8]}.tmp"
+            pq.write_table(_chunk_summary(cleaned), tmp)
+            os.replace(tmp, sum_path)  # idempotent under retry
+            # group-aligned output blocks (see _group_aligned_slices)
+            yield from _group_aligned_slices(cleaned, budget)
 
     items = rd.from_items(
         [

@@ -194,3 +194,72 @@ def test_doc_id_sparse_dense_roundtrip_exact():
     assert nulls == 3  # rows 0, 2, 3 are canonical
     dense = salted._doc_id_dense(sparse)
     assert dense["doc_id"].to_pylist() == tbl["doc_id"].to_pylist()
+
+
+def test_group_aligned_slices_respect_boundaries():
+    """Output slices cut only at (source, chunk) boundaries; a single
+    group over the budget raises instead of risking a mid-group split."""
+    import pyarrow as pa
+    import pytest
+
+    n_groups, rows_per = 10, 50
+    src = np.repeat([f"s{i}" for i in range(n_groups)], rows_per)
+    ch = np.zeros(n_groups * rows_per, np.int64)
+    tbl = pa.table({
+        "source": pa.array(src),
+        "_chunk": pa.array(ch),
+        "time": pa.array(np.arange(n_groups * rows_per, dtype=np.int64)),
+    })
+    per_row = max(1, tbl.nbytes // tbl.num_rows)
+    # budget ~ 3 groups per slice
+    budget = per_row * rows_per * 3
+    slices = list(salted._group_aligned_slices(tbl, budget))
+    assert sum(s.num_rows for s in slices) == tbl.num_rows
+    assert len(slices) >= 3
+    for s in slices:
+        # every slice starts AND ends on a group boundary
+        assert s.num_rows % rows_per == 0
+        srcs = s["source"].to_pylist()
+        assert srcs[0] != "" and len(set(srcs)) == s.num_rows // rows_per
+    # single group larger than the budget: refuse loudly
+    with pytest.raises(RuntimeError, match="group-aligned"):
+        list(salted._group_aligned_slices(tbl, per_row * 10))
+
+
+def test_spart_null_source_deterministic():
+    """A null source must route to the SAME staging partition regardless
+    of which other sources share the batch (pd.factorize codes nulls -1,
+    which used to wrap to the last unique's hash)."""
+    ch = np.zeros(2, np.int64)
+    a = salted._spart_of(np.array([None, "aaa"], dtype=object), ch, 64)
+    b = salted._spart_of(np.array([None, "zzz"], dtype=object), ch, 64)
+    c = salted._spart_of(np.array(["mm", None], dtype=object), ch, 64)
+    assert a[0] == b[0] == c[1]
+
+
+def test_staging_root_never_wiped(tmp_path, micro_dir):
+    """The exchange owns only its namespaced subdirectory; other tenants'
+    files in a shared staging root (e.g. /dev/shm) must survive."""
+    root = tmp_path / "sharedshm"
+    root.mkdir()
+    sentinel = root / "plasma_like_file"
+    sentinel.write_text("do not delete")
+    mat, recon = salted.clean_chunks_staged(
+        _prepared(micro_dir), MAX_GAP, CHUNK_S, str(root), num_staging_parts=4
+    )
+    assert mat.count() > 0
+    assert sentinel.read_text() == "do not delete"
+    assert (root / salted.EXCHANGE_LEAF).is_dir()
+
+
+def test_cascade_rejects_misaligned_chunk_s(tmp_path, micro_dir):
+    import pytest
+
+    from aisdb_ray.pipelines import cascade
+
+    cfg = cascade.CascadeConfig(
+        input_path=micro_dir, out_root=str(tmp_path / "o"),
+        heavy_mode="stage", chunk_s=3600, tiers=("1m", "1h", "1d"),
+    )
+    with pytest.raises(ValueError, match="multiple of every enabled tier"):
+        cascade.run_cascade(cfg)
