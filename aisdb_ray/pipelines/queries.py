@@ -8488,7 +8488,7 @@ QUALIFY row_number() OVER (PARTITION BY source
 SELECT source,
        CAST(substr(CAST(n_tok AS VARCHAR), 1, 1) AS BIGINT) AS digit,
        CAST(count(*) AS BIGINT) AS n
-FROM clean GROUP BY source, digit"""
+FROM clean WHERE n_tok > 0 GROUP BY source, digit"""
 
     # 2*median of an int window is the middle pair's sum — an integer, so
     # CAST is exact (same contract as ts_mad_outliers)

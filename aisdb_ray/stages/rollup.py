@@ -721,10 +721,23 @@ def tier_quantiles(tier, ps=(50, 95), key_col: str = SOURCE):
         cum = np.cumsum(c)
         base = np.where(starts > 0, cum[starts - 1], 0)
         tot = cum[ends - 1] - base
+        # a zero-total group (possible with weighted tiers where every row
+        # weighs 0) has no distribution to sample — rank 0 would land
+        # searchsorted in the PREVIOUS group's range and report a foreign
+        # value; drop such groups.  rank clamps to >= 1 for the same
+        # reason (p=0 must return the group's minimum, not stray left).
+        live = tot > 0
+        if not live.any():
+            cols = {key_col: pa.array([], pa.string()),
+                    BUCKET: pa.array([], pa.int64())}
+            for p in ps:
+                cols[f"p{p}"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        starts, base, tot = starts[live], base[live], tot[live]
         cols = {key_col: pa.array(key[starts]),
                 BUCKET: pa.array(bkt[starts])}
         for p in ps:
-            rank = (p * tot + 99) // 100
+            rank = np.maximum((p * tot + 99) // 100, 1)
             pos = np.searchsorted(cum, base + rank, side="left")
             cols[f"p{p}"] = pa.array(v[pos])
         return pa.table(cols)

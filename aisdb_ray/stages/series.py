@@ -53,6 +53,8 @@ def _sorted_dedup_indices(t: np.ndarray, s: np.ndarray) -> np.ndarray:
     (time, seq) uniquely identifies a row within a source, so exact duplicate
     rows collapse to their first occurrence — keep-first dedup.
     """
+    if len(t) == 0:  # np.r_[True, ...] would build a length-1 mask
+        return np.array([], dtype=np.int64)
     order = np.lexsort((s, t))
     t2, s2 = t[order], s[order]
     keep = np.r_[True, (t2[1:] != t2[:-1]) | (s2[1:] != s2[:-1])]
@@ -98,9 +100,10 @@ def segment_summary_group(
     n = len(t)
     first = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]]) if n else np.array([], int)
     last = np.r_[first[1:] - 1, n - 1] if n else np.array([], int)
+    key_val = group[key_col][0].as_py() if group.num_rows else None
     return pa.table(
         {
-            key_col: pa.array([group[key_col][0].as_py()] * len(first), type=group[key_col].type),
+            key_col: pa.array([key_val] * len(first), type=group[key_col].type),
             SEG: pa.array(seg[first] if n else [], type=pa.int64()),
             "t_start": pa.array(t[first] if n else [], type=pa.int64()),
             "t_end": pa.array(t[last] if n else [], type=pa.int64()),

@@ -36,8 +36,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-_WPART = "_wpart"
-
 
 def _sparse_table(v: np.ndarray, reduce_fn, levels: int | None = None) -> np.ndarray:
     """st[k][i] = reduce(v[i : i + 2**k]) for i + 2**k <= n (rest padded
@@ -72,12 +70,16 @@ def rolling_block(
     value: str,
     width: int | None,
     with_sumsq: bool = False,
+    with_minmax: bool = True,
 ) -> pa.Table:
     """All groups in one table -> the same rows (group+time sorted) +
     trailing-window sum / count / mean / min / max of ``value``.
 
     ``width=None`` means RANGE UNBOUNDED PRECEDING (running aggregates):
-    the window opens at the group's first row instead of ``t - width``."""
+    the window opens at the group's first row instead of ``t - width``.
+    ``with_minmax=False`` skips the two sparse-table builds (the dominant
+    O(n log n) cost) for consumers that only need sum/count/moments —
+    e.g. the z-score flag."""
     n = len(tbl)
     if n == 0:
         # keep the OUTPUT schema stable for empty partitions (the staged
@@ -87,8 +89,9 @@ def rolling_block(
         for c in ("w_sum", "w_n"):
             out = out.append_column(c, pa.array([], pa.int64()))
         out = out.append_column("w_mean", pa.array([], pa.float64()))
-        for c in ("w_min", "w_max"):
-            out = out.append_column(c, pa.array([], pa.int64()))
+        if with_minmax:
+            for c in ("w_min", "w_max"):
+                out = out.append_column(c, pa.array([], pa.int64()))
         if with_sumsq:
             out = out.append_column("w_sumsq", pa.array([], pa.int64()))
         return out
@@ -132,11 +135,13 @@ def rolling_block(
         cum2 = np.concatenate(([0], np.cumsum(v * v, dtype=np.int64)))
         w_sumsq = cum2[hi + 1] - cum2[lo]
 
-    levels = max(1, int(np.floor(np.log2(int(w_n.max())))) + 1)
-    st_min = _sparse_table(v, np.minimum, levels)
-    st_max = _sparse_table(v, np.maximum, levels)
-    w_min = _range_query(st_min, lo, hi, np.minimum)
-    w_max = _range_query(st_max, lo, hi, np.maximum)
+    w_min = w_max = None
+    if with_minmax:
+        levels = max(1, int(np.floor(np.log2(int(w_n.max())))) + 1)
+        st_min = _sparse_table(v, np.minimum, levels)
+        st_max = _sparse_table(v, np.maximum, levels)
+        w_min = _range_query(st_min, lo, hi, np.minimum)
+        w_max = _range_query(st_max, lo, hi, np.maximum)
 
     out = tbl
     out = out.append_column("w_sum", pa.array(w_sum, pa.int64()))
@@ -144,8 +149,9 @@ def rolling_block(
     out = out.append_column(
         "w_mean", pa.array(w_sum.astype(np.float64) / w_n, pa.float64())
     )
-    out = out.append_column("w_min", pa.array(w_min, pa.int64()))
-    out = out.append_column("w_max", pa.array(w_max, pa.int64()))
+    if with_minmax:
+        out = out.append_column("w_min", pa.array(w_min, pa.int64()))
+        out = out.append_column("w_max", pa.array(w_max, pa.int64()))
     if w_sumsq is not None:
         out = out.append_column("w_sumsq", pa.array(w_sumsq, pa.int64()))
     return out
@@ -170,6 +176,7 @@ def rolling_time_aggregate(
     num_parts: int | None = None,
     with_sumsq: bool = False,
     staging_dir: str | None = None,
+    with_minmax: bool = True,
 ):
     """Per-(group, row) trailing-window aggregates over a Dataset
     (``width=None`` -> running/unbounded-preceding aggregates).
@@ -183,7 +190,8 @@ def rolling_time_aggregate(
     from aisdb_ray.stages._dist import co_shuffle, co_shuffle_staged
 
     def block(part: pa.Table) -> pa.Table:
-        return rolling_block(part, group, time_col, value, width, with_sumsq)
+        return rolling_block(part, group, time_col, value, width, with_sumsq,
+                             with_minmax)
 
     if staging_dir is not None:
         return co_shuffle_staged(ds, [group], block, staging_dir, num_parts)
@@ -352,12 +360,14 @@ def zscore_anomalies(
     import pyarrow.compute as pc
 
     rolled = rolling_time_aggregate(
-        ds, group, time_col, value, width, num_parts, with_sumsq=True
+        ds, group, time_col, value, width, num_parts, with_sumsq=True,
+        with_minmax=False,  # the flag never reads min/max — skip the two
+                            # sparse-table builds (the dominant cost)
     )
 
     def flag(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return b.drop_columns(["w_mean", "w_min", "w_max"])
+            return b.drop_columns(["w_mean"])
         v = b[value].to_numpy(zero_copy_only=False).astype(np.int64)
         n = b["w_n"].to_numpy(zero_copy_only=False).astype(np.int64)
         s = b["w_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -376,7 +386,7 @@ def zscore_anomalies(
             )
         dev = v * n - s
         keep = (n >= min_n) & (dev * dev * k2_den > k2_num * (n * ss - s * s))
-        return b.filter(pa.array(keep)).drop_columns(["w_mean", "w_min", "w_max"])
+        return b.filter(pa.array(keep)).drop_columns(["w_mean"])
 
     return rolled.map_batches(flag, batch_format="pyarrow")
 
@@ -409,10 +419,14 @@ def ewma_block(
         gcol = gcol.combine_chunks()
     ginv = pc.dictionary_encode(gcol).indices.to_numpy().astype(np.int64)
     t = tbl[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((t, ginv))
+    v_all = tbl[value].to_numpy(zero_copy_only=False).astype(np.float64)
+    # value as the final tiebreaker: without it, rows sharing (group,
+    # time) would order by incoming block layout and the recurrence
+    # result would vary run to run (shuffle order is not deterministic)
+    order = np.lexsort((v_all, t, ginv))
     tbl = tbl.take(pa.array(order))
     g = ginv[order]
-    v = tbl[value].to_numpy(zero_copy_only=False).astype(np.float64)
+    v = v_all[order]
 
     starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
     ends = np.r_[starts[1:], n]
@@ -536,10 +550,12 @@ def holt_block(
         gcol = gcol.combine_chunks()
     ginv = pc.dictionary_encode(gcol).indices.to_numpy().astype(np.int64)
     t = tbl[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((t, ginv))
+    v_all = tbl[value].to_numpy(zero_copy_only=False).astype(np.float64)
+    # value tiebreaker: same determinism rationale as ewma_block
+    order = np.lexsort((v_all, t, ginv))
     tbl = tbl.take(pa.array(order))
     g = ginv[order]
-    v = tbl[value].to_numpy(zero_copy_only=False).astype(np.float64)
+    v = v_all[order]
 
     starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
     ends = np.r_[starts[1:], n]
@@ -909,6 +925,16 @@ def benford_digits(
         if b.num_rows == 0:
             return empty
         v = b[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        # Benford's law is a statement about positive significands: zeros
+        # and negatives have no leading digit 1-9 — drop them rather than
+        # emit nonsense buckets (digit=0 or digit=-25) the scorer would
+        # silently mis-screen on
+        keep = v > 0
+        if not keep.all():
+            b = b.filter(pa.array(keep))
+            v = v[keep]
+            if len(v) == 0:
+                return empty
         d = v.copy()
         big = d >= 10
         while big.any():

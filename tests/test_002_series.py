@@ -105,3 +105,22 @@ def test_gapfill_closed_form_midpoint():
     assert list(out["time"]) == [0, 60, 120]
     assert out["n_tok"].tolist() == [100.0, 200.0, 300.0]
     assert out["is_original"].tolist() == [True, False, True]
+
+
+def test_series_group_kernels_accept_empty_tables():
+    """Empty group tables (empty upstream, staged-exchange empty
+    partitions) must flow through every per-group kernel, not crash."""
+    import pyarrow as pa
+
+    from aisdb_ray.stages import series as s
+
+    empty = pa.table({
+        "source": pa.array([], pa.string()),
+        "doc_id": pa.array([], pa.string()),
+        "time": pa.array([], pa.int64()),
+        "seq": pa.array([], pa.int64()),
+        "n_tok": pa.array([], pa.int64()),
+    })
+    assert s.clean_group(empty).num_rows == 0
+    assert s.segment_summary_group(empty).num_rows == 0
+    assert s.gapfill_group(empty).num_rows == 0

@@ -344,3 +344,60 @@ def test_cume_dist_matches_duckdb():
         "FROM df ORDER BY i"
     ).df()
     np.testing.assert_array_equal(got["cd"].to_numpy(), want["cd"].to_numpy())
+
+
+def test_ewma_holt_deterministic_under_time_ties():
+    """Rows sharing (group, time) must order by VALUE, not incoming block
+    layout — the recurrence result is shuffle-order-invariant."""
+    import pyarrow as pa
+
+    from aisdb_ray.stages import window
+
+    a = pa.table({"source": ["s"] * 3, "time": [0, 10, 10],
+                  "v": [100, 0, 40]})
+    b = pa.table({"source": ["s"] * 3, "time": [0, 10, 10],
+                  "v": [100, 40, 0]})  # same rows, tied pair swapped
+    ea = window.ewma_block(a, "source", "time", "v").to_pandas()
+    eb = window.ewma_block(b, "source", "time", "v").to_pandas()
+    assert sorted(ea["ewma"]) == sorted(eb["ewma"])
+    assert list(ea.sort_values(["time", "v"])["ewma"]) == list(
+        eb.sort_values(["time", "v"])["ewma"])
+    ha = window.holt_block(a, "source", "time", "v").to_pandas()
+    hb = window.holt_block(b, "source", "time", "v").to_pandas()
+    assert list(ha.sort_values(["time", "v"])["holt_level"]) == list(
+        hb.sort_values(["time", "v"])["holt_level"])
+
+
+def test_benford_nonpositive_values_dropped():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aisdb_ray.stages import window
+
+    t = pa.table({"source": ["a"] * 4, "n_tok": [123, 0, -25, 9]})
+    got = window.benford_digits(
+        rd.from_arrow(t), value="n_tok"
+    ).to_pandas().sort_values("digit")
+    assert got["digit"].tolist() == [1, 9]
+    assert got["n"].tolist() == [1, 1]
+
+
+def test_zscore_skips_minmax_but_flags_identically():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aisdb_ray.stages import window
+
+    n = 64
+    v = np.full(n, 100, np.int64)
+    v[-1] = 5000  # unmistakable spike
+    t = pa.table({"source": ["s"] * n,
+                  "time": pa.array(np.arange(n, dtype=np.int64) * 10),
+                  "n_tok": pa.array(v)})
+    out = window.zscore_anomalies(
+        rd.from_arrow(t), "source", "time", "n_tok", 600, min_n=4
+    ).to_pandas()
+    assert len(out) >= 1 and 5000 in out["n_tok"].tolist()
+    assert "w_min" not in out.columns and "w_max" not in out.columns
+    assert {"w_sum", "w_n", "w_sumsq"} <= set(out.columns)

@@ -59,3 +59,25 @@ def test_plan_examples():
     assert tier_plan(100, 130, WIDTHS) == [(RAW, 100, 130)]
     # exact single day: one 1d piece
     assert tier_plan(86400, 2 * 86400, WIDTHS) == [(86400, 86400, 2 * 86400)]
+
+
+def test_tier_quantiles_zero_weight_group_dropped():
+    """A (key, bucket) whose histogram counts sum to 0 (weighted tier,
+    all-zero weights) must be DROPPED, not report the previous group's
+    value (searchsorted with rank 0 strayed left)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aisdb_ray.stages import rollup
+
+    tier = pa.table({
+        "source": ["a", "a", "b", "b"],
+        "bucket": [0, 0, 0, 0],
+        "v": [7, 9, 5, 6],
+        "c": [3, 1, 0, 0],  # b's weights all zero
+    })
+    got = rollup.tier_quantiles(
+        rd.from_arrow(tier), ps=(50, 95)
+    ).to_pandas()
+    assert got["source"].tolist() == ["a"]
+    assert got["p50"].iloc[0] == 7 and got["p95"].iloc[0] == 9
