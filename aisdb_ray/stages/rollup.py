@@ -133,21 +133,15 @@ def _combine(partials, key_col: str = SOURCE, hash_combine: bool = False):
       data is already hash-partitioned on disk.
     """
 
+    from aisdb_ray.stages._dist import funnel_combine
+
     def combine_b(b: pa.Table) -> pa.Table:
         # width=1 keeps existing buckets: a pure (key, bucket) combine
         return repartial_batch(b, 1, key_col)
 
-    local = partials.map_batches(combine_b, batch_format="pyarrow", batch_size=None)
-    if hash_combine:
-        merged = local.groupby(key_col).map_groups(
-            combine_b, batch_format="pyarrow"
-        )
-    else:
-        merged = local.repartition(1).map_batches(
-            combine_b, batch_format="pyarrow", batch_size=None
-        )
-    return merged.map_batches(
-        lambda b: _finalize(b, key_col), batch_format="pyarrow", batch_size=None
+    return funnel_combine(
+        partials, combine_b, key_col=key_col, hash_combine=hash_combine,
+        finalize_fn=lambda b: _finalize(b, key_col),
     )
 
 
@@ -431,18 +425,14 @@ def _combine_ohlc(partials, key_col: str = SOURCE, hash_combine: bool = False):
     """Same funnel / hash-combine merge policy as :func:`_combine`, over the
     OHLC partial schema (see _combine's docstring for the policy)."""
 
+    from aisdb_ray.stages._dist import funnel_combine
+
     def combine_b(b: pa.Table) -> pa.Table:
         return reohlc_batch(b, 1, key_col)
 
-    local = partials.map_batches(combine_b, batch_format="pyarrow", batch_size=None)
-    if hash_combine:
-        merged = local.groupby(key_col).map_groups(combine_b, batch_format="pyarrow")
-    else:
-        merged = local.repartition(1).map_batches(
-            combine_b, batch_format="pyarrow", batch_size=None
-        )
-    return merged.map_batches(
-        lambda b: _finalize_ohlc(b, key_col), batch_format="pyarrow", batch_size=None
+    return funnel_combine(
+        partials, combine_b, key_col=key_col, hash_combine=hash_combine,
+        finalize_fn=lambda b: _finalize_ohlc(b, key_col),
     )
 
 
@@ -491,6 +481,8 @@ def ohlc_partial_tier(
     the next tier can reaggregate it exactly; finalize with
     ``map_batches(_finalize_ohlc)`` when serving."""
 
+    from aisdb_ray.stages._dist import funnel_combine
+
     def combine_b(b: pa.Table) -> pa.Table:
         return reohlc_batch(b, 1, key_col)
 
@@ -498,11 +490,8 @@ def ohlc_partial_tier(
         lambda b: partial_ohlc_batch(b, width_s, value, time_col, key_col, seq_col),
         batch_format="pyarrow",
     )
-    local = partials.map_batches(combine_b, batch_format="pyarrow", batch_size=None)
-    if hash_combine:
-        return local.groupby(key_col).map_groups(combine_b, batch_format="pyarrow")
-    return local.repartition(1).map_batches(
-        combine_b, batch_format="pyarrow", batch_size=None
+    return funnel_combine(
+        partials, combine_b, key_col=key_col, hash_combine=hash_combine,
     )
 
 
