@@ -8089,9 +8089,11 @@ FROM segmented g JOIN labels l ON l.source = g.source AND l.seg = g.seg"""
   fwd AS (
     SELECT source, seg, r, b AS bp, d AS dp, a_r, c_r FROM sysrows WHERE r = 0
     UNION ALL
+    -- the eliminated row's multiplier is ITS OWN sub-diagonal s.a_r over
+    -- the previous pivot (mirrors trackops.natural_cubic_spline)
     SELECT s.source, s.seg, s.r,
-           s.b - (f.a_r / f.bp) * f.c_r AS bp,
-           s.d - (f.a_r / f.bp) * f.dp AS dp,
+           s.b - (s.a_r / f.bp) * f.c_r AS bp,
+           s.d - (s.a_r / f.bp) * f.dp AS dp,
            s.a_r, s.c_r
     FROM fwd f
     JOIN sysrows s ON s.source = f.source AND s.seg = f.seg AND s.r = f.r + 1

@@ -146,6 +146,10 @@ def asof_join(
     out_dtypes = [
         right[c].to_numpy(zero_copy_only=False).dtype for c in value_cols
     ]
+    # keep the Arrow types: numpy object dtypes (strings etc.) can't
+    # round-trip through pa.from_numpy_dtype, and their unmatched filler
+    # must be None, not 0
+    out_types = [right.schema.field(c).type for c in value_cols]
     FAR = np.int64(1) << 62
 
     def join(batch: pa.Table) -> pa.Table:
@@ -154,11 +158,23 @@ def asof_join(
         t = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(key)
         match_t = np.full(n, -1, dtype=np.int64)
-        outs = [np.zeros(n, dtype=dt) for dt in out_dtypes]
+        outs = [np.full(n, None, dtype=object) if dt == object
+                else np.zeros(n, dtype=dt) for dt in out_dtypes]
         matched = np.zeros(n, dtype=bool)
         uniq, inv = factorize_sorted(key)
-        for ui, k in enumerate(uniq):
-            rows = np.flatnonzero(inv == ui)
+        # one argsort + boundary slices, NOT flatnonzero(inv == ui) per
+        # key (O(U·n) per batch — quadratic when batches span many keys;
+        # this is join_part's shape from the stream-stream path)
+        gorder = np.argsort(inv, kind="stable")
+        sinv = inv[gorder]
+        gb = (np.r_[np.flatnonzero(np.r_[True, sinv[1:] != sinv[:-1]]), n]
+              if n else np.zeros(1, dtype=np.int64))
+        for gi in range(len(gb) - 1):
+            code = sinv[gb[gi]]
+            if code < 0:
+                continue  # null keys match nothing (factorize codes -1)
+            rows = gorder[gb[gi]:gb[gi + 1]]
+            k = uniq[code]
             entry = rindex.get(k)
             if entry is None:
                 continue
@@ -196,8 +212,9 @@ def asof_join(
         import pyarrow.compute as pc
 
         cols[f"r_{right_on}"] = pc.if_else(mm, mt, pa.scalar(None, pa.int64()))
-        for name, o in zip(value_cols, outs):
-            cols[name] = pc.if_else(mm, pa.array(o), pa.scalar(None, pa.from_numpy_dtype(o.dtype)))
+        for name, o, typ in zip(value_cols, outs, out_types):
+            arr = pa.array(o, type=typ) if o.dtype == object else pa.array(o)
+            cols[name] = pc.if_else(mm, arr, pa.scalar(None, typ))
         out = pa.table(cols)
         if how == "inner":
             out = out.filter(mm)
@@ -259,8 +276,19 @@ def interp_join(
         v1 = np.zeros(n, dtype=np.int64)
         matched = np.zeros(n, dtype=bool)
         uniq, inv = factorize_sorted(key)
-        for ui, k in enumerate(uniq):
-            rows = np.flatnonzero(inv == ui)
+        # one argsort + boundary slices, NOT flatnonzero(inv == ui) per
+        # key (O(U·n) per batch — quadratic when batches span many keys;
+        # this is join_part's shape from the stream-stream path)
+        gorder = np.argsort(inv, kind="stable")
+        sinv = inv[gorder]
+        gb = (np.r_[np.flatnonzero(np.r_[True, sinv[1:] != sinv[:-1]]), n]
+              if n else np.zeros(1, dtype=np.int64))
+        for gi in range(len(gb) - 1):
+            code = sinv[gb[gi]]
+            if code < 0:
+                continue  # null keys match nothing (factorize codes -1)
+            rows = gorder[gb[gi]:gb[gi + 1]]
+            k = uniq[code]
             entry = rindex.get(k)
             if entry is None:
                 continue
@@ -349,6 +377,19 @@ def asof_join_streams(
 
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction={direction!r}")
+    reserved = {"_t", "_chunk", "_side", "_rt"} | {
+        f"_rv_{c}" for c in value_cols
+    }
+    clash = reserved & set(left.schema().names)
+    if clash:
+        # '_chunk' in particular is a REAL column on cascade datasets
+        # (salted.CHUNK_COL) — silently overwriting it with this join's
+        # own chunk ids would corrupt the output with no error
+        raise ValueError(
+            f"asof_join_streams: left columns {sorted(clash)} collide "
+            "with the join's internal bookkeeping names — rename or drop "
+            "them first"
+        )
     bwd = direction == "backward"
     right_on = right_on or on
     rschema0 = right.schema().base_schema

@@ -252,9 +252,14 @@ def natural_cubic_spline(x: np.ndarray, y: np.ndarray, xq: np.ndarray) -> np.nda
     b = 2 * (h[:-1] + h[1:])
     c = h[1:].copy()
     d = 6 * (np.diff(y[1:]) / h[1:] - np.diff(y[:-1]) / h[:-1])
-    # Thomas algorithm
+    # Thomas algorithm.  Row i's multiplier is ITS OWN sub-diagonal a[i]
+    # over the previous pivot — a[i-1] here would only coincide for
+    # uniform spacing (equal h), which is exactly why the straight-line /
+    # knot-round-trip tests could not see the difference; irregular knots
+    # (the real epoch case) diverge from the true natural spline without
+    # this.  Verified against a dense np.linalg.solve of the same system.
     for i in range(1, len(b)):
-        w = a[i - 1] / b[i - 1]
+        w = a[i] / b[i - 1]
         b[i] -= w * c[i - 1]
         d[i] -= w * d[i - 1]
     m_inner = np.zeros(len(b))
@@ -388,10 +393,11 @@ def sax_symbols(locf_ds, step: int = 60, p: int = 8):
         )
         if b.num_rows == 0:
             return empty
-        w = pc.multiply(
-            pc.divide(pc.cast(b["time"], pa.int64()), pa.scalar(W, pa.int64())),
-            pa.scalar(W, pa.int64()),
-        )
+        # numpy floor division, NOT pc.divide: Arrow integer divide
+        # truncates toward zero, pooling (-W, 0) epochs into window 0
+        # (same rule as asof.l_tag / corr windowed starts)
+        tt = b["time"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = pa.array((tt // W) * W)
         t = pa.table(
             {
                 "source": b["source"],

@@ -123,3 +123,60 @@ def test_pipeline_level_split(micro_dir):
         n_out=50,
     ).to_pandas()
     assert 0 < len(dec) <= 50 * dec["source"].nunique() + 1
+
+
+def test_cubic_spline_matches_dense_solve_irregular_knots():
+    """Thomas sweep vs a dense np.linalg.solve of the same natural-spline
+    tridiagonal system on IRREGULAR knots (uniform spacing cannot see a
+    wrong sub-diagonal index — the historical blind spot)."""
+    from aisdb_ray.stages.trackops import natural_cubic_spline
+
+    rng = np.random.default_rng(5)
+    for _ in range(5):
+        n = int(rng.integers(4, 15))
+        x = np.sort(rng.choice(np.arange(1000), n, replace=False)).astype(float)
+        y = rng.normal(0, 10, n)
+        h = np.diff(x)
+        k = n - 2
+        A = np.zeros((k, k))
+        for i in range(k):
+            A[i, i] = 2 * (h[i] + h[i + 1])
+            if i > 0:
+                A[i, i - 1] = h[i]
+            if i < k - 1:
+                A[i, i + 1] = h[i + 1]
+        d = 6 * (np.diff(y[1:]) / h[1:] - np.diff(y[:-1]) / h[:-1])
+        M = np.r_[0.0, np.linalg.solve(A, d), 0.0]
+        xq = np.linspace(x[0], x[-1], 57)
+        idx = np.clip(np.searchsorted(x, xq) - 1, 0, n - 2)
+        x0, x1 = x[idx], x[idx + 1]
+        y0, y1 = y[idx], y[idx + 1]
+        m0, m1 = M[idx], M[idx + 1]
+        hs = x1 - x0
+        Aq = (x1 - xq) / hs
+        Bq = (xq - x0) / hs
+        want = (Aq * y0 + Bq * y1
+                + ((Aq ** 3 - Aq) * m0 + (Bq ** 3 - Bq) * m1) * hs ** 2 / 6)
+        got = natural_cubic_spline(x, y, xq)
+        np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_sax_windows_floor_on_negative_epochs():
+    """PAA window starts must FLOOR (SQL //): a -30s point belongs to the
+    window starting at -W, never pooled into window 0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aisdb_ray.stages import trackops
+
+    step, p = 10, 3  # W = 30
+    t = np.array([-30, -20, -10, 0, 10, 20], np.int64)
+    tbl = pa.table({
+        "source": ["s"] * 6,
+        "seg": np.zeros(6, np.int64),
+        "time": t,
+        "n_tok": np.array([1, 2, 3, 10, 20, 30], np.int64),
+    })
+    out = trackops.sax_symbols(rd.from_arrow(tbl), step=step, p=p).to_pandas()
+    got = out.set_index("wstart")["paa"].to_dict()
+    assert got == {-30: 6, 0: 60}

@@ -250,3 +250,50 @@ def test_asof_join_streams_forward_matches_merge_asof():
     np.testing.assert_array_equal(g["val"].to_numpy(np.int64),
                                   w["val"].to_numpy(np.int64))
     assert (g["r_t"] >= g["time"]).all()
+
+
+def test_asof_join_string_value_cols():
+    """Non-numeric value_cols (dimension labels) must join and null-fill,
+    not crash in the numpy dtype round-trip."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aisdb_ray.stages import asof
+
+    right = pa.table({
+        "source": ["a", "a", "b"],
+        "time": pa.array([0, 100, 50], pa.int64()),
+        "label": ["lo", "hi", "mid"],
+    })
+    left = pa.table({
+        "source": ["a", "a", "b", "c"],
+        "time": pa.array([10, 150, 60, 5], pa.int64()),
+    })
+    out = asof.asof_join(
+        rd.from_arrow(left), right, value_cols=["label"], how="left",
+    ).to_pandas().sort_values(["source", "time"]).reset_index(drop=True)
+    assert out["label"].tolist()[:3] == ["lo", "hi", "mid"]
+    assert out["label"].isna().tolist() == [False, False, False, True]
+
+
+def test_asof_join_streams_rejects_reserved_left_columns():
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from aisdb_ray.stages import asof
+
+    left = pa.table({
+        "source": ["a"], "time": pa.array([1], pa.int64()),
+        "_chunk": pa.array([7], pa.int64()),  # cascade column name
+    })
+    right = pa.table({
+        "source": ["a"], "time": pa.array([0], pa.int64()),
+        "v": pa.array([1], pa.int64()),
+    })
+    with pytest.raises(ValueError, match="bookkeeping"):
+        asof.asof_join_streams(
+            rd.from_arrow(left), rd.from_arrow(right), value_cols=["v"],
+        )
