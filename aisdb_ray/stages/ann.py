@@ -10,7 +10,6 @@ for a candidate set ~ corpus/2^bits.
 
 from __future__ import annotations
 
-import heapq
 import os
 
 import numpy as np
@@ -1010,11 +1009,14 @@ def knn_graph(sf_emb_path: str, k: int = 5, target_block_rows: int = 65_536):
     tiles = [(i, j) for i in range(len(refs)) for j in range(i, len(refs))]
 
     def norm_block(tbl: pa.Table):
+        ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if tbl.num_rows == 0:  # reshape(0, -1) cannot infer a dimension
+            return ids, np.zeros((0, 1), np.float64)
         emb = tbl["embedding"].combine_chunks()
         m = emb.values.to_numpy().reshape(tbl.num_rows, -1).astype(np.float64)
         n = np.linalg.norm(m, axis=1, keepdims=True)
         n[n == 0] = 1.0
-        return tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64), m / n
+        return ids, m / n
 
     def local_topk(ids_q, ids_c, sims):
         """Per-row local top-k of a sims matrix (queries × candidates)."""
@@ -1298,8 +1300,8 @@ def class_outliers(ds_emb, k: int = 3, scale: int = 1_000_000):
     svec = {lab: np.array([m.get(d, 0) for d in range(dims)], np.int64)
             for lab, m in s_of.items()}
     n_max = max(n_of.values()) if n_of else 0
-    if n_max * scale >= (1 << 31) or dims * ((n_max * scale) ** 2) >= (1 << 63):
-        raise OverflowError("class_outliers: n*fx square-sum would overflow")
+    smax = max((int(np.abs(v).max()) for v in svec.values() if v.size),
+               default=0)
     bcast = ray.put((n_of, svec))
 
     def score(b: pa.Table) -> pa.Table:
@@ -1315,6 +1317,16 @@ def class_outliers(ds_emb, k: int = 3, scale: int = 1_000_000):
         ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         n = np.array([nd[int(x)] for x in lab], np.int64)[:, None]
         s = np.stack([sd[int(x)] for x in lab])
+        # exact overflow guard from the ACTUAL data: |diff| <= n·max|fx| +
+        # max|s| (the old driver-side check assumed |embedding| <= 1, i.e.
+        # |fx| <= scale — silently wrong for unnormalized vectors)
+        fmax = int(np.abs(fx).max()) if fx.size else 0
+        bound = int(n.max()) * fmax + smax if len(n) else 0
+        if bound and fx.shape[1] * bound * bound >= (1 << 63):
+            raise OverflowError(
+                "class_outliers: n*fx square-sum would overflow int64 — "
+                "rescale the embeddings or lower `scale`"
+            )
         diff = n * fx - s
         sc = np.einsum("ij,ij->i", diff, diff)
         return pa.table({

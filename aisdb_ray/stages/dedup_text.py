@@ -126,6 +126,11 @@ class MinHashSig:
 def _explode_bands(batch: pa.Table, n_bands: int, rows_per_band: int) -> pa.Table:
     sig = batch["sig"].combine_chunks()
     flat = sig.values.to_numpy().reshape(batch.num_rows, -1).astype(np.uint64)
+    if n_bands * rows_per_band > flat.shape[1]:
+        raise ValueError(
+            f"banding {n_bands}x{rows_per_band} oversubscribes the "
+            f"{flat.shape[1]}-hash MinHash signature"
+        )
     doc = batch["doc_id"].to_numpy(zero_copy_only=False)
     bands, keys, docs = [], [], []
     for b in range(n_bands):
@@ -164,38 +169,29 @@ def _bucket_pairs(g: pa.Table) -> pa.Table:
     return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
 
 
-def _fuse_pairs(b: pa.Table, extra: list[str] | None = None) -> pa.Table:
-    a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-    bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cols = {
-        "pair": pa.array(a * np.int64(1 << 31) + bb),
-        "a": pa.array(a),
-        "b": pa.array(bb),
-    }
-    for c in extra or []:
-        cols[c] = b[c]
-    return pa.table(cols)
-
-
 def _distinct_pairs(pairs, extra: list[str] | None = None):
-    """Distinct (a, b) pairs: fuse key -> hash-partition -> local combine."""
+    """Distinct (a, b) pairs: local combine -> hash-partition -> combine.
+
+    Dedup runs on the (a, b) COMPOSITE key directly — a packed single-int
+    fuse (the old a·2³¹ + b) collides for ids ≥ 2³¹ (snowflake/hash-style
+    64-bit doc ids), and the min-combine across a collision would emit a
+    FABRICATED pair while dropping both real ones (and mix simhash
+    signatures across pairs)."""
     extra = extra or []
 
     def dedup_pairs(b: pa.Table) -> pa.Table:
-        g = b.group_by(["pair"], use_threads=False).aggregate(
-            [("a", "min"), ("b", "min")] + [(c, "min") for c in extra]
+        g = b.group_by(["a", "b"], use_threads=False).aggregate(
+            [(c, "min") for c in extra]
         )
-        return g.rename_columns(["pair", "a", "b"] + extra)
+        return g.rename_columns(["a", "b"] + extra)
 
-    fused = pairs.map_batches(lambda b: _fuse_pairs(b, extra), batch_format="pyarrow")
-    local = fused.map_batches(dedup_pairs, batch_format="pyarrow")
-    return local.repartition(_nparts(), keys=["pair"]).map_batches(
+    local = pairs.map_batches(dedup_pairs, batch_format="pyarrow")
+    return local.repartition(_nparts(), keys=["a", "b"]).map_batches(
         dedup_pairs, batch_format="pyarrow", batch_size=None
     )
 
 
-def minhash_candidates(ds_docs, n_bands: int = 16, rows_per_band: int = 4,
-                       concurrency: int = 8):
+def minhash_candidates(ds_docs, n_bands: int = 16, rows_per_band: int = 4):
     """documents -> distinct candidate pairs (a < b) via banded MinHash."""
     with _hash_ctx(ds_docs):
         # task-based signature stage: the hasher state is two tiny arrays
@@ -358,7 +354,7 @@ def _bucket_pairs_sig(g: pa.Table) -> pa.Table:
     )
 
 
-def simhash_pairs(sf_docs_path: str, max_hamming: int = 8, concurrency: int = 8):
+def simhash_pairs(sf_docs_path: str, max_hamming: int = 8):
     """Near-dup pairs by SimHash: band the 64 bits into 4 x 16-bit chunks
     (any pair within Hamming <= 3*16 shares >= 1 exact chunk — standard
     pigeonhole banding), explode -> groupby(band, bucket) -> distinct pairs
@@ -416,10 +412,16 @@ def embedding_neardup_pairs(sf_emb_path: str, threshold: float = 0.95,
     tiles = [(i, j) for i in range(len(refs)) for j in range(i, len(refs))]
 
     def norm_block(tbl: pa.Table):
+        from aisdb_ray.stages.ann import _norm_rows
+
+        ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+        if tbl.num_rows == 0:  # reshape(0, -1) cannot infer a dimension
+            return ids, np.zeros((0, 1), np.float64)
         emb = tbl["embedding"].combine_chunks()
         m = emb.values.to_numpy().reshape(tbl.num_rows, -1).astype(np.float64)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        return tbl["vec_id"].to_numpy(zero_copy_only=False), m
+        # _norm_rows guards zero vectors (0/0 NaN would silently fail the
+        # threshold — the LSH path guards, the exact path must agree)
+        return ids, _norm_rows(m)
 
     def tile_pairs(batch: pa.Table) -> pa.Table:
         out_a, out_b = [], []
@@ -431,9 +433,19 @@ def embedding_neardup_pairs(sf_emb_path: str, threshold: float = 0.95,
             sims = mi @ mj.T
             ki, kj = np.nonzero(sims >= threshold)
             a, b = ids_i[ki], ids_j[kj]
-            mask = a < b
-            out_a.append(a[mask])
-            out_b.append(b[mask])
+            if i == j:
+                # diagonal tile sees both (x,y) and (y,x): a<b keeps one
+                mask = a < b
+                out_a.append(a[mask])
+                out_b.append(b[mask])
+            else:
+                # off-diagonal tile sees each cross-block pair ONCE, but
+                # block order need not follow id order — emit (min, max),
+                # never a<b (which silently dropped pairs whose smaller id
+                # lived in the later block)
+                mask = a != b
+                out_a.append(np.minimum(a, b)[mask])
+                out_b.append(np.maximum(a, b)[mask])
         if not out_a:
             return pa.table(
                 {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}

@@ -345,6 +345,7 @@ def _key_codes(pt: pa.Table, it: pa.Table, keys: list[str]):
     n_p, n_i = len(pt), len(it)
     code = np.zeros(n_p + n_i, dtype=np.int64)
     null = np.zeros(n_p + n_i, dtype=bool)
+    span = 1
     for k in keys:
         col = pa.chunked_array([pt[k].combine_chunks(), it[k].combine_chunks()])
         null |= pc.is_null(col).to_numpy(zero_copy_only=False)
@@ -352,19 +353,34 @@ def _key_codes(pt: pa.Table, it: pa.Table, keys: list[str]):
             zero_copy_only=False
         )
         uniq, inv = factorize_sorted(v)
+        span *= max(len(uniq), 1)
+        if span >= (1 << 62):
+            # the joint code would wrap int64 and alias distinct key
+            # tuples into cross-key matches — refuse loudly (same posture
+            # as coalesce_intervals' segmented-cummax budget)
+            raise OverflowError(
+                "interval join: per-partition key-cardinality product "
+                "exceeds the int64 code budget — raise num_parts"
+            )
         code = code * np.int64(len(uniq)) + inv.astype(np.int64)
     code[null] = -1
     return code[:n_p], code[n_p:]
 
 
-def _numeric(col: pa.ChunkedArray) -> np.ndarray:
-    """Comparison vector for the time/bound columns: int64 when integral
-    (exact), float64 otherwise.  Nulls become NaN (never match)."""
+def _numeric(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """(comparison vector, null mask) for the time/bound columns: int64
+    whenever the Arrow type is integral — exact at ANY magnitude, nulls
+    masked out-of-band (the old float64 detour for nullable ints loses
+    precision above 2^53, mis-classifying ns-epoch boundaries) — float64
+    with NaN-as-null otherwise."""
     import pyarrow.compute as pc
 
-    if pa.types.is_integer(col.type) and col.null_count == 0:
-        return col.to_numpy(zero_copy_only=False).astype(np.int64)
-    return pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+    if pa.types.is_integer(col.type):
+        isnull = pc.is_null(col).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(col, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        return v, isnull
+    v = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+    return v, np.isnan(v)
 
 
 def interval_join(
@@ -430,6 +446,11 @@ def interval_join(
         num_parts = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
 
     S = max(int(salt), 1)
+    # salts s and s + num_parts would land interval copies in the SAME
+    # partition ((kh*S+s) % num_parts collides), and the sweep would see
+    # that interval twice — duplicating every one of its matches.  More
+    # salt than partitions cannot spread further anyway: clamp.
+    S = min(S, num_parts)
     WIDE = (1 << 31) - 1
     NP64 = np.uint64(num_parts)
 
@@ -442,7 +463,7 @@ def interval_join(
         if S == 1:
             return out
         kh = _key_hash(b, keys, WIDE).astype(np.uint64)
-        t = _numeric(b[time_col])
+        t, _tnull = _numeric(b[time_col])
         ti = np.nan_to_num(t.astype(np.float64, copy=False)).astype(np.int64)
         srow = (ti.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(S)
         return _reassign_part(out, (kh * np.uint64(S) + srow) % NP64)
@@ -483,16 +504,18 @@ def interval_join(
             )
 
         cp, ci = _key_codes(pt, it, keys)
-        t = _numeric(pt[time_col])
-        lo = _numeric(it[lo_col])
-        hi = _numeric(it[hi_col])
+        t, tnull = _numeric(pt[time_col])
+        lo, lonull = _numeric(it[lo_col])
+        hi, hinull = _numeric(it[hi_col])
+        # promote only when the SIDES disagree (int time vs float bounds);
+        # int-int stays int64-exact end to end
+        if not (t.dtype == lo.dtype == hi.dtype):
+            t = t.astype(np.float64)
+            lo = lo.astype(np.float64)
+            hi = hi.astype(np.float64)
         # exclude never-matching rows from the sweep (null key/time/bounds)
-        pvalid = (cp >= 0) & ~np.isnan(t.astype(np.float64, copy=False))
-        ivalid = (
-            (ci >= 0)
-            & ~np.isnan(lo.astype(np.float64, copy=False))
-            & ~np.isnan(hi.astype(np.float64, copy=False))
-        )
+        pvalid = (cp >= 0) & ~tnull
+        ivalid = (ci >= 0) & ~lonull & ~hinull
         ppos = np.flatnonzero(pvalid)
         ipos = np.flatnonzero(ivalid)
 

@@ -353,3 +353,48 @@ def test_semdedup_all_identical_keeps_one(tmp_path):
     cent = np.eye(4, dtype=np.float64)[:2]
     got = dedup_text.semdedup_survivors(path, cent, threshold=0.99).to_pandas()
     assert got["vec_id"].tolist() == [0]
+
+
+def test_embedding_neardup_cross_block_unordered_ids(tmp_path):
+    """A duplicate pair whose SMALLER id lives in a later block must still
+    be found (the a<b mask on off-diagonal tiles silently dropped it)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aisdb_ray.stages import dedup_text
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(0, 1, (6, 8))
+    vecs[5] = vecs[0]  # identical pair
+    ids = np.array([10, 11, 12, 13, 14, 1], np.int64)  # small id LAST
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array([list(map(float, v)) for v in vecs])})
+    p = str(tmp_path / "emb.parquet")
+    pq.write_table(t, p)
+    got = dedup_text.embedding_neardup_pairs(
+        p, threshold=0.999, target_block_rows=2
+    ).to_pandas()
+    pairs = set(zip(got["a"], got["b"]))
+    assert (1, 10) in pairs
+
+
+def test_distinct_pairs_no_collision_on_wide_ids():
+    """Pair dedup must key on the (a, b) composite: the old a*2^31+b fuse
+    collided for b >= 2^31 and FABRICATED a pair that never existed."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aisdb_ray.stages.dedup_text import _distinct_pairs
+
+    from aisdb_ray.stages.dedup_text import _hash_ctx
+
+    big = (1 << 31) + 5
+    with _hash_ctx():  # keyed repartition needs the hash-shuffle backend,
+        # and datasets snapshot the context at CREATION time
+        pairs = rd.from_arrow(pa.table({
+            "a": pa.array([1, 2, 1], pa.int64()),
+            "b": pa.array([big, 5, big], pa.int64()),  # (1,big) x2 + (2,5)
+        }))
+        got = _distinct_pairs(pairs).to_pandas().sort_values(["a", "b"])
+    assert set(zip(got["a"], got["b"])) == {(1, big), (2, 5)}

@@ -447,3 +447,54 @@ def test_fk_integrity_detects_planted_orphans():
         on="k", right_on="pk", how="left anti",
     ).to_pandas()
     assert sorted(orphans["k"].tolist()) == [98, 99]
+
+
+def test_interval_join_salt_exceeding_partitions_no_duplicates():
+    """salt > num_parts used to collide interval copies into the same
+    partition and emit every match multiple times."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aisdb_ray.stages import join
+
+    pts = rd.from_arrow(pa.table({
+        "k": ["a", "a", "b"], "t": pa.array([5, 15, 5], pa.int64()),
+    }))
+    ivs = rd.from_arrow(pa.table({
+        "k": ["a", "a", "b"],
+        "lo": pa.array([0, 10, 0], pa.int64()),
+        "hi": pa.array([9, 19, 9], pa.int64()),
+    }))
+    out = join.interval_join(
+        pts, ivs, "k", time_col="t", lo_col="lo", hi_col="hi",
+        num_parts=2, salt=3,
+    ).to_pandas()
+    assert len(out) == 3
+    assert sorted(zip(out["k"], out["t"], out["lo"])) == [
+        ("a", 5, 0), ("a", 15, 10), ("b", 5, 0)]
+
+
+def test_interval_join_int64_boundaries_above_2_53():
+    """Nullable-int bounds must compare in int64 — the float64 detour
+    merged distinct ns-scale epochs at interval boundaries."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aisdb_ray.stages import join
+
+    base = 1_700_000_000_000_000_000
+    pts = rd.from_arrow(pa.table({
+        "k": ["a", "a"],
+        "t": pa.array([base + 3, base + 4], pa.int64()),
+    }))
+    ivs = rd.from_arrow(pa.table({
+        "k": ["a", "x"],
+        "lo": pa.array([base + 4, None], pa.int64()),  # null => int-with-null
+        "hi": pa.array([base + 10, None], pa.int64()),
+    }))
+    out = join.interval_join(
+        pts, ivs, "k", time_col="t", lo_col="lo", hi_col="hi",
+    ).to_pandas()
+    # only t = base+4 is inside [base+4, base+10]; base+3 rounds INTO the
+    # interval under float64
+    assert out["t"].tolist() == [base + 4]
