@@ -264,8 +264,14 @@ def dedup_survivors(ids, components, id_col: str = "doc_id"):
         ),
         batch_format="pyarrow",
     )
-    return hash_join(ids.select_columns([id_col]), losers, on=id_col,
-                     how="left anti")
+    # realign BOTH inputs' snapshotted shuffle contexts (ids may come from
+    # a dedup pipeline built under the hash-shuffle ctx — the union-side
+    # groupby would otherwise run under the stale strategy, the measured
+    # standing-aggregator livelock _with_global_shuffle_ctx documents)
+    return hash_join(
+        _with_global_shuffle_ctx(ids.select_columns([id_col])), losers,
+        on=id_col, how="left anti",
+    )
 
 
 def refresh_components(components, new_edges, a_col: str = "a",

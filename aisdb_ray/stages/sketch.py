@@ -55,8 +55,10 @@ def hll_partial_batch(batch: pa.Table, key_col: str, value_col: str, b: int = 10
     register.  The md5 is a per-row loop (no vectorized md5 exists in Arrow —
     same precedent as textstats.md5_batch); everything after it is numpy."""
     if batch.num_rows == 0:
+        # key type from the BATCH schema: a hard-coded string() would
+        # break schema unification for int-keyed datasets
         return pa.table(
-            {key_col: pa.array([], pa.string()),
+            {key_col: pa.array([], batch.schema.field(key_col).type),
              REGISTER: pa.array([], pa.int64()),
              MAX_RANK: pa.array([], pa.int64())}
         )
@@ -111,6 +113,11 @@ def hll_estimate(registers: pa.Table, key_col: str, b: int = 10) -> pa.Table:
     (±1.04/√m) is pinned by tests, not by a hash oracle."""
     m = 1 << b
     alpha = 0.7213 / (1.0 + 1.079 / m)
+    # defensive union-merge first: callers may pass CONCATENATED register
+    # tables (multi-period pattern — hll_pair_union_hist guards likewise);
+    # last-write-wins register fill and the zeros count would both be
+    # wrong on duplicate (key, register) rows
+    registers = _merge_b(registers, key_col)
     keys = registers[key_col].to_pylist()
     regs = registers[REGISTER].to_numpy(zero_copy_only=False)
     ranks = registers[MAX_RANK].to_numpy(zero_copy_only=False)
@@ -244,10 +251,15 @@ def hll_distinct(ds, key_col: str, value_col: str, b: int = 10) -> pa.Table:
     import ray
 
     regs = hll_registers(ds, key_col, value_col, b)
-    tbl = pa.concat_tables(
-        [t for t in ray.get(regs.to_arrow_refs()) if t.num_rows]
-    )
-    return hll_estimate(tbl, key_col, b)
+    all_tables = ray.get(regs.to_arrow_refs())
+    tables = [t for t in all_tables if t.num_rows]
+    if not tables:  # empty input: empty estimate, not ArrowInvalid
+        kt = (all_tables[0].schema.field(key_col).type
+              if all_tables and key_col in all_tables[0].schema.names
+              else pa.string())
+        return pa.table({key_col: pa.array([], kt),
+                         "estimate": pa.array([], pa.float64())})
+    return hll_estimate(pa.concat_tables(tables), key_col, b)
 
 
 def hll_pair_union_hist(registers, key_col: str, b: int = 10):
@@ -355,7 +367,8 @@ def hll_window_registers(ds, key_col: str, value_col: str, time_col: str,
 
     def part(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({key_col: pa.array([], pa.string()),
+            return pa.table({key_col: pa.array(
+                                 [], batch.schema.field(key_col).type),
                              "wstart": pa.array([], pa.int64()),
                              REGISTER: pa.array([], pa.int64()),
                              MAX_RANK: pa.array([], pa.int64())})

@@ -26,14 +26,27 @@ _SHIFT = 1 << 32  # token ids are int32 (vocab << 2^32): (a, b) packs losslessly
 
 
 def _valid_tokens(batch: pa.Table) -> pa.ChunkedArray | pa.Array:
-    """The payload contract filter (n_tok > 0 and len(tokens) == n_tok) —
-    the same row validity rule as prepare.prepare, applied here because
-    these stats read the raw table without the epoch parse."""
+    """The payload contract filter (n_tok > 0, len(tokens) == n_tok, and
+    no null ELEMENTS inside the list) — the row validity rule of
+    prepare.prepare, applied here because these stats read the raw table
+    without the epoch parse.  Null elements matter: list_value_length
+    counts them, but a null token id flattens to NaN and casts to
+    INT64_MIN — garbage codes polluting every downstream count."""
     ok = pc.and_(
         pc.greater(batch["n_tok"], pa.scalar(0)),
         pc.equal(pc.list_value_length(batch["tokens"]), batch["n_tok"]),
     )
-    return batch.filter(ok)["tokens"]
+    toks = batch.filter(ok)["tokens"]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    if flat.null_count:
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        bad = np.unique(par[pc.is_null(flat).to_numpy(zero_copy_only=False)])
+        keep = np.ones(len(toks), dtype=bool)
+        keep[bad] = False
+        toks = toks.filter(pa.array(keep))
+    return toks
 
 
 def bigram_partial(batch: pa.Table) -> pa.Table:
@@ -192,7 +205,7 @@ def simpson_diversity(ds, key: str = "source"):
         g = part.group_by([key, "token_id"], use_threads=False).aggregate(
             [("c", "sum")]
         )
-        cc = pc.multiply(g["c_sum"], g["c_sum"])
+        cc = pc.multiply_checked(g["c_sum"], g["c_sum"])  # raise, not wrap
         t = pa.table({key: g[key], "n": g["c_sum"], "c2": cc})
         out = t.group_by([key], use_threads=False).aggregate(
             [("n", "sum"), ("c2", "sum")]
@@ -334,6 +347,17 @@ def pmi_topk(ds, k: int = 50, min_count: int = 5):
         tb = (code % _SHIFT).astype(np.int64)
         ca = np.array([cm[int(t)] for t in ta], np.int64)
         cb = np.array([cm[int(t)] for t in tb], np.int64)
+        # the "exact int64" ranking claim needs an actual guard: numpy
+        # int64 multiply wraps silently, and corpus-scale T (Σ pairs) or
+        # two frequent unigrams can cross 2^63 — refuse, don't mis-rank
+        if len(n) and (
+            int(n.max()) * t_total >= (1 << 63)
+            or int(ca.max()) * int(cb.max()) >= (1 << 63)
+        ):
+            raise OverflowError(
+                "pmi_topk: count products exceed int64 — subsample or "
+                "shard the corpus before ranking"
+            )
         r = (n * t_total).astype(np.float64) / (ca * cb).astype(np.float64)
         return pa.table({
             "tok_a": pa.array(ta), "tok_b": pa.array(tb),
@@ -359,7 +383,7 @@ def _valid_row_count(ds) -> int:
     """Count of contract-valid rows (n_tok > 0, len == n_tok)."""
     def partial(b: pa.Table) -> pa.Table:
         return pa.table(
-            {"c": pa.array([_valid_tokens(b).length()], pa.int64())}
+            {"c": pa.array([len(_valid_tokens(b))], pa.int64())}
         )
 
     got = ds.map_batches(partial, batch_format="pyarrow").sum("c")

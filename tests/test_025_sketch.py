@@ -191,3 +191,38 @@ def test_hll_window_registers_union_law():
     assert len(gset) == len(want)
     for (key, rank) in want:
         assert gset[key] == rank, key
+
+
+def test_hll_estimate_idempotent_on_concatenated_registers():
+    """Passing two periods' register tables concatenated must estimate
+    the UNION (register-wise max), identical to a pre-merged table."""
+    import pyarrow as pa
+
+    from aisdb_ray.stages import sketch
+
+    r1 = pa.table({"k": ["a", "a"], "register": [3, 7],
+                   "max_rank": [2, 5]})
+    r2 = pa.table({"k": ["a", "a"], "register": [3, 9],
+                   "max_rank": [4, 1]})
+    both = pa.concat_tables([r1, r2]).rename_columns(
+        ["k", sketch.REGISTER, sketch.MAX_RANK])
+    merged = sketch.merge_registers(
+        r1.rename_columns(["k", sketch.REGISTER, sketch.MAX_RANK]),
+        r2.rename_columns(["k", sketch.REGISTER, sketch.MAX_RANK]),
+        key_col="k")
+    e1 = sketch.hll_estimate(both, "k").to_pandas()
+    e2 = sketch.hll_estimate(merged, "k").to_pandas()
+    assert e1["estimate"].tolist() == e2["estimate"].tolist()
+
+
+def test_hll_distinct_empty_input():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aisdb_ray.stages import sketch
+
+    empty = rd.from_arrow(pa.table({
+        "k": pa.array([], pa.string()), "v": pa.array([], pa.string()),
+    }))
+    got = sketch.hll_distinct(empty, "k", "v")
+    assert got.num_rows == 0

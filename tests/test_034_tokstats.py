@@ -174,3 +174,20 @@ def test_lm_score_bruteforce():
                                   want["lm_score"].to_numpy(np.int64))
     np.testing.assert_array_equal(got["n_bigrams"].to_numpy(np.int64),
                                   want["n_bigrams"].to_numpy(np.int64))
+
+
+def test_valid_tokens_rejects_null_elements():
+    """A row whose tokens list CONTAINS nulls must be dropped: a null id
+    flattens to NaN and casts to INT64_MIN — garbage codes downstream."""
+    import pyarrow as pa
+
+    from aisdb_ray.stages.tokstats import _valid_tokens
+
+    t = pa.table({
+        "tokens": pa.array([[1, 2, 3], [4, None, 6], [7, 8]],
+                           pa.list_(pa.int32())),
+        "n_tok": pa.array([3, 3, 2], pa.int32()),
+    })
+    got = _valid_tokens(t)
+    assert len(got) == 2
+    assert got.to_pylist() == [[1, 2, 3], [7, 8]]
