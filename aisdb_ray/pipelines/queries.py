@@ -9101,16 +9101,25 @@ FROM hits GROUP BY doc_id"""
     FROM toks d LEFT JOIN tfs t USING (doc_id) GROUP BY d.doc_id, d.w
   ),
   consts AS (
+    -- n_docs from stats directly: the old "FROM dfs, stats WHERE token=t"
+    -- cross join aggregated over ZERO rows for a zero-df term, turning the
+    -- idf (and every score) NULL instead of (N+0.5)/0.5
     SELECT
-      (SELECT (CAST(max(s.n_docs) - coalesce(max(df), 0) AS DOUBLE) + 0.5)
-              / (CAST(coalesce(max(df), 0) AS DOUBLE) + 0.5)
-       FROM dfs, stats s WHERE token = '{t0}') AS idf0,
-      (SELECT (CAST(max(s.n_docs) - coalesce(max(df), 0) AS DOUBLE) + 0.5)
-              / (CAST(coalesce(max(df), 0) AS DOUBLE) + 0.5)
-       FROM dfs, stats s WHERE token = '{t1}') AS idf1,
-      (SELECT (CAST(max(s.n_docs) - coalesce(max(df), 0) AS DOUBLE) + 0.5)
-              / (CAST(coalesce(max(df), 0) AS DOUBLE) + 0.5)
-       FROM dfs, stats s WHERE token = '{t2}') AS idf2,
+      ((SELECT CAST(n_docs AS DOUBLE) FROM stats)
+       - coalesce((SELECT CAST(df AS DOUBLE) FROM dfs
+                   WHERE token = '{t0}'), 0) + 0.5)
+      / (coalesce((SELECT CAST(df AS DOUBLE) FROM dfs
+                   WHERE token = '{t0}'), 0) + 0.5) AS idf0,
+      ((SELECT CAST(n_docs AS DOUBLE) FROM stats)
+       - coalesce((SELECT CAST(df AS DOUBLE) FROM dfs
+                   WHERE token = '{t1}'), 0) + 0.5)
+      / (coalesce((SELECT CAST(df AS DOUBLE) FROM dfs
+                   WHERE token = '{t1}'), 0) + 0.5) AS idf1,
+      ((SELECT CAST(n_docs AS DOUBLE) FROM stats)
+       - coalesce((SELECT CAST(df AS DOUBLE) FROM dfs
+                   WHERE token = '{t2}'), 0) + 0.5)
+      / (coalesce((SELECT CAST(df AS DOUBLE) FROM dfs
+                   WHERE token = '{t2}'), 0) + 0.5) AS idf2,
       (SELECT CAST(n_words AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM stats)
         AS avgdl
   ),

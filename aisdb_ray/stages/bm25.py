@@ -69,8 +69,11 @@ def corpus_stats(ds, terms: list[str], text_col: str = "text") -> dict:
     partials = ds.map_batches(
         lambda b: stats_partial(b, terms, text_col), batch_format="pyarrow"
     )
-    row = funnel_combine(partials, merge).take_all()[0]  # bounded: 1 row
-    return {k: int(v) for k, v in row.items()}
+    rows = funnel_combine(partials, merge).take_all()  # bounded: <= 1 row
+    if not rows:  # fully empty input: zero stats, not IndexError
+        return {"n_docs": 0, "n_words": 0,
+                **{f"df_{j}": 0 for j in range(len(terms))}}
+    return {k: int(v) for k, v in rows[0].items()}
 
 
 def bm25_topk(ds, terms: list[str], k: int = 20, text_col: str = "text",
@@ -79,6 +82,13 @@ def bm25_topk(ds, terms: list[str], k: int = 20, text_col: str = "text",
     doc_id ascending.  Docs matching no term are excluded."""
     stats = corpus_stats(ds, terms, text_col)
     n_docs, n_words = stats["n_docs"], stats["n_words"]
+    if n_docs == 0:  # empty corpus: zero hits, not ZeroDivisionError
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.string()),
+            "score": pa.array([], pa.float64()),
+        }))
     avgdl = float(n_words) / float(n_docs)
     idfs = [
         (float(n_docs - stats[f"df_{j}"]) + 0.5) / (float(stats[f"df_{j}"]) + 0.5)
@@ -94,11 +104,13 @@ def bm25_topk(ds, terms: list[str], k: int = 20, text_col: str = "text",
         dl = np.bincount(par, minlength=n).astype(np.float64)
         s = np.zeros(n, dtype=np.float64)
         # the shared length normalizer: tf-independent, computed once
-        norm = K1 * (0.25 + B * (dl / avgdl))
+        # (derive from the module constants — hardcoded 0.25/2.2 would
+        # silently detach the formula from a tuned K1/B)
+        norm = K1 * ((1.0 - B) + B * (dl / avgdl))
         for j in range(len(terms)):
             hit = pc.equal(w, pa.scalar(terms[j])).to_numpy(zero_copy_only=False)
             tf = np.bincount(par[hit], minlength=n).astype(np.float64)
-            s = s + idfs[j] * ((tf * 2.2) / (tf + norm))
+            s = s + idfs[j] * ((tf * (K1 + 1.0)) / (tf + norm))
         keep = s > 0.0
         return pa.table(
             {id_col: ids.filter(pa.array(keep)),

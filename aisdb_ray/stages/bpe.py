@@ -77,7 +77,7 @@ def corpus_alphabet(ds, text_col: str = "text") -> list[str]:
     collapses the text; only distinct chars ever shuffle."""
 
     def chars(b: pa.Table) -> pa.Table:
-        s = set("".join(b[text_col].to_pylist()))
+        s = set("".join(t for t in b[text_col].to_pylist() if t is not None))
         return pa.table({"ch": pa.array(sorted(s), pa.string())})
 
     distinct = (
@@ -138,6 +138,11 @@ def encode_batch(texts, merges: list[tuple[str, str]]):
     SEP).  One vectorized C pass per merge rule, no per-row Python."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    # the U+001F separator is the canon's structural delimiter — a raw
+    # document containing it would misparse piece boundaries (identically
+    # on the SQL side, so the hash gate could not catch it): strip it
+    # first, mirrored in encode_sql
+    texts = pc.replace_substring(texts, pattern=SEP, replacement="")
     # canon: wrap every codepoint in its own SEP pair ((?s): '.' must match
     # newlines too) so merge matches are always symbol-aligned
     out = pc.replace_substring_regex(
@@ -167,11 +172,26 @@ def piece_vocab(merges: list[tuple[str, str]], base: list[str]) -> dict[str, int
     return vocab
 
 
+_LOOKUP_CACHE: dict[int, tuple] = {}
+
+
+def _vocab_lookup(vocab: dict[str, int]) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted (keys, vals) arrays for a vocab, built once per worker —
+    the cache holds a strong reference to the dict, so an id() can never
+    be recycled to a different live vocab while cached."""
+    hit = _LOOKUP_CACHE.get(id(vocab))
+    if hit is not None and hit[0] is vocab:
+        return hit[1], hit[2]
+    keys = np.array(sorted(vocab), dtype=object)
+    vals = np.array([vocab[k] for k in keys], dtype=np.int32)
+    _LOOKUP_CACHE[id(vocab)] = (vocab, keys, vals)
+    return keys, vals
+
+
 def _ids_of_pieces(flat, vocab: dict[str, int]) -> np.ndarray:
     """Flat piece array -> int32 ids via a numpy searchsorted over the
     (per-worker constant) vocab — no per-token dict loop; unknown -> -1."""
-    keys = np.array(sorted(vocab), dtype=object)
-    vals = np.array([vocab[k] for k in keys], dtype=np.int32)
+    keys, vals = _vocab_lookup(vocab)
     fl = flat.to_numpy(zero_copy_only=False)
     idx = np.clip(np.searchsorted(keys, fl), 0, len(keys) - 1)
     ok = keys[idx] == fl
@@ -181,13 +201,26 @@ def _ids_of_pieces(flat, vocab: dict[str, int]) -> np.ndarray:
 def encode_ids_batch(texts, merges, vocab: dict[str, int]):
     """Arrow string array -> list<int32> token ids (the `tokens` column a
     training pipeline materializes).  Splitting the encoded string on SEP is
-    one Arrow pass; the piece->id lookup is vectorized."""
+    one Arrow pass; the piece->id lookup is vectorized.  Empty documents
+    yield EMPTY lists (an empty text encodes to one empty piece — id -1
+    otherwise), and out-of-vocab pieces are dropped (the skip-bad posture;
+    token_ids_sql's inner join does the same)."""
     enc = encode_batch(texts, merges)
     pieces = pc.split_pattern(enc, pattern=SEP)
     if isinstance(pieces, pa.ChunkedArray):
         pieces = pieces.combine_chunks()
-    ids = _ids_of_pieces(pc.list_flatten(pieces), vocab)
-    return pa.ListArray.from_arrays(pieces.offsets, pa.array(ids, pa.int32()))
+    flat = pc.list_flatten(pieces)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    keep_idx = np.flatnonzero(keep)
+    ids = _ids_of_pieces(flat.filter(pa.array(keep)), vocab)
+    good = ids >= 0
+    keep_idx, ids = keep_idx[good], ids[good]
+    par = pc.list_parent_indices(pieces).to_numpy(zero_copy_only=False)
+    counts = np.bincount(par[keep_idx], minlength=len(pieces))
+    offsets = np.r_[0, np.cumsum(counts)].astype(np.int32)
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(ids, pa.int32())
+    )
 
 
 def decode_ids(ids, vocab: dict[str, int]) -> str:
@@ -233,8 +266,14 @@ def encode_token_ids(ds, merges: list[tuple[str, str]], vocab: dict[str, int],
         offs = pieces.offsets.to_numpy(zero_copy_only=False)
         pidx = parent.to_numpy(zero_copy_only=False)
         pos = np.arange(len(flat), dtype=np.int64) - offs[pidx] + 1
-        # empty text -> enc "" -> one empty piece: emit no token rows
-        keep = pc.not_equal(flat, "")
+        # empty text -> enc "" -> one empty piece: emit no token rows;
+        # out-of-vocab pieces (id -1, possible when replaying cached
+        # artifacts against new text) drop too — the SQL oracle's inner
+        # vocab join does the same
+        keep = pa.array(
+            pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            & (ids >= 0)
+        )
         return pa.table(
             {
                 "doc_id": b["doc_id"].take(parent),
@@ -279,7 +318,9 @@ def encode_sql(merges: list[tuple[str, str]],
         return s.replace("'", "''")
 
     s31 = "chr(31)"
-    expr = f"regexp_replace(text, '(?s)(.)', {s31} || '\\1' || {s31}, 'g')"
+    # strip the structural delimiter first — mirrors encode_batch
+    expr = (f"regexp_replace(replace(text, {s31}, ''), '(?s)(.)', "
+            f"{s31} || '\\1' || {s31}, 'g')")
     for a, b in merges:
         expr = (f"replace({expr}, {s31} || '{q(a)}' || {s31} || {s31} || "
                 f"'{q(b)}' || {s31}, {s31} || '{q(a + b)}' || {s31})")

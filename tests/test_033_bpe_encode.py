@@ -198,3 +198,33 @@ def test_encode_sql_artifacts_embed():
     s2 = encode.encode_sql()
     w = encode.encode_matrix()
     assert f"(0, 0, {int(w[0, 0])})" in s2
+
+
+def test_encode_ids_empty_doc_and_oov_and_delimiter():
+    """Empty docs yield EMPTY token lists (not [-1]); out-of-vocab pieces
+    drop; a raw U+001F in the text is stripped, never misparsed."""
+    import pyarrow as pa
+
+    from aisdb_ray.stages import bpe
+
+    merges = [("a", "b")]
+    vocab = bpe.piece_vocab(merges, ["a", "b", "c"])
+    texts = pa.array(["", "abc", "aqb", "a\x1fb"], pa.string())
+    out = bpe.encode_ids_batch(texts, merges, vocab)
+    lists = out.to_pylist()
+    assert lists[0] == []                         # empty doc
+    assert lists[1] == [vocab["ab"], vocab["c"]]  # normal path
+    assert lists[2] == [vocab["a"], vocab["b"]]   # 'q' OOV: dropped
+    assert lists[3] == [vocab["ab"]]              # delimiter stripped
+
+
+def test_corpus_alphabet_tolerates_null_text():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aisdb_ray.stages import bpe
+
+    ds = rd.from_arrow(pa.table({
+        "text": pa.array(["ab", None, "bc"], pa.string()),
+    }))
+    assert bpe.corpus_alphabet(ds) == ["a", "b", "c"]

@@ -52,3 +52,27 @@ def test_bm25_matches_scalar_formula():
 def test_bm25_zero_df_term_harmless():
     got = bm25.bm25_topk(rd.from_pandas(_corpus()), ["zzz_absent"], k=5).to_pandas()
     assert len(got) == 0
+
+
+def test_bm25_zero_df_term_and_empty_corpus():
+    """A query term absent from the corpus contributes idf=(N+0.5)/0.5 —
+    and the engine must agree with the SQL oracle's idf expression (the
+    old oracle went NULL and returned zero rows).  An empty corpus yields
+    zero hits, not ZeroDivisionError."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aisdb_ray.stages import bm25
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": ["d1", "d2"],
+        "text": ["apple banana", "banana cherry"],
+    }))
+    out = bm25.bm25_topk(docs, ["banana", "zzz_absent"], k=5).to_pandas()
+    assert len(out) == 2 and (out["score"] > 0).all()
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.string()),
+        "text": pa.array([], pa.string()),
+    }))
+    assert bm25.bm25_topk(empty, ["x"], k=5).count() == 0
