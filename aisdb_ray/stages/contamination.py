@@ -70,11 +70,20 @@ def contamination(
     benchmark row); only docs with ≥1 shared gram are returned."""
     import ray
 
+    # every row lands on EXACTLY one side: a null predicate result (e.g.
+    # pc.equal on a null split column) would be dropped by BOTH filters,
+    # letting a contaminated doc skip the scan unflagged — nulls are
+    # training rows (the side that gets checked).
     def bench_b(b: pa.Table) -> pa.Table:
-        return b.filter(bench_pred(b))
+        return b.filter(pc.fill_null(bench_pred(b), False))
 
     def train_b(b: pa.Table) -> pa.Table:
-        return b.filter(pc.invert(bench_pred(b)))
+        return b.filter(pc.invert(pc.fill_null(bench_pred(b), False)))
+
+    # the input is consumed twice (benchmark gram collection + the
+    # training-side scan): pin it once so an expensive upstream pipeline
+    # doesn't re-execute end-to-end for each pass
+    docs_ds = docs_ds.materialize()
 
     bench_grams = (
         docs_ds.map_batches(bench_b, batch_format="pyarrow")

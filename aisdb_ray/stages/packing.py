@@ -67,7 +67,9 @@ def pack_block(
     kcol = tbl[key_col]
     if isinstance(kcol, pa.ChunkedArray):
         kcol = kcol.combine_chunks()
-    ginv = pc.dictionary_encode(kcol).indices.to_numpy().astype(np.int64)
+    ginv = pc.dictionary_encode(kcol).indices.to_numpy(
+        zero_copy_only=False  # null keys: indices carry a null mask
+    ).astype(np.int64)
     chunk = (t // chunk_s) * chunk_s
 
     order = np.lexsort((sq, t, chunk, ginv))
@@ -110,11 +112,12 @@ def pack_documents(
     from aisdb_ray.stages._dist import co_shuffle
 
     def pre(b: pa.Table) -> pa.Table:
-        t = pc.cast(b[time_col], pa.int64())
-        ck = pc.multiply(
-            pc.divide(t, pa.scalar(chunk_s, pa.int64())),
-            pa.scalar(chunk_s, pa.int64()),
-        )
+        # numpy floor division, NOT pc.divide: Arrow truncates toward
+        # zero, so a negative epoch would route to a DIFFERENT partition
+        # than the floor chunk pack_block assigns — splitting one logical
+        # group and emitting duplicate, overfillable bin ids
+        t = pc.cast(b[time_col], pa.int64()).to_numpy(zero_copy_only=False)
+        ck = pa.array((t // chunk_s) * chunk_s)
         if CHUNK in b.column_names:
             b = b.drop_columns([CHUNK])
         return b.append_column(CHUNK, ck)
@@ -129,10 +132,12 @@ def pack_documents(
     )
 
 
-def pack_summary(packed, key_col: str = SOURCE):
+def pack_summary(packed, key_col: str = SOURCE, value_col: str = N_TOK):
     """Per-bin summary (docs, token total) of a packed dataset — the
     padding-efficiency audit table (all-integer, shuffle of partial rows
-    only)."""
+    only).  ``value_col`` must match what pack_documents packed on, or
+    the audit would silently sum a column the bins were never capped
+    against."""
     import pyarrow.compute as pc
 
     def partial(b: pa.Table) -> pa.Table:
@@ -142,7 +147,7 @@ def pack_summary(packed, key_col: str = SOURCE):
                 CHUNK: b[CHUNK],
                 BIN: b[BIN],
                 "n_docs": pa.nulls(b.num_rows, pa.int64()),
-                "sum_n_tok": pc.cast(b[N_TOK], pa.int64()),
+                "sum_n_tok": pc.cast(b[value_col], pa.int64()),
             }
         )
         g = t.group_by([key_col, CHUNK, BIN], use_threads=False).aggregate(

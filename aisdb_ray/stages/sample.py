@@ -28,8 +28,14 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _HCOL = "_sample_h64"
+
+
+def _arrow_names(ds) -> list[str]:
+    sch = ds.schema()
+    return list(sch.names) if sch is not None else []
 
 
 def md5_u32(col) -> np.ndarray:
@@ -42,6 +48,14 @@ def md5_u32(col) -> np.ndarray:
         col = col.combine_chunks()
     if pa.types.is_floating(col.type):
         raise TypeError("hash-sample keys must be string or integer")
+    if col.null_count:
+        # md5(NULL) IS NULL in the oracle: a null key must never hash as
+        # the string 'None' (which would make ALL null-key rows pass or
+        # fail a sampling predicate together) — callers filter nulls first
+        raise ValueError(
+            "md5_u32: null keys — drop or fill them before hashing "
+            "(SQL md5(NULL) is NULL, not md5('None'))"
+        )
     return np.array(
         [
             int.from_bytes(hashlib.md5(str(s).encode()).digest()[:4], "big")
@@ -57,6 +71,7 @@ def hash_sample(ds, key: str, pct: int):
         raise ValueError("pct must be in [0, 100]")
 
     def keep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[key]))  # SQL: md5(NULL) IS NULL -> out
         h = md5_u32(b[key]) % 100
         return b.filter(pa.array(h < pct))
 
@@ -70,6 +85,7 @@ def stratified_sample(ds, group: str, key: str, k: int):
     from aisdb_ray.stages import rank
 
     def add_h(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[key]))  # null keys never sample in
         return b.append_column(_HCOL, pa.array(md5_u32(b[key])))
 
     with_h = ds.map_batches(add_h, batch_format="pyarrow")
@@ -95,8 +111,15 @@ def weighted_sample(ds, key: str, weight: str, k: int):
 
     _RCOL = "w_rank"
     _GCOL = "_scope"
+    names = set(_arrow_names(ds))
+    if _RCOL in names or _GCOL in names:
+        raise ValueError(
+            f"weighted_sample: input already carries {_RCOL!r}/{_GCOL!r} "
+            "(the rank evidence / scope columns this stage appends)"
+        )
 
     def add_rank(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[key]))  # null keys never sample in
         w = b[weight].to_numpy(zero_copy_only=False).astype(np.float64)
         b = b.filter(pa.array(w > 0))
         if b.num_rows == 0:

@@ -86,6 +86,11 @@ def normalize_batch(b: pa.Table, col: str, out_col: str | None = None) -> pa.Tab
     s = b[col]
     if isinstance(s, pa.ChunkedArray):
         s = s.combine_chunks()
+    if pa.types.is_large_string(s.type):
+        # replace_with_mask has no large_string kernel; the normalize
+        # stage must not die the moment a large-writer corpus batch
+        # carries one non-ASCII char
+        s = pc.cast(s, pa.string())
     mask = pc.fill_null(pc.match_substring_regex(s, r"[^\x00-\x7F]"), False)
     if pc.any(mask).as_py():
         fixed = pa.array(
@@ -150,7 +155,12 @@ def chunk_table(b: pa.Table, id_col: str = "doc_id",
                 {
                     id_col: b[id_col].slice(0, 0),
                     "chunk_idx": pa.array([], pa.int64()),
-                    "chunk_text": pa.array([], pa.string()),
+                    # match the non-empty branch's output type exactly —
+                    # a string/large_string mix breaks block unification
+                    "chunk_text": pa.array(
+                        [], pa.string()
+                        if not pa.types.is_large_string(b[text_col].type)
+                        else pa.large_string()),
                     "chunk_chars_n": pa.array([], pa.int64()),
                     **{c: b[c].slice(0, 0) for c in carry_cols},
                 }
@@ -197,6 +207,20 @@ def chunk_token_sequences(ds, id_col: str = "doc_id",
     stride = window - overlap
 
     def expand(b: pa.Table) -> pa.Table:
+        toks = b[tokens_col]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat_all = pc.list_flatten(toks)
+        if flat_all.null_count:
+            # a null ELEMENT flattens to NaN and casts to INT64_MIN —
+            # garbage window evidence with no error; drop such rows
+            par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+            bad = np.unique(
+                par[pc.is_null(flat_all).to_numpy(zero_copy_only=False)]
+            )
+            keepm = np.ones(b.num_rows, dtype=bool)
+            keepm[bad] = False
+            b = b.filter(pa.array(keepm))
         n = pc.list_value_length(b[tokens_col])
         nmax = pc.max(n).as_py()
         outs = []

@@ -187,3 +187,37 @@ def test_normalize_text():
     assert normalize_batch(dec, "text")["text"].to_pylist() == ["caf\u00e9"]
     ds = normalize_text(rd.from_arrow(t), "text").to_pandas()
     assert ds["text"].tolist() == out
+
+
+def test_normalize_and_chunk_accept_large_string():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aisdb_ray.stages import scrub
+
+    t = pa.table({"doc_id": ["a", "b"],
+                  "text": pa.array(["Héllo  World", ""], pa.large_string())})
+    out = scrub.normalize_text(rd.from_arrow(t), "text").to_pandas()
+    assert out["text"].tolist()[0] == "héllo world"
+    ch = scrub.chunk_documents(
+        rd.from_arrow(t), chunk_chars=5, overlap=1
+    ).to_pandas()
+    assert len(ch) >= 2  # empty doc yields none, non-empty chunks fine
+
+
+def test_chunk_token_sequences_drops_null_elements():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aisdb_ray.stages import scrub
+
+    t = pa.table({
+        "doc_id": ["a", "b"],
+        "tokens": pa.array([[1, 2, 3, 4], [5, None, 7, 8]],
+                           pa.list_(pa.int32())),
+    })
+    out = scrub.chunk_token_sequences(
+        rd.from_arrow(t), window=2, overlap=0
+    ).to_pandas()
+    assert set(out["doc_id"]) == {"a"}
+    assert (out["tok_sum"] >= 0).all()

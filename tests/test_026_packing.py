@@ -102,3 +102,55 @@ def test_pack_property_random():
         assert got == want
 
     check()
+
+
+def test_pack_documents_negative_epochs_floor_route():
+    """Routing and grouping must agree on FLOOR chunks: a negative epoch
+    used to route on trunc (chunk 0) but group on floor (chunk -86400),
+    splitting one group across partitions and duplicating bin ids."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aisdb_ray.stages import packing
+
+    n = 8
+    t = pa.table({
+        "source": ["s"] * n,
+        "time": pa.array(np.arange(-4, 4, dtype=np.int64) * 10),
+        "seq": pa.array(np.zeros(n, np.int64)),
+        "n_tok": pa.array(np.full(n, 30, np.int64)),
+    })
+    out = packing.pack_documents(
+        rd.from_arrow(t), cap=100, chunk_s=86400, num_parts=4
+    ).to_pandas()
+    neg = out[out["time"] < 0]
+    pos = out[out["time"] >= 0]
+    assert (neg["chunk"] == -86400).all()
+    assert (pos["chunk"] == 0).all()
+    # within each floor chunk, bins fill to the cap with no duplicates
+    for _, g in out.groupby(["chunk", "bin"]):
+        assert g["n_tok"].sum() <= 100
+
+
+def test_pack_summary_custom_value_col():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aisdb_ray.stages import packing
+
+    t = pa.table({
+        "source": ["s"] * 4,
+        "time": pa.array(np.arange(4, dtype=np.int64)),
+        "seq": pa.array(np.zeros(4, np.int64)),
+        "n_chars": pa.array(np.full(4, 60, np.int64)),
+    })
+    packed = packing.pack_documents(
+        rd.from_arrow(t), cap=100, value_col="n_chars", num_parts=2
+    )
+    summ = packing.pack_summary(
+        packed, value_col="n_chars"
+    ).to_pandas()
+    assert summ["sum_n_tok"].sum() == 240
+    assert (summ["sum_n_tok"] <= 100).all()
