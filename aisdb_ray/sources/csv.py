@@ -31,9 +31,12 @@ import pyarrow.compute as pc
 import pyarrow.csv as pacsv
 
 TOKEN_COLS = ["doc_id", "tokens", "n_tok", "source"]
-# token ids bounded to 9 digits so every value fits int32 — a longer digit
-# run is malformed input and must be SKIPPED, not crash the cast
-_TOKENS_RE = r"^[0-9]{1,9}( [0-9]{1,9})*$"
+# shape check only (up to 10 digits so all of int32 is REPRESENTABLE —
+# a 9-digit cap silently dropped valid ids in [1e9, 2^31-1] that the
+# JSONL/parquet paths keep); the exact int32 range check runs after the
+# int64 parse, same contract as the JSONL reader
+_TOKENS_RE = r"^[0-9]{1,10}( [0-9]{1,10})*$"
+_I32_MIN, _I32_MAX = -(1 << 31), (1 << 31) - 1
 
 
 def _invalid_row_handler(row):
@@ -71,7 +74,7 @@ def _convert_batch(b: pa.Table) -> pa.Table:
     ntok_s = pc.fill_null(b["n_tok"], "")
     ok = pc.and_(
         pc.or_(pc.match_substring_regex(toks, _TOKENS_RE), pc.equal(toks, "")),
-        pc.match_substring_regex(ntok_s, r"^-?[0-9]{1,9}$"),
+        pc.match_substring_regex(ntok_s, r"^-?[0-9]{1,10}$"),
     )
     ok = pc.and_(ok, pc.is_valid(b["doc_id"]))
     ok = pc.and_(ok, pc.is_valid(b["source"]))
@@ -81,16 +84,30 @@ def _convert_batch(b: pa.Table) -> pa.Table:
     # then repair the nulls to zero-length lists post-cast.
     empty = pc.equal(toks, "")
     safe = pc.if_else(empty, pa.scalar(None, pa.string()), toks)
-    tokens = pc.cast(pc.split_pattern(safe, " "), pa.list_(pa.int32()))
+    tokens64 = pc.cast(pc.split_pattern(safe, " "), pa.list_(pa.int64()))
     if pc.any(empty).as_py():
-        empty_list = pa.array([[]] * t.num_rows, pa.list_(pa.int32()))
-        tokens = pc.if_else(empty, empty_list, tokens)
+        empty_list = pa.array([[]] * t.num_rows, pa.list_(pa.int64()))
+        tokens64 = pc.if_else(empty, empty_list, tokens64)
+    # exact int32 range gate (10-digit strings can exceed 2^31-1)
+    flat = pc.list_flatten(tokens64)
+    bad = pc.or_(pc.less(flat, _I32_MIN), pc.greater(flat, _I32_MAX))
+    keep = np.ones(t.num_rows, dtype=bool)
+    bad_parent = pc.list_parent_indices(tokens64).filter(bad)
+    keep[bad_parent.to_numpy(zero_copy_only=False)] = False
+    nt64 = pc.cast(t["n_tok"], pa.int64())
+    keep &= pc.and_(
+        pc.greater_equal(nt64, _I32_MIN), pc.less_equal(nt64, _I32_MAX)
+    ).to_numpy(zero_copy_only=False)
+    km = pa.array(keep)
     return pa.table(
         {
-            "doc_id": t["doc_id"],
-            "tokens": tokens,
-            "n_tok": pc.cast(t["n_tok"], pa.int32()),
-            "source": t["source"],
+            "doc_id": t["doc_id"].filter(km),
+            "tokens": pc.cast(tokens64.filter(km)
+                              if not isinstance(tokens64, pa.ChunkedArray)
+                              else tokens64.combine_chunks().filter(km),
+                              pa.list_(pa.int32())),
+            "n_tok": pc.cast(nt64.filter(km), pa.int32()),
+            "source": t["source"].filter(km),
         }
     )
 
@@ -124,7 +141,21 @@ def write_token_csv(
         for lo in range(0, t.num_rows, rows_per_file):
             chunks.append(t.slice(lo, rows_per_file))
 
-    import pyarrow.compute as pc
+    def _csv_field(col):
+        """Quote a string column for CSV iff any value needs it (comma,
+        quote, CR/LF would shift columns and silently skip the row on
+        read — the JSONL writer guards its analogous hazard)."""
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        risky = pc.fill_null(
+            pc.match_substring_regex(col, r'[",\r\n]'), True
+        )
+        if not pc.any(risky).as_py():
+            return col
+        quoted = pc.binary_join_element_wise(
+            '"', pc.replace_substring(col, pattern='"', replacement='""'),
+            '"', "",
+        )
+        return pc.if_else(risky, quoted, col)
 
     for fi, t in enumerate(chunks):
         # all the per-token stringification runs in Arrow C kernels — the
@@ -134,10 +165,10 @@ def write_token_csv(
             pc.cast(toks, pa.list_(pa.string())), " "
         )
         base = pc.binary_join_element_wise(
-            t["doc_id"].combine_chunks(),
+            _csv_field(t["doc_id"]),
             joined,
             pc.cast(t["n_tok"], pa.string()).combine_chunks(),
-            t["source"].combine_chunks(),
+            _csv_field(t["source"]),
             ",",
         ).to_pylist()
         lines = ["doc_id,tokens,n_tok,source"]

@@ -48,7 +48,9 @@ def write_token_ipc(parquet_dir: str, out_dir: str,
     done = os.path.join(out_dir, "_DONE")
     marker = f"ok garbage={bool(inject_garbage)}"
     if os.path.exists(done):
-        if open(done).read() == marker:
+        with open(done) as fh:
+            prev = fh.read()
+        if prev == marker:
             return out_dir
         # cached dir was built under the OTHER garbage contract — rebuild
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -112,8 +114,14 @@ def read_token_ipc(paths):
     def decode(batch: pa.Table) -> pa.Table:
         import pyarrow.ipc as ipc
 
+        col = batch["bytes"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
         outs = []
-        for blob in batch["bytes"].to_pylist():
+        for i in range(len(col)):
+            # as_buffer(): zero-copy view into the Arrow value buffer —
+            # to_pylist() would copy every multi-MB blob into Python bytes
+            blob = col[i].as_buffer()
             tbl = None
             for opener in (ipc.open_file, ipc.open_stream):
                 try:
@@ -126,6 +134,12 @@ def read_token_ipc(paths):
                     continue
             if tbl is None:
                 continue  # quarantined whole file
+            missing = set(TOKEN_SCHEMA.names) - set(tbl.schema.names)
+            if missing:
+                raise ValueError(
+                    f"read_token_ipc: decodable IPC file lacks required "
+                    f"columns {sorted(missing)} — wrong-format input"
+                )
             outs.append(tbl.select(TOKEN_SCHEMA.names).cast(TOKEN_SCHEMA))
         if not outs:
             return TOKEN_SCHEMA.empty_table()

@@ -134,12 +134,21 @@ def _parse_batch(b: pa.Table) -> pa.Table:
                 "source": pa.array([], pa.string()),
             }
         )
+    # rows whose list carries null ELEMENTS are corrupt — the classifier
+    # path (_line_ok) rejects them, so the clean fast path must too, or
+    # acceptance would depend on which batch a corrupt neighbor landed in
+    import numpy as np
+
+    flat0 = pc.list_flatten(t["tokens"])
+    if flat0.null_count:
+        parn = pc.list_parent_indices(t["tokens"]).filter(pc.is_null(flat0))
+        kn = np.ones(t.num_rows, dtype=bool)
+        kn[parn.to_numpy(zero_copy_only=False)] = False
+        t = t.filter(pa.array(kn))
     # int32 bounds masks, vectorized (same contract as the CSV reader)
     flat = pc.list_flatten(t["tokens"])
     bad_tok = pc.or_(pc.less(flat, _I32_MIN), pc.greater(flat, _I32_MAX))
     bad_parent = pc.list_parent_indices(t["tokens"]).filter(bad_tok)
-    import numpy as np
-
     keep = np.ones(t.num_rows, dtype=bool)
     keep[bad_parent.to_numpy(zero_copy_only=False)] = False
     nt = t["n_tok"]
@@ -193,8 +202,26 @@ def read_token_jsonl(paths):
         p for p in expanded
         if p.endswith(".jsonl") or p.endswith(".jsonl.gz")
     ]
+    # wrong-format inputs SURFACE (docstring contract): reading arbitrary
+    # files as JSONL would quarantine every line into a silently empty
+    # dataset.  Directory markers (_SUCCESS etc.) are ignored; any other
+    # non-.jsonl entry is an error.
+    stray = [
+        p for p in expanded
+        if p not in set(files)
+        and os.path.isfile(p)
+        and not os.path.basename(p).startswith("_")
+    ]
+    if stray:
+        raise ValueError(
+            f"read_token_jsonl: non-JSONL inputs: {stray[:5]}"
+        )
+    if not files:
+        raise ValueError(
+            f"read_token_jsonl: no .jsonl/.jsonl.gz files in {path_list!r}"
+        )
     ds = rd.read_text(
-        files or expanded,
+        files,
         arrow_open_stream_args={"compression": "detect"},
     )
     return ds.map_batches(_parse_batch, batch_format="pyarrow")
@@ -242,12 +269,14 @@ def write_token_jsonl(
         # need JSON escaping — any offending row falls back to json.dumps.
         doc_c = t["doc_id"].combine_chunks()
         src_c = t["source"].combine_chunks()
-        needs_esc = pc.any(
-            pc.match_substring_regex(
-                pc.binary_join_element_wise(doc_c, src_c, ""),
-                r'["\\\x00-\x1f]',
-            )
-        ).as_py()
+        probe = pc.match_substring_regex(
+            pc.binary_join_element_wise(doc_c, src_c, ""),
+            r'["\\\x00-\x1f]',
+        )
+        # null doc_id/source: join yields null, pc.any ignores nulls and
+        # the fast path would emit a null line (TypeError at the final
+        # join) — route null rows through json.dumps instead
+        needs_esc = bool(pc.any(pc.fill_null(probe, True)).as_py())
         if needs_esc:
             base = [
                 json.dumps(

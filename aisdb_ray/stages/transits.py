@@ -213,7 +213,10 @@ def transition_counts(
         enc = pc.dictionary_encode(kcol)
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
-        kid = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # fill_null(-1): SQL window PARTITION BY groups nulls into ONE
+        # partition, and the raw NaN float -> int64 cast is undefined
+        kid = pc.fill_null(enc.indices, -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         t = part[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
         s = part[seq_col].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((s, t, kid))
@@ -275,7 +278,10 @@ def path_trigram_counts(
         enc = pc.dictionary_encode(kcol)
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
-        kid = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # fill_null(-1): SQL window PARTITION BY groups nulls into ONE
+        # partition, and the raw NaN float -> int64 cast is undefined
+        kid = pc.fill_null(enc.indices, -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         t = part[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
         s = part[seq_col].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((s, t, kid))

@@ -94,3 +94,33 @@ def test_csv_oversized_token_skipped_not_crash(tmp_path):
     )
     t = read_token_csv(str(p)).to_pandas()
     assert len(t) == 1 and list(t["tokens"][0]) == [7, 8]
+
+
+def test_csv_round_trip_large_ids_and_quoting(tmp_path):
+    """Token ids in [1e9, 2^31-1] must survive the CSV round trip (the
+    9-digit regex silently dropped them), and doc_ids containing commas
+    must be quoted on write, not silently skipped on read."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aisdb_ray.sources import csv as csvsrc
+
+    t = pa.table({
+        "doc_id": ["plain-1", 'we,ird "id"'],
+        "tokens": pa.array([[2_000_000_000, 5], [7]], pa.list_(pa.int32())),
+        "n_tok": pa.array([2, 1], pa.int32()),
+        "source": ["s1", "s,2"],
+    })
+    src = tmp_path / "pq"
+    src.mkdir()
+    pq.write_table(t, str(src / "part-0.parquet"))
+    out = csvsrc.write_token_csv(str(src), str(tmp_path / "csv"),
+                                 gzip_last=False)
+    got = (csvsrc.read_token_csv(out).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == 2
+    assert list(got.loc[got["doc_id"] == "plain-1", "tokens"].iloc[0]) == [
+        2_000_000_000, 5]
+    assert 'we,ird "id"' in set(got["doc_id"])
+    assert "s,2" in set(got["source"])

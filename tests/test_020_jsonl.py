@@ -75,3 +75,43 @@ def test_jsonl_corrupt_shapes_skipped(tmp_path):
     ]
     assert list(got["tokens"].tolist()[0]) == [1, 2]
     assert list(got["tokens"].tolist()[1]) == []
+
+
+def test_jsonl_null_token_elements_rejected_deterministically(tmp_path):
+    """A row whose tokens list contains null must be dropped regardless
+    of whether its batch also contains corrupt lines (the fast path used
+    to keep it, the classifier path to drop it)."""
+    import ray.data as rd
+
+    from aisdb_ray.sources import jsonl as jsrc
+
+    p = tmp_path / "a.jsonl"
+    p.write_text(
+        '{"doc_id":"ok","tokens":[1,2],"n_tok":2,"source":"s"}\n'
+        '{"doc_id":"bad","tokens":[1,null,3],"n_tok":3,"source":"s"}\n'
+    )
+    got = jsrc.read_token_jsonl(str(p)).to_pandas()
+    assert got["doc_id"].tolist() == ["ok"]
+
+    p2 = tmp_path / "b.jsonl"
+    p2.write_text(
+        '{"doc_id":"ok","tokens":[1,2],"n_tok":2,"source":"s"}\n'
+        '{"doc_id":"bad","tokens":[1,null,3],"n_tok":3,"source":"s"}\n'
+        'not json at all\n'
+    )
+    got2 = jsrc.read_token_jsonl(str(p2)).to_pandas()
+    assert got2["doc_id"].tolist() == ["ok"]
+
+
+def test_jsonl_rejects_non_jsonl_inputs(tmp_path):
+    import pytest
+
+    from aisdb_ray.sources import jsonl as jsrc
+
+    (tmp_path / "only.csv").write_text("a,b\n")
+    with pytest.raises(ValueError, match="non-JSONL|no .jsonl"):
+        jsrc.read_token_jsonl(str(tmp_path))
+    empty = tmp_path / "emptydir"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no .jsonl"):
+        jsrc.read_token_jsonl(str(empty))
