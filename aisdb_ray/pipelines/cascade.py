@@ -827,6 +827,16 @@ def run_cascade(cfg: CascadeConfig) -> dict:
                     f"{t!r} has width {w}"
                 )
     manifest = lineage.Manifest.open(cfg.out_root, cfg.fingerprint())
+    if manifest.was_stale:
+        # a CONFIG change (e.g. fewer num_parts) leaves part dirs the new
+        # run never rewrites — tier reads glob every part dir, so stale
+        # partitions would silently mix into served results
+        import shutil as _sh
+
+        for d in sorted(os.listdir(cfg.out_root)):
+            if d.startswith(("series", "tier_", "ohlc_", "gapfill",
+                             "compressed")):
+                _sh.rmtree(os.path.join(cfg.out_root, d), ignore_errors=True)
 
     cur_sigs = _input_sigs(cfg.input_path)
     gen = manifest.get("_inputs", "all")

@@ -89,7 +89,6 @@ def _route(cfg: CorpusConfig, manifest: lineage.Manifest) -> None:
 
     def gate(b: pa.Table) -> pa.Table:
         q = textstats.quality_batch(b)
-        b = textstats.md5_batch(b)
         keep = pc.and_(
             pc.and_(
                 pc.greater_equal(q["quality_score"], pa.scalar(qmin)),
@@ -97,7 +96,10 @@ def _route(cfg: CorpusConfig, manifest: lineage.Manifest) -> None:
             ),
             pc.greater(q["n_chars"], pa.scalar(0, pa.int64())),
         )
+        # filter BEFORE hashing: md5_batch encodes every text and would
+        # crash on the null rows this gate exists to drop
         b = b.filter(pc.fill_null(keep, False))
+        b = textstats.md5_batch(b)
         part = md5_u32(b["text_md5"]) % nparts
         return b.append_column("part", pa.array(part, pa.int64()))
 
@@ -128,9 +130,17 @@ def _run_part(cfg: CorpusConfig, manifest: lineage.Manifest,
         return
     b = pq.read_table(files, columns=["doc_id", "text", "text_md5"])
     # keep-first dedup by content hash: every copy routed here, so a
-    # partition-local pass is globally exact
-    md5s = np.asarray(b["text_md5"].to_pylist(), dtype=object)
-    ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # partition-local pass is globally exact.  Hash-factorize both key
+    # columns to int codes first — an object-dtype lexsort over hex
+    # digests is the exact 33x-slower pattern functions/codes.py exists
+    # to avoid, and the old int64 cast crashed on string doc_ids.
+    from aisdb_ray.functions.codes import factorize_sorted
+
+    md5s_raw = b["text_md5"].to_numpy(zero_copy_only=False)
+    _, md5s = factorize_sorted(md5s_raw)
+    ids_raw = b["doc_id"].to_numpy(zero_copy_only=False)
+    ids = (ids_raw if ids_raw.dtype.kind in "iu"
+           else factorize_sorted(ids_raw)[1])
     order = np.lexsort((ids, md5s))
     m = md5s[order]
     first = np.r_[True, m[1:] != m[:-1]] if len(m) else np.array([], bool)
@@ -159,6 +169,15 @@ def run_corpus(cfg: CorpusConfig) -> dict:
     files = lineage.list_parquet_files(cfg.input_path)
     fp = lineage.fingerprint_paths(files, extra=cfg.fingerprint_extra())
     manifest = lineage.Manifest.open(cfg.out_root, fp)
+    if manifest.was_stale:
+        # a config change (e.g. fewer num_parts) leaves part=K dirs the
+        # new run never rewrites — read_chunks would silently mix stale
+        # chunks into the corpus; clear the config-shaped layouts
+        import shutil
+
+        for sub in ("route", "chunks"):
+            shutil.rmtree(os.path.join(cfg.out_root, sub),
+                          ignore_errors=True)
     _route(cfg, manifest)
     todo = [p for p in range(cfg.num_parts)
             if not manifest.done("chunks", p)]

@@ -133,11 +133,14 @@ class Field:
 
             return pads.field(self.name).isin(vs)
 
-        return Pred(
-            make,
-            lambda a: f"{a}{self.name} IN ({', '.join(_lit_sql(v) for v in vs)})",
-            {self.name},
+        # empty value list: Arrow's isin matches nothing, but SQL
+        # "col IN ()" is a parse error — render FALSE instead
+        sql_fn = (
+            (lambda a: "1 = 0") if not vs
+            else (lambda a:
+                  f"{a}{self.name} IN ({', '.join(_lit_sql(v) for v in vs)})")
         )
+        return Pred(make, sql_fn, {self.name})
 
     def between(self, lo, hi) -> Pred:
         """lo <= col <= hi (inclusive both ends, the reference's timerange)."""

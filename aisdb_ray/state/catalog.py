@@ -60,7 +60,8 @@ def dataset_range(path: str, col: str):
     return lo, hi
 
 
-def route_files(path: str, col: str, chunk_s: int) -> dict[int, list[str]]:
+def route_files(path: str, col: str, chunk_s: int,
+                stats_less: list[str] | None = None) -> dict[int, list[str]]:
     """M7 (file-date sniffing → partition routing): map each input file to
     the time chunk(s) it can contain, from footer statistics alone — the
     analog of the reference sniffing dates out of raw filenames to route
@@ -68,11 +69,24 @@ def route_files(path: str, col: str, chunk_s: int) -> dict[int, list[str]]:
     proc_util.getfiledate usage).  A planner feeds each chunk's file list
     to its partition's tasks; files never open until their chunk runs."""
     out: dict[int, list[str]] = {}
+    no_stats: list[str] = []
     for r in file_ranges(path, col):
         if r["min"] is None:
+            # a file without footer statistics could hold ANY chunk —
+            # dropping it would silently lose its rows from the plan;
+            # report it so the planner adds it to every chunk it runs
+            no_stats.append(r["file"])
             continue
         for c in range(int(r["min"]) // chunk_s, int(r["max"]) // chunk_s + 1):
             out.setdefault(c * chunk_s, []).append(r["file"])
+    if no_stats:
+        if stats_less is not None:
+            stats_less.extend(no_stats)
+        else:
+            for files in out.values():
+                files.extend(no_stats)
+            if not out:
+                out[0] = list(no_stats)
     return out
 
 
@@ -84,10 +98,17 @@ def validate_range(path: str, col: str, lo, hi) -> dict:
     cand = [
         r["file"]
         for r in ranges
-        if r["min"] is not None and not (r["max"] < lo or r["min"] > hi)
+        # stats-less files are conservative candidates: excluding them
+        # would silently miss their rows
+        if r["min"] is None or not (r["max"] < lo or r["min"] > hi)
     ]
-    d_lo, d_hi = dataset_range(path, col)
-    covered = bool(cand)
+    d_lo = d_hi = None
+    for r in ranges:  # derive from the ranges already read — no 2nd pass
+        if r["min"] is None:
+            continue
+        d_lo = r["min"] if d_lo is None else min(d_lo, r["min"])
+        d_hi = r["max"] if d_hi is None else max(d_hi, r["max"])
+    covered = bool(cand) and d_lo is not None
     return {
         "covered": covered,
         "clamped": (max(lo, d_lo), min(hi, d_hi)) if covered else None,

@@ -55,6 +55,11 @@ class Manifest:
 
     path: str
     fingerprint: str = ""
+    # True when open() found a manifest from a DIFFERENT input/config and
+    # discarded it — callers must also clear config-shaped output layouts
+    # (e.g. part=K dirs beyond a smaller new num_parts) or stale dirs mix
+    # into reads
+    was_stale: bool = False
     _records: dict[tuple[str, str], dict] = field(default_factory=dict)
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
@@ -70,7 +75,15 @@ class Manifest:
                     line = line.strip()
                     if not line:
                         continue
-                    rec = json.loads(line)
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        # torn trailing append (killed mid-record): the
+                        # record never committed — discard it and resume
+                        # from what IS durable, instead of permanently
+                        # refusing to open the ledger a kill is exactly
+                        # what this file exists to survive
+                        break
                     if rec.get("kind") == "header":
                         if rec.get("fingerprint") != fingerprint:
                             stale = True
@@ -85,6 +98,7 @@ class Manifest:
                 # input or config changed: restart clean rather than mixing runs
                 os.remove(mpath)
                 m._records.clear()
+            m.was_stale = stale
         if not os.path.exists(mpath):
             with open(mpath, "w") as f:
                 f.write(

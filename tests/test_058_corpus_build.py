@@ -199,3 +199,51 @@ def test_kill_and_resume_equals_clean_run(docs_path, tmp_path):
     pd.testing.assert_frame_equal(a, b)
     if not killed_mid_run:
         pytest.skip("run finished before the kill window (timing)")
+
+
+def test_corpus_config_change_clears_stale_parts(tmp_path, docs_path):
+    """Shrinking num_parts must not leave old part=K chunk dirs that
+    read_chunks would silently mix into the corpus."""
+    import os
+
+    from aisdb_ray.pipelines import corpus
+
+    root = str(tmp_path / "c")
+    corpus.run_corpus(corpus.CorpusConfig(
+        input_path=docs_path, out_root=root, num_parts=6,
+        max_concurrent_parts=2,
+    ))
+    assert os.path.isdir(os.path.join(root, "chunks", "part=5"))
+    corpus.run_corpus(corpus.CorpusConfig(
+        input_path=docs_path, out_root=root, num_parts=2,
+        max_concurrent_parts=2,
+    ))
+    parts = sorted(os.listdir(os.path.join(root, "chunks")))
+    assert parts == ["part=0", "part=1"]
+
+
+def test_corpus_null_text_and_string_ids(tmp_path):
+    """Null text rows must be gated out (not crash the md5 pass) and
+    string doc_ids must dedup fine (the old int64 cast crashed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aisdb_ray.pipelines import corpus
+
+    t = pa.table({
+        "doc_id": ["s:001", "s:002", "s:003"],
+        "text": pa.array(
+            ["a good document with enough words to pass the gate easily "
+             "and some more filler words here", None,
+             "a good document with enough words to pass the gate easily "
+             "and some more filler words here"],
+            pa.string()),
+    })
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(t, str(src / "p.parquet"))
+    out = corpus.run_corpus(corpus.CorpusConfig(
+        input_path=str(src), out_root=str(tmp_path / "o"), num_parts=2,
+        max_concurrent_parts=1,
+    ))
+    assert out["rows"] >= 1  # dup text deduped, null text gated, no crash
