@@ -172,19 +172,22 @@ def piece_vocab(merges: list[tuple[str, str]], base: list[str]) -> dict[str, int
     return vocab
 
 
-_LOOKUP_CACHE: dict[int, tuple] = {}
+# Single-slot cache: exactly one vocab is live per pipeline build, so one
+# slot keeps the per-batch speedup without pinning every vocab a long-lived
+# worker ever sees (the old id()-keyed dict grew without bound and held a
+# strong reference to each dict plus its sorted key/value arrays forever).
+_LOOKUP_CACHE: list[tuple] = []
 
 
 def _vocab_lookup(vocab: dict[str, int]) -> tuple[np.ndarray, np.ndarray]:
-    """Sorted (keys, vals) arrays for a vocab, built once per worker —
-    the cache holds a strong reference to the dict, so an id() can never
-    be recycled to a different live vocab while cached."""
-    hit = _LOOKUP_CACHE.get(id(vocab))
-    if hit is not None and hit[0] is vocab:
-        return hit[1], hit[2]
+    """Sorted (keys, vals) arrays for a vocab, built once per worker.  The
+    slot holds a strong reference to the dict, so identity (`is`) can never
+    alias a recycled object while cached; a different vocab evicts it."""
+    if _LOOKUP_CACHE and _LOOKUP_CACHE[0][0] is vocab:
+        return _LOOKUP_CACHE[0][1], _LOOKUP_CACHE[0][2]
     keys = np.array(sorted(vocab), dtype=object)
     vals = np.array([vocab[k] for k in keys], dtype=np.int32)
-    _LOOKUP_CACHE[id(vocab)] = (vocab, keys, vals)
+    _LOOKUP_CACHE[:] = [(vocab, keys, vals)]
     return keys, vals
 
 

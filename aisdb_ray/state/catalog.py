@@ -86,7 +86,17 @@ def route_files(path: str, col: str, chunk_s: int,
             for files in out.values():
                 files.extend(no_stats)
             if not out:
-                out[0] = list(no_stats)
+                # EVERY file lacks footer stats: there is no real chunk to
+                # attach them to, and fabricating a chunk key (e.g. 0)
+                # would make a planner that bounds each chunk's scan to
+                # [chunk, chunk + chunk_s) silently drop all rows outside
+                # that window.  Refuse; the caller must pass ``stats_less``
+                # and scan those files unbounded.
+                raise ValueError(
+                    "route_files: no input file has footer statistics for "
+                    f"column {col!r}; pass stats_less=[] and scan those "
+                    "files unbounded instead of routing them to a chunk"
+                )
     return out
 
 

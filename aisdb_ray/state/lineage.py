@@ -70,20 +70,28 @@ class Manifest:
         m = cls(path=mpath, fingerprint=fingerprint)
         if os.path.exists(mpath):
             stale = False
-            with open(mpath) as f:
-                for line in f:
-                    line = line.strip()
+            # Parse tracking the byte offset of the last fully-committed
+            # (newline-terminated, JSON-parseable) record.  A torn trailing
+            # append (killed mid-record) must be TRUNCATED away, not just
+            # skipped: the partial line has no newline, so a later append
+            # would concatenate onto it and form another unparseable line —
+            # every record written after the torn point would then be
+            # invisible to every future open() and that work would re-run
+            # forever.
+            good_offset = 0
+            with open(mpath, "rb") as f:
+                for raw in f:
+                    if not raw.endswith(b"\n"):
+                        break  # torn tail: record never fully committed
+                    line = raw.strip()
                     if not line:
+                        good_offset += len(raw)
                         continue
                     try:
                         rec = json.loads(line)
                     except json.JSONDecodeError:
-                        # torn trailing append (killed mid-record): the
-                        # record never committed — discard it and resume
-                        # from what IS durable, instead of permanently
-                        # refusing to open the ledger a kill is exactly
-                        # what this file exists to survive
-                        break
+                        break  # torn append that happens to contain b"\n"
+                    good_offset += len(raw)
                     if rec.get("kind") == "header":
                         if rec.get("fingerprint") != fingerprint:
                             stale = True
@@ -94,12 +102,19 @@ class Manifest:
                         m._records.pop(key, None)
                     else:
                         m._records[key] = rec
+            if not stale and good_offset < os.path.getsize(mpath):
+                # Repair: drop the torn suffix so subsequent appends land
+                # on a clean, durable, newline-terminated prefix.
+                with open(mpath, "r+b") as f:
+                    f.truncate(good_offset)
+                    f.flush()
+                    os.fsync(f.fileno())
             if stale:
                 # input or config changed: restart clean rather than mixing runs
                 os.remove(mpath)
                 m._records.clear()
             m.was_stale = stale
-        if not os.path.exists(mpath):
+        if not os.path.exists(mpath) or os.path.getsize(mpath) == 0:
             with open(mpath, "w") as f:
                 f.write(
                     json.dumps(

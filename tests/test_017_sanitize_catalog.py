@@ -84,3 +84,23 @@ def test_route_files_by_chunk(ranged_dir):
     routes2 = catalog.route_files(ranged_dir, "time", 1000)
     hits = [c for c, fs in routes2.items() if any("wide" in f for f in fs)]
     assert sorted(hits) == [0, 1000]
+
+
+def test_route_files_all_stats_less_refuses_fabricated_chunk(tmp_path):
+    """ADVICE r4: when NO file has footer statistics, route_files must not
+    invent chunk 0 (a bounded planner would drop rows outside [0, chunk_s));
+    without the stats_less out-param it raises, with it the files are
+    reported for an unbounded scan and no chunk is fabricated."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    t = pa.table({"time": np.array([5000, 9000], np.int64), "v": [1.0, 2.0]})
+    p = tmp_path / "nostats.parquet"
+    pq.write_table(t, str(p), write_statistics=False)
+    with pytest.raises(ValueError, match="stats_less"):
+        catalog.route_files(str(tmp_path), "time", 1000)
+    extra: list = []
+    routes = catalog.route_files(str(tmp_path), "time", 1000, stats_less=extra)
+    assert routes == {} and extra == [str(p)]

@@ -228,3 +228,18 @@ def test_corpus_alphabet_tolerates_null_text():
         "text": pa.array(["ab", None, "bc"], pa.string()),
     }))
     assert bpe.corpus_alphabet(ds) == ["a", "b", "c"]
+
+
+def test_vocab_lookup_cache_is_single_slot():
+    """ADVICE r4: the per-worker piece->id lookup cache must not grow
+    without bound across distinct vocabs — one slot, latest vocab wins,
+    and eviction never changes results."""
+    merges = [("a", "b")]
+    v1 = bpe.piece_vocab(merges, ["a", "b"])
+    v2 = bpe.piece_vocab(merges, ["a", "b", "c"])
+    texts = pa.array(["ab", "abc"], pa.string())
+    first = bpe.encode_ids_batch(texts, merges, v1).to_pylist()
+    for v in (v2, v1, v2, v1):  # alternate vocabs to churn the cache
+        bpe.encode_ids_batch(texts, merges, v)
+    assert len(bpe._LOOKUP_CACHE) == 1
+    assert bpe.encode_ids_batch(texts, merges, v1).to_pylist() == first

@@ -244,6 +244,6 @@ def test_corpus_null_text_and_string_ids(tmp_path):
     pq.write_table(t, str(src / "p.parquet"))
     out = corpus.run_corpus(corpus.CorpusConfig(
         input_path=str(src), out_root=str(tmp_path / "o"), num_parts=2,
-        max_concurrent_parts=1,
+        max_concurrent_parts=1, min_words=10,
     ))
-    assert out["rows"] >= 1  # dup text deduped, null text gated, no crash
+    assert out["rows"] == 1  # dup text deduped, null text gated, no crash
