@@ -6669,68 +6669,23 @@ def build_queries() -> dict:
     # Ordering contract (the driver's correctness gate walks this dict in
     # insertion order under a ~50-query budget):
     #   1. NEVER-driver-checked entries first (89 remain after round 4's
-    #      batch), each slot a DISTINCT operator; near-duplicate variants
-    #      of operators already driver-certified, plus the two rows-only
-    #      media codecs, sit at the end of this section.
-    #   2. Driver-green entries follow, OLDEST verification first (r1,
-    #      then r2-new, then r3-new): once every entry has a CORRECTNESS
-    #      row, the budget naturally rotates through stalest-first
-    #      regression re-checks.
+    #      batch went 50/50 green), each slot a DISTINCT operator;
+    #      near-duplicate variants of operators already driver-certified,
+    #      plus the two rows-only media codecs, sit at the end of this
+    #      section.
+    #   2. The 5 entries whose ONLY driver row is a stale r1 RED (all five
+    #      fixed in r2 and re-verified hash-green locally every round
+    #      since, incl. by the r4 judge) come next, so they are
+    #      re-certified the moment the never-checked pool drains — a
+    #      standing red driver row is worse than an absent one.
+    #   3. Driver-green entries follow, OLDEST verification first (r1,
+    #      then r2-new, r3-new, r4-new): once every entry has a
+    #      CORRECTNESS row, the budget naturally rotates through
+    #      stalest-first regression re-checks.
     # Every entry below, checked or not, is hash-green under
-    # tools/check_oracle.py (the identical gate) as of round 4.
+    # tools/check_oracle.py (the identical gate) as of round 5.
     return {
-        # --- never driver-checked: round-4 batch (distinct operators) ---
-        "ev_debounce": q_ev_debounce,
-        "ts_pattern_topk": q_ts_pattern_topk,
-        "ann_filtered_topk": q_ann_filtered_topk,
-        "ts_changepoint": q_ts_changepoint,
-        "tok_pmi": q_tok_pmi,
-        "ts_burstiness": q_ts_burstiness,
-        "ts_winsorize": q_ts_winsorize,
-        "emb_clusters": q_emb_clusters,
-        "emb_mmr": q_emb_mmr,
-        "emb_outliers": q_emb_outliers,
-        "tok_rle": q_tok_rle,
-        "ann_pq_recall": q_ann_pq_recall,
-        "ts_ols_trend": q_ts_ols_trend,
-        "tok_prefix_dup": q_tok_prefix_dup,
-        "ts_drift_tv": q_ts_drift_tv,
-        "ts_grouping_sets": q_ts_grouping_sets,
-        "ev_value_hist": q_ev_value_hist,
-        "ev_heavy_hitters": q_ev_heavy_hitters,
-        "ev_funnel3": q_ev_funnel3,
-        "ts_zorder_scan": q_ts_zorder_scan,
-        "ann_lsh_delete": q_ann_lsh_delete,
-        "ts_quantile_norm": q_ts_quantile_norm,
-        "ts_upsert": q_ts_upsert,
-        "tok_epoch_shuffle": q_tok_epoch_shuffle,
-        "ts_skyline": q_ts_skyline,
-        "ann_topk_per_label": q_ann_topk_per_label,
-        "ev_pivot": q_ev_pivot,
-        "src_fuzzy_pairs": q_src_fuzzy_pairs,
-        "ev_except": q_ev_except,
-        "ts_ar1": q_ts_ar1,
-        "ts_dtw": q_ts_dtw,
-        "tok_source_drift": q_tok_source_drift,
-        "ts_missing_hours": q_ts_missing_hours,
-        "doc_dsir_resample": q_doc_dsir_resample,
-        "doc_pii_report": q_doc_pii_report,
-        "doc_boilerplate": q_doc_boilerplate,
-        "tok_coverage": q_tok_coverage,
-        "ts_deseason": q_ts_deseason,
-        "ann_rrf_fusion": q_ann_rrf_fusion,
-        "ts_theil_sen": q_ts_theil_sen,
-        "doc_dsir_weights": q_doc_dsir_weights,
-        "ev_dau_wau": q_ev_dau_wau,
-        "tok_zipf": q_tok_zipf,
-        "ts_flatline": q_ts_flatline,
-        "doc_dup_components": q_doc_dup_components,
-        "doc_dedup_survivors": q_doc_dedup_survivors,
-        "doc_jaccard_pairs": q_doc_jaccard_pairs,
-        "emb_neardup_lsh": q_emb_neardup_lsh,
-        "doc_scrub": q_doc_scrub,
-        "emb_pq_codes": q_emb_pq_codes,
-        # --- never driver-checked: round-5 batch ---
+        # --- never driver-checked: round-5 batch (distinct operators) ---
         "ts_benford": q_ts_benford,
         "ts_sax": q_ts_sax,
         "ts_downtime": q_ts_downtime,
@@ -6822,19 +6777,21 @@ def build_queries() -> dict:
         "ev_hll_rollup": q_ev_hll_rollup,
         "media_ahash": q_media_ahash,
         "media_audio": q_media_audio,
+        # --- stale RED r1 rows: fixed in r2, hash-green locally ever
+        #     since — re-certify these first once the pool drains ---
+        "doc_textstats": q_doc_textstats,
+        "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "media_features": q_media_features,
         # --- driver-green in CORRECTNESS_r01 (stalest: re-check first) ---
         "q1_pricing": q_q1_pricing,
         "seg_revenue": q_seg_revenue,
         "doc_token_count": q_doc_token_count,
         "doc_quality": q_doc_quality,
         "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_textstats": q_doc_textstats,
-        "doc_minhash_pairs": q_doc_minhash_pairs,
-        "doc_simhash_pairs": q_doc_simhash_pairs,
         "ann_topk": q_ann_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "emb_neardup": q_emb_neardup,
-        "media_features": q_media_features,
         "ts_clean": q_ts_clean,
         "ts_segments": q_ts_segments,
         "ts_rollup_1m": lambda sf: _q_ts_rollup(sf, 60),
@@ -6886,7 +6843,7 @@ def build_queries() -> dict:
         "ev_bloom_semijoin": q_ev_bloom_semijoin,
         "ev_funnel": q_ev_funnel,
         "ev_cohorts": q_ev_cohorts,
-        # --- driver-green first in CORRECTNESS_r03 (freshest) ---
+        # --- driver-green first in CORRECTNESS_r03 ---
         "ts_interp_join": q_ts_interp_join,
         "ts_hopping_1h": q_ts_hopping_1h,
         "ts_global_rank": q_ts_global_rank,
@@ -6937,6 +6894,57 @@ def build_queries() -> dict:
         "doc_source_cap": q_doc_source_cap,
         "doc_split_leakage": q_doc_split_leakage,
         "ev_late_data": q_ev_late_data,
+        # --- driver-green first in CORRECTNESS_r04 (freshest) ---
+        "ev_debounce": q_ev_debounce,
+        "ts_pattern_topk": q_ts_pattern_topk,
+        "ann_filtered_topk": q_ann_filtered_topk,
+        "ts_changepoint": q_ts_changepoint,
+        "tok_pmi": q_tok_pmi,
+        "ts_burstiness": q_ts_burstiness,
+        "ts_winsorize": q_ts_winsorize,
+        "emb_clusters": q_emb_clusters,
+        "emb_mmr": q_emb_mmr,
+        "emb_outliers": q_emb_outliers,
+        "tok_rle": q_tok_rle,
+        "ann_pq_recall": q_ann_pq_recall,
+        "ts_ols_trend": q_ts_ols_trend,
+        "tok_prefix_dup": q_tok_prefix_dup,
+        "ts_drift_tv": q_ts_drift_tv,
+        "ts_grouping_sets": q_ts_grouping_sets,
+        "ev_value_hist": q_ev_value_hist,
+        "ev_heavy_hitters": q_ev_heavy_hitters,
+        "ev_funnel3": q_ev_funnel3,
+        "ts_zorder_scan": q_ts_zorder_scan,
+        "ann_lsh_delete": q_ann_lsh_delete,
+        "ts_quantile_norm": q_ts_quantile_norm,
+        "ts_upsert": q_ts_upsert,
+        "tok_epoch_shuffle": q_tok_epoch_shuffle,
+        "ts_skyline": q_ts_skyline,
+        "ann_topk_per_label": q_ann_topk_per_label,
+        "ev_pivot": q_ev_pivot,
+        "src_fuzzy_pairs": q_src_fuzzy_pairs,
+        "ev_except": q_ev_except,
+        "ts_ar1": q_ts_ar1,
+        "ts_dtw": q_ts_dtw,
+        "tok_source_drift": q_tok_source_drift,
+        "ts_missing_hours": q_ts_missing_hours,
+        "doc_dsir_resample": q_doc_dsir_resample,
+        "doc_pii_report": q_doc_pii_report,
+        "doc_boilerplate": q_doc_boilerplate,
+        "tok_coverage": q_tok_coverage,
+        "ts_deseason": q_ts_deseason,
+        "ann_rrf_fusion": q_ann_rrf_fusion,
+        "ts_theil_sen": q_ts_theil_sen,
+        "doc_dsir_weights": q_doc_dsir_weights,
+        "ev_dau_wau": q_ev_dau_wau,
+        "tok_zipf": q_tok_zipf,
+        "ts_flatline": q_ts_flatline,
+        "doc_dup_components": q_doc_dup_components,
+        "doc_dedup_survivors": q_doc_dedup_survivors,
+        "doc_jaccard_pairs": q_doc_jaccard_pairs,
+        "emb_neardup_lsh": q_emb_neardup_lsh,
+        "doc_scrub": q_doc_scrub,
+        "emb_pq_codes": q_emb_pq_codes,
     }
 
 
