@@ -67,8 +67,14 @@ class CorpusConfig:
         }
 
 
-def _route(cfg: CorpusConfig, manifest: lineage.Manifest) -> None:
-    """Map-only scrub → gate → content-hash routing pass (atomic)."""
+def _route(cfg: CorpusConfig, manifest: lineage.Manifest,
+           files: list[str]) -> None:
+    """Map-only scrub → gate → content-hash routing pass (atomic).
+
+    ``files`` is the listing run_corpus already fingerprinted — re-listing
+    here would open a race where a file added/removed between the two
+    walks makes the routed output disagree with the recorded fingerprint
+    (besides duplicating the directory walk)."""
     import ray.data as rd
 
     from aisdb_ray.stages import scrub as scrub_mod
@@ -78,10 +84,7 @@ def _route(cfg: CorpusConfig, manifest: lineage.Manifest) -> None:
     if manifest.done("route", "all"):
         return
     t0 = time.time()
-    ds = rd.read_parquet(
-        lineage.list_parquet_files(cfg.input_path),
-        columns=["doc_id", "text"],
-    )
+    ds = rd.read_parquet(files, columns=["doc_id", "text"])
     if cfg.patterns:
         ds = scrub_mod.scrub(ds, "text", cfg.patterns)
 
@@ -178,7 +181,7 @@ def run_corpus(cfg: CorpusConfig) -> dict:
         for sub in ("route", "chunks"):
             shutil.rmtree(os.path.join(cfg.out_root, sub),
                           ignore_errors=True)
-    _route(cfg, manifest)
+    _route(cfg, manifest, files)
     todo = [p for p in range(cfg.num_parts)
             if not manifest.done("chunks", p)]
     if todo:
@@ -196,6 +199,20 @@ def read_chunks(cfg: CorpusConfig):
     """The built corpus as a Dataset (all partitions)."""
     import ray.data as rd
 
-    return rd.read_parquet(
-        lineage.list_parquet_files(os.path.join(cfg.out_root, "chunks"))
-    )
+    files = lineage.list_parquet_files(os.path.join(cfg.out_root, "chunks"))
+    if not files:
+        # the quality gate can legitimately drop EVERY document (strict
+        # quality_min / min_words); read_parquet errors on an empty path
+        # list, so synthesize an empty dataset with the chunk schema
+        # (doc_id dtype follows the input so unions stay schema-stable)
+        inp = lineage.list_parquet_files(cfg.input_path)
+        id_t = (pq.read_schema(inp[0]).field("doc_id").type
+                if inp else pa.string())
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], id_t),
+            "chunk_idx": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+            "chunk_chars_n": pa.array([], pa.int64()),
+            "pred_lang": pa.array([], pa.string()),
+        }))
+    return rd.read_parquet(files)

@@ -211,37 +211,67 @@ def scan_parquet(
     if where is None:
         return rd.read_parquet(path, columns=columns, **read_kwargs)
 
+    # A DECLARED partition col is only trustworthy when the layout really
+    # partitions on it: a genuine hive partition field is parsed from the
+    # directory path and absent from the files' physical schema.  On a
+    # flat layout pyarrow's "hive" discovery reports the full data schema
+    # as the partitioning schema and get_fragments keeps EVERY fragment
+    # for filters over non-partition fields — so trusting the declaration
+    # would silently drop those conjuncts and return unfiltered rows.
+    # Verify against one fragment's physical schema and route misdeclared
+    # cols back to the row filter.
     pset = set(partition_cols)
+    dset = None
+    actual: set = set()
+    if pset:
+        import pyarrow.dataset as pads
+
+        dset = pads.dataset(path, partitioning="hive")
+        frag0 = next(iter(dset.get_fragments()), None)
+        phys = set(frag0.physical_schema.names) if frag0 is not None else set()
+        actual = {c for c in pset if c not in phys}
+
     file_p, row_p, post_p = [], [], []
     for c in where.conjuncts():
-        if pset and c.columns <= pset:
+        if actual and c.columns <= actual:
             file_p.append(c)
-        elif c.columns.isdisjoint(pset):
+        elif c.columns.isdisjoint(actual):
             row_p.append(c)
         else:
             post_p.append(c)
 
     paths = path
     partitioning = None
-    if pset:
-        import pyarrow.dataset as pads
+    if actual:
+        import pyarrow as pa
         from ray.data.datasource.partitioning import Partitioning
 
-        dset = pads.dataset(path, partitioning="hive")
-        fexpr = _and_all(file_p).expr() if file_p else None
-        paths = [f.path for f in dset.get_fragments(filter=fexpr)]
-        if not paths:
-            empty = dset.schema.empty_table()
-            if columns is not None:
-                empty = empty.select(columns)  # match the projected schema
-            return rd.from_arrow(empty)
         types = {}
         for f in dset.partitioning.schema:
-            if f.name in pset:
+            if f.name in actual:
                 ts = str(f.type)
                 types[f.name] = int if "int" in ts else (
                     float if ("float" in ts or "double" in ts) else str
                 )
+        fexpr = _and_all(file_p).expr() if file_p else None
+        paths = [f.path for f in dset.get_fragments(filter=fexpr)]
+        if not paths:
+            empty = dset.schema.empty_table()
+            # hive inference types partition cols int32, but non-empty
+            # scans materialize them via field_types (int -> int64):
+            # align the empty branch so unions/schema checks don't see a
+            # dtype that depends on whether pruning emptied the scan
+            for name in actual:
+                i = empty.schema.get_field_index(name)
+                py_t = types.get(name, str)
+                tgt = (pa.int64() if py_t is int
+                       else pa.float64() if py_t is float else pa.string())
+                empty = empty.set_column(
+                    i, pa.field(name, tgt), empty[name].cast(tgt)
+                )
+            if columns is not None:
+                empty = empty.select(columns)  # match the projected schema
+            return rd.from_arrow(empty)
         partitioning = Partitioning("hive", base_dir=str(path), field_types=types)
 
     if partitioning is not None:

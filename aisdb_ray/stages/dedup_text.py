@@ -354,6 +354,29 @@ def _bucket_pairs_sig(g: pa.Table) -> pa.Table:
     )
 
 
+def _hamming_verify(max_hamming: int):
+    """Shared vectorized Hamming-verify kernel for banded simhash-style
+    candidate pairs: (a, b, ha, hb) -> (a, b, hamming) with d <= max.
+    Used by simhash_pairs here and ahash_pairs (multimodal) so the uint64
+    cast / hamming column contract cannot drift between the two."""
+    from aisdb_ray.functions import text as T
+
+    def verify(b: pa.Table) -> pa.Table:
+        ha = b["ha"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hb = b["hb"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = T.hamming64(ha, hb)
+        keep = d <= max_hamming
+        return pa.table(
+            {
+                "a": pa.array(b["a"].to_numpy(zero_copy_only=False)[keep]),
+                "b": pa.array(b["b"].to_numpy(zero_copy_only=False)[keep]),
+                "hamming": pa.array(d[keep].astype(np.int64)),
+            }
+        )
+
+    return verify
+
+
 def simhash_pairs(sf_docs_path: str, max_hamming: int = 8):
     """Near-dup pairs by SimHash: band the 64 bits into 4 x 16-bit chunks
     (any pair within Hamming <= 3*16 shares >= 1 exact chunk — standard
@@ -375,20 +398,8 @@ def simhash_pairs(sf_docs_path: str, max_hamming: int = 8):
         ).materialize()  # shuffle boundary: release this op's aggregators
         distinct = _distinct_pairs(pairs, extra=["ha", "hb"])
 
-    def verify(b: pa.Table) -> pa.Table:
-        ha = b["ha"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        hb = b["hb"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        d = T.hamming64(ha, hb)
-        keep = d <= max_hamming
-        return pa.table(
-            {
-                "a": pa.array(b["a"].to_numpy(zero_copy_only=False)[keep]),
-                "b": pa.array(b["b"].to_numpy(zero_copy_only=False)[keep]),
-                "hamming": pa.array(d[keep].astype(np.int64)),
-            }
-        )
-
-    return distinct.map_batches(verify, batch_format="pyarrow")
+    return distinct.map_batches(_hamming_verify(max_hamming),
+                                batch_format="pyarrow")
 
 
 # ------------------------------------------- embedding-cosine near-dup

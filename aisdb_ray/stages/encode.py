@@ -74,7 +74,7 @@ class Encoder:
             # not — drop them so the feature set matches the SQL oracle's
             # regexp_extract_all(text, '\S+')
             nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-            words = np.asarray(flat.to_pylist(), dtype=object)[nonempty]
+            words = flat.to_numpy(zero_copy_only=False)[nonempty]
             parent = parent[nonempty]
             uniq, inv = factorize_sorted(words)
             hu = T.word_hashes(list(uniq))  # md5 low-64, memoized per actor
@@ -122,7 +122,7 @@ def mips_topk(ds, queries: np.ndarray, k: int = 8):
     def pick(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return b
-        ids = np.asarray(b["doc_id"].to_pylist(), dtype=object)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
         scores = b["score"].to_numpy(zero_copy_only=False)
         qids = b["qid"].to_numpy(zero_copy_only=False)
         out_idx = []
@@ -193,19 +193,29 @@ def encode_sql(docs_table: str = "documents", seed: int = ENC_SEED,
         f"COALESCE(max(CASE WHEN y.d = {d} THEN y.val END), 0) AS e{d:02d}"
         for d in range(n_dims)
     )
-    return f"""WITH wd AS (
-    SELECT doc_id,
+    # Keyed by a per-ROW surrogate (rid), not doc_id: the engine encodes
+    # every input row independently, so a corpus with duplicate doc_ids
+    # must yield one embedding per ROW — grouping by doc_id would merge
+    # both rows' word counts into a single wrong embedding.  rid
+    # assignment order is arbitrary but the emitted (doc_id, e*) multiset
+    # is identical either way, which is what the order-insensitive hash
+    # gate compares.
+    return f"""WITH src AS (
+    SELECT doc_id, text, row_number() OVER () AS rid FROM {docs_table}
+  ),
+  wd AS (
+    SELECT rid,
            CAST(CAST('0x' || substr(md5(t.w), 1, 16) AS UBIGINT)
                 % {n_features} AS BIGINT) AS b
-    FROM {docs_table}, LATERAL unnest(regexp_extract_all(text, '\\S+')) AS t(w)
+    FROM src, LATERAL unnest(regexp_extract_all(text, '\\S+')) AS t(w)
   ),
-  cnt AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM wd GROUP BY doc_id, b),
+  cnt AS (SELECT rid, b, count(*)::BIGINT AS c FROM wd GROUP BY rid, b),
   wm(b, d, v) AS (VALUES {vals}),
   yy AS (
-    SELECT c.doc_id, m.d, sum(c.c * m.v)::BIGINT AS val
+    SELECT c.rid, m.d, sum(c.c * m.v)::BIGINT AS val
     FROM cnt c JOIN wm m ON m.b = c.b
-    GROUP BY c.doc_id, m.d
+    GROUP BY c.rid, m.d
   )
-SELECT doc.doc_id, {dim_cols}
-FROM {docs_table} doc LEFT JOIN yy y ON y.doc_id = doc.doc_id
-GROUP BY doc.doc_id"""
+SELECT src.doc_id, {dim_cols}
+FROM src LEFT JOIN yy y ON y.rid = src.rid
+GROUP BY src.rid, src.doc_id"""

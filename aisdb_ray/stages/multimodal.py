@@ -56,16 +56,22 @@ def _parse_ppm_header(payload: bytes, start: int = 0) -> tuple[int, int, int]:
     (#...) skipped.  ``start`` avoids per-frame byte copies when demuxing."""
     if payload[start : start + 2] != b"P6":
         raise ValueError("not a P6 PPM payload")
-    tokens, pos = [], start + 2
+    tokens, pos, n = [], start + 2, len(payload)
     while len(tokens) < 3:
         while payload[pos : pos + 1].isspace():
             pos += 1
+        if pos >= n:  # truncated header: fewer than 3 tokens before EOF
+            raise ValueError("truncated PPM header")
         if payload[pos : pos + 1] == b"#":
             pos = payload.index(b"\n", pos) + 1
             continue
         end = pos
-        while not payload[end : end + 1].isspace():
+        # bound by n: at EOF payload[end:end+1] == b'' is NOT whitespace,
+        # so an unbounded scan would spin forever on a torn header
+        while end < n and not payload[end : end + 1].isspace():
             end += 1
+        if end == n:
+            raise ValueError("truncated PPM header")
         tokens.append(int(payload[pos:end]))
         pos = end
     pos += 1  # single whitespace after maxval
@@ -432,7 +438,9 @@ class ImageFeatures:
         means, hists = [], []
         for i in range(batch.num_rows):
             px = flat[off[i]: off[i + 1]].reshape(-1, 3).astype(np.float64)
-            means.append(px.mean(axis=0))
+            # zero-pixel images (0x0 metadata rows) would propagate silent
+            # NaN channel means; report 0.0 alongside an all-zero histogram
+            means.append(px.mean(axis=0) if len(px) else np.zeros(3))
             lum = px @ np.array([0.299, 0.587, 0.114])
             hists.append(np.histogram(lum, bins=16, range=(0, 256))[0])
         means = np.stack(means) if means else np.zeros((0, 3))
@@ -564,7 +572,6 @@ def ahash_pairs(media_ds, max_hamming: int = 3, concurrency: int = 4):
     bands pigeonhole-guarantee recall for Hamming <= 3), groupby(band,
     bucket) -> distinct candidate pairs -> vectorized Hamming verify.
     Output: (a, b, hamming) with a < b."""
-    from aisdb_ray.functions import text as T
     from aisdb_ray.stages import dedup_text as dt
 
     sigs = media_ds.map_batches(
@@ -584,18 +591,8 @@ def ahash_pairs(media_ds, max_hamming: int = 3, concurrency: int = 4):
         ).map_groups(dt._bucket_pairs_sig, batch_format="pyarrow").materialize()
         distinct = dt._distinct_pairs(pairs, extra=["ha", "hb"])
 
-    def verify(b: pa.Table) -> pa.Table:
-        ha = b["ha"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        hb = b["hb"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        d = T.hamming64(ha, hb)
-        keep = d <= max_hamming
-        return pa.table({
-            "a": pa.array(b["a"].to_numpy(zero_copy_only=False)[keep]),
-            "b": pa.array(b["b"].to_numpy(zero_copy_only=False)[keep]),
-            "hamming": pa.array(d[keep].astype(np.int64)),
-        })
-
-    return distinct.map_batches(verify, batch_format="pyarrow")
+    return distinct.map_batches(dt._hamming_verify(max_hamming),
+                                batch_format="pyarrow")
 
 
 def synth_near_dup_media(n_base: int = 12, seed: int = 7) -> pa.Table:

@@ -133,3 +133,29 @@ def test_frame_sampling_demuxes_payloads():
             # each sampled frame is an independently decodable payload
             for p in grp["payload"]:
                 assert mm.decode_ppm(bytes(p)).shape[2] == 3
+
+
+def test_ppm_truncated_header_raises_not_hangs():
+    """A torn/corrupt frame header must raise ValueError, not spin the
+    worker forever (the token scan used to run past EOF unbounded)."""
+    for payload in (b"P6\n10 10\n", b"P6\n10", b"P6\n", b"P6\n# c\n10 "):
+        with pytest.raises(ValueError):
+            mm._parse_ppm_header(payload)
+
+
+def test_image_features_zero_pixel_rows_not_nan():
+    """0x0 images (degenerate metadata rows) must yield 0.0 channel means
+    and an all-zero histogram, never silent NaN."""
+    import pyarrow as pa
+
+    px = np.full((2, 2, 3), 100, np.uint8)
+    flat = np.concatenate([px.reshape(-1), np.array([], np.uint8)])
+    offs = pa.array([0, 12, 12], pa.int32())
+    batch = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "pixels": pa.ListArray.from_arrays(offs, pa.array(flat, pa.uint8())),
+    })
+    out = mm.ImageFeatures()(batch)
+    means = out["mean_r"].to_pylist()
+    assert means[0] == 100.0 and means[1] == 0.0
+    assert sum(out["lum_hist"][1].as_py()) == 0

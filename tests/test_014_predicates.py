@@ -189,3 +189,43 @@ def test_empty_prune_respects_projection(hive_dir):
                         partition_cols=["day"], columns=["time", "key"])
     assert ds.count() == 0
     assert ds.schema().names == ["time", "key"]
+
+
+def test_scan_parquet_misdeclared_partition_col_still_filters(tmp_path):
+    """Declaring partition_cols that the layout does NOT partition on
+    (flat directory, 'day' is a data column) must not drop the conjunct:
+    pyarrow's hive discovery keeps every fragment for such filters, so the
+    predicate has to be re-routed to the row filter."""
+    for i in range(3):
+        pq.write_table(
+            pa.table({"day": np.full(4, i, np.int64), "v": np.arange(4.0)}),
+            str(tmp_path / f"f{i}.parquet"),
+        )
+    ds = P.scan_parquet(
+        str(tmp_path), where=P.field("day") <= 1, partition_cols=["day"],
+    )
+    df = ds.to_pandas()
+    assert sorted(set(df["day"])) == [0, 1]
+    assert len(df) == 8
+
+
+def test_scan_parquet_empty_prune_dtype_matches_nonempty(tmp_path):
+    """The empty-prune branch must return partition columns with the SAME
+    dtype as a non-empty scan (int64, not hive-inferred int32)."""
+    for i in range(2):
+        d = tmp_path / f"day={i}"
+        d.mkdir()
+        pq.write_table(pa.table({"v": np.arange(3.0)}), str(d / "f.parquet"))
+    full = P.scan_parquet(
+        str(tmp_path), where=P.field("day") >= 0, partition_cols=["day"],
+        columns=["v", "day"],
+    )
+    empty = P.scan_parquet(
+        str(tmp_path), where=P.field("day") > 99, partition_cols=["day"],
+        columns=["v", "day"],
+    )
+    sf = full.schema()
+    se = empty.schema()
+    assert dict(zip(se.names, [str(t) for t in se.types])) == \
+        dict(zip(sf.names, [str(t) for t in sf.types]))
+    assert empty.count() == 0 and full.count() == 6

@@ -243,3 +243,29 @@ def test_vocab_lookup_cache_is_single_slot():
         bpe.encode_ids_batch(texts, merges, v)
     assert len(bpe._LOOKUP_CACHE) == 1
     assert bpe.encode_ids_batch(texts, merges, v1).to_pylist() == first
+
+
+def test_encode_sql_per_row_with_duplicate_doc_ids(tmp_path):
+    """The engine encodes every input ROW; the SQL oracle must do the
+    same — grouping by doc_id would merge duplicate-id rows' word counts
+    into one wrong embedding."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": pa.array([1, 1, 2], pa.int64()),
+        "text": pa.array(["alpha beta", "gamma delta epsilon", "alpha"]),
+    })
+    p = tmp_path / "documents.parquet"
+    pq.write_table(t, str(p))
+
+    eng = encode.encode_documents(rd.from_arrow(t), concurrency=1).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    sql = con.execute(encode.encode_sql()).fetch_df()
+    cols = sorted(eng.columns)
+    left = eng[cols].sort_values(cols).reset_index(drop=True)
+    right = sql[cols].sort_values(cols).reset_index(drop=True)
+    assert len(left) == 3  # one row per INPUT row, not per doc_id
+    pd.testing.assert_frame_equal(left, right, check_dtype=False)

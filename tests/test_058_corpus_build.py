@@ -247,3 +247,31 @@ def test_corpus_null_text_and_string_ids(tmp_path):
         max_concurrent_parts=1, min_words=10,
     ))
     assert out["rows"] == 1  # dup text deduped, null text gated, no crash
+
+
+def test_corpus_all_docs_gated_reads_empty(tmp_path):
+    """When the quality gate drops every document, run_corpus succeeds and
+    read_chunks must return an EMPTY dataset with the chunk schema (it
+    used to raise on the empty file list)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aisdb_ray.pipelines import corpus
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["too short", "also short"]),
+    })
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(t, str(src / "p.parquet"))
+    cfg = corpus.CorpusConfig(
+        input_path=str(src), out_root=str(tmp_path / "o"), num_parts=2,
+        max_concurrent_parts=1,  # default min_words=20 gates everything
+    )
+    out = corpus.run_corpus(cfg)
+    assert out["rows"] == 0
+    ds = corpus.read_chunks(cfg)
+    assert ds.count() == 0
+    names = set(ds.schema().names)
+    assert {"doc_id", "chunk_idx", "chunk_text", "pred_lang"} <= names
