@@ -85,8 +85,13 @@ def bm25_topk(ds, terms: list[str], k: int = 20, text_col: str = "text",
     if n_docs == 0:  # empty corpus: zero hits, not ZeroDivisionError
         import ray.data as rd
 
+        # take the id dtype from the INPUT schema so the empty branch
+        # returns the same schema as the scored path (hardcoding string
+        # broke unions with per-corpus outputs when doc_id is int64)
+        sch = ds.schema()
+        id_t = dict(zip(sch.names, sch.types))[id_col]
         return rd.from_arrow(pa.table({
-            id_col: pa.array([], pa.string()),
+            id_col: pa.array([], id_t),
             "score": pa.array([], pa.float64()),
         }))
     avgdl = float(n_words) / float(n_docs)

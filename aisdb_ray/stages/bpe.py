@@ -47,8 +47,13 @@ SEP = "\x1f"  # unit separator: never appears in real text
 
 
 def word_count_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Per-batch (word, c) partial counts, fully vectorized."""
-    wl = pc.split_pattern_regex(batch[text_col], pattern=r"\s+")
+    """Per-batch (word, c) partial counts, fully vectorized.
+
+    Strips the structural SEP first, mirroring encode_batch: training on
+    un-stripped text would learn merges/vocab containing U+001F that the
+    encoder can never produce (wasted merge slots, shifted piece ids)."""
+    texts = pc.replace_substring(batch[text_col], pattern=SEP, replacement="")
+    wl = pc.split_pattern_regex(texts, pattern=r"\s+")
     flat = pc.list_flatten(wl)
     flat = flat.filter(pc.not_equal(flat, ""))
     g = pa.table({"word": flat}).group_by("word", use_threads=False).aggregate(
@@ -78,6 +83,7 @@ def corpus_alphabet(ds, text_col: str = "text") -> list[str]:
 
     def chars(b: pa.Table) -> pa.Table:
         s = set("".join(t for t in b[text_col].to_pylist() if t is not None))
+        s.discard(SEP)  # structural delimiter, stripped before encoding
         return pa.table({"ch": pa.array(sorted(s), pa.string())})
 
     distinct = (
@@ -196,6 +202,11 @@ def _ids_of_pieces(flat, vocab: dict[str, int]) -> np.ndarray:
     (per-worker constant) vocab — no per-token dict loop; unknown -> -1."""
     keys, vals = _vocab_lookup(vocab)
     fl = flat.to_numpy(zero_copy_only=False)
+    if len(keys) == 0:
+        # empty vocab (artifacts trained on an empty/all-null corpus):
+        # every piece is out-of-vocab — the skip-bad posture, not a crash
+        # (np.clip(idx, 0, -1) would index keys[-1] into an empty array)
+        return np.full(len(fl), -1, np.int32)
     idx = np.clip(np.searchsorted(keys, fl), 0, len(keys) - 1)
     ok = keys[idx] == fl
     return np.where(ok, vals[idx], -1).astype(np.int32)

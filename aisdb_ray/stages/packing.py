@@ -61,15 +61,22 @@ def pack_block(
         return out.append_column(BIN, pa.array([], pa.int64()))
     import pyarrow.compute as pc
 
-    t = tbl[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    sq = tbl[seq_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    v = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    # fill_null BEFORE the int64 casts: a null would convert the whole
+    # column to float64 and the NaN->int64 cast is undefined (INT64_MIN on
+    # x86, 0 on aarch64 — the transits.py convention).  Null time/seq sort
+    # to a deterministic -1 sentinel group; null n_tok packs as 0.
+    t = pc.fill_null(pc.cast(tbl[time_col], pa.int64()), -1).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    sq = pc.fill_null(pc.cast(tbl[seq_col], pa.int64()), -1).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    v = pc.fill_null(pc.cast(tbl[value_col], pa.int64()), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
     kcol = tbl[key_col]
     if isinstance(kcol, pa.ChunkedArray):
         kcol = kcol.combine_chunks()
-    ginv = pc.dictionary_encode(kcol).indices.to_numpy(
-        zero_copy_only=False  # null keys: indices carry a null mask
-    ).astype(np.int64)
+    ginv = pc.fill_null(  # null keys -> own -1 group, not a NaN cast
+        pc.dictionary_encode(kcol).indices, -1
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
     chunk = (t // chunk_s) * chunk_s
 
     order = np.lexsort((sq, t, chunk, ginv))
@@ -116,8 +123,14 @@ def pack_documents(
         # zero, so a negative epoch would route to a DIFFERENT partition
         # than the floor chunk pack_block assigns — splitting one logical
         # group and emitting duplicate, overfillable bin ids
-        t = pc.cast(b[time_col], pa.int64()).to_numpy(zero_copy_only=False)
-        ck = pa.array((t // chunk_s) * chunk_s)
+        # fill_null(-1) BEFORE to_numpy: one null would float64 the whole
+        # column, CHUNK would come out double (NaN for the null row) and
+        # the same logical (source, chunk) group would hash to a different
+        # partition than clean batches — exactly the split this pre-pass
+        # exists to prevent.  Must match pack_block's fill rule.
+        t = pc.fill_null(pc.cast(b[time_col], pa.int64()), -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ck = pa.array((t // chunk_s) * chunk_s, pa.int64())
         if CHUNK in b.column_names:
             b = b.drop_columns([CHUNK])
         return b.append_column(CHUNK, ck)
@@ -164,4 +177,10 @@ def pack_summary(packed, key_col: str = SOURCE, value_col: str = N_TOK):
     from aisdb_ray.stages._dist import funnel_combine
 
     partials = packed.map_batches(partial, batch_format="pyarrow")
-    return funnel_combine(partials, merge)
+    # hash-combine, not the single-block funnel: the per-bin audit table
+    # grows linearly with corpus size (~total_tokens / cap rows), so the
+    # global merge must shuffle on the group key rather than collapse
+    # into one task
+    return funnel_combine(
+        partials, merge, key_col=[key_col, CHUNK], hash_combine=True
+    )

@@ -46,7 +46,10 @@ def md5_u32(col) -> np.ndarray:
     portable across engines."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    if pa.types.is_floating(col.type):
+    if pa.types.is_floating(col.type) or pa.types.is_boolean(col.type):
+        # float str() forms are not portable across engines; bool str()
+        # is 'True'/'False' in Python but 'true'/'false' under DuckDB's
+        # VARCHAR cast — either would silently sample different rows
         raise TypeError("hash-sample keys must be string or integer")
     if col.null_count:
         # md5(NULL) IS NULL in the oracle: a null key must never hash as
@@ -83,6 +86,14 @@ def stratified_sample(ds, group: str, key: str, k: int):
     of ``key`` (ties broken by the key itself — md5 collisions in 32 bits
     are possible, key equality is not)."""
     from aisdb_ray.stages import rank
+
+    if _HCOL in set(_arrow_names(ds)):
+        # same guard weighted_sample applies to its appended columns: a
+        # duplicate field name fails deep inside the shuffle otherwise
+        raise ValueError(
+            f"stratified_sample: input already carries {_HCOL!r} "
+            "(the hash evidence column this stage appends)"
+        )
 
     def add_h(b: pa.Table) -> pa.Table:
         b = b.filter(pc.is_valid(b[key]))  # null keys never sample in

@@ -122,52 +122,49 @@ def chunk_table(b: pa.Table, id_col: str = "doc_id",
     if not 0 <= overlap < chunk_chars:
         raise ValueError("need 0 <= overlap < chunk_chars")
     stride = chunk_chars - overlap
-
-    def expand(b: pa.Table) -> pa.Table:
-        n = pc.utf8_length(b[text_col])
-        nmax = pc.max(n).as_py()
-        outs = []
-        k = 0
-        while nmax is not None and k * stride < nmax:
-            start = k * stride
-            t = b.filter(pc.greater(n, start))
-            piece = pc.utf8_slice_codeunits(
-                t[text_col], start=start, stop=start + chunk_chars
-            )
-            outs.append(
-                pa.table(
-                    {
-                        id_col: t[id_col],
-                        "chunk_idx": pa.array(
-                            np.full(t.num_rows, k, np.int64)
-                        ),
-                        "chunk_text": piece,
-                        "chunk_chars_n": pc.cast(
-                            pc.utf8_length(piece), pa.int64()
-                        ),
-                        **{c: t[c] for c in carry_cols},
-                    }
-                )
-            )
-            k += 1
-        if not outs:
-            return pa.table(
+    n = pc.utf8_length(b[text_col])
+    nmax = pc.max(n).as_py()
+    outs = []
+    k = 0
+    while nmax is not None and k * stride < nmax:
+        start = k * stride
+        t = b.filter(pc.greater(n, start))
+        piece = pc.utf8_slice_codeunits(
+            t[text_col], start=start, stop=start + chunk_chars
+        )
+        outs.append(
+            pa.table(
                 {
-                    id_col: b[id_col].slice(0, 0),
-                    "chunk_idx": pa.array([], pa.int64()),
-                    # match the non-empty branch's output type exactly —
-                    # a string/large_string mix breaks block unification
-                    "chunk_text": pa.array(
-                        [], pa.string()
-                        if not pa.types.is_large_string(b[text_col].type)
-                        else pa.large_string()),
-                    "chunk_chars_n": pa.array([], pa.int64()),
-                    **{c: b[c].slice(0, 0) for c in carry_cols},
+                    id_col: t[id_col],
+                    "chunk_idx": pa.array(
+                        np.full(t.num_rows, k, np.int64)
+                    ),
+                    "chunk_text": piece,
+                    "chunk_chars_n": pc.cast(
+                        pc.utf8_length(piece), pa.int64()
+                    ),
+                    **{c: t[c] for c in carry_cols},
                 }
             )
-        return pa.concat_tables(outs)
+        )
+        k += 1
+    if not outs:
+        return pa.table(
+            {
+                id_col: b[id_col].slice(0, 0),
+                "chunk_idx": pa.array([], pa.int64()),
+                # match the non-empty branch's output type exactly —
+                # a string/large_string mix breaks block unification
+                "chunk_text": pa.array(
+                    [], pa.string()
+                    if not pa.types.is_large_string(b[text_col].type)
+                    else pa.large_string()),
+                "chunk_chars_n": pa.array([], pa.int64()),
+                **{c: b[c].slice(0, 0) for c in carry_cols},
+            }
+        )
+    return pa.concat_tables(outs)
 
-    return expand(b)
 
 
 def chunk_documents(ds, id_col: str = "doc_id", text_col: str = "text",

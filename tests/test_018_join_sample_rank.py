@@ -498,3 +498,23 @@ def test_interval_join_int64_boundaries_above_2_53():
     # only t = base+4 is inside [base+4, base+10]; base+3 rounds INTO the
     # interval under float64
     assert out["t"].tolist() == [base + 4]
+
+
+def test_stratified_sample_rejects_reserved_column_and_bool_keys():
+    """Guard parity with weighted_sample: a leaked _sample_h64 input
+    column fails fast, and bool keys are rejected (Python str() 'True'
+    vs DuckDB VARCHAR 'true' would silently sample different rows)."""
+    import pyarrow as pa
+    import pytest
+
+    from aisdb_ray.stages import sample as S
+
+    t = pa.table({
+        "g": pa.array(["a", "b"]),
+        "k": pa.array([1, 2], pa.int64()),
+        "_sample_h64": pa.array([0, 0], pa.int64()),
+    })
+    with pytest.raises(ValueError, match="_sample_h64"):
+        S.stratified_sample(rd.from_arrow(t), "g", "k", 1)
+    with pytest.raises(TypeError):
+        S.md5_u32(pa.array([True, False]))

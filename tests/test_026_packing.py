@@ -154,3 +154,51 @@ def test_pack_summary_custom_value_col():
     ).to_pandas()
     assert summ["sum_n_tok"].sum() == 240
     assert (summ["sum_n_tok"] <= 100).all()
+
+
+def test_pack_block_null_time_key_value_deterministic():
+    """Nulls in time/source/n_tok must not hit the undefined NaN->int64
+    cast: null time/seq route to the -1 sentinel chunk, null sources form
+    their own -1 group, null n_tok packs as 0 — and CHUNK stays int64."""
+    import pyarrow as pa
+
+    t = pa.table({
+        "source": pa.array(["a", None, "a", None]),
+        "time": pa.array([100, None, 200, 50], pa.int64()),
+        "seq": pa.array([0, 0, 1, None], pa.int64()),
+        "n_tok": pa.array([5, 7, None, 3], pa.int64()),
+    })
+    out = packing.pack_block(t, cap=10, chunk_s=86400)
+    assert out["chunk"].type == pa.int64()
+    df = out.to_pandas()
+    a_rows = df[df.source == "a"]
+    null_rows = df[df.source.isna()]
+    assert set(a_rows.chunk) == {0}
+    assert set(null_rows.chunk) == {-86400, 0}  # null time -> -1 sentinel
+    # null n_tok == 0 tokens: fits in the open bin with the 5-token doc
+    assert list(a_rows.sort_values(["time"]).bin) == [0, 0]
+
+
+def test_pack_documents_null_time_groups_consistently(tmp_path):
+    """The pre-shuffle chunk rule must equal pack_block's under nulls —
+    a float64 CHUNK would split one logical group across partitions and
+    emit duplicate, overfillable bin ids."""
+    import pyarrow as pa
+
+    t = pa.table({
+        "source": pa.array(["s"] * 6),
+        "time": pa.array([0, 100, None, 200, None, 300], pa.int64()),
+        "seq": pa.array(np.arange(6), pa.int64()),
+        "n_tok": pa.array([4] * 6, pa.int64()),
+    })
+    packed = packing.pack_documents(
+        rd.from_arrow(t), cap=8, chunk_s=86400, num_parts=4
+    ).to_pandas()
+    # the two null-time rows form ONE (s, -86400) group with bins from 0
+    nulls = packed[packed.chunk == -86400]
+    assert len(nulls) == 2 and set(nulls.bin) == {0}
+    summ = packing.pack_summary(
+        packing.pack_documents(rd.from_arrow(t), cap=8, chunk_s=86400,
+                               num_parts=4)
+    ).to_pandas()
+    assert (summ.sum_n_tok <= 8).all()  # no overfilled (merged) bin ids

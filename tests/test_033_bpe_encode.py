@@ -269,3 +269,24 @@ def test_encode_sql_per_row_with_duplicate_doc_ids(tmp_path):
     right = sql[cols].sort_values(cols).reset_index(drop=True)
     assert len(left) == 3  # one row per INPUT row, not per doc_id
     pd.testing.assert_frame_equal(left, right, check_dtype=False)
+
+
+def test_empty_vocab_all_oov_not_crash():
+    """Artifacts trained on an empty corpus (merges=[], vocab={}) must
+    encode any text to empty token lists — OOV drop, not IndexError."""
+    texts = pa.array(["hello", ""], pa.string())
+    out = bpe.encode_ids_batch(texts, [], {})
+    assert out.to_pylist() == [[], []]
+
+
+def test_fit_strips_structural_sep():
+    """Training must mirror encode_batch's SEP strip: a corpus document
+    containing U+001F must not plant the delimiter into learned merges or
+    the alphabet (the encoder can never produce such pieces)."""
+    t = pa.table({"text": pa.array(["ab ab a\x1fb ab", "\x1f\x1f"])})
+    ds = rd.from_arrow(t)
+    assert "\x1f" not in bpe.corpus_alphabet(ds)
+    wc = bpe.corpus_word_counts(ds).to_pandas()
+    assert not wc.word.str.contains("\x1f").any()
+    # the SEP-stripped 'a\x1fb' counts as a 4th 'ab' occurrence
+    assert int(wc.set_index("word").loc["ab", "c"]) == 4

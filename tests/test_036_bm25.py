@@ -76,3 +76,19 @@ def test_bm25_zero_df_term_and_empty_corpus():
         "text": pa.array([], pa.string()),
     }))
     assert bm25.bm25_topk(empty, ["x"], k=5).count() == 0
+
+
+def test_bm25_empty_corpus_schema_follows_input_id_dtype():
+    """The empty-corpus early return must carry the INPUT's doc_id dtype
+    (int64 here), not a hardcoded string column."""
+    import pyarrow as pa
+
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    })
+    out = bm25.bm25_topk(rd.from_arrow(empty), ["alpha"], k=5)
+    sch = out.schema()
+    types = dict(zip(sch.names, sch.types))
+    assert types["doc_id"] == pa.int64()
+    assert out.count() == 0
