@@ -31,11 +31,12 @@ import pyarrow.compute as pc
 import pyarrow.csv as pacsv
 
 TOKEN_COLS = ["doc_id", "tokens", "n_tok", "source"]
-# shape check only (up to 10 digits so all of int32 is REPRESENTABLE —
-# a 9-digit cap silently dropped valid ids in [1e9, 2^31-1] that the
-# JSONL/parquet paths keep); the exact int32 range check runs after the
-# int64 parse, same contract as the JSONL reader
-_TOKENS_RE = r"^[0-9]{1,10}( [0-9]{1,10})*$"
+# shape check only (optional sign + up to 10 digits so all of int32 is
+# REPRESENTABLE — a 9-digit cap silently dropped valid ids in
+# [1e9, 2^31-1], and an unsigned-only pattern dropped negative tokens
+# that the JSONL/IPC/parquet paths keep); the exact int32 range check
+# runs after the int64 parse, same contract as the JSONL reader
+_TOKENS_RE = r"^-?[0-9]{1,10}( -?[0-9]{1,10})*$"
 _I32_MIN, _I32_MAX = -(1 << 31), (1 << 31) - 1
 
 
@@ -102,10 +103,7 @@ def _convert_batch(b: pa.Table) -> pa.Table:
     return pa.table(
         {
             "doc_id": t["doc_id"].filter(km),
-            "tokens": pc.cast(tokens64.filter(km)
-                              if not isinstance(tokens64, pa.ChunkedArray)
-                              else tokens64.combine_chunks().filter(km),
-                              pa.list_(pa.int32())),
+            "tokens": pc.cast(tokens64.filter(km), pa.list_(pa.int32())),
             "n_tok": pc.cast(nt64.filter(km), pa.int32()),
             "source": t["source"].filter(km),
         }
@@ -144,11 +142,13 @@ def write_token_csv(
     def _csv_field(col):
         """Quote a string column for CSV iff any value needs it (comma,
         quote, CR/LF would shift columns and silently skip the row on
-        read — the JSONL writer guards its analogous hazard)."""
+        read — the JSONL writer guards its analogous hazard).  Nulls
+        serialize as EMPTY fields (CSV has no null): the old path flagged
+        a null as risky but replace_substring/if_else propagated the null
+        into a None line that crashed the join."""
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        risky = pc.fill_null(
-            pc.match_substring_regex(col, r'[",\r\n]'), True
-        )
+        col = pc.fill_null(col, "")
+        risky = pc.match_substring_regex(col, r'[",\r\n]')
         if not pc.any(risky).as_py():
             return col
         quoted = pc.binary_join_element_wise(
@@ -161,13 +161,15 @@ def write_token_csv(
         # all the per-token stringification runs in Arrow C kernels — the
         # naive per-row f-string loop was ~100 s per sf0.01 rebuild
         toks = t["tokens"].combine_chunks()
-        joined = pc.binary_join(
-            pc.cast(toks, pa.list_(pa.string())), " "
+        joined = pc.fill_null(  # null token list -> empty field
+            pc.binary_join(pc.cast(toks, pa.list_(pa.string())), " "), ""
         )
         base = pc.binary_join_element_wise(
             _csv_field(t["doc_id"]),
             joined,
-            pc.cast(t["n_tok"], pa.string()).combine_chunks(),
+            # null n_tok -> empty field; the reader's skip-bad gate then
+            # drops the row (no integer parses from "")
+            pc.fill_null(pc.cast(t["n_tok"], pa.string()).combine_chunks(), ""),
             _csv_field(t["source"]),
             ",",
         ).to_pylist()

@@ -55,10 +55,16 @@ def write_token_ipc(parquet_dir: str, out_dir: str,
         # cached dir was built under the OTHER garbage contract — rebuild
         shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
-    files = sorted(
-        os.path.join(parquet_dir, f) for f in os.listdir(parquet_dir)
-        if f.endswith(".parquet")
-    )
+    # recursive discovery, same contract as the CSV/JSONL writers: a flat
+    # listdir found zero files under nested part dirs (then stamped _DONE
+    # over an empty fixture) and rejected single-file inputs outright
+    from aisdb_ray.state.lineage import list_parquet_files
+
+    files = list_parquet_files(parquet_dir)
+    if not files:
+        raise FileNotFoundError(
+            f"write_token_ipc: no parquet files under {parquet_dir!r}"
+        )
     last_data = b""
     for i, f in enumerate(files):
         tbl = pq.read_table(f).select(TOKEN_SCHEMA.names)

@@ -275,8 +275,14 @@ def write_token_jsonl(
         )
         # null doc_id/source: join yields null, pc.any ignores nulls and
         # the fast path would emit a null line (TypeError at the final
-        # join) — route null rows through json.dumps instead
+        # join) — route null rows through json.dumps instead.  The same
+        # hazard applies to a null tokens LIST or null n_tok (their own
+        # binary_join/cast would null the assembled line), so probe every
+        # column the fast path serializes, not just the string pair.
         needs_esc = bool(pc.any(pc.fill_null(probe, True)).as_py())
+        needs_esc = (needs_esc
+                     or t["tokens"].null_count > 0
+                     or t["n_tok"].null_count > 0)
         if needs_esc:
             base = [
                 json.dumps(

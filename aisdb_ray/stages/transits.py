@@ -228,11 +228,15 @@ def transition_counts(
             lab = lab.combine_chunks()
         frm = lab.take(pa.array(order[:-1][same]))
         to = lab.take(pa.array(order[1:][same]))
-        g = (
-            pa.table({"from_label": frm, "to_label": to})
-            .group_by(["from_label", "to_label"], use_threads=False)
-            .aggregate([([], "count_all")])
-        )
+        pairs = pa.table({"from_label": frm, "to_label": to})
+        # SQL parity: the oracle's WHERE nxt IS NOT NULL drops pairs whose
+        # NEXT label is null (a mid-sequence null label is
+        # indistinguishable from lead()'s partition-end null); from_label
+        # nulls group as NULL, exactly like SQL GROUP BY
+        pairs = pairs.filter(pc.is_valid(pairs["to_label"]))
+        g = pairs.group_by(
+            ["from_label", "to_label"], use_threads=False
+        ).aggregate([([], "count_all")])
         return g.rename_columns(["from_label", "to_label", "n"])
 
     parts = co_shuffle(ds, [key], per_part, num_parts=num_parts)
@@ -293,14 +297,18 @@ def path_trigram_counts(
         if isinstance(lab, pa.ChunkedArray):
             lab = lab.combine_chunks()
         i0 = order[:-2][same3]
-        g = (
-            pa.table({
-                "l1": lab.take(pa.array(i0)),
-                "l2": lab.take(pa.array(order[1:-1][same3])),
-                "l3": lab.take(pa.array(order[2:][same3])),
-            })
-            .group_by(["l1", "l2", "l3"], use_threads=False)
-            .aggregate([([], "count_all")])
+        triples = pa.table({
+            "l1": lab.take(pa.array(i0)),
+            "l2": lab.take(pa.array(order[1:-1][same3])),
+            "l3": lab.take(pa.array(order[2:][same3])),
+        })
+        # SQL parity: WHERE l2 IS NOT NULL AND l3 IS NOT NULL (mid-sequence
+        # null labels look like lead()'s partition-end nulls to the oracle)
+        triples = triples.filter(pc.and_(
+            pc.is_valid(triples["l2"]), pc.is_valid(triples["l3"])
+        ))
+        g = triples.group_by(["l1", "l2", "l3"], use_threads=False).aggregate(
+            [([], "count_all")]
         )
         return g.rename_columns(["l1", "l2", "l3", "n"])
 

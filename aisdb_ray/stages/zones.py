@@ -46,9 +46,11 @@ class Domain:
         self.cy = np.array([z[2] for z in zs], dtype=np.float64)
         self.rx = np.array([z[3] for z in zs], dtype=np.float64)
         self.ry = np.array([z[4] for z in zs], dtype=np.float64)
-        if len(zs) and (np.min(self.rx) <= 0 or np.min(self.ry) <= 0):
-            # a zero radius makes the ellipse test 0/0 = NaN — even the
-            # zone's own center would silently resolve to Z0
+        if len(zs) and not (np.all(self.rx > 0) and np.all(self.ry > 0)):
+            # a zero radius makes the ellipse test 0/0 = NaN, and a NaN
+            # radius fails every comparison — either way the zone can
+            # never match and even its own center silently resolves to
+            # Z0.  (~(r > 0) catches NaN; min(r) <= 0 does not.)
             raise ValueError("Domain: zone radii must be positive")
 
     def assign(self, x: np.ndarray, y: np.ndarray) -> np.ndarray:

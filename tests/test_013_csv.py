@@ -124,3 +124,42 @@ def test_csv_round_trip_large_ids_and_quoting(tmp_path):
         2_000_000_000, 5]
     assert 'we,ird "id"' in set(got["doc_id"])
     assert "s,2" in set(got["source"])
+
+
+def test_csv_negative_tokens_round_trip(tmp_path):
+    """Negative int32 tokens are valid in the JSONL/IPC/parquet paths;
+    the CSV token regex must accept them too (it used to drop the row)."""
+    t = pa.table({
+        "doc_id": pa.array(["d1", "d2"]),
+        "tokens": pa.array([[-5, 3], [-2147483648, 2147483647]],
+                           pa.list_(pa.int32())),
+        "n_tok": pa.array([2, 2], pa.int32()),
+        "source": pa.array(["s", "s"]),
+    })
+    src = tmp_path / "pq"
+    src.mkdir()
+    pq.write_table(t, str(src / "p.parquet"))
+    out = write_token_csv(str(src), str(tmp_path / "csv"), gzip_last=False)
+    got = read_token_csv(out).to_pandas().sort_values("doc_id")
+    assert len(got) == 2
+    assert list(got.tokens.iloc[0]) == [-5, 3]
+    assert list(got.tokens.iloc[1]) == [-2147483648, 2147483647]
+
+
+def test_csv_writer_null_fields_do_not_crash(tmp_path):
+    """Null doc_id/source/tokens/n_tok serialize as empty CSV fields (CSV
+    has no null) instead of crashing the line join; the reader's skip-bad
+    gate drops the unparseable-n_tok row."""
+    t = pa.table({
+        "doc_id": pa.array([None, "d2"], pa.string()),
+        "tokens": pa.array([[1, 2], None], pa.list_(pa.int32())),
+        "n_tok": pa.array([2, None], pa.int32()),
+        "source": pa.array(["s", None], pa.string()),
+    })
+    src = tmp_path / "pq"
+    src.mkdir()
+    pq.write_table(t, str(src / "p.parquet"))
+    out = write_token_csv(str(src), str(tmp_path / "csv"), gzip_last=False)
+    got = read_token_csv(out).to_pandas()
+    # row 2 has no parseable n_tok -> dropped; row 1 survives with "" id
+    assert len(got) == 1 and list(got.tokens.iloc[0]) == [1, 2]

@@ -139,3 +139,66 @@ def test_transition_counts_ordering_and_boundaries():
     # user 1 ordered by (ts, event_id): a->b->c; user 2: y(t=1)->x(t=5);
     # user 3 single event: nothing; no cross-user pairs
     assert got.values.tolist() == [["a", "b", 1], ["b", "c", 1], ["y", "x", 1]]
+
+
+def test_domain_rejects_nan_radius():
+    import pytest
+
+    with pytest.raises(ValueError, match="radii"):
+        Domain([("Z1", 0.0, 0.0, float("nan"), 5.0)])
+    with pytest.raises(ValueError, match="radii"):
+        Domain([("Z1", 0.0, 0.0, 1.0, 0.0)])
+
+
+def test_transition_counts_null_label_matches_sql_lead_semantics():
+    """A mid-sequence null label is indistinguishable from lead()'s
+    partition-end null in the oracle (WHERE nxt IS NOT NULL), so pairs
+    into a null label must drop; pairs FROM a null label group as NULL."""
+    t = pa.table({
+        "user_id": pa.array(["u"] * 4),
+        "event_type": pa.array(["A", None, "B", "C"]),
+        "ts_us": pa.array([1, 2, 3, 4], pa.int64()),
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    got = transits.transition_counts(
+        rd.from_arrow(t), key="user_id", label="event_type",
+        time_col="ts_us", seq_col="event_id",
+    ).to_pandas()
+    import duckdb
+
+    want = duckdb.sql("""WITH s AS (
+        SELECT event_type, lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts_us, event_id) AS nxt FROM t)
+      SELECT event_type AS from_label, nxt AS to_label,
+             CAST(count(*) AS BIGINT) AS n
+      FROM s WHERE nxt IS NOT NULL GROUP BY event_type, nxt""").df()
+    key = ["from_label", "to_label"]
+    got = got.sort_values(key, na_position="first").reset_index(drop=True)
+    want = want.sort_values(key, na_position="first").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_trigram_counts_null_label_matches_sql_lead_semantics():
+    t = pa.table({
+        "user_id": pa.array(["u"] * 5),
+        "event_type": pa.array(["A", "B", None, "C", "D"]),
+        "ts_us": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+    got = transits.path_trigram_counts(
+        rd.from_arrow(t), key="user_id", label="event_type",
+        time_col="ts_us", seq_col="event_id",
+    ).to_pandas()
+    import duckdb
+
+    want = duckdb.sql("""WITH s AS (
+        SELECT event_type AS l1, lead(event_type, 1) OVER w AS l2,
+               lead(event_type, 2) OVER w AS l3
+        FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+      SELECT l1, l2, l3, CAST(count(*) AS BIGINT) AS n
+      FROM s WHERE l2 IS NOT NULL AND l3 IS NOT NULL
+      GROUP BY l1, l2, l3""").df()
+    key = ["l1", "l2", "l3"]
+    got = got.sort_values(key, na_position="first").reset_index(drop=True)
+    want = want.sort_values(key, na_position="first").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want)

@@ -115,3 +115,25 @@ def test_jsonl_rejects_non_jsonl_inputs(tmp_path):
     empty.mkdir()
     with pytest.raises(ValueError, match="no .jsonl"):
         jsrc.read_token_jsonl(str(empty))
+
+
+def test_jsonl_writer_null_tokens_and_ntok_do_not_crash(tmp_path):
+    """Null tokens/n_tok must route the chunk through the json.dumps
+    fallback (the fast path would assemble a None line and crash)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aisdb_ray.sources.jsonl import read_token_jsonl, write_token_jsonl
+
+    t = pa.table({
+        "doc_id": pa.array(["d1", "d2"]),
+        "tokens": pa.array([[1, 2], None], pa.list_(pa.int32())),
+        "n_tok": pa.array([2, None], pa.int32()),
+        "source": pa.array(["s", "s"]),
+    })
+    src = tmp_path / "pq"
+    src.mkdir()
+    pq.write_table(t, str(src / "p.parquet"))
+    out = write_token_jsonl(str(src), str(tmp_path / "jl"), gzip_last=False)
+    got = read_token_jsonl(out).to_pandas()
+    assert len(got) >= 1  # d1 survives; the null row follows skip-bad
