@@ -37,8 +37,13 @@ _OUT = {
 }
 
 
-def _empty() -> pa.Table:
-    return pa.table({k: pa.array([], t) for k, t in _OUT.items()})
+def _empty(key_type: pa.DataType = None) -> pa.Table:
+    # the key column's dtype follows the INPUT (int64 keys must not get a
+    # string-typed empty partition — block schema unification would fail)
+    types = dict(_OUT)
+    if key_type is not None:
+        types["source"] = key_type
+    return pa.table({k: pa.array([], t) for k, t in types.items()})
 
 
 def best_split(ds, key_col: str, order_col: str, value_col: str,
@@ -51,8 +56,9 @@ def best_split(ds, key_col: str, order_col: str, value_col: str,
     from aisdb_ray.stages._dist import co_shuffle
 
     def per_part(part: pa.Table) -> pa.Table:
+        kt = part.schema.field(key_col).type
         if part.num_rows == 0:
-            return _empty()
+            return _empty(kt)
         src = part[key_col].to_numpy(zero_copy_only=False)
         bkt = part[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
         y = part[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -68,15 +74,19 @@ def best_split(ds, key_col: str, order_col: str, value_col: str,
         tot = np.repeat(cs[gstart + glen - 1], glen) - np.where(
             g0 > 0, np.repeat(cs[np.maximum(gstart - 1, 0)], glen), 0
         )
-        if n and int(np.abs(tot).max()) > 3_000_000_000:
+        # bound the PREFIX sums, not just the totals: mixed-sign values
+        # (e.g. [4e9, -4e9, 0]) give tot = 0 but sl = 4e9, whose square
+        # silently wraps int64 and corrupts the argmax
+        if n and max(int(np.abs(sl).max()),
+                     int(np.abs(tot - sl).max())) > 3_000_000_000:
             raise OverflowError(
-                "best_split: |group sum| > 3e9 — gain squares would "
-                "overflow int64; rescale the value channel first"
+                "best_split: |group prefix sum| > 3e9 — gain squares "
+                "would overflow int64; rescale the value channel first"
             )
         rn = np.arange(n, dtype=np.int64) - g0 + 1
         cand = rn < gn                            # split after row i
         if not cand.any():
-            return _empty()
+            return _empty(kt)
         i = np.flatnonzero(cand)
         nl, nr = rn[i], gn[i] - rn[i]
         sli, sri = sl[i], tot[i] - sl[i]

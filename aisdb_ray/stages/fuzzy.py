@@ -86,9 +86,10 @@ def fuzzy_pairs_le1(ds, col: str, num_parts: int | None = None):
         g = b.group_by(["a", "b"], use_threads=False).aggregate([])
         a = g["a"].to_numpy(zero_copy_only=False)
         bb = g["b"].to_numpy(zero_copy_only=False)
-        dist = np.array([0 if x == y else 1 for x, y in zip(a, bb)], np.int64)
+        # dist is always 1: pairs are built from strictly distinct unique
+        # values (a < b in bucket_pairs), so a == b never occurs here
         return pa.table({"a": pa.array(a), "b": pa.array(bb),
-                         "dist": pa.array(dist)})
+                         "dist": pa.array(np.ones(len(a), np.int64))})
 
     return pairs.repartition(1).map_batches(
         dedup, batch_format="pyarrow", batch_size=None

@@ -45,6 +45,11 @@ def frequent_keys(ds, key_col: str, k: int = 128):
     """
     import ray
 
+    # the input is consumed three times (total, MG summaries, exact
+    # candidate counts) — pin it once so an expensive upstream pipeline
+    # is not re-executed per pass (the contamination-stage policy);
+    # count() on the materialized dataset is then metadata-only
+    ds = ds.materialize()
     total = ds.count()
 
     def partial(b: pa.Table) -> pa.Table:
@@ -70,11 +75,16 @@ def frequent_keys(ds, key_col: str, k: int = 128):
     cand = merged.take_all()  # ≤ k · map-tasks rows — counters, never keys
     cand_keys = [r[key_col] for r in cand]
     if not cand_keys:
-        return ds.limit(0).map_batches(
-            lambda b: pa.table({key_col: pa.array([], pa.string()),
-                                "n": pa.array([], pa.int64())}),
-            batch_format="pyarrow",
-        )
+        import ray.data as rd
+
+        # empty result carries the INPUT's key dtype (hardcoding string
+        # broke schema comparisons for int64 keys; near-uniform data hits
+        # this branch whenever every MG partial compresses to zero)
+        sch = ds.schema()
+        key_t = dict(zip(sch.names, sch.types))[key_col]
+        return rd.from_arrow(pa.table({
+            key_col: pa.array([], key_t), "n": pa.array([], pa.int64()),
+        }))
     cand_ref = ray.put(cand_keys)
 
     def exact_partial(b: pa.Table) -> pa.Table:

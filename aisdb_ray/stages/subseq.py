@@ -75,6 +75,17 @@ def pattern_search(ds, query, value_col: str, k: int = 10,
     m = len(q)
     if m == 0:
         raise ValueError("pattern_search: empty query pattern")
+    # int64-exactness guard (the changepoint-stage policy): the distance
+    # is a sum of m squared differences, each up to (|v| + |q|)^2, so
+    # magnitudes above sqrt(9e18 / m) / 2 can wrap int64 and silently
+    # rank the farthest window first (intermediates are modular, so only
+    # the FINAL distance needs to fit)
+    bound = int((9.0e18 / m) ** 0.5 / 2)
+    if int(np.abs(q).max()) > bound:
+        raise OverflowError(
+            f"pattern_search: |query| > {bound} would overflow the exact "
+            "int64 window distances; rescale the pattern first"
+        )
     q2 = int(np.dot(q, q))
 
     def per_part(part: pa.Table) -> pa.Table:
@@ -85,6 +96,11 @@ def pattern_search(ds, query, value_col: str, k: int = 10,
         s = part[SEQ].to_numpy(zero_copy_only=False).astype(np.int64)
         seg = part[SEG].to_numpy(zero_copy_only=False).astype(np.int64)
         v = part[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v) and int(np.abs(v).max()) > bound:
+            raise OverflowError(
+                f"pattern_search: |{value_col}| > {bound} would overflow "
+                "the exact int64 window distances; rescale first"
+            )
         # (source, seg, time, seq) order; a partition holds whole sources
         order = np.lexsort((s, t, seg, src))
         src, t, s, seg, v = src[order], t[order], s[order], seg[order], v[order]

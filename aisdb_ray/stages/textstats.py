@@ -19,6 +19,19 @@ import pyarrow.compute as pc
 from aisdb_ray.functions import text as T
 
 
+def _doc_words_arrow(texts):
+    """Arrow-side \\S+ word extraction: (words, parent_indices), both
+    Arrow arrays with edge-whitespace empties dropped.  The single home
+    of the split contract (splitting on \\s+ and dropping empties yields
+    exactly the \\S+ match set, both sides RE2) — _df_partial,
+    term_freq_batch, oov_stats and source_minhash_overlap all share it."""
+    wl = pc.split_pattern_regex(texts, pattern=r"\s+")
+    flat = pc.list_flatten(wl)
+    parents = pc.list_parent_indices(wl)
+    keep = pc.not_equal(flat, pa.scalar(""))
+    return flat.filter(keep), parents.filter(keep)
+
+
 def _doc_words_flat(texts: pa.Array):
     """Flatten per-doc ``\\S+`` words: returns (words, parent_doc_index)
     with empties from edge whitespace removed — one Arrow split pass
@@ -52,9 +65,9 @@ def fingerprint64_batch(texts: pa.Array, _flat_parent=None) -> np.ndarray:
     if len(flat) == 0:
         return fps
     codes, uniques = pd.factorize(flat.to_numpy(zero_copy_only=False))
-    uh = np.fromiter(
-        (T.md5_64(w) for w in uniques), dtype=np.uint64, count=len(uniques)
-    )
+    # word_hashes, not raw md5_64: corpora repeat words heavily across
+    # batches, and the per-worker memo cache amortizes the md5 cost
+    uh = T.word_hashes(list(uniques))
     h = uh[codes]
     starts = _segment_starts(parent)
     seg_len = np.diff(np.r_[starts, len(parent)])
@@ -216,17 +229,19 @@ def _df_partial(batch: pa.Table) -> pa.Table:
     per-document dedup via an Arrow group_by on (doc, token) -> count per
     token.  Splitting on ``\\s+`` and dropping empties yields exactly the
     ``\\S+`` match set (both sides RE2, same as token_count_batch)."""
-    toks = pc.split_pattern_regex(batch["text"], pattern=r"\s+")
-    flat = pc.list_flatten(toks)
-    parents = pc.list_parent_indices(toks)
-    keep = pc.not_equal(flat, pa.scalar(""))
-    pairs = pa.table(
-        {"d": parents.filter(keep), "token": flat.filter(keep)}
-    )
+    words, parents = _doc_words_arrow(batch["text"])
+    pairs = pa.table({"d": parents, "token": words})
     uniq = pairs.group_by(["d", "token"], use_threads=False).aggregate([])
     g = uniq.group_by(["token"], use_threads=False).aggregate(
         [([], "count_all")]
     )
+    return g.rename_columns(["token", "df"])
+
+
+def _df_combine(b: pa.Table) -> pa.Table:
+    """(token, df) partial merge — the one combine policy doc_freq_topk
+    and oov_stats share (was two identical closures)."""
+    g = b.group_by(["token"], use_threads=False).aggregate([("df", "sum")])
     return g.rename_columns(["token", "df"])
 
 
@@ -237,13 +252,10 @@ def term_freq_batch(batch: pa.Table) -> pa.Table:
     counting occurrences instead of deduping.  One row per document per
     batch, so per-batch output rows are already globally unique per
     (doc_id, token)."""
-    toks = pc.split_pattern_regex(batch["text"], pattern=r"\s+")
-    flat = pc.list_flatten(toks)
-    parents = pc.list_parent_indices(toks)
-    keep = pc.not_equal(flat, pa.scalar(""))
-    doc_ids = batch["doc_id"].take(parents.filter(keep))
+    words, parents = _doc_words_arrow(batch["text"])
+    doc_ids = batch["doc_id"].take(parents)
     g = (
-        pa.table({"doc_id": doc_ids, "token": flat.filter(keep)})
+        pa.table({"doc_id": doc_ids, "token": words})
         .group_by(["doc_id", "token"], use_threads=False)
         .aggregate([([], "count_all")])
     )
@@ -262,16 +274,11 @@ def doc_freq_topk(ds, k: int = 100):
     the combined vocabulary table (bounded by distinct-token count, not
     corpus size)."""
 
-    def combine(b: pa.Table) -> pa.Table:
-        g = b.group_by(["token"], use_threads=False).aggregate([("df", "sum")])
-        return g.rename_columns(["token", "df"])
+    from aisdb_ray.stages._dist import funnel_combine
 
     partials = ds.map_batches(_df_partial, batch_format="pyarrow")
-    local = partials.map_batches(
-        combine, batch_format="pyarrow", batch_size=None
-    )
-    merged = local.groupby("token").map_groups(
-        combine, batch_format="pyarrow"
+    merged = funnel_combine(
+        partials, _df_combine, key_col="token", hash_combine=True
     )
     return merged.sort(["df", "token"], descending=[True, False]).limit(k)
 
@@ -395,13 +402,12 @@ def oov_stats(ds, min_df: int = 5, id_col: str = "doc_id"):
     words emit no row (mirrored by the SQL oracle's inner unnest)."""
     import ray
 
-    def combine(b: pa.Table) -> pa.Table:
-        g = b.group_by(["token"], use_threads=False).aggregate([("df", "sum")])
-        return g.rename_columns(["token", "df"])
+    from aisdb_ray.stages._dist import funnel_combine
 
     partials = ds.map_batches(_df_partial, batch_format="pyarrow")
-    local = partials.map_batches(combine, batch_format="pyarrow", batch_size=None)
-    merged = local.groupby("token").map_groups(combine, batch_format="pyarrow")
+    merged = funnel_combine(
+        partials, _df_combine, key_col="token", hash_combine=True
+    )
     vocab_blocks = [
         b.filter(pc.greater_equal(b["df"], pa.scalar(min_df)))["token"]
         for b in ray.get(merged.to_arrow_refs())
@@ -421,12 +427,7 @@ def oov_stats(ds, min_df: int = 5, id_col: str = "doc_id"):
         ids = b[id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        toks = pc.split_pattern_regex(b["text"], pattern=r"\s+")
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks)
-        keep = pc.not_equal(flat, pa.scalar(""))
-        w = flat.filter(keep)
-        par = parents.filter(keep)
+        w, par = _doc_words_arrow(b["text"])
         inv = pc.cast(
             pc.invert(pc.is_in(w, value_set=ray.get(vocab_ref))), pa.int64()
         )
@@ -531,12 +532,8 @@ def source_minhash_overlap(ds, n_perms: int = 16):
     from aisdb_ray.stages.sample import md5_u32
 
     def partial(b: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(b["text"], pattern=r"\s+")
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks)
-        keep = pc.not_equal(flat, pa.scalar(""))
-        srcs = b["source"].take(parents.filter(keep))
-        words = flat.filter(keep)
+        words, parents = _doc_words_arrow(b["text"])
+        srcs = b["source"].take(parents)
         pair = pa.table({"source": srcs, "word": words}).group_by(
             ["source", "word"], use_threads=False
         ).aggregate([])

@@ -148,3 +148,48 @@ def test_best_split_overflow_guard():
         best_split(
             rd.from_arrow(_bucket_table(groups)), "source", "bucket", "n_tok"
         ).to_pandas()
+
+
+def test_best_split_mixed_sign_prefix_overflow_raises():
+    """tot = 0 but a 4e9 prefix: the square would wrap int64 and corrupt
+    the argmax — the guard must bound PREFIX sums, not totals."""
+    t = pa.table({
+        "source": pa.array(["s"] * 3),
+        "bucket": pa.array([1, 2, 3], pa.int64()),
+        "v": pa.array([4_000_000_000, -4_000_000_000, 0], pa.int64()),
+    })
+    with pytest.raises(OverflowError, match="prefix"):
+        best_split(rd.from_arrow(t), "source", "bucket", "v").take_all()
+
+
+def test_best_split_int_keys_empty_partition_schema():
+    """Int64 keys: empty partitions must not emit a string-typed source
+    column (block schema unification would fail)."""
+    t = pa.table({
+        "k": pa.array([7, 7, 8], pa.int64()),
+        "bucket": pa.array([1, 2, 1], pa.int64()),
+        "v": pa.array([10, 20, 5], pa.int64()),
+    })
+    out = best_split(rd.from_arrow(t), "k", "bucket", "v", num_parts=4)
+    df = out.to_pandas()
+    assert set(df.source) == {7}  # key 8 has 1 bucket: no split
+    assert df.source.dtype.kind == "i"
+
+
+def test_pattern_search_overflow_guard():
+    """|v| past the exact-int64 bound must raise, not silently rank the
+    farthest window first."""
+    q = [0, 0]
+    t = pa.table({
+        "source": pa.array(["s"] * 4),
+        "seg": pa.array([0] * 4, pa.int64()),
+        "time": pa.array([1, 2, 3, 4], pa.int64()),
+        "seq": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array([4_000_000_000] * 4, pa.int64()),
+    })
+    with pytest.raises(Exception) as ei:
+        pattern_search(rd.from_arrow(t), q, "v", k=2).take_all()
+    assert "OverflowError" in str(ei.value) or isinstance(
+        ei.value, OverflowError)
+    with pytest.raises(OverflowError):
+        pattern_search(rd.from_arrow(t), [5_000_000_000], "v", k=2)

@@ -89,3 +89,14 @@ def test_funnel3_query_consistent_with_two_step():
     nv, nc, np_ = (int(got["n_view"][0]), int(got["n_click"][0]),
                    int(got["n_purchase"][0]))
     assert nv >= nc >= np_ >= 0 and nv > 0
+
+
+def test_frequent_keys_empty_result_keeps_int_key_dtype():
+    """Near-uniform int64 keys: the empty result must carry int64, not a
+    hardcoded string column."""
+    t = pa.table({"user_id": pa.array(np.arange(512) % 128, pa.int64())})
+    out = frequent_keys(rd.from_arrow(t), "user_id", k=4)
+    sch = out.schema()
+    types = dict(zip(sch.names, sch.types))
+    assert out.count() == 0
+    assert types["user_id"] == pa.int64()
