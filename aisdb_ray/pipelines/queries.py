@@ -8666,11 +8666,16 @@ SELECT source, mode_value, n AS mode_count FROM pick WHERE rn = 1"""
     SELECT t_end AS t, 1 AS kind, -1 AS d FROM sess
   ),
   c AS (
-    SELECT t, SUM(d) OVER (ORDER BY t, kind ROWS UNBOUNDED PRECEDING) AS run
+    SELECT t, kind,
+           SUM(d) OVER (ORDER BY t, kind ROWS UNBOUNDED PRECEDING) AS run
     FROM b
   )
 SELECT CAST((t // 3600) * 3600 AS BIGINT) AS bucket,
-       CAST(max(run) AS BIGINT) AS peak
+       -- closed intervals: at an end instant the ending session is still
+       -- open, so its contribution is run + 1 (run alone undercounts a
+       -- bucket whose events are only ends)
+       CAST(max(CASE WHEN kind = 1 THEN run + 1 ELSE run END) AS BIGINT)
+         AS peak
 FROM c GROUP BY 1"""
 
     # rank = one IEEE division of exact integers: bit-identical to

@@ -144,13 +144,10 @@ def bloom_semi_join(fact, keys_ds, on: str, right_on: str | None = None,
     pre = fact.map_batches(probe, batch_format="pyarrow")
     if not exact:
         return pre
-    keys_proj = keys_ds.select_columns([rkey])
-    if rkey != on:
-        keys_proj = keys_proj.map_batches(
-            lambda b: b.rename_columns([on]), batch_format="pyarrow"
-        )
-    return hash_join(pre, keys_proj, on=on, how="left semi",
-                     num_parts=num_parts)
+    # hash_join's right_on does the key rename — no hand-rolled
+    # select+rename stage to drift from it
+    return hash_join(pre, keys_ds.select_columns([rkey]), on=on,
+                     right_on=rkey, how="left semi", num_parts=num_parts)
 
 
 def bloom_anti_join(fact, keys_ds, on: str, bloom_on: str | None = None,
@@ -171,8 +168,11 @@ def bloom_anti_join(fact, keys_ds, on: str, bloom_on: str | None = None,
     bkey = bloom_on or on
     words = build_bloom(keys_ds, bkey, m_bits, k)
     bm_ref = ray.put(words)
+    _FLAG = "_bloom_hit"
+    if _FLAG in (fact.schema().names or []):
+        raise ValueError(f"bloom_anti_join: input already carries {_FLAG!r}")
 
-    def split(b: pa.Table, keep_negatives: bool) -> pa.Table:
+    def flag(b: pa.Table) -> pa.Table:
         w = ray.get(bm_ref)
         col = b[bkey]
         keys = np.asarray(
@@ -180,19 +180,37 @@ def bloom_anti_join(fact, keys_ds, on: str, bloom_on: str | None = None,
         )
         hit = _test_bits(w, keys, m_bits, k)
         if col.null_count:
-            # anti-join semantics: a null key matches NOTHING, so null rows
-            # are definite keeps (unlike the semi join, which drops them)
             nulls = ~pa.compute.is_valid(col).to_numpy(zero_copy_only=False)
-            hit = hit & ~nulls
-            if keep_negatives:
-                return b.filter(pa.array(~hit))
-        return b.filter(pa.array(~hit if keep_negatives else hit))
+            if bkey == on:
+                # anti-join semantics: a null JOIN key matches NOTHING, so
+                # null rows are definite keeps (unlike the semi join)
+                hit = hit & ~nulls
+            else:
+                # a null DERIVED key says nothing about the real join key:
+                # the row must go through the exact verify, not the bypass
+                # (a negative is only a guarantee when the ledger side
+                # hashed the same non-null derived value)
+                hit = hit | nulls
+        return b.append_column(_FLAG, pa.array(hit))
 
-    definite_new = fact.map_batches(
-        lambda b: split(b, True), batch_format="pyarrow"
+    # flag ONCE and pin: the two downstream filters would otherwise
+    # re-execute the whole upstream pipeline (and the k-hash probe) twice
+    # — and a nondeterministic upstream could even route a row to both
+    # streams or neither (the contamination-stage policy)
+    flagged = fact.map_batches(flag, batch_format="pyarrow").materialize()
+
+    def take(b: pa.Table, want_hit: bool) -> pa.Table:
+        m = b[_FLAG]
+        if isinstance(m, pa.ChunkedArray):
+            m = m.combine_chunks()
+        keep = m if want_hit else pa.compute.invert(m)
+        return b.filter(keep).drop_columns([_FLAG])
+
+    definite_new = flagged.map_batches(
+        lambda b: take(b, False), batch_format="pyarrow"
     )
-    positives = fact.map_batches(
-        lambda b: split(b, False), batch_format="pyarrow"
+    positives = flagged.map_batches(
+        lambda b: take(b, True), batch_format="pyarrow"
     )
     keys_proj = keys_ds.select_columns([on])
     verified = hash_join(positives, keys_proj, on=on, how="left anti",

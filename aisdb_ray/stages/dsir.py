@@ -107,6 +107,11 @@ def dsir_weights(
         )
         return g.rename_columns(["bucket", "n_t", "n_r"])
 
+    # pin the corpus once: it is consumed twice (this counting pass, then
+    # the scoring pass below), so an expensive — or worse, nondeterministic
+    # — upstream pipeline must not re-execute between the lambda table and
+    # the stream it scores (the contamination-stage policy)
+    docs_ds = docs_ds.materialize()
     partials = docs_ds.map_batches(count_partial, batch_format="pyarrow")
     cnt = funnel_combine(partials, merge).to_pandas()
 

@@ -82,6 +82,20 @@ def pairwise_dtw(ds_vectors, key_col: str, vec_col: str,
     import ray.data as rd
 
     rows = ds_vectors.take_all()  # bounded: one row per key
+    # validate on the driver, where the error is cheap and clear: a null /
+    # duplicate key or an empty / null vector would otherwise surface as a
+    # worker traceback (dtw_distance ValueError) or silently keep only the
+    # last duplicate's vector
+    seen = set()
+    for r in rows:
+        k, v = r[key_col], r[vec_col]
+        if k is None:
+            raise ValueError("pairwise_dtw: null key")
+        if k in seen:
+            raise ValueError(f"pairwise_dtw: duplicate key {k!r}")
+        seen.add(k)
+        if v is None or len(v) == 0:
+            raise ValueError(f"pairwise_dtw: empty vector for key {k!r}")
     keys = sorted(r[key_col] for r in rows)
     vec_of = {r[key_col]: np.asarray(r[vec_col], np.int64)[:max_len]
               for r in rows}

@@ -47,6 +47,10 @@ def fano_dispersion(ds, key_col: str = SOURCE, time_col: str = TIME,
     from aisdb_ray.stages._dist import co_shuffle
 
     def add_minute(b: pa.Table) -> pa.Table:
+        # drop null key/time rows up front (the skip-bad posture): a null
+        # key is a None in the object lexsort (TypeError) and a null time
+        # would NaN-float the minute column into undefined int64 garbage
+        b = b.filter(pc.and_(pc.is_valid(b[key_col]), pc.is_valid(b[time_col])))
         m = pc.divide(b[time_col], width)
         return pa.table({key_col: b[key_col], "m": pc.cast(m, pa.int64())})
 
@@ -74,9 +78,13 @@ def fano_dispersion(ds, key_col: str = SOURCE, time_col: str = TIME,
         n_min = m[gend] - m[gstart] + 1
         s = np.add.reduceat(c, gstart)
         q = np.add.reduceat(c * c, gstart)
-        if len(s) and max(
-            int(n_min.max()) * int(q.max()), int(s.max()) ** 2
-        ) >= (1 << 62):
+        # elementwise (per-key) bound: multiplying the MAXIMA across
+        # different keys would spuriously reject datasets where one key
+        # has a long span and a different key has large counts
+        if len(s) and float(np.maximum(
+            n_min.astype(np.float64) * q.astype(np.float64),
+            s.astype(np.float64) ** 2,
+        ).max()) >= float(1 << 62):
             raise OverflowError(
                 "fano_dispersion: n·Σc² or S² would overflow int64")
         num = n_min * q - s * s
@@ -103,6 +111,13 @@ def winsorized_mean(ds, key_col: str, value_col: str,
     from aisdb_ray.stages._dist import co_shuffle
 
     def hist_partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # null key/value rows drop (skip-bad): None keys break the object
+        # lexsort and a null value would NaN-float the histogram values
+        b = b.filter(pc.and_(
+            pc.is_valid(b[key_col]), pc.is_valid(b[value_col])
+        ))
         t = pa.table({key_col: b[key_col], "v": b[value_col]})
         g = t.group_by([key_col, "v"], use_threads=False).aggregate(
             [([], "count_all")]
@@ -150,6 +165,16 @@ def winsorized_mean(ds, key_col: str, value_col: str,
 
         lo, hi = pick(p_lo), pick(p_hi)
         clipped = np.clip(v, np.repeat(lo, glen), np.repeat(hi, glen))
+        # per-key overflow bound on sum(c·|clipped|), estimated in float64
+        # (2^62 threshold leaves a 2x headroom over any rounding) — the
+        # fano kernel's guard policy, applied to this file's other kernel
+        est = np.add.reduceat(
+            c.astype(np.float64) * np.abs(clipped).astype(np.float64), gstart
+        )
+        if len(est) and float(est.max()) >= float(1 << 62):
+            raise OverflowError(
+                "winsorized_mean: sum(c·|v|) would overflow int64; "
+                "rescale the value channel first")
         wsum = np.add.reduceat(c * clipped, gstart)
         n = np.add.reduceat(c, gstart)
         return pa.table({

@@ -44,6 +44,11 @@ import pyarrow.compute as pc
 
 def _boundaries(b: pa.Table, start_col: str, end_col: str, bucket_s: int) -> pa.Table:
     """(bucket, t, kind, d) boundary events for one batch of intervals."""
+    if b[start_col].null_count or b[end_col].null_count:
+        # a null would float64 the cast and the NaN -> int64 garbage event
+        # (t ~ -2^63) silently inflates the cross-bucket carry for every
+        # real bucket after it — refuse, same posture as the e < s check
+        raise ValueError("peak_concurrency: null interval bounds")
     s = b[start_col].to_numpy(zero_copy_only=False).astype(np.int64)
     e = b[end_col].to_numpy(zero_copy_only=False).astype(np.int64)
     if np.any(e < s):
@@ -72,11 +77,15 @@ def _bucket_sweep(g: pa.Table) -> pa.Table:
     d = g["d"].to_numpy(zero_copy_only=False)
     order = np.lexsort((kind, t))  # starts (kind 0) before ends at equal t
     run = np.cumsum(d[order])
+    # clamp at 0: a bucket whose events are ONLY ends still has every one
+    # of those sessions open AT its end instant (closed intervals), so the
+    # in-bucket peak relative to the carry is never negative — raw
+    # run.max() = -1 would undercount the bucket by one
     return pa.table(
         {
             "bucket": pa.array([g["bucket"][0].as_py()], pa.int64()),
             "net": pa.array([int(run[-1])], pa.int64()),
-            "mx": pa.array([int(run.max())], pa.int64()),
+            "mx": pa.array([max(0, int(run.max()))], pa.int64()),
         }
     )
 

@@ -137,3 +137,37 @@ def test_bloom_anti_join_keeps_null_keys():
         .to_pandas().sort_values("p").reset_index(drop=True)
     )
     assert got["p"].tolist() == [10, 30]  # k=1 kept, k=None kept
+
+
+def test_anti_join_null_derived_key_still_verifies_real_key():
+    """bloom_on != on: a null DERIVED key says nothing about the real join
+    key, so the row must go through the exact verify — not leak into the
+    bypass stream as a duplicate."""
+    import ray.data as rd
+
+    fact = rd.from_arrow(pa.table({
+        "text_md5": pa.array(["abc", "new1", "abc2"]),
+        "md5_i64": pa.array([None, 7, 9], pa.int64()),
+    }))
+    ledger = rd.from_arrow(pa.table({
+        "text_md5": pa.array(["abc", "abc2"]),
+        "md5_i64": pa.array([123, 9], pa.int64()),
+    }))
+    out = bloomjoin.bloom_anti_join(
+        fact, ledger, on="text_md5", bloom_on="md5_i64"
+    ).to_pandas()
+    # 'abc' has a null derived key but IS in the ledger -> must not leak;
+    # 'abc2' is a true bloom positive -> removed; 'new1' survives
+    assert sorted(out.text_md5) == ["new1"]
+
+
+def test_anti_join_null_join_key_is_definite_keep():
+    """bloom_on == on: a null JOIN key matches nothing — definite keep."""
+    import ray.data as rd
+
+    fact = rd.from_arrow(pa.table({
+        "k": pa.array([1, None, 2], pa.int64()),
+    }))
+    ledger = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
+    out = bloomjoin.bloom_anti_join(fact, ledger, on="k").to_pandas()
+    assert sorted(out.k.fillna(-1)) == [-1, 2]

@@ -129,3 +129,60 @@ def test_pmi_min_count_filters_rare_pairs():
     got = pmi_topk(rd.from_arrow(_tok_table(docs)), k=10, min_count=3).to_pandas()
     pairs = set(zip(got["tok_a"].tolist(), got["tok_b"].tolist()))
     assert (5, 6) in pairs and (1, 2) not in pairs
+
+
+def test_fano_and_winsorized_drop_null_rows():
+    """Null key/time/value rows drop (skip-bad) instead of crashing the
+    object lexsort or NaN-casting into int64 garbage."""
+    t = pa.table({
+        "source": pa.array(["a", None, "a"]),
+        "time": pa.array([0, 60, None], pa.int64()),
+    })
+    got = fano_dispersion(rd.from_arrow(t)).to_pandas()
+    assert list(got.source) == ["a"] and int(got.n_rows.iloc[0]) == 1
+    t2 = pa.table({
+        "source": pa.array(["a", "a", None, "a"]),
+        "v": pa.array([1, 5, 3, None], pa.int64()),
+    })
+    w = winsorized_mean(rd.from_arrow(t2), "source", "v",
+                        p_lo=0, p_hi=100).to_pandas()
+    assert list(w.source) == ["a"] and int(w.n.iloc[0]) == 2
+
+
+def test_fano_guard_is_per_key_not_cross_key():
+    """Key A: long span, tiny counts; key B: short span, big counts.
+    No single key overflows — the old cross-key max product spuriously
+    raised."""
+    rows_a = [("a", int(m) * 60) for m in range(0, 3000)]
+    big = 1 << 22
+    t = pa.table({
+        "source": pa.array(["b", "b"] + [r[0] for r in rows_a]),
+        "time": pa.array([0, 60] + [r[1] for r in rows_a], pa.int64()),
+    })
+    # inflate b's counts via duplicate rows in the same minute
+    import numpy as np
+    dup = pa.table({
+        "source": pa.array(["b"] * 4096),
+        "time": pa.array(np.zeros(4096, np.int64)),
+    })
+    ds = rd.from_arrow(pa.concat_tables([t, dup]))
+    got = fano_dispersion(ds).to_pandas()
+    assert set(got.source) == {"a", "b"}
+
+
+def test_winsorized_overflow_guard():
+    import pytest
+
+    t = pa.table({
+        "source": pa.array(["a"] * 3),
+        "v": pa.array([1 << 40] * 3, pa.int64()),
+    })
+    # 3 * 2^40 is fine; make the count big enough to cross 2^62
+    big = pa.table({
+        "source": pa.array(["a"] * 5000),
+        "v": pa.array([1 << 50] * 5000, pa.int64()),
+    })
+    ok = winsorized_mean(rd.from_arrow(t), "source", "v").to_pandas()
+    assert len(ok) == 1
+    with pytest.raises(Exception, match="[Oo]verflow"):
+        winsorized_mean(rd.from_arrow(big), "source", "v").take_all()

@@ -54,16 +54,14 @@ def test_brute_force_parity():
     s = rng.integers(0, 5 * H, 300)
     e = s + rng.integers(0, 3 * H, 300)
     got = _peaks(list(zip(s.tolist(), e.tolist())))
-    # brute force, same event-instant semantics as the engine + oracle:
-    # run after the starts at t is P(t) = #(s<=t & e>=t); run after the
-    # ends at t is Q(t) = #(s<=t & e>t); per-bucket peak = max over the
-    # bucket's event instants.
+    # brute force, closed-interval semantics: the open count at ANY
+    # instant t is P(t) = #(s<=t & e>=t) — a session ending at t is still
+    # open at t; per-bucket peak = max over the bucket's event instants.
     for b in sorted(got):
         vals = []
-        for t in np.unique(s[(s >= b) & (s < b + H)]):
+        for t in np.unique(np.r_[s[(s >= b) & (s < b + H)],
+                                 e[(e >= b) & (e < b + H)]]):
             vals.append(int(((s <= t) & (e >= t)).sum()))
-        for t in np.unique(e[(e >= b) & (e < b + H)]):
-            vals.append(int(((s <= t) & (e > t)).sum()))
         assert got[b] == max(vals), b
 
 
@@ -101,3 +99,23 @@ def test_weighted_sample_k_exceeds_population():
     )
     out = weighted_sample(rd.from_arrow(tbl), "doc_id", "w", 10).to_pandas()
     assert sorted(out["doc_id"]) == [1, 3]
+
+
+def test_only_end_bucket_counts_closed_sessions():
+    """Sessions ending in a bucket are still open AT their end instants:
+    a bucket containing only end events peaks at the carry, not carry-1."""
+    got = _peaks([(100, H + 200), (200, H + 300), (300, H + 400)])
+    assert got[0] == 3
+    assert got[H] == 3  # all three still open at their H+2xx end instants
+
+
+def test_null_interval_bounds_raise():
+    import pyarrow as pa
+    import pytest
+
+    ds = rd.from_arrow(pa.table({
+        "t_start": pa.array([100, None], pa.int64()),
+        "t_end": pa.array([200, 300], pa.int64()),
+    }))
+    with pytest.raises(Exception, match="null interval"):
+        sweep.peak_concurrency(ds).take_all()
