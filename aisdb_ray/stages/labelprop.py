@@ -57,13 +57,19 @@ def _labelprop_local(edges, labels, iters, src_col, dst_col,
                      node_col, label_col):
     """Driver-local rounds for graphs under LOCAL_EDGE_LIMIT — identical
     count/argmax/tie arithmetic to the distributed rounds."""
+    # concat_tables([]) raises — empty edge/label inputs fall back to
+    # typed empty tables (the pagerank-local fix, same construct)
     et = pa.concat_tables(
         [pa.table({"s": b[src_col], "d": b[dst_col]})
          for b in edges.iter_batches(batch_format="pyarrow")]
+        or [pa.table({"s": pa.array([], pa.int64()),
+                      "d": pa.array([], pa.int64())})]
     )
     lt = pa.concat_tables(
         [pa.table({"n": b[node_col], "l": b[label_col]})
          for b in labels.iter_batches(batch_format="pyarrow")]
+        or [pa.table({"n": pa.array([], pa.int64()),
+                      "l": pa.array([], pa.int64())})]
     )
     node_ids = lt["n"].to_numpy(zero_copy_only=False).astype(np.int64)
     lab = lt["l"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -72,20 +78,35 @@ def _labelprop_local(edges, labels, iters, src_col, dst_col,
     lab_sorted = lab[order]
     s = et["s"].to_numpy(zero_copy_only=False).astype(np.int64)
     d = et["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(sorted_ids)
+    # drop edges whose endpoint is absent from the label table — the
+    # distributed path's inner join semantics; unguarded searchsorted
+    # would IndexError or silently alias to a neighboring node
     si = np.searchsorted(sorted_ids, s)
     di = np.searchsorted(sorted_ids, d)
-    n = len(sorted_ids)
+    okm = (si < n) & (di < n)
+    if len(si):
+        okm &= (sorted_ids[np.minimum(si, n - 1)] == s) & (
+            sorted_ids[np.minimum(di, n - 1)] == d)
+    si, di = si[okm], di[okm]
     cur = lab_sorted.copy()
-    labmax = int(cur.max()) + 2 if n else 2
     for _ in range(iters):
         src_lab = cur[si]
         ok = src_lab != UNLABELED
         if not ok.any():
             break
-        key = di[ok] * labmax + src_lab[ok]
-        uniq, cnt = np.unique(key, return_counts=True)
-        dsts = uniq // labmax
-        labs = uniq % labmax
+        # run-length pair counting, NOT di*labmax + lab packing: packed
+        # keys silently wrap int64 for hash-sized label values and
+        # mis-decode labels < -1, diverging from the distributed path's
+        # Arrow group_by
+        dd_, ll_ = di[ok], src_lab[ok]
+        o2 = np.lexsort((ll_, dd_))
+        dd_, ll_ = dd_[o2], ll_[o2]
+        newrun = np.r_[True, (dd_[1:] != dd_[:-1]) | (ll_[1:] != ll_[:-1])]
+        starts = np.flatnonzero(newrun)
+        cnt = np.diff(np.r_[starts, len(dd_)])
+        dsts = dd_[starts]
+        labs = ll_[starts]
         # argmax per dst, ties -> smallest label: sort by (dst, -c, lab)
         o = np.lexsort((labs, -cnt, dsts))
         dd, ll = dsts[o], labs[o]

@@ -22,10 +22,16 @@ MODE_COUNT = "mode_count"
 
 
 def _partial_counts(batch: pa.Table, key: str, col: str) -> pa.Table:
-    g = (
-        pa.table({key: batch[key], MODE_VALUE: batch[col]})
-        .group_by([key, MODE_VALUE], use_threads=False)
-        .aggregate([([], "count_all")])
+    import pyarrow.compute as pc
+
+    # mode of the NON-null values (the documented semantics, and what
+    # oracle.mode_per_key / SQL mode() compute): Arrow group_by would
+    # otherwise keep a null-value group that can outvote real values, and
+    # an all-null key would emit a row the oracle doesn't have
+    t = pa.table({key: batch[key], MODE_VALUE: batch[col]})
+    t = t.filter(pc.is_valid(t[MODE_VALUE]))
+    g = t.group_by([key, MODE_VALUE], use_threads=False).aggregate(
+        [([], "count_all")]
     )
     return g.rename_columns([key, MODE_VALUE, "n"])
 

@@ -42,22 +42,36 @@ def _pagerank_local(edges, nodes, iters, damp_num, damp_den, scale,
     rounds (same floor arithmetic), without paying 3 exchange stages per
     round in fixed Ray latency.  The pull is bounded by construction
     (caller checked count() ≤ LOCAL_EDGE_LIMIT)."""
+    # concat_tables([]) raises, and an edge-free graph (all isolated
+    # nodes) is explicitly supported — fall back to typed empty tables
     et = pa.concat_tables(
         [pa.table({"s": b[src_col], "d": b[dst_col]})
          for b in edges.iter_batches(batch_format="pyarrow")]
+        or [pa.table({"s": pa.array([], pa.int64()),
+                      "d": pa.array([], pa.int64())})]
     )
     nt = pa.concat_tables(
         [pa.table({"n": b[node_col]})
          for b in nodes.iter_batches(batch_format="pyarrow")]
+        or [pa.table({"n": pa.array([], pa.int64())})]
     )
     node_ids = nt["n"].to_numpy(zero_copy_only=False).astype(np.int64)
     s = et["s"].to_numpy(zero_copy_only=False).astype(np.int64)
     d = et["d"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(node_ids, kind="stable")
     sorted_ids = node_ids[order]
+    n = len(node_ids)
+    # drop edges with an endpoint absent from the node list — the
+    # distributed path's inner join does the same; an unguarded
+    # searchsorted would IndexError past the end or silently alias a
+    # between-ids endpoint to a different node's rank
     si = np.searchsorted(sorted_ids, s)
     di = np.searchsorted(sorted_ids, d)
-    n = len(node_ids)
+    ok = ((si < n) & (di < n))
+    if len(si):
+        ok &= (sorted_ids[np.minimum(si, n - 1)] == s) & (
+            sorted_ids[np.minimum(di, n - 1)] == d)
+    si, di = si[ok], di[ok]
     deg = np.bincount(si, minlength=n).astype(np.int64)
     base = (scale * (damp_den - damp_num)) // damp_den
     if seeds is None:

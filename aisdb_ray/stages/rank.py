@@ -29,22 +29,37 @@ import pyarrow as pa
 from aisdb_ray.functions.codes import factorize_sorted
 
 
-def _order_key(col: pa.ChunkedArray, descending: bool) -> np.ndarray:
-    """A numpy sort key preserving the column's total order.
+def _order_keys(col: pa.ChunkedArray, descending: bool) -> list[np.ndarray]:
+    """numpy sort keys preserving the column's total order, nulls LAST
+    regardless of direction (the DuckDB ORDER BY default the oracles
+    assume).  Returns [null_flag, value] most-significant first: without
+    the flag, an integer null round-trips through float NaN to INT64_MIN
+    and ranks BEST in both directions, and a factorized string null (-1)
+    sorts first ascending.
 
     Non-numeric columns are factorized (np.unique ordinals) — order-
     isomorphic within the table, which is all each selection stage
     compares across.
     """
+    import pyarrow.compute as pc
+
+    nulls = (pc.is_null(col).to_numpy(zero_copy_only=False)
+             if col.null_count else None)
     if pa.types.is_integer(col.type):
-        v = col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        raw = col.to_numpy(zero_copy_only=False)
+        v = (np.where(nulls, 0, raw) if nulls is not None else raw).astype(
+            np.int64, copy=False)
     elif pa.types.is_floating(col.type):
-        v = col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        raw = col.to_numpy(zero_copy_only=False).astype(np.float64,
+                                                        copy=False)
+        v = np.where(nulls, 0.0, raw) if nulls is not None else raw
     else:
         arr = col.to_numpy(zero_copy_only=False)
         _, inv = factorize_sorted(arr)
-        v = inv.astype(np.int64)
-    return -v if descending else v
+        v = (np.where(nulls, 0, inv) if nulls is not None
+             else inv).astype(np.int64)
+    v = -v if descending else v
+    return [v] if nulls is None else [nulls, v]
 
 
 def _topk_table(
@@ -55,7 +70,8 @@ def _topk_table(
     if len(tbl) == 0:
         return tbl
     _, ginv = factorize_sorted(tbl[group].to_numpy(zero_copy_only=False))
-    keys = [_order_key(tbl[c], d) for c, d in zip(order, descending)]
+    keys = [k for c, d in zip(order, descending)
+            for k in _order_keys(tbl[c], d)]
     # np.lexsort: last key is primary -> (group, order[0], order[1], ...)
     idx = np.lexsort(tuple(reversed(keys)) + (ginv,))
     gs = ginv[idx]

@@ -37,13 +37,21 @@ import pyarrow.compute as pc
 _SHIFT = 1 << 32  # node ids are int32-ranged: (u, v) packs into int64
 
 
-def _undirected_distinct(edges):
+def _undirected_distinct(edges, num_parts=None):
     """(src, dst) directed multi-edges → distinct (u, v) with u < v."""
     from aisdb_ray.stages._dist import co_shuffle
 
     def canon(b: pa.Table) -> pa.Table:
         s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # the packed (u, v) code assumes int32-ranged non-negative ids:
+        # an id >= 2^32 (e.g. a hashed 64-bit node id) or a negative id
+        # would silently collide / mis-decode into wrong triangle counts
+        if len(s) and (int(min(s.min(), d.min())) < 0
+                       or int(max(s.max(), d.max())) >= _SHIFT):
+            raise ValueError(
+                "triangle_counts: node ids must be in [0, 2^32) for the "
+                "packed-code dedup; remap hashed ids first")
         keep = s != d
         s, d = s[keep], d[keep]
         code = np.unique(np.minimum(s, d) * _SHIFT + np.maximum(s, d))
@@ -54,7 +62,7 @@ def _undirected_distinct(edges):
         return pa.table({"u": code // _SHIFT, "v": code % _SHIFT})
 
     return co_shuffle(edges.map_batches(canon, batch_format="pyarrow"),
-                      ["code"], per_part)
+                      ["code"], per_part, num_parts=num_parts)
 
 
 def _degrees(e0):
@@ -82,8 +90,12 @@ def triangle_counts(edges, num_parts: int | None = None):
     from aisdb_ray.stages import join as join_mod
     from aisdb_ray.stages._dist import co_shuffle, funnel_combine
 
-    e0 = _undirected_distinct(edges)
-    deg = _degrees(e0)
+    # pin the reused tables: Ray Data has no common-subexpression
+    # sharing, so without materialize() the dedup exchange would re-run
+    # for every downstream consumer (e0 feeds _degrees + the first join,
+    # deg feeds two joins, o feeds the wedge shuffle + the closing join)
+    e0 = _undirected_distinct(edges, num_parts=num_parts).materialize()
+    deg = _degrees(e0).materialize()
 
     # join degrees onto both endpoints, then orient by (degree, id)
     ed = join_mod.hash_join(
@@ -111,7 +123,7 @@ def triangle_counts(edges, num_parts: int | None = None):
             "dhi": np.where(u_first, dv, du),
         })
 
-    o = ed.map_batches(orient, batch_format="pyarrow")
+    o = ed.map_batches(orient, batch_format="pyarrow").materialize()
 
     def wedges(part: pa.Table) -> pa.Table:
         idx = pc.sort_indices(part, sort_keys=[("lo", "ascending"),

@@ -318,3 +318,20 @@ def test_weighted_hist_tier_quantiles():
             .sort_values(["source", "bucket"]).reset_index(drop=True))
     np.testing.assert_array_equal(got["p50"].to_numpy(np.int64),
                                   want["p50"].to_numpy(np.int64))
+
+
+def test_mode_per_key_ignores_null_values():
+    """Mode is over NON-null values (oracle.mode_per_key / SQL mode()):
+    a null strict-majority must not win, and an all-null key emits no
+    row."""
+    import pyarrow as pa
+
+    from aisdb_ray.stages import modeagg
+
+    t = pa.table({
+        "source": pa.array(["a", "a", "a", "b", "b"]),
+        "v": pa.array([None, None, 7, None, None], pa.int64()),
+    })
+    got = modeagg.mode_per_key(rd.from_arrow(t), "source", "v").to_pandas()
+    assert list(got.source) == ["a"]
+    assert int(got.mode_value.iloc[0]) == 7 and int(got.mode_count.iloc[0]) == 1

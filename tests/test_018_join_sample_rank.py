@@ -518,3 +518,25 @@ def test_stratified_sample_rejects_reserved_column_and_bool_keys():
         S.stratified_sample(rd.from_arrow(t), "g", "k", 1)
     with pytest.raises(TypeError):
         S.md5_u32(pa.array([True, False]))
+
+
+def test_topk_null_order_values_rank_last_both_directions():
+    """Null order values must sort LAST in both directions (the DuckDB
+    ORDER BY default) — an int64 null used to round-trip through NaN to
+    INT64_MIN and rank BEST."""
+    import pyarrow as pa
+
+    from aisdb_ray.stages import rank
+
+    t = pa.table({
+        "g": pa.array(["a"] * 3),
+        "score": pa.array([5, None, 9], pa.int64()),
+        "id": pa.array([1, 2, 3], pa.int64()),
+    })
+    lo = rank._topk_table(t, "g", ["score", "id"], 1, [False, False])
+    hi = rank._topk_table(t, "g", ["score", "id"], 1, [True, False])
+    assert lo["score"].to_pylist() == [5]
+    assert hi["score"].to_pylist() == [9]
+    # k=3 still returns the null row, ranked last
+    all3 = rank._topk_table(t, "g", ["score", "id"], 3, [False, False])
+    assert all3["score"].to_pylist() == [5, 9, None]

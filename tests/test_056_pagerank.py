@@ -114,3 +114,35 @@ def test_personalized_distributed_matches_local():
         dict(zip(local["node"], local["pr"]))
         == dict(zip(dist["node"], dist["pr"]))
     )
+
+
+def test_pagerank_edge_free_graph_scores_base():
+    """An all-isolated-nodes graph (zero edges) must score the bare base
+    everywhere, not crash concat_tables."""
+    import pyarrow as pa
+
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
+    }))
+    nodes = rd.from_arrow(pa.table({"node": pa.array([1, 2, 3], pa.int64())}))
+    got = pr_mod.pagerank(edges, nodes, iters=2).to_pandas()
+    base = (1_000_000 * 15) // 100
+    assert sorted(got.node) == [1, 2, 3]
+    assert set(got.pr) == {base}
+
+
+def test_pagerank_local_drops_unknown_endpoints_like_distributed():
+    """An edge endpoint absent from the node list drops (the distributed
+    inner-join semantics) instead of IndexError / silent aliasing."""
+    import pyarrow as pa
+
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([1, 99], pa.int64()),
+        "dst": pa.array([2, 1], pa.int64()),
+    }))
+    nodes = rd.from_arrow(pa.table({"node": pa.array([1, 2], pa.int64())}))
+    loc = pr_mod.pagerank(edges, nodes, iters=2).to_pandas()
+    dist = pr_mod.pagerank(edges, nodes, iters=2,
+                            local_edge_limit=0).to_pandas()
+    merged = loc.merge(dist, on="node", suffixes=("_l", "_d"))
+    assert (merged.pr_l == merged.pr_d).all()

@@ -88,3 +88,25 @@ def test_tie_breaks_to_smallest_label():
     }))
     got = labelprop.label_propagation(e, l, iters=1).to_pandas()
     assert dict(zip(got["node"], got["label"]))[0] == 1
+
+
+def test_labelprop_hash_sized_labels_local_equals_distributed():
+    """Hash-sized label values: the old packed di*labmax+lab key wrapped
+    int64 on the local path and diverged from the distributed rounds."""
+    import pyarrow as pa
+
+    big = 1 << 45
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([1, 2], pa.int64()),
+        "dst": pa.array([3, 3], pa.int64()),
+    }))
+    labels = rd.from_arrow(pa.table({
+        "node": pa.array([1, 2, 3], pa.int64()),
+        "label": pa.array([big + 1, big + 1, labelprop.UNLABELED], pa.int64()),
+    }))
+    loc = labelprop.label_propagation(edges, labels, iters=1).to_pandas()
+    dist = labelprop.label_propagation(edges, labels, iters=1,
+                                       local_edge_limit=0).to_pandas()
+    m = loc.merge(dist, on="node", suffixes=("_l", "_d"))
+    assert (m.label_l == m.label_d).all()
+    assert int(loc.set_index("node").loc[3, "label"]) == big + 1

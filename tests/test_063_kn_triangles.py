@@ -106,3 +106,17 @@ def test_triangles_none():
     ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
     got = triangles.triangle_counts(ds).to_pandas()
     assert len(got) == 0
+
+
+def test_triangles_reject_out_of_range_ids():
+    """Node ids outside [0, 2^32) would silently corrupt the packed-code
+    dedup — must raise, not miscount."""
+    import pyarrow as pa
+    import pytest
+
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([1 << 33, 1], pa.int64()),
+        "dst": pa.array([1, 2], pa.int64()),
+    }))
+    with pytest.raises(Exception, match="2\\^32|remap"):
+        triangles.triangle_counts(edges).take_all()
