@@ -26,8 +26,12 @@ import shutil
 import pyarrow.parquet as pq
 
 
-def plan_bins(src_dir: str, target_rows: int) -> list[list[str]]:
-    """Greedy contiguous binning of name-sorted files by footer counts."""
+def plan_bins(src_dir: str, target_rows: int,
+              counts_out: dict | None = None) -> list[list[str]]:
+    """Greedy contiguous binning of name-sorted files by footer counts.
+
+    ``counts_out`` (optional dict) receives {file_name: rows} so callers
+    can revalidate totals without re-reading every footer."""
     files = sorted(
         f for f in os.listdir(src_dir) if f.endswith(".parquet")
     )
@@ -36,6 +40,8 @@ def plan_bins(src_dir: str, target_rows: int) -> list[list[str]]:
     cur_rows = 0
     for f in files:
         n = pq.read_metadata(os.path.join(src_dir, f)).num_rows
+        if counts_out is not None:
+            counts_out[f] = n
         if cur and cur_rows + n > target_rows:
             bins.append(cur)
             cur, cur_rows = [], 0
@@ -52,17 +58,22 @@ def compact_dir(src_dir: str, target_rows: int = 1 << 20,
     rows}.  No-op (and no write amplification) if nothing would shrink."""
     import ray
 
-    bins = plan_bins(src_dir, target_rows)
+    stage = src_dir.rstrip("/") + ".compact-stage"
+    old = src_dir.rstrip("/") + ".compact-old"
+    # recovery: a crash between the two swap renames leaves NO dir at
+    # src_dir (data parked at .compact-old) — roll the old layout back so
+    # readers and this rerun see a complete directory again
+    if not os.path.isdir(src_dir) and os.path.isdir(old):
+        os.replace(old, src_dir)
+
+    counts: dict = {}
+    bins = plan_bins(src_dir, target_rows, counts_out=counts)
     n_before = sum(len(b) for b in bins)
     if all(len(b) == 1 for b in bins):
-        rows = sum(
-            pq.read_metadata(os.path.join(src_dir, f)).num_rows
-            for b in bins for f in b
-        )
+        rows = sum(counts[f] for b in bins for f in b)
         return {"files_before": n_before, "files_after": n_before,
                 "rows": rows}
 
-    stage = src_dir.rstrip("/") + ".compact-stage"
     shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(stage)
 
@@ -80,16 +91,21 @@ def compact_dir(src_dir: str, target_rows: int = 1 << 20,
         return tbl.num_rows
 
     rows = sum(ray.get([write_bin.remote(i, b) for i, b in enumerate(bins)]))
-    expect = sum(
-        pq.read_metadata(os.path.join(src_dir, f)).num_rows
-        for b in bins for f in b
-    )
+    expect = sum(counts[f] for b in bins for f in b)  # from the plan pass
     if rows != expect:
         shutil.rmtree(stage, ignore_errors=True)
         raise RuntimeError(
             f"compact_dir: staged rows {rows} != source rows {expect}")
 
-    old = src_dir.rstrip("/") + ".compact-old"
+    # carry everything the plan didn't cover into the new layout: parquet
+    # chunks appended by a concurrent refresh since planning, and
+    # non-parquet sidecars (_SUCCESS, manifests) — the old swap silently
+    # destroyed both with the row validation still green
+    planned = {f for b in bins for f in b}
+    for f in sorted(os.listdir(src_dir)):
+        if f not in planned:
+            os.link(os.path.join(src_dir, f), os.path.join(stage, f))
+
     shutil.rmtree(old, ignore_errors=True)
     os.replace(src_dir, old)
     os.replace(stage, src_dir)

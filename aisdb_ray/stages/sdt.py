@@ -33,6 +33,10 @@ from aisdb_ray.schema import N_TOK, SEG, SOURCE, TIME
 
 def sdt_keep_mask(t: np.ndarray, v: np.ndarray, E: int) -> np.ndarray:
     """Kept-point mask for ONE segment (t strictly increasing)."""
+    if E < 0:
+        # the door test crosses immediately for E < 0 (argmax j = 0), so
+        # the anchor never advances and the loop spins forever
+        raise ValueError("sdt_keep_mask: tolerance E must be >= 0")
     n = len(t)
     keep = np.zeros(n, dtype=bool)
     if n == 0:

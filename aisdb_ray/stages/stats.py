@@ -30,6 +30,11 @@ def _stats_partial(b: pa.Table, columns: list[str]) -> pa.Table:
         n.append(b.num_rows)
         nn.append(col.null_count)
         is_int = pa.types.is_integer(col.type)
+        if pa.types.is_uint64(col.type):
+            # a uint64 value above int64 max would OverflowError deep in
+            # the evidence build (min_i/max_i are int64); fail clearly
+            raise TypeError(f"column_stats: uint64 column {c!r} can "
+                            "exceed the int64 stats schema; cast first")
         if not is_int and not (pa.types.is_string(col.type)
                                or pa.types.is_large_string(col.type)):
             raise TypeError(f"column_stats: unsupported type {col.type} "

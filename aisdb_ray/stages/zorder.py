@@ -42,7 +42,17 @@ def morton_key(a: np.ndarray, b: np.ndarray,
     against fixed global bounds (inclusive)."""
     def quant(x, lo, hi):
         span = max(hi - lo, 1)
-        q = (x.astype(np.int64) - lo) * 65535 // span
+        xi = x.astype(np.int64) - lo
+        if span < (1 << 46):
+            q = xi * 65535 // span  # exact: 65535 * span < 2^63
+        else:
+            # nanosecond-scale spans overflow the int64 product (it
+            # silently wrapped negative and clipped the whole layout to
+            # bucket 0); float64 quantization loses only sub-bucket
+            # precision, which is irrelevant to layout locality, and
+            # IEEE ops keep it deterministic
+            q = np.floor(xi.astype(np.float64) * (65535.0 / span)).astype(
+                np.int64)
         return np.clip(q, 0, 65535)
 
     qa = quant(a, a_min, a_max)
@@ -61,18 +71,28 @@ def write_zordered(ds, col_a: str, col_b: str, out_dir: str,
 
     import ray
 
-    stats = ds.map_batches(
-        lambda b: pa.table({
+    def batch_stats(b: pa.Table) -> pa.Table:
+        if b.num_rows and (b[col_a].null_count or b[col_b].null_count):
+            # a null layout value would NaN-cast into an INT64_MIN Morton
+            # key (silently breaking placement) and None-poison the
+            # global bounds reduction — layout columns must be non-null
+            raise ValueError(
+                f"write_zordered: null values in {col_a!r}/{col_b!r}")
+        if b.num_rows == 0:
+            return pa.table({
+                "a_min": pa.array([], pa.int64()),
+                "a_max": pa.array([], pa.int64()),
+                "b_min": pa.array([], pa.int64()),
+                "b_max": pa.array([], pa.int64()),
+            })
+        return pa.table({
             "a_min": pa.array([pc.min(b[col_a]).as_py()], pa.int64()),
             "a_max": pa.array([pc.max(b[col_a]).as_py()], pa.int64()),
             "b_min": pa.array([pc.min(b[col_b]).as_py()], pa.int64()),
             "b_max": pa.array([pc.max(b[col_b]).as_py()], pa.int64()),
-        }) if b.num_rows else pa.table({
-            "a_min": pa.array([], pa.int64()), "a_max": pa.array([], pa.int64()),
-            "b_min": pa.array([], pa.int64()), "b_max": pa.array([], pa.int64()),
-        }),
-        batch_format="pyarrow",
-    ).take_all()
+        })
+
+    stats = ds.map_batches(batch_stats, batch_format="pyarrow").take_all()
     if not stats:
         raise ValueError("write_zordered: empty input")
     bounds = (
@@ -112,7 +132,11 @@ def scan_stats(path_dir: str, col_a: str, col_b: str,
             total += 1
             sa = md.row_group(g).column(idx_a).statistics
             sb = md.row_group(g).column(idx_b).statistics
-            if sa is None or sb is None:
+            if (sa is None or sb is None
+                    or not sa.has_min_max or not sb.has_min_max):
+                # an all-null column chunk writes statistics WITHOUT
+                # min/max (has_min_max=False, min=max=None) — comparing
+                # None would TypeError; treat as unprunable
                 touched += 1
                 continue
             if sa.min > a_hi or sa.max < a_lo or sb.min > b_hi or sb.max < b_lo:

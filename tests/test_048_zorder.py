@@ -115,3 +115,39 @@ def test_quantile_norm_percent_rank_rule():
         # equal values -> equal pr
         eq = d.groupby("n_tok")["pr"].nunique()
         assert (eq == 1).all()
+
+
+def test_quant_huge_span_no_overflow():
+    """Nanosecond-scale spans overflowed (x-lo)*65535 in int64 and
+    clipped the whole layout to bucket 0."""
+    span = 3 * 10**16
+    a = np.array([0, span // 2, span], np.int64)
+    b = np.zeros(3, np.int64)
+    k = morton_key(a, b, 0, span, 0, 1)
+    # max of range must quantize to the top bucket, not 0
+    assert k[2] > k[1] > k[0]
+
+
+def test_write_zordered_rejects_null_layout_values(tmp_path):
+    import pytest
+
+    t = pa.table({
+        "a": pa.array([1, None, 3], pa.int64()),
+        "b": pa.array([1, 2, 3], pa.int64()),
+    })
+    with pytest.raises(Exception, match="null"):
+        write_zordered(rd.from_arrow(t), "a", "b", str(tmp_path / "z"))
+
+
+def test_scan_stats_tolerates_min_max_less_statistics(tmp_path):
+    """An all-null column chunk writes stats with has_min_max=False —
+    scan_stats must count it touched, not TypeError on None."""
+    from aisdb_ray.stages.zorder import scan_stats
+
+    t = pa.table({
+        "a": pa.array([None, None], pa.int64()),
+        "b": pa.array([1, 2], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "f.parquet"))
+    r = scan_stats(str(tmp_path), "a", "b", 0, 10, 0, 10)
+    assert r == {"touched": 1, "total": 1}

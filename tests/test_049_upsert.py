@@ -158,3 +158,51 @@ def test_ann_topk_per_label_contains_global_winner():
     top = int(glob["vec_id"].iloc[0])
     row = per[per.vec_id == top]
     assert len(row) == 1 and int(row["rank"].iloc[0]) == 1
+
+
+def test_upsert_null_and_large_int_keys():
+    """Null keys must form their own group (not crash the lexsort or
+    NaN-compare unequal), and int keys >= 2^53 must not collide through
+    a float64 degradation."""
+    big = (1 << 53)
+    base = pa.table({
+        "k": pa.array([big, big + 1, None], pa.int64()),
+        "v": pa.array([1, 2, 3], pa.int64()),
+    })
+    upd = pa.table({
+        "k": pa.array([None, big], pa.int64()),
+        "v": pa.array([30, 10], pa.int64()),
+    })
+    rows = upsert(rd.from_arrow(base), rd.from_arrow(upd), ["k"]).take_all()
+    got = {(-1 if r["k"] is None else int(r["k"])): int(r["v"])
+           for r in rows}
+    assert got == {big: 10, big + 1: 2, -1: 30}
+
+
+def test_upsert_string_null_keys():
+    base = pa.table({"k": pa.array(["a", None]), "v": pa.array([1, 2])})
+    upd = pa.table({"k": pa.array([None, "b"]), "v": pa.array([20, 9])})
+    out = upsert(rd.from_arrow(base), rd.from_arrow(upd), ["k"]).to_pandas()
+    got = {("<null>" if k is None else k): int(v)
+           for k, v in zip(out.k, out.v)}
+    assert got == {"a": 1, "<null>": 20, "b": 9}
+
+
+def test_upsert_version_col_picks_max_version_deterministically():
+    """Duplicate keys within the updates stream: version_col makes the
+    winner the max version, independent of block order."""
+    base = pa.table({
+        "k": pa.array([1], pa.int64()),
+        "v": pa.array([0], pa.int64()),
+        "ver": pa.array([0], pa.int64()),
+    })
+    upd = pa.table({
+        "k": pa.array([1, 1, 1], pa.int64()),
+        "v": pa.array([10, 30, 20], pa.int64()),
+        "ver": pa.array([1, 3, 2], pa.int64()),
+    })
+    for parts in (1, 3):
+        out = upsert(rd.from_arrow(base),
+                     rd.from_arrow(upd).repartition(parts),
+                     ["k"], version_col="ver").to_pandas()
+        assert len(out) == 1 and int(out.v.iloc[0]) == 30

@@ -60,3 +60,33 @@ def test_compact_idempotent(tmp_path):
     compact_dir(d, target_rows=1000)
     res2 = compact_dir(d, target_rows=1000)
     assert res2["files_before"] == res2["files_after"] == 4
+
+
+def test_compact_recovers_from_mid_swap_crash(tmp_path):
+    """Crash between the two swap renames leaves no dir at src — the next
+    compact_dir call must roll the old layout back and proceed."""
+    import shutil
+
+    d = str(tmp_path / "lake")
+    _write_small_files(d, n_files=3, rows_each=30)
+    # simulate the crash window: src parked at .compact-old, src gone
+    shutil.move(d, d + ".compact-old")
+    res = compact_dir(d, target_rows=1000)
+    assert res["rows"] == 90 and res["files_after"] == 1
+    import os
+
+    assert os.path.isdir(d) and not os.path.isdir(d + ".compact-old")
+
+
+def test_compact_carries_sidecars_and_unplanned_files(tmp_path):
+    """Non-parquet sidecars (and parquet appended after planning) must
+    survive the swap — they used to be silently destroyed."""
+    import os
+
+    d = str(tmp_path / "lake")
+    _write_small_files(d, n_files=2, rows_each=30)
+    with open(os.path.join(d, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    res = compact_dir(d, target_rows=1000)
+    assert res["files_after"] == 1
+    assert os.path.exists(os.path.join(d, "_SUCCESS"))

@@ -82,3 +82,14 @@ def test_swing_door_dataset_dedups_times():
     # first row at t=0 wins (n_tok=100); straight line -> only endpoints
     assert out["time"].tolist() == [0, 40]
     assert out["n_tok"].tolist() == [100, 100]
+
+
+def test_sdt_negative_tolerance_raises_not_hangs():
+    import numpy as np
+    import pytest
+
+    from aisdb_ray.stages.sdt import sdt_keep_mask
+
+    with pytest.raises(ValueError, match="E must be"):
+        sdt_keep_mask(np.arange(5, dtype=np.int64),
+                      np.arange(5, dtype=np.int64), -1)
