@@ -30,6 +30,10 @@ def grouped_sums(
     the first key is sufficient since it is a prefix of the group key).
     """
 
+    # select aggregate outputs BY NAME, not positional rename: pyarrow's
+    # keys-first column ordering is undocumented (older versions emitted
+    # keys last), and a positional rename under the other ordering would
+    # silently label sum columns as keys
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table(
             {**{k: batch[k] for k in keys}, **{c: batch[c] for c in sum_cols}}
@@ -37,13 +41,21 @@ def grouped_sums(
         g = t.group_by(keys, use_threads=False).aggregate(
             [(c, "sum") for c in sum_cols] + [([], "count_all")]
         )
-        return g.rename_columns(keys + sum_cols + [count_as])
+        return pa.table({
+            **{k: g[k] for k in keys},
+            **{c: g[f"{c}_sum"] for c in sum_cols},
+            count_as: g["count_all"],
+        })
 
     def combine(batch: pa.Table) -> pa.Table:
         g = batch.group_by(keys, use_threads=False).aggregate(
             [(c, "sum") for c in sum_cols + [count_as]]
         )
-        return g.rename_columns(keys + sum_cols + [count_as])
+        return pa.table({
+            **{k: g[k] for k in keys},
+            **{c: g[f"{c}_sum"] for c in sum_cols},
+            count_as: g[f"{count_as}_sum"],
+        })
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     local = partials.map_batches(combine, batch_format="pyarrow", batch_size=None)

@@ -14,8 +14,16 @@ import numpy as np
 
 
 def factorize_sorted(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """-> (sorted_uniques, inverse_codes): np.unique(..., return_inverse=True)
-    semantics via pandas' hash-based factorize."""
+    """-> (sorted_uniques, inverse_codes) via pandas' hash-based factorize.
+
+    np.unique(..., return_inverse=True) semantics for null-FREE input.
+    NULL CAVEAT: nulls code as -1 and are ABSENT from uniques — so
+    ``uniq[codes]`` fancy-indexing silently aliases null rows to the
+    LAST unique (Python's -1 indexing).  Callers that may see nulls must
+    either pre-filter them or append a sentinel (see the salted.py
+    sentinel pattern) before round-tripping codes through uniques;
+    equality/grouping uses of the codes alone are safe (-1 is its own
+    group)."""
     import pandas as pd
 
     codes, uniq = pd.factorize(arr, sort=True)

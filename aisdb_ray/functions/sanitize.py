@@ -27,10 +27,15 @@ def wrap_value(x, rng: float = 180.0) -> np.ndarray:
     x = np.asarray(x, dtype=np.float64).copy()
     if x.size == 0:  # streaming batches are routinely empty after filters
         return x
-    on_edge = np.abs(x) == rng
-    x[~on_edge] = ((x[~on_edge] + rng) % (2 * rng)) - rng
+    # nulls arrive as NaN through to_numpy — pass them through untouched
+    # (they fail every comparison, so the old invariant assert crashed the
+    # whole batch on one null row; under -O it silently emitted NaN)
+    finite = np.isfinite(x)
+    on_edge = finite & (np.abs(x) == rng)
+    inner = finite & ~on_edge
+    x[inner] = ((x[inner] + rng) % (2 * rng)) - rng
     x[on_edge] *= -1
-    assert np.all((x >= -rng) & (x <= rng))
+    assert np.all((x[finite] >= -rng) & (x[finite] <= rng))
     return x
 
 
@@ -38,7 +43,10 @@ def wrap_column(batch: pa.Table, col: str, rng: float = 180.0) -> pa.Table:
     """map_batches body: normalize one channel in place."""
     vals = wrap_value(batch[col].to_numpy(zero_copy_only=False), rng)
     return batch.set_column(
-        batch.schema.get_field_index(col), col, pa.array(vals)
+        batch.schema.get_field_index(col), col,
+        # from_pandas: NaN lanes (original nulls, and NaN inputs) come
+        # back as nulls rather than leaking NaN into the channel
+        pa.array(vals, from_pandas=True),
     )
 
 
@@ -52,6 +60,10 @@ def sanitize_array(arr: pa.ChunkedArray | pa.Array) -> pa.Array | pa.ChunkedArra
 def sanitize_strings(batch: pa.Table, columns=None) -> pa.Table:
     """map_batches body: sanitize every (or the named) string column."""
     for i, f in enumerate(batch.schema):
-        if (columns is None or f.name in columns) and pa.types.is_string(f.type):
+        # large_string too: the data-prep path produces it for wide
+        # columns, and is_string alone silently bypassed the sanitizer
+        if (columns is None or f.name in columns) and (
+                pa.types.is_string(f.type)
+                or pa.types.is_large_string(f.type)):
             batch = batch.set_column(i, f.name, sanitize_array(batch[f.name]))
     return batch

@@ -20,7 +20,11 @@ import re
 
 import numpy as np
 
-_WORD_RE = re.compile(r"\S+")
+# re.ASCII: the vectorized batch kernels and the DuckDB oracles both
+# compile \s/\S with RE2, whose classes are ASCII-only — Python's default
+# Unicode \S would split NBSP/thin-space text differently and break the
+# per-row-vs-batch parity these helpers exist to pin
+_WORD_RE = re.compile(r"\S+", re.ASCII)
 _PUNCT_RE = re.compile(r"[.,;:!?]")
 _ALPHA_RE = re.compile(r"[A-Za-z]")
 
@@ -79,7 +83,16 @@ def shingle_hashes(ws: list[str], k: int = 3) -> np.ndarray:
 
 
 class MinHasher:
-    """n independent universal-hash permutations over shingle hashes."""
+    """n independent hash permutations over shingle hashes.
+
+    The map is ((a*x + b) mod 2^64) mod M61 — the uint64 product wraps
+    BEFORE the Mersenne fold, so this is NOT the textbook Carter–Wegman
+    mod-M61 family (its collision bound does not strictly apply for x
+    near 2^64).  That wrap is deliberate: the DuckDB oracle states the
+    identical ((pa*s + pb) % 2^64) % M61 expression
+    (pipelines/oracle_text.py), so signatures are bit-reproducible in
+    SQL; empirically the mixing is uniform enough for banding recall,
+    and the LSH candidates are always verified by EXACT Jaccard."""
 
     def __init__(self, n_hashes: int = 64, seed: int = 7):
         rng = np.random.default_rng(seed)

@@ -37,7 +37,17 @@ def derive_epoch(batch: pa.Table) -> pa.Table:
     ep = pc.if_else(pc.match_substring_regex(ep, _DIGITS), ep, null_s)
     sq = pc.if_else(pc.match_substring_regex(sq, _DIGITS), sq, null_s)
     out = batch.append_column(TIME, pc.cast(ep, pa.int64()))
-    return out.append_column(SEQ, pc.cast(sq, pa.int32()))
+    # parse seq via int64 + range gate: _DIGITS admits up to 18 digits, so
+    # a direct int32 cast would raise ArrowInvalid on an out-of-range seq
+    # and kill the whole batch — the one malformed row must null instead
+    # (the skip-don't-crash contract above)
+    sq64 = pc.cast(sq, pa.int64())
+    sq64 = pc.if_else(
+        pc.and_(pc.greater_equal(sq64, -(1 << 31)),
+                pc.less_equal(sq64, (1 << 31) - 1)),
+        sq64, pa.scalar(None, pa.int64()),
+    )
+    return out.append_column(SEQ, pc.cast(sq64, pa.int32()))
 
 
 def valid_mask(batch: pa.Table) -> pa.ChunkedArray:

@@ -47,3 +47,21 @@ def test_tokens_are_int32_lists(micro_table):
     flat = micro_table["tokens"].combine_chunks().flatten().to_numpy()
     assert flat.dtype == np.int32
     assert flat.min() >= 0
+
+
+def test_prepare_out_of_int32_seq_nulls_not_crashes():
+    """A seq past int32 passes the digit regex but must null (skip-bad),
+    not ArrowInvalid the whole batch."""
+    import pyarrow as pa
+
+    from aisdb_ray.stages import prepare
+
+    t = pa.table({
+        "doc_id": pa.array(["s:100:1", "s:200:9999999999"]),
+        "tokens": pa.array([[1], [2]], pa.list_(pa.int32())),
+        "n_tok": pa.array([1, 1], pa.int32()),
+        "source": pa.array(["s", "s"]),
+    })
+    out = prepare.prepare(t)
+    assert out.num_rows == 1  # the oversized-seq row dropped, not a crash
+    assert out["seq"].to_pylist() == [1]

@@ -104,3 +104,25 @@ def test_route_files_all_stats_less_refuses_fabricated_chunk(tmp_path):
     extra: list = []
     routes = catalog.route_files(str(tmp_path), "time", 1000, stats_less=extra)
     assert routes == {} and extra == [str(p)]
+
+
+def test_wrap_column_passes_nulls_through():
+    """One null in a coordinate batch must not crash the wrap (the old
+    invariant assert saw NaN) — nulls come back as nulls."""
+    import pyarrow as pa
+
+    from aisdb_ray.functions.sanitize import wrap_column
+
+    t = pa.table({"lon": pa.array([10.0, None, 190.0], pa.float64())})
+    out = wrap_column(t, "lon")
+    assert out["lon"].to_pylist() == [10.0, None, -170.0]
+
+
+def test_sanitize_strings_covers_large_string():
+    import pyarrow as pa
+
+    from aisdb_ray.functions.sanitize import sanitize_strings
+
+    t = pa.table({"s": pa.array(["a#b,c", "-", None], pa.large_string())})
+    out = sanitize_strings(t)
+    assert out["s"].to_pylist() == ["abc", "", ""]
