@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import math
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
@@ -66,13 +66,22 @@ SCALES: dict[str, FixtureParams] = {
 def _source_row_counts(p: FixtureParams, rng: np.random.Generator) -> np.ndarray:
     """Zipf-skewed rows-per-source with one hot source and forced singletons."""
     s = p.n_sources
+    if s == 1:  # the zipf tail weights are 0/0 for a single source
+        return np.array([p.n_rows], dtype=np.int64)
     w = 1.0 / np.arange(1, s + 1, dtype=np.float64) ** 1.1
     w[0] = 0.0
     w = w / w.sum() * (1.0 - p.hot_frac)
     w[0] = p.hot_frac
     counts = np.floor(w * p.n_rows).astype(np.int64)
-    counts[0] += p.n_rows - counts.sum()
+    # bump empty tail sources to 1 BEFORE settling the remainder on the
+    # hot source, so the total stays exactly n_rows (the old
+    # maximum-after-remainder order silently inflated it)
     counts = np.maximum(counts, 1)
+    counts[0] += p.n_rows - counts.sum()
+    if counts[0] < 1:
+        raise ValueError(
+            f"FixtureParams: n_rows={p.n_rows} too small for "
+            f"n_sources={p.n_sources} (hot source would get {counts[0]})")
     if p.n_single:
         # the last n_single sources become length-1 series
         idx = np.arange(s - p.n_single, s)
@@ -154,9 +163,12 @@ def build_token_table(params: FixtureParams | str) -> pa.Table:
             pa.array(offsets, type=pa.int32()), pa.array(flat)
         )
     else:
+        # stay large_list: casting to list<int32> requires the final
+        # offset (== total) to fit int32, which is false whenever this
+        # branch runs — the downstream stages accept either list layout
         tokens = pa.LargeListArray.from_arrays(
             pa.array(offsets, type=pa.int64()), pa.array(flat)
-        ).cast(pa.list_(pa.int32()))
+        )
 
     # duplicates + global out-of-order shuffle.  The permutation applies to
     # the NUMPY columns (fancy indexing, no 32-bit Arrow offsets involved)
@@ -222,7 +234,9 @@ def write_token_dataset(
         if isinstance(table_or_scale, (str, FixtureParams))
         else table_or_scale
     )
-    tmp = out_dir + ".tmp"
+    # per-process staging dir: two concurrent builders sharing one tmp
+    # path could interleave files and publish the mix under _SUCCESS
+    tmp = f"{out_dir}.tmp-{os.getpid()}"
     if os.path.exists(tmp):
         import shutil
 

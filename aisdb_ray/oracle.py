@@ -36,6 +36,12 @@ import pandas as pd
 def derive_time(df: pd.DataFrame) -> pd.DataFrame:
     """Parse epoch + seq out of doc_id ('src:EEEEEEEEEE:SSSS'). Unparsable -> NaN."""
     parts = df["doc_id"].str.rsplit(":", n=2, expand=True)
+    # expand=True emits only as many columns as the MAX split count: an
+    # empty frame or an all-colonless corpus yields fewer than 3 columns
+    # and parts[1] would KeyError instead of honoring "unparsable -> NaN"
+    for c in (1, 2):
+        if c not in parts.columns:
+            parts[c] = np.nan
     out = df.copy()
     out["time"] = pd.to_numeric(parts[1], errors="coerce")
     out["seq"] = pd.to_numeric(parts[2], errors="coerce")
@@ -44,7 +50,10 @@ def derive_time(df: pd.DataFrame) -> pd.DataFrame:
 
 def valid_mask(df: pd.DataFrame) -> pd.Series:
     ntok_ok = df["n_tok"] > 0
-    len_ok = df["tokens"].map(len) == df["n_tok"]
+    # null tokens cells are invalid rows, not a len(None) TypeError (the
+    # engine's ingest hardening treats them the same way)
+    len_ok = df["tokens"].map(
+        lambda tk: len(tk) if tk is not None else -1) == df["n_tok"]
     time_ok = df["time"].notna() & df["seq"].notna()
     return ntok_ok & len_ok & time_ok
 
@@ -66,6 +75,9 @@ def clean(df: pd.DataFrame) -> pd.DataFrame:
 def add_segments(cleaned: pd.DataFrame, max_gap: int) -> pd.DataFrame:
     """Append int64 'seg': increments where within-source dt >= max_gap."""
     d = cleaned.copy()
+    if len(d) == 0:  # np.r_[True, ...] is length-1 on empty input
+        d["seg"] = np.array([], dtype=np.int64)
+        return d
     t = d["time"].to_numpy()
     src = d["source"].to_numpy()
     new_src = np.r_[True, src[1:] != src[:-1]]
@@ -174,9 +186,13 @@ def mode_per_key(df: pd.DataFrame, key: str, col: str) -> pd.DataFrame:
     (dbconn.py:175), whose tie-break is insertion order — we pin ties to the
     minimum value so distributed and SQL implementations can agree.
     """
-    cnt = df.groupby([key, col], sort=True).size().reset_index(name="n")
+    # dropna=False on the KEY only: the engine's modeagg keeps a null-key
+    # group (Arrow group_by) while filtering null VALUES — mirror both
+    cnt = (df[df[col].notna()]
+           .groupby([key, col], sort=True, dropna=False)
+           .size().reset_index(name="n"))
     cnt = cnt.sort_values([key, "n", col], ascending=[True, False, True], kind="stable")
-    out = cnt.groupby(key, sort=True).head(1)[[key, col, "n"]]
+    out = cnt.groupby(key, sort=True, dropna=False).head(1)[[key, col, "n"]]
     return out.rename(columns={col: "mode_value", "n": "mode_count"}).reset_index(
         drop=True
     )

@@ -73,11 +73,5 @@ ROLLUP_SCHEMA = pa.schema(
 )
 
 
-def bucket_of(time_col, width_s: int):
-    """Floor an int64 epoch-seconds array to its bucket start (vectorized)."""
-    import pyarrow.compute as pc
-
-    # integer divide truncates; epochs are positive, so this is a floor
-    w = pa.scalar(width_s, pa.int64())
-    t = pc.cast(time_col, pa.int64())
-    return pc.multiply(pc.divide(t, w), w)
+# (bucket flooring lives in stages/rollup._bucket — the one definition;
+# a duplicate here had zero callers and invited truncate-vs-floor drift)

@@ -65,3 +65,42 @@ def test_prepare_out_of_int32_seq_nulls_not_crashes():
     out = prepare.prepare(t)
     assert out.num_rows == 1  # the oversized-seq row dropped, not a crash
     assert out["seq"].to_pylist() == [1]
+
+
+def test_oracle_edge_inputs_do_not_crash():
+    """Oracle helpers must honor their documented skip-bad contracts on
+    degenerate frames: empty, colonless ids, null tokens, null mode keys."""
+    import pandas as pd
+
+    from aisdb_ray import oracle
+
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype=str),
+                          "tokens": pd.Series([], dtype=object),
+                          "n_tok": pd.Series([], dtype=np.int64),
+                          "source": pd.Series([], dtype=str)})
+    assert len(oracle.clean(empty)) == 0
+    assert len(oracle.add_segments(oracle.clean(empty), 3600)) == 0
+
+    bad = pd.DataFrame({"doc_id": ["abc", "s:100:1"],
+                        "tokens": [None, [1]],
+                        "n_tok": [1, 1],
+                        "source": ["s", "s"]})
+    got = oracle.clean(bad)
+    assert list(got.doc_id) == ["s:100:1"]  # colonless + null tokens drop
+
+    m = oracle.mode_per_key(
+        pd.DataFrame({"k": ["a", None, None], "v": [1, 2, 2]}), "k", "v")
+    # null-key group kept (engine parity); null VALUES would be filtered
+    assert len(m) == 2
+    assert int(m[m.k.isna()].mode_value.iloc[0]) == 2
+
+
+def test_fixture_row_counts_exact_and_single_source():
+    from aisdb_ray.fixtures import FixtureParams, _source_row_counts
+
+    rng = np.random.default_rng(0)
+    p = FixtureParams(n_rows=100, n_sources=64, n_single=4)
+    c = _source_row_counts(p, rng)
+    assert int(c.sum()) == 100  # maximum-after-remainder used to inflate
+    p1 = FixtureParams(n_rows=10, n_sources=1, n_single=0, hot_frac=1.0)
+    assert list(_source_row_counts(p1, rng)) == [10]
