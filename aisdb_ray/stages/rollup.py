@@ -41,9 +41,18 @@ from aisdb_ray.schema import (
 
 
 def _bucket(t: pa.ChunkedArray | pa.Array, width_s: int) -> pa.ChunkedArray:
-    # integer divide truncates; epochs are positive, so this is a floor
+    # integer divide truncates; on NON-NEGATIVE epochs truncate == floor,
+    # which is also what the DuckDB oracles' (t // W) * W computes.  A
+    # negative epoch would bucket differently here (truncate) than in the
+    # floor-based kernels (twa, packing) AND corrupt OHLC's rel = t -
+    # bucket packing — refuse loudly instead of diverging silently.
+    t64 = pc.cast(t, pa.int64())
+    if len(t64) and pc.min(t64).as_py() < 0:
+        raise ValueError(
+            "rollup bucket: negative epochs are outside the bucket-domain "
+            "contract (truncating SQL restatement); shift the channel first")
     w = pa.scalar(width_s, pa.int64())
-    return pc.multiply(pc.divide(pc.cast(t, pa.int64()), w), w)
+    return pc.multiply(pc.divide(t64, w), w)
 
 
 def partial_rollup_batch(
@@ -698,7 +707,7 @@ def tier_quantiles(tier, ps=(50, 95), key_col: str = SOURCE):
         v = s[HVAL].to_numpy(zero_copy_only=False).astype(np.int64)
         c = s[HCNT].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(v)
-        cols = {key_col: pa.array([], pa.string()),
+        cols = {key_col: pa.array([], part.schema.field(key_col).type),
                 BUCKET: pa.array([], pa.int64())}
         if n == 0:
             for p in ps:
@@ -717,7 +726,7 @@ def tier_quantiles(tier, ps=(50, 95), key_col: str = SOURCE):
         # reason (p=0 must return the group's minimum, not stray left).
         live = tot > 0
         if not live.any():
-            cols = {key_col: pa.array([], pa.string()),
+            cols = {key_col: pa.array([], part.schema.field(key_col).type),
                     BUCKET: pa.array([], pa.int64())}
             for p in ps:
                 cols[f"p{p}"] = pa.array([], pa.int64())
@@ -752,7 +761,7 @@ def tier_mode(tier, key_col: str = SOURCE):
         key = s[key_col].to_numpy(zero_copy_only=False)
         bkt = s[BUCKET].to_numpy(zero_copy_only=False)
         if len(key) == 0:
-            return pa.table({key_col: pa.array([], pa.string()),
+            return pa.table({key_col: pa.array([], part.schema.field(key_col).type),
                              BUCKET: pa.array([], pa.int64()),
                              "mode": pa.array([], pa.int64()),
                              "mode_n": pa.array([], pa.int64())})

@@ -112,6 +112,19 @@ def segment_summary_group(
     )
 
 
+def _resort_cleaned(group: pa.Table) -> pa.Table:
+    """Defensive (time, seq) re-sort of one cleaned key group — the key
+    shuffle need not preserve within-key order, mirroring the reference's
+    own defensiveness (/root/reference/aisdb/interp.py:334-338).  Null
+    seq (gap-filled rows re-entering) normalizes to -1 before the sort.
+    One definition: gapfill/gapfill_rate/locf/nearest all share it."""
+    t0 = group[TIME].to_numpy(zero_copy_only=False)
+    s0 = group[SEQ].to_numpy(zero_copy_only=False)
+    if s0.dtype.kind == "f":
+        s0 = np.where(np.isnan(s0.astype(np.float64)), -1, s0)
+    return group.take(pa.array(np.lexsort((s0, t0))))
+
+
 def gapfill_group(
     group: pa.Table,
     step: int = DEFAULT_STEP,
@@ -126,14 +139,7 @@ def gapfill_group(
     tokens and null seq.  Original rows carry their exact tokens array.
     """
     if cleaned:
-        # defensive re-sort (the key shuffle need not preserve within-key
-        # order), mirroring the reference's own defensiveness
-        # (/root/reference/aisdb/interp.py:334-338); seg increases with time
-        # within a source, so seg runs stay contiguous
-        t0 = group[TIME].to_numpy(zero_copy_only=False)
-        s0 = group[SEQ].to_numpy(zero_copy_only=False)
-        s0 = np.where(np.isnan(s0.astype(np.float64)), -1, s0) if s0.dtype.kind == "f" else s0
-        g = group.take(pa.array(np.lexsort((s0, t0))))
+        g = _resort_cleaned(group)
     else:
         g = clean_group(group, max_gap)
     t = g[TIME].to_numpy(zero_copy_only=False)
@@ -238,13 +244,7 @@ def gapfill_rate_group(
     (last two unique-timestamp points).
     """
     if cleaned:
-        # defensive re-sort (the key shuffle need not preserve within-key
-        # order) — same contract as gapfill_group's own sort; seg increases
-        # with time within a source, so seg runs stay contiguous
-        t0 = group[TIME].to_numpy(zero_copy_only=False)
-        s0 = group[SEQ].to_numpy(zero_copy_only=False)
-        s0 = np.where(np.isnan(s0.astype(np.float64)), -1, s0) if s0.dtype.kind == "f" else s0
-        g = group.take(pa.array(np.lexsort((s0, t0))))
+        g = _resort_cleaned(group)
     else:
         g = clean_group(group, max_gap)
 
@@ -276,8 +276,13 @@ def gapfill_rate_group(
     segf = gf[SEG].to_numpy(zero_copy_only=False)
     firstf = np.flatnonzero(np.r_[True, segf[1:] != segf[:-1]])
     lastf = np.r_[firstf[1:] - 1, n - 1]
-    # filled segments appear in the same ascending order as ok_segs
-    assert np.array_equal(segf[firstf], ok_segs)
+    if not np.array_equal(segf[firstf], ok_segs):
+        # contract guard, NOT an assert: under python -O an assert
+        # vanishes and the final-hop rates below would silently land on
+        # the wrong rows
+        raise ValueError(
+            "gapfill_rate: filled segments misaligned with source "
+            "segments — input violates the cleaned-group contract")
 
     rate = np.empty(n, dtype=np.float64)
     rate[:-1] = np.diff(vf) / step
@@ -365,14 +370,7 @@ def locf_group(
     before it — so ``n_tok`` stays int64: LOCF never invents values.
     Output: (source, seg, time, n_tok, is_original)."""
     if cleaned:
-        t0_ = group[TIME].to_numpy(zero_copy_only=False)
-        s0_ = group[SEQ].to_numpy(zero_copy_only=False)
-        s0_ = (
-            np.where(np.isnan(s0_.astype(np.float64)), -1, s0_)
-            if s0_.dtype.kind == "f"
-            else s0_
-        )
-        g = group.take(pa.array(np.lexsort((s0_, t0_))))
+        g = _resort_cleaned(group)
     else:
         g = clean_group(group, max_gap)
     t = g[TIME].to_numpy(zero_copy_only=False)
@@ -452,14 +450,7 @@ def nearest_group(
     nearest never invents values.  Output: (source, seg, time, n_tok,
     is_original)."""
     if cleaned:
-        t0_ = group[TIME].to_numpy(zero_copy_only=False)
-        s0_ = group[SEQ].to_numpy(zero_copy_only=False)
-        s0_ = (
-            np.where(np.isnan(s0_.astype(np.float64)), -1, s0_)
-            if s0_.dtype.kind == "f"
-            else s0_
-        )
-        g = group.take(pa.array(np.lexsort((s0_, t0_))))
+        g = _resort_cleaned(group)
     else:
         g = clean_group(group, max_gap)
     t = g[TIME].to_numpy(zero_copy_only=False)

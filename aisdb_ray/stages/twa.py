@@ -79,6 +79,12 @@ def twa_block(
     if len(a) == 0:
         return empty
 
+    if int(a.min()) < 0:
+        # numpy // floors while the DuckDB oracle's // truncates — the two
+        # agree only on non-negative epochs, the engine's bucket-domain
+        # contract (see rollup._bucket)
+        raise ValueError(
+            "twa: negative epochs are outside the bucket-domain contract")
     w = np.int64(width_s)
     b0 = (a // w) * w
     nb = ((b - 1) // w) - (a // w) + 1

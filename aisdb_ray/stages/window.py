@@ -210,7 +210,7 @@ def deltas_block(
 
     n = len(tbl)
     if n == 0:
-        cols = {group: pa.array([], pa.string()),
+        cols = {group: pa.array([], tbl.schema.field(group).type),
                 time_col: pa.array([], pa.int64()),
                 seq_col: pa.array([], pa.int64()),
                 "dt": pa.array([], pa.int64())}
@@ -624,7 +624,7 @@ def top_movers(
 
         empty = pa.table(
             {
-                group: pa.array([], pa.string()),
+                group: pa.array([], part.schema.field(group).type),
                 time_col: pa.array([], pa.int64()),
                 "prev_" + time_col: pa.array([], pa.int64()),
                 "prev_" + value: pa.array([], pa.int64()),
@@ -771,7 +771,7 @@ def theil_sen(
 
         empty = pa.table(
             {
-                group: pa.array([], pa.string()),
+                group: pa.array([], part.schema.field(group).type),
                 "day": pa.array([], pa.int64()),
                 "n_pairs": pa.array([], pa.int64()),
                 "slope2_fx": pa.array([], pa.int64()),
@@ -856,7 +856,7 @@ def flatline_runs(
 
         empty = pa.table(
             {
-                group: pa.array([], pa.string()),
+                group: pa.array([], part.schema.field(group).type),
                 value: pa.array([], pa.int64()),
                 "start_time": pa.array([], pa.int64()),
                 "end_time": pa.array([], pa.int64()),
@@ -917,7 +917,7 @@ def benford_digits(
 
         empty = pa.table(
             {
-                group: pa.array([], pa.string()),
+                group: pa.array([], b.schema.field(group).type),
                 "digit": pa.array([], pa.int64()),
                 "n": pa.array([], pa.int64()),
             }
@@ -981,7 +981,7 @@ def longest_rising_streak(
 
         empty = pa.table(
             {
-                group: pa.array([], pa.string()),
+                group: pa.array([], part.schema.field(group).type),
                 "n_points": pa.array([], pa.int64()),
                 "start_time": pa.array([], pa.int64()),
                 "end_time": pa.array([], pa.int64()),
@@ -1053,7 +1053,7 @@ def lag_backtest(
 
         empty = pa.table(
             {
-                group: pa.array([], pa.string()),
+                group: pa.array([], part.schema.field(group).type),
                 "n_pairs": pa.array([], pa.int64()),
                 "sae": pa.array([], pa.int64()),
                 "sse": pa.array([], pa.int64()),
@@ -1135,10 +1135,22 @@ def late_data_block(
         gcol = gcol.combine_chunks()
     ginv = pc.dictionary_encode(gcol).indices.to_numpy().astype(np.int64)
     arr = tbl[arrival_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((arr, ginv))
+    t_pre = tbl[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    # event time as tiebreak, and REQUIRE arrival to totally order each
+    # group: with duplicate (group, arrival) pairs "prior arrivals" is
+    # ambiguous, and a stable sort on nondeterministic shuffle order
+    # would flag a run-dependent late-row set
+    order = np.lexsort((t_pre, arr, ginv))
+    ga, aa = ginv[order], arr[order]
+    dup = (ga[1:] == ga[:-1]) & (aa[1:] == aa[:-1])
+    if dup.any():
+        raise ValueError(
+            "late_data: duplicate (group, arrival) — the arrival column "
+            "must totally order each group's rows (add a sequence "
+            "component, cf. q_ev_late_data's *1e6 + event_id)")
     tbl = tbl.take(pa.array(order))
-    g = ginv[order]
-    t = tbl[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    g = ga
+    t = t_pre[order]
 
     starts = np.r_[True, g[1:] != g[:-1]]
     big = (t.max() - t.min()) + 2 if n else 2

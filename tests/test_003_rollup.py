@@ -335,3 +335,18 @@ def test_mode_per_key_ignores_null_values():
     got = modeagg.mode_per_key(rd.from_arrow(t), "source", "v").to_pandas()
     assert list(got.source) == ["a"]
     assert int(got.mode_value.iloc[0]) == 7 and int(got.mode_count.iloc[0]) == 1
+
+
+def test_bucket_rejects_negative_epochs():
+    """Truncating buckets disagree with the floor-based kernels on
+    negative epochs — the bucket-domain contract refuses them loudly."""
+    import pyarrow as pa
+    import pytest
+
+    t = pa.table({
+        "source": pa.array(["s", "s"]),
+        "time": pa.array([-61, 100], pa.int64()),
+        "n_tok": pa.array([1, 2], pa.int64()),
+    })
+    with pytest.raises(Exception, match="negative epochs"):
+        rollup.rollup(rd.from_arrow(t), 60).take_all()

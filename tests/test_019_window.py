@@ -401,3 +401,44 @@ def test_zscore_skips_minmax_but_flags_identically():
     assert len(out) >= 1 and 5000 in out["n_tok"].tolist()
     assert "w_min" not in out.columns and "w_max" not in out.columns
     assert {"w_sum", "w_n", "w_sumsq"} <= set(out.columns)
+
+
+def test_late_data_requires_total_arrival_order():
+    """Duplicate (group, arrival) pairs make 'prior arrivals' ambiguous —
+    the kernel must raise rather than emit a shuffle-order-dependent late
+    set."""
+    import pyarrow as pa
+    import pytest
+
+    t = pa.table({
+        "g": pa.array(["a", "a", "a"]),
+        "time": pa.array([100, 10, 50], pa.int64()),
+        "arr": pa.array([5, 5, 6], pa.int64()),
+    })
+    with pytest.raises(ValueError, match="totally order"):
+        window.late_data_block(t, "g", "time", "arr", 0)
+    # unique arrivals: deterministic regardless of input row order
+    t2 = pa.table({
+        "g": pa.array(["a", "a", "a"]),
+        "time": pa.array([100, 10, 50], pa.int64()),
+        "arr": pa.array([5, 6, 7], pa.int64()),
+    })
+    out = window.late_data_block(t2, "g", "time", "arr", 0)
+    perm = t2.take(pa.array([2, 0, 1]))
+    out2 = window.late_data_block(perm, "g", "time", "arr", 0)
+    assert out.to_pydict() == out2.to_pydict()
+
+
+def test_empty_partition_group_dtype_follows_input():
+    """Int64 group keys: empty partitions must emit int64-typed empties,
+    not hardcoded string (schema unification would fail)."""
+    import pyarrow as pa
+
+    t = pa.table({
+        "g": pa.array([7, 7], pa.int64()),
+        "time": pa.array([0, 86400 * 3], pa.int64()),
+        "v": pa.array([1, 9], pa.int64()),
+    })
+    ds = rd.from_arrow(t)
+    out = window.top_movers(ds, group="g", time_col="time", value="v", num_parts=4).to_pandas()
+    assert out.g.dtype.kind == "i"
