@@ -37,7 +37,13 @@ def word_ngrams_block(
     ids = batch[id_col]
     if isinstance(ids, pa.ChunkedArray):
         ids = ids.combine_chunks()
-    empty = pa.table({id_col: ids.slice(0, 0), GRAM: pa.array([], pa.string())})
+    # the gram column inherits the text column's string class — a
+    # hardcoded pa.string() empty would mix schemas with large_string
+    # corpora and break block unification downstream
+    gram_t = (pa.large_string()
+              if pa.types.is_large_string(batch[text_col].type)
+              else pa.string())
+    empty = pa.table({id_col: ids.slice(0, 0), GRAM: pa.array([], gram_t)})
     if batch.num_rows == 0:
         return empty
     toks = pc.split_pattern_regex(batch[text_col], pattern=r"\s+")

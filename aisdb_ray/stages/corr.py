@@ -45,9 +45,16 @@ def gram_block(
          "src_b": pa.array([], pa.string()),
          **{s: pa.array([], pa.int64()) for s in _STATS}}
     )
+    import pyarrow.compute as pc
+
+    # drop null key/bucket rows up front: null dictionary indices refuse
+    # the zero-copy to_numpy (ArrowInvalid kills the job) and a null
+    # bucket would NaN-cast into a fabricated int64 window
+    tbl = tbl.filter(pc.and_(
+        pc.is_valid(tbl[key_col]), pc.is_valid(tbl[bucket_col])
+    ))
     if tbl.num_rows == 0:
         return empty
-    import pyarrow.compute as pc
 
     kcol = tbl[key_col]
     if isinstance(kcol, pa.ChunkedArray):
@@ -64,6 +71,14 @@ def gram_block(
     nb = int(b_idx.max()) + 1
     v = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
 
+    # one-row-per-(bucket, key) input contract: a duplicate would silently
+    # last-write-win in M while A marks presence once — wrong-but-plausible
+    # sums with no error
+    cell = b_idx * s + s_idx
+    if len(np.unique(cell)) != len(cell):
+        raise ValueError(
+            "pairwise corr: duplicate (bucket, key) rows — input must be "
+            "a rolled-up tier with one row per cell")
     M = np.zeros((nb, s), np.int64)
     A = np.zeros((nb, s), np.int64)
     M[b_idx, s_idx] = v
@@ -83,6 +98,11 @@ def gram_block(
     swap = names[iu] > names[ju]
     a_i = np.where(swap, ju, iu)
     b_i = np.where(swap, iu, ju)
+    # never-co-occurring pairs (n == 0) contribute nothing to any sum and
+    # _finalize drops them anyway — filtering here keeps the shipped
+    # partials proportional to real co-occurrence, not s^2 per partition
+    nz = n[a_i, b_i] > 0
+    a_i, b_i = a_i[nz], b_i[nz]
     return pa.table(
         {
             "src_a": pa.array(names[a_i].tolist(), pa.string()),
@@ -162,9 +182,14 @@ def acf_block(
          "lag": pa.array([], pa.int64()),
          **{s: pa.array([], pa.int64()) for s in _STATS}}
     )
+    import pyarrow.compute as pc
+
+    keep = pc.is_valid(tbl[key_col])
+    for c in order_cols:
+        keep = pc.and_(keep, pc.is_valid(tbl[c]))
+    tbl = tbl.filter(keep)  # null keys/order cols: drop, don't NaN-cast
     if tbl.num_rows == 0:
         return empty
-    import pyarrow.compute as pc
 
     kcol = tbl[key_col]
     if isinstance(kcol, pa.ChunkedArray):

@@ -124,6 +124,15 @@ class MinHashSig:
 
 
 def _explode_bands(batch: pa.Table, n_bands: int, rows_per_band: int) -> pa.Table:
+    if batch.num_rows == 0:
+        # reshape(0, -1) raises; empty blocks (empty parquet fragments,
+        # upstream filters) must pass through as empty band tables with
+        # the non-empty branch's exact column types
+        return pa.table({
+            "band": pa.array([], pa.int32()),
+            "bucket": pa.array([], pa.int64()),
+            "doc_id": batch["doc_id"],
+        })
     sig = batch["sig"].combine_chunks()
     flat = sig.values.to_numpy().reshape(batch.num_rows, -1).astype(np.uint64)
     if n_bands * rows_per_band > flat.shape[1]:
@@ -496,10 +505,19 @@ def embedding_neardup_lsh_pairs(
 
     from aisdb_ray.stages.ann import LshIndexParams, lsh_bucket_assign
 
-    dim = len(
-        pq.ParquetFile(sf_emb_path).read_row_group(0, columns=["embedding"])
-        .column(0)[0]
-    )
+    from aisdb_ray.state.lineage import list_parquet_files
+
+    # accept the same inputs read_parquet does (file OR directory); probe
+    # the first non-empty fragment for the embedding dim
+    dim = None
+    for f in list_parquet_files(sf_emb_path):
+        pf = pq.ParquetFile(f)
+        if pf.metadata.num_rows:
+            dim = len(pf.read_row_group(0, columns=["embedding"]).column(0)[0])
+            break
+    if dim is None:
+        raise ValueError(
+            f"embedding_neardup_lsh_pairs: no rows under {sf_emb_path!r}")
     params = LshIndexParams(dim, n_bits, n_tables, seed)
 
     with _hash_ctx():
@@ -507,12 +525,22 @@ def embedding_neardup_lsh_pairs(
         assigned = lsh_bucket_assign(ds, params)
 
         def explode(b: pa.Table) -> pa.Table:
+            from aisdb_ray.stages.ann import _norm_rows
+
+            if b.num_rows == 0:  # reshape(0, -1) raises on empty blocks
+                return pa.table({
+                    "tbl": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "emb": pa.LargeListArray.from_arrays(
+                        pa.array([0], pa.int64()),
+                        pa.array([], pa.float64())),
+                })
             ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             emb = b["embedding"].combine_chunks()
-            m = emb.values.to_numpy().reshape(b.num_rows, -1).astype(np.float64)
-            nrm = np.linalg.norm(m, axis=1, keepdims=True)
-            nrm[nrm == 0] = 1.0
-            m = m / nrm
+            m = _norm_rows(  # the zero-vector guard all cosine paths share
+                emb.values.to_numpy().reshape(b.num_rows, -1).astype(
+                    np.float64))
             tbls, bks, vids, rows = [], [], [], []
             for t in range(n_tables):
                 tbls.append(np.full(len(ids), t, dtype=np.int64))
@@ -578,12 +606,20 @@ def semdedup_survivors(sf_emb_path: str, cent: np.ndarray,
     cent_ref = ray.put(np.asarray(cent, np.float64))
 
     def assign(b: pa.Table) -> pa.Table:
+        from aisdb_ray.stages.ann import _norm_rows
+
         c = ray.get(cent_ref)
+        if b.num_rows == 0:  # reshape(0, -1) raises on empty blocks
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+                "emb": pa.LargeListArray.from_arrays(
+                    pa.array([0], pa.int64()), pa.array([], pa.float64())),
+            })
         emb = b["embedding"].combine_chunks()
-        m = emb.values.to_numpy().reshape(b.num_rows, -1).astype(np.float64)
-        nrm = np.linalg.norm(m, axis=1, keepdims=True)
-        nrm[nrm == 0] = 1.0
-        lists = np.argmax((m / nrm) @ c.T, axis=1)
+        m = _norm_rows(
+            emb.values.to_numpy().reshape(b.num_rows, -1).astype(np.float64))
+        lists = np.argmax(m @ c.T, axis=1)
         dim = m.shape[1]
         off = np.arange(0, (len(m) + 1) * dim, dim, dtype=np.int64)
         return pa.table(
@@ -594,7 +630,7 @@ def semdedup_survivors(sf_emb_path: str, cent: np.ndarray,
                 "cluster": pa.array(lists.astype(np.int64)),
                 "emb": pa.LargeListArray.from_arrays(
                     pa.array(off),
-                    pa.array((m / nrm).reshape(-1)),
+                    pa.array(m.reshape(-1)),  # m is already normalized
                 ),
             }
         )

@@ -398,3 +398,19 @@ def test_distinct_pairs_no_collision_on_wide_ids():
         }))
         got = _distinct_pairs(pairs).to_pandas().sort_values(["a", "b"])
     assert set(zip(got["a"], got["b"])) == {(1, big), (2, 5)}
+
+
+def test_minhash_band_explode_tolerates_empty_blocks():
+    import pyarrow as pa
+
+    from aisdb_ray.stages import dedup_text as dt
+
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "sig": pa.ListArray.from_arrays(
+            pa.array([0], pa.int32()), pa.array([], pa.int64())),
+    })
+    out = dt._explode_bands(empty, 4, 2)
+    assert out.num_rows == 0
+    assert out["band"].type == pa.int32()
+    assert out["bucket"].type == pa.int64()

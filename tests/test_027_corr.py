@@ -217,3 +217,28 @@ def test_windowed_pairwise_corr_negative_buckets_floor():
     for c in ["n", "sx", "sy", "sxy", "sx2", "sy2"]:
         np.testing.assert_array_equal(got[c].to_numpy(np.int64),
                                       want[c].to_numpy(np.int64), err_msg=c)
+
+
+def test_corr_null_rows_dropped_and_duplicates_refused():
+    """Null key/bucket rows drop (the old zero-copy to_numpy raised on
+    null dictionary indices); duplicate (bucket, key) cells raise instead
+    of last-write-winning into wrong sums."""
+    import pyarrow as pa
+    import pytest
+
+    from aisdb_ray.stages import corr as corr_mod
+
+    t = pa.table({
+        "source": pa.array(["a", "b", None, "a"]),
+        "bucket": pa.array([0, 0, 0, None], pa.int64()),
+        "sum_n_tok": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    out = corr_mod.pairwise_corr(rd.from_arrow(t)).to_pandas()
+    assert len(out) == 1  # the (a, b) pair from the two valid rows
+    dup = pa.table({
+        "source": pa.array(["a", "a", "b"]),
+        "bucket": pa.array([0, 0, 0], pa.int64()),
+        "sum_n_tok": pa.array([1, 5, 2], pa.int64()),
+    })
+    with pytest.raises(Exception, match="duplicate"):
+        corr_mod.pairwise_corr(rd.from_arrow(dup)).take_all()
