@@ -24,6 +24,17 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _topk_det(score: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the k best rows under (score desc, id asc), exact at the
+    boundary: bare argpartition keeps an ARBITRARY subset of rows tied at
+    the k-th score, so the surviving set (and thus the merged global
+    top-k) depended on batch partitioning.  A full stable lexsort is
+    O(n log n) of one batch — negligible next to the matmul that
+    produced the scores."""
+    order = np.lexsort((ids, -score))
+    return order[: min(k, len(order))]
+
+
 def _emb_matrix(batch: pa.Table) -> np.ndarray:
     emb = batch["embedding"].combine_chunks()
     return emb.values.to_numpy().reshape(batch.num_rows, -1).astype(np.float64)
@@ -40,17 +51,17 @@ def topk_cosine(ds_emb, query: np.ndarray, k: int = 10):
     q_ref = ray.put(q)
 
     def batch_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:  # _emb_matrix reshape(0, -1) raises
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         qv = ray.get(q_ref)
         m = _norm_rows(_emb_matrix(b))
         sims = m @ qv
         ids = b["vec_id"].to_numpy(zero_copy_only=False)
-        take = min(k, len(sims))
-        idx = np.argpartition(-sims, take - 1)[:take]
-        # deterministic order: sim desc, vec_id asc; cosine stays full
-        # precision until the final merge so near-ties rank by the true
-        # float64 value (rounding first would reorder them)
-        order = np.lexsort((ids[idx], -sims[idx]))
-        idx = idx[order]
+        # deterministic selection AND order: sim desc, vec_id asc; cosine
+        # stays full precision until the final merge so near-ties rank by
+        # the true float64 value (rounding first would reorder them)
+        idx = _topk_det(sims, ids, k)
         return pa.table(
             {
                 "vec_id": pa.array(ids[idx].astype(np.int64)),
@@ -150,18 +161,19 @@ def topk_cosine_multi(ds_emb, queries: np.ndarray, k: int = 10):
     nq = len(Q)
 
     def batch_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:  # _emb_matrix reshape(0, -1) raises
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         qm = ray.get(q_ref)
         m = _norm_rows(_emb_matrix(b))
         sims = m @ qm.T  # B x Q
         ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        take = min(k, len(ids))
         qout, iout, sout = [], [], []
         for qi in range(nq):  # loop over the Q queries only
             s = sims[:, qi]
-            idx = np.argpartition(-s, take - 1)[:take]
-            order = np.lexsort((ids[idx], -s[idx]))
-            idx = idx[order]
-            qout.append(np.full(take, qi, np.int64))
+            idx = _topk_det(s, ids, k)
+            qout.append(np.full(len(idx), qi, np.int64))
             iout.append(ids[idx])
             sout.append(s[idx])  # full precision until the final merge
         return pa.table(
@@ -229,6 +241,11 @@ def lsh_bucket_assign(ds_emb, params: LshIndexParams):
 
     def assign(b: pa.Table) -> pa.Table:
         p = ray.get(p_ref)
+        if b.num_rows == 0:  # _emb_matrix reshape(0, -1) raises
+            for t in range(p.n_tables):
+                b = b.append_column(
+                    f"bucket_{t}", pa.array([], pa.int64()))
+            return b
         m = _norm_rows(_emb_matrix(b))
         bk = p.buckets_of(m)
         for t in range(p.n_tables):
@@ -588,7 +605,22 @@ def pq_encode(ds_emb, cents: np.ndarray):
 
     def encode(b: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
+        if b.num_rows == 0:  # _fx_matrix reshape(0, -1) raises
+            cols = {"vec_id": pa.array([], pa.int64())}
+            for si in range(m):
+                cols[f"c{si}"] = pa.array([], pa.int64())
+            cols["err_fx"] = pa.array([], pa.int64())
+            return pa.table(cols)
         fx = _fx_matrix(b)
+        # int64-exactness guard (the class_outliers policy): per-subspace
+        # d2 sums dsub squared fixed-point values — magnitudes past
+        # sqrt(9e18 / dsub) / 2 would wrap and argmin a wrong codebook
+        # entry with no error
+        bound = int((9.0e18 / max(dsub, 1)) ** 0.5 / 2)
+        if max(int(np.abs(fx).max()), int(np.abs(c).max())) > bound:
+            raise OverflowError(
+                f"pq_encode: |fixed-point embedding| > {bound} would "
+                "overflow the exact int64 distances; rescale first")
         out = {"vec_id": pa.array(
             b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         )}
@@ -807,6 +839,8 @@ def range_search(ds_emb, query: np.ndarray, threshold: float = 0.3):
     q_ref = ray.put(q)
 
     def batch_range(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:  # _emb_matrix reshape(0, -1) raises
+            return pa.table({"vec_id": pa.array([], pa.int64())})
         qv = ray.get(q_ref)
         m = _norm_rows(_emb_matrix(b))
         sims = m @ qv
@@ -1024,6 +1058,16 @@ def knn_graph(sf_emb_path: str, k: int = 5, target_block_rows: int = 65_536):
         if kk <= 0 or sims.shape[0] == 0:
             return None
         part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        # boundary-tie repair: a row whose kk-th best score also appears
+        # OUTSIDE the partition kept an arbitrary tied subset — redo just
+        # those rows with the deterministic (sim desc, id asc) rule
+        thr = sims[np.arange(len(sims))[:, None], part].min(axis=1)
+        bad = np.flatnonzero((sims >= thr[:, None]).sum(axis=1) > kk)
+        if len(bad):
+            csort = np.argsort(ids_c, kind="stable")
+            for r in bad:
+                ordr = np.argsort(-sims[r, csort], kind="stable")[:kk]
+                part[r] = csort[ordr]
         rows = np.repeat(np.arange(sims.shape[0]), kk)
         cols = part.ravel()
         return (
@@ -1148,10 +1192,7 @@ def sq8_adc_topk(ds_emb, query: np.ndarray, k: int = 10, scale: int = 1_000_000)
         recon255 = 255 * mn_v + code * rng_v
         s = recon255 @ qv  # exact int64
         ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        take = min(k, len(ids))
-        idx = np.argpartition(-s, take - 1)[:take]
-        order = np.lexsort((ids[idx], -s[idx]))
-        idx = idx[order]
+        idx = _topk_det(s, ids, k)  # integer scores tie often: exact sets
         return pa.table(
             {"vec_id": pa.array(ids[idx]), "score255": pa.array(s[idx])}
         )
@@ -1217,10 +1258,7 @@ def mmr_rerank(emb_path: str, k: int = 10, pool: int = 30, probe_id: int = 0,
         fx = _fx_matrix(b)[keep]
         ids = ids[keep]
         d = fx @ qfx
-        take = min(pool, len(d))
-        idx = np.argpartition(-d, take - 1)[:take]
-        order = np.lexsort((ids[idx], -d[idx]))
-        idx = idx[order]
+        idx = _topk_det(d, ids, pool)  # integer dots tie often
         return pa.table({"vec_id": pa.array(ids[idx]),
                          "dq": pa.array(d[idx].astype(np.int64))})
 

@@ -101,11 +101,23 @@ def grid_lookup(ds, axes, values, coord_cols, out_col, concurrency: int = 4):
     )
 
 
+def _val_np(col) -> np.ndarray:
+    """Value column -> numpy WITHOUT the float64/NaN detour for nullable
+    non-float columns: an int64 with one null would otherwise convert
+    wholesale to float64, silently retyping the join output to double
+    (values past 2^53 corrupt) and surfacing matched nulls as NaN.
+    Object-with-None keeps exact values and real nulls; the Arrow
+    rebuild restores the declared type."""
+    if col.null_count and not pa.types.is_floating(col.type):
+        return np.array(col.to_pylist(), dtype=object)
+    return col.to_numpy(zero_copy_only=False)
+
+
 def _right_index(right: pa.Table, by: str, on: str, value_cols: list[str]):
     """Sorted per-key arrays for the broadcast side: {key: (t[], values...)}."""
     key = right[by].to_numpy(zero_copy_only=False)
     t = right[on].to_numpy(zero_copy_only=False).astype(np.int64)
-    vals = [right[c].to_numpy(zero_copy_only=False) for c in value_cols]
+    vals = [_val_np(right[c]) for c in value_cols]
     order = np.lexsort((t, key))
     key, t = key[order], t[order]
     vals = [v[order] for v in vals]
@@ -141,11 +153,13 @@ def asof_join(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction={direction!r}")
+    if how not in ("inner", "left"):
+        # only `how == "inner"` is ever compared below, so a typo would
+        # silently flip to left-join semantics
+        raise ValueError(f"how={how!r}; expected 'inner' or 'left'")
     right_on = right_on or on
     idx_ref = ray.put(_right_index(right, by, right_on, value_cols))
-    out_dtypes = [
-        right[c].to_numpy(zero_copy_only=False).dtype for c in value_cols
-    ]
+    out_dtypes = [_val_np(right[c]).dtype for c in value_cols]
     # keep the Arrow types: numpy object dtypes (strings etc.) can't
     # round-trip through pa.from_numpy_dtype, and their unmatched filler
     # must be None, not 0
@@ -156,6 +170,11 @@ def asof_join(
         rindex = ray.get(idx_ref)
         key = batch[by].to_numpy(zero_copy_only=False)
         t = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        # a null probe time matches NOTHING (ASOF SQL semantics): the NaN
+        # -> INT64_MIN cast would otherwise "forward"-match the key's
+        # first right row (and its wrapped distance even passes tolerance)
+        tnull = (pa.compute.is_null(batch[on]).to_numpy(
+            zero_copy_only=False) if batch[on].null_count else None)
         n = len(key)
         match_t = np.full(n, -1, dtype=np.int64)
         outs = [np.full(n, None, dtype=object) if dt == object
@@ -206,6 +225,8 @@ def asof_join(
             match_t[rsel] = rt[psel]
             for o, v in zip(outs, vs):
                 o[rsel] = v[psel]
+        if tnull is not None:
+            matched[tnull] = False
         cols = dict(zip(batch.column_names, batch.columns))
         mt = pa.array(match_t)
         mm = pa.array(matched)
@@ -457,7 +478,7 @@ def asof_join_streams(
     ckey = carry_tbl[by].to_numpy(zero_copy_only=False)
     cch = carry_tbl["_chunk"].to_numpy(zero_copy_only=False).astype(np.int64)
     crt = carry_tbl["_rt"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cvals = [carry_tbl[c].to_numpy(zero_copy_only=False) for c in value_cols]
+    cvals = [_val_np(carry_tbl[c]) for c in value_cols]
     order = np.lexsort((cch, ckey))
     ckey, cch, crt = ckey[order], cch[order], crt[order]
     cvals = [v[order] for v in cvals]
@@ -482,7 +503,11 @@ def asof_join_streams(
     lcols = list(lschema.names)
     ltypes = {c: lschema.field(c).type for c in lcols}
     vtypes = {c: carry_tbl.schema.field(c).type for c in value_cols}
-    vdtypes = {c: v.dtype for c, v in zip(value_cols, cvals)}
+    vdtypes = {
+        c: (v.dtype if pa.types.is_floating(carry_tbl[c].type)
+            else np.dtype(object))
+        for c, v in zip(value_cols, cvals)
+    }
     del carry_tbl, cvals  # broadcast via carry_ref only — never closures
 
     def l_tag(b: pa.Table) -> pa.Table:
@@ -534,8 +559,7 @@ def asof_join_streams(
         key_r = rt[by].to_numpy(zero_copy_only=False)
         ch_r = rt["_chunk"].to_numpy(zero_copy_only=False)
         t_r = rt["_rt"].to_numpy(zero_copy_only=False)
-        rvals = [rt[f"_rv_{c}"].to_numpy(zero_copy_only=False)
-                 for c in value_cols]
+        rvals = [_val_np(rt[f"_rv_{c}"]) for c in value_cols]
         ro = np.lexsort((t_r, ch_r, key_r))
         key_r, ch_r, t_r = key_r[ro], ch_r[ro], t_r[ro]
         rvals = [v[ro] for v in rvals]
@@ -596,7 +620,8 @@ def asof_join_streams(
         outs["r_t"] = pc.if_else(pa.array(matched), pa.array(mt),
                                  pa.scalar(None, pa.int64()))
         for i, c in enumerate(value_cols):
-            v = np.zeros(n, dtype=vdtypes[c])
+            v = (np.full(n, None, dtype=object)
+                 if vdtypes[c] == object else np.zeros(n, dtype=vdtypes[c]))
             lm = out_idx >= 0
             if lm.any():
                 v[lm] = rvals[i][out_idx[lm]]
@@ -607,8 +632,10 @@ def asof_join_streams(
                     _, _, cvs = cmap[carry_key[row]]
                     cvi[j] = cvs[i][carry_pick[row]]
                 v[cm] = cvi
+            arr = (pa.array(v, type=vtypes[c]) if vdtypes[c] == object
+                   else pa.array(v))
             outs[c] = pc.if_else(
-                pa.array(matched), pa.array(v), pa.scalar(None, vtypes[c]))
+                pa.array(matched), arr, pa.scalar(None, vtypes[c]))
         out = pa.table(outs)
         if how == "inner":
             out = out.filter(pa.array(matched))

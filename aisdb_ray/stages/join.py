@@ -620,6 +620,12 @@ def interval_overlap_pairs(
                 "overlap_s": pa.array([], pa.int64()),
             }
         )
+        # null-key intervals cannot meaningfully pair (and the canonical
+        # ka > kb swap would TypeError comparing None with str)
+        import pyarrow.compute as _pc
+
+        if part.num_rows and part[key].null_count:
+            part = part.filter(_pc.is_valid(part[key]))
         if part.num_rows < 2:
             return empty
         outs = []

@@ -489,3 +489,45 @@ def test_lsh_append_refresh_equals_full_rebuild(tmp_path):
     # a second generation appends under its own marker
     ann.append_lsh_index(emb.filter(expr="vec_id < 0"), inc_idx, generation="g2")
     assert os.path.exists(os.path.join(inc_idx, "_SUCCESS_APPEND_g2"))
+
+
+def test_batch_topk_boundary_ties_keep_smallest_ids():
+    """argpartition used to keep an arbitrary tied subset at the k
+    boundary, making the result batch-partition-dependent; the contract
+    is (score desc, vec_id asc)."""
+    import pyarrow as pa
+
+    q = np.array([1.0, 0.0])
+    emb = pa.table({
+        "vec_id": pa.array([10, 3, 1, 2], pa.int64()),
+        "embedding": pa.array(
+            [[1.0, 0.0], [0.5, 0.5], [0.5, 0.5], [0.5, 0.5]],
+            pa.list_(pa.float64())),
+    })
+    for parts in (1, 2, 4):
+        out = ann.topk_cosine(
+            rd.from_arrow(emb).repartition(parts), q, k=2).to_pandas()
+        assert list(out.vec_id) == [10, 1], parts
+
+
+def test_ann_kernels_tolerate_empty_blocks():
+    """Filtered reads routinely produce 0-row blocks; the reshape(0, -1)
+    sites used to crash."""
+    import pyarrow as pa
+
+    empty = pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.ListArray.from_arrays(
+            pa.array([0], pa.int32()), pa.array([], pa.float64())),
+    })
+    some = pa.table({
+        "vec_id": pa.array([1, 2], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                              pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(empty).union(rd.from_arrow(some))
+    q = np.array([1.0, 0.0])
+    assert ann.topk_cosine(ds, q, k=1).count() == 1
+    assert ann.range_search(ds, q, threshold=0.5).count() == 1
+    params = ann.LshIndexParams(2, 4, 2, 7)
+    assert ann.lsh_bucket_assign(ds, params).count() == 2

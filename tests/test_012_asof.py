@@ -297,3 +297,60 @@ def test_asof_join_streams_rejects_reserved_left_columns():
         asof.asof_join_streams(
             rd.from_arrow(left), rd.from_arrow(right), value_cols=["v"],
         )
+
+
+def test_asof_nullable_int_values_keep_type_and_exact_values():
+    """A nullable int64 right value column must not take the float64/NaN
+    detour: values past 2^53 stay exact, matched nulls surface as nulls,
+    and the output column type stays int64."""
+    import pyarrow as pa
+
+    big = (1 << 53) + 1
+    right = pa.table({
+        "source": pa.array(["s", "s"]),
+        "time": pa.array([10, 20], pa.int64()),
+        "v": pa.array([big, None], pa.int64()),
+    })
+    left = pa.table({
+        "source": pa.array(["s", "s"]),
+        "time": pa.array([15, 25], pa.int64()),
+    })
+    out = asof.asof_join(rd.from_arrow(left), right, value_cols=["v"])
+    rows = out.take_all()
+    sch = out.schema()
+    assert dict(zip(sch.names, sch.types))["v"] == pa.int64()
+    got = {r["time"]: r["v"] for r in rows}
+    assert got == {15: big, 25: None}
+
+
+def test_asof_null_probe_time_matches_nothing():
+    """NaN -> INT64_MIN used to 'forward'-match the key's first right
+    row; SQL ASOF semantics match nothing for a null probe time."""
+    import pyarrow as pa
+
+    right = pa.table({
+        "source": pa.array(["s"]),
+        "time": pa.array([10], pa.int64()),
+        "v": pa.array([7], pa.int64()),
+    })
+    left = pa.table({
+        "source": pa.array(["s", "s"]),
+        "time": pa.array([None, 15], pa.int64()),
+    })
+    for direction in ("backward", "forward", "nearest"):
+        out = asof.asof_join(rd.from_arrow(left), right, value_cols=["v"],
+                             direction=direction, how="left").to_pandas()
+        null_row = out[out.time.isna()]
+        assert null_row.v.isna().all(), direction
+
+
+def test_asof_rejects_unknown_how():
+    import pyarrow as pa
+    import pytest
+
+    right = pa.table({"source": pa.array(["s"]),
+                      "time": pa.array([1], pa.int64()),
+                      "v": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError, match="how"):
+        asof.asof_join(rd.from_arrow(right), right, value_cols=["v"],
+                       how="Inner")
