@@ -159,11 +159,19 @@ def _part_dir(root: str, stage: str, part: int) -> str:
 
 
 def _add_part_batch(b: pa.Table, num_parts: int) -> pa.Table:
-    """Vectorized hash-partition column: crc32 per *unique* source."""
+    """Vectorized hash-partition column: crc32 per *unique* source.
+
+    Null sources route to part 0 (the _key_hash convention): factorize
+    codes them -1, and lut[-1] would alias them to whichever source sorts
+    LAST in that batch — a different part per batch, breaking the
+    one-part-per-key invariant the tiers and refresh depend on."""
     src = b[SOURCE].to_numpy(zero_copy_only=False)
     uniq, inv = factorize_sorted(src)
     lut = np.array([part_of(s, num_parts) for s in uniq], dtype=np.int32)
-    return b.append_column("part", pa.array(lut[inv]))
+    part = lut[inv] if len(lut) else np.zeros(len(inv), np.int32)
+    if (inv < 0).any():
+        part = np.where(inv < 0, np.int32(0), part)
+    return b.append_column("part", pa.array(part))
 
 
 def _drop_payload(b: pa.Table) -> pa.Table:
@@ -785,10 +793,18 @@ def _refresh_parts(cfg: CascadeConfig, manifest: lineage.Manifest,
         extra = {}
         if s == "tier_1m":
             files = lineage.list_parquet_files(os.path.join(cfg.out_root, s))
-            extra["tokens"] = sum(
-                int(pa.compute.sum(pq.read_table(f, columns=[SUM_V])[SUM_V]).as_py() or 0)
-                for f in files
-            )
+
+            def _tok(f: str) -> int:
+                col = pq.read_table(f, columns=[SUM_V])[SUM_V]
+                return int(pa.compute.sum(col).as_py() or 0)
+
+            # thread-pooled like _dataset_rows: a serial per-file read is
+            # a fixed driver-side cost that grows with partition count
+            if len(files) <= 4:
+                extra["tokens"] = sum(_tok(f) for f in files)
+            else:
+                with ThreadPoolExecutor(min(16, len(files))) as ex:
+                    extra["tokens"] = sum(ex.map(_tok, files))
         manifest.record(
             s, "all", rows=_dataset_rows(os.path.join(cfg.out_root, s)),
             refreshed_parts=affected, **extra,
@@ -849,8 +865,19 @@ def run_cascade(cfg: CascadeConfig) -> dict:
         elif unchanged:
             new_files = sorted(set(cur_sigs) - set(rec_sigs))
         else:
-            # a recorded file changed or vanished: restart clean
+            # a recorded file changed or vanished: restart clean — and
+            # clear the OUTPUT dirs like the config-stale path does, or a
+            # partition that is empty in the new generation keeps serving
+            # the previous generation's tier/gapfill/compressed files to
+            # every glob-all-parts reader
+            import shutil as _sh2
+
             os.remove(manifest.path)
+            for d in sorted(os.listdir(cfg.out_root)):
+                if d.startswith(("series", "tier_", "ohlc_", "gapfill",
+                                 "compressed")):
+                    _sh2.rmtree(os.path.join(cfg.out_root, d),
+                                ignore_errors=True)
             manifest = lineage.Manifest.open(cfg.out_root, cfg.fingerprint())
             gen = None
     if gen is None:

@@ -21,7 +21,8 @@ import os
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from aisdb_ray.schema import BUCKET, CNT_V, MAX_V, MIN_V, N_TOK, SOURCE, SUM_V, TIME
+from aisdb_ray.schema import (BUCKET, CNT_V, MAX_V, MEAN_V, MIN_V, N_TOK,
+                              SOURCE, SUM_V, TIME)
 from aisdb_ray.stages import rollup as rollup_mod
 
 RAW = 1  # plan marker: read raw points, not a tier
@@ -43,6 +44,14 @@ def tier_plan(t0: int, t1: int, widths: tuple[int, ...] = (60, 3600, 86400)):
     if t1 <= t0:
         return []
     ws = [RAW, *sorted(widths)]
+    # each tier width must divide the next: non-nested widths (60, 90)
+    # produce misaligned pieces that drop sub-ranges from the stitched
+    # aggregate under -O (the alignment asserts vanish) — refuse upfront
+    for w, nxt in zip(ws[1:], ws[2:]):
+        if nxt % w != 0:
+            raise ValueError(
+                f"tier_plan: width {nxt} is not a multiple of {w} — tier "
+                "widths must nest")
     pieces: list[tuple[int, int, int]] = []
     cur = t0
     for w, nxt in zip(ws, ws[1:]):
@@ -109,9 +118,31 @@ def range_aggregate(
 
     if tiers is None:
         tiers = {60: "tier_1m", 3600: "tier_1h", 86400: "tier_1d"}
+    if value != N_TOK:
+        # tier pieces serve the materialized n_tok statistics; a different
+        # value channel would silently mix two channels (raw edges over
+        # `value`, tier middles over n_tok) under one column name
+        raise ValueError(
+            "range_aggregate: tiers materialize n_tok only; pass "
+            f"value={N_TOK!r} or aggregate the raw series directly")
     import pyarrow.dataset as pads
 
+    def _empty_result():
+        import ray.data as rd2
+
+        return rd2.from_arrow(pa.table({
+            SOURCE: pa.array([], pa.string()),
+            BUCKET: pa.array([], pa.int64()),
+            MIN_V: pa.array([], pa.int64()),
+            MAX_V: pa.array([], pa.int64()),
+            SUM_V: pa.array([], pa.int64()),
+            CNT_V: pa.array([], pa.int64()),
+            MEAN_V: pa.array([], pa.float64()),
+        }))
+
     pieces = tier_plan(t0, t1, tuple(sorted(tiers)))
+    if not pieces:  # empty/inverted range: empty result, not an assert
+        return _empty_result()
     parts = []
     for w, lo, hi in pieces:
         # predicate PUSHED into the scan: parquet row-group statistics prune
@@ -119,6 +150,8 @@ def range_aggregate(
         # tier is only ever read around the sub-minute edges, never rescanned
         if w == RAW:
             files = sorted(list_parquet_files(os.path.join(out_root, "series")))
+            if not files:  # rows=0 partitions leave dirs with no parquet
+                continue
             ds = rd.read_parquet(
                 files, columns=[SOURCE, TIME, value],
                 filter=(pads.field(TIME) >= lo) & (pads.field(TIME) < hi),
@@ -133,6 +166,8 @@ def range_aggregate(
             parts.append(ds.map_batches(raw_partial, batch_format="pyarrow"))
         else:
             files = sorted(list_parquet_files(os.path.join(out_root, tiers[w])))
+            if not files:
+                continue
             ds = rd.read_parquet(
                 files, columns=[SOURCE, BUCKET, MIN_V, MAX_V, SUM_V, CNT_V],
                 filter=(pads.field(BUCKET) >= lo) & (pads.field(BUCKET) < hi),
@@ -143,7 +178,8 @@ def range_aggregate(
 
             parts.append(ds.map_batches(tier_partial, batch_format="pyarrow"))
 
-    assert parts, "empty range"
+    if not parts:  # every touched tier was empty
+        return _empty_result()
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.union(p)

@@ -73,6 +73,12 @@ def clean_group(
     Generic over column names: the token table is one instance (source/time/
     seq); any keyed event stream with an epoch + disambiguator works.
     """
+    if SEG in group.column_names:
+        # re-cleaning already-segmented input (split -> relink, tier ->
+        # cubic resample) recomputes seg from scratch: a blind append
+        # would emit a DUPLICATE seg field and every by-name access
+        # downstream raises KeyError 'exists 2 times in schema'
+        group = group.drop_columns([SEG])
     t = group[time_col].to_numpy(zero_copy_only=False)
     s = group[seq_col].to_numpy(zero_copy_only=False)
     idx = _sorted_dedup_indices(t, s)

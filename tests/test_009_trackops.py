@@ -180,3 +180,24 @@ def test_sax_windows_floor_on_negative_epochs():
     out = trackops.sax_symbols(rd.from_arrow(tbl), step=step, p=p).to_pandas()
     got = out.set_index("wstart")["paa"].to_dict()
     assert got == {-30: 6, 0: 60}
+
+
+def test_relink_on_already_segmented_input():
+    """split -> relink composition: re-cleaning already-segmented input
+    must recompute seg, not append a duplicate column (KeyError)."""
+    import pyarrow as pa
+
+    from aisdb_ray.stages import series
+
+    t = pa.table({
+        "source": pa.array(["s"] * 4),
+        "doc_id": pa.array([f"s:{i}:0" for i in (10, 20, 8000, 8010)]),
+        "time": pa.array([10, 20, 8000, 8010], pa.int64()),
+        "seq": pa.array([0, 0, 0, 0], pa.int64()),
+        "n_tok": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    once = series.clean_group(t, max_gap=3600)
+    assert once.column_names.count("seg") == 1
+    twice = series.clean_group(once, max_gap=3600)
+    assert twice.column_names.count("seg") == 1
+    assert twice["seg"].to_pylist() == once["seg"].to_pylist()

@@ -81,3 +81,24 @@ def test_tier_quantiles_zero_weight_group_dropped():
     ).to_pandas()
     assert got["source"].tolist() == ["a"]
     assert got["p50"].iloc[0] == 7 and got["p95"].iloc[0] == 9
+
+
+def test_tier_plan_rejects_non_nested_widths():
+    import pytest
+
+    from aisdb_ray.pipelines.tierquery import tier_plan
+
+    with pytest.raises(ValueError, match="nest"):
+        tier_plan(0, 500, (60, 90))
+
+
+def test_range_aggregate_empty_range_and_value_guard(tmp_path):
+    import pytest
+
+    from aisdb_ray.pipelines import tierquery
+
+    # both guards resolve before any file is touched
+    out = tierquery.range_aggregate(str(tmp_path), 100, 100)
+    assert out.count() == 0
+    with pytest.raises(ValueError, match="n_tok"):
+        tierquery.range_aggregate(str(tmp_path), 0, 100, value="other")
