@@ -139,8 +139,11 @@ def decode_timestamps(buf: bytes, nbits: int, n: int) -> np.ndarray:
 def encode_values(v: np.ndarray) -> tuple[bytes, int, int]:
     """Encode int64/float64 values via XOR of 64-bit patterns."""
     v = np.ascontiguousarray(v)
-    if v.dtype == np.float64:
-        bitsv = v.view(np.uint64)
+    if np.issubdtype(v.dtype, np.floating):
+        # upcast narrower floats: the old `== float64` check sent float32
+        # through the int branch, silently TRUNCATING 1.5 -> 1 in a codec
+        # documented as lossless (decode emits float64, value-preserving)
+        bitsv = v.astype(np.float64).view(np.uint64)
     else:
         bitsv = v.astype(np.int64).view(np.uint64)
     n = len(bitsv)

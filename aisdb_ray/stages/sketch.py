@@ -62,6 +62,19 @@ def hll_partial_batch(batch: pa.Table, key_col: str, value_col: str, b: int = 10
              REGISTER: pa.array([], pa.int64()),
              MAX_RANK: pa.array([], pa.int64())}
         )
+    # null values never count: SQL COUNT(DISTINCT v) excludes them, and
+    # str(None) would hash as the literal string 'None' (colliding with a
+    # real 'None' value and inflating the estimate by one)
+    if batch[value_col].null_count:
+        import pyarrow.compute as _pc
+
+        batch = batch.filter(_pc.is_valid(batch[value_col]))
+        if batch.num_rows == 0:
+            return pa.table(
+                {key_col: pa.array([], batch.schema.field(key_col).type),
+                 REGISTER: pa.array([], pa.int64()),
+                 MAX_RANK: pa.array([], pa.int64())}
+            )
     h = _hash64(batch[value_col].to_pylist())
     suffix_bits = 64 - b
     reg = (h >> np.uint64(suffix_bits)).astype(np.int64)
@@ -122,7 +135,11 @@ def hll_estimate(registers: pa.Table, key_col: str, b: int = 10) -> pa.Table:
     regs = registers[REGISTER].to_numpy(zero_copy_only=False)
     ranks = registers[MAX_RANK].to_numpy(zero_copy_only=False)
     out_k, out_e = [], []
-    order = np.argsort(np.array(keys, dtype=object), kind="stable")
+    # null-key-safe grouping order (np.argsort on an object array raises
+    # comparing None with str; SQL GROUP BY keeps a null-key group)
+    order = sorted(range(len(keys)),
+                   key=lambda i: (keys[i] is None,
+                                  keys[i] if keys[i] is not None else 0))
     keys_s = [keys[i] for i in order]
     regs_s, ranks_s = regs[order], ranks[order]
     i = 0
@@ -306,9 +323,15 @@ def hll_pair_union_hist(registers, key_col: str, b: int = 10):
                     tb.append(uniq[j])
                     mr.append(int(rank))
                     nr.append(int(hist[rank]))
+        kt = t.schema.field(key_col).type
         return pa.table({
-            "type_a": pa.array(ta, pa.string()),
-            "type_b": pa.array(tb, pa.string()),
+            # key dtype follows the register table (hll_registers
+            # preserves int keys; a hard-coded string() raised
+            # ArrowTypeError for them)
+            "type_a": pa.array([v.item() if hasattr(v, "item") else v
+                                for v in ta], kt),
+            "type_b": pa.array([v.item() if hasattr(v, "item") else v
+                                for v in tb], kt),
             "max_rank": pa.array(mr, pa.int64()),
             "n_regs": pa.array(nr, pa.int64()),
         })

@@ -49,6 +49,29 @@ def _valid_tokens(batch: pa.Table) -> pa.ChunkedArray | pa.Array:
     return toks
 
 
+def _valid_rows(batch: pa.Table) -> pa.Table:
+    """Row-level payload-contract filter (the _valid_tokens rule, for
+    kernels that also need key/doc_id columns): n_tok > 0, len == n_tok,
+    and no null ELEMENTS inside the token list — a null id would flatten
+    to NaN and cast to INT64_MIN garbage codes."""
+    ok = pc.and_(
+        pc.greater(batch["n_tok"], pa.scalar(0)),
+        pc.equal(pc.list_value_length(batch["tokens"]), batch["n_tok"]),
+    )
+    b = batch.filter(ok)
+    toks = b["tokens"]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    if flat.null_count:
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        bad = np.unique(par[pc.is_null(flat).to_numpy(zero_copy_only=False)])
+        keep = np.ones(b.num_rows, dtype=bool)
+        keep[bad] = False
+        b = b.filter(pa.array(keep))
+    return b
+
+
 def bigram_partial(batch: pa.Table) -> pa.Table:
     """Per-batch (packed bigram code, count) partial."""
     toks = _valid_tokens(batch)
@@ -154,11 +177,7 @@ def unigram_hist(ds):
 
 def simpson_partial(batch: pa.Table, key: str = "source") -> pa.Table:
     """Per-batch (key, token_id, count) partial over the token payload."""
-    ok = pc.and_(
-        pc.greater(batch["n_tok"], pa.scalar(0)),
-        pc.equal(pc.list_value_length(batch["tokens"]), batch["n_tok"]),
-    )
-    b = batch.filter(ok)
+    b = _valid_rows(batch)  # incl. null-ELEMENT rows, like every sibling
     toks = b["tokens"]
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
@@ -329,13 +348,15 @@ def pmi_topk(ds, k: int = 50, min_count: int = 5):
 
     uni = unigram_hist(ds).take_all()          # vocabulary-bounded
     c_of = {int(r["token_id"]): int(r["n"]) for r in uni}
-    t_total = int(sum(c_of.values())) - _valid_row_count(ds)
     uni_ref = ray.put(c_of)
 
     partials = ds.map_batches(bigram_partial, batch_format="pyarrow")
     local = partials.map_batches(
         _combine_codes, batch_format="pyarrow", batch_size=None
-    )
+    ).materialize()  # consumed twice: T and the ranking shuffle
+    # T = Σ(n_tok − 1) over valid rows == the total bigram-pair count,
+    # which the partials already hold — no third full-corpus scan
+    t_total = int(local.sum("n") or 0)
 
     def score(g: pa.Table) -> pa.Table:
         code = g["code"].to_numpy(zero_copy_only=False)
@@ -379,17 +400,6 @@ def pmi_topk(ds, k: int = 50, min_count: int = 5):
     ).limit(k)
 
 
-def _valid_row_count(ds) -> int:
-    """Count of contract-valid rows (n_tok > 0, len == n_tok)."""
-    def partial(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {"c": pa.array([len(_valid_tokens(b))], pa.int64())}
-        )
-
-    got = ds.map_batches(partial, batch_format="pyarrow").sum("c")
-    return int(got or 0)
-
-
 def rle_runs(ds):
     """Per-row token run-length evidence: (doc_id, n_tok, n_runs,
     rle_ratio) with n_runs the count of maximal adjacent equal-token runs
@@ -401,11 +411,7 @@ def rle_runs(ds):
     division on exact ints."""
 
     def per_batch(b: pa.Table) -> pa.Table:
-        keep = pc.and_(
-            pc.greater(b["n_tok"], pa.scalar(0)),
-            pc.equal(pc.list_value_length(b["tokens"]), b["n_tok"]),
-        )
-        b = b.filter(keep)
+        b = _valid_rows(b)  # null token ELEMENTS would inflate n_runs
         empty = pa.table({
             "doc_id": pa.array([], pa.string()),
             "n_tok": pa.array([], pa.int64()),
@@ -626,10 +632,7 @@ def lm_score(ds, scale: int = 1_000_000):
 
     def occ_partial(batch: pa.Table) -> pa.Table:
         """(prev, code, doc_id, k) bigram occurrence counts per doc."""
-        b2 = batch.filter(pc.and_(
-            pc.greater(batch["n_tok"], pa.scalar(0)),
-            pc.equal(pc.list_value_length(batch["tokens"]), batch["n_tok"]),
-        ))
+        b2 = _valid_rows(batch)  # null elements -> INT64_MIN codes
         toks = b2["tokens"]
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
@@ -678,6 +681,12 @@ def lm_score(ds, scale: int = 1_000_000):
         uprev, inv_p = np.unique(prev, return_inverse=True)
         pn_tbl = np.zeros(len(uprev), dtype=np.int64)
         np.add.at(pn_tbl, inv_p, k)
+        # the pmi_topk guard policy: numpy int64 multiply wraps silently,
+        # so corpus-scale bigram counts x scale must refuse, not mis-rank
+        if len(cn_tbl) and int(cn_tbl.max()) > (1 << 62) // scale:
+            raise OverflowError(
+                "lm_score: bigram count x scale exceeds int64 — lower "
+                "scale or shard the corpus")
         per = (cn_tbl[inv_c] * scale) // pn_tbl[inv_p] * k
         t = pa.table({"doc_id": part["doc_id"], "score": pa.array(per),
                       "nb": pa.array(k)})

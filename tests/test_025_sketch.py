@@ -226,3 +226,37 @@ def test_hll_distinct_empty_input():
     }))
     got = sketch.hll_distinct(empty, "k", "v")
     assert got.num_rows == 0
+
+
+def test_hll_null_values_excluded_and_null_keys_survive():
+    """SQL COUNT(DISTINCT v) excludes null values (str(None) also collided
+    with a literal 'None' string), and a null KEY group must estimate, not
+    crash the object argsort."""
+    import pyarrow as pa
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "a", None], pa.string()),
+        "v": pa.array([None, "None", "x", "y"], pa.string()),
+    })
+    regs = sketch.hll_partial_batch(t, "k", "v")
+    est = sketch.hll_estimate(regs, "k").to_pandas()
+    by_k = {("<null>" if k is None else k): e
+            for k, e in zip(est.k, est.estimate)}
+    assert round(by_k["a"]) == 2   # null value excluded; 'None' != null
+    assert round(by_k["<null>"]) == 1
+
+
+def test_hll_pair_union_int_keys():
+    """Int-keyed register tables: the pair-union key columns must carry
+    int64, not a hardcoded string type."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table({
+        "k": pa.array([1, 1, 2, 2], pa.int64()),
+        "v": pa.array(["a", "b", "b", "c"], pa.string()),
+    })
+    regs = sketch.hll_registers(rd.from_arrow(t), "k", "v")
+    hist = sketch.hll_pair_union_hist(regs, "k").to_pandas()
+    assert len(hist) > 0
+    assert hist.type_a.dtype.kind == "i"

@@ -191,3 +191,24 @@ def test_valid_tokens_rejects_null_elements():
     got = _valid_tokens(t)
     assert len(got) == 2
     assert got.to_pylist() == [[1, 2, 3], [7, 8]]
+
+
+def test_null_token_elements_dropped_by_all_payload_kernels():
+    """Rows whose token list contains a null ELEMENT violate the payload
+    contract and must drop from simpson/rle/lm_score — a null id would
+    flatten to NaN and cast to INT64_MIN garbage codes."""
+    import pyarrow as pa
+
+    t = pa.table({
+        "doc_id": pa.array(["d1", "d2"]),
+        "tokens": pa.array([[5, 5, None, 5, 5], [7, 7, 8]],
+                           pa.list_(pa.int32())),
+        "n_tok": pa.array([5, 3], pa.int32()),
+        "source": pa.array(["s", "s"]),
+    })
+    sp = tokstats.simpson_partial(t)
+    assert set(sp["token_id"].to_pylist()) == {7, 8}
+    rr = tokstats.rle_runs(rd.from_arrow(t)).to_pandas()
+    assert list(rr.doc_id) == ["d2"] and int(rr.n_runs.iloc[0]) == 2
+    lm = tokstats.lm_score(rd.from_arrow(t)).to_pandas()
+    assert list(lm.doc_id) == ["d2"]
