@@ -152,7 +152,13 @@ def co_shuffle_staged(ds, keys: list[str], block_fn, staging_dir: str,
     from aisdb_ray.stages.join import _key_hash
 
     if num_parts is None:
-        num_parts = _default_parts()
+        # FIXED default, not _default_parts(): the docstring's promise —
+        # "partition count comes from config, not cluster size" — is what
+        # makes a resume manifest written on an 8-cpu box match a rerun
+        # on 32 cpus (salted.clean_chunks_staged pins 64 for the same
+        # reason); a cluster-derived default silently rebuilt the whole
+        # all-to-all across cluster sizes
+        num_parts = 64
     mpath = os.path.join(staging_dir, "_MANIFEST.json")
     # route identity: which columns / partitioner shaped the exchange.
     # part_fn closures can't be hashed — callers pin them via fingerprint.

@@ -63,6 +63,15 @@ def _encode_order_keys(b: pa.Table, order_cols: list[str]) -> np.ndarray:
                 )
             parts.append(pc.utf8_lpad(pc.cast(col, pa.string()), 19, "0"))
         elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            # \x00 is the component separator: a payload NUL would make
+            # the encoded memcmp order disagree with Arrow's tuple sort
+            # ('a\x00' < 'a' encoded, > 'a' in tuples) — wrong global
+            # ranks whenever a range boundary falls between the two
+            if b.num_rows and pc.any(
+                pc.match_substring(col, "\x00")).as_py():
+                raise ValueError(
+                    f"global_rank: order column {c!r} contains NUL bytes; "
+                    "strip or re-encode them first")
             parts.append(pc.cast(col, pa.string()))
         else:
             raise TypeError(f"global_rank: unsupported order column type "
@@ -122,6 +131,7 @@ def global_rank(
     ntile: int | None = None,
     ntile_col: str = "tile",
     resume: bool = False,
+    fingerprint_extra: str | None = None,
 ):
     """Append each row's exact 1-based global rank under
     ``ORDER BY order_cols`` (``row_number() OVER (ORDER BY ...)`` for a
@@ -170,13 +180,20 @@ def global_rank(
                 pass
         staging_dir = os.path.join(root, uuid.uuid4().hex)
     if num_parts is None:
-        num_parts = _default_parts()
+        # fixed (the co_shuffle_staged rationale): a cluster-derived
+        # default would invalidate resume manifests across cluster sizes
+        num_parts = 64
     import base64
     import json as _json
 
     from aisdb_ray.stages._dist import staged_manifest_meta
 
-    fp = _json.dumps({"order_cols": list(order_cols)})
+    # fingerprint_extra is the caller's INPUT identity (file list + row
+    # count, a config hash, ...): without it a resume=True rerun over
+    # changed data silently serves the previous input's rows and ranks —
+    # the drift guard co_shuffle_staged's fingerprint exists to provide
+    fp = _json.dumps({"order_cols": list(order_cols),
+                      "input": fingerprint_extra})
     bounds = None
     if resume:
         # a valid checkpoint pins the boundaries — skip the sampling scan

@@ -97,8 +97,13 @@ class ReconMap:
         self.closes = closes
 
     @staticmethod
-    def key_of(source: str, chunk: int) -> str:
-        return f"{source}\x00{chunk:016d}"
+    def key_of(source, chunk: int) -> str:
+        # null sources key as a lone \x00 prefix — the f-string 'None'
+        # rendering collided with a real source literally named 'None';
+        # sources containing \x00 are rejected at summary build, so the
+        # sentinel cannot alias a real key
+        src = "\x00" if source is None else source
+        return f"{src}\x00{chunk:016d}"
 
     def __getitem__(self, src_chunk) -> ChunkRec:
         src, chunk = src_chunk
@@ -348,9 +353,15 @@ class ReconStore:
         ch = batch[CHUNK_COL].to_numpy(zero_copy_only=False).astype(np.int64)
         need = sorted({int(k) for k in _spart_of(src, ch, self.num_parts)})
         parts = [self._load(k) for k in need]
+        if not parts:
+            # zero-row batch: an empty map, not np.concatenate([]) raising
+            e = np.array([], dtype=np.int64)
+            return ReconMap(keys=np.array([], dtype=object), off=e,
+                            cont=e.astype(bool), seg_t0=e, t_prev=e,
+                            v_prev=e.astype(np.float64), closes=e.astype(bool))
         if len(parts) == 1:
             return parts[0]
-        keys = np.concatenate([p.keys for p in parts]) if parts else np.array([])
+        keys = np.concatenate([p.keys for p in parts])
         order = np.argsort(keys)
 
         def cat(attr):
@@ -386,7 +397,17 @@ def _resolve_recon(recon_ref, batch: pa.Table):
 def _reconcile(summary, max_gap: int) -> ReconMap:
     """Driver walk of the O(#chunks) summary -> :class:`ReconMap`."""
     recon: dict[tuple[str, int], list] = {}
-    for src, g in summary.groupby("source", sort=False):
+    bad = [s_ for s_ in summary["source"].dropna().unique() if "\x00" in s_]
+    if bad:
+        raise ValueError(
+            "clean_series_salted: source values containing NUL bytes "
+            f"({bad[:3]!r}...) would corrupt the reconciliation keys")
+    # dropna=False: prepare.validate admits null sources, the unsalted and
+    # staged paths both process them, and silently dropping the group here
+    # made relabel crash with KeyError((None, chunk))
+    for src, g in summary.groupby("source", sort=False, dropna=False):
+        if src != src:  # pandas groups null keys as NaN: normalize
+            src = None
         next_seg = 0
         prev_t = prev_v = None
         prev_key = None
@@ -641,6 +662,16 @@ def clean_chunks_staged(
         # MapReduce/Spark, in parquet).  lz4: staging is transient and
         # usually on tmpfs — cheap CPU beats ratio there (durable tiers
         # stay zstd).
+        if b.num_rows == 0:
+            # the _dist.write_stage guard, ported: Ray 2.49 happens to
+            # skip empty blocks in map_batches (verified, undocumented) —
+            # if that changes, row_group_size=0 raises and sps[[0]]
+            # IndexErrors; return an empty manifest table instead
+            return pa.table({
+                "file": pa.array([], pa.string()),
+                "part": pa.array([], pa.int64()),
+                "rg": pa.array([], pa.int64()),
+            })
         sp = b[SPART_COL].to_numpy(zero_copy_only=False)
         order = np.argsort(sp, kind="stable")
         # _chunk is time // chunk_s — derivable, so it never hits the wire;

@@ -263,3 +263,27 @@ def test_cascade_rejects_misaligned_chunk_s(tmp_path, micro_dir):
     )
     with pytest.raises(ValueError, match="multiple of every enabled tier"):
         cascade.run_cascade(cfg)
+
+
+def test_salted_null_source_rows_match_unsalted():
+    """prepare.validate admits null sources; the materialized salted path
+    used to drop the group at the pandas reconcile (KeyError downstream).
+    All three clean variants must agree."""
+    import pyarrow as pa
+
+    t = pa.table({
+        "doc_id": pa.array([f"x:{100 + i}:0" for i in range(4)] * 2),
+        "tokens": pa.array([[1]] * 8, pa.list_(pa.int32())),
+        "n_tok": pa.array([1] * 8, pa.int32()),
+        "source": pa.array(["s", "s", "s", "s", None, None, None, None]),
+        "time": pa.array([100, 101, 102, 103] * 2, pa.int64()),
+        "seq": pa.array([0, 0, 0, 0, 1, 1, 1, 1], pa.int32()),
+    })
+    ds = rd.from_arrow(t)
+    plain = series.clean_series(ds, max_gap=3600).to_pandas()
+    salted_df = salted.clean_series_salted(ds, max_gap=3600).to_pandas()
+    key = ["source", "time", "seq"]
+    a = plain.sort_values(key, na_position="first").reset_index(drop=True)
+    b = salted_df.sort_values(key, na_position="first").reset_index(drop=True)
+    assert len(a) == len(b) == 8
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])

@@ -195,3 +195,35 @@ def test_global_rank_resume_skips_boundary_sampling(tmp_path, monkeypatch):
     got_docs = r3.sort_values("rownum")["doc_id"].tolist()
     assert got_docs == want_docs
     assert os.path.exists(os.path.join(d, "_MANIFEST.json"))
+
+
+def test_global_rank_rejects_nul_bytes_in_order_strings():
+    """A payload NUL would make the byte encoding's memcmp order disagree
+    with Arrow's tuple sort — refuse, don't mis-rank."""
+    import pyarrow as pa
+    import pytest
+
+    t = pa.table({
+        "a": pa.array(["a", "a\x00"], pa.string()),
+        "b": pa.array([1, 2], pa.int64()),
+    })
+    with pytest.raises(Exception, match="NUL"):  # RayTaskError wraps it
+        ranksort.global_rank(rd.from_arrow(t), ["a", "b"]).take_all()
+
+
+def test_global_rank_fingerprint_extra_invalidates_stale_resume(tmp_path):
+    """resume=True with a changed fingerprint_extra must REBUILD the
+    exchange, not serve the previous input's rows and ranks."""
+    import pyarrow as pa
+
+    d = str(tmp_path / "stage")
+    t1 = pa.table({"k": pa.array([3, 1, 2], pa.int64())})
+    r1 = ranksort.global_rank(rd.from_arrow(t1), ["k"], num_parts=2,
+                              staging_dir=d, resume=True,
+                              fingerprint_extra="v1").to_pandas()
+    assert sorted(r1.k) == [1, 2, 3]
+    t2 = pa.table({"k": pa.array([9, 8], pa.int64())})
+    r2 = ranksort.global_rank(rd.from_arrow(t2), ["k"], num_parts=2,
+                              staging_dir=d, resume=True,
+                              fingerprint_extra="v2").to_pandas()
+    assert sorted(r2.k) == [8, 9]  # not t1's rows
